@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.mdl.{Manifest, ManifestJson}
+import graft.planner.{CatalogResolver, PathResolver, SemanticPlanner, TableResolver}
+import graft.semantics.ManifestExtractor
+
+/** Public engine API, mirroring the reference's session surface
+  * (`wren_core.SessionContext.transform_sql/query/...`, wren-core-py/src/context.rs:222-408,
+  * and the v3 HTTP routes, ibis-server/app/routers/v3/connector.py:70-247): deploy a
+  * manifest, then run SQL written against model names. Execution is Spark itself (the
+  * reference's Mode::LocalRuntime analogue, wren-core/core/src/mdl/context.rs:119-128);
+  * there is no unparse-to-dialect layer because Catalyst plans and executes directly.
+  */
+object GraftEngine {
+
+  def deploy(
+      spark: SparkSession,
+      manifest: Manifest,
+      resolver: TableResolver = new CatalogResolver,
+      properties: Map[String, String] = Map.empty): GraftSession = {
+    val planner = new SemanticPlanner(spark, manifest, resolver, properties)
+    planner.deploy()
+    new GraftSession(spark, manifest, planner)
+  }
+
+  /** Deploy from a JSON (or base64 JSON) manifest string, pruned to the models a given
+    * SQL actually needs when `forSql` is set (manifest extractor, A14).
+    */
+  def deployJson(
+      spark: SparkSession,
+      manifestJson: String,
+      resolver: TableResolver = new CatalogResolver,
+      properties: Map[String, String] = Map.empty,
+      forSql: Option[String] = None): GraftSession = {
+    val raw =
+      if (manifestJson.trim.startsWith("{")) ManifestJson.parse(manifestJson)
+      else ManifestJson.parseBase64(manifestJson)
+    val manifest = forSql.map(sql => ManifestExtractor.extract(raw, sql)).getOrElse(raw)
+    deploy(spark, manifest, resolver, properties)
+  }
+
+  /** Convenience: models over `<dir>/<table>.parquet` files. */
+  def deployOnDir(
+      spark: SparkSession,
+      manifest: Manifest,
+      dir: String,
+      properties: Map[String, String] = Map.empty): GraftSession =
+    deploy(spark, manifest, new PathResolver(dir), properties)
+}
+
+final class GraftSession(
+    val spark: SparkSession,
+    val manifest: Manifest,
+    planner: SemanticPlanner) {
+
+  /** Execute user SQL written against model/view names. `limit` clamps the result like
+    * the reference's pushdown_limit (wren-core-py/src/context.rs:271-320).
+    */
+  def query(sql: String, limit: Option[Int] = None): DataFrame = {
+    val df = spark.sql(planner.stripNamespace(sql))
+    limit.map(df.limit).getOrElse(df)
+  }
+
+  /** The planned form of the SQL — the `/dry-plan` analogue. The reference returns
+    * backend SQL (transform_sql_with_ctx, mdl/mod.rs:477-541); on Spark the natural
+    * "planned" artifact is the analyzed/optimized Catalyst plan.
+    */
+  def transformSql(sql: String): String =
+    query(sql).queryExecution.optimizedPlan.toString
+
+  /** Plan without executing; throws on invalid SQL / access violations (the `/dry-run`
+    * analogue, connector.py:110-123).
+    */
+  def dryRun(sql: String): Unit = {
+    query(sql).queryExecution.assertAnalyzed()
+    ()
+  }
+
+  def modelDF(name: String): DataFrame = spark.table(name)
+}

@@ -1,0 +1,253 @@
+package graft.mdl
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** MDL (semantic-layer manifest) data model.
+  *
+  * Mirrors the reference manifest surface (wren-core-base/manifest-macro/src/lib.rs:40-599):
+  * models over physical tables or SQL, expression-backed / calculated / relationship
+  * columns, cardinality-typed relationships, views, cubes, and row/column-level access
+  * control. JSON is camelCase; booleans tolerate 0/1 ints
+  * (wren-core-base/src/mdl/manifest.rs:295-318); tableReference accepts either an
+  * object or a dotted string (manifest.rs:215-293).
+  */
+final case class Manifest(
+    catalog: String,
+    schema: String,
+    models: List[Model] = Nil,
+    relationships: List[Relationship] = Nil,
+    views: List[View] = Nil,
+    cubes: List[Cube] = Nil,
+    dataSource: Option[String] = None) {
+  def model(name: String): Option[Model] =
+    models.find(_.name.equalsIgnoreCase(name))
+  def relationship(name: String): Option[Relationship] =
+    relationships.find(_.name.equalsIgnoreCase(name))
+}
+
+final case class TableReference(
+    catalog: Option[String] = None,
+    schema: Option[String] = None,
+    table: String = "") {
+  def dotted: String = (catalog.toList ++ schema.toList :+ table).mkString(".")
+}
+
+final case class Model(
+    name: String,
+    refSql: Option[String] = None,
+    tableReference: Option[TableReference] = None,
+    baseObject: Option[String] = None,
+    columns: List[Column] = Nil,
+    primaryKey: Option[String] = None,
+    cached: Boolean = false,
+    refreshTime: Option[String] = None,
+    rowLevelAccessControls: List[RowLevelAccessControl] = Nil) {
+  require(
+    refSql.isEmpty || tableReference.isEmpty,
+    s"model $name: refSql and tableReference are mutually exclusive")
+  def column(name: String): Option[Column] =
+    columns.find(_.name.equalsIgnoreCase(name))
+  /** Columns that come straight from the source scan (physical or expression-backed). */
+  def physicalColumns: List[Column] =
+    columns.filter(c => c.relationship.isEmpty && !c.isCalculated)
+  def calculatedColumns: List[Column] =
+    columns.filter(c => c.isCalculated && c.relationship.isEmpty)
+}
+
+final case class Column(
+    name: String,
+    `type`: String,
+    relationship: Option[String] = None,
+    isCalculated: Boolean = false,
+    notNull: Boolean = false,
+    expression: Option[String] = None,
+    isHidden: Boolean = false,
+    columnLevelAccessControl: Option[ColumnLevelAccessControl] = None)
+
+object JoinType {
+  val OneToOne = "ONE_TO_ONE"
+  val OneToMany = "ONE_TO_MANY"
+  val ManyToOne = "MANY_TO_ONE"
+  val ManyToMany = "MANY_TO_MANY"
+}
+
+/** Declared join path between exactly two models; joinType reads first-model →
+  * second-model (reference manifest-macro lib.rs:226-262, is_to_one at
+  * wren-core-base/src/mdl/manifest.rs:320-324).
+  */
+final case class Relationship(
+    name: String,
+    models: List[String],
+    joinType: String,
+    condition: String) {
+  require(models.size == 2, s"relationship $name must reference exactly 2 models")
+  /** Is the traversal FROM `host` to the other end a to-one hop? */
+  def isToOneFrom(host: String): Boolean = {
+    val jt = joinType.toUpperCase.replace(' ', '_')
+    if (models.head.equalsIgnoreCase(host))
+      jt == JoinType.OneToOne || jt == JoinType.ManyToOne
+    else
+      jt == JoinType.OneToOne || jt == JoinType.OneToMany
+  }
+  def other(host: String): String =
+    if (models.head.equalsIgnoreCase(host)) models(1) else models.head
+  def involves(m: String): Boolean = models.exists(_.equalsIgnoreCase(m))
+}
+
+final case class View(name: String, statement: String)
+
+final case class Cube(
+    name: String,
+    baseObject: String,
+    measures: List[CubeMeasure] = Nil,
+    dimensions: List[String] = Nil,
+    timeDimensions: List[String] = Nil)
+
+final case class CubeMeasure(name: String, expression: String)
+
+final case class SessionProperty(
+    name: String,
+    required: Boolean = false,
+    defaultExpr: Option[String] = None) {
+  def normalizedName: String = name.toLowerCase
+}
+
+final case class RowLevelAccessControl(
+    name: String,
+    requiredProperties: List[SessionProperty] = Nil,
+    condition: String)
+
+object ClacOperator {
+  val Equals = "EQUALS"
+  val NotEquals = "NOT_EQUALS"
+  val GreaterThan = "GREATER_THAN"
+  val LessThan = "LESS_THAN"
+  val GreaterThanOrEquals = "GREATER_THAN_OR_EQUALS"
+  val LessThanOrEquals = "LESS_THAN_OR_EQUALS"
+}
+
+final case class ColumnLevelAccessControl(
+    name: String,
+    requiredProperties: List[SessionProperty] = Nil,
+    operator: String,
+    threshold: String)
+
+/** Manual JSON codec over the json4s AST (json4s ships with Spark). Manual rather
+  * than reflective so we control int-as-bool tolerance, the tableReference
+  * string-or-object duality, and missing-field defaults precisely.
+  */
+object ManifestJson {
+
+  def parse(json: String): Manifest = fromJValue(JsonMethods.parse(json))
+
+  def parseBase64(b64: String): Manifest =
+    parse(new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+
+  private def str(v: JValue): Option[String] = v match {
+    case JString(s) => Some(s)
+    case JInt(i) => Some(i.toString)
+    case JDecimal(d) => Some(d.toString)
+    case JDouble(d) => Some(d.toString)
+    case JBool(b) => Some(b.toString)
+    case _ => None
+  }
+
+  private def bool(v: JValue): Boolean = v match {
+    case JBool(b) => b
+    case JInt(i) => i != 0
+    case JLong(i) => i != 0
+    case JString(s) => s.equalsIgnoreCase("true") || s == "1"
+    case _ => false
+  }
+
+  private def arr(v: JValue): List[JValue] = v match {
+    case JArray(xs) => xs
+    case JNothing | JNull => Nil
+    case other => List(other)
+  }
+
+  def fromJValue(j: JValue): Manifest = Manifest(
+    catalog = str(j \ "catalog").getOrElse("graft"),
+    schema = str(j \ "schema").getOrElse("public"),
+    models = arr(j \ "models").map(model),
+    relationships = arr(j \ "relationships").map(relationship),
+    views = arr(j \ "views").map(view),
+    cubes = arr(j \ "cubes").map(cube),
+    dataSource = str(j \ "dataSource"))
+
+  private def model(j: JValue): Model = Model(
+    name = str(j \ "name").getOrElse(sys.error("model requires a name")),
+    refSql = str(j \ "refSql").filter(_.nonEmpty),
+    tableReference = tableReference(j \ "tableReference"),
+    baseObject = str(j \ "baseObject").filter(_.nonEmpty),
+    columns = arr(j \ "columns").map(column),
+    primaryKey = str(j \ "primaryKey").filter(_.nonEmpty),
+    cached = bool(j \ "cached"),
+    refreshTime = str(j \ "refreshTime"),
+    rowLevelAccessControls =
+      arr(j \ "rowLevelAccessControls").map(rlac))
+
+  /** Accepts `{catalog, schema, table}` or a dotted string `"cat.sch.tbl"`. */
+  private def tableReference(j: JValue): Option[TableReference] = j match {
+    case JString(s) if s.nonEmpty =>
+      val parts = s.split('.')
+      parts.length match {
+        case 1 => Some(TableReference(table = parts(0)))
+        case 2 => Some(TableReference(schema = Some(parts(0)), table = parts(1)))
+        case _ => Some(TableReference(Some(parts(0)), Some(parts(1)), parts.drop(2).mkString(".")))
+      }
+    case o: JObject =>
+      str(o \ "table").filter(_.nonEmpty).map { t =>
+        TableReference(str(o \ "catalog").filter(_.nonEmpty), str(o \ "schema").filter(_.nonEmpty), t)
+      }
+    case _ => None
+  }
+
+  private def column(j: JValue): Column = Column(
+    name = str(j \ "name").getOrElse(sys.error("column requires a name")),
+    `type` = str(j \ "type").getOrElse("varchar"),
+    relationship = str(j \ "relationship").filter(_.nonEmpty),
+    isCalculated = bool(j \ "isCalculated"),
+    notNull = bool(j \ "notNull"),
+    expression = str(j \ "expression").filter(_.nonEmpty),
+    isHidden = bool(j \ "isHidden"),
+    columnLevelAccessControl = (j \ "columnLevelAccessControl") match {
+      case o: JObject => Some(clac(o))
+      case _ => None
+    })
+
+  private def relationship(j: JValue): Relationship = Relationship(
+    name = str(j \ "name").getOrElse(sys.error("relationship requires a name")),
+    models = arr(j \ "models").flatMap(str),
+    joinType = str(j \ "joinType").getOrElse(JoinType.ManyToOne),
+    condition = str(j \ "condition").getOrElse(sys.error("relationship requires a condition")))
+
+  private def view(j: JValue): View = View(
+    name = str(j \ "name").getOrElse(sys.error("view requires a name")),
+    statement = str(j \ "statement").getOrElse(sys.error("view requires a statement")))
+
+  private def cube(j: JValue): Cube = Cube(
+    name = str(j \ "name").getOrElse(sys.error("cube requires a name")),
+    baseObject = str(j \ "baseObject").getOrElse(""),
+    measures = arr(j \ "measures").map(mj => CubeMeasure(
+      str(mj \ "name").getOrElse(""), str(mj \ "expression").getOrElse(""))),
+    dimensions = arr(j \ "dimensions").flatMap(str),
+    timeDimensions = arr(j \ "timeDimensions").flatMap(str))
+
+  private def sessionProperty(j: JValue): SessionProperty = SessionProperty(
+    name = str(j \ "name").getOrElse(""),
+    required = bool(j \ "required"),
+    defaultExpr = str(j \ "defaultExpr").filter(_.nonEmpty))
+
+  private def rlac(j: JValue): RowLevelAccessControl = RowLevelAccessControl(
+    name = str(j \ "name").getOrElse(""),
+    requiredProperties = arr(j \ "requiredProperties").map(sessionProperty),
+    condition = str(j \ "condition").getOrElse("true"))
+
+  private def clac(j: JValue): ColumnLevelAccessControl = ColumnLevelAccessControl(
+    name = str(j \ "name").getOrElse(""),
+    requiredProperties = arr(j \ "requiredProperties").map(sessionProperty),
+    operator = str(j \ "operator").getOrElse(ClacOperator.Equals).toUpperCase,
+    threshold = str(j \ "threshold").getOrElse(""))
+}

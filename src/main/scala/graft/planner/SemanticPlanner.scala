@@ -1,0 +1,431 @@
+package graft.planner
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column => SCol, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.mdl._
+
+/** Resolves a model's physical source to a DataFrame. The reference's analogue is the
+  * per-connector table provider (ibis-server/app/model/data_source.py:241-530 plus
+  * DataFusion ListingTable registration, wren-core/core/src/mdl/mod.rs:113-167); on
+  * Spark every source funnels through `spark.read` / `spark.table`.
+  */
+trait TableResolver {
+  def resolve(spark: SparkSession, ref: TableReference): DataFrame
+  /** Physical table names (used to pre-register temp views for refSql models). */
+  def physicalNames: Seq[String] = Nil
+}
+
+/** Directory of `<table>.<ext>` files — the reference's LocalFile/S3File connection
+  * shape `{url, format}` (ibis-server/tests/.../local_file/conftest.py:21-25).
+  */
+final class PathResolver(url: String, format: String = "parquet") extends TableResolver {
+  private val ext = format match { case "csv" => "csv"; case "json" => "json"; case _ => "parquet" }
+  override def resolve(spark: SparkSession, ref: TableReference): DataFrame = {
+    val reader = spark.read.format(format)
+    val withOpts = if (format == "csv") reader.option("header", "true").option("inferSchema", "true") else reader
+    withOpts.load(s"$url/${ref.table}.$ext")
+  }
+  override def physicalNames: Seq[String] = {
+    val dir = new java.io.File(url)
+    if (!dir.isDirectory) Nil
+    else dir.listFiles().toSeq.map(_.getName).filter(_.endsWith(s".$ext")).map(_.stripSuffix(s".$ext"))
+  }
+}
+
+/** Resolve through the Spark catalog (managed/JDBC/DSv2 tables). */
+final class CatalogResolver extends TableResolver {
+  override def resolve(spark: SparkSession, ref: TableReference): DataFrame =
+    spark.table(ref.dotted)
+}
+
+final class GraftException(msg: String) extends RuntimeException(msg)
+
+/** View-generation semantic planner.
+  *
+  * Implements the reference's semantic analysis (ModelAnalyzeRule/ModelGenerationRule/
+  * RelationChain/CalculationPlanNode, wren-core/core/src/logical_plan/analyze/) as a
+  * pre-pass that materializes each model as a governed DataFrame registered as a temp
+  * view; Catalyst then does column pruning, predicate pushdown, and join planning on
+  * the expanded plan natively (SURVEY.md §4.2 — no custom optimizer rules needed).
+  *
+  * Per model (plan.rs:63-560 re-expressed Spark-first):
+  *   source scan → expression columns (ModelSourceNode, plan.rs:891-1035)
+  *   → to-one calculated fields via a left-join relation chain
+  *     (RelationChain, relation_chain.rs:35-299 — reference emits right joins with the
+  *     base on the right; we keep the base on the left, which is the same plan)
+  *   → to-many calculated fields via pre-aggregation on the related side joined back on
+  *     the primary key (CalculationPlanNode, plan.rs:1038-1146) — decorrelation by
+  *     construction, and at scale a single shuffle of the related table by FK
+  *   → CLAC column dropping (context.rs:343-365) → RLAC filters
+  *     (model_generation.rs:88-129) → temp view.
+  */
+final class SemanticPlanner(
+    spark: SparkSession,
+    manifest: Manifest,
+    resolver: TableResolver,
+    properties: Map[String, String]) {
+
+  private val props: Map[String, String] = properties.map { case (k, v) => k.toLowerCase -> v }
+  private val baseCache = mutable.Map[String, DataFrame]()
+
+  // ---------------------------------------------------------------- deploy
+
+  /** Build and register every model and view. Returns registered view names. */
+  def deploy(): Seq[String] = {
+    // 1. refSql models parse against *physical* names: pre-register those views.
+    val hasRefSql = manifest.models.exists(_.refSql.nonEmpty)
+    if (hasRefSql) {
+      resolver.physicalNames.foreach { t =>
+        resolver.resolve(spark, TableReference(table = t)).createOrReplaceTempView(t)
+      }
+    }
+    // 2. Eagerly analyze every base DF (captures plans before model views shadow
+    //    physical names), then build + register the governed model views.
+    manifest.models.foreach(baseDF)
+    val modelViews = manifest.models.map { m =>
+      modelDF(m).createOrReplaceTempView(m.name)
+      m.name
+    }
+    // 3. MDL views are plain SQL over models (ViewTable, context.rs:320-327).
+    val viewNames = manifest.views.map { v =>
+      spark.sql(stripNamespace(v.statement)).createOrReplaceTempView(v.name)
+      v.name
+    }
+    modelViews ++ viewNames
+  }
+
+  /** Strip the semantic `catalog.schema.` qualifier (reference strips it from unparsed
+    * SQL at mdl/mod.rs:530-537; here models live in the session temp-view namespace).
+    */
+  def stripNamespace(sql: String): String = {
+    val c = java.util.regex.Pattern.quote(manifest.catalog)
+    val s = java.util.regex.Pattern.quote(manifest.schema)
+    sql.replaceAll("(?i)\"?" + c + "\"?\\.\"?" + s + "\"?\\.", "")
+  }
+
+  // ---------------------------------------------------------------- base scan
+
+  /** Source scan + physical/expression columns, typed per the MDL declaration. */
+  def baseDF(model: Model): DataFrame = baseCache.getOrElseUpdate(model.name.toLowerCase, {
+    val src: DataFrame = (model.refSql, model.tableReference) match {
+      case (Some(sql), _) => spark.sql(stripNamespace(sql))
+      case (None, Some(ref)) => resolver.resolve(spark, ref)
+      case (None, None) =>
+        model.baseObject match {
+          case Some(b) =>
+            baseDF(manifest.model(b).getOrElse(
+              throw new GraftException(s"model ${model.name}: baseObject $b not found")))
+          case None => resolver.resolve(spark, TableReference(table = model.name))
+        }
+    }
+    val cols = model.physicalColumns.map { c =>
+      val e: SCol = c.expression.map(x => expr(normalizeQuotes(x))).getOrElse(col(c.name))
+      val target = TypeMapper.toSpark(c.`type`)
+      // Only cast when the declared type adds information; unknown-type fallback to
+      // string must not clobber a well-typed source column.
+      val typed =
+        if (TypeMapper.toSpark(c.`type`) == org.apache.spark.sql.types.StringType &&
+          !Set("varchar", "char", "bpchar", "text", "string", "name", "json", "uuid")
+            .contains(c.`type`.toLowerCase)) e
+        else e.cast(target)
+      typed.alias(c.name)
+    }
+    if (cols.isEmpty) src else src.select(cols: _*)
+  })
+
+  // ---------------------------------------------------------------- model plan
+
+  private val aggFnRe =
+    ("""(?is)^\s*(sum|count|avg|min|max|array_agg|collect_list|collect_set|string_agg|""" +
+      """listagg|bool_and|bool_or|stddev|stddev_pop|stddev_samp|var_pop|var_samp|variance|""" +
+      """median|approx_count_distinct|count_distinct|corr|covar_pop|covar_samp|first|last|any_value)\s*\(.*""").r
+
+  private def isAggregateExpr(e: String): Boolean = aggFnRe.matches(e)
+
+  /** The governed, fully-calculated DataFrame for a model. */
+  def modelDF(model: Model): DataFrame = {
+    val baseAlias = model.name
+    var df = baseDF(model).alias(baseAlias)
+
+    val (aggCalcs, scalarCalcs) = model.calculatedColumns.partition(c =>
+      isAggregateExpr(c.expression.getOrElse("")))
+
+    // --- to-one calculated fields: left-join relation chain ---
+    val joins = mutable.LinkedHashMap[String, JoinStep]()
+    val scalarRewritten: List[(Column, String)] = scalarCalcs.map { c =>
+      val ex = c.expression.getOrElse(
+        throw new GraftException(s"calculated column ${model.name}.${c.name} requires an expression"))
+      val (rewritten, steps) = resolvePaths(model, baseAlias, ex)
+      steps.foreach { st =>
+        if (!st.toOne)
+          throw new GraftException(
+            s"calculated column ${model.name}.${c.name}: non-aggregate expression traverses " +
+              s"a to-many relationship ${st.rel.name}; wrap it in an aggregate")
+        joins.getOrElseUpdate(st.alias, st)
+      }
+      c -> rewritten
+    }
+    joins.values.foreach { st =>
+      df = df.join(baseDF(st.model).alias(st.alias), expr(st.condition), "left_outer")
+    }
+
+    // --- to-many calculated fields: pre-aggregate + join back on pk ---
+    aggCalcs.foreach { c =>
+      val pk = model.primaryKey.getOrElse(throw new GraftException(
+        s"model ${model.name}: to-many calculated column ${c.name} requires a primaryKey " +
+          "(reference plan.rs:241-249)"))
+      val ex = c.expression.get
+      val (rewritten, steps) = resolvePaths(model, baseAlias, ex)
+      if (steps.isEmpty)
+        throw new GraftException(
+          s"calculated column ${model.name}.${c.name} aggregates but references no relationship")
+      val pkCol = s"__graft_pk_${c.name}"
+      val aggDF: DataFrame = singleHopEquality(model, steps) match {
+        case Some((baseSide, relSide)) =>
+          // Fast path: aggregate the related table grouped by its FK — one shuffle of
+          // the related side, no join of the base into the aggregation.
+          val st = steps.head
+          baseDF(st.model).alias(st.alias)
+            .groupBy(expr(relSide).alias(pkCol))
+            .agg(expr(rewritten).cast(TypeMapper.toSpark(c.`type`)).alias(c.name))
+        case None =>
+          var adf = baseDF(model).alias(baseAlias)
+          steps.foreach { st =>
+            adf = adf.join(baseDF(st.model).alias(st.alias), expr(st.condition), "left_outer")
+          }
+          adf.groupBy(col(s"$baseAlias.$pk").alias(pkCol))
+            .agg(expr(rewritten).cast(TypeMapper.toSpark(c.`type`)).alias(c.name))
+      }
+      val joinKey: SCol = singleHopEquality(model, steps) match {
+        case Some((baseSide, _)) => expr(baseSide) === col(pkCol)
+        case None => col(s"$baseAlias.$pk") === col(pkCol)
+      }
+      df = df.join(aggDF, joinKey, "left_outer").drop(pkCol)
+    }
+
+    // --- final projection: visible columns passing CLAC ---
+    val scalarByName = scalarRewritten.map { case (c, ex) => c.name.toLowerCase -> (c, ex) }.toMap
+    val aggNames = aggCalcs.map(_.name.toLowerCase).toSet
+    val visible = model.columns.filter(c =>
+      c.relationship.isEmpty && !c.isHidden && clacAllows(model, c))
+    val sel: List[SCol] = visible.map { c =>
+      if (aggNames.contains(c.name.toLowerCase)) col(c.name)
+      else scalarByName.get(c.name.toLowerCase) match {
+        case Some((cc, ex)) => expr(ex).cast(TypeMapper.toSpark(cc.`type`)).alias(cc.name)
+        case None => col(s"$baseAlias.${c.name}")
+      }
+    }
+    var out = df.select(sel: _*)
+
+    // --- row-level access control (model_generation.rs:88-129) ---
+    val filters = model.rowLevelAccessControls.map(rlacFilter)
+    filters.foreach(f => out = out.filter(f))
+    out
+  }
+
+  // ---------------------------------------------------------------- relation chain
+
+  /** One hop of a relation chain: join `model` (aliased `alias`) onto the plan. */
+  final case class JoinStep(
+      alias: String, model: Model, rel: Relationship, condition: String, toOne: Boolean)
+
+  /** Detect the single-hop pure-equality shape `base.x = related.y`; returns the
+    * rewritten (baseSideExpr, relatedSideExpr) column references if so.
+    */
+  private def singleHopEquality(model: Model, steps: List[JoinStep]): Option[(String, String)] = {
+    if (steps.size != 1) return None
+    val st = steps.head
+    val sides = st.rel.condition.split("=")
+    if (sides.length != 2) return None
+    def rewriteSide(s: String): Option[(String, Boolean)] = {
+      parsePath(s.trim).flatMap { parts =>
+        if (parts.length != 2) None
+        else if (parts.head.equalsIgnoreCase(model.name))
+          Some((s"`${model.name}`.`${parts(1)}`", true))
+        else if (parts.head.equalsIgnoreCase(st.model.name))
+          Some((s"`${st.alias}`.`${parts(1)}`", false))
+        else None
+      }
+    }
+    for {
+      (l, lIsBase) <- rewriteSide(sides(0))
+      (r, rIsBase) <- rewriteSide(sides(1))
+      if lIsBase != rIsBase
+    } yield if (lIsBase) (l, r) else (r, l)
+  }
+
+  /** Quoted-or-bare dotted identifier path, e.g. `"Orders"."Customers"."State"`. */
+  private val pathRe =
+    """("[^"]+"|[A-Za-z_][A-Za-z_0-9]*)(\s*\.\s*("[^"]+"|[A-Za-z_][A-Za-z_0-9]*))+""".r
+
+  private def parsePath(s: String): Option[List[String]] = {
+    val m = pathRe.pattern.matcher(s)
+    if (m.matches()) Some(splitPath(s)) else None
+  }
+
+  private def splitPath(path: String): List[String] = {
+    val parts = mutable.ListBuffer[String]()
+    var i = 0
+    val sb = new StringBuilder
+    var inQ = false
+    while (i < path.length) {
+      val ch = path.charAt(i)
+      ch match {
+        case '"' => inQ = !inQ
+        case '.' if !inQ => parts += sb.result().trim; sb.clear()
+        case c => sb += c
+      }
+      i += 1
+    }
+    parts += sb.result().trim
+    parts.toList
+  }
+
+  /** Rewrite every relationship-column path in `expression` into a join-chain column
+    * reference, accumulating the required `JoinStep`s (the lineage walk of
+    * wren-core/core/src/mdl/lineage.rs:19-120 done directly on the expression text).
+    */
+  private def resolvePaths(
+      model: Model, baseAlias: String, expression: String): (String, List[JoinStep]) = {
+    val steps = mutable.LinkedHashMap[String, JoinStep]()
+    val rewritten = pathRe.replaceAllIn(normalizeQuotes(expression, keepPaths = true), m => {
+      val parts = splitPath(m.matched)
+      // Only paths whose head is a relationship column of the host model are semantic.
+      val headCol = model.column(parts.head)
+      if (headCol.exists(_.relationship.nonEmpty)) {
+        var curModel = model
+        var curAlias = baseAlias
+        var relCol = headCol
+        var idx = 0
+        while (idx < parts.length - 1) {
+          val cc = relCol.getOrElse(throw new GraftException(
+            s"${model.name}: cannot resolve path ${parts.mkString(".")} at ${parts(idx)}"))
+          val rel = manifest.relationship(cc.relationship.get).getOrElse(
+            throw new GraftException(s"relationship ${cc.relationship.get} not found"))
+          if (!rel.involves(curModel.name))
+            throw new GraftException(
+              s"relationship ${rel.name} does not involve model ${curModel.name}")
+          val nextName = rel.other(curModel.name)
+          val nextModel = manifest.model(nextName).getOrElse(
+            throw new GraftException(s"model $nextName not found"))
+          val nextAlias = s"__rel_${parts.take(idx + 1).mkString("_")}".replaceAll("\\W", "_")
+          val cond = rewriteJoinCondition(rel, curModel.name, curAlias, nextModel.name, nextAlias)
+          steps.getOrElseUpdate(nextAlias,
+            JoinStep(nextAlias, nextModel, rel, cond, rel.isToOneFrom(curModel.name)))
+          curModel = nextModel
+          curAlias = nextAlias
+          idx += 1
+          relCol = if (idx < parts.length - 1) curModel.column(parts(idx)) else None
+        }
+        java.util.regex.Matcher.quoteReplacement(s"`$curAlias`.`${parts.last}`")
+      } else java.util.regex.Matcher.quoteReplacement(
+        normalizeQuotes(m.matched))
+    })
+    (rewritten, steps.values.toList)
+  }
+
+  /** Relationship conditions reference *model names* (e.g. `"Orders"."Customer_id" =
+    * "Customers"."Id"`, relation_chain.rs:281-289); qualify them with plan aliases.
+    */
+  private def rewriteJoinCondition(
+      rel: Relationship,
+      fromModel: String, fromAlias: String,
+      toModel: String, toAlias: String): String = {
+    pathRe.replaceAllIn(rel.condition, m => {
+      val parts = splitPath(m.matched)
+      val repl =
+        if (parts.head.equalsIgnoreCase(fromModel))
+          (s"`$fromAlias`" :: parts.tail.map(p => s"`$p`")).mkString(".")
+        else if (parts.head.equalsIgnoreCase(toModel))
+          (s"`$toAlias`" :: parts.tail.map(p => s"`$p`")).mkString(".")
+        else parts.map(p => s"`$p`").mkString(".")
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+  }
+
+  /** MDL expressions quote identifiers with double quotes; Spark wants backticks. */
+  private def normalizeQuotes(e: String, keepPaths: Boolean = false): String = {
+    // Replace "ident" with `ident` outside single-quoted string literals.
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < e.length) {
+      val ch = e.charAt(i)
+      if (ch == '\'') { inStr = !inStr; sb += ch }
+      else if (ch == '"' && !inStr) {
+        val end = e.indexOf('"', i + 1)
+        if (end < 0) { sb += ch }
+        else {
+          if (keepPaths) { sb += '"'; sb ++= e.substring(i + 1, end); sb += '"' }
+          else { sb += '`'; sb ++= e.substring(i + 1, end); sb += '`' }
+          i = end
+        }
+      } else sb += ch
+      i += 1
+    }
+    sb.result()
+  }
+
+  // ---------------------------------------------------------------- access control
+
+  private def propValue(name: String): Option[String] = props.get(name.toLowerCase)
+
+  /** Validate declared session properties; missing+required throws
+    * (access_control.rs:33-118).
+    */
+  private def checkRequired(rps: List[SessionProperty], ruleName: String): Unit =
+    rps.foreach { p =>
+      if (p.required && propValue(p.name).isEmpty && p.defaultExpr.isEmpty)
+        throw new GraftException(
+          s"access-control rule $ruleName: required session property ${p.name} not provided")
+    }
+
+  /** `@property` placeholders → typed literals (access_control.rs:33-83). */
+  private def rlacFilter(rule: RowLevelAccessControl): SCol = {
+    checkRequired(rule.requiredProperties, rule.name)
+    val declared = rule.requiredProperties.map(p => p.normalizedName -> p).toMap
+    val substituted = "@([A-Za-z_][A-Za-z_0-9]*)".r.replaceAllIn(rule.condition, m => {
+      val key = m.group(1).toLowerCase
+      val raw = propValue(key).orElse(declared.get(key).flatMap(_.defaultExpr))
+      java.util.regex.Matcher.quoteReplacement(raw.map(toLiteral).getOrElse("NULL"))
+    })
+    expr(normalizeQuotes(substituted))
+  }
+
+  private val numericRe = """-?\d+(\.\d+)?([eE][-+]?\d+)?""".r
+  private def toLiteral(v: String): String =
+    if (numericRe.matches(v) || v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")) v
+    else "'" + v.replace("'", "''") + "'"
+
+  /** CLAC: failing columns are omitted from the model schema (context.rs:343-365). */
+  private def clacAllows(model: Model, c: Column): Boolean =
+    c.columnLevelAccessControl.forall { rule =>
+      val propName = rule.requiredProperties.headOption.map(_.name)
+      val v = propName.flatMap(propValue)
+        .orElse(rule.requiredProperties.headOption.flatMap(_.defaultExpr))
+      v match {
+        case None => false
+        case Some(value) => compare(value, rule.operator, rule.threshold)
+      }
+    }
+
+  private def compare(value: String, op: String, threshold: String): Boolean = {
+    val cmp: Int =
+      (scala.util.Try(BigDecimal(value)), scala.util.Try(BigDecimal(threshold))) match {
+        case (scala.util.Success(a), scala.util.Success(b)) => a.compare(b)
+        case _ => value.compareToIgnoreCase(threshold)
+      }
+    op match {
+      case ClacOperator.Equals => cmp == 0
+      case ClacOperator.NotEquals => cmp != 0
+      case ClacOperator.GreaterThan => cmp > 0
+      case ClacOperator.LessThan => cmp < 0
+      case ClacOperator.GreaterThanOrEquals => cmp >= 0
+      case ClacOperator.LessThanOrEquals => cmp <= 0
+      case other => throw new GraftException(s"unknown CLAC operator $other")
+    }
+  }
+}

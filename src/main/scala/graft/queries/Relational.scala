@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The relational operator surface (SURVEY.md §2.B): the reference plans full SQL
+  * (DataFusion grammar) over models; here each operator class is exercised as a Spark
+  * SQL query over the test tables, with a DuckDB-equivalent oracle.
+  *
+  * Determinism across engines: doubles are never accumulated directly — money columns
+  * are cast to exact decimals, aggregated exactly, then cast to double (IEEE-identical
+  * in Spark and DuckDB); every query is fully ordered or orderable by the driver.
+  */
+object Relational {
+
+  def load(s: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(t => s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+
+  private def q(tables: Seq[String], sparkSql: String, oracle: String)
+      : ((SparkSession, String) => DataFrame, String) =
+    ((s: SparkSession, dir: String) => { load(s, dir, tables: _*); s.sql(sparkSql) }, oracle)
+
+  /** Same text runs on Spark and DuckDB. */
+  private def common(tables: Seq[String], sql: String) = q(tables, sql, sql)
+
+  // money → exact decimal
+  private def dec(c: String) = s"cast($c as decimal(18,2))"
+
+  val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // --- aggregation: TPC-H Q1 shape (group-by + multi-agg + filter) ---
+    "q1_agg" -> common(
+      Seq("lineitem"),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  cast(sum(${dec("l_quantity")}) as double) AS sum_qty,
+         |  cast(sum(${dec("l_extendedprice")}) as double) AS sum_base_price,
+         |  cast(sum(${dec("l_extendedprice")} * (1 - ${dec("l_discount")})) as double) AS sum_disc_price,
+         |  cast(sum(${dec("l_extendedprice")} * (1 - ${dec("l_discount")}) * (1 + ${dec("l_tax")})) as double) AS sum_charge,
+         |  cast(sum(${dec("l_quantity")}) as double) / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE cast(l_shipdate as date) <= date '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // --- multi-way join + agg: TPC-H Q5 shape ---
+    "q2_join_multi" -> common(
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region"),
+      s"""SELECT n_name,
+         |  cast(sum(${dec("l_extendedprice")} * (1 - ${dec("l_discount")})) as double) AS revenue,
+         |  count(*) AS nrows
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE cast(o_orderdate as date) >= date '1996-01-01'
+         |  AND cast(o_orderdate as date) < date '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin),
+
+    // --- sort + limit (top-K → TakeOrderedAndProject) ---
+    "q3_topk" -> common(
+      Seq("orders"),
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin),
+
+    // --- window functions (row_number/rank/dense_rank/lag/lead/running sum) ---
+    "q4_window" -> common(
+      Seq("orders"),
+      s"""SELECT * FROM (
+         |  SELECT o_custkey, o_orderkey,
+         |    cast(row_number() OVER w as int) AS rn,
+         |    cast(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) as int) AS rnk,
+         |    cast(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) as int) AS drnk,
+         |    lag(o_orderkey, 1) OVER w AS prev_ord,
+         |    lead(o_orderkey, 1) OVER w AS next_ord,
+         |    cast(sum(${dec("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_total,
+         |    cast(ntile(3) OVER w as int) AS tile
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         |) t WHERE rn <= 3
+         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // --- IN subquery ---
+    "q5_subq_in" -> common(
+      Seq("customer", "orders"),
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // --- correlated EXISTS / NOT EXISTS ---
+    "q6_exists" -> common(
+      Seq("customer", "orders"),
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // --- set operations ---
+    "q7_setops" -> common(
+      Seq("customer", "orders", "supplier"),
+      """SELECT k FROM (
+        |  SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+        |  UNION
+        |  SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000
+        |) u
+        |INTERSECT
+        |SELECT c_nationkey AS k FROM customer
+        |EXCEPT
+        |SELECT c_nationkey AS k FROM customer WHERE c_nationkey = 0
+        |ORDER BY k""".stripMargin),
+
+    // --- unnest / table function (explode + sequence) ---
+    "q8_unnest" -> q(
+      Seq("nation"),
+      """SELECT n_nationkey, cast(x as bigint) AS x
+        |FROM nation
+        |LATERAL VIEW explode(sequence(1, n_nationkey % 3 + 1)) t AS x
+        |ORDER BY n_nationkey, x""".stripMargin,
+      """SELECT n_nationkey, cast(x as bigint) AS x
+        |FROM nation, unnest(generate_series(1, n_nationkey % 3 + 1)) t(x)
+        |ORDER BY n_nationkey, x""".stripMargin),
+
+    // --- ROLLUP + grouping() ---
+    "q9_rollup" -> common(
+      Seq("lineitem"),
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS cnt,
+         |  cast(sum(${dec("l_quantity")}) as double) AS qty,
+         |  cast(grouping(l_returnflag) as int) AS g_rf
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin),
+
+    // --- distinct aggregates ---
+    "q10_distinct_agg" -> common(
+      Seq("lineitem"),
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(DISTINCT l_orderkey) AS n_ord
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // --- CASE / coalesce / nullif / greatest / least ---
+    "q11_case" -> common(
+      Seq("orders"),
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+        |  greatest(o_orderkey, o_custkey) AS g,
+        |  least(o_orderkey, o_custkey) AS l
+        |FROM orders
+        |WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // --- string functions ---
+    "q12_string" -> q(
+      Seq("part"),
+      """SELECT p_partkey,
+        |  lower(p_name) AS lo, upper(p_brand) AS up,
+        |  substr(p_name, 1, 5) AS sub,
+        |  length(p_name) AS len,
+        |  replace(p_type, ' ', '_') AS repl,
+        |  concat_ws('|', p_brand, p_type) AS cw,
+        |  lpad(cast(p_size as string), 4, '0') AS pad,
+        |  split_part(p_type, ' ', 1) AS sp,
+        |  reverse(p_brand) AS rev,
+        |  trim(p_name) AS tr,
+        |  ascii(p_brand) AS asc_c
+        |FROM part
+        |WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
+      """SELECT p_partkey,
+        |  lower(p_name) AS lo, upper(p_brand) AS up,
+        |  substr(p_name, 1, 5) AS sub,
+        |  cast(length(p_name) as int) AS len,
+        |  replace(p_type, ' ', '_') AS repl,
+        |  concat_ws('|', p_brand, p_type) AS cw,
+        |  lpad(cast(p_size as varchar), 4, '0') AS pad,
+        |  split_part(p_type, ' ', 1) AS sp,
+        |  reverse(p_brand) AS rev,
+        |  trim(p_name) AS tr,
+        |  ascii(p_brand) AS asc_c
+        |FROM part
+        |WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin),
+
+    // --- datetime functions ---
+    "q13_datetime" -> q(
+      Seq("orders"),
+      """SELECT o_orderkey,
+        |  year(cast(o_orderdate as date)) AS y,
+        |  month(cast(o_orderdate as date)) AS m,
+        |  day(cast(o_orderdate as date)) AS d,
+        |  cast(date_trunc('month', cast(o_orderdate as date)) as date) AS mon,
+        |  cast(date_add(cast(o_orderdate as date), 30) as date) AS plus30,
+        |  datediff(date '2000-01-01', cast(o_orderdate as date)) AS days_to_2k,
+        |  cast(last_day(cast(o_orderdate as date)) as date) AS eom,
+        |  date_format(cast(o_orderdate as timestamp), 'yyyy-MM-dd') AS fmt
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey,
+        |  cast(year(cast(o_orderdate as date)) as int) AS y,
+        |  cast(month(cast(o_orderdate as date)) as int) AS m,
+        |  cast(day(cast(o_orderdate as date)) as int) AS d,
+        |  cast(date_trunc('month', cast(o_orderdate as date)) as date) AS mon,
+        |  cast(cast(o_orderdate as date) + 30 as date) AS plus30,
+        |  cast(date '2000-01-01' - cast(o_orderdate as date) as int) AS days_to_2k,
+        |  cast(last_day(cast(o_orderdate as date)) as date) AS eom,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS fmt
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // --- left semi / anti join ---
+    "q14_semi_anti" -> q(
+      Seq("customer", "orders"),
+      """SELECT c_custkey FROM customer LEFT SEMI JOIN orders ON c_custkey = o_custkey
+        |UNION ALL
+        |SELECT -c_custkey FROM customer LEFT ANTI JOIN orders ON c_custkey = o_custkey
+        |ORDER BY 1""".stripMargin,
+      """SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT -c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1""".stripMargin),
+
+    // --- CTE + HAVING ---
+    "q15_cte_having" -> common(
+      Seq("orders", "customer"),
+      s"""WITH cust_orders AS (
+         |  SELECT o_custkey, count(*) AS n, sum(${dec("o_totalprice")}) AS tot
+         |  FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+         |)
+         |SELECT c.c_mktsegment, count(*) AS n_cust, cast(sum(co.tot) as double) AS seg_total
+         |FROM cust_orders co JOIN customer c ON co.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment
+         |ORDER BY c.c_mktsegment""".stripMargin),
+
+    // --- scalar subqueries (uncorrelated + correlated) ---
+    "q16_scalar_subq" -> common(
+      Seq("customer", "orders"),
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT max(o_orderkey) FROM orders) AS max_ord
+        |FROM customer c
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin),
+
+    // --- math functions (exact ops + rounded transcendentals over a small table) ---
+    "q17_math" -> common(
+      Seq("nation"),
+      """SELECT n_nationkey,
+        |  abs(n_nationkey - 12) AS a,
+        |  n_nationkey % 5 AS mo,
+        |  cast(floor(sqrt(cast(n_nationkey as double) * 100)) as bigint) AS fsq,
+        |  cast(ceil(cast(n_nationkey as double) / 3) as bigint) AS ce,
+        |  round(ln(cast(n_nationkey + 1 as double)), 4) AS lnv,
+        |  round(exp(cast(n_nationkey as double) / 10), 4) AS expv,
+        |  round(power(cast(n_nationkey as double), 1.5), 4) AS pw,
+        |  cast(sign(n_nationkey - 12) as int) AS sg
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // --- array construction / lambdas / join-to-string ---
+    "q18_array" -> q(
+      Seq("nation"),
+      """SELECT n_regionkey,
+        |  array_join(array_sort(collect_list(n_name)), ',') AS names,
+        |  cast(size(collect_list(n_name)) as bigint) AS n,
+        |  array_join(transform(array_sort(collect_list(n_nationkey)), x -> cast(x * 2 as string)), ',') AS doubled
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+        |  count(*) AS n,
+        |  list_aggregate(list_transform(list_sort(list(n_nationkey)), x -> cast(x * 2 as varchar)), 'string_agg', ',') AS doubled
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin),
+
+    // --- NULL ordering (reference forces NULLS LAST, context.rs:56-59) ---
+    "q19_null_order" -> common(
+      Seq("orders"),
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+        |FROM orders
+        |WHERE o_orderkey <= 500
+        |ORDER BY st ASC NULLS LAST, o_orderkey""".stripMargin),
+
+    // --- regexp (DuckDB regexp_replace needs the 'g' flag for global) ---
+    "q20_regexp" -> q(
+      Seq("part"),
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '') AS novowel,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS firstword,
+        |  length(p_name) - length(replace(p_name, 'a', '')) AS n_a
+        |FROM part
+        |WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin,
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS firstword,
+        |  cast(length(p_name) - length(replace(p_name, 'a', '')) as int) AS n_a
+        |FROM part
+        |WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin),
+
+    // --- manual variance via exact decimal sums (deterministic across engines) ---
+    "q21_stats" -> common(
+      Seq("lineitem"),
+      s"""SELECT l_returnflag,
+         |  count(*) AS n,
+         |  cast(sum(${dec("l_quantity")}) as double) / count(*) AS mean_qty,
+         |  (cast(sum(${dec("l_quantity")} * ${dec("l_quantity")}) as double)
+         |    - cast(sum(${dec("l_quantity")}) as double) * cast(sum(${dec("l_quantity")}) as double) / count(*)
+         |  ) / count(*) AS var_pop_qty
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin),
+
+    // --- join variety: full outer + left join with nulls ---
+    "q22_outer_join" -> common(
+      Seq("nation", "customer"),
+      """SELECT n.n_nationkey, n.n_name, cnt.n_cust
+        |FROM nation n
+        |LEFT JOIN (
+        |  SELECT c_nationkey, count(*) AS n_cust FROM customer WHERE c_acctbal > 9500 GROUP BY c_nationkey
+        |) cnt ON n.n_nationkey = cnt.c_nationkey
+        |ORDER BY n.n_nationkey""".stripMargin)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+  def oracles: Map[String, String] =
+    defs.map { case (n, (_, o)) => n -> o }.toMap
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftEngine
+import graft.mdl._
+
+/** Semantic-layer operators (SURVEY.md §2.A) exercised end-to-end: each query deploys
+  * an MDL manifest over the test parquet and runs SQL against *model* names; the oracle
+  * is the hand-expanded equivalent SQL over the physical tables.
+  */
+object Semantic {
+
+  private def pcol(name: String, t: String): Column = Column(name, t)
+  private def ecol(name: String, t: String, e: String): Column =
+    Column(name, t, expression = Some(e))
+  private def relcol(name: String, t: String, rel: String): Column =
+    Column(name, t, relationship = Some(rel))
+  private def calc(name: String, t: String, e: String): Column =
+    Column(name, t, isCalculated = true, expression = Some(e))
+
+  /** TPC-H-ish manifest with relationships + calculated fields over the test tables. */
+  def manifest: Manifest = Manifest(
+    catalog = "graft", schema = "amalgam",
+    models = List(
+      Model(
+        name = "m_region",
+        tableReference = Some(TableReference(table = "region")),
+        primaryKey = Some("r_regionkey"),
+        columns = List(pcol("r_regionkey", "int"), pcol("r_name", "varchar"))),
+      Model(
+        name = "m_nation",
+        tableReference = Some(TableReference(table = "nation")),
+        primaryKey = Some("n_nationkey"),
+        columns = List(
+          pcol("n_nationkey", "int"), pcol("n_name", "varchar"), pcol("n_regionkey", "int"),
+          relcol("region", "m_region", "nation_region"),
+          calc("region_name", "varchar", "\"region\".\"r_name\""))),
+      Model(
+        name = "m_customer",
+        tableReference = Some(TableReference(table = "customer")),
+        primaryKey = Some("c_custkey"),
+        columns = List(
+          pcol("c_custkey", "bigint"), pcol("c_name", "varchar"),
+          pcol("c_nationkey", "int"), pcol("c_acctbal", "double"),
+          pcol("c_mktsegment", "varchar"),
+          relcol("nation", "m_nation", "customer_nation"),
+          relcol("orders", "m_orders", "orders_customer"),
+          calc("nation_name", "varchar", "\"nation\".\"n_name\""),
+          // two-hop to-one traversal (reference FIXTURES Order_items.Customer_state)
+          calc("region_name", "varchar", "\"nation\".\"region\".\"r_name\""),
+          // to-many aggregation (CalculationPlanNode, plan.rs:1038-1146)
+          calc("total_spent", "decimal(18,2)",
+            "sum(cast(\"orders\".\"o_totalprice\" as decimal(18,2)))"),
+          calc("order_count", "bigint", "count(\"orders\".\"o_orderkey\")"))),
+      Model(
+        name = "m_orders",
+        tableReference = Some(TableReference(table = "orders")),
+        primaryKey = Some("o_orderkey"),
+        columns = List(
+          pcol("o_orderkey", "bigint"), pcol("o_custkey", "bigint"),
+          pcol("o_orderstatus", "varchar"), pcol("o_totalprice", "double"),
+          ecol("o_orderdate", "date", "cast(o_orderdate as date)"),
+          pcol("o_orderpriority", "varchar"),
+          // expression-backed column (ModelSourceNode, plan.rs:891-1035)
+          ecol("order_cust", "varchar",
+            "concat(cast(o_orderkey as string), '_', cast(o_custkey as string))"),
+          relcol("customer", "m_customer", "orders_customer"),
+          calc("cust_segment", "varchar", "\"customer\".\"c_mktsegment\""))),
+      Model(
+        name = "m_lineitem",
+        tableReference = Some(TableReference(table = "lineitem")),
+        primaryKey = Some("l_orderkey"), // composite pk unsupported, like the reference
+        columns = List(
+          pcol("l_orderkey", "bigint"), pcol("l_partkey", "bigint"),
+          pcol("l_suppkey", "bigint"), pcol("l_linenumber", "int"),
+          pcol("l_quantity", "double"), pcol("l_extendedprice", "double"),
+          pcol("l_discount", "double"), pcol("l_returnflag", "varchar"),
+          pcol("l_linestatus", "varchar"),
+          ecol("l_shipdate", "date", "cast(l_shipdate as date)"),
+          ecol("revenue", "double", "l_extendedprice * (1 - l_discount)"),
+          relcol("order_", "m_orders", "lineitem_orders"),
+          calc("order_status", "varchar", "\"order_\".\"o_orderstatus\""),
+          // two-hop: lineitem -> orders -> customer
+          calc("cust_segment", "varchar", "\"order_\".\"customer\".\"c_mktsegment\"")))),
+    relationships = List(
+      Relationship("nation_region", List("m_nation", "m_region"), JoinType.ManyToOne,
+        "\"m_nation\".\"n_regionkey\" = \"m_region\".\"r_regionkey\""),
+      Relationship("customer_nation", List("m_customer", "m_nation"), JoinType.ManyToOne,
+        "\"m_customer\".\"c_nationkey\" = \"m_nation\".\"n_nationkey\""),
+      Relationship("orders_customer", List("m_orders", "m_customer"), JoinType.ManyToOne,
+        "\"m_orders\".\"o_custkey\" = \"m_customer\".\"c_custkey\""),
+      Relationship("lineitem_orders", List("m_lineitem", "m_orders"), JoinType.ManyToOne,
+        "\"m_lineitem\".\"l_orderkey\" = \"m_orders\".\"o_orderkey\"")),
+    views = List(
+      View("v_big_orders",
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM graft.amalgam.m_orders WHERE o_totalprice > 300000")))
+
+  private def deployAndRun(sql: String, props: Map[String, String] = Map.empty)(
+      s: SparkSession, dir: String): DataFrame =
+    GraftEngine.deployOnDir(s, manifest, dir, props).query(sql)
+
+  /** RLAC/CLAC manifest (FIXTURES.md §3 shape). */
+  def aclManifest: Manifest = Manifest(
+    catalog = "graft", schema = "amalgam",
+    models = List(
+      Model(
+        name = "sec_customer",
+        tableReference = Some(TableReference(table = "customer")),
+        primaryKey = Some("c_custkey"),
+        columns = List(
+          pcol("c_custkey", "bigint"),
+          Column("c_name", "varchar", columnLevelAccessControl = Some(
+            ColumnLevelAccessControl("c_name_access",
+              List(SessionProperty("session_level")), ClacOperator.Equals, "1"))),
+          pcol("c_nationkey", "int"), pcol("c_acctbal", "double"),
+          pcol("c_mktsegment", "varchar")),
+        rowLevelAccessControls = List(
+          RowLevelAccessControl("segment_access",
+            List(SessionProperty("session_segment", required = true)),
+            "\"c_mktsegment\" = @session_segment")))))
+
+  val defs: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+
+    // A2: expression-backed columns on the source scan
+    "m1_model_expr" -> ((deployAndRun(
+      """SELECT o_orderkey, order_cust, o_orderdate
+        |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin)(_, _),
+      Some("""SELECT o_orderkey,
+             |  concat(cast(o_orderkey as varchar), '_', cast(o_custkey as varchar)) AS order_cust,
+             |  cast(o_orderdate as date) AS o_orderdate
+             |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin))),
+
+    // A5: to-one calculated field via relationship chain
+    "m2_calc_to_one" -> ((deployAndRun(
+      """SELECT o_orderkey, cust_segment FROM m_orders
+        |WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)(_, _),
+      Some("""SELECT o_orderkey, c_mktsegment AS cust_segment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin))),
+
+    // A4: to-many aggregated calculated field (pre-agg + join back on pk)
+    "m3_calc_to_many" -> ((deployAndRun(
+      """SELECT c_custkey, cast(total_spent as double) AS total_spent, order_count
+        |FROM m_customer ORDER BY c_custkey""".stripMargin)(_, _),
+      Some("""SELECT c_custkey,
+             |  cast(agg.ts as double) AS total_spent,
+             |  agg.oc AS order_count
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, sum(cast(o_totalprice as decimal(18,2))) AS ts, count(o_orderkey) AS oc
+             |  FROM orders GROUP BY o_custkey
+             |) agg ON c_custkey = agg.o_custkey
+             |ORDER BY c_custkey""".stripMargin))),
+
+    // A3: two-hop relation chain (lineitem -> orders -> customer)
+    "m4_two_hop" -> ((deployAndRun(
+      """SELECT l_orderkey, l_linenumber, cust_segment FROM m_lineitem
+        |WHERE l_orderkey <= 600 ORDER BY l_orderkey, l_linenumber""".stripMargin)(_, _),
+      Some("""SELECT l_orderkey, l_linenumber, c_mktsegment AS cust_segment
+             |FROM lineitem
+             |LEFT JOIN orders ON l_orderkey = o_orderkey
+             |LEFT JOIN customer ON o_custkey = c_custkey
+             |WHERE l_orderkey <= 600 ORDER BY l_orderkey, l_linenumber""".stripMargin))),
+
+    // A10: MDL view expansion (+ catalog.schema namespace strip)
+    "m5_view" -> ((deployAndRun(
+      """SELECT v.o_orderkey, v.o_totalprice, c.nation_name
+        |FROM v_big_orders v JOIN m_customer c ON v.o_custkey = c.c_custkey
+        |ORDER BY v.o_orderkey""".stripMargin)(_, _),
+      Some("""SELECT o_orderkey, o_totalprice, n_name AS nation_name
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |LEFT JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_totalprice > 300000
+             |ORDER BY o_orderkey""".stripMargin))),
+
+    // A11: row-level access control with @property substitution
+    "m6_rlac" -> (((s: SparkSession, dir: String) => {
+      GraftEngine.deployOnDir(s, Semantic.aclManifest, dir,
+        Map("Session_segment" -> "BUILDING", "Session_level" -> "1"))
+        .query("SELECT c_custkey, c_name, c_mktsegment FROM sec_customer ORDER BY c_custkey")
+    },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin))),
+
+    // A12: column-level access control — failing rule drops the column from the schema
+    "m7_clac_deny" -> (((s: SparkSession, dir: String) => {
+      GraftEngine.deployOnDir(s, Semantic.aclManifest, dir,
+        Map("Session_segment" -> "BUILDING", "Session_level" -> "0"))
+        .query("SELECT * FROM sec_customer ORDER BY c_custkey")
+    },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer
+             |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin))),
+
+    // A7: ref_sql-backed model
+    "m8_ref_sql" -> (((s: SparkSession, dir: String) => {
+      val m = Manifest(
+        catalog = "graft", schema = "amalgam",
+        models = List(Model(
+          name = "daily_revenue",
+          refSql = Some(
+            """SELECT cast(l_shipdate as date) AS ship_date,
+              |  sum(cast(l_extendedprice as decimal(18,2))) AS rev
+              |FROM lineitem GROUP BY cast(l_shipdate as date)""".stripMargin),
+          primaryKey = Some("ship_date"),
+          columns = List(pcol("ship_date", "date"), pcol("rev", "decimal(18,2)")))))
+      GraftEngine.deployOnDir(s, m, dir)
+        .query("SELECT ship_date, cast(rev as double) AS rev FROM daily_revenue ORDER BY ship_date")
+    },
+      Some("""SELECT cast(l_shipdate as date) AS ship_date,
+             |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS rev
+             |FROM lineitem GROUP BY 1 ORDER BY ship_date""".stripMargin))),
+
+    // Relationship row-count invariance (model.slt:40-44): traversing a calc field
+    // must not change the host model's row count.
+    "m9_count_invariance" -> ((deployAndRun(
+      """SELECT (SELECT count(*) FROM m_orders) AS model_count,
+        |       (SELECT count(cust_segment) FROM m_orders) AS calc_count
+        |""".stripMargin)(_, _),
+      Some("""SELECT (SELECT count(*) FROM orders) AS model_count,
+             |       (SELECT count(c_mktsegment) FROM orders LEFT JOIN customer ON o_custkey = c_custkey) AS calc_count
+             |""".stripMargin))),
+
+    // Aggregation over a semantic model (the reference's flagship test_access_model shape)
+    "m10_model_agg" -> ((deployAndRun(
+      """SELECT cust_segment, count(*) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS seg_rev
+        |FROM m_orders GROUP BY cust_segment ORDER BY cust_segment""".stripMargin)(_, _),
+      Some("""SELECT c_mktsegment AS cust_segment, count(*) AS n,
+             |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS seg_rev
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY cust_segment""".stripMargin)))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+  def oracles: Map[String, String] =
+    defs.flatMap { case (n, (_, o)) => o.map(n -> _) }.toMap
+}
