@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the `documents` / `embeddings` / `events`
+  * tables: dedup (d*), similarity search (s*), text analysis (t*), multimodal (mm*),
+  * event analytics (e*). Where the semantics are portable SQL, a DuckDB oracle
+  * replicates the exact arithmetic; approximate/scale-path variants (LSH ANN) get
+  * rows-only checks.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    // events.parquet carries ns timestamps; needs nanosAsLong (set in Verify/Bench,
+    // best-effort here for foreign sessions)
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") catch { case _: Exception => }
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  // ---- shared oracle fragments (DuckDB dialect) ----
+
+  /** DuckDB replica of Dedup.shingles: distinct word n-grams of normalized text. */
+  private val duckShingleSets =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+      |    x -> len(x) > 0) AS words
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+      |  FROM w WHERE len(words) >= 3
+      |)""".stripMargin
+
+  private def duckJaccardPairs(threshold: Double) =
+    s"""$duckShingleSets
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.s, b.s)) * 1.0
+       |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |FROM g a, g b
+       |WHERE a.doc_id < b.doc_id
+       |  AND round(len(list_intersect(a.s, b.s)) * 1.0
+       |    / len(list_distinct(list_concat(a.s, b.s))), 6) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB replica of TextAnalysis.fingerprint. */
+  private val duckFp = "md5(regexp_replace(lower(text), '[^a-z0-9一-鿿]', '', 'g'))"
+
+  /** DuckDB replica of TextAnalysis.tokenCount. */
+  private val duckTok =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  /** Language-ID stopword lists — single source of truth shared by the Spark operator
+    * (TextAnalysis.langId) and the generated oracle.
+    */
+  private val langKw = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "con"))
+
+  private def duckLangId: String = {
+    val scores = langKw.map { case (lang, kws) =>
+      val terms = kws.map(k =>
+        s"cast((length(t) - length(replace(t, ' $k ', ''))) / ${k.length + 2} as int)")
+      s"${terms.mkString(" + ")} AS s_$lang"
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents
+       |), sc AS (
+       |  SELECT doc_id, text,
+       |    $scores
+       |  FROM base
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       |       WHEN s_es > 0 THEN 'es'
+       |       ELSE 'unknown' END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  private def duckQuality: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    cast(length(text) as double) AS n,
+       |    cast(length(regexp_replace(text, '[^A-Za-z一-鿿]', '', 'g')) as double) AS alpha,
+       |    cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) as double) AS punct,
+       |    cast($duckTok as double) AS words
+       |  FROM documents
+       |)
+       |SELECT doc_id, round(
+       |  (CASE WHEN n >= 200 AND n <= 8000 THEN 1.0 WHEN n < 200 THEN n / 200.0 ELSE 8000.0 / n END) * 0.4
+       |  + (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END) * 0.3
+       |  + (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE least(punct / n * 10.0, 1.0) END)) * 0.1
+       |  + (CASE WHEN words = 0 THEN 0.0
+       |          WHEN n / words >= 3.0 AND n / words <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+       |, 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // wordScore: Spark's when(words === 0, 0.0) is implicit (otherwise(0.5) branch
+  // can't hit words=0 because meanWord is null-guarded); mirror exactly above.
+
+  val defs: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+
+    // ---------------- dedup ----------------
+
+    "d1_dedup_exact" -> (((s: SparkSession, dir: String) =>
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id")).orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM (
+              |  SELECT doc_id, row_number() OVER (PARTITION BY $duckFp ORDER BY doc_id) AS rn
+              |  FROM documents
+              |) WHERE rn = 1 ORDER BY doc_id""".stripMargin))),
+
+    "d2_dedup_minhash" -> (((s: SparkSession, dir: String) =>
+      Dedup.minHashNearDup(docs(s, dir), "text", "doc_id", n = 3, k = 32, bands = 16,
+        threshold = 0.7).orderBy("id_a", "id_b"),
+      Some(duckJaccardPairs(0.7)))),
+
+    "d3_dedup_simhash" -> (((s: SparkSession, dir: String) =>
+      Dedup.simHashNearDup(docs(s, dir), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None)), // xxhash64 bit-signature not replicable in the oracle engine
+
+    "d4_ngram_jaccard" -> (((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardNearDup(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(duckJaccardPairs(0.5)))),
+
+    "d5_embed_neardup" -> (((s: SparkSession, dir: String) =>
+      Similarity.cosineNearDup(embs(s, dir), threshold = 0.9, dim = 64, planes = 8)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+             |FROM embeddings a, embeddings b
+             |WHERE a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin))),
+
+    // ---------------- similarity search ----------------
+
+    "s1_ann_brute" -> (((s: SparkSession, dir: String) => {
+      val all = embs(s, dir)
+      Similarity.bruteForceTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0)
+             |SELECT query_id, vec_id AS neighbor_id,
+             |  cast(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY list_cosine_similarity(qv, embedding) DESC, vec_id) as int) AS rk
+             |FROM q, embeddings
+             |WHERE vec_id != query_id
+             |QUALIFY rk <= 5
+             |ORDER BY query_id, rk""".stripMargin))),
+
+    "s2_ann_lsh" -> (((s: SparkSession, dir: String) => {
+      val all = embs(s, dir)
+      Similarity.lshTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64,
+        planes = 12).orderBy("query_id", "rk")
+    },
+      None)), // approximate by construction: rows-only check
+
+    // ---------------- text analysis ----------------
+
+    "t1_langid" -> (((s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).alias("lang_pred"))
+        .orderBy("doc_id"),
+      Some(duckLangId))),
+
+    "t2_quality" -> (((s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .orderBy("doc_id"),
+      Some(duckQuality))),
+
+    "t3_tokens" -> (((s: SparkSession, dir: String) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).alias("n_subwords"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  cast($duckTok as bigint) AS n_tokens,
+              |  cast(greatest($duckTok, ceil(length(text) / 4.0)) as bigint) AS n_subwords
+              |FROM documents ORDER BY doc_id""".stripMargin))),
+
+    "t4_fingerprint" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).alias("fp"))
+      d.join(d.groupBy("fp").agg(count(lit(1)).alias("n_dups")), "fp")
+        .select(col("doc_id"), col("fp"), col("n_dups"))
+        .orderBy("doc_id")
+    },
+      Some(s"""SELECT doc_id, $duckFp AS fp,
+              |  count(*) OVER (PARTITION BY $duckFp) AS n_dups
+              |FROM documents ORDER BY doc_id""".stripMargin))),
+
+    // ---------------- multimodal ----------------
+
+    "mm1_media_meta" -> (((s: SparkSession, dir: String) =>
+      Multimodal.attachFakePayload(docs(s, dir), "text")
+        .select(col("doc_id"), col("media_meta.format").alias("format"),
+          col("media_meta.n_bytes").alias("n_bytes"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  (['jpeg', 'png', 'wav'])[(length(text) % 3) + 1] AS format,
+             |  cast(128 as int) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin))),
+
+    "mm2_media_features" -> (((s: SparkSession, dir: String) => {
+      val withPayload = Multimodal.attachFakePayload(docs(s, dir), "text")
+      val feats = Multimodal.decodeFeatures(withPayload)
+      val frames = Multimodal.sampleFrames(withPayload)
+        .groupBy(col("doc_id")).agg(count(lit(1)).alias("n_frames"))
+      feats.join(frames, Seq("doc_id"))
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          round(col("byte_mean"), 4).alias("byte_mean"),
+          col("byte_min"), col("byte_max"), col("n_frames"))
+        .orderBy("doc_id")
+    },
+      None)), // mapPartitions decode stub: rows-only check
+
+    // ---------------- event analytics ----------------
+
+    "e1_sessionize" -> (((s: SparkSession, dir: String) => {
+      events(s, dir).createOrReplaceTempView("events_raw")
+      s.sql(
+        """WITH e AS (
+          |  SELECT user_id, event_id, timestamp_micros(ts div 1000) AS t FROM events_raw
+          |), m AS (
+          |  SELECT user_id, event_id, t,
+          |    CASE WHEN lag(t) OVER w IS NULL
+          |           OR t > lag(t) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+          |), se AS (
+          |  SELECT user_id, t,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM m
+          |)
+          |SELECT user_id, cast(sid as int) AS session_id, count(*) AS n_events,
+          |  unix_micros(max(t)) - unix_micros(min(t)) AS dur_us
+          |FROM se GROUP BY user_id, sid
+          |ORDER BY user_id, session_id""".stripMargin)
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, cast(ts as timestamp) AS t FROM events
+             |), m AS (
+             |  SELECT user_id, event_id, t,
+             |    CASE WHEN lag(t) OVER w IS NULL
+             |           OR t > lag(t) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+             |), se AS (
+             |  SELECT user_id, t,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m
+             |)
+             |SELECT user_id, cast(sid as int) AS session_id, count(*) AS n_events,
+             |  epoch_us(max(t)) - epoch_us(min(t)) AS dur_us
+             |FROM se GROUP BY user_id, sid
+             |ORDER BY user_id, session_id""".stripMargin))),
+
+    "e2_hourly_rollup" -> (((s: SparkSession, dir: String) => {
+      events(s, dir).createOrReplaceTempView("events_raw")
+      s.sql(
+        """SELECT date_format(date_trunc('hour', timestamp_micros(ts div 1000)), 'yyyy-MM-dd HH') AS hr,
+          |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+          |  cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+          |FROM events_raw
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+      Some("""SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H') AS hr,
+             |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+             |  cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+  def oracles: Map[String, String] =
+    defs.flatMap { case (n, (_, o)) => o.map(n -> _) }.toMap
+}
