@@ -52,11 +52,10 @@ object TypeMapper {
     val fields = splitTopLevel(body).zipWithIndex.map { case (f, i) =>
       // "name type" or bare "type" (anonymous → c0, c1, ... per utils.rs:62-91)
       val sp = f.indexOf(' ')
-      val looksNamed = sp > 0 && {
+      val isMultiwordType = multiwordTypes.contains(f.toLowerCase)
+      val looksNamed = sp > 0 && !isMultiwordType && {
         val head = f.substring(0, sp)
-        !head.contains('<') && !head.contains('(') &&
-          // two tokens where the first is not itself a complete type
-          parseIsUnknown(head)
+        !head.contains('<') && !head.contains('(')
       }
       if (looksNamed) StructField(f.substring(0, sp).trim, parse(f.substring(sp + 1).trim))
       else StructField(s"c$i", parse(f))
@@ -64,24 +63,15 @@ object TypeMapper {
     StructType(fields)
   }
 
-  private def parseIsUnknown(t: String): Boolean = !known.contains(t.toLowerCase)
-
-  private val known: Set[String] = Set(
-    "bool", "boolean", "tinyint", "int1", "int2", "smallint", "int4", "int", "integer",
-    "int8", "bigint", "long", "utinyint", "usmallint", "uinteger", "uint", "ubigint",
-    "uint8", "uint16", "uint32", "uint64", "numeric", "decimal", "bignumeric",
-    "varchar", "char", "bpchar", "text", "string", "name", "float4", "real", "float",
-    "float8", "double", "float64", "timestamp", "datetime", "datetime64", "timestamp_ns",
-    "timestamptz", "date", "date32", "interval", "json", "xml", "uuid", "inet",
-    "unknown", "any", "jsonb", "bytea", "bytes", "binary", "varbinary", "blob",
-    "time", "null", "hugeint", "uhugeint", "array", "list")
+  private val multiwordTypes: Set[String] =
+    Set("timestamp with time zone", "time with time zone", "timestamp without time zone")
 
   private def base(t: String): DataType = t match {
     case "bool" | "boolean" => BooleanType
     case "tinyint" | "int1" => ByteType
-    case "int2" | "smallint" => ShortType
-    case "int4" | "int" | "integer" => IntegerType
-    case "int8" | "bigint" | "long" => LongType
+    case "int2" | "smallint" | "int16" => ShortType
+    case "int4" | "int" | "integer" | "int32" => IntegerType
+    case "int8" | "bigint" | "long" | "int64" => LongType
     // unsigned: widen to next signed type (Spark has no unsigned ints)
     case "utinyint" | "uint8" => ShortType
     case "usmallint" | "uint16" => IntegerType

@@ -68,7 +68,9 @@ object TextAnalysis {
     val alphaRatio = when(n === 0, lit(0.0)).otherwise(alpha / n)
     val punctPenalty = when(n === 0, lit(0.0)).otherwise(least(punct / n * 10.0, lit(1.0)))
     val meanWord = when(words === 0, lit(0.0)).otherwise(n / words)
-    val wordScore = when(meanWord >= 3.0 && meanWord <= 12.0, lit(1.0)).otherwise(lit(0.5))
+    val wordScore = when(words === 0, lit(0.0))
+      .when(meanWord >= 3.0 && meanWord <= 12.0, lit(1.0))
+      .otherwise(lit(0.5))
     round(lenScore * 0.4 + alphaRatio * 0.3 + (lit(1.0) - punctPenalty) * 0.1 + wordScore * 0.2, 6)
   }
 

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank today"), // exact dup
+    (3L, "The quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (4L, "Der schnelle braune Fuchs springt und der Hund ist nicht da und das ist gut"),
+    (5L, "le chat est sur la table et les livres sont dans la maison"),
+    (6L, "completely different content about databases and distributed query engines today"),
+    (7L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized text") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L)) // near-dup is NOT an exact dup
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minHashNearDup(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val pairs = Dedup.simHashNearDup(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngram jaccard: exact pair scores 1.0") {
+    val pairs = Dedup.ngramJaccardNearDup(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
+  }
+
+  test("token count and language id") {
+    val out = docs.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 14)
+    assert(out(7L)._1 == 0)
+    assert(out(1L)._2 == "en")
+    assert(out(4L)._2 == "de")
+    assert(out(5L)._2 == "fr")
+    assert(out(7L)._2 == "unknown")
+  }
+
+  test("fingerprint is case/punctuation-insensitive") {
+    val fps = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other"))
+      .toDF("id", "t")
+      .select(TextAnalysis.fingerprint($"t")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("quality score lands in [0,1] and penalizes junk") {
+    val q = Seq(
+      (1L, "A well formed paragraph of reasonable length. " * 10),
+      (2L, "!!!!!!....;;;;;"),
+      (3L, "")).toDF("id", "t")
+      .select($"id", TextAnalysis.qualityScore($"t").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L) && q(2L) > q(3L))
+  }
+
+  private lazy val vecs = {
+    // deterministic small vector set: v2 = v1 (dup), v3 close to v1, v4 orthogonal-ish
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.98f, 0.05f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 1), vecs, k = 3)
+      .orderBy("rk").collect().map(_.getLong(1))
+    assert(top.head == 2L) // exact duplicate first
+    assert(top(1) == 3L)   // then the near vector
+  }
+
+  test("cosine near-dup finds dup + near pair at 0.9") {
+    val pairs = Similarity.cosineNearDup(vecs, threshold = 0.9, dim = 4, planes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
+  }
+
+  test("multimodal payload + stub decode preserve batch shape") {
+    val withP = Multimodal.attachFakePayload(docs.filter($"doc_id" <= 3), "text")
+    val feats = Multimodal.decodeFeatures(withP).collect()
+    assert(feats.length == 3)
+    val f = feats.head
+    assert(f.getAs[Int]("n_bytes") == 128)
+    assert(f.getAs[Double]("byte_mean") > 0)
+    // identical text -> identical features
+    val byId = feats.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("byte_mean")).toMap
+    assert(byId(1L) == byId(2L))
+  }
+}

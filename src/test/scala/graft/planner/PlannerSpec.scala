@@ -1,0 +1,100 @@
+package graft.planner
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftEngine, TestSpark}
+import graft.queries.Semantic
+
+class PlannerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def deployed = GraftEngine.deployOnDir(spark, Semantic.manifest, dir)
+
+  test("model view expansion + expression column") {
+    val row = deployed.query(
+      "SELECT o_orderkey, o_custkey, order_cust FROM m_orders WHERE o_orderkey = 1")
+      .collect().head
+    assert(row.getString(2) == s"${row.getLong(0)}_${row.getLong(1)}")
+  }
+
+  test("relationship calc must not change row counts (model.slt:40-44)") {
+    val sess = deployed
+    val plain = sess.query("SELECT count(*) FROM m_orders").collect().head.getLong(0)
+    val withCalc = sess.query("SELECT count(cust_segment), count(*) FROM m_orders").collect().head
+    assert(withCalc.getLong(1) == plain)
+  }
+
+  test("to-many calc equals a manual pre-aggregation") {
+    val sess = deployed
+    val calc = sess.query(
+      "SELECT c_custkey, cast(total_spent as double) ts FROM m_customer ORDER BY c_custkey")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    val manual = spark.read.parquet(s"$dir/customer.parquet").alias("c")
+      .join(
+        spark.read.parquet(s"$dir/orders.parquet")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("ts")),
+        col("c.c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c.c_custkey"), col("ts")).orderBy("c_custkey")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(calc.toSeq == manual.toSeq)
+  }
+
+  test("two-hop calculated field traverses both relationships") {
+    val n = deployed.query(
+      "SELECT count(*) FROM m_lineitem WHERE cust_segment IS NOT NULL").collect().head.getLong(0)
+    assert(n > 0)
+  }
+
+  test("RLAC: missing required session property throws (access_control.rs:33-118)") {
+    val e = intercept[GraftException] {
+      GraftEngine.deployOnDir(spark, Semantic.aclManifest, dir, Map.empty)
+    }
+    assert(e.getMessage.contains("session_segment"))
+  }
+
+  test("RLAC filters rows by substituted @property") {
+    val sess = GraftEngine.deployOnDir(spark, Semantic.aclManifest, dir,
+      Map("session_segment" -> "BUILDING", "session_level" -> "1"))
+    val segs = sess.query("SELECT DISTINCT c_mktsegment FROM sec_customer").collect()
+    assert(segs.map(_.getString(0)).toSeq == Seq("BUILDING"))
+  }
+
+  test("CLAC: failing rule drops the column from the schema (context.rs:343-365)") {
+    val sess = GraftEngine.deployOnDir(spark, Semantic.aclManifest, dir,
+      Map("session_segment" -> "BUILDING", "session_level" -> "0"))
+    assert(!sess.query("SELECT * FROM sec_customer").columns.contains("c_name"))
+    val ok = GraftEngine.deployOnDir(spark, Semantic.aclManifest, dir,
+      Map("session_segment" -> "BUILDING", "session_level" -> "1"))
+    assert(ok.query("SELECT * FROM sec_customer").columns.contains("c_name"))
+  }
+
+  test("namespace strip: catalog.schema.model resolves (mdl/mod.rs:530-537)") {
+    val n = deployed.query(
+      "SELECT count(*) FROM graft.amalgam.m_orders").collect().head.getLong(0)
+    assert(n > 0)
+  }
+
+  test("limit pushdown clamps results (context.rs:271-320)") {
+    assert(deployed.query("SELECT * FROM m_orders", limit = Some(7)).count() == 7)
+  }
+
+  test("dryRun validates without executing; invalid SQL throws") {
+    val sess = deployed
+    sess.dryRun("SELECT o_orderkey FROM m_orders")
+    intercept[Exception] { sess.dryRun("SELECT no_such_col FROM m_orders") }
+  }
+
+  test("hidden columns are excluded from the view projection") {
+    val m = Semantic.manifest
+    val hidden = m.copy(models = m.models.map(mm =>
+      if (mm.name == "m_orders")
+        mm.copy(columns = mm.columns.map(c =>
+          if (c.name == "o_orderpriority") c.copy(isHidden = true) else c))
+      else mm))
+    val sess = GraftEngine.deployOnDir(spark, hidden, dir)
+    assert(!sess.query("SELECT * FROM m_orders").columns.contains("o_orderpriority"))
+  }
+}
