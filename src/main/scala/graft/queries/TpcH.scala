@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftEngine
+import graft.mdl._
+
+/** TPC-H q1–q22 through the semantic layer, mirroring the reference's own TPC-H
+  * corpus (`wren-core/sqllogictest/test_files/tpch/q*.slt.part`, planned via the
+  * TPC-H MDL in `wren-core/benchmarks/src/tpch/`). Models here are 1:1 passthroughs
+  * of the physical tables, so the exact same SQL text runs on Spark (against the
+  * deployed models) and in DuckDB (against the parquet) — `common` below.
+  *
+  * The driver's synthetic schema omits `partsupp` and several TPC-H columns
+  * (l_commitdate/l_receiptdate, o_comment, p_container, c_phone ...). Each affected
+  * query keeps its defining operator shape with a documented substitution:
+  *   - partsupp-based cost/availability (q2, q11, q16, q20) → lineitem-derived
+  *     unit price / shipped volume;
+  *   - commit-vs-receipt lateness (q4, q12, q21) → shipped more than N days after
+  *     the order date;
+  *   - phone country code (q22) → nationkey bucket.
+  *
+  * Cross-engine float determinism: money is cast to exact decimals before any
+  * aggregation, and only the final value is cast to double (see Relational's note);
+  * averages are sum/count with double division, never avg() over doubles.
+  */
+object TpcH {
+
+  private def pcol(name: String, t: String): Column = Column(name, t)
+
+  /** 1:1 passthrough manifest: model name == physical table name. */
+  def manifest: Manifest = Manifest(
+    catalog = "graft", schema = "tpch",
+    models = List(
+      Model("region", tableReference = Some(TableReference(table = "region")),
+        primaryKey = Some("r_regionkey"),
+        columns = List(pcol("r_regionkey", "int"), pcol("r_name", "varchar"))),
+      Model("nation", tableReference = Some(TableReference(table = "nation")),
+        primaryKey = Some("n_nationkey"),
+        columns = List(pcol("n_nationkey", "int"), pcol("n_name", "varchar"),
+          pcol("n_regionkey", "int"))),
+      Model("customer", tableReference = Some(TableReference(table = "customer")),
+        primaryKey = Some("c_custkey"),
+        columns = List(pcol("c_custkey", "bigint"), pcol("c_name", "varchar"),
+          pcol("c_nationkey", "int"), pcol("c_acctbal", "double"),
+          pcol("c_mktsegment", "varchar"))),
+      Model("supplier", tableReference = Some(TableReference(table = "supplier")),
+        primaryKey = Some("s_suppkey"),
+        columns = List(pcol("s_suppkey", "bigint"), pcol("s_name", "varchar"),
+          pcol("s_nationkey", "int"), pcol("s_acctbal", "double"))),
+      Model("part", tableReference = Some(TableReference(table = "part")),
+        primaryKey = Some("p_partkey"),
+        columns = List(pcol("p_partkey", "bigint"), pcol("p_name", "varchar"),
+          pcol("p_brand", "varchar"), pcol("p_type", "varchar"),
+          pcol("p_size", "int"), pcol("p_retailprice", "double"))),
+      Model("orders", tableReference = Some(TableReference(table = "orders")),
+        primaryKey = Some("o_orderkey"),
+        columns = List(pcol("o_orderkey", "bigint"), pcol("o_custkey", "bigint"),
+          pcol("o_orderstatus", "varchar"), pcol("o_totalprice", "double"),
+          pcol("o_orderdate", "timestamp"), pcol("o_orderpriority", "varchar"))),
+      Model("lineitem", tableReference = Some(TableReference(table = "lineitem")),
+        primaryKey = Some("l_orderkey"),
+        columns = List(pcol("l_orderkey", "bigint"), pcol("l_partkey", "bigint"),
+          pcol("l_suppkey", "bigint"), pcol("l_linenumber", "int"),
+          pcol("l_quantity", "double"), pcol("l_extendedprice", "double"),
+          pcol("l_discount", "double"), pcol("l_tax", "double"),
+          pcol("l_returnflag", "varchar"), pcol("l_linestatus", "varchar"),
+          pcol("l_shipdate", "timestamp")))))
+
+  /** Same text on Spark (deployed models) and DuckDB (physical parquet). */
+  private def common(sql: String): ((SparkSession, String) => DataFrame, String) =
+    (((s: SparkSession, dir: String) =>
+      GraftEngine.deployOnDir(s, manifest, dir).query(sql)), sql)
+
+  private def dec(c: String) = s"cast($c as decimal(18,2))"
+  private val rev = s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})"
+  /** "Shipped more than `days` days after the order was placed" — the lateness
+    * substitute for the missing commit/receipt dates. Portable: Spark keeps
+    * date + interval as date, DuckDB widens to timestamp, so both sides re-cast.
+    */
+  private def late(days: Int) =
+    s"cast(l_shipdate as date) > cast(cast(o_orderdate as date) + interval '$days' day as date)"
+
+  val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // pricing summary report: multi-agg scan with group-by
+    "tpch_q1" -> common(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  cast(sum(${dec("l_quantity")}) as double) AS sum_qty,
+         |  cast(sum(${dec("l_extendedprice")}) as double) AS sum_base_price,
+         |  cast(sum($rev) as double) AS sum_disc_price,
+         |  cast(sum($rev * (1 + ${dec("l_tax")})) as double) AS sum_charge,
+         |  cast(sum(${dec("l_quantity")}) as double) / count(*) AS avg_qty,
+         |  cast(sum(${dec("l_extendedprice")}) as double) / count(*) AS avg_price,
+         |  cast(sum(${dec("l_discount")}) as double) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE cast(l_shipdate as date) <= date '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // min-cost supplier: correlated scalar MIN subquery (unit price replaces
+    // the missing ps_supplycost)
+    "tpch_q2" -> common(
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size = 15
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l_extendedprice / l_quantity = (
+        |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+
+    // shipping priority: 3-way join + group + top-K (o_orderpriority replaces
+    // the missing o_shippriority)
+    "tpch_q3" -> common(
+      s"""SELECT l_orderkey,
+         |  cast(sum($rev) as double) AS revenue,
+         |  cast(o_orderdate as date) AS o_date, o_orderpriority
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND cast(o_orderdate as date) < date '1996-03-15'
+         |  AND cast(l_shipdate as date) > date '1996-03-15'
+         |GROUP BY l_orderkey, cast(o_orderdate as date), o_orderpriority
+         |ORDER BY revenue DESC, o_date, l_orderkey
+         |LIMIT 10""".stripMargin),
+
+    // order priority checking: EXISTS correlated subquery
+    "tpch_q4" -> common(
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders
+         |WHERE cast(o_orderdate as date) >= date '1996-07-01'
+         |  AND cast(o_orderdate as date) < date '1996-10-01'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem
+         |    WHERE l_orderkey = o_orderkey AND ${late(60)})
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin),
+
+    // local supplier volume: 6-way join
+    "tpch_q5" -> common(
+      s"""SELECT n_name, cast(sum($rev) as double) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND cast(o_orderdate as date) >= date '1996-01-01'
+         |  AND cast(o_orderdate as date) < date '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // revenue change forecast: single-table selective scan
+    "tpch_q6" -> common(
+      s"""SELECT cast(sum(${dec("l_extendedprice")} * ${dec("l_discount")}) as double) AS revenue
+         |FROM lineitem
+         |WHERE cast(l_shipdate as date) >= date '1996-01-01'
+         |  AND cast(l_shipdate as date) < date '1997-01-01'
+         |  AND l_discount >= 0.04 AND l_discount <= 0.06
+         |  AND l_quantity < 24""".stripMargin),
+
+    // volume shipping between two nations: self-joined dimension (n1/n2)
+    "tpch_q7" -> common(
+      s"""SELECT supp_nation, cust_nation, l_year, cast(sum(volume) as double) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    year(cast(l_shipdate as date)) AS l_year, $rev AS volume
+         |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND c_custkey = o_custkey
+         |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND cast(l_shipdate as date) >= date '1996-01-01'
+         |    AND cast(l_shipdate as date) <= date '1997-12-31'
+         |) shipping
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // national market share: 8-way join + conditional share ratio
+    "tpch_q8" -> common(
+      s"""SELECT o_year,
+         |  cast(sum(CASE WHEN nation = 'NATION_3' THEN volume
+         |                ELSE cast(0 as decimal(18,4)) END) as double)
+         |    / cast(sum(volume) as double) AS mkt_share
+         |FROM (
+         |  SELECT year(cast(o_orderdate as date)) AS o_year, $rev AS volume,
+         |    n2.n_name AS nation
+         |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+         |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+         |    AND cast(o_orderdate as date) >= date '1996-01-01'
+         |    AND cast(o_orderdate as date) <= date '1997-12-31'
+         |    AND p_type = 'ECONOMY'
+         |) all_nations
+         |GROUP BY o_year
+         |ORDER BY o_year""".stripMargin),
+
+    // product type profit by nation/year (p_retailprice replaces the missing
+    // ps_supplycost as the cost term)
+    "tpch_q9" -> common(
+      s"""SELECT nation, o_year, cast(sum(amount) as double) AS sum_profit
+         |FROM (
+         |  SELECT n_name AS nation, year(cast(o_orderdate as date)) AS o_year,
+         |    $rev - ${dec("p_retailprice")} * ${dec("l_quantity")} AS amount
+         |  FROM part, supplier, lineitem, orders, nation
+         |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+         |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+         |    AND p_name like '%widget%'
+         |) profit
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin),
+
+    // returned item reporting: join + group + top-K by revenue
+    "tpch_q10" -> common(
+      s"""SELECT c_custkey, c_name, cast(sum($rev) as double) AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND cast(o_orderdate as date) >= date '1996-10-01'
+         |  AND cast(o_orderdate as date) < date '1997-01-01'
+         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin),
+
+    // important stock identification: group-by + scalar subquery threshold in
+    // HAVING (lineitem value replaces partsupp stock value)
+    "tpch_q11" -> common(
+      s"""SELECT l_partkey, cast(sum(${dec("l_extendedprice")} * ${dec("l_quantity")}) as double) AS value
+         |FROM lineitem, supplier, nation
+         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |  AND n_name = 'NATION_5'
+         |GROUP BY l_partkey
+         |HAVING sum(${dec("l_extendedprice")} * ${dec("l_quantity")}) > (
+         |  SELECT sum(${dec("l_extendedprice")} * ${dec("l_quantity")}) * 0.001
+         |  FROM lineitem, supplier, nation
+         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_5')
+         |ORDER BY value DESC, l_partkey""".stripMargin),
+
+    // shipping modes and order priority: conditional counting (l_returnflag
+    // replaces the missing l_shipmode; lateness per `late`)
+    "tpch_q12" -> common(
+      s"""SELECT l_returnflag,
+         |  cast(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+         |                THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+         |  cast(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+         |                THEN 1 ELSE 0 END) as bigint) AS low_line_count
+         |FROM orders, lineitem
+         |WHERE o_orderkey = l_orderkey
+         |  AND l_returnflag IN ('A', 'R')
+         |  AND ${late(30)}
+         |  AND cast(l_shipdate as date) >= date '1996-01-01'
+         |  AND cast(l_shipdate as date) < date '1997-01-01'
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin),
+
+    // customer distribution: outer join + count + distribution over counts
+    // (o_orderpriority filter replaces the o_comment NOT LIKE)
+    "tpch_q13" -> common(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // promotion effect: conditional revenue ratio
+    "tpch_q14" -> common(
+      s"""SELECT cast(sum(CASE WHEN p_type = 'PROMO' THEN $rev
+         |                     ELSE cast(0 as decimal(18,4)) END) as double) * 100
+         |    / cast(sum($rev) as double) AS promo_revenue
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND cast(l_shipdate as date) >= date '1996-09-01'
+         |  AND cast(l_shipdate as date) < date '1996-10-01'""".stripMargin),
+
+    // top supplier: CTE + scalar MAX subquery over the CTE
+    "tpch_q15" -> common(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, sum($rev) AS total_revenue
+         |  FROM lineitem
+         |  WHERE cast(l_shipdate as date) >= date '1996-01-01'
+         |    AND cast(l_shipdate as date) < date '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, cast(total_revenue as double) AS total_revenue
+         |FROM supplier, revenue
+         |WHERE s_suppkey = supplier_no
+         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin),
+
+    // parts/supplier relationship: distinct count + NOT IN subquery
+    // (supplier exclusion by acctbal replaces the comment LIKE screen)
+    "tpch_q16" -> common(
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 15, 20, 25, 30, 36)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+
+    // small-quantity-order revenue: correlated AVG scalar subquery
+    // (p_brand/p_type filter replaces the missing p_container)
+    "tpch_q17" -> common(
+      s"""SELECT cast(sum(${dec("l_extendedprice")}) as double) / 7.0 AS avg_yearly
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey
+         |  AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+         |  AND l_quantity < (
+         |    SELECT 0.2 * (cast(sum(${dec("l_quantity")}) as double) / count(*))
+         |    FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin),
+
+    // large volume customers: IN subquery with grouped HAVING
+    "tpch_q18" -> common(
+      s"""SELECT c_name, c_custkey, o_orderkey, cast(o_orderdate as date) AS o_date,
+         |  o_totalprice, cast(sum(${dec("l_quantity")}) as double) AS total_qty
+         |FROM customer, orders, lineitem
+         |WHERE o_orderkey IN (
+         |    SELECT l_orderkey FROM lineitem
+         |    GROUP BY l_orderkey
+         |    HAVING sum(${dec("l_quantity")}) > 150)
+         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |GROUP BY c_name, c_custkey, o_orderkey, cast(o_orderdate as date), o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin),
+
+    // discounted revenue: disjunction of conjunctive range predicates
+    // (p_size bands replace the missing p_container)
+    "tpch_q19" -> common(
+      s"""SELECT cast(sum($rev) as double) AS revenue
+         |FROM lineitem, part
+         |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+         |    AND p_size >= 1 AND p_size <= 5 AND l_quantity >= 1 AND l_quantity <= 11)
+         |  OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+         |    AND p_size >= 1 AND p_size <= 10 AND l_quantity >= 10 AND l_quantity <= 20)
+         |  OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+         |    AND p_size >= 1 AND p_size <= 15 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin),
+
+    // potential part promotion: nested IN with grouped-HAVING inner query
+    // (shipped volume replaces ps_availqty)
+    "tpch_q20" -> common(
+      s"""SELECT s_name, s_acctbal
+         |FROM supplier, nation
+         |WHERE s_suppkey IN (
+         |    SELECT l_suppkey
+         |    FROM lineitem, part
+         |    WHERE l_partkey = p_partkey AND p_name like 'small%'
+         |    GROUP BY l_suppkey, l_partkey
+         |    HAVING sum(${dec("l_quantity")}) > 50)
+         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+         |ORDER BY s_name""".stripMargin),
+
+    // suppliers who kept orders waiting: EXISTS + NOT EXISTS self-joins
+    "tpch_q21" -> common(
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM supplier, lineitem l1, orders, nation
+         |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         |  AND o_orderstatus = 'F'
+         |  AND cast(l1.l_shipdate as date) >
+         |      cast(cast(o_orderdate as date) + interval '60' day as date)
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |      AND cast(l3.l_shipdate as date) >
+         |          cast(cast(o_orderdate as date) + interval '60' day as date))
+         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name
+         |LIMIT 100""".stripMargin),
+
+    // global sales opportunity: uncorrelated scalar AVG + anti-join NOT EXISTS
+    // (nationkey bucket replaces the phone country code)
+    "tpch_q22" -> common(
+      s"""SELECT cntrycode, count(*) AS numcust,
+         |  cast(sum(${dec("c_acctbal")}) as double) AS totacctbal
+         |FROM (
+         |  SELECT cast(c_nationkey % 5 as int) AS cntrycode, c_acctbal
+         |  FROM customer
+         |  WHERE c_nationkey % 5 IN (0, 1, 2)
+         |    AND c_acctbal > (
+         |      SELECT cast(sum(${dec("c_acctbal")}) as double) / count(*)
+         |      FROM customer WHERE c_acctbal > 0)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM orders
+         |      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         |) custsale
+         |GROUP BY cntrycode
+         |ORDER BY cntrycode""".stripMargin)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+  def oracles: Map[String, String] =
+    defs.map { case (n, (_, o)) => n -> o }.toMap
+}
