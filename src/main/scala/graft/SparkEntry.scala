@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Pipeline, Relational, Semantic, TpcH}
+import graft.queries.{Functions, Pipeline, Relational, Semantic, TpcH}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,10 @@ object SparkEntry {
     Semantic.queries("m10_model_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Semantic.queries ++ Pipeline.queries ++ TpcH.queries
+    Relational.queries ++ Semantic.queries ++ Pipeline.queries ++ TpcH.queries ++
+      Functions.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Semantic.oracles ++ Pipeline.oracles ++ TpcH.oracles
+    Relational.oracles ++ Semantic.oracles ++ Pipeline.oracles ++ TpcH.oracles ++
+      Functions.oracles
 }

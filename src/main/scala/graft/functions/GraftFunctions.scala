@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gap-fill function surface: the reference registers ~150 scalar / 36 aggregate /
+  * 11 window functions (`wren-core/core/src/mdl/function/scalar/mod.rs:20-194`,
+  * `aggregate/mod.rs:11-51`, `window/mod.rs:5-19`); nearly all map 1:1 to Spark
+  * built-ins. This module supplies the remainder and a queryable listing for the
+  * `/functions` API (`ibis-server/app/routers/v3/connector.py:428-479`).
+  *
+  * Mechanism: SQL scalar functions (`CREATE FUNCTION ... RETURN <expr>`) — Catalyst
+  * inlines their bodies into the caller's plan, so they are optimizer-visible and
+  * whole-stage-codegen'd, unlike JVM UDFs which would be black boxes. Aggregates that
+  * only differ from a Spark built-in by name/argument order are registered as thin
+  * aliases at call sites (see `weightedPercentile`).
+  */
+object GraftFunctions {
+
+  final case class FnSpec(
+      name: String, kind: String, signature: String, returns: String, description: String)
+
+  /** Functions this module registers (gap-fills). */
+  val registered: Seq[FnSpec] = Seq(
+    FnSpec("date_bin", "scalar", "(stride_sec bigint, source timestamp, origin timestamp)",
+      "timestamp", "Floor `source` to the stride grid anchored at `origin` (DataFusion date_bin, seconds stride)"),
+    FnSpec("strftime", "scalar", "(t timestamp, fmt string)", "string",
+      "chrono/strftime-style formatting (%Y %y %m %d %H %M %S), the reference's to_char (to_char.rs:1-83)"),
+    FnSpec("to_local_time", "scalar", "(t timestamp)", "timestamp_ntz",
+      "Strip the timezone, keeping wall-clock fields"),
+    FnSpec("to_unixtime", "scalar", "(t timestamp)", "double",
+      "Seconds (fractional) since the epoch"),
+    FnSpec("substr_index", "scalar", "(s string, delim string, cnt int)", "string",
+      "Alias of substring_index"),
+    FnSpec("iszero", "scalar", "(x double)", "boolean", "x = 0"),
+    FnSpec("digest", "scalar", "(data string, algo string)", "string",
+      "md5/sha1/sha224/sha256/sha384/sha512 dispatch by algorithm name"),
+    FnSpec("generate_series", "scalar", "(start bigint, stop bigint)", "array<bigint>",
+      "Inclusive integer series; explode() for the table-function form"),
+    FnSpec("get_path", "scalar", "(json string, path string)", "string",
+      "JSON path extraction with dotted/bracket paths (Snowflake get_path)"),
+    FnSpec("as_varchar", "scalar", "(json string)", "string", "JSON value as text (quotes stripped)"),
+    FnSpec("as_char", "scalar", "(json string)", "string", "Alias of as_varchar"),
+    FnSpec("as_integer", "scalar", "(json string)", "bigint", "JSON value as integer or NULL"),
+    FnSpec("as_double", "scalar", "(json string)", "double", "JSON value as double or NULL"),
+    FnSpec("as_real", "scalar", "(json string)", "double", "Alias of as_double"),
+    FnSpec("as_decimal", "scalar", "(json string)", "decimal(38,10)", "JSON value as decimal or NULL"),
+    FnSpec("as_boolean", "scalar", "(json string)", "boolean", "JSON value as boolean or NULL"),
+    FnSpec("as_date", "scalar", "(json string)", "date", "JSON value as date or NULL"),
+    FnSpec("as_timestamp", "scalar", "(json string)", "timestamp", "JSON value as timestamp or NULL"),
+    FnSpec("as_array", "scalar", "(json string)", "array<string>", "JSON array as array of text"),
+    FnSpec("as_object", "scalar", "(json string)", "string", "The value if it is a JSON object, else NULL"),
+    FnSpec("is_array", "scalar", "(json string)", "boolean", "True when the value is a JSON array"),
+    FnSpec("is_object", "scalar", "(json string)", "boolean", "True when the value is a JSON object"),
+    FnSpec("is_integer", "scalar", "(json string)", "boolean", "True when the value is an integer"),
+    FnSpec("is_double", "scalar", "(json string)", "boolean", "True when the value is numeric"),
+    FnSpec("is_boolean", "scalar", "(json string)", "boolean", "True when the value is true/false"),
+    FnSpec("is_varchar", "scalar", "(json string)", "boolean", "True when the value is a JSON string"),
+    FnSpec("is_null_value", "scalar", "(json string)", "boolean", "True when the value is JSON null"))
+
+  /** Reference functions that are Spark built-ins under the same or a documented name
+    * (kept for /functions listing parity; nothing to register).
+    */
+  val builtinMappings: Seq[FnSpec] = Seq(
+    FnSpec("approx_distinct", "aggregate", "(x any)", "bigint", "Spark approx_count_distinct (HLL)"),
+    FnSpec("approx_median", "aggregate", "(x numeric)", "double", "Spark approx_percentile(x, 0.5)"),
+    FnSpec("approx_percentile_cont", "aggregate", "(x numeric, p double)", "double",
+      "Spark approx_percentile"),
+    FnSpec("approx_percentile_cont_with_weight", "aggregate", "(x numeric, w bigint, p double)",
+      "double", "Spark percentile(x, p, w) — exact weighted percentile; see weightedPercentile"),
+    FnSpec("string_agg", "aggregate", "(x string, sep string)", "string",
+      "Spark string_agg / listagg ... WITHIN GROUP (ORDER BY ...)"),
+    FnSpec("array_agg", "aggregate", "(x any)", "array", "Spark array_agg/collect_list"),
+    FnSpec("arrow_typeof", "scalar", "(x any)", "string", "Spark typeof"),
+    FnSpec("regexp_match", "scalar", "(s string, re string)", "array<string>",
+      "Spark regexp_extract_all"),
+    FnSpec("string_to_array", "scalar", "(s string, delim string)", "array<string>", "Spark split"),
+    FnSpec("nth_value", "window", "(x any, n int)", "any", "Spark nth_value window function"))
+
+  def listing: Seq[FnSpec] = registered ++ builtinMappings
+
+  /** DataFusion approx_percentile_cont_with_weight(x, w, p) — Spark's built-in
+    * `percentile(x, p, w)` is an exact weighted percentile with long weights; this
+    * adapter fixes the argument order. Exact beats approximate at equal cost until
+    * group cardinality is extreme; for those, approx_percentile without weights is
+    * the documented fallback.
+    */
+  def weightedPercentile(x: Column, w: Column, p: Double): Column =
+    call_function("percentile", x, lit(p), w)
+
+  /** Generic array_resize for any element type (SQL registration would pin the
+    * element type, so the generic form is Scala-API only, like the reference's
+    * typed-variant registrations).
+    */
+  def arrayResize(a: Column, n: Column, pad: Column): Column =
+    when(size(a) >= n, slice(a, lit(1), n))
+      .otherwise(concat(a, array_repeat(pad, (n - size(a)).cast("int"))))
+
+  /** Register every gap-fill as a temporary SQL function on the session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val stmts = Seq(
+      """CREATE OR REPLACE TEMPORARY FUNCTION date_bin(stride_sec BIGINT, src TIMESTAMP, origin TIMESTAMP)
+        |RETURNS TIMESTAMP
+        |RETURN timestamp_seconds(unix_timestamp(origin) +
+        |  floor((unix_timestamp(src) - unix_timestamp(origin)) / stride_sec) * stride_sec)""",
+      // chrono-style strftime: translate the common % tokens to Java datetime patterns.
+      // Order matters: longer/ambiguous tokens first; literal text outside tokens is
+      // restricted to pattern-safe separators (space - : / . _), like to_char.rs.
+      """CREATE OR REPLACE TEMPORARY FUNCTION strftime(t TIMESTAMP, fmt STRING)
+        |RETURNS STRING
+        |RETURN date_format(t,
+        |  replace(replace(replace(replace(replace(replace(replace(fmt,
+        |    '%Y', 'yyyy'), '%y', 'yy'), '%m', 'MM'), '%d', 'dd'),
+        |    '%H', 'HH'), '%M', 'mm'), '%S', 'ss'))""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION to_local_time(t TIMESTAMP)
+        |RETURNS TIMESTAMP_NTZ RETURN cast(t as timestamp_ntz)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(t TIMESTAMP)
+        |RETURNS DOUBLE RETURN unix_micros(t) / 1e6""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION substr_index(s STRING, delim STRING, cnt INT)
+        |RETURNS STRING RETURN substring_index(s, delim, cnt)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION iszero(x DOUBLE)
+        |RETURNS BOOLEAN RETURN x = cast(0 as double)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION digest(data STRING, algo STRING)
+        |RETURNS STRING
+        |RETURN CASE lower(algo)
+        |  WHEN 'md5' THEN md5(data)
+        |  WHEN 'sha1' THEN sha1(data)
+        |  WHEN 'sha224' THEN sha2(data, 224)
+        |  WHEN 'sha256' THEN sha2(data, 256)
+        |  WHEN 'sha384' THEN sha2(data, 384)
+        |  WHEN 'sha512' THEN sha2(data, 512)
+        |END""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION generate_series(start BIGINT, stop BIGINT)
+        |RETURNS ARRAY<BIGINT> RETURN sequence(start, stop)""",
+      // Snowflake-style JSON accessors (reference signatures: scalar/json.rs:15-532).
+      // `get_path` takes dotted/bracketed paths relative to the document root.
+      """CREATE OR REPLACE TEMPORARY FUNCTION get_path(j STRING, p STRING)
+        |RETURNS STRING RETURN get_json_object(j, concat('$.', p))""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_varchar(j STRING)
+        |RETURNS STRING
+        |RETURN CASE WHEN j IS NULL OR j = 'null' THEN NULL
+        |  WHEN j LIKE '"%"' THEN substring(j, 2, length(j) - 2) ELSE j END""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_char(j STRING)
+        |RETURNS STRING RETURN as_varchar(j)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_integer(j STRING)
+        |RETURNS BIGINT RETURN try_cast(j AS BIGINT)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_double(j STRING)
+        |RETURNS DOUBLE RETURN try_cast(j AS DOUBLE)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_real(j STRING)
+        |RETURNS DOUBLE RETURN try_cast(j AS DOUBLE)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_decimal(j STRING)
+        |RETURNS DECIMAL(38,10) RETURN try_cast(j AS DECIMAL(38,10))""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_boolean(j STRING)
+        |RETURNS BOOLEAN RETURN try_cast(j AS BOOLEAN)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_date(j STRING)
+        |RETURNS DATE RETURN try_cast(as_varchar(j) AS DATE)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_timestamp(j STRING)
+        |RETURNS TIMESTAMP RETURN try_cast(as_varchar(j) AS TIMESTAMP)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_array(j STRING)
+        |RETURNS ARRAY<STRING>
+        |RETURN CASE WHEN ltrim(j) LIKE '[%' THEN from_json(j, 'array<string>') END""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_object(j STRING)
+        |RETURNS STRING RETURN CASE WHEN ltrim(j) LIKE '{%' THEN j END""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_array(j STRING)
+        |RETURNS BOOLEAN RETURN j IS NOT NULL AND ltrim(j) LIKE '[%'""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_object(j STRING)
+        |RETURNS BOOLEAN RETURN j IS NOT NULL AND ltrim(j) LIKE '{%'""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_integer(j STRING)
+        |RETURNS BOOLEAN RETURN try_cast(j AS BIGINT) IS NOT NULL""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_double(j STRING)
+        |RETURNS BOOLEAN RETURN try_cast(j AS DOUBLE) IS NOT NULL""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_boolean(j STRING)
+        |RETURNS BOOLEAN RETURN j IN ('true', 'false')""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_varchar(j STRING)
+        |RETURNS BOOLEAN RETURN j IS NOT NULL AND j LIKE '"%"'""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_null_value(j STRING)
+        |RETURNS BOOLEAN RETURN j = 'null'""")
+    stmts.foreach(s => spark.sql(s.stripMargin))
+  }
+}
