@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.api.{QueryCache, ResultFormatter}
+import graft.functions.GraftFunctions
 import graft.mdl.{Manifest, ManifestJson}
 import graft.planner.{CatalogResolver, PathResolver, SemanticPlanner, TableResolver}
-import graft.semantics.ManifestExtractor
+import graft.semantics.{ManifestExtractor, Substitution, Validator}
 
 /** Public engine API, mirroring the reference's session surface
   * (`wren_core.SessionContext.transform_sql/query/...`, wren-core-py/src/context.rs:222-408,
@@ -22,7 +24,8 @@ object GraftEngine {
       properties: Map[String, String] = Map.empty): GraftSession = {
     val planner = new SemanticPlanner(spark, manifest, resolver, properties)
     planner.deploy()
-    new GraftSession(spark, manifest, planner)
+    GraftFunctions.register(spark)
+    new GraftSession(spark, manifest, planner, properties)
   }
 
   /** Deploy from a JSON (or base64 JSON) manifest string, pruned to the models a given
@@ -53,7 +56,8 @@ object GraftEngine {
 final class GraftSession(
     val spark: SparkSession,
     val manifest: Manifest,
-    planner: SemanticPlanner) {
+    planner: SemanticPlanner,
+    properties: Map[String, String] = Map.empty) {
 
   /** Execute user SQL written against model/view names. `limit` clamps the result like
     * the reference's pushdown_limit (wren-core-py/src/context.rs:271-320).
@@ -79,4 +83,44 @@ final class GraftSession(
   }
 
   def modelDF(name: String): DataFrame = spark.table(name)
+
+  /** Model substitution (A13): run SQL written against *physical* table names by
+    * rewriting each relation to its governing model (substitute.py:14-124).
+    */
+  def querySubstituted(sql: String): DataFrame =
+    Substitution.substituteDF(spark, manifest, planner.stripNamespace(sql))
+
+  /** Result cache (A17): execute through a parquet-backed cache keyed by
+    * (manifest, sql, session properties).
+    */
+  def queryCached(sql: String, cache: QueryCache): DataFrame = {
+    val id = s"${manifest.catalog}.${manifest.schema}:${manifest.models.map(_.name).mkString(",")}"
+    cache.get(spark, id, sql, properties).getOrElse {
+      cache.put(query(sql), id, sql, properties)
+    }
+  }
+
+  /** Formatted JSON response (A18) — the v3 query-response shape. */
+  def queryJson(sql: String, limit: Int = 1000): String =
+    ResultFormatter.toJsonResponse(query(sql), limit)
+
+  /** Validation probes (A19). */
+  def validateColumn(model: String, column: String): Validator.ValidationResult =
+    Validator.columnIsValid(spark, model, column)
+  def validateRelationships(): Seq[Validator.ValidationResult] =
+    manifest.relationships.map(r => Validator.relationshipIsValid(spark, manifest, r))
+  def validateRlacSyntax(condition: String): Validator.ValidationResult =
+    Validator.rlacConditionSyntaxIsValid(spark, condition)
+
+  /** Function listing for the `/functions` API (A20). */
+  def functions: Seq[GraftFunctions.FnSpec] = GraftFunctions.listing
+
+  /** Metadata: deployed models with their visible columns and types (the
+    * `/metadata` routes, ibis-server/app/routers/v3/connector.py).
+    */
+  def metadata: Seq[(String, Seq[(String, String)])] =
+    manifest.models.map { m =>
+      m.name -> m.columns.filter(c => c.relationship.isEmpty && !c.isHidden)
+        .map(c => c.name -> c.`type`)
+    }
 }

@@ -1,0 +1,49 @@
+package graft.api
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** File-based query result cache (A17): the reference caches Arrow results on disk
+  * keyed by (datasource, sql, connection info) with TTL
+  * (`ibis-server/app/query_cache/manager.py:18-161`). Spark-native equivalent: results
+  * land as parquet under `root/<key>/`, where the key hashes the manifest identity,
+  * SQL text, and session properties. Parquet keeps the cache splittable and
+  * predicate-pushable if a reader queries it directly — at scale the cache is just
+  * another table.
+  */
+final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000) {
+
+  private def keyOf(parts: String*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(p => md.update(p.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(32)
+  }
+
+  private def dirFor(key: String) = Paths.get(root, key)
+
+  def get(spark: SparkSession, manifestId: String, sql: String,
+      props: Map[String, String]): Option[DataFrame] = {
+    val d = dirFor(keyOf(manifestId, sql, props.toSeq.sorted.mkString(";")))
+    val marker = d.resolve("_SUCCESS")
+    if (Files.exists(marker) &&
+      System.currentTimeMillis() - Files.getLastModifiedTime(marker).toMillis < ttlMillis)
+      Some(spark.read.parquet(d.toString))
+    else None
+  }
+
+  def put(df: DataFrame, manifestId: String, sql: String,
+      props: Map[String, String]): DataFrame = {
+    val d = dirFor(keyOf(manifestId, sql, props.toSeq.sorted.mkString(";")))
+    df.write.mode(SaveMode.Overwrite).parquet(d.toString)
+    df.sparkSession.read.parquet(d.toString)
+  }
+
+  def invalidateAll(): Unit = {
+    val r = Paths.get(root)
+    if (Files.exists(r)) {
+      Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+}

@@ -221,6 +221,21 @@ object Semantic {
              |       (SELECT count(c_mktsegment) FROM orders LEFT JOIN customer ON o_custkey = c_custkey) AS calc_count
              |""".stripMargin))),
 
+    // A13: model substitution — SQL written against *physical* table names executes
+    // against the governing models (substitute.py:14-124). The substituted query runs
+    // on m_orders (date-typed o_orderdate, expression columns), so the oracle mirrors
+    // the model's projection, proving the rewrite actually hit the model.
+    "m11_substitute" -> (((s: SparkSession, dir: String) => {
+      GraftEngine.deployOnDir(s, Semantic.manifest, dir)
+        .querySubstituted(
+          """SELECT o_orderkey, order_cust, o_orderdate
+            |FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey""".stripMargin)
+    },
+      Some("""SELECT o_orderkey,
+             |  concat(cast(o_orderkey as varchar), '_', cast(o_custkey as varchar)) AS order_cust,
+             |  cast(o_orderdate as date) AS o_orderdate
+             |FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey""".stripMargin))),
+
     // Aggregation over a semantic model (the reference's flagship test_access_model shape)
     "m10_model_agg" -> ((deployAndRun(
       """SELECT cust_segment, count(*) AS n,

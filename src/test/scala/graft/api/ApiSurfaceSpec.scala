@@ -1,0 +1,97 @@
+package graft.api
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftEngine, TestSpark}
+import graft.mdl._
+import graft.planner.GraftException
+import graft.queries.Semantic
+import graft.semantics.{Substitution, Validator}
+
+/** A13 substitution, A17 cache, A18 formatter, A19 validators, A20 listing. */
+class ApiSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private lazy val session = GraftEngine.deployOnDir(spark, Semantic.manifest, dir)
+
+  test("substitution rewrites physical names to models") {
+    val df = session.querySubstituted(
+      "SELECT o_orderkey, order_cust FROM orders WHERE o_orderkey <= 10")
+    // order_cust only exists on the model, so resolution proves the rewrite
+    assert(df.columns.toSeq == Seq("o_orderkey", "order_cust"))
+    assert(df.count() > 0)
+  }
+
+  test("substitution leaves CTE names and unknown tables alone") {
+    val df = session.querySubstituted(
+      """WITH orders AS (SELECT 1 AS x) SELECT x FROM orders""")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("substitution throws on ambiguity") {
+    val m = Manifest(catalog = "g", schema = "s",
+      models = List(
+        Model("a1", tableReference = Some(TableReference(table = "orders")),
+          columns = List(Column("o_orderkey", "bigint"))),
+        Model("a2", tableReference = Some(TableReference(table = "orders")),
+          columns = List(Column("o_orderkey", "bigint")))))
+    val e = intercept[GraftException] {
+      Substitution.substitute(spark, m, "SELECT * FROM orders")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("relationship validation: cardinality probes") {
+    session // deployed
+    val results = session.validateRelationships()
+    assert(results.nonEmpty && results.forall(_.valid),
+      results.filterNot(_.valid).map(_.message).mkString("; "))
+    // a deliberately wrong cardinality fails: orders -> lineitem declared MANY_TO_ONE
+    val bad = Relationship("bad", List("m_orders", "m_lineitem"), JoinType.ManyToOne,
+      "\"m_orders\".\"o_orderkey\" = \"m_lineitem\".\"l_orderkey\"")
+    val r = Validator.relationshipIsValid(spark, Semantic.manifest, bad)
+    assert(!r.valid && r.message.contains("not unique"))
+  }
+
+  test("column validation") {
+    assert(session.validateColumn("m_orders", "o_orderkey").valid)
+    assert(!session.validateColumn("m_orders", "nope").valid)
+  }
+
+  test("rlac condition syntax validation") {
+    assert(session.validateRlacSyntax("\"c_mktsegment\" = @session_segment").valid)
+    assert(!session.validateRlacSyntax("c_mktsegment === @@@").valid)
+  }
+
+  test("query cache round-trips and hits on second read") {
+    val root = Files.createTempDirectory("graft_cache_").toString
+    val cache = new QueryCache(root)
+    val sql = "SELECT count(*) AS n FROM m_orders"
+    val first = session.queryCached(sql, cache).collect()
+    val second = session.queryCached(sql, cache).collect()
+    assert(first.head.getLong(0) == second.head.getLong(0))
+    // the cached parquet exists on disk
+    assert(Files.list(java.nio.file.Paths.get(root)).count() == 1)
+    cache.invalidateAll()
+  }
+
+  test("json response formats types and carries the shape") {
+    val json = session.queryJson(
+      "SELECT o_orderkey, o_orderdate, cast(o_totalprice as decimal(18,2)) AS p " +
+        "FROM m_orders ORDER BY o_orderkey LIMIT 2")
+    assert(json.contains(""""columns":["o_orderkey","o_orderdate","p"]"""))
+    assert(json.contains(""""dtypes":"""))
+    assert(json.contains(""""data":["""))
+  }
+
+  test("functions + metadata listings") {
+    assert(session.functions.exists(_.name == "date_bin"))
+    val md = session.metadata.toMap
+    assert(md("m_orders").exists { case (n, t) => n == "o_orderdate" && t == "date" })
+    // relationship columns and hidden columns are not exposed
+    assert(!md("m_customer").exists(_._1 == "orders"))
+  }
+}
