@@ -283,7 +283,38 @@ object Pipeline {
              |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
              |  cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
              |FROM events
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Native session_window operator in batch mode (the streaming sessionizer of
+    // graft.streaming.EventStreams runs the same plan incrementally); the oracle is
+    // the classic gaps-and-islands rewrite. session end = last event + gap.
+    "e3_session_window" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      events(s, dir)
+        .select(expr("timestamp_micros(ts div 1000)").alias("t"), col("user_id"))
+        .groupBy(session_window(col("t"), "30 minutes").alias("s"), col("user_id"))
+        .agg(count(lit(1)).alias("n_events"))
+        .select(col("user_id"), col("s.start").alias("session_start"),
+          col("s.end").alias("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, cast(ts as timestamp) AS t FROM events
+             |), m AS (
+             |  SELECT user_id, t,
+             |    CASE WHEN lag(t) OVER w IS NULL
+             |           OR t > lag(t) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+             |), se AS (
+             |  SELECT user_id, t,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m
+             |)
+             |SELECT user_id, min(t) AS session_start,
+             |  max(t) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+             |FROM se GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

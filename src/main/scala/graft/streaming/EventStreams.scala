@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.B: execution is one-shot
+  * request/response), but the engine's models are plain DataFrames, so the same
+  * semantic layer composes with `readStream` sources unchanged. These operators are
+  * the streaming analogues of the batch event queries (e1_sessionize,
+  * e2_hourly_rollup) plus streaming-native dedup:
+  *
+  *   - watermarked tumbling-window rollup — partial aggregation state is bounded by
+  *     the watermark horizon; at scale state size ~ |windows in horizon| × |groups|;
+  *   - session windows via the built-in `session_window` (codegen'd state store
+  *     merge, no JVM-object state like mapGroupsWithState would carry);
+  *   - `flatMapGroupsWithState` running per-user counters, for state machines the
+  *     built-ins can't express;
+  *   - `dropDuplicatesWithinWatermark` for at-least-once source dedup.
+  */
+object EventStreams {
+
+  /** Tumbling-window rollup with late-data tolerance. Output: one row per
+    * (window, event_type) when the watermark passes the window end (Append mode).
+    */
+  def hourlyRollup(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").alias("w"), col("event_type"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(col("value")).alias("sum_value"),
+        approx_count_distinct(col("user_id")).alias("approx_users"))
+      .select(col("w.start").alias("hour_start"), col("event_type"),
+        col("n"), col("sum_value"), col("approx_users"))
+
+  /** Session windows per user: a session closes after `gap` of inactivity. Built-in
+    * `session_window` keeps state in the state store (RocksDB at scale), merged
+    * map-side — no per-row JVM objects.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).alias("s"), col("user_id"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("session_value"))
+      .select(col("user_id"), col("s.start").alias("session_start"),
+        col("s.end").alias("session_end"), col("n_events"), col("session_value"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: running per-user totals emitted on every trigger —
+    * the `flatMapGroupsWithState` shape for state machines `session_window` cannot
+    * express (reference has no analogue; included as the engine's custom-state
+    * extension point). State per key is two numbers, so 10⁹ users ≈ tens of GB
+    * spread across the cluster's state stores.
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Source-side dedup for at-least-once delivery: drops event_id duplicates whose
+    * first occurrence is within the watermark horizon. State is one entry per id in
+    * the horizon — bounded, unlike un-watermarked dropDuplicates.
+    */
+  def dedupStream(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
+}

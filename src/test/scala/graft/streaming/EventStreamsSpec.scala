@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def runStream(name: String, df: org.apache.spark.sql.DataFrame,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("hourly rollup closes windows once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:55:00"), 2, "click", 2.0),
+      Ev(3, ts("2024-01-01 11:10:00"), 1, "view", 5.0),
+      // advances the watermark past 11:00 + 30min so the 10:00 window emits
+      Ev(4, ts("2024-01-01 13:00:00"), 3, "view", 1.0))
+    val out = runStream("rollup", EventStreams.hourlyRollup(src.toDF()))
+    val rows = out.collect()
+    assert(rows.exists(r => r.getAs[Timestamp]("hour_start") == ts("2024-01-01 10:00:00")
+      && r.getAs[String]("event_type") == "click" && r.getAs[Long]("n") == 2))
+    // the 13:00 window is still open (watermark has not passed its end)
+    assert(!rows.exists(_.getAs[Timestamp]("hour_start") == ts("2024-01-01 13:00:00")))
+  }
+
+  test("session windows split on the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 7, "a", 1.0), // same session (gap 30m)
+      Ev(3, ts("2024-01-01 12:00:00"), 7, "a", 1.0), // new session
+      Ev(4, ts("2024-01-01 15:00:00"), 9, "a", 1.0)) // watermark push
+    val out = runStream("sessions", EventStreams.sessionize(src.toDF(), gap = "30 minutes"))
+    val u7 = out.filter(col("user_id") === 7).collect()
+    assert(u7.length == 2, s"expected 2 closed sessions, got ${u7.length}")
+    assert(u7.exists(_.getAs[Long]("n_events") == 2))
+  }
+
+  test("flatMapGroupsWithState keeps running totals across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningTotals(src.toDS()).writeStream
+      .format("memory").queryName("totals").outputMode("append").start()
+    src.addData(EventStreams.UserEvent(1, ts("2024-01-01 10:00:00"), 2.0))
+    q.processAllAvailable()
+    src.addData(EventStreams.UserEvent(1, ts("2024-01-01 10:01:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("totals").collect()
+    // second trigger sees state from the first: total 5.0 over 2 events
+    assert(rows.exists(r => r.getAs[Long]("n_events") == 2 && r.getAs[Double]("total_value") == 5.0))
+  }
+
+  test("dropDuplicatesWithinWatermark removes redelivered events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Ev(1, ts("2024-01-01 10:00:05"), 1, "a", 1.0), // duplicate id within horizon
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "a", 1.0))
+    val out = runStream("dedup", EventStreams.dedupStream(src.toDF()))
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+}
