@@ -90,6 +90,67 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").alias("rk"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus against `nlist` centroids,
+    * then search only the `nprobe` nearest cells per query. The scale path when the
+    * corpus outgrows brute force: the corpus shuffles once by cell at build time, and
+    * each query touches nprobe/nlist of the data.
+    *
+    * Centroids here are a deterministic corpus sample refined by one Lloyd step
+    * (mean of each cell), all as DataFrame ops — a full k-means loop is the same
+    * assignment+mean pair iterated. Centroid count should be ~√N at scale; both the
+    * sample and the refined centroids are broadcast (nlist rows, not corpus-sized).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
+
+    // seed centroids: deterministic hash-ordered sample — orderBy+limit plans as
+    // TakeOrdered (per-partition top-K + merge), no global sort at scale
+    val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(nlist)
+    val seeds = broadcast(sample
+      .withColumn("cid", row_number().over(Window.orderBy(col("neighbor_id"))))
+      .select(col("cid"), col("cv").alias("centroid")))
+
+    def nearestCell(v: Column, cents: DataFrame, out: String): DataFrame => DataFrame =
+      df => df.join(cents, lit(true))
+        .withColumn("__sim", cosine(v, col("centroid")))
+        .withColumn("__best", max_by(struct(col("__sim"), col("cid")), col("__sim"))
+          .over(Window.partitionBy(col(out))))
+        .filter(col("cid") === col("__best.cid"))
+        .drop("__sim", "__best", "centroid")
+
+    // one Lloyd refinement: assign to seed cells, recenter on the cell mean
+    val assigned0 = c.transform(nearestCell(col("cv"), seeds, "neighbor_id"))
+    val refined = broadcast(
+      assigned0.select(col("cid"), posexplode(col("cv")).as(Seq("j", "x")))
+        .groupBy("cid", "j").agg(avg(col("x")).alias("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("j"), col("m")))).alias("jm"))
+        .select(col("cid"), transform(col("jm"), e => e.getField("m").cast("float"))
+          .alias("centroid")))
+
+    val cells = c.transform(nearestCell(col("cv"), refined, "neighbor_id"))
+
+    // probe the nprobe nearest refined cells per query
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qv"))
+    val probes = q.join(refined, lit(true))
+      .withColumn("__sim", cosine(col("qv"), col("centroid")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cid"))))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    val scored = probes.join(cells, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").alias("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold) via LSH
     * buckets + exact verification.
     */

@@ -171,6 +171,13 @@ object Pipeline {
     },
       None)), // approximate by construction: rows-only check
 
+    "s3_ann_ivf" -> (((s: SparkSession, dir: String) => {
+      val all = embs(s, dir)
+      Similarity.ivfTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64,
+        nlist = 16, nprobe = 4).orderBy("query_id", "rk")
+    },
+      None)), // approximate by construction: rows-only check
+
     // ---------------- text analysis ----------------
 
     "t1_langid" -> (((s: SparkSession, dir: String) =>

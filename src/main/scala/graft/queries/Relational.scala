@@ -333,7 +333,29 @@ object Relational {
         |LEFT JOIN (
         |  SELECT c_nationkey, count(*) AS n_cust FROM customer WHERE c_acctbal > 9500 GROUP BY c_nationkey
         |) cnt ON n.n_nationkey = cnt.c_nationkey
-        |ORDER BY n.n_nationkey""".stripMargin)
+        |ORDER BY n.n_nationkey""".stripMargin),
+
+    // --- GROUPING SETS + CUBE + grouping_id (the grammar the reference's grouping()
+    // UDAF registration implies, SURVEY §2.B aggregations row) ---
+    "q23_grouping_sets" -> common(
+      Seq("lineitem"),
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS cnt,
+         |  cast(sum(${dec("l_quantity")}) as double) AS qty,
+         |  cast(grouping(l_returnflag) as int) AS g_rf,
+         |  cast(grouping(l_linestatus) as int) AS g_ls
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls, g_rf, g_ls""".stripMargin),
+
+    "q24_cube" -> common(
+      Seq("orders"),
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pr,
+         |  count(*) AS cnt,
+         |  cast(sum(${dec("o_totalprice")}) as double) AS total
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY st, pr""".stripMargin)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

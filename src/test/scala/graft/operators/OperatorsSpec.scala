@@ -102,6 +102,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
   }
 
+  test("IVF top-k finds the planted neighbors against the real embeddings") {
+    val all = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val queries = all.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, all, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, all, k = 5, dim = 64, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, f"IVF recall@5 too low: $recall%.2f")
+  }
+
   test("multimodal payload + stub decode preserve batch shape") {
     val withP = Multimodal.attachFakePayload(docs.filter($"doc_id" <= 3), "text")
     val feats = Multimodal.decodeFeatures(withP).collect()
