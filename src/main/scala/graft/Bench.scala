@@ -27,7 +27,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Planning parity (BASELINE.md): warm manifest->plan latency per TPC-H query —
+    // deploy once, then time analysis+optimization only (no execution), mirroring
+    // the reference's transform_sql benchmark (wren-core/benchmarks/src/tpch/run.rs).
+    val planningMs: Double = try {
+      val session = GraftEngine.deployOnDir(spark, queries.TpcH.manifest, sfDir)
+      val sqls = queries.TpcH.oracles.values.toSeq
+      sqls.foreach(sql => session.query(sql).queryExecution.optimizedPlan) // warm
+      val t0 = System.nanoTime()
+      sqls.foreach(sql => session.query(sql).queryExecution.optimizedPlan)
+      (System.nanoTime() - t0) / 1e6 / sqls.size
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""planning_ms_per_query":${"%.2f".format(planningMs)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
