@@ -112,6 +112,32 @@ final class GraftSession(
   def validateRlacSyntax(condition: String): Validator.ValidationResult =
     Validator.rlacConditionSyntaxIsValid(spark, condition)
 
+  /** Cube materialization: the reference carries cubes in the manifest but never
+    * plans them (SURVEY §1.1 Cube row); here a cube becomes a real `CUBE()` rollup
+    * over its base model, registered as a view (and thus queryable/cacheable like
+    * any model). Measures aggregate over the full cube lattice; time dimensions are
+    * truncated per their declared grain suffix (`col:grain`, default day).
+    */
+  def materializeCube(name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cube = manifest.cubes.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new graft.planner.GraftException(s"cube $name not found in manifest"))
+    val base = spark.table(cube.baseObject)
+    val timeDims = cube.timeDimensions.map { td =>
+      val (c, grain) = td.split(':') match {
+        case Array(c, g) => (c, g)
+        case _ => (td, "day")
+      }
+      date_trunc(grain, col(c)).alias(s"${c}_$grain")
+    }
+    val dims = cube.dimensions.map(d => col(d)) ++ timeDims
+    val measures = cube.measures.map(m =>
+      expr(m.expression.replace("\"", "`")).alias(m.name))
+    val df = base.cube(dims: _*).agg(measures.head, measures.tail: _*)
+    df.createOrReplaceTempView(cube.name)
+    df
+  }
+
   /** Function listing for the `/functions` API (A20). */
   def functions: Seq[GraftFunctions.FnSpec] = GraftFunctions.listing
 

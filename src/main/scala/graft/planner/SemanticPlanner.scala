@@ -70,6 +70,10 @@ final class SemanticPlanner(
 
   private val props: Map[String, String] = properties.map { case (k, v) => k.toLowerCase -> v }
   private val baseCache = mutable.Map[String, DataFrame]()
+  private val modelCache = mutable.Map[String, DataFrame]()
+  // models currently being built — a re-entry is a calc-field dependency cycle
+  // (the reference's is_dag check, plan.rs:322-326)
+  private val inProgress = mutable.LinkedHashSet[String]()
 
   // ---------------------------------------------------------------- deploy
 
@@ -145,8 +149,35 @@ final class SemanticPlanner(
 
   private def isAggregateExpr(e: String): Boolean = aggFnRe.matches(e)
 
-  /** The governed, fully-calculated DataFrame for a model. */
+  /** The related-side DataFrame for a join step: the raw base when only physical
+    * columns are referenced, the fully-calculated model when the path lands on a
+    * calculated column (nested calculated fields — the reference's hard case,
+    * sqllogictest/src/test_context.rs:175-199 — handled here by recursion with
+    * explicit cycle detection).
+    */
+  private def joinSideDF(st: JoinStep): DataFrame =
+    if (st.needsCalc) modelDF(st.model) else baseDF(st.model)
+
+  /** The governed, fully-calculated DataFrame for a model. Memoized; recursion via
+    * nested calculated fields is cycle-checked.
+    */
   def modelDF(model: Model): DataFrame = {
+    val key = model.name.toLowerCase
+    modelCache.get(key) match {
+      case Some(df) => df
+      case None =>
+        if (!inProgress.add(key))
+          throw new GraftException(
+            s"cyclic calculated-field dependency: ${(inProgress.toSeq :+ key).mkString(" -> ")}")
+        try {
+          val df = buildModelDF(model)
+          modelCache(key) = df
+          df
+        } finally inProgress.remove(key)
+    }
+  }
+
+  private def buildModelDF(model: Model): DataFrame = {
     val baseAlias = model.name
     var df = baseDF(model).alias(baseAlias)
 
@@ -164,12 +195,17 @@ final class SemanticPlanner(
           throw new GraftException(
             s"calculated column ${model.name}.${c.name}: non-aggregate expression traverses " +
               s"a to-many relationship ${st.rel.name}; wrap it in an aggregate")
-        joins.getOrElseUpdate(st.alias, st)
+        joins.get(st.alias) match {
+          case Some(prev) if !prev.needsCalc && st.needsCalc =>
+            joins(st.alias) = prev.copy(needsCalc = true)
+          case Some(_) => ()
+          case None => joins(st.alias) = st
+        }
       }
       c -> rewritten
     }
     joins.values.foreach { st =>
-      df = df.join(baseDF(st.model).alias(st.alias), expr(st.condition), "left_outer")
+      df = df.join(joinSideDF(st).alias(st.alias), expr(st.condition), "left_outer")
     }
 
     // --- to-many calculated fields: pre-aggregate + join back on pk ---
@@ -188,13 +224,13 @@ final class SemanticPlanner(
           // Fast path: aggregate the related table grouped by its FK — one shuffle of
           // the related side, no join of the base into the aggregation.
           val st = steps.head
-          baseDF(st.model).alias(st.alias)
+          joinSideDF(st).alias(st.alias)
             .groupBy(expr(relSide).alias(pkCol))
             .agg(expr(rewritten).cast(TypeMapper.toSpark(c.`type`)).alias(c.name))
         case None =>
           var adf = baseDF(model).alias(baseAlias)
           steps.foreach { st =>
-            adf = adf.join(baseDF(st.model).alias(st.alias), expr(st.condition), "left_outer")
+            adf = adf.join(joinSideDF(st).alias(st.alias), expr(st.condition), "left_outer")
           }
           adf.groupBy(col(s"$baseAlias.$pk").alias(pkCol))
             .agg(expr(rewritten).cast(TypeMapper.toSpark(c.`type`)).alias(c.name))
@@ -228,9 +264,13 @@ final class SemanticPlanner(
 
   // ---------------------------------------------------------------- relation chain
 
-  /** One hop of a relation chain: join `model` (aliased `alias`) onto the plan. */
+  /** One hop of a relation chain: join `model` (aliased `alias`) onto the plan.
+    * `needsCalc` marks a hop whose referenced column is itself calculated on the
+    * target model, requiring the governed (calculated) side rather than the raw base.
+    */
   final case class JoinStep(
-      alias: String, model: Model, rel: Relationship, condition: String, toOne: Boolean)
+      alias: String, model: Model, rel: Relationship, condition: String, toOne: Boolean,
+      needsCalc: Boolean = false)
 
   /** Detect the single-hop pure-equality shape `base.x = related.y`; returns the
     * rewritten (baseSideExpr, relatedSideExpr) column references if so.
@@ -320,6 +360,9 @@ final class SemanticPlanner(
           idx += 1
           relCol = if (idx < parts.length - 1) curModel.column(parts(idx)) else None
         }
+        // nested calculated field: the path lands on a calc column of the target model
+        if (curModel.column(parts.last).exists(_.isCalculated))
+          steps(curAlias) = steps(curAlias).copy(needsCalc = true)
         java.util.regex.Matcher.quoteReplacement(s"`$curAlias`.`${parts.last}`")
       } else java.util.regex.Matcher.quoteReplacement(
         normalizeQuotes(m.matched))

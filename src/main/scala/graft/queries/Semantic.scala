@@ -66,7 +66,10 @@ object Semantic {
           ecol("order_cust", "varchar",
             "concat(cast(o_orderkey as string), '_', cast(o_custkey as string))"),
           relcol("customer", "m_customer", "orders_customer"),
-          calc("cust_segment", "varchar", "\"customer\".\"c_mktsegment\""))),
+          calc("cust_segment", "varchar", "\"customer\".\"c_mktsegment\""),
+          // nested calculated field: references m_customer's own calc column
+          // (the reference's hard case, test_context.rs:175-199)
+          calc("cust_nation", "varchar", "\"customer\".\"nation_name\""))),
       Model(
         name = "m_lineitem",
         tableReference = Some(TableReference(table = "lineitem")),
@@ -94,7 +97,13 @@ object Semantic {
         "\"m_lineitem\".\"l_orderkey\" = \"m_orders\".\"o_orderkey\"")),
     views = List(
       View("v_big_orders",
-        "SELECT o_orderkey, o_custkey, o_totalprice FROM graft.amalgam.m_orders WHERE o_totalprice > 300000")))
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM graft.amalgam.m_orders WHERE o_totalprice > 300000")),
+    cubes = List(
+      Cube("orders_cube", baseObject = "m_orders",
+        measures = List(
+          CubeMeasure("n", "count(*)"),
+          CubeMeasure("total", "sum(cast(o_totalprice as decimal(18,2)))")),
+        dimensions = List("cust_segment", "o_orderstatus"))))
 
   private def deployAndRun(sql: String, props: Map[String, String] = Map.empty)(
       s: SparkSession, dir: String): DataFrame =
@@ -235,6 +244,33 @@ object Semantic {
              |  concat(cast(o_orderkey as varchar), '_', cast(o_custkey as varchar)) AS order_cust,
              |  cast(o_orderdate as date) AS o_orderdate
              |FROM orders WHERE o_orderkey <= 800 ORDER BY o_orderkey""".stripMargin))),
+
+    // Nested calculated field: m_orders.cust_nation references m_customer.nation_name,
+    // itself a calc over the customer->nation relationship.
+    "m12_nested_calc" -> ((deployAndRun(
+      """SELECT o_orderkey, cust_nation FROM m_orders
+        |WHERE o_orderkey <= 900 ORDER BY o_orderkey""".stripMargin)(_, _),
+      Some("""SELECT o_orderkey, n_name AS cust_nation
+             |FROM orders
+             |LEFT JOIN customer ON o_custkey = c_custkey
+             |LEFT JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderkey <= 900 ORDER BY o_orderkey""".stripMargin))),
+
+    // Cube materialization: manifest cube -> CUBE() rollup view over the base model.
+    "m13_cube" -> (((s: SparkSession, dir: String) => {
+      val session = GraftEngine.deployOnDir(s, Semantic.manifest, dir)
+      session.materializeCube("orders_cube")
+      session.query(
+        """SELECT coalesce(cust_segment, 'ALL') AS seg, coalesce(o_orderstatus, 'ALL') AS st,
+          |  n, cast(total as double) AS total
+          |FROM orders_cube ORDER BY seg, st""".stripMargin)
+    },
+      Some("""SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(o_orderstatus, 'ALL') AS st,
+             |  count(*) AS n,
+             |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+             |ORDER BY seg, st""".stripMargin))),
 
     // Aggregation over a semantic model (the reference's flagship test_access_model shape)
     "m10_model_agg" -> ((deployAndRun(

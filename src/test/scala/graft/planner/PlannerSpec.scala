@@ -87,6 +87,50 @@ class PlannerSpec extends AnyFunSuite {
     intercept[Exception] { sess.dryRun("SELECT no_such_col FROM m_orders") }
   }
 
+  test("nested calculated field resolves through the target model's own calc") {
+    val rows = deployed.query(
+      "SELECT o_orderkey, cust_nation FROM m_orders WHERE o_orderkey <= 20 ORDER BY o_orderkey")
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(1).startsWith("NATION_")))
+  }
+
+  test("cyclic calculated-field dependency is rejected (plan.rs:322-326 is_dag)") {
+    import graft.mdl._
+    val cyc = Manifest(
+      catalog = "g", schema = "s",
+      models = List(
+        Model("a", tableReference = Some(TableReference(table = "nation")),
+          primaryKey = Some("n_nationkey"),
+          columns = List(
+            Column("n_nationkey", "int"), Column("n_regionkey", "int"),
+            Column("b_ref", "a", relationship = Some("ab")),
+            Column("from_b", "varchar", isCalculated = true,
+              expression = Some("\"b_ref\".\"from_a\"")))),
+        Model("b", tableReference = Some(TableReference(table = "region")),
+          primaryKey = Some("r_regionkey"),
+          columns = List(
+            Column("r_regionkey", "int"),
+            Column("a_ref", "b", relationship = Some("ab")),
+            Column("from_a", "varchar", isCalculated = true,
+              expression = Some("\"a_ref\".\"from_b\""))))),
+      relationships = List(
+        Relationship("ab", List("a", "b"), JoinType.OneToOne,
+          "\"a\".\"n_regionkey\" = \"b\".\"r_regionkey\"")))
+    val e = intercept[Exception] {
+      GraftEngine.deployOnDir(spark, cyc, dir)
+    }
+    assert(e.getMessage.contains("cyclic"), e.getMessage)
+  }
+
+  test("cube materializes the CUBE lattice over the base model") {
+    val sess = GraftEngine.deployOnDir(spark, Semantic.manifest, dir)
+    val cube = sess.materializeCube("orders_cube")
+    val total = cube.filter("cust_segment IS NULL AND o_orderstatus IS NULL")
+      .select("n").head.getLong(0)
+    val base = sess.query("SELECT count(*) FROM m_orders").head.getLong(0)
+    assert(total == base, "grand-total cell must equal the base row count")
+  }
+
   test("hidden columns are excluded from the view projection") {
     val m = Semantic.manifest
     val hidden = m.copy(models = m.models.map(mm =>
