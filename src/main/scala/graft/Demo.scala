@@ -47,6 +47,22 @@ object Demo {
       Map("session_segment" -> "BUILDING", "session_level" -> "1"))
     println(s"OK, rows=${allowed.query("SELECT c_name FROM sec_customer").count()}")
 
+    println("== probe: model substitution (physical name -> model) ==")
+    val sub = sess.querySubstituted(
+      "SELECT o_orderkey, cust_segment FROM orders WHERE o_orderkey <= 3 ORDER BY 1")
+    println(s"OK, rows=${sub.count()} cols=${sub.columns.mkString(",")}")
+
+    println("== probe: relationship validation ==")
+    sess.validateRelationships().foreach(r =>
+      println(s"  ${if (r.valid) "VALID" else "INVALID"} ${r.rule} ${r.message}"))
+
+    println("== probe: cube materialization ==")
+    val cube = sess.materializeCube("orders_cube")
+    println(s"OK, lattice rows=${cube.count()}")
+
+    println("== probe: JSON response shape ==")
+    println(sess.queryJson("SELECT o_orderkey, o_orderdate FROM m_orders ORDER BY 1", 2))
+
     spark.stop()
   }
 }

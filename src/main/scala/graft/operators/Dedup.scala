@@ -122,11 +122,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification. */
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * The shingle table feeds four independent subtrees (signatures, both verify join
+    * sides, per-doc sizes); Spark only reuses *exchanges*, and shingling is a narrow
+    * scan→explode, so without persistence the regex+explode would run 4×. We persist
+    * it spill-safely — at 100 TB the shingle table is corpus-scale, and
+    * MEMORY_AND_DISK trades executor disk for 3 redundant passes over every document.
+    */
   def minHashNearDup(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     val sh = shingles(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
     verifyJaccard(cands, sh, threshold)
   }
@@ -140,7 +148,10 @@ object Dedup {
   def ngramJaccardNearDup(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    pairJaccard(shingles(df, textCol, idCol, n), maxDocFreq)
+    // persisted for the same 4-subtree reuse reason as minHashNearDup
+    val sh = shingles(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairJaccard(sh, maxDocFreq)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
