@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mdl._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Property-based invariants (SURVEY §5 test plan, item 4): the reference's
+  * count-invariance golden test (model.slt:40-44) generalized over random data, plus
+  * idempotence/bounds laws for the pipeline operators and the type mapper's
+  * total-function guarantee. Generators are driven with fixed seeds so failures
+  * reproduce exactly.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(20), Seed(i.toLong))
+        .foreach(a => try f(a) catch {
+          case e: Throwable => throw new AssertionError(s"failed for seed=$i sample=$a", e)
+        })
+    }
+
+  private val genRows = for {
+    n <- Gen.choose(1, 40)
+    custIds <- Gen.listOfN(n, Gen.choose(0L, 12L))
+  } yield custIds
+
+  test("property: to-one calculated field never changes the host model's row count") {
+    forSamples(genRows, 8) { custIds =>
+      val orders = custIds.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("o_orderkey", "o_custkey")
+      val customers = (0L to 9L).map(c => (c, s"SEG_${c % 3}")).toDF("c_custkey", "c_mktsegment")
+      orders.createOrReplaceTempView("p_orders")
+      customers.createOrReplaceTempView("p_customers")
+      val m = Manifest(
+        catalog = "g", schema = "s",
+        models = List(
+          Model("mo", tableReference = Some(TableReference(table = "p_orders")),
+            primaryKey = Some("o_orderkey"),
+            columns = List(
+              Column("o_orderkey", "bigint"), Column("o_custkey", "bigint"),
+              Column("cust", "mc", relationship = Some("oc")),
+              Column("seg", "varchar", isCalculated = true,
+                expression = Some("\"cust\".\"c_mktsegment\"")))),
+          Model("mc", tableReference = Some(TableReference(table = "p_customers")),
+            primaryKey = Some("c_custkey"),
+            columns = List(Column("c_custkey", "bigint"), Column("c_mktsegment", "varchar")))),
+        relationships = List(
+          Relationship("oc", List("mo", "mc"), JoinType.ManyToOne,
+            "\"mo\".\"o_custkey\" = \"mc\".\"c_custkey\"")))
+      val sess = GraftEngine.deploy(spark, m, new graft.planner.CatalogResolver)
+      val modelCount = sess.query("SELECT count(*) FROM mo").head.getLong(0)
+      assert(modelCount == custIds.size.toLong)
+    }
+  }
+
+  private val genDoc = Gen.listOf(Gen.oneOf(
+    "the", "quick", "brown", "Fox!", "jumps,", "OVER", "lazy", "dog.", "42"))
+    .map(_.mkString(" "))
+
+  test("property: exact dedup is idempotent and fingerprint ignores case/punct") {
+    forSamples(Gen.listOfN(12, genDoc), 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exact(df, "text", "doc_id")
+      val twice = Dedup.exact(once, "text", "doc_id")
+      assert(once.count() == twice.count())
+      // fingerprints of the survivors are unique
+      val fps = once.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+      assert(fps.distinct.length == fps.length)
+    }
+  }
+
+  test("property: pairwise jaccard lands in [0,1] and is symmetric by construction") {
+    forSamples(Gen.listOfN(8, genDoc), 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sh = Dedup.shingles(df, "text", "doc_id", n = 2)
+      val pairs = Dedup.pairJaccard(sh).collect()
+      pairs.foreach { r =>
+        val j = r.getAs[Double]("jaccard")
+        assert(j >= 0.0 && j <= 1.0)
+        assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"), "canonical pair order")
+      }
+    }
+  }
+
+  test("property: the type mapper is total (never throws, unknown -> StringType)") {
+    val genType = Gen.oneOf(
+      Gen.oneOf("int", "bigint", "varchar", "double", "decimal(10,2)", "date",
+        "timestamp", "array<int>", "struct<a int, b varchar>", "map"),
+      Gen.alphaNumStr)
+    forSamples(genType, 40) { t =>
+      val dt = TypeMapper.toSpark(t) // must not throw
+      assert(dt != null)
+    }
+  }
+
+  test("property: quality score is always in [0,1]") {
+    forSamples(genDoc, 10) { text =>
+      val s = Seq(text).toDF("text")
+        .select(TextAnalysis.qualityScore(col("text"))).head.getDouble(0)
+      assert(s >= 0.0 && s <= 1.0, s"score $s for '$text'")
+    }
+  }
+}
