@@ -61,9 +61,28 @@ final class GraftSession(
 
   /** Execute user SQL written against model/view names. `limit` clamps the result like
     * the reference's pushdown_limit (wren-core-py/src/context.rs:271-320).
+    *
+    * Permission UX (the reference's two-phase PermissionAnalyze, mdl/mod.rs:497-592):
+    * a CLAC-dropped column fails Spark analysis as "column not found"; when the
+    * column *does* exist in the manifest, that error is converted into an explicit
+    * access-denied message instead of a confusing resolution failure.
     */
   def query(sql: String, limit: Option[Int] = None): DataFrame = {
-    val df = spark.sql(planner.stripNamespace(sql))
+    val df =
+      try spark.sql(planner.stripNamespace(sql))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null && e.getCondition.startsWith("UNRESOLVED_COLUMN") =>
+          val missing = "`([^`]+)`".r.findFirstMatchIn(e.getMessage).map(_.group(1))
+          val denied = missing.exists(colName => manifest.models.exists(m =>
+            m.column(colName).exists(c =>
+              c.columnLevelAccessControl.nonEmpty && c.relationship.isEmpty)))
+          if (denied)
+            throw new graft.planner.GraftException(
+              s"Access denied: column ${missing.get} is restricted by column-level " +
+                "access control for this session")
+          else throw e
+      }
     limit.map(df.limit).getOrElse(df)
   }
 

@@ -79,6 +79,34 @@ object GraftFunctions {
 
   def listing: Seq[FnSpec] = registered ++ builtinMappings
 
+  /** CSV-driven function registry (A20): the reference loads per-dialect remote
+    * function lists from CSV `function_type,name,return_type,param_names,param_types,
+    * description` (wren-core-py/src/context.rs:494-555). Declared functions join the
+    * listing; on Spark they execute locally when the name resolves, so no bypass
+    * machinery is needed.
+    */
+  def loadCsvRegistry(path: String): Seq[FnSpec] = {
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toList
+    lines match {
+      case header :: rows =>
+        val cols = header.split(",").map(_.trim.toLowerCase)
+        def idx(name: String) = cols.indexOf(name)
+        rows.filter(_.trim.nonEmpty).map { line =>
+          val f = line.split(",", -1).map(_.trim)
+          def at(i: Int) = if (i >= 0 && i < f.length) f(i) else ""
+          FnSpec(
+            name = at(idx("name")),
+            kind = at(idx("function_type")).toLowerCase match {
+              case "" => "scalar"; case k => k
+            },
+            signature = s"(${at(idx("param_types"))})",
+            returns = at(idx("return_type")),
+            description = at(idx("description")))
+        }
+      case Nil => Nil
+    }
+  }
+
   /** DataFusion approx_percentile_cont_with_weight(x, w, p) — Spark's built-in
     * `percentile(x, p, w)` is an exact weighted percentile with long weights; this
     * adapter fixes the argument order. Exact beats approximate at equal cost until

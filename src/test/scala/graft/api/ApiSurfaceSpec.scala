@@ -87,6 +87,32 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(json.contains(""""data":["""))
   }
 
+  test("CLAC denial surfaces as access-denied, not column-not-found") {
+    val denied = GraftEngine.deployOnDir(spark, Semantic.aclManifest, dir,
+      Map("Session_segment" -> "BUILDING", "Session_level" -> "0"))
+    val e = intercept[GraftException] {
+      denied.query("SELECT c_name FROM sec_customer")
+    }
+    assert(e.getMessage.contains("Access denied"), e.getMessage)
+    // a genuinely unknown column still reports the resolution failure
+    intercept[org.apache.spark.sql.AnalysisException] {
+      denied.query("SELECT no_such FROM sec_customer")
+    }
+  }
+
+  test("CSV function registry parses the reference's remote-function shape") {
+    val f = java.nio.file.Files.createTempFile("fns_", ".csv")
+    java.nio.file.Files.writeString(f,
+      """function_type,name,return_type,param_names,param_types,description
+        |scalar,my_fn,int,x,int,adds one
+        |aggregate,my_agg,double,"vals",double,custom agg
+        |""".stripMargin)
+    val specs = graft.functions.GraftFunctions.loadCsvRegistry(f.toString)
+    assert(specs.map(_.name) == Seq("my_fn", "my_agg"))
+    assert(specs.head.kind == "scalar" && specs(1).kind == "aggregate")
+    assert(specs.head.returns == "int")
+  }
+
   test("functions + metadata listings") {
     assert(session.functions.exists(_.name == "date_bin"))
     val md = session.metadata.toMap
