@@ -41,6 +41,18 @@ final class CatalogResolver extends TableResolver {
     spark.table(ref.dotted)
 }
 
+/** Resolve over a JDBC connection — the funnel for the reference's warehouse
+  * connectors (Postgres/MySQL/Trino/…, data_source.py:241-530): on Spark they are
+  * all `spark.read.jdbc`, and Catalyst pushes filters/projections down to the remote
+  * (JDBCScan PushedFilters), replacing the reference's unparse-to-dialect layer.
+  */
+final class JdbcResolver(
+    url: String,
+    connectionProperties: java.util.Properties = new java.util.Properties) extends TableResolver {
+  override def resolve(spark: SparkSession, ref: TableReference): DataFrame =
+    spark.read.jdbc(url, ref.dotted, connectionProperties)
+}
+
 final class GraftException(msg: String) extends RuntimeException(msg)
 
 /** View-generation semantic planner.

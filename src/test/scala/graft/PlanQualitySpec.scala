@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regressions: the properties that make these queries survive a 100×
+  * scale-up are asserted on the optimized/executed plans, not just observed once —
+  * filters reach the parquet scan, column pruning narrows ReadSchema, dimension
+  * joins broadcast, and nothing degenerates to a cartesian product.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: shipdate filter is pushed to the parquet scan, schema is pruned") {
+    val plan = executedPlan("q1_agg")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      plan.contains("PushedFilters: [*IsNotNull(l_shipdate)"), plan)
+    // projection needs 7 of 11 lineitem columns; pruned schema must not carry l_partkey
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("tpch_q5: all five dimension joins broadcast, no cartesian product") {
+    val plan = executedPlan("tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "6-way join must stay equi-joined")
+  }
+
+  test("tpch_q3: selective date filters reach both fact scans") {
+    val plan = executedPlan("tpch_q3")
+    assert(plan.contains("PushedFilters"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1)
+  }
+
+  test("m10_model_agg: the semantic-layer view adds no unpruned scan") {
+    val plan = executedPlan("m10_model_agg")
+    // orders side: aggregation needs o_custkey/o_totalprice only — o_orderpriority
+    // must be pruned from the scan even though the model projects it
+    val scans = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
+    assert(scans.nonEmpty && scans.forall(!_.contains("o_orderpriority")),
+      scans.mkString("\n"))
+  }
+
+  test("q3_topk: global sort+limit plans as TakeOrderedAndProject") {
+    val plan = executedPlan("q3_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("s1_ann_brute: the query side broadcasts so the corpus streams map-side") {
+    val plan = executedPlan("s1_ann_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(1500))
+  }
+}
