@@ -25,6 +25,20 @@ object TextAnalysis {
     greatest(words, ceil(chars.cast("double") / 4.0).cast("long"))
   }
 
+  /** GPT-2-style pre-tokenizer pattern, lookahead-free so the identical regex runs on
+    * Java regex (Spark) and RE2 (DuckDB, for the oracle): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z一-鿿]+| ?[0-9]+| ?[^\\sA-Za-z0-9一-鿿]+"
+
+  /** Pre-tokenization token count with the real BPE-style boundary rules (the unit a
+    * byte-pair tokenizer would merge within). Codegen'd regexp_extract_all — a map
+    * stage at any scale.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
   /** Occurrences of `needle` via the length-difference trick (portable to any SQL
     * engine, used so the DuckDB oracle can replicate the exact same arithmetic).
     */

@@ -194,11 +194,14 @@ object Pipeline {
       docs(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
-        TextAnalysis.subwordCount(col("text")).alias("n_subwords"))
+        TextAnalysis.subwordCount(col("text")).alias("n_subwords"),
+        TextAnalysis.bpeTokenCount(col("text")).alias("n_bpe"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |  cast($duckTok as bigint) AS n_tokens,
-              |  cast(greatest($duckTok, ceil(length(text) / 4.0)) as bigint) AS n_subwords
+              |  cast(greatest($duckTok, ceil(length(text) / 4.0)) as bigint) AS n_subwords,
+              |  cast(len(regexp_extract_all(text,
+              |    '${TextAnalysis.bpePattern.replace("'", "''")}')) as bigint) AS n_bpe
               |FROM documents ORDER BY doc_id""".stripMargin))),
 
     "t4_fingerprint" -> (((s: SparkSession, dir: String) => {

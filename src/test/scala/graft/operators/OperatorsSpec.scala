@@ -59,6 +59,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(7L)._2 == "unknown")
   }
 
+  test("BPE-ish tokenizer splits contractions, digits, and punctuation") {
+    val n = Seq("I can't wait, it's 2024!").toDF("text")
+      .select(TextAnalysis.bpeTokenCount($"text")).head.getLong(0)
+    // I | can | 't | wait | , | it | 's | 2024 | !
+    assert(n == 9L, s"got $n")
+    val empty = Seq("").toDF("text").select(TextAnalysis.bpeTokenCount($"text")).head.getLong(0)
+    assert(empty == 0L)
+  }
+
   test("fingerprint is case/punctuation-insensitive") {
     val fps = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other"))
       .toDF("id", "t")
