@@ -44,13 +44,30 @@ object GraftEngine {
     deploy(spark, manifest, resolver, properties)
   }
 
+  /** Deployment cache for `deployOnDir`: keyed structurally on (session, manifest,
+    * dir, properties). Building the governed model plans costs hundreds of ms per
+    * manifest; a cache hit only re-registers the temp views (plans are immutable),
+    * which keeps correctness even when other work on the session has shadowed the
+    * view names in between.
+    */
+  private val deployCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Manifest, String, Map[String, String]), GraftSession]
+
   /** Convenience: models over `<dir>/<table>.parquet` files. */
   def deployOnDir(
       spark: SparkSession,
       manifest: Manifest,
       dir: String,
-      properties: Map[String, String] = Map.empty): GraftSession =
-    deploy(spark, manifest, new PathResolver(dir), properties)
+      properties: Map[String, String] = Map.empty): GraftSession = {
+    val key = (System.identityHashCode(spark), manifest, dir, properties)
+    val cached = deployCache.get(key)
+    if (cached != null) { cached.reregister(); cached }
+    else {
+      val s = deploy(spark, manifest, new PathResolver(dir), properties)
+      deployCache.put(key, s)
+      s
+    }
+  }
 }
 
 final class GraftSession(
@@ -102,6 +119,9 @@ final class GraftSession(
   }
 
   def modelDF(name: String): DataFrame = spark.table(name)
+
+  /** Re-register this deployment's temp views (cache-hit path of deployOnDir). */
+  private[graft] def reregister(): Unit = planner.reregister()
 
   /** Model substitution (A13): run SQL written against *physical* table names by
     * rewriting each relation to its governing model (substitute.py:14-124).

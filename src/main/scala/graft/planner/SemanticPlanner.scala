@@ -89,6 +89,11 @@ final class SemanticPlanner(
 
   // ---------------------------------------------------------------- deploy
 
+  /** (view name, resolved DataFrame) pairs from the last deploy, for cheap
+    * re-registration when a cached deployment's temp views may have been shadowed.
+    */
+  private var deployed: Seq[(String, DataFrame)] = Nil
+
   /** Build and register every model and view. Returns registered view names. */
   def deploy(): Seq[String] = {
     // 1. refSql models parse against *physical* names: pre-register those views.
@@ -102,16 +107,26 @@ final class SemanticPlanner(
     //    physical names), then build + register the governed model views.
     manifest.models.foreach(baseDF)
     val modelViews = manifest.models.map { m =>
-      modelDF(m).createOrReplaceTempView(m.name)
-      m.name
+      val df = modelDF(m)
+      df.createOrReplaceTempView(m.name)
+      m.name -> df
     }
     // 3. MDL views are plain SQL over models (ViewTable, context.rs:320-327).
-    val viewNames = manifest.views.map { v =>
-      spark.sql(stripNamespace(v.statement)).createOrReplaceTempView(v.name)
-      v.name
+    val viewDFs = manifest.views.map { v =>
+      val df = spark.sql(stripNamespace(v.statement))
+      df.createOrReplaceTempView(v.name)
+      v.name -> df
     }
-    modelViews ++ viewNames
+    deployed = modelViews ++ viewDFs
+    deployed.map(_._1)
   }
+
+  /** Re-register the already-built views (plans are immutable DataFrames, so this is
+    * milliseconds) — used when a cached deployment's temp-view names may have been
+    * overwritten by other work on the session.
+    */
+  def reregister(): Unit =
+    deployed.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
   /** Strip the semantic `catalog.schema.` qualifier (reference strips it from unparsed
     * SQL at mdl/mod.rs:530-537; here models live in the session temp-view namespace).
