@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` / `embeddings` / `events`
   * tables: dedup (d*), similarity search (s*), text analysis (t*), multimodal (mm*),
@@ -324,7 +324,54 @@ object Pipeline {
              |SELECT user_id, min(t) AS session_start,
              |  max(t) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
              |FROM se GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)))
+             |ORDER BY user_id, session_start""".stripMargin))),
+
+    // Ordered funnel view -> click -> purchase: per-user earliest strictly-increasing
+    // step times; partial funnels kept via left joins.
+    "e4_funnel" -> (((s: SparkSession, dir: String) => {
+      val e = events(s, dir)
+        .select(col("user_id"), expr("timestamp_micros(ts div 1000)").alias("t"),
+          col("event_type"))
+      EventOps.funnel(e, Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, cast(ts as timestamp) AS t, event_type FROM events
+             |), s1 AS (
+             |  SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+             |), s2 AS (
+             |  SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id
+             |), s3 AS (
+             |  SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id
+             |)
+             |SELECT s1.user_id, t1, t2, t3
+             |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin))),
+
+    // Weekly cohort retention: cohort = first-activity week, users counted per
+    // (cohort, day-offset-of-active-week).
+    "e5_retention" -> (((s: SparkSession, dir: String) => {
+      val e = events(s, dir)
+        .select(col("user_id"), expr("timestamp_micros(ts div 1000)").alias("t"))
+      EventOps.retention(e, "week")
+        .select(col("cohort").cast("date").alias("cohort"),
+          col("offset_days").cast("int").alias("offset_days"), col("users"))
+        .orderBy("cohort", "offset_days")
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, cast(ts as timestamp) AS t FROM events
+             |), c AS (
+             |  SELECT user_id, date_trunc('week', min(t)) AS cohort FROM e GROUP BY user_id
+             |), a AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', t) AS p FROM e
+             |)
+             |SELECT cast(cohort as date) AS cohort,
+             |  cast(date_diff('day', cohort, p) as int) AS offset_days,
+             |  count(DISTINCT a.user_id) AS users
+             |FROM a JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort, offset_days""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -59,6 +59,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(7L)._2 == "unknown")
   }
 
+  test("funnel enforces strict step ordering per user") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1 completes A->B->C in order
+      (1L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, ts("2024-01-01 11:00:00"), "B"),
+      (1L, ts("2024-01-01 12:00:00"), "C"),
+      // user 2 did B before A — B must not count; then B again after A does
+      (2L, ts("2024-01-01 09:00:00"), "B"),
+      (2L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, ts("2024-01-01 10:30:00"), "B"),
+      // user 3 only did A
+      (3L, ts("2024-01-01 08:00:00"), "A")
+    ).toDF("user_id", "t", "event_type")
+    val f = EventOps.funnel(e, Seq("A", "B", "C")).orderBy("user_id").collect()
+    assert(f.length == 3)
+    assert(f(0).getTimestamp(3) != null, "user 1 completes all steps")
+    assert(f(1).getTimestamp(2) == ts("2024-01-01 10:30:00"),
+      "user 2's pre-A 'B' event is ignored; post-A one counts")
+    assert(f(1).isNullAt(3) && f(2).isNullAt(2), "partial funnels keep nulls")
+    val counts = EventOps.funnelCounts(EventOps.funnel(e, Seq("A", "B", "C")), 3)
+      .orderBy("step").collect().map(_.getLong(1)).toSeq
+    assert(counts == Seq(3L, 2L, 1L))
+  }
+
   test("BPE-ish tokenizer splits contractions, digits, and punctuation") {
     val n = Seq("I can't wait, it's 2024!").toDF("text")
       .select(TextAnalysis.bpeTokenCount($"text")).head.getLong(0)
