@@ -137,21 +137,24 @@ object Pipeline {
         .orderBy("id_a", "id_b"),
       Some(duckJaccardPairs(0.5)))),
 
+    // Exact pair set at a threshold no pair sits within 1e-4 of (DuckDB scores in
+    // float32, Spark in double — the pair SET is stable, per-pair scores are not);
+    // the LSH-blocked variant (cosineNearDup) is the scale path, recall-tested in
+    // OperatorsSpec.
     "d5_embed_neardup" -> (((s: SparkSession, dir: String) =>
-      Similarity.cosineNearDup(embs(s, dir), threshold = 0.9, dim = 64, planes = 8)
+      Similarity.cosinePairsExact(embs(s, dir), threshold = 0.45, dim = 64)
         .orderBy("id_a", "id_b"),
-      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
              |FROM embeddings a, embeddings b
              |WHERE a.vec_id < b.vec_id
-             |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+             |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
              |ORDER BY id_a, id_b""".stripMargin))),
 
     // ---------------- similarity search ----------------
 
     "s1_ann_brute" -> (((s: SparkSession, dir: String) => {
       val all = embs(s, dir)
-      Similarity.bruteForceTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5)
+      Similarity.bruteForceTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64)
         .select(col("query_id"), col("neighbor_id"), col("rk"))
         .orderBy("query_id", "rk")
     },
