@@ -64,6 +64,7 @@ object GraftEngine {
     if (cached != null) { cached.reregister(); cached }
     else {
       val s = deploy(spark, manifest, new PathResolver(dir), properties)
+      if (deployCache.size >= 64) deployCache.clear() // crude bound; rebuilds are cheap
       deployCache.put(key, s)
       s
     }

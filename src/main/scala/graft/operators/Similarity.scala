@@ -123,7 +123,7 @@ object Similarity {
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
 
@@ -142,14 +142,18 @@ object Similarity {
         .filter(col("cid") === col("__best.cid"))
         .drop("__sim", "__best", "centroid")
 
-    // one Lloyd refinement: assign to seed cells, recenter on the cell mean
-    val assigned0 = c.transform(nearestCell(col("cv"), seeds, "neighbor_id"))
-    val refined = broadcast(
-      assigned0.select(col("cid"), posexplode(col("cv")).as(Seq("j", "x")))
-        .groupBy("cid", "j").agg(avg(col("x")).alias("m"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("j"), col("m")))).alias("jm"))
-        .select(col("cid"), transform(col("jm"), e => e.getField("m").cast("float"))
-          .alias("centroid")))
+    // Lloyd refinement: assign to cells, recenter on the cell mean, iterate. Each
+    // iteration costs one corpus pass + a tiny (nlist·dim) aggregation; centroids
+    // stay broadcast-sized throughout.
+    val refined = (1 to math.max(lloydIters, 0)).foldLeft(seeds) { (cents, _) =>
+      val assigned = c.transform(nearestCell(col("cv"), cents, "neighbor_id"))
+      broadcast(
+        assigned.select(col("cid"), posexplode(col("cv")).as(Seq("j", "x")))
+          .groupBy("cid", "j").agg(avg(col("x")).alias("m"))
+          .groupBy("cid").agg(array_sort(collect_list(struct(col("j"), col("m")))).alias("jm"))
+          .select(col("cid"), transform(col("jm"), e => e.getField("m").cast("float"))
+            .alias("centroid")))
+    }
 
     val cells = c.transform(nearestCell(col("cv"), refined, "neighbor_id"))
 

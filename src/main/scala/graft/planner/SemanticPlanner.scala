@@ -107,7 +107,12 @@ final class SemanticPlanner(
     //    physical names), then build + register the governed model views.
     manifest.models.foreach(baseDF)
     val modelViews = manifest.models.map { m =>
-      val df = modelDF(m)
+      val df0 = modelDF(m)
+      // `cached: true` models persist spill-safely (the reference materializes
+      // cached models on a refresh schedule, manifest-macro lib.rs:146-165;
+      // refreshTime is advisory here — Spark re-persists lazily on eviction)
+      val df = if (m.cached) df0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df0
       df.createOrReplaceTempView(m.name)
       m.name -> df
     }

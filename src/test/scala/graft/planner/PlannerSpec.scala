@@ -131,6 +131,18 @@ class PlannerSpec extends AnyFunSuite {
     assert(total == base, "grand-total cell must equal the base row count")
   }
 
+  test("cached:true models persist spill-safely") {
+    val m = Semantic.manifest
+    // the cached=true copy differs structurally, so the deploy cache misses
+    val withCache = m.copy(models = m.models.map(mm =>
+      if (mm.name == "m_region") mm.copy(cached = true) else mm))
+    val sess = GraftEngine.deployOnDir(spark, withCache, dir)
+    val level = sess.modelDF("m_region").storageLevel
+    assert(level.useMemory || level.useDisk, s"expected persisted, got $level")
+    assert(sess.modelDF("m_nation").storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE, "uncached models stay unpersisted")
+  }
+
   test("hidden columns are excluded from the view projection") {
     val m = Semantic.manifest
     val hidden = m.copy(models = m.models.map(mm =>
