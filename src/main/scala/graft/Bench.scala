@@ -38,8 +38,9 @@ object Bench {
       sqls.foreach(sql => session.query(sql).queryExecution.optimizedPlan)
       (System.nanoTime() - t0) / 1e6 / sqls.size
     } catch { case _: Throwable => -1.0 }
+    val planningStr = "%.2f".formatLocal(java.util.Locale.ROOT, planningMs)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""planning_ms_per_query":${"%.2f".format(planningMs)},"sf":"$sfDir"}""")
+      s""""planning_ms_per_query":$planningStr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,8 +50,10 @@ object GraftEngine {
     * which keeps correctness even when other work on the session has shadowed the
     * view names in between.
     */
+  // keyed on the SparkSession reference itself (identity equality) — an int hash
+  // could collide across GC'd sessions and hand back a GraftSession bound elsewhere
   private val deployCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Manifest, String, Map[String, String]), GraftSession]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Manifest, String, Map[String, String]), GraftSession]
 
   /** Convenience: models over `<dir>/<table>.parquet` files. */
   def deployOnDir(
@@ -59,7 +61,7 @@ object GraftEngine {
       manifest: Manifest,
       dir: String,
       properties: Map[String, String] = Map.empty): GraftSession = {
-    val key = (System.identityHashCode(spark), manifest, dir, properties)
+    val key = (spark, manifest, dir, properties)
     val cached = deployCache.get(key)
     if (cached != null) { cached.reregister(); cached }
     else {
@@ -134,7 +136,10 @@ final class GraftSession(
     * (manifest, sql, session properties).
     */
   def queryCached(sql: String, cache: QueryCache): DataFrame = {
-    val id = s"${manifest.catalog}.${manifest.schema}:${manifest.models.map(_.name).mkString(",")}"
+    // the structural hash covers the FULL manifest (expressions, access-control
+    // rules, ...), so an edited manifest with unchanged model names never serves
+    // stale results
+    val id = s"${manifest.catalog}.${manifest.schema}:${manifest.hashCode}"
     cache.get(spark, id, sql, properties).getOrElse {
       cache.put(query(sql), id, sql, properties)
     }
@@ -162,6 +167,11 @@ final class GraftSession(
     import org.apache.spark.sql.functions._
     val cube = manifest.cubes.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new graft.planner.GraftException(s"cube $name not found in manifest"))
+    if (cube.measures.isEmpty)
+      throw new graft.planner.GraftException(s"cube $name declares no measures")
+    if (manifest.model(cube.name).nonEmpty)
+      throw new graft.planner.GraftException(
+        s"cube $name would shadow the model view of the same name")
     val base = spark.table(cube.baseObject)
     val timeDims = cube.timeDimensions.map { td =>
       val (c, grain) = td.split(':') match {

@@ -16,7 +16,12 @@ final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000) {
 
   private def keyOf(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    parts.foreach(p => md.update(p.getBytes("UTF-8")))
+    parts.foreach { p =>
+      val bytes = p.getBytes("UTF-8")
+      // length prefix so part boundaries can't alias ("ab","c" vs "a","bc")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
+      md.update(bytes)
+    }
     md.digest().map("%02x".format(_)).mkString.take(32)
   }
 

@@ -31,15 +31,35 @@ object ResultFormatter {
   def formatted(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map(formatCol).toSeq: _*)
 
-  /** `{"columns": [...], "dtypes": {...}, "data": [[...], ...]}` like the reference's
-    * query response (`ibis-server/app/routers/v3/connector.py:70-247` response shape).
+  private def jsonScalar(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => n.toString
+    case other =>
+      val s = other.toString.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      "\"" + s + "\""
+  }
+
+  /** `{"columns": [...], "dtypes": {...}, "data": [[...], ...]}` — positional row
+    * arrays aligned with `columns`, like the reference's query response
+    * (`ibis-server/app/routers/v3/connector.py:70-247`); nulls are explicit.
     */
   def toJsonResponse(df: DataFrame, limit: Int = 1000): String = {
     val fdf = formatted(df.limit(limit))
     val cols = df.schema.fields.map(f => s""""${f.name}"""").mkString("[", ",", "]")
     val dtypes = df.schema.fields
       .map(f => s""""${f.name}":"${f.dataType.simpleString}"""").mkString("{", ",", "}")
-    val rows = fdf.toJSON.collect().mkString("[", ",", "]")
+    val rows = fdf.collect().map { r =>
+      (0 until r.length).map(i => jsonScalar(r.get(i))).mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
     s"""{"columns":$cols,"dtypes":$dtypes,"data":$rows}"""
   }
 }

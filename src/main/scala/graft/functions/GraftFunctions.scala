@@ -85,14 +85,40 @@ object GraftFunctions {
     * listing; on Spark they execute locally when the name resolves, so no bypass
     * machinery is needed.
     */
+  /** Minimal RFC-4180-ish field split: respects double-quoted fields (which may
+    * contain commas) and doubled-quote escapes.
+    */
+  private def splitCsv(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (inQ) {
+        if (ch == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+        else if (ch == '"') inQ = false
+        else cur += ch
+      } else ch match {
+        case '"' => inQ = true
+        case ',' => out += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.map(_.trim).toArray
+  }
+
   def loadCsvRegistry(path: String): Seq[FnSpec] = {
-    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toList
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val lines = try src.getLines().toList finally src.close()
     lines match {
       case header :: rows =>
-        val cols = header.split(",").map(_.trim.toLowerCase)
+        val cols = splitCsv(header).map(_.toLowerCase)
         def idx(name: String) = cols.indexOf(name)
         rows.filter(_.trim.nonEmpty).map { line =>
-          val f = line.split(",", -1).map(_.trim)
+          val f = splitCsv(line)
           def at(i: Int) = if (i >= 0 && i < f.length) f(i) else ""
           FnSpec(
             name = at(idx("name")),

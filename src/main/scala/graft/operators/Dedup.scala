@@ -129,6 +129,9 @@ object Dedup {
     * scan→explode, so without persistence the regex+explode would run 4×. We persist
     * it spill-safely — at 100 TB the shingle table is corpus-scale, and
     * MEMORY_AND_DISK trades executor disk for 3 redundant passes over every document.
+    * The cache is released when the returned plan's RDDs are garbage-collected
+    * (ContextCleaner); callers running many corpora through one session can force it
+    * earlier with `spark.catalog.clearCache()`.
     */
   def minHashNearDup(
       df: DataFrame, textCol: String, idCol: String,

@@ -20,6 +20,9 @@ object ScaleLayout {
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, key: String, saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only — the dim side is replicated per " +
+        s"salt, so right/full outer would emit unmatched dim rows $saltFactor times")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val replicated = dim

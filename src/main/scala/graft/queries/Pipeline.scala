@@ -315,8 +315,10 @@ object Pipeline {
              |  SELECT user_id, cast(ts as timestamp) AS t FROM events
              |), m AS (
              |  SELECT user_id, t,
+             |    -- >= : session_window is half-open [start, start+gap), so an event
+             |    -- exactly gap after its predecessor starts a NEW session
              |    CASE WHEN lag(t) OVER w IS NULL
-             |           OR t > lag(t) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+             |           OR t >= lag(t) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
              |), se AS (
              |  SELECT user_id, t,
