@@ -159,31 +159,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per document: sign-sum of per-shingle hash bits. Computed with one
-    * explode + one groupBy (bit counting via 64 conditional sums kept in codegen).
+  /** 60-bit shingle hash derived from md5 (15 hex chars keep the long positive):
+    * slower than xxhash64 per shingle, but reproducible in any engine with a standard
+    * md5 — the hash to use when the pair set must be externally oracle-checkable.
     */
-  def simHash(sh: DataFrame): DataFrame = {
-    // hash each shingle once; the 64 bit-sums reference the cached column
-    val hashed = sh.withColumn("__h", xxhash64(col("shingle")))
-    val bitSums = (0 until 64).map(i =>
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** `bits`-wide SimHash per document: sign-sum of per-shingle hash bits. Computed
+    * with one explode + one groupBy (bit counting via `bits` conditional sums kept in
+    * codegen). Default hash is xxhash64 (fastest); pass [[md5Hash60]] with bits=60 for
+    * a cross-engine-reproducible signature.
+    */
+  def simHash(sh: DataFrame, bits: Int = 64,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    // hash each shingle once; the bit-sums reference the cached column
+    val hashed = sh.withColumn("__h", hash(col("shingle")))
+    val bitSums = (0 until bits).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).alias(s"b_$i"))
     val sums = hashed.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
+    val sig = (0 until bits).map(i =>
       when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("id"), sig.alias("simhash"))
   }
 
-  /** SimHash near-dup: band the 64-bit signature into 4×16-bit chunks (any equal chunk
+  /** SimHash near-dup: band the `bits`-wide signature into 4 chunks (any equal chunk
     * → candidate, guaranteeing recall for hamming distance ≤ 3), then verify by exact
     * hamming distance.
     */
   def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = simHash(shingles(df, textCol, idCol))
+      maxHamming: Int = 3, bits: Int = 64,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(bits % 4 == 0, "simHashNearDup bands the signature into 4 equal chunks")
+    val cw = bits / 4
+    val sig = simHash(shingles(df, textCol, idCol), bits, hash)
     val chunks = (0 until 4).map(i =>
       struct(lit(i).alias("c"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFF).alias("v")))
+        shiftright(col("simhash"), i * cw).bitwiseAND((1L << cw) - 1).alias("v")))
     val banded = sig.select(col("id"), col("simhash"), explode(array(chunks: _*)).alias("ch"))
     val a = banded.alias("a")
     val b = banded.alias("b")

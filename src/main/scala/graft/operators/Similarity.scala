@@ -62,7 +62,7 @@ object Similarity {
     * splitmix64-style integer mix of the indices (stable across runs and engines —
     * no RNG state involved).
     */
-  private def planeComponent(p: Int, j: Int): Double = {
+  private[graft] def planeComponent(p: Int, j: Int): Double = {
     var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -111,60 +111,87 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").alias("rk"))
   }
 
+  /** Scored struct per centroid: (similarity, cid). Centroids are unit-normalized in
+    * driver doubles, so `dot(v, ĉ)` orders identically to `cosine(v, c)` (‖v‖ is a
+    * positive constant across centroids) without computing norms per row.
+    */
+  private def centroidScores(v: Column, cents: Seq[(Int, Array[Double])]): Seq[Column] =
+    cents.map { case (cid, u) =>
+      struct(dot(v, typedLit(u.toSeq)).alias("sim"), lit(cid).alias("cid"))
+    }
+
+  /** Arg-max cell id for a vector against driver-held centroids: one codegen-friendly
+    * expression per row — no join, no row expansion, no shuffle. Ties break to the
+    * larger cid (struct `greatest` compares (sim, cid) lexicographically).
+    */
+  private def argmaxCid(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
+    val scored = centroidScores(v, cents)
+    (if (scored.size >= 2) greatest(scored: _*) else scored.head).getField("cid")
+  }
+
+  private def unitNormalized(cents: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] =
+    cents.map { case (cid, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (cid, if (n > 0) c.map(_ / n) else c)
+    }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus against `nlist` centroids,
     * then search only the `nprobe` nearest cells per query. The scale path when the
     * corpus outgrows brute force: the corpus shuffles once by cell at build time, and
     * each query touches nprobe/nlist of the data.
     *
-    * Centroids here are a deterministic corpus sample refined by one Lloyd step
-    * (mean of each cell), all as DataFrame ops — a full k-means loop is the same
-    * assignment+mean pair iterated. Centroid count should be ~√N at scale; both the
-    * sample and the refined centroids are broadcast (nlist rows, not corpus-sized).
+    * Centroids live on the driver (nlist rows — the coarse quantizer, collected once
+    * at index-build time, exactly like a broadcast dimension) and are refined by
+    * `lloydIters` k-means steps. Cell assignment is a per-row arg-max over the
+    * broadcast centroid literals — one map stage, zero shuffle, no row expansion —
+    * instead of a corpus×centroids join; the only corpus-wide shuffles left are the
+    * tiny (cid, dim) mean aggregation per Lloyd step and the final per-query top-k.
+    *
+    * The seed sample orders by `md5(cast(id as string))` (not xxhash64) so an external
+    * engine can reproduce the identical index for oracle checks; hash quality is
+    * equivalent, and the sample plans as TakeOrdered (per-partition top-K + merge).
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nlist >= 2, "ivfTopK needs at least 2 cells")
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
 
-    // seed centroids: deterministic hash-ordered sample — orderBy+limit plans as
-    // TakeOrdered (per-partition top-K + merge), no global sort at scale
-    val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(nlist)
-    val seeds = broadcast(sample
-      .withColumn("cid", row_number().over(Window.orderBy(col("neighbor_id"))))
-      .select(col("cid"), col("cv").alias("centroid")))
-
-    def nearestCell(v: Column, cents: DataFrame, out: String): DataFrame => DataFrame =
-      df => df.join(cents, lit(true))
-        .withColumn("__sim", cosine(v, col("centroid")))
-        .withColumn("__best", max_by(struct(col("__sim"), col("cid")), col("__sim"))
-          .over(Window.partitionBy(col(out))))
-        .filter(col("cid") === col("__best.cid"))
-        .drop("__sim", "__best", "centroid")
-
-    // Lloyd refinement: assign to cells, recenter on the cell mean, iterate. Each
-    // iteration costs one corpus pass + a tiny (nlist·dim) aggregation; centroids
-    // stay broadcast-sized throughout.
-    val refined = (1 to math.max(lloydIters, 0)).foldLeft(seeds) { (cents, _) =>
-      val assigned = c.transform(nearestCell(col("cv"), cents, "neighbor_id"))
-      broadcast(
-        assigned.select(col("cid"), posexplode(col("cv")).as(Seq("j", "x")))
-          .groupBy("cid", "j").agg(avg(col("x")).alias("m"))
-          .groupBy("cid").agg(array_sort(collect_list(struct(col("j"), col("m")))).alias("jm"))
-          .select(col("cid"), transform(col("jm"), e => e.getField("m").cast("float"))
-            .alias("centroid")))
+    // Seed centroids: nlist rows to the driver (index build, not a hot path); cid is
+    // the 1-based position in md5-hash order.
+    val seedRows = c.orderBy(md5(col("neighbor_id").cast("string"))).limit(nlist).collect()
+    val seeds: Seq[(Int, Array[Double])] = seedRows.toSeq.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
     }
 
-    val cells = c.transform(nearestCell(col("cv"), refined, "neighbor_id"))
+    // Lloyd refinement: per-row argmax assignment (map stage), then a (cid, dim)-sized
+    // mean aggregation collected back to the driver. Empty cells keep their previous
+    // centroid.
+    val refined = (1 to math.max(lloydIters, 0)).foldLeft(seeds) { (cents, _) =>
+      val unit = unitNormalized(cents)
+      val means = c.withColumn("cid", argmaxCid(col("cv"), unit))
+        .select(col("cid"), posexplode(col("cv")).as(Seq("j", "x")))
+        .groupBy("cid", "j").agg(avg(col("x")).alias("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+      cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    val unit = unitNormalized(refined)
 
-    // probe the nprobe nearest refined cells per query
+    val cells = c.withColumn("cid", argmaxCid(col("cv"), unit))
+
+    // nprobe nearest cells per query: sort the literal score array per row — again a
+    // pure map stage (ties break to larger cid, matching argmaxCid).
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qv"))
-    val probes = q.join(refined, lit(true))
-      .withColumn("__sim", cosine(col("qv"), col("centroid")))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cid"))))
-      .filter(col("__rk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    val probeCells = slice(
+      sort_array(array(centroidScores(col("qv"), unit): _*), asc = false), 1, nprobe)
+    val probes = q
+      .withColumn("__p", explode(probeCells))
+      .select(col("query_id"), col("qv"), col("__p.cid").alias("cid"))
 
     val scored = probes.join(cells, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

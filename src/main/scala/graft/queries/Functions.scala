@@ -25,7 +25,7 @@ object Functions {
     // truncate to µs per the TESTDATA gotcha)
     "f1_date_bin" -> q(
       Seq("events"),
-      """SELECT date_bin(900, timestamp_micros(ts div 1000), timestamp '1970-01-01 00:00:00') AS bucket,
+      """SELECT cast(date_bin(900, timestamp_micros(ts div 1000), timestamp '1970-01-01 00:00:00') as timestamp_ntz) AS bucket,
         |  count(*) AS n,
         |  cast(sum(cast(value as decimal(18,3))) as double) AS sum_value
         |FROM events

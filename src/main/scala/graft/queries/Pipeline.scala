@@ -50,6 +50,46 @@ object Pipeline {
        |    / len(list_distinct(list_concat(a.s, b.s))), 6) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB replica of Dedup.simHashNearDup with the portable md5-derived hash:
+    * per-shingle 60-bit hash → per-bit sign sums → signature → 4-chunk banding →
+    * hamming verify. Generated column-per-bit SQL (oracle-scale only).
+    */
+  private def duckSimHash(bits: Int, maxHamming: Int): String = {
+    val cw = bits / 4
+    val bitSums = (0 until bits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i").mkString(", ")
+    val sigExpr = (0 until bits).map(i =>
+      s"(CASE WHEN b_$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)").mkString(" | ")
+    val banded = (0 until 4).map(i =>
+      s"SELECT id, simhash, $i AS c, (simhash >> ${i * cw}) & ${(1L << cw) - 1} AS v FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$duckShingleSets, sh AS (
+       |  SELECT doc_id AS id, ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS h FROM g
+       |), sums AS (
+       |  SELECT id, $bitSums FROM sh GROUP BY id
+       |), sig AS (
+       |  SELECT id, $sigExpr AS simhash FROM sums
+       |), banded AS ($banded)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+       |FROM banded a JOIN banded b ON a.c = b.c AND a.v = b.v AND a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replica of Similarity.lshSignature: per-plane sign bits of the unrolled
+    * sequential dot product — term order and double arithmetic match Spark's
+    * `aggregate(zip_with(...))` fold exactly (left-to-right, elements cast to double),
+    * so the signatures are bit-identical across engines.
+    */
+  private def duckLshSignature(vecExpr: String, dim: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        s"($vecExpr[${j + 1}]::DOUBLE * ${Similarity.planeComponent(p, j)})"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN (1::BIGINT << $p) ELSE 0::BIGINT END)"
+    }.mkString(" | ")
+
   /** DuckDB replica of TextAnalysis.fingerprint. */
   private val duckFp = "md5(regexp_replace(lower(text), '[^a-z0-9一-鿿]', '', 'g'))"
 
@@ -127,27 +167,56 @@ object Pipeline {
         threshold = 0.7).orderBy("id_a", "id_b"),
       Some(duckJaccardPairs(0.7)))),
 
+    // md5-derived 60-bit signature (md5Hash60) so the whole simhash pipeline —
+    // bit votes, banding, hamming verify — is replicated in the oracle engine.
     "d3_dedup_simhash" -> (((s: SparkSession, dir: String) =>
-      Dedup.simHashNearDup(docs(s, dir), "text", "doc_id", maxHamming = 3)
+      Dedup.simHashNearDup(docs(s, dir), "text", "doc_id", maxHamming = 3,
+        bits = 60, hash = Dedup.md5Hash60)
         .orderBy("id_a", "id_b"),
-      None)), // xxhash64 bit-signature not replicable in the oracle engine
+      Some(duckSimHash(bits = 60, maxHamming = 3)))),
 
     "d4_ngram_jaccard" -> (((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardNearDup(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       Some(duckJaccardPairs(0.5)))),
 
-    // Exact pair set at a threshold no pair sits within 1e-4 of (DuckDB scores in
-    // float32, Spark in double — the pair SET is stable, per-pair scores are not);
-    // the LSH-blocked variant (cosineNearDup) is the scale path, recall-tested in
-    // OperatorsSpec.
+    // Exact all-pairs baseline, deliberately bounded to a fixture-sized slice
+    // (vec_id < 1000): O(n²) scoring is the oracle of record for the LSH scale path
+    // (d6), not the blessed way to near-dup a 100 TB corpus. Threshold chosen so no
+    // pair sits within 1e-4 of it (DuckDB scores in float32, Spark in double — the
+    // pair SET is stable, per-pair scores are not).
     "d5_embed_neardup" -> (((s: SparkSession, dir: String) =>
-      Similarity.cosinePairsExact(embs(s, dir), threshold = 0.45, dim = 64)
+      Similarity.cosinePairsExact(embs(s, dir).filter(col("vec_id") < 1000),
+        threshold = 0.45, dim = 64)
         .orderBy("id_a", "id_b"),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
              |FROM embeddings a, embeddings b
-             |WHERE a.vec_id < b.vec_id
+             |WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin))),
+
+    // The scale path over the FULL corpus: LSH-bucketed blocking + exact verification.
+    // The natural corpus has no pairs above ~0.52 cosine, so near-duplicates are
+    // planted deterministically in-query (every 20th vector duplicated under id
+    // +100000) — identical vectors hash to identical buckets, so the pair set is
+    // structurally guaranteed and the O(n²) oracle below verifies it exactly.
+    "d6_embed_neardup_lsh" -> (((s: SparkSession, dir: String) => {
+      val base = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).alias("vec_id"), col("embedding"))
+      Similarity.cosineNearDup(base.union(planted), threshold = 0.9, dim = 64, planes = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+      Some("""WITH c AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+             |)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM c a, c b
+             |WHERE a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
              |ORDER BY id_a, id_b""".stripMargin))),
 
     // ---------------- similarity search ----------------
@@ -167,19 +236,75 @@ object Pipeline {
              |QUALIFY rk <= 5
              |ORDER BY query_id, rk""".stripMargin))),
 
+    // Full oracle: the deterministic splitmix hyperplanes are embedded in the oracle
+    // SQL (duckLshSignature), so the approximate result — buckets, probes, ranking —
+    // is replicated bit-for-bit, not just rows-counted.
     "s2_ann_lsh" -> (((s: SparkSession, dir: String) => {
       val all = embs(s, dir)
       Similarity.lshTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64,
-        planes = 12).orderBy("query_id", "rk")
-    },
-      None)), // approximate by construction: rows-only check
+        planes = 12)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+        .orderBy("query_id", "rk")
+    }, {
+      val masks = (0L +: (0 until 12).map(p => 1L << p)).mkString("[", ", ", "]")
+      Some(s"""WITH sigs AS (
+              |  SELECT vec_id, embedding, ${duckLshSignature("embedding", 64, 12)} AS sig
+              |  FROM embeddings
+              |), q AS (
+              |  SELECT vec_id AS query_id, embedding AS qv, sig AS qsig FROM sigs WHERE vec_id % 50 = 0
+              |), probes AS (
+              |  SELECT query_id, qv, xor(qsig, unnest($masks::BIGINT[])) AS bucket FROM q
+              |), cand AS (
+              |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, p.qv, c.embedding AS cv
+              |  FROM probes p JOIN sigs c ON c.sig = p.bucket
+              |  WHERE c.vec_id != p.query_id
+              |)
+              |SELECT query_id, neighbor_id,
+              |  cast(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) as int) AS rk
+              |FROM cand
+              |QUALIFY rk <= 5
+              |ORDER BY query_id, rk""".stripMargin)
+    })),
 
+    // Full oracle: centroid seeds are an md5-keyed corpus sample (reproducible in any
+    // engine), lloydIters=0 keeps the centroids as exact corpus vectors, and the
+    // oracle rebuilds cells/probes relationally. The Lloyd-refined variant is
+    // recall-tested in OperatorsSpec.
     "s3_ann_ivf" -> (((s: SparkSession, dir: String) => {
       val all = embs(s, dir)
       Similarity.ivfTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64,
-        nlist = 16, nprobe = 4).orderBy("query_id", "rk")
+        nlist = 16, nprobe = 4, lloydIters = 0)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+        .orderBy("query_id", "rk")
     },
-      None)), // approximate by construction: rows-only check
+      Some("""WITH cent AS (
+             |  SELECT embedding AS centroid,
+             |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) AS cid
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY md5(cast(vec_id as varchar)) LIMIT 16)
+             |), cells AS (
+             |  SELECT neighbor_id, cv, cid FROM (
+             |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cid DESC) AS crk
+             |    FROM embeddings e, cent c) WHERE crk = 1
+             |), q AS (
+             |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+             |), probes AS (
+             |  SELECT query_id, qv, cid FROM (
+             |    SELECT q.query_id, q.qv, c.cid,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.cid DESC) AS prk
+             |    FROM q, cent c) WHERE prk <= 4
+             |)
+             |SELECT p.query_id, s.neighbor_id,
+             |  cast(row_number() OVER (PARTITION BY p.query_id
+             |    ORDER BY list_cosine_similarity(p.qv, s.cv) DESC, s.neighbor_id) as int) AS rk
+             |FROM probes p JOIN cells s USING (cid)
+             |WHERE s.neighbor_id != p.query_id
+             |QUALIFY rk <= 5
+             |ORDER BY query_id, rk""".stripMargin))),
 
     // ---------------- text analysis ----------------
 
@@ -307,8 +432,11 @@ object Pipeline {
         .select(expr("timestamp_micros(ts div 1000)").alias("t"), col("user_id"))
         .groupBy(session_window(col("t"), "30 minutes").alias("s"), col("user_id"))
         .agg(count(lit(1)).alias("n_events"))
-        .select(col("user_id"), col("s.start").alias("session_start"),
-          col("s.end").alias("session_end"), col("n_events"))
+        // timestamp_ntz: the driver's oracle (DuckDB) emits naive TIMESTAMP; a raw
+        // tz-aware TimestampType fails its schema check even when values match.
+        .select(col("user_id"),
+          col("s.start").cast("timestamp_ntz").alias("session_start"),
+          col("s.end").cast("timestamp_ntz").alias("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     },
       Some("""WITH e AS (
@@ -338,6 +466,10 @@ object Pipeline {
         .select(col("user_id"), expr("timestamp_micros(ts div 1000)").alias("t"),
           col("event_type"))
       EventOps.funnel(e, Seq("view", "click", "purchase"))
+        // naive timestamps for the oracle's schema check (see e3_session_window)
+        .select(col("user_id"), col("t1").cast("timestamp_ntz").alias("t1"),
+          col("t2").cast("timestamp_ntz").alias("t2"),
+          col("t3").cast("timestamp_ntz").alias("t3"))
         .orderBy("user_id")
     },
       Some("""WITH e AS (
