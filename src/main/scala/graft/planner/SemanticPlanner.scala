@@ -3,7 +3,10 @@ package graft.planner
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column => SCol, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal, WindowExpression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 import graft.mdl._
 
@@ -135,11 +138,23 @@ final class SemanticPlanner(
 
   /** Strip the semantic `catalog.schema.` qualifier (reference strips it from unparsed
     * SQL at mdl/mod.rs:530-537; here models live in the session temp-view namespace).
+    * Single-quoted string literals are left untouched — a literal that happens to
+    * contain `catalog.schema.` text is data, not a qualifier.
     */
   def stripNamespace(sql: String): String = {
     val c = java.util.regex.Pattern.quote(manifest.catalog)
     val s = java.util.regex.Pattern.quote(manifest.schema)
-    sql.replaceAll("(?i)\"?" + c + "\"?\\.\"?" + s + "\"?\\.", "")
+    val qual = ("(?i)\"?" + c + "\"?\\.\"?" + s + "\"?\\.").r
+    val literal = "'(?:[^']|'')*'".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- literal.findAllMatchIn(sql)) {
+      sb ++= qual.replaceAllIn(sql.substring(last, m.start), "")
+      sb ++= m.matched
+      last = m.end
+    }
+    sb ++= qual.replaceAllIn(sql.substring(last), "")
+    sb.result()
   }
 
   // ---------------------------------------------------------------- base scan
@@ -174,21 +189,51 @@ final class SemanticPlanner(
 
   // ---------------------------------------------------------------- model plan
 
+  /** Parse an MDL expression with Spark's SQL parser (double-quoted identifiers are
+    * normalized to backticks first — Spark reads double quotes as string literals).
+    */
+  private def parseExpr(e: String): Expression =
+    spark.sessionState.sqlParser.parseExpression(normalizeQuotes(e))
+
+  private val aggFnNames = Set(
+    "sum", "count", "avg", "mean", "min", "max", "array_agg", "collect_list",
+    "collect_set", "string_agg", "listagg", "bool_and", "bool_or", "every", "some",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance", "median",
+    "approx_count_distinct", "count_distinct", "corr", "covar_pop", "covar_samp",
+    "first", "first_value", "last", "last_value", "any_value", "percentile",
+    "percentile_approx", "mode", "count_if", "max_by", "min_by", "bit_and", "bit_or",
+    "bit_xor")
+
   private val aggFnRe =
-    ("""(?is)^\s*(sum|count|avg|min|max|array_agg|collect_list|collect_set|string_agg|""" +
-      """listagg|bool_and|bool_or|stddev|stddev_pop|stddev_samp|var_pop|var_samp|variance|""" +
-      """median|approx_count_distinct|count_distinct|corr|covar_pop|covar_samp|first|last|any_value)\s*\(.*""").r
+    ("""(?is)^\s*(""" + aggFnNames.mkString("|") + """)\s*\(.*""").r
 
-  private def isAggregateExpr(e: String): Boolean = aggFnRe.matches(e)
+  /** Aggregate detection on the PARSED tree (the reference walks parsed expressions —
+    * find_aggregate_exprs, plan.rs:447-449): `1 + sum(x)` is an aggregate calc,
+    * `'sum(x)' || y` is not. Window-framed calls don't count — a windowed aggregate
+    * doesn't make the calc to-many. Falls back to the prefix regex only if the text
+    * doesn't parse (the failure then surfaces with context in resolvePaths).
+    */
+  private def isAggregateExpr(e: String): Boolean =
+    scala.util.Try(parseExpr(e)).toOption match {
+      case Some(parsed) =>
+        val noWindows = parsed.transform { case _: WindowExpression => Literal(true) }
+        noWindows.collect { case f: UnresolvedFunction => f }
+          .exists(f => aggFnNames.contains(f.nameParts.last.toLowerCase))
+      case None => aggFnRe.matches(e)
+    }
 
-  /** The related-side DataFrame for a join step: the raw base when only physical
-    * columns are referenced, the fully-calculated model when the path lands on a
-    * calculated column (nested calculated fields — the reference's hard case,
-    * sqllogictest/src/test_context.rs:175-199 — handled here by recursion with
-    * explicit cycle detection).
+  /** The related-side DataFrame for a join step. Governance does not stop at the
+    * relationship boundary: the raw base is always filtered by the related model's
+    * RLAC rules (the reference plans join sides as ModelPlanNode so row rules apply,
+    * model_generation.rs:88-129); the fully-calculated model — itself governed — is
+    * used when the path lands on a calculated column (nested calculated fields — the
+    * reference's hard case, sqllogictest/src/test_context.rs:175-199 — handled here by
+    * recursion with explicit cycle detection).
     */
   private def joinSideDF(st: JoinStep): DataFrame =
-    if (st.needsCalc) modelDF(st.model) else baseDF(st.model)
+    if (st.needsCalc) modelDF(st.model)
+    else st.model.rowLevelAccessControls.map(rlacFilter)
+      .foldLeft(baseDF(st.model))((df, f) => df.filter(f))
 
   /** The governed, fully-calculated DataFrame for a model. Memoized; recursion via
     * nested calculated fields is cycle-checked.
@@ -218,7 +263,7 @@ final class SemanticPlanner(
 
     // --- to-one calculated fields: left-join relation chain ---
     val joins = mutable.LinkedHashMap[String, JoinStep]()
-    val scalarRewritten: List[(Column, String)] = scalarCalcs.map { c =>
+    val scalarRewritten: List[(Column, SCol)] = scalarCalcs.map { c =>
       val ex = c.expression.getOrElse(
         throw new GraftException(s"calculated column ${model.name}.${c.name} requires an expression"))
       val (rewritten, steps) = resolvePaths(model, baseAlias, ex)
@@ -237,7 +282,7 @@ final class SemanticPlanner(
       c -> rewritten
     }
     joins.values.foreach { st =>
-      df = df.join(joinSideDF(st).alias(st.alias), expr(st.condition), "left_outer")
+      df = df.join(joinSideDF(st).alias(st.alias), st.condition, "left_outer")
     }
 
     // --- to-many calculated fields: pre-aggregate + join back on pk ---
@@ -251,24 +296,25 @@ final class SemanticPlanner(
         throw new GraftException(
           s"calculated column ${model.name}.${c.name} aggregates but references no relationship")
       val pkCol = s"__graft_pk_${c.name}"
-      val aggDF: DataFrame = singleHopEquality(model, steps) match {
-        case Some((baseSide, relSide)) =>
+      val hop = singleHopEquality(model, steps)
+      val aggDF: DataFrame = hop match {
+        case Some((_, relSide)) =>
           // Fast path: aggregate the related table grouped by its FK — one shuffle of
           // the related side, no join of the base into the aggregation.
           val st = steps.head
           joinSideDF(st).alias(st.alias)
-            .groupBy(expr(relSide).alias(pkCol))
-            .agg(expr(rewritten).cast(TypeMapper.toSpark(c.`type`)).alias(c.name))
+            .groupBy(relSide.alias(pkCol))
+            .agg(rewritten.cast(TypeMapper.toSpark(c.`type`)).alias(c.name))
         case None =>
           var adf = baseDF(model).alias(baseAlias)
           steps.foreach { st =>
-            adf = adf.join(joinSideDF(st).alias(st.alias), expr(st.condition), "left_outer")
+            adf = adf.join(joinSideDF(st).alias(st.alias), st.condition, "left_outer")
           }
           adf.groupBy(col(s"$baseAlias.$pk").alias(pkCol))
-            .agg(expr(rewritten).cast(TypeMapper.toSpark(c.`type`)).alias(c.name))
+            .agg(rewritten.cast(TypeMapper.toSpark(c.`type`)).alias(c.name))
       }
-      val joinKey: SCol = singleHopEquality(model, steps) match {
-        case Some((baseSide, _)) => expr(baseSide) === col(pkCol)
+      val joinKey: SCol = hop match {
+        case Some((baseSide, _)) => baseSide === col(pkCol)
         case None => col(s"$baseAlias.$pk") === col(pkCol)
       }
       df = df.join(aggDF, joinKey, "left_outer").drop(pkCol)
@@ -282,7 +328,7 @@ final class SemanticPlanner(
     val sel: List[SCol] = visible.map { c =>
       if (aggNames.contains(c.name.toLowerCase)) col(c.name)
       else scalarByName.get(c.name.toLowerCase) match {
-        case Some((cc, ex)) => expr(ex).cast(TypeMapper.toSpark(cc.`type`)).alias(cc.name)
+        case Some((cc, ex)) => ex.cast(TypeMapper.toSpark(cc.`type`)).alias(cc.name)
         case None => col(s"$baseAlias.${c.name}")
       }
     }
@@ -301,76 +347,60 @@ final class SemanticPlanner(
     * target model, requiring the governed (calculated) side rather than the raw base.
     */
   final case class JoinStep(
-      alias: String, model: Model, rel: Relationship, condition: String, toOne: Boolean,
+      alias: String, model: Model, rel: Relationship, condition: SCol, toOne: Boolean,
       needsCalc: Boolean = false)
 
-  /** Detect the single-hop pure-equality shape `base.x = related.y`; returns the
-    * rewritten (baseSideExpr, relatedSideExpr) column references if so.
+  /** Detect the single-hop pure-equality shape `base.x = related.y` on the PARSED
+    * condition; returns the (baseSide, relatedSide) column references if so.
     */
-  private def singleHopEquality(model: Model, steps: List[JoinStep]): Option[(String, String)] = {
+  private def singleHopEquality(model: Model, steps: List[JoinStep]): Option[(SCol, SCol)] = {
     if (steps.size != 1) return None
     val st = steps.head
-    val sides = st.rel.condition.split("=")
-    if (sides.length != 2) return None
-    def rewriteSide(s: String): Option[(String, Boolean)] = {
-      parsePath(s.trim).flatMap { parts =>
-        if (parts.length != 2) None
-        else if (parts.head.equalsIgnoreCase(model.name))
-          Some((s"`${model.name}`.`${parts(1)}`", true))
-        else if (parts.head.equalsIgnoreCase(st.model.name))
-          Some((s"`${st.alias}`.`${parts(1)}`", false))
-        else None
-      }
+    def side(a: UnresolvedAttribute): Option[(SCol, Boolean)] =
+      if (a.nameParts.length != 2) None
+      else if (a.nameParts.head.equalsIgnoreCase(model.name))
+        Some((Bridge.column(UnresolvedAttribute(Seq(model.name, a.nameParts(1)))), true))
+      else if (a.nameParts.head.equalsIgnoreCase(st.model.name))
+        Some((Bridge.column(UnresolvedAttribute(Seq(st.alias, a.nameParts(1)))), false))
+      else None
+    scala.util.Try(parseExpr(st.rel.condition)).toOption.flatMap {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+        for {
+          (lc, lIsBase) <- side(l)
+          (rc, rIsBase) <- side(r)
+          if lIsBase != rIsBase
+        } yield if (lIsBase) (lc, rc) else (rc, lc)
+      case _ => None
     }
-    for {
-      (l, lIsBase) <- rewriteSide(sides(0))
-      (r, rIsBase) <- rewriteSide(sides(1))
-      if lIsBase != rIsBase
-    } yield if (lIsBase) (l, r) else (r, l)
-  }
-
-  /** Quoted-or-bare dotted identifier path, e.g. `"Orders"."Customers"."State"`. */
-  private val pathRe =
-    """("[^"]+"|[A-Za-z_][A-Za-z_0-9]*)(\s*\.\s*("[^"]+"|[A-Za-z_][A-Za-z_0-9]*))+""".r
-
-  private def parsePath(s: String): Option[List[String]] = {
-    val m = pathRe.pattern.matcher(s)
-    if (m.matches()) Some(splitPath(s)) else None
-  }
-
-  private def splitPath(path: String): List[String] = {
-    val parts = mutable.ListBuffer[String]()
-    var i = 0
-    val sb = new StringBuilder
-    var inQ = false
-    while (i < path.length) {
-      val ch = path.charAt(i)
-      ch match {
-        case '"' => inQ = !inQ
-        case '.' if !inQ => parts += sb.result().trim; sb.clear()
-        case c => sb += c
-      }
-      i += 1
-    }
-    parts += sb.result().trim
-    parts.toList
   }
 
   /** Rewrite every relationship-column path in `expression` into a join-chain column
-    * reference, accumulating the required `JoinStep`s (the lineage walk of
-    * wren-core/core/src/mdl/lineage.rs:19-120 done directly on the expression text).
+    * reference, accumulating the required `JoinStep`s — the lineage walk of
+    * wren-core/core/src/mdl/lineage.rs:19-120, done on the PARSED expression tree
+    * (the reference also walks parsed plans), so dotted text inside string literals
+    * is never touched and every identifier is classified by the parser, not a regex.
+    *
+    * Access control is enforced mid-walk: a path may not land on a column the current
+    * session's CLAC rules deny (the reference denies the whole query, plan.rs:157-174)
+    * — a calculated field must not smuggle out a restricted related column.
     */
   private def resolvePaths(
-      model: Model, baseAlias: String, expression: String): (String, List[JoinStep]) = {
+      model: Model, baseAlias: String, expression: String): (SCol, List[JoinStep]) = {
+    val parsed =
+      try parseExpr(expression)
+      catch {
+        case e: Exception => throw new GraftException(
+          s"model ${model.name}: cannot parse expression `$expression`: ${e.getMessage}")
+      }
     val steps = mutable.LinkedHashMap[String, JoinStep]()
-    val rewritten = pathRe.replaceAllIn(normalizeQuotes(expression, keepPaths = true), m => {
-      val parts = splitPath(m.matched)
+    val rewritten = parsed.transformUp {
       // Only paths whose head is a relationship column of the host model are semantic.
-      val headCol = model.column(parts.head)
-      if (headCol.exists(_.relationship.nonEmpty)) {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          model.column(a.nameParts.head).exists(_.relationship.nonEmpty) =>
+        val parts = a.nameParts.toList
         var curModel = model
         var curAlias = baseAlias
-        var relCol = headCol
+        var relCol = model.column(parts.head)
         var idx = 0
         while (idx < parts.length - 1) {
           val cc = relCol.getOrElse(throw new GraftException(
@@ -392,14 +422,18 @@ final class SemanticPlanner(
           idx += 1
           relCol = if (idx < parts.length - 1) curModel.column(parts(idx)) else None
         }
+        curModel.column(parts.last).foreach { lc =>
+          if (!clacAllows(curModel, lc))
+            throw new GraftException(
+              s"Access denied: column ${curModel.name}.${parts.last} is restricted by " +
+                "column-level access control for this session")
+        }
         // nested calculated field: the path lands on a calc column of the target model
         if (curModel.column(parts.last).exists(_.isCalculated))
           steps(curAlias) = steps(curAlias).copy(needsCalc = true)
-        java.util.regex.Matcher.quoteReplacement(s"`$curAlias`.`${parts.last}`")
-      } else java.util.regex.Matcher.quoteReplacement(
-        normalizeQuotes(m.matched))
-    })
-    (rewritten, steps.values.toList)
+        UnresolvedAttribute(Seq(curAlias, parts.last))
+    }
+    (Bridge.column(rewritten), steps.values.toList)
   }
 
   /** Relationship conditions reference *model names* (e.g. `"Orders"."Customer_id" =
@@ -408,22 +442,29 @@ final class SemanticPlanner(
   private def rewriteJoinCondition(
       rel: Relationship,
       fromModel: String, fromAlias: String,
-      toModel: String, toAlias: String): String = {
-    pathRe.replaceAllIn(rel.condition, m => {
-      val parts = splitPath(m.matched)
-      val repl =
-        if (parts.head.equalsIgnoreCase(fromModel))
-          (s"`$fromAlias`" :: parts.tail.map(p => s"`$p`")).mkString(".")
-        else if (parts.head.equalsIgnoreCase(toModel))
-          (s"`$toAlias`" :: parts.tail.map(p => s"`$p`")).mkString(".")
-        else parts.map(p => s"`$p`").mkString(".")
-      java.util.regex.Matcher.quoteReplacement(repl)
+      toModel: String, toAlias: String): SCol = {
+    val parsed =
+      try parseExpr(rel.condition)
+      catch {
+        case e: Exception => throw new GraftException(
+          s"relationship ${rel.name}: cannot parse condition `${rel.condition}`: ${e.getMessage}")
+      }
+    Bridge.column(parsed.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          a.nameParts.head.equalsIgnoreCase(fromModel) =>
+        UnresolvedAttribute(fromAlias +: a.nameParts.tail)
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          a.nameParts.head.equalsIgnoreCase(toModel) =>
+        UnresolvedAttribute(toAlias +: a.nameParts.tail)
     })
   }
 
-  /** MDL expressions quote identifiers with double quotes; Spark wants backticks. */
-  private def normalizeQuotes(e: String, keepPaths: Boolean = false): String = {
-    // Replace "ident" with `ident` outside single-quoted string literals.
+  /** MDL expressions quote identifiers with double quotes; Spark wants backticks.
+    * Every double-quoted segment outside a single-quoted string literal becomes a
+    * backticked identifier (so a bare `"c_acctbal" * 2` is an identifier reference,
+    * never a string literal).
+    */
+  private def normalizeQuotes(e: String): String = {
     val sb = new StringBuilder
     var i = 0
     var inStr = false
@@ -434,8 +475,7 @@ final class SemanticPlanner(
         val end = e.indexOf('"', i + 1)
         if (end < 0) { sb += ch }
         else {
-          if (keepPaths) { sb += '"'; sb ++= e.substring(i + 1, end); sb += '"' }
-          else { sb += '`'; sb ++= e.substring(i + 1, end); sb += '`' }
+          sb += '`'; sb ++= e.substring(i + 1, end); sb += '`'
           i = end
         }
       } else sb += ch

@@ -143,6 +143,129 @@ class PlannerSpec extends AnyFunSuite {
       org.apache.spark.storage.StorageLevel.NONE, "uncached models stay unpersisted")
   }
 
+  // ---- parse-based lineage + governed join sides (regressions) ----
+
+  import graft.mdl._
+
+  private def ordersCols = List(
+    Column("o_orderkey", "bigint"), Column("o_custkey", "bigint"),
+    Column("o_totalprice", "double"))
+
+  test("1 + sum(rel.col) is an aggregate calc, not a to-many error") {
+    val m = Manifest(
+      catalog = "g", schema = "s",
+      models = List(
+        Model("h_customer", tableReference = Some(TableReference(table = "customer")),
+          primaryKey = Some("c_custkey"),
+          columns = List(
+            Column("c_custkey", "bigint"),
+            Column("orders_of", "h_orders", relationship = Some("co")),
+            Column("spent_plus", "double", isCalculated = true,
+              expression = Some("1 + sum(\"orders_of\".\"o_totalprice\")")))),
+        Model("h_orders", tableReference = Some(TableReference(table = "orders")),
+          columns = ordersCols)),
+      relationships = List(
+        Relationship("co", List("h_customer", "h_orders"), JoinType.OneToMany,
+          "\"h_customer\".\"c_custkey\" = \"h_orders\".\"o_custkey\"")))
+    val rows = GraftEngine.deployOnDir(spark, m, dir)
+      .query("SELECT c_custkey, spent_plus FROM h_customer WHERE spent_plus IS NOT NULL")
+      .collect()
+    assert(rows.nonEmpty, "aggregate calc with a leading scalar term must plan and run")
+  }
+
+  test("dotted text inside a string literal is never rewritten as a path") {
+    val m = Manifest(
+      catalog = "g", schema = "s",
+      models = List(
+        Model("l_orders", tableReference = Some(TableReference(table = "orders")),
+          columns = ordersCols :+
+            Column("cust_ref", "l_customer", relationship = Some("oc")) :+
+            Column("tagged", "varchar", isCalculated = true,
+              expression =
+                Some("concat('cust_ref.c_mktsegment: ', \"cust_ref\".\"c_mktsegment\")"))),
+        Model("l_customer", tableReference = Some(TableReference(table = "customer")),
+          primaryKey = Some("c_custkey"),
+          columns = List(Column("c_custkey", "bigint"), Column("c_mktsegment", "varchar")))),
+      relationships = List(
+        Relationship("oc", List("l_orders", "l_customer"), JoinType.ManyToOne,
+          "\"l_orders\".\"o_custkey\" = \"l_customer\".\"c_custkey\"")))
+    val v = GraftEngine.deployOnDir(spark, m, dir)
+      .query("SELECT tagged FROM l_orders WHERE tagged IS NOT NULL LIMIT 1")
+      .collect().head.getString(0)
+    assert(v.startsWith("cust_ref.c_mktsegment: "), s"literal corrupted: $v")
+  }
+
+  test("bare double-quoted identifier is an identifier, not a string literal") {
+    val m = Manifest(
+      catalog = "g", schema = "s",
+      models = List(
+        Model("q_orders", tableReference = Some(TableReference(table = "orders")),
+          columns = ordersCols :+
+            Column("double_price", "double", isCalculated = true,
+              expression = Some("\"o_totalprice\" * 2")))),
+      relationships = Nil)
+    val r = GraftEngine.deployOnDir(spark, m, dir)
+      .query("SELECT o_totalprice, double_price FROM q_orders LIMIT 5").collect()
+    assert(r.nonEmpty && r.forall(row => row.getDouble(1) == row.getDouble(0) * 2))
+  }
+
+  private def governedManifest(clacThreshold: Option[String]) = Manifest(
+    catalog = "g", schema = "s",
+    models = List(
+      Model("g_orders", tableReference = Some(TableReference(table = "orders")),
+        columns = ordersCols :+
+          Column("cust_ref", "g_customer", relationship = Some("goc")) :+
+          Column("cust_seg", "varchar", isCalculated = true,
+            expression = Some("\"cust_ref\".\"c_mktsegment\""))),
+      Model("g_customer", tableReference = Some(TableReference(table = "customer")),
+        primaryKey = Some("c_custkey"),
+        columns = List(
+          Column("c_custkey", "bigint"),
+          Column("c_mktsegment", "varchar",
+            columnLevelAccessControl = clacThreshold.map(t =>
+              ColumnLevelAccessControl("seg_level",
+                List(SessionProperty("session_level", required = false,
+                  defaultExpr = Some("0"))),
+                ClacOperator.GreaterThanOrEquals, t)))),
+        rowLevelAccessControls = List(
+          RowLevelAccessControl("seg_only",
+            List(SessionProperty("session_segment", required = true)),
+            "\"c_mktsegment\" = @session_segment")))),
+    relationships = List(
+      Relationship("goc", List("g_orders", "g_customer"), JoinType.ManyToOne,
+        "\"g_orders\".\"o_custkey\" = \"g_customer\".\"c_custkey\"")))
+
+  test("calc-field join side applies the related model's RLAC (no row leak)") {
+    val sess = GraftEngine.deployOnDir(spark, governedManifest(None), dir,
+      Map("session_segment" -> "BUILDING"))
+    val total = sess.query("SELECT count(*) FROM g_orders").collect().head.getLong(0)
+    val raw = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(total == raw, "left join must not drop host rows")
+    val segs = sess.query(
+      "SELECT DISTINCT cust_seg FROM g_orders WHERE cust_seg IS NOT NULL").collect()
+    assert(segs.map(_.getString(0)).toSeq == Seq("BUILDING"),
+      "rows of other segments leaked through the calculated field")
+  }
+
+  test("calc-field referencing a CLAC-denied related column is rejected") {
+    val e = intercept[GraftException] {
+      GraftEngine.deployOnDir(spark, governedManifest(Some("1")), dir,
+        Map("session_segment" -> "BUILDING", "session_level" -> "0"))
+    }
+    assert(e.getMessage.contains("Access denied"), e.getMessage)
+    // the same manifest deploys once the session meets the rule
+    val ok = GraftEngine.deployOnDir(spark, governedManifest(Some("1")), dir,
+      Map("session_segment" -> "BUILDING", "session_level" -> "1"))
+    assert(ok.query("SELECT cust_seg FROM g_orders WHERE cust_seg IS NOT NULL").count() > 0)
+  }
+
+  test("stripNamespace leaves catalog.schema text inside string literals alone") {
+    val v = deployed.query(
+      "SELECT 'graft.amalgam.m_orders' AS s FROM graft.amalgam.m_orders LIMIT 1")
+      .collect().head.getString(0)
+    assert(v == "graft.amalgam.m_orders")
+  }
+
   test("hidden columns are excluded from the view projection") {
     val m = Semantic.manifest
     val hidden = m.copy(models = m.models.map(mm =>
