@@ -73,11 +73,75 @@ object GraftEngine {
   }
 }
 
+object GraftSession {
+  /** Which deployment's temp views are currently registered, per Spark session.
+    * Sessions over the same SparkSession (e.g. per-query property overrides) share
+    * one view namespace; a query from a session that is not the current owner
+    * re-registers its views first (milliseconds — the plans are immutable).
+    */
+  private val viewOwner =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, AnyRef]
+}
+
 final class GraftSession(
     val spark: SparkSession,
     val manifest: Manifest,
     planner: SemanticPlanner,
     properties: Map[String, String] = Map.empty) {
+
+  GraftSession.viewOwner.put(spark, this)
+
+  private def ensureViews(): Unit =
+    if (GraftSession.viewOwner.put(spark, this) ne this) planner.reregister()
+
+  /** Sessions derived from this deployment under overridden properties, one per
+    * distinct merged property set (bounded; rebuilds are cheap — base scans are
+    * shared through the planner).
+    */
+  private val propSessions =
+    new java.util.concurrent.ConcurrentHashMap[Map[String, String], GraftSession]
+
+  /** A session over the SAME deployment with per-query session properties — the
+    * reference's `x-wren-variable-*` headers (ibis-server/app/mdl/rewriter.py:177-189).
+    * Overrides merge onto deploy-time properties; RLAC filters and CLAC projections
+    * re-resolve against the merged set without re-reading sources. The property
+    * `timezone` (the `x-wren-timezone` analogue, wren-core/core/src/mdl/context.rs:50-52)
+    * is applied as the session timezone while this session's queries are analyzed.
+    */
+  def withProperties(overrides: Map[String, String]): GraftSession = {
+    val merged = properties ++ overrides
+    if (merged == properties) this
+    else {
+      val cached = propSessions.get(merged)
+      if (cached != null) cached
+      else {
+        val p = planner.withProperties(merged)
+        p.deploy()
+        val s = new GraftSession(spark, manifest, p, merged)
+        if (propSessions.size >= 64) propSessions.clear() // crude bound; rebuilds are cheap
+        propSessions.put(merged, s)
+        s
+      }
+    }
+  }
+
+  /** Per-query properties: resolve against a property-override session and run. */
+  def query(sql: String, props: Map[String, String]): DataFrame =
+    withProperties(props).query(sql)
+
+  /** The session timezone binds into timestamp expressions during analysis
+    * (ResolveTimeZone), so scoping the conf around `spark.sql` is enough for the
+    * resulting lazy DataFrame to keep it.
+    */
+  private def withSessionTimezone[T](f: => T): T =
+    properties.collectFirst { case (k, v) if k.equalsIgnoreCase("timezone") => v } match {
+      case Some(tz) =>
+        val key = "spark.sql.session.timeZone"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, tz)
+        try f finally spark.conf.set(key, prev)
+      case None => f
+    }
 
   /** Execute user SQL written against model/view names. `limit` clamps the result like
     * the reference's pushdown_limit (wren-core-py/src/context.rs:271-320).
@@ -88,15 +152,21 @@ final class GraftSession(
     * access-denied message instead of a confusing resolution failure.
     */
   def query(sql: String, limit: Option[Int] = None): DataFrame = {
+    ensureViews()
     val df =
-      try spark.sql(planner.stripNamespace(sql))
+      try withSessionTimezone(spark.sql(planner.stripNamespace(sql)))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition != null && e.getCondition.startsWith("UNRESOLVED_COLUMN") =>
           val missing = "`([^`]+)`".r.findFirstMatchIn(e.getMessage).map(_.group(1))
+          // Convert only when the column belongs to a model the query actually names
+          // AND its rule denies under THIS session's properties — a typo on an
+          // unrestricted column stays a plain resolution error.
+          def referenced(name: String): Boolean =
+            ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+              .findFirstIn(sql).nonEmpty
           val denied = missing.exists(colName => manifest.models.exists(m =>
-            m.column(colName).exists(c =>
-              c.columnLevelAccessControl.nonEmpty && c.relationship.isEmpty)))
+            referenced(m.name) && planner.clacDenied(m, colName)))
           if (denied)
             throw new graft.planner.GraftException(
               s"Access denied: column ${missing.get} is restricted by column-level " +
@@ -121,25 +191,37 @@ final class GraftSession(
     ()
   }
 
-  def modelDF(name: String): DataFrame = spark.table(name)
+  def modelDF(name: String): DataFrame = { ensureViews(); spark.table(name) }
 
   /** Re-register this deployment's temp views (cache-hit path of deployOnDir). */
-  private[graft] def reregister(): Unit = planner.reregister()
+  private[graft] def reregister(): Unit = {
+    GraftSession.viewOwner.put(spark, this)
+    planner.reregister()
+  }
 
   /** Model substitution (A13): run SQL written against *physical* table names by
     * rewriting each relation to its governing model (substitute.py:14-124).
     */
-  def querySubstituted(sql: String): DataFrame =
+  def querySubstituted(sql: String): DataFrame = {
+    ensureViews()
     Substitution.substituteDF(spark, manifest, planner.stripNamespace(sql))
+  }
+
+  /** Collision-resistant deployment identity: SHA-256 over the full structural
+    * rendering of the manifest (expressions, access-control rules, ...), so an
+    * edited manifest with unchanged model names never serves stale results and two
+    * manifests sharing catalog.schema cannot collide the way a 32-bit hash could.
+    */
+  private lazy val manifestDigest: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(manifest.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Result cache (A17): execute through a parquet-backed cache keyed by
     * (manifest, sql, session properties).
     */
   def queryCached(sql: String, cache: QueryCache): DataFrame = {
-    // the structural hash covers the FULL manifest (expressions, access-control
-    // rules, ...), so an edited manifest with unchanged model names never serves
-    // stale results
-    val id = s"${manifest.catalog}.${manifest.schema}:${manifest.hashCode}"
+    val id = s"${manifest.catalog}.${manifest.schema}:$manifestDigest"
     cache.get(spark, id, sql, properties).getOrElse {
       cache.put(query(sql), id, sql, properties)
     }
@@ -172,6 +254,7 @@ final class GraftSession(
     if (manifest.model(cube.name).nonEmpty)
       throw new graft.planner.GraftException(
         s"cube $name would shadow the model view of the same name")
+    ensureViews()
     val base = spark.table(cube.baseObject)
     val timeDims = cube.timeDimensions.map { td =>
       val (c, grain) = td.split(':') match {

@@ -23,29 +23,40 @@ object ResultFormatter {
       case FloatType => c.cast(DoubleType).alias(f.name)
       case CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType =>
         c.cast(StringType).alias(f.name)
+      // complex types render as real JSON (spliced verbatim into the response),
+      // not Scala collection toString
+      case _: ArrayType | _: StructType | _: MapType => to_json(c).alias(f.name)
       case _ => c
     }
   }
+
+  /** Marker: values of these columns are already JSON text — splice, don't quote. */
+  private def isJsonCol(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: StructType | _: MapType => true
+    case _ => false
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** The formatted DataFrame (each row JSON-ready). */
   def formatted(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map(formatCol).toSeq: _*)
 
-  private def jsonScalar(v: Any): String = v match {
+  private def jsonScalar(v: Any, rawJson: Boolean = false): String = v match {
     case null => "null"
     case b: Boolean => b.toString
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => n.toString
-    case other =>
-      val s = other.toString.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-      "\"" + s + "\""
+    case s: String if rawJson => s // to_json output: already JSON
+    case other => jsonString(other.toString)
   }
 
   /** `{"columns": [...], "dtypes": {...}, "data": [[...], ...]}` — positional row
@@ -54,11 +65,13 @@ object ResultFormatter {
     */
   def toJsonResponse(df: DataFrame, limit: Int = 1000): String = {
     val fdf = formatted(df.limit(limit))
-    val cols = df.schema.fields.map(f => s""""${f.name}"""").mkString("[", ",", "]")
+    val raw = df.schema.fields.map(f => isJsonCol(f.dataType))
+    val cols = df.schema.fields.map(f => jsonString(f.name)).mkString("[", ",", "]")
     val dtypes = df.schema.fields
-      .map(f => s""""${f.name}":"${f.dataType.simpleString}"""").mkString("{", ",", "}")
+      .map(f => s"${jsonString(f.name)}:${jsonString(f.dataType.simpleString)}")
+      .mkString("{", ",", "}")
     val rows = fdf.collect().map { r =>
-      (0 until r.length).map(i => jsonScalar(r.get(i))).mkString("[", ",", "]")
+      (0 until r.length).map(i => jsonScalar(r.get(i), raw(i))).mkString("[", ",", "]")
     }.mkString("[", ",", "]")
     s"""{"columns":$cols,"dtypes":$dtypes,"data":$rows}"""
   }

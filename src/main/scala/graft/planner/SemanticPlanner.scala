@@ -136,6 +136,19 @@ final class SemanticPlanner(
   def reregister(): Unit =
     deployed.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
+  /** A planner over the same manifest/resolver with different session properties:
+    * resolved base scans are SHARED (sources are property-independent), so a deploy
+    * of the returned planner only re-resolves what properties can change — RLAC
+    * filters, CLAC projections, and the model join plans that embed them. This is the
+    * engine side of per-query session properties (the reference's per-request
+    * variable headers, ibis-server/app/mdl/rewriter.py:177-189).
+    */
+  def withProperties(newProps: Map[String, String]): SemanticPlanner = {
+    val p = new SemanticPlanner(spark, manifest, resolver, newProps)
+    p.baseCache ++= baseCache
+    p
+  }
+
   /** Strip the semantic `catalog.schema.` qualifier (reference strips it from unparsed
     * SQL at mdl/mod.rs:530-537; here models live in the session temp-view namespace).
     * Single-quoted string literals are left untouched — a literal that happens to
@@ -514,6 +527,15 @@ final class SemanticPlanner(
   private def toLiteral(v: String): String =
     if (numericRe.matches(v) || v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")) v
     else "'" + v.replace("'", "''") + "'"
+
+  /** True when `colName` exists on `model` carrying a CLAC rule that DENIES under the
+    * current session properties — the precise condition for converting an
+    * unresolved-column analysis error into an access-denied message (a typo on a
+    * rule-free column, or a rule that passes for this session, is a plain error).
+    */
+  def clacDenied(model: Model, colName: String): Boolean =
+    model.column(colName).exists(c =>
+      c.relationship.isEmpty && c.columnLevelAccessControl.nonEmpty && !clacAllows(model, c))
 
   /** CLAC: failing columns are omitted from the model schema (context.rs:343-365). */
   private def clacAllows(model: Model, c: Column): Boolean =

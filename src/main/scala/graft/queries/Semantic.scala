@@ -192,6 +192,22 @@ object Semantic {
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
              |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin))),
 
+    // Per-query session properties: ONE deployment answers two differently-governed
+    // requests — the second query overrides the RLAC segment without a re-deploy
+    // (the reference's x-wren-variable-* headers, ibis-server/app/mdl/rewriter.py:177-189).
+    "m6b_rlac_per_query" -> (((s: SparkSession, dir: String) => {
+      val sess = GraftEngine.deployOnDir(s, Semantic.aclManifest, dir,
+        Map("Session_segment" -> "BUILDING", "Session_level" -> "1"))
+      val automobile = sess.query(
+        "SELECT c_custkey, c_mktsegment FROM sec_customer",
+        Map("Session_segment" -> "AUTOMOBILE"))
+      val building = sess.query("SELECT c_custkey, c_mktsegment FROM sec_customer")
+      automobile.union(building).orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+             |ORDER BY c_custkey""".stripMargin))),
+
     // A12: column-level access control — failing rule drops the column from the schema
     "m7_clac_deny" -> (((s: SparkSession, dir: String) => {
       GraftEngine.deployOnDir(s, Semantic.aclManifest, dir,

@@ -98,6 +98,25 @@ class ApiSurfaceSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       denied.query("SELECT no_such FROM sec_customer")
     }
+    // a typo matching a rule-guarded column name is NOT access-denied when the
+    // session passes the rule (level=1) — it is a plain resolution error
+    val allowed = GraftEngine.deployOnDir(spark, Semantic.aclManifest, dir,
+      Map("Session_segment" -> "BUILDING", "Session_level" -> "1"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      allowed.query("SELECT c_name FROM (SELECT c_custkey FROM sec_customer)")
+    }
+  }
+
+  test("json response renders arrays/structs/maps as JSON, escapes column names") {
+    val json = session.queryJson(
+      """SELECT array(1, 2) AS arr, named_struct('a', 1, 'b', 'x') AS st,
+        |  map('k', 42) AS mp, 'plain' AS `q"uote`
+        |FROM m_orders LIMIT 1""".stripMargin)
+    assert(json.contains(""""arr":"array<int>""""), json)
+    assert(json.contains("[1,2]"), json)
+    assert(json.contains("""{"a":1,"b":"x"}"""), json)
+    assert(json.contains("""{"k":42}"""), json)
+    assert(json.contains(""""q\"uote""""), json)
   }
 
   test("CSV function registry parses the reference's remote-function shape") {

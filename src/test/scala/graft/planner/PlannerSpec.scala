@@ -259,6 +259,30 @@ class PlannerSpec extends AnyFunSuite {
     assert(ok.query("SELECT cust_seg FROM g_orders WHERE cust_seg IS NOT NULL").count() > 0)
   }
 
+  test("per-query properties re-resolve RLAC without redeploy; base session intact") {
+    val sess = GraftEngine.deployOnDir(spark, Semantic.aclManifest, dir,
+      Map("session_segment" -> "BUILDING", "session_level" -> "1"))
+    val auto = sess.query("SELECT DISTINCT c_mktsegment FROM sec_customer",
+      Map("session_segment" -> "AUTOMOBILE")).collect()
+    assert(auto.map(_.getString(0)).toSeq == Seq("AUTOMOBILE"))
+    // the deploy-time session still answers with its own properties
+    val base = sess.query("SELECT DISTINCT c_mktsegment FROM sec_customer").collect()
+    assert(base.map(_.getString(0)).toSeq == Seq("BUILDING"))
+    // identical overrides reuse the same derived session
+    assert(sess.withProperties(Map("session_segment" -> "AUTOMOBILE")) eq
+      sess.withProperties(Map("session_segment" -> "AUTOMOBILE")))
+  }
+
+  test("per-query timezone binds into the analyzed plan") {
+    val sess = deployed
+    val sql = "SELECT date_format(timestamp '2024-01-01 00:00:00+00:00', 'HH') AS h"
+    val utc = sess.query(sql).collect().head.getString(0)
+    val ny = sess.query(sql, Map("timezone" -> "America/New_York")).collect().head.getString(0)
+    assert(utc == "00" && ny == "19", s"utc=$utc ny=$ny")
+    // session conf restored after analysis
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
+
   test("stripNamespace leaves catalog.schema text inside string literals alone") {
     val v = deployed.query(
       "SELECT 'graft.amalgam.m_orders' AS s FROM graft.amalgam.m_orders LIMIT 1")
