@@ -288,6 +288,63 @@ object Semantic {
              |GROUP BY CUBE(c_mktsegment, o_orderstatus)
              |ORDER BY seg, st""".stripMargin))),
 
+    // A17: parquet-backed query cache — the first call populates, the second serves
+    // from the cache; the returned (cached) rows must equal the direct oracle.
+    "m14_cached" -> (((s: SparkSession, dir: String) => {
+      val sess = GraftEngine.deployOnDir(s, Semantic.manifest, dir)
+      val cache = new graft.api.QueryCache(
+        java.nio.file.Files.createTempDirectory("graft_qc_").toString)
+      val sql =
+        """SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,2)) as double) AS price
+          |FROM m_orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin
+      sess.queryCached(sql, cache).count() // populate
+      sess.queryCached(sql, cache)         // serve from cache
+        .select("o_orderkey", "price").orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,2)) as double) AS price
+             |FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin))),
+
+    // A14: manifest extractor — deployJson(forSql) prunes the manifest to the models
+    // the SQL needs. The pruning is observable: the unpruned manifest carries a model
+    // over a non-existent table, so deploy succeeds ONLY if extraction dropped it.
+    "m15_extractor" -> (((s: SparkSession, dir: String) => {
+      val manifestJson =
+        """{"catalog":"graft","schema":"amalgam","models":[
+          |  {"name":"x_orders","tableReference":"orders","columns":[
+          |    {"name":"o_orderkey","type":"bigint"},
+          |    {"name":"o_totalprice","type":"double"}]},
+          |  {"name":"x_bogus","tableReference":"no_such_table","columns":[
+          |    {"name":"z","type":"int"}]}
+          |]}""".stripMargin
+      val sql =
+        """SELECT o_orderkey, o_totalprice FROM x_orders
+          |WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin
+      GraftEngine.deployJson(s, manifestJson, new graft.planner.PathResolver(dir),
+        forSql = Some(sql)).query(sql)
+    },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin))),
+
+    // A18: JSON result formatting — the queryJson response is parsed BACK through
+    // Spark's JSON reader and its positional data rows compared to the oracle, so the
+    // response shape (columns/dtypes/data) and value rendering are both checked.
+    "m16_json_result" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, element_at, explode}
+      val sess = GraftEngine.deployOnDir(s, Semantic.manifest, dir)
+      val json = sess.queryJson(
+        """SELECT o_orderkey, cast(o_totalprice as decimal(18,2)) AS price
+          |FROM m_orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)
+      import s.implicits._
+      s.read.json(s.createDataset(Seq(json)))
+        .select(explode(col("data")).alias("row"))
+        .select(
+          element_at(col("row"), 1).cast("bigint").alias("o_orderkey"),
+          element_at(col("row"), 2).cast("double").alias("price"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,2)) as double) AS price
+             |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin))),
+
     // Aggregation over a semantic model (the reference's flagship test_access_model shape)
     "m10_model_agg" -> ((deployAndRun(
       """SELECT cust_segment, count(*) AS n,
