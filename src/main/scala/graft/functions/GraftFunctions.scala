@@ -22,10 +22,12 @@ object GraftFunctions {
 
   /** Functions this module registers (gap-fills). */
   val registered: Seq[FnSpec] = Seq(
-    FnSpec("date_bin", "scalar", "(stride_sec bigint, source timestamp, origin timestamp)",
-      "timestamp", "Floor `source` to the stride grid anchored at `origin` (DataFusion date_bin, seconds stride)"),
+    FnSpec("date_bin", "scalar", "(stride interval|bigint_seconds, source timestamp, origin timestamp)",
+      "timestamp", "Floor `source` to the stride grid anchored at `origin` (DataFusion date_bin; day-time and whole-month interval strides, or bigint seconds)"),
     FnSpec("strftime", "scalar", "(t timestamp, fmt string)", "string",
-      "chrono/strftime-style formatting (%Y %y %m %d %H %M %S), the reference's to_char (to_char.rs:1-83)"),
+      "chrono/strftime-style formatting (full token set incl. %a %A %b %B %j %I %p %f %z), the reference's to_char (to_char.rs:1-83)"),
+    FnSpec("to_char", "scalar", "(t timestamp, fmt string)", "string",
+      "Alias of strftime (the reference's primary name, to_char.rs:42)"),
     FnSpec("to_local_time", "scalar", "(t timestamp)", "timestamp_ntz",
       "Strip the timezone, keeping wall-clock fields"),
     FnSpec("to_unixtime", "scalar", "(t timestamp)", "double",
@@ -152,20 +154,12 @@ object GraftFunctions {
 
   /** Register every gap-fill as a temporary SQL function on the session. Idempotent. */
   def register(spark: SparkSession): Unit = {
+    // Native plan-time builders (chrono translation / interval-stride dispatch
+    // cannot be expressed as a SQL-function body — they need the stride's TYPE).
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "date_bin", ChronoFormat.dateBinBuilder)
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "strftime", ChronoFormat.strftimeBuilder)
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "to_char", ChronoFormat.strftimeBuilder)
     val stmts = Seq(
-      """CREATE OR REPLACE TEMPORARY FUNCTION date_bin(stride_sec BIGINT, src TIMESTAMP, origin TIMESTAMP)
-        |RETURNS TIMESTAMP
-        |RETURN timestamp_seconds(unix_timestamp(origin) +
-        |  floor((unix_timestamp(src) - unix_timestamp(origin)) / stride_sec) * stride_sec)""",
-      // chrono-style strftime: translate the common % tokens to Java datetime patterns.
-      // Order matters: longer/ambiguous tokens first; literal text outside tokens is
-      // restricted to pattern-safe separators (space - : / . _), like to_char.rs.
-      """CREATE OR REPLACE TEMPORARY FUNCTION strftime(t TIMESTAMP, fmt STRING)
-        |RETURNS STRING
-        |RETURN date_format(t,
-        |  replace(replace(replace(replace(replace(replace(replace(fmt,
-        |    '%Y', 'yyyy'), '%y', 'yy'), '%m', 'MM'), '%d', 'dd'),
-        |    '%H', 'HH'), '%M', 'mm'), '%S', 'ss'))""",
       """CREATE OR REPLACE TEMPORARY FUNCTION to_local_time(t TIMESTAMP)
         |RETURNS TIMESTAMP_NTZ RETURN cast(t as timestamp_ntz)""",
       """CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(t TIMESTAMP)

@@ -25,23 +25,45 @@ object Functions {
     // truncate to µs per the TESTDATA gotcha)
     "f1_date_bin" -> q(
       Seq("events"),
-      """SELECT cast(date_bin(900, timestamp_micros(ts div 1000), timestamp '1970-01-01 00:00:00') as timestamp_ntz) AS bucket,
-        |  count(*) AS n,
-        |  cast(sum(cast(value as decimal(18,3))) as double) AS sum_value
-        |FROM events
-        |GROUP BY 1 ORDER BY bucket""".stripMargin,
-      """SELECT time_bucket(INTERVAL 15 minutes, cast(ts as timestamp)) AS bucket,
-        |  count(*) AS n,
-        |  cast(sum(cast(value as decimal(18,3))) as double) AS sum_value
-        |FROM events
-        |GROUP BY 1 ORDER BY bucket""".stripMargin),
+      """SELECT bucket,
+        |  cast(date_bin(INTERVAL '90' MINUTE, bucket, timestamp '1970-01-01') as timestamp_ntz) AS bucket90,
+        |  cast(date_bin(INTERVAL '2' MONTH, bucket, timestamp '2000-01-01') as timestamp_ntz) AS bucket_2mo,
+        |  n, sum_value
+        |FROM (
+        |  SELECT cast(date_bin(900, timestamp_micros(ts div 1000), timestamp '1970-01-01 00:00:00') as timestamp_ntz) AS bucket,
+        |    count(*) AS n,
+        |    cast(sum(cast(value as decimal(18,3))) as double) AS sum_value
+        |  FROM events GROUP BY 1)
+        |ORDER BY bucket""".stripMargin,
+      // DuckDB time_bucket anchors sub-month widths at 2000-01-03 (epoch-aligned for
+      // a 90-minute grid) and month widths at 2000-01-01 — same grids as above.
+      """SELECT bucket,
+        |  time_bucket(INTERVAL 90 minutes, bucket) AS bucket90,
+        |  time_bucket(INTERVAL 2 months, bucket) AS bucket_2mo,
+        |  n, sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 15 minutes, cast(ts as timestamp)) AS bucket,
+        |    count(*) AS n,
+        |    cast(sum(cast(value as decimal(18,3))) as double) AS sum_value
+        |  FROM events GROUP BY 1)
+        |ORDER BY bucket""".stripMargin),
 
-    // strftime (the reference's to_char): same %-token format string in both engines
+    // strftime (the reference's to_char): same %-token format string in both engines,
+    // covering day/month names, day-of-year, 12-hour clock, no-pad modifiers, literal
+    // words, and %% escapes (chrono token set, to_char.rs:1-83)
     "f2_strftime" -> q(
       Seq("orders"),
-      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+        |  to_char(o_orderdate, '%a %A %d %b %B') AS names,
+        |  strftime(o_orderdate, 'day %j of %Y at %I %p') AS wordy,
+        |  strftime(o_orderdate, '%-d/%-m 100%%') AS nopad
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
-      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+        |  strftime(o_orderdate, '%a %A %d %b %B') AS names,
+        |  strftime(o_orderdate, 'day %j of %Y at %I %p') AS wordy,
+        |  strftime(o_orderdate, '%-d/%-m 100%%') AS nopad
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin),
 
     // Snowflake-style JSON accessors over events.props

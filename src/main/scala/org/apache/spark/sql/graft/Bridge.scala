@@ -17,4 +17,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully convert a Column into a catalyst expression tree (unlike `expression`,
+    * which returns a lazy wrapper that the analyzer will not recurse into — needed
+    * when the expression is handed back to the analyzer, e.g. from a function
+    * builder).
+    */
+  def toExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[ClassicSession].expression(c)
+
+  /** Register a plan-time expression builder as a session temp function (the same
+    * registry SQL temp functions land in, so `SHOW FUNCTIONS` / drops behave alike).
+    */
+  def registerFunction(
+      spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

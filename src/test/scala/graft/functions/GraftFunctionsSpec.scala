@@ -23,6 +23,35 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(one("strftime(timestamp '2024-05-01 09:08:07', '%d/%m/%y')") == "01/05/24")
   }
 
+  test("date_bin takes interval strides: day-time exact, whole months calendar-anchored") {
+    assert(one("cast(date_bin(INTERVAL '90' MINUTE, timestamp '2024-03-05 14:07:09', timestamp '2024-01-01') as string)")
+      == "2024-03-05 13:30:00")
+    assert(one("cast(date_bin(INTERVAL '2' MONTH, timestamp '2024-03-05 14:07:09', timestamp '2024-01-01') as string)")
+      == "2024-03-01 00:00:00")
+    // sources before the origin bin downward, not toward zero
+    assert(one("cast(date_bin(INTERVAL '3' MONTH, timestamp '2023-11-15 00:00:00', timestamp '2024-01-20 06:00:00') as string)")
+      == "2023-10-01 00:00:00")
+    assert(one("cast(date_bin(INTERVAL '1' HOUR, timestamp '1969-12-31 23:10:00', timestamp '1970-01-01') as string)")
+      == "1969-12-31 23:00:00")
+  }
+
+  test("strftime full chrono token set: names, day-of-year, 12h clock, fractions, escapes") {
+    val t = "timestamp '2024-03-05 14:07:09.123456'"
+    assert(one(s"strftime($t, '%a %A %b %B')") == "Tue Tuesday Mar March")
+    assert(one(s"strftime($t, '%j %I %p')") == "065 02 PM")
+    assert(one(s"strftime($t, '%H:%M:%S%.f')") == "14:07:09.123456")
+    assert(one(s"strftime($t, '%f')") == "123456000")
+    assert(one(s"strftime($t, '%3f|%6f')") == "123|123456")
+    assert(one(s"strftime($t, '100%% at %-I o''clock')") == "100% at 2 o'clock")
+    assert(one(s"strftime($t, '%D %T')") == "03/05/24 14:07:09")
+    assert(one(s"strftime($t, '%z %:z')") == "+0000 +00:00")
+    assert(one(s"to_char($t, '%F')") == "2024-03-05")
+    // literal words pass through untouched even when they collide with pattern letters
+    assert(one(s"strftime($t, 'year %Y')") == "year 2024")
+    val err = intercept[Exception](spark.sql(s"SELECT strftime($t, '%W')").collect())
+    assert(err.getMessage.contains("unsupported chrono token"))
+  }
+
   test("json accessors: get_path, typed as_*, is_* predicates") {
     val j = """'{"a": {"b": [1, 2, 3]}, "s": "hi", "f": 1.5, "t": true, "z": null}'"""
     assert(one(s"get_path($j, 'a.b[1]')") == "2")
