@@ -22,6 +22,7 @@ object GraftEngine {
       manifest: Manifest,
       resolver: TableResolver = new CatalogResolver,
       properties: Map[String, String] = Map.empty): GraftSession = {
+    manifest.validateLayoutVersion()
     val planner = new SemanticPlanner(spark, manifest, resolver, properties)
     planner.deploy()
     GraftFunctions.register(spark)
@@ -238,6 +239,8 @@ final class GraftSession(
     manifest.relationships.map(r => Validator.relationshipIsValid(spark, manifest, r))
   def validateRlacSyntax(condition: String): Validator.ValidationResult =
     Validator.rlacConditionSyntaxIsValid(spark, condition)
+  def validateCubeHierarchies(): Seq[Validator.ValidationResult] =
+    manifest.cubes.map(Validator.cubeHierarchyIsValid)
 
   /** Cube materialization: the reference carries cubes in the manifest but never
     * plans them (SURVEY §1.1 Cube row); here a cube becomes a real `CUBE()` rollup

@@ -19,11 +19,24 @@ final case class Manifest(
     relationships: List[Relationship] = Nil,
     views: List[View] = Nil,
     cubes: List[Cube] = Nil,
-    dataSource: Option[String] = None) {
+    dataSource: Option[String] = None,
+    layoutVersion: Int = Manifest.DefaultLayoutVersion) {
   def model(name: String): Option[Model] =
     models.find(_.name.equalsIgnoreCase(name))
   def relationship(name: String): Option[Relationship] =
     relationships.find(_.name.equalsIgnoreCase(name))
+
+  /** Reject manifests from a newer layout generation (manifest.rs:96-109). */
+  def validateLayoutVersion(): Unit =
+    require(
+      layoutVersion <= Manifest.MaxSupportedLayoutVersion,
+      s"This manifest requires layout version $layoutVersion, but this engine only " +
+        s"supports up to ${Manifest.MaxSupportedLayoutVersion}")
+}
+
+object Manifest {
+  val DefaultLayoutVersion = 1 // manifest-macro lib.rs:57-59
+  val MaxSupportedLayoutVersion = 2 // manifest.rs:96
 }
 
 final case class TableReference(
@@ -42,7 +55,8 @@ final case class Model(
     primaryKey: Option[String] = None,
     cached: Boolean = false,
     refreshTime: Option[String] = None,
-    rowLevelAccessControls: List[RowLevelAccessControl] = Nil) {
+    rowLevelAccessControls: List[RowLevelAccessControl] = Nil,
+    dialect: Option[String] = None) {
   require(
     refSql.isEmpty || tableReference.isEmpty,
     s"model $name: refSql and tableReference are mutually exclusive")
@@ -95,14 +109,22 @@ final case class Relationship(
   def involves(m: String): Boolean = models.exists(_.equalsIgnoreCase(m))
 }
 
-final case class View(name: String, statement: String)
+final case class View(name: String, statement: String, dialect: Option[String] = None)
 
+/** `hierarchies` holds ordered drill-down paths (coarsest → finest dimension names),
+  * kept sorted by name for deterministic iteration like the reference's BTreeMap
+  * (manifest-macro lib.rs:356-369).
+  */
 final case class Cube(
     name: String,
     baseObject: String,
     measures: List[CubeMeasure] = Nil,
     dimensions: List[String] = Nil,
-    timeDimensions: List[String] = Nil)
+    timeDimensions: List[String] = Nil,
+    hierarchies: List[(String, List[String])] = Nil) {
+  def hierarchy(name: String): Option[List[String]] =
+    hierarchies.collectFirst { case (n, path) if n.equalsIgnoreCase(name) => path }
+}
 
 final case class CubeMeasure(name: String, expression: String)
 
@@ -174,7 +196,13 @@ object ManifestJson {
     relationships = arr(j \ "relationships").map(relationship),
     views = arr(j \ "views").map(view),
     cubes = arr(j \ "cubes").map(cube),
-    dataSource = str(j \ "dataSource"))
+    dataSource = str(j \ "dataSource"),
+    layoutVersion = (j \ "layoutVersion") match {
+      case JInt(i) => i.toInt
+      case JLong(i) => i.toInt
+      case JString(s) if s.forall(_.isDigit) && s.nonEmpty => s.toInt
+      case _ => Manifest.DefaultLayoutVersion
+    })
 
   private def model(j: JValue): Model = Model(
     name = str(j \ "name").getOrElse(sys.error("model requires a name")),
@@ -186,7 +214,8 @@ object ManifestJson {
     cached = bool(j \ "cached"),
     refreshTime = str(j \ "refreshTime"),
     rowLevelAccessControls =
-      arr(j \ "rowLevelAccessControls").map(rlac))
+      arr(j \ "rowLevelAccessControls").map(rlac),
+    dialect = str(j \ "dialect").filter(_.nonEmpty))
 
   /** Accepts `{catalog, schema, table}` or a dotted string `"cat.sch.tbl"`. */
   private def tableReference(j: JValue): Option[TableReference] = j match {
@@ -225,7 +254,8 @@ object ManifestJson {
 
   private def view(j: JValue): View = View(
     name = str(j \ "name").getOrElse(sys.error("view requires a name")),
-    statement = str(j \ "statement").getOrElse(sys.error("view requires a statement")))
+    statement = str(j \ "statement").getOrElse(sys.error("view requires a statement")),
+    dialect = str(j \ "dialect").filter(_.nonEmpty))
 
   private def cube(j: JValue): Cube = Cube(
     name = str(j \ "name").getOrElse(sys.error("cube requires a name")),
@@ -233,7 +263,12 @@ object ManifestJson {
     measures = arr(j \ "measures").map(mj => CubeMeasure(
       str(mj \ "name").getOrElse(""), str(mj \ "expression").getOrElse(""))),
     dimensions = arr(j \ "dimensions").flatMap(str),
-    timeDimensions = arr(j \ "timeDimensions").flatMap(str))
+    timeDimensions = arr(j \ "timeDimensions").flatMap(str),
+    hierarchies = (j \ "hierarchies") match {
+      case JObject(fields) =>
+        fields.map { case JField(n, path) => n -> arr(path).flatMap(str) }.sortBy(_._1)
+      case _ => Nil
+    })
 
   private def sessionProperty(j: JValue): SessionProperty = SessionProperty(
     name = str(j \ "name").getOrElse(""),

@@ -5,7 +5,7 @@ import scala.util.{Failure, Success, Try}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.mdl.{JoinType, Manifest, Relationship}
+import graft.mdl.{Cube, JoinType, Manifest, Relationship}
 
 /** Manifest validation rules (A19): the reference exposes `column_is_valid`,
   * `relationship_is_valid`, and `rlac_condition_syntax_is_valid` as probe queries
@@ -71,6 +71,28 @@ object Validator {
       case _ => ValidationResult(valid = false, rule,
         s"${rel.name}: condition '${rel.condition}' does not reference both models")
     }
+  }
+
+  /** Every hierarchy drill path names declared cube dimensions (coarsest → finest;
+    * manifest-macro lib.rs:356-369 carries these as ordered BTreeMap paths).
+    */
+  def cubeHierarchyIsValid(cube: Cube): ValidationResult = {
+    val rule = "cube_hierarchy_is_valid"
+    val declared =
+      (cube.dimensions ++ cube.timeDimensions).map(_.toLowerCase).toSet
+    val problems = cube.hierarchies.flatMap { case (name, path) =>
+      if (path.isEmpty) Some(s"$name: empty drill path")
+      else {
+        val unknown = path.filterNot(d => declared.contains(d.toLowerCase))
+        if (unknown.nonEmpty)
+          Some(s"$name: unknown dimensions ${unknown.mkString(",")}")
+        else if (path.distinct.size != path.size)
+          Some(s"$name: repeated dimension in drill path")
+        else None
+      }
+    }
+    if (problems.isEmpty) ValidationResult(valid = true, rule)
+    else ValidationResult(valid = false, rule, s"cube ${cube.name}: ${problems.mkString("; ")}")
   }
 
   /** The RLAC condition parses as a boolean expression once `@property` placeholders

@@ -81,4 +81,38 @@ class ManifestJsonSpec extends AnyFunSuite {
         tableReference = Some(TableReference(table = "t")))
     }
   }
+
+  test("layoutVersion defaults to 1, validates against max 2 (manifest.rs:96-109)") {
+    assert(ManifestJson.parse(json).layoutVersion == 1)
+    ManifestJson.parse(json).validateLayoutVersion() // current versions pass
+    val v9 = ManifestJson.parse("""{"catalog":"c","schema":"s","layoutVersion":9}""")
+    assert(v9.layoutVersion == 9)
+    val e = intercept[IllegalArgumentException](v9.validateLayoutVersion())
+    assert(e.getMessage.contains("layout version 9") && e.getMessage.contains("up to 2"))
+  }
+
+  test("model/view dialect fields are tolerated and surfaced (manifest-macro lib.rs:164,410)") {
+    val m = ManifestJson.parse(
+      """{"catalog":"c","schema":"s",
+        |"models":[{"name":"m","tableReference":"t","dialect":"bigquery",
+        |  "columns":[{"name":"x","type":"int"}]}],
+        |"views":[{"name":"v","statement":"select 1","dialect":"postgres"}]}""".stripMargin)
+    assert(m.models.head.dialect.contains("bigquery"))
+    assert(m.views.head.dialect.contains("postgres"))
+  }
+
+  test("cube hierarchies parse sorted and validate drill paths (lib.rs:356-369)") {
+    val m = ManifestJson.parse(
+      """{"catalog":"c","schema":"s",
+        |"cubes":[{"name":"sales","baseObject":"orders",
+        |  "dimensions":["region","nation","city"],
+        |  "hierarchies":{"geo":["region","nation","city"],"alpha":["region"]}}]}""".stripMargin)
+    val cube = m.cubes.head
+    assert(cube.hierarchies.map(_._1) == List("alpha", "geo")) // deterministic BTreeMap order
+    assert(cube.hierarchy("GEO").contains(List("region", "nation", "city")))
+    assert(graft.semantics.Validator.cubeHierarchyIsValid(cube).valid)
+    val bad = cube.copy(hierarchies = List("geo" -> List("region", "galaxy")))
+    val res = graft.semantics.Validator.cubeHierarchyIsValid(bad)
+    assert(!res.valid && res.message.contains("galaxy"))
+  }
 }
