@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregates for the two reference aggregate functions Spark lacks
+  * (`wren-core/core/src/mdl/function/aggregate/mod.rs:39-49`):
+  *
+  *   - `approx_percentile_cont_with_weight(x, w, p)` — DataFusion backs this with a
+  *     t-digest; here a deterministic mergeable centroid sketch with the same shape:
+  *     bounded memory (O(maxCentroids) per group regardless of group size), partial
+  *     aggregation + merge across partitions, uniform ~1/maxCentroids rank error.
+  *     Spark's built-in exact `percentile(x, p, w)` buffers every distinct value per
+  *     group (an OpenHashMap) — correct, but memory grows with group cardinality; at
+  *     100 TB a hot group dies. This sketch is the scale path.
+  *   - `nth_value_agg(x, n)` — DataFusion's nth_value aggregate. Keeps only the |n|
+  *     smallest (n > 0) or largest (n < 0) values, so state is O(|n|), not O(group).
+  *     Ordered by the value itself (ascending), which makes the result deterministic
+  *     under Spark's unordered shuffle; n is 1-based, negative counts from the end,
+  *     NULL when the group has fewer than |n| rows. Registered as `nth_value_agg`
+  *     because `nth_value` must keep naming Spark's built-in *window* function.
+  *
+  * Both are `Aggregator[IN, BUF, OUT]` per SURVEY §2.B's plan (ObjectHashAggregate
+  * execution — genuinely stateful sketches, not expressible as codegen expressions).
+  * Buffers are mutated in place (Spark only serializes them at partition
+  * boundaries), so per-row cost is O(1) amortized, not an array copy.
+  */
+object Aggregators {
+
+  /** Centroid sketch buffer: value/weight arrays filled to `cnt`, plus the constant
+    * percentile argument (NaN until the first row is seen).
+    */
+  final case class PctBuf(
+      var vs: Array[Double], var ws: Array[Double], var cnt: Int, var p: Double)
+
+  class ApproxWeightedPercentile(maxCentroids: Int = 1024)
+      extends Aggregator[(Double, Double, Double), PctBuf, java.lang.Double] {
+
+    private val softCap = 2 * maxCentroids
+
+    override def zero: PctBuf = PctBuf(Array.empty, Array.empty, 0, Double.NaN)
+
+    /** Sort the live prefix by value and greedily merge adjacent points so no merged
+      * centroid exceeds totalW/maxCentroids — deterministic, order-insensitive once
+      * inputs are value-sorted (ties merge in weight order).
+      */
+    private def compress(b: PctBuf): Unit = {
+      if (b.cnt <= maxCentroids) return
+      val order = (0 until b.cnt).sortBy(i => (b.vs(i), b.ws(i)))
+      var totalW = 0.0
+      var i = 0
+      while (i < b.cnt) { totalW += b.ws(i); i += 1 }
+      val limit = totalW / maxCentroids
+      val outV = new Array[Double](b.vs.length)
+      val outW = new Array[Double](b.ws.length)
+      var out = 0
+      var accW = 0.0
+      var accVW = 0.0
+      order.foreach { j =>
+        if (accW > 0 && accW + b.ws(j) > limit) {
+          outV(out) = accVW / accW; outW(out) = accW; out += 1
+          accW = 0.0; accVW = 0.0
+        }
+        accW += b.ws(j); accVW += b.vs(j) * b.ws(j)
+      }
+      if (accW > 0) { outV(out) = accVW / accW; outW(out) = accW; out += 1 }
+      b.vs = outV; b.ws = outW; b.cnt = out
+    }
+
+    private def append(b: PctBuf, x: Double, w: Double): Unit = {
+      if (b.vs.length == 0) { b.vs = new Array[Double](softCap); b.ws = new Array[Double](softCap) }
+      if (b.cnt == b.vs.length) compress(b)
+      b.vs(b.cnt) = x; b.ws(b.cnt) = w; b.cnt += 1
+    }
+
+    override def reduce(b: PctBuf, in: (Double, Double, Double)): PctBuf = {
+      val (x, w, p) = in
+      if (b.p.isNaN) b.p = p
+      if (w > 0 && !x.isNaN) append(b, x, w)
+      b
+    }
+
+    override def merge(a: PctBuf, b: PctBuf): PctBuf = {
+      if (a.p.isNaN) a.p = b.p
+      var i = 0
+      while (i < b.cnt) { append(a, b.vs(i), b.ws(i)); i += 1 }
+      a
+    }
+
+    override def finish(b: PctBuf): java.lang.Double = {
+      if (b.cnt == 0 || b.p.isNaN) return null
+      val order = (0 until b.cnt).sortBy(i => (b.vs(i), b.ws(i)))
+      var totalW = 0.0
+      order.foreach(i => totalW += b.ws(i))
+      val target = b.p.max(0.0).min(1.0) * totalW
+      // t-digest-style quantile walk: centroid centers sit at cumulative-weight
+      // midpoints; interpolate linearly between neighbors, clamp at the extremes.
+      var cum = 0.0
+      var prevC = Double.NaN
+      var prevV = b.vs(order.head)
+      var k = 0
+      while (k < order.length) {
+        val i = order(k)
+        val center = cum + b.ws(i) / 2
+        if (target <= center) {
+          return if (prevC.isNaN || center == prevC) b.vs(i)
+          else prevV + (b.vs(i) - prevV) * (target - prevC) / (center - prevC)
+        }
+        cum += b.ws(i); prevC = center; prevV = b.vs(i)
+        k += 1
+      }
+      b.vs(order.last)
+    }
+
+    override def bufferEncoder: Encoder[PctBuf] = Encoders.product[PctBuf]
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** Bounded nth-value buffer: ascending-sorted retained values + the constant n. */
+  final case class NthBuf(var vs: Array[Double], var n: Long)
+
+  class NthValueAgg(maxN: Int = 100000)
+      extends Aggregator[(Double, Long), NthBuf, java.lang.Double] {
+
+    override def zero: NthBuf = NthBuf(Array.empty, 0L)
+
+    private def bound(sorted: Array[Double], n: Long): Array[Double] = {
+      val cap = math.abs(n).toInt
+      if (cap == 0 || sorted.length <= cap) sorted
+      else if (n > 0) sorted.take(cap) // n-th from the start: keep smallest
+      else sorted.takeRight(cap) //      n-th from the end:   keep largest
+    }
+
+    override def reduce(b: NthBuf, in: (Double, Long)): NthBuf = {
+      val (x, n) = in
+      require(math.abs(n) <= maxN, s"nth_value_agg: |n| must be <= $maxN")
+      if (b.n == 0L) b.n = n
+      val at = java.util.Arrays.binarySearch(b.vs, x)
+      val ins = if (at >= 0) at else -(at + 1)
+      val vs = new Array[Double](b.vs.length + 1)
+      System.arraycopy(b.vs, 0, vs, 0, ins)
+      vs(ins) = x
+      System.arraycopy(b.vs, ins, vs, ins + 1, b.vs.length - ins)
+      b.vs = bound(vs, b.n)
+      b
+    }
+
+    override def merge(a: NthBuf, b: NthBuf): NthBuf = {
+      if (a.n == 0L) a.n = b.n
+      a.vs = bound((a.vs ++ b.vs).sorted, a.n)
+      a
+    }
+
+    override def finish(b: NthBuf): java.lang.Double = {
+      val idx = if (b.n > 0) b.n - 1 else b.vs.length + b.n
+      if (b.n == 0 || idx < 0 || idx >= b.vs.length) null else b.vs(idx.toInt)
+    }
+
+    override def bufferEncoder: Encoder[NthBuf] = Encoders.product[NthBuf]
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** Register both on the session (idempotent, like `GraftFunctions.register`). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("approx_percentile_cont_with_weight", udaf(new ApproxWeightedPercentile))
+    spark.udf.register("nth_value_agg", udaf(new NthValueAgg))
+  }
+}

@@ -28,6 +28,10 @@ object GraftFunctions {
       "chrono/strftime-style formatting (full token set incl. %a %A %b %B %j %I %p %f %z), the reference's to_char (to_char.rs:1-83)"),
     FnSpec("to_char", "scalar", "(t timestamp, fmt string)", "string",
       "Alias of strftime (the reference's primary name, to_char.rs:42)"),
+    FnSpec("approx_percentile_cont_with_weight", "aggregate", "(x double, w double, p double)",
+      "double", "Weighted approximate percentile via a mergeable centroid sketch (bounded memory per group; DataFusion aggregate/mod.rs:40)"),
+    FnSpec("nth_value_agg", "aggregate", "(x double, n bigint)", "double",
+      "n-th smallest value per group (negative n counts from the largest); O(|n|) state (DataFusion nth_value aggregate, aggregate/mod.rs:49)"),
     FnSpec("to_local_time", "scalar", "(t timestamp)", "timestamp_ntz",
       "Strip the timezone, keeping wall-clock fields"),
     FnSpec("to_unixtime", "scalar", "(t timestamp)", "double",
@@ -68,8 +72,6 @@ object GraftFunctions {
     FnSpec("approx_median", "aggregate", "(x numeric)", "double", "Spark approx_percentile(x, 0.5)"),
     FnSpec("approx_percentile_cont", "aggregate", "(x numeric, p double)", "double",
       "Spark approx_percentile"),
-    FnSpec("approx_percentile_cont_with_weight", "aggregate", "(x numeric, w bigint, p double)",
-      "double", "Spark percentile(x, p, w) — exact weighted percentile; see weightedPercentile"),
     FnSpec("string_agg", "aggregate", "(x string, sep string)", "string",
       "Spark string_agg / listagg ... WITHIN GROUP (ORDER BY ...)"),
     FnSpec("array_agg", "aggregate", "(x any)", "array", "Spark array_agg/collect_list"),
@@ -135,11 +137,10 @@ object GraftFunctions {
     }
   }
 
-  /** DataFusion approx_percentile_cont_with_weight(x, w, p) — Spark's built-in
-    * `percentile(x, p, w)` is an exact weighted percentile with long weights; this
-    * adapter fixes the argument order. Exact beats approximate at equal cost until
-    * group cardinality is extreme; for those, approx_percentile without weights is
-    * the documented fallback.
+  /** Exact weighted percentile via Spark's built-in `percentile(x, p, w)` (argument
+    * order adapted). Exact beats approximate at equal cost until group cardinality is
+    * extreme; for those, `approx_percentile_cont_with_weight` (the bounded-memory
+    * sketch in [[Aggregators]]) is the scale path.
     */
   def weightedPercentile(x: Column, w: Column, p: Double): Column =
     call_function("percentile", x, lit(p), w)
@@ -156,6 +157,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     // Native plan-time builders (chrono translation / interval-stride dispatch
     // cannot be expressed as a SQL-function body — they need the stride's TYPE).
+    Aggregators.register(spark)
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "date_bin", ChronoFormat.dateBinBuilder)
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "strftime", ChronoFormat.strftimeBuilder)
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "to_char", ChronoFormat.strftimeBuilder)

@@ -129,6 +129,26 @@ object Functions {
         |  o_totalprice = 0 AS free_order
         |FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin),
 
+    // custom typed aggregates (Aggregators.scala): nth_value_agg is exactly
+    // oracle-checkable (DuckDB sorted-list indexing); the weighted approx percentile
+    // is verified in-query against an exact ±1pp rank band — if the sketch drifts,
+    // approx_ok flips false and the hash check goes red.
+    "f9_agg_sketch" -> q(
+      Seq("lineitem"),
+      """SELECT l_returnflag,
+        |  nth_value_agg(cast(l_quantity as double), 5) AS nth5,
+        |  nth_value_agg(cast(l_quantity as double), -3) AS nth3_last,
+        |  approx_percentile_cont_with_weight(cast(l_quantity as double),
+        |      cast(l_linenumber as double), 0.5)
+        |    BETWEEN percentile(l_quantity, 0.49, cast(l_linenumber as bigint))
+        |        AND percentile(l_quantity, 0.51, cast(l_linenumber as bigint)) AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  cast(list_sort(list(l_quantity))[5] as double) AS nth5,
+        |  cast(list_sort(list(l_quantity))[-3] as double) AS nth3_last,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ordered string aggregation (reference string_agg; listagg WITHIN GROUP)
     "f8_string_agg" -> q(
       Seq("nation", "region"),

@@ -91,6 +91,36 @@ class GraftFunctionsSpec extends AnyFunSuite {
       == Seq("a", "b"))
   }
 
+  test("nth_value_agg returns the n-th smallest (or largest for negative n)") {
+    import spark.implicits._
+    val df = Seq(5.0, 1.0, 4.0, 2.0, 3.0).toDF("x").repartition(3)
+    df.createOrReplaceTempView("nth_t")
+    assert(one("(SELECT nth_value_agg(x, 2) FROM nth_t)") == 2.0)
+    assert(one("(SELECT nth_value_agg(x, -1) FROM nth_t)") == 5.0)
+    assert(one("(SELECT nth_value_agg(x, -2) FROM nth_t)") == 4.0)
+    assert(one("(SELECT nth_value_agg(x, 9) FROM nth_t)") == null) // group smaller than n
+  }
+
+  test("approx weighted percentile tracks the exact one within rank tolerance") {
+    import spark.implicits._
+    // 40k heavily skewed weighted rows across 8 partitions (forces partial merges)
+    val df = (1 to 40000)
+      .map(i => (math.pow(i % 1000 + 1, 2.0), (i % 7 + 1).toDouble))
+      .toDF("x", "w").repartition(8)
+    df.createOrReplaceTempView("apct_t")
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val approx = one(s"(SELECT approx_percentile_cont_with_weight(x, w, $p) FROM apct_t)")
+        .asInstanceOf[Double]
+      val lo = one(s"(SELECT percentile(x, ${math.max(0, p - 0.01)}, cast(w as bigint)) FROM apct_t)").asInstanceOf[Double]
+      val hi = one(s"(SELECT percentile(x, ${math.min(1, p + 0.01)}, cast(w as bigint)) FROM apct_t)").asInstanceOf[Double]
+      assert(approx >= lo && approx <= hi, s"p=$p approx=$approx outside [$lo,$hi]")
+    }
+    // deterministic across runs (no RNG in the sketch)
+    val a = one("(SELECT approx_percentile_cont_with_weight(x, w, 0.5) FROM apct_t)")
+    val b = one("(SELECT approx_percentile_cont_with_weight(x, w, 0.5) FROM apct_t)")
+    assert(a == b)
+  }
+
   test("listing covers every registered function") {
     val names = GraftFunctions.listing.map(_.name)
     assert(names.contains("date_bin") && names.contains("get_path") && names.contains("digest"))
