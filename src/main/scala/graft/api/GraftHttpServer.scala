@@ -1,0 +1,217 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.GraftEngine
+import graft.planner.PathResolver
+
+/** Thin HTTP façade over the engine library, mirroring the reference's production
+  * entry points (`ibis-server/app/routers/v3/connector.py:70-479`):
+  *
+  *   - `POST /v3/connector/{ds}/query[?dryRun=true][&limit=n]` — body
+  *     `{"sql": ..., "manifestStr": <json-or-base64>}`; dry run answers 204 with no
+  *     body, otherwise the v3 result JSON (columns/data/dtypes).
+  *   - `POST /v3/connector/{ds}/dry-plan` — the planned/analyzed form of the SQL
+  *     (the engine's `transformSql`; there is no unparse-to-dialect layer because
+  *     Spark executes the plan directly).
+  *   - `POST /v3/connector/{ds}/validate/{rule}` — `column_is_valid` /
+  *     `relationship_is_valid` / `rlac_condition_syntax_is_valid` /
+  *     `cube_hierarchy_is_valid` probes; 204 when valid, 422 with the message.
+  *   - `POST /v3/connector/{ds}/model-substitute` — SQL against physical table
+  *     names rewritten to the governing models (`connector.py:482-540`), returned as
+  *     `{"sql": rewritten}` after a dry-run check.
+  *   - `GET  /v3/connector/{ds}/functions` — the function listing
+  *     (`connector.py:428-459`).
+  *   - `POST /v3/connector/{ds}/metadata/tables` — model/column metadata
+  *     (`routers/v2/connector.py` metadata analogue).
+  *
+  * Per-query session properties come from `x-wren-variable-*` headers and the
+  * timezone from `x-wren-timezone` (`app/dependencies.py:8-11`,
+  * `app/mdl/rewriter.py:177-189`), exactly like the reference; `{ds}` is accepted
+  * and ignored (a single Spark runtime serves every deployment here).
+  *
+  * Deployments are cached per (manifest, properties) via the engine's own deploy
+  * cache semantics so repeated calls with the same manifest don't re-plan.
+  */
+final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val sessions = new ConcurrentHashMap[(String, Map[String, String]), graft.GraftSession]
+
+  def start(): Int = {
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // single-threaded: Spark driver work serializes anyway
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // ---- request plumbing ----------------------------------------------------
+
+  private def respond(ex: HttpExchange, code: Int, body: String, cType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", cType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def detail(msg: String): String =
+    JsonMethods.compact(JObject("detail" -> JString(Option(msg).getOrElse("error"))))
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split('&').filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+
+  /** x-wren-variable-* headers → session properties; x-wren-timezone → timezone. */
+  private def headerProperties(ex: HttpExchange): Map[String, String] = {
+    val hs = ex.getRequestHeaders.asScala
+    val vars = hs.collect {
+      case (k, vs) if k.toLowerCase.startsWith("x-wren-variable-") && !vs.isEmpty =>
+        k.toLowerCase.stripPrefix("x-wren-variable-") -> vs.get(0)
+    }.toMap
+    val tz = hs.collectFirst {
+      case (k, vs) if k.equalsIgnoreCase("x-wren-timezone") && !vs.isEmpty =>
+        "timezone" -> vs.get(0)
+    }
+    vars ++ tz
+  }
+
+  private def jstr(j: JValue): Option[String] = j match {
+    case JString(s) if s.nonEmpty => Some(s)
+    case _ => None
+  }
+
+  private def session(manifestStr: String, props: Map[String, String]): graft.GraftSession = {
+    val key = (manifestStr, props)
+    val cached = sessions.get(key)
+    if (cached != null) cached
+    else {
+      val s = GraftEngine.deployJson(spark, manifestStr, new PathResolver(dataDir), props)
+      if (sessions.size >= 64) sessions.clear() // crude bound, same policy as deployOnDir
+      sessions.put(key, s)
+      s
+    }
+  }
+
+  // ---- routes --------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit =
+    try route(ex)
+    catch {
+      case e: IllegalArgumentException => respond(ex, 422, detail(e.getMessage))
+      case e: graft.planner.GraftException => respond(ex, 422, detail(e.getMessage))
+      case e: org.apache.spark.sql.AnalysisException => respond(ex, 422, detail(e.getMessage))
+      case NonFatal(e) => respond(ex, 500, detail(e.toString))
+    }
+
+  private def route(ex: HttpExchange): Unit = {
+    val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList
+    val method = ex.getRequestMethod.toUpperCase
+    (method, segs) match {
+      case ("GET", "v3" :: "connector" :: _ :: "functions" :: Nil) =>
+        val fns = graft.functions.GraftFunctions.listing.map { f =>
+          JObject(
+            "name" -> JString(f.name), "function_type" -> JString(f.kind),
+            "param_types" -> JString(f.signature), "return_type" -> JString(f.returns),
+            "description" -> JString(f.description))
+        }
+        respond(ex, 200, JsonMethods.compact(JArray(fns.toList)))
+
+      case ("POST", "v3" :: "connector" :: _ :: rest) =>
+        val body = JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        val manifestStr = jstr(body \ "manifestStr")
+          .getOrElse(throw new IllegalArgumentException("manifestStr is required"))
+        val props = headerProperties(ex)
+        rest match {
+          case "query" :: Nil =>
+            val sql = jstr(body \ "sql")
+              .getOrElse(throw new IllegalArgumentException("sql is required"))
+            val params = queryParams(ex)
+            val sess = session(manifestStr, props)
+            if (params.get("dryRun").exists(_.equalsIgnoreCase("true"))) {
+              sess.dryRun(sql)
+              respond(ex, 204, "")
+            } else {
+              val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(1000)
+              respond(ex, 200, sess.queryJson(sql, limit))
+            }
+
+          case "dry-plan" :: Nil =>
+            val sql = jstr(body \ "sql")
+              .getOrElse(throw new IllegalArgumentException("sql is required"))
+            respond(ex, 200, session(manifestStr, props).transformSql(sql), "text/plain")
+
+          case "model-substitute" :: Nil =>
+            // The reference answers with rewritten SQL text (connector.py:482-540);
+            // this engine has no unparse layer (plans execute directly), so the
+            // substituted plan's RESULT is returned in the v3 response shape.
+            val sql = jstr(body \ "sql")
+              .getOrElse(throw new IllegalArgumentException("sql is required"))
+            val df = session(manifestStr, props).querySubstituted(sql)
+            respond(ex, 200, ResultFormatter.toJsonResponse(df))
+
+          case "validate" :: rule :: Nil =>
+            val sess = session(manifestStr, props)
+            val ps = body \ "parameters"
+            val results = rule match {
+              case "column_is_valid" =>
+                Seq(sess.validateColumn(
+                  jstr(ps \ "modelName").getOrElse(throw new IllegalArgumentException("modelName is required")),
+                  jstr(ps \ "columnName").getOrElse(throw new IllegalArgumentException("columnName is required"))))
+              case "relationship_is_valid" => sess.validateRelationships()
+              case "rlac_condition_syntax_is_valid" =>
+                Seq(sess.validateRlacSyntax(
+                  jstr(ps \ "condition").getOrElse(throw new IllegalArgumentException("condition is required"))))
+              case "cube_hierarchy_is_valid" => sess.validateCubeHierarchies()
+              case other => throw new IllegalArgumentException(s"unknown validation rule $other")
+            }
+            results.find(!_.valid) match {
+              case None => respond(ex, 204, "")
+              case Some(bad) => respond(ex, 422, detail(s"${bad.rule}: ${bad.message}"))
+            }
+
+          case "metadata" :: "tables" :: Nil =>
+            val md = session(manifestStr, props).metadata.map { case (table, cols) =>
+              JObject(
+                "name" -> JString(table),
+                "columns" -> JArray(cols.map { case (n, t) =>
+                  JObject("name" -> JString(n), "type" -> JString(t))
+                }.toList))
+            }
+            respond(ex, 200, JsonMethods.compact(JArray(md.toList)))
+
+          case _ => respond(ex, 404, detail(s"no such route: ${ex.getRequestURI.getPath}"))
+        }
+
+      case _ => respond(ex, 404, detail(s"no such route: ${ex.getRequestURI.getPath}"))
+    }
+  }
+}
+
+/** Opt-in server main: `runMain graft.api.Serve <dataDir> [port]`. */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Serve <dataDir> [port]")
+    val spark = SparkSession.builder()
+      .appName("graft-serve").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val server = new GraftHttpServer(spark, args(0), if (args.length > 1) args(1).toInt else 8000)
+    val port = server.start()
+    println(s"graft engine listening on http://127.0.0.1:$port/v3/connector/spark/query")
+    Thread.currentThread.join()
+  }
+}

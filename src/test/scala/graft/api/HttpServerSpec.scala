@@ -1,0 +1,133 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Drives the v3 route surface end-to-end over real HTTP: query (+ dry run,
+  * + per-query RLAC via x-wren-variable headers), dry-plan, validate, functions,
+  * metadata, model-substitute, and the FastAPI-style 422 error shape.
+  */
+class HttpServerSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val http = HttpClient.newHttpClient()
+
+  private lazy val (server, port) = {
+    val s = new GraftHttpServer(spark, TestSpark.sfDir, port = 0)
+    (s, s.start())
+  }
+
+  private val manifestStr =
+    """{"catalog":"web","schema":"demo",
+      |"models":[
+      |  {"name":"w_orders","tableReference":"orders","primaryKey":"o_orderkey",
+      |   "columns":[
+      |     {"name":"o_orderkey","type":"bigint"},
+      |     {"name":"o_custkey","type":"bigint"},
+      |     {"name":"o_totalprice","type":"double"},
+      |     {"name":"o_orderstatus","type":"varchar"}],
+      |   "rowLevelAccessControls":[
+      |     {"name":"status_gate",
+      |      "requiredProperties":[{"name":"session_status","required":true}],
+      |      "condition":"o_orderstatus = @session_status"}]}
+      |]}""".stripMargin
+
+  private def post(path: String, body: String, headers: Map[String, String] = Map.empty)
+      : HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def bodyJson(sql: String): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JObject(
+        "sql" -> org.json4s.JString(sql),
+        "manifestStr" -> org.json4s.JString(manifestStr)))
+
+  test("query route answers the v3 result shape, honoring x-wren-variable RLAC headers") {
+    val r = post("/v3/connector/spark/query?limit=7", bodyJson(
+      "SELECT o_orderkey, o_orderstatus FROM w_orders ORDER BY o_orderkey"),
+      Map("x-wren-variable-session_status" -> "F"))
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"columns\"") && r.body().contains("\"data\""))
+    assert(!r.body().contains("\"O\""), "RLAC filter must drop non-matching statuses")
+
+    // a different header value over the same deployment sees different rows
+    val r2 = post("/v3/connector/spark/query?limit=7", bodyJson(
+      "SELECT o_orderkey, o_orderstatus FROM w_orders ORDER BY o_orderkey"),
+      Map("x-wren-variable-session_status" -> "O"))
+    assert(r2.statusCode() == 200 && !r2.body().contains("\"F\""))
+  }
+
+  test("missing required RLAC property is a 422 with the FastAPI detail shape") {
+    val r = post("/v3/connector/spark/query", bodyJson("SELECT count(*) AS n FROM w_orders"))
+    assert(r.statusCode() == 422 && r.body().contains("detail"), r.body())
+    assert(r.body().contains("session_status"))
+  }
+
+  test("dryRun=true answers 204 with no body; bad SQL answers 422") {
+    val ok = post("/v3/connector/spark/query?dryRun=true", bodyJson(
+      "SELECT o_orderkey FROM w_orders"),
+      Map("x-wren-variable-session_status" -> "F"))
+    assert(ok.statusCode() == 204 && ok.body().isEmpty)
+
+    val bad = post("/v3/connector/spark/query?dryRun=true", bodyJson(
+      "SELECT no_such_col FROM w_orders"),
+      Map("x-wren-variable-session_status" -> "F"))
+    assert(bad.statusCode() == 422 && bad.body().contains("detail"))
+  }
+
+  test("dry-plan returns the planned form") {
+    val r = post("/v3/connector/spark/dry-plan", bodyJson(
+      "SELECT o_orderkey FROM w_orders WHERE o_totalprice > 100"),
+      Map("x-wren-variable-session_status" -> "F"))
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("Relation") || r.body().contains("Project"), r.body().take(200))
+  }
+
+  test("validate routes: 204 on pass, 422 with rule name on fail") {
+    val hdrs = Map("x-wren-variable-session_status" -> "F")
+    assert(post("/v3/connector/spark/validate/column_is_valid",
+      s"""{"manifestStr":${quoted(manifestStr)},"parameters":{"modelName":"w_orders","columnName":"o_orderkey"}}""",
+      hdrs).statusCode() == 204)
+    val bad = post("/v3/connector/spark/validate/column_is_valid",
+      s"""{"manifestStr":${quoted(manifestStr)},"parameters":{"modelName":"w_orders","columnName":"nope"}}""",
+      hdrs)
+    assert(bad.statusCode() == 422 && bad.body().contains("column_is_valid"))
+    assert(post("/v3/connector/spark/validate/rlac_condition_syntax_is_valid",
+      s"""{"manifestStr":${quoted(manifestStr)},"parameters":{"condition":"o_orderkey = @session_status"}}""",
+      hdrs).statusCode() == 204)
+  }
+
+  test("functions and metadata listings answer JSON") {
+    val fns = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v3/connector/spark/functions")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(fns.statusCode() == 200 && fns.body().contains("date_bin"))
+
+    val md = post("/v3/connector/spark/metadata/tables",
+      s"""{"manifestStr":${quoted(manifestStr)}}""",
+      Map("x-wren-variable-session_status" -> "F"))
+    assert(md.statusCode() == 200 && md.body().contains("w_orders"))
+  }
+
+  test("model-substitute runs physical-name SQL through the governing model") {
+    val r = post("/v3/connector/spark/model-substitute", bodyJson(
+      "SELECT count(*) AS n FROM orders"),
+      Map("x-wren-variable-session_status" -> "F"))
+    assert(r.statusCode() == 200 && r.body().contains("\"n\""), r.body().take(200))
+  }
+
+  test("unknown routes are 404") {
+    assert(post("/v3/connector/spark/nope", bodyJson("SELECT 1")).statusCode() == 404)
+  }
+
+  private def quoted(s: String): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.JString(s))
+}
