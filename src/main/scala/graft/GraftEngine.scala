@@ -152,8 +152,21 @@ final class GraftSession(
     * column *does* exist in the manifest, that error is converted into an explicit
     * access-denied message instead of a confusing resolution failure.
     */
+  /** Warm-path plan cache: raw SQL → its ANALYZED logical plan. Analysis (view
+    * expansion, resolution, access checks) is deterministic for a fixed deployment +
+    * property set (both fixed per GraftSession), so re-analysis is pure overhead —
+    * roughly half the warm planning cost. Optimization is deliberately NOT cached: a
+    * fresh Dataset per call re-optimizes, so time-dependent foldables
+    * (current_timestamp & co.) keep per-execution semantics.
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[Int]), org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+
   def query(sql: String, limit: Option[Int] = None): DataFrame = {
     ensureViews()
+    val key = (sql, limit)
+    val hit = planCache.get(key)
+    if (hit != null) return org.apache.spark.sql.graft.Bridge.ofRows(spark, hit)
     val df =
       try withSessionTimezone(spark.sql(planner.stripNamespace(sql)))
       catch {
@@ -174,7 +187,10 @@ final class GraftSession(
                 "access control for this session")
           else throw e
       }
-    limit.map(df.limit).getOrElse(df)
+    val limited = limit.map(df.limit).getOrElse(df)
+    if (planCache.size >= 256) planCache.clear() // crude bound, same policy as deployOnDir
+    planCache.put(key, limited.queryExecution.analyzed)
+    limited
   }
 
   /** The planned form of the SQL — the `/dry-plan` analogue. The reference returns
