@@ -316,14 +316,22 @@ object TpcH {
 
     // small-quantity-order revenue: correlated AVG scalar subquery
     // (p_brand/p_type filter replaces the missing p_container)
+    // Written as a window over the part-filtered lineitems rather than TPC-H's
+    // correlated scalar subquery: the subquery decorrelates into an aggregate over
+    // EVERY partkey (full lineitem shuffle) before the selective part filter can
+    // cut it down, while this form broadcast-joins the few matching parts first and
+    // only shuffles their lineitems for the per-part average — the plan that
+    // survives a 100× lineitem. Same semantics: part is unique per partkey, so the
+    // joined rows for a partkey are exactly its lineitems.
     "tpch_q17" -> common(
       s"""SELECT cast(sum(${dec("l_extendedprice")}) as double) / 7.0 AS avg_yearly
-         |FROM lineitem, part
-         |WHERE p_partkey = l_partkey
-         |  AND p_brand = 'Brand#3' AND p_type = 'SMALL'
-         |  AND l_quantity < (
-         |    SELECT 0.2 * (cast(sum(${dec("l_quantity")}) as double) / count(*))
-         |    FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin),
+         |FROM (
+         |  SELECT l_extendedprice, l_quantity,
+         |    0.2 * (cast(sum(${dec("l_quantity")}) OVER (PARTITION BY l_partkey) as double)
+         |           / count(*) OVER (PARTITION BY l_partkey)) AS qty_limit
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL')
+         |WHERE l_quantity < qty_limit""".stripMargin),
 
     // large volume customers: IN subquery with grouped HAVING
     "tpch_q18" -> common(

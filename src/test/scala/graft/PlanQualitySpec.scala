@@ -51,6 +51,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("tpch_q17: part filter broadcast-joins BEFORE the per-part average window") {
+    val plan = executedPlan("tpch_q17")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the window (per-part average) must sit above the join, not over raw lineitem:
+    // exactly one lineitem scan feeds both the filter and the average
+    val lineitemScans = "Location:[^\n]*lineitem".r.findAllIn(plan).size +
+      "FileScan parquet[^\n]*lineitem".r.findAllIn(plan).size
+    assert("Window".r.findAllIn(plan).nonEmpty, plan.take(2000))
+    assert(lineitemScans <= 2, s"expected a single lineitem scan path\n${plan.take(2000)}")
+  }
+
   test("s1_ann_brute: the query side broadcasts so the corpus streams map-side") {
     val plan = executedPlan("s1_ann_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
