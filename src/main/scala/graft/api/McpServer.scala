@@ -1,0 +1,204 @@
+package graft.api
+
+import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream, PrintWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.{GraftEngine, GraftSession}
+import graft.planner.PathResolver
+
+/** MCP (Model Context Protocol) server over the engine — the reference ships the
+  * same surface as `mcp-server/app/wren.py:255-603`: deploy/validate a manifest,
+  * query/dry-run against it, and browse tables/columns/relationships/functions.
+  *
+  * Transport is MCP's stdio framing (newline-delimited JSON-RPC 2.0). The server is
+  * a class over explicit streams so the protocol is testable in-process
+  * (`McpServerSpec`); `graft.api.Mcp` mains it over stdin/stdout.
+  *
+  * Tool results follow MCP shape: `{content: [{type: "text", text: ...}], isError}`.
+  * Like the reference, the server is stateful: one deployed manifest at a time
+  * (`deploy_manifest` replaces it), and query tools error until one is deployed.
+  */
+final class McpServer(spark: SparkSession, dataDir: String) {
+
+  @volatile private var session: Option[GraftSession] = None
+  @volatile private var manifestJson: Option[String] = None
+
+  private case class Tool(name: String, description: String, params: Seq[(String, String)])
+
+  private val tools = Seq(
+    Tool("deploy_manifest", "Deploy an MDL manifest (JSON object or base64) to the engine",
+      Seq("mdl" -> "the manifest JSON (object as string, or base64)")),
+    Tool("mdl_validate_manifest", "Validate a manifest without deploying it",
+      Seq("mdl" -> "the manifest JSON to validate")),
+    Tool("is_deployed", "Whether a manifest is currently deployed", Nil),
+    Tool("get_manifest", "The currently deployed manifest JSON", Nil),
+    Tool("query", "Run SQL against the deployed models; answers the v3 result JSON",
+      Seq("sql" -> "SQL over model/view names")),
+    Tool("dry_run", "Plan the SQL without executing (validates names, access rules)",
+      Seq("sql" -> "SQL over model/view names")),
+    Tool("get_available_tables", "List deployed model and view names", Nil),
+    Tool("get_table_info", "Columns (name, type) of one deployed model",
+      Seq("table_name" -> "model name")),
+    Tool("get_column_info", "One column's manifest definition",
+      Seq("table_name" -> "model name", "column_name" -> "column name")),
+    Tool("get_relationships", "Declared relationships of the deployed manifest", Nil),
+    Tool("get_available_functions", "The engine's function listing", Nil),
+    Tool("health_check", "Liveness probe", Nil))
+
+  // ---- JSON helpers --------------------------------------------------------
+
+  private def js(s: String): JValue = JString(s)
+
+  private def textResult(text: String, isError: Boolean = false): JValue =
+    JObject(
+      "content" -> JArray(List(JObject("type" -> js("text"), "text" -> js(text)))),
+      "isError" -> JBool(isError))
+
+  private def argStr(args: JValue, name: String): String = args \ name match {
+    case JString(s) => s
+    case JNothing | JNull => throw new IllegalArgumentException(s"missing argument: $name")
+    case other => JsonMethods.compact(other)
+  }
+
+  private def deployed: GraftSession =
+    session.getOrElse(throw new IllegalStateException(
+      "no manifest deployed — call deploy_manifest first"))
+
+  // ---- tool dispatch -------------------------------------------------------
+
+  private def callTool(name: String, args: JValue): JValue = name match {
+    case "deploy_manifest" =>
+      val mdl = argStr(args, "mdl")
+      session = Some(GraftEngine.deployJson(spark, mdl, new PathResolver(dataDir)))
+      manifestJson = Some(mdl)
+      textResult("deployed")
+    case "mdl_validate_manifest" =>
+      val m = graft.mdl.ManifestJson.parse(argStr(args, "mdl"))
+      m.validateLayoutVersion()
+      val problems = m.models.filter(_.columns.isEmpty).map(x => s"model ${x.name}: no columns") ++
+        m.cubes.map(graft.semantics.Validator.cubeHierarchyIsValid)
+          .filter(!_.valid).map(_.message)
+      if (problems.isEmpty) textResult("valid")
+      else textResult(problems.mkString("; "), isError = true)
+    case "is_deployed" => textResult(session.isDefined.toString)
+    case "get_manifest" => textResult(manifestJson.getOrElse("null"))
+    case "query" => textResult(deployed.queryJson(argStr(args, "sql")))
+    case "dry_run" =>
+      deployed.dryRun(argStr(args, "sql")); textResult("ok")
+    case "get_available_tables" =>
+      val m = deployed.manifest
+      textResult(JsonMethods.compact(JArray(
+        (m.models.map(_.name) ++ m.views.map(_.name)).map(js).toList)))
+    case "get_table_info" =>
+      val model = deployed.manifest.model(argStr(args, "table_name"))
+        .getOrElse(throw new IllegalArgumentException("no such model"))
+      textResult(JsonMethods.compact(JArray(model.columns.map(c =>
+        JObject("name" -> js(c.name), "type" -> js(c.`type`))).toList)))
+    case "get_column_info" =>
+      val model = deployed.manifest.model(argStr(args, "table_name"))
+        .getOrElse(throw new IllegalArgumentException("no such model"))
+      val c = model.column(argStr(args, "column_name"))
+        .getOrElse(throw new IllegalArgumentException("no such column"))
+      textResult(JsonMethods.compact(JObject(
+        "name" -> js(c.name), "type" -> js(c.`type`),
+        "expression" -> c.expression.map(js).getOrElse(JNull),
+        "isCalculated" -> JBool(c.isCalculated),
+        "relationship" -> c.relationship.map(js).getOrElse(JNull))))
+    case "get_relationships" =>
+      textResult(JsonMethods.compact(JArray(deployed.manifest.relationships.map(r =>
+        JObject("name" -> js(r.name), "models" -> JArray(r.models.map(js)),
+          "joinType" -> js(r.joinType), "condition" -> js(r.condition))).toList)))
+    case "get_available_functions" =>
+      textResult(JsonMethods.compact(JArray(
+        graft.functions.GraftFunctions.listing.map(f =>
+          JObject("name" -> js(f.name), "type" -> js(f.kind),
+            "description" -> js(f.description))).toList)))
+    case "health_check" => textResult("ok")
+    case other => textResult(s"unknown tool: $other", isError = true)
+  }
+
+  // ---- JSON-RPC loop -------------------------------------------------------
+
+  private def toolSchema(t: Tool): JValue = JObject(
+    "name" -> js(t.name),
+    "description" -> js(t.description),
+    "inputSchema" -> JObject(
+      "type" -> js("object"),
+      "properties" -> JObject(t.params.map { case (n, d) =>
+        n -> (JObject("type" -> js("string"), "description" -> js(d)): JValue)
+      }.toList),
+      "required" -> JArray(t.params.map(p => js(p._1)).toList)))
+
+  private def handle(msg: JValue): Option[JValue] = {
+    val id = msg \ "id"
+    def reply(result: JValue): Option[JValue] =
+      Some(JObject("jsonrpc" -> js("2.0"), "id" -> id, "result" -> result))
+    (msg \ "method") match {
+      case JString("initialize") => reply(JObject(
+        "protocolVersion" -> ((msg \ "params" \ "protocolVersion") match {
+          case s: JString => s
+          case _ => js("2024-11-05")
+        }),
+        "capabilities" -> JObject("tools" -> JObject()),
+        "serverInfo" -> JObject("name" -> js("graft-engine"), "version" -> js("0.2"))))
+      case JString("ping") => reply(JObject())
+      case JString("tools/list") =>
+        reply(JObject("tools" -> JArray(tools.map(toolSchema).toList)))
+      case JString("tools/call") =>
+        val name = (msg \ "params" \ "name") match {
+          case JString(s) => s
+          case _ => ""
+        }
+        val result =
+          try callTool(name, msg \ "params" \ "arguments")
+          catch { case NonFatal(e) => textResult(Option(e.getMessage).getOrElse(e.toString), isError = true) }
+        reply(result)
+      case JString(_) if id == JNothing => None // notification: ignore
+      case JString(m) => Some(JObject(
+        "jsonrpc" -> js("2.0"), "id" -> id,
+        "error" -> JObject("code" -> JInt(-32601), "message" -> js(s"method not found: $m"))))
+      case _ => None
+    }
+  }
+
+  /** Serve newline-delimited JSON-RPC until EOF. */
+  def serve(in: InputStream, out: OutputStream): Unit = {
+    val reader = new BufferedReader(new InputStreamReader(in, UTF_8))
+    val writer = new PrintWriter(out, true)
+    var line = reader.readLine()
+    while (line != null) {
+      if (line.trim.nonEmpty) {
+        val response =
+          try handle(JsonMethods.parse(line))
+          catch {
+            case NonFatal(_) => Some(JObject(
+              "jsonrpc" -> js("2.0"), "id" -> JNull,
+              "error" -> JObject("code" -> JInt(-32700), "message" -> js("parse error"))))
+          }
+        response.foreach(r => writer.println(JsonMethods.compact(r)))
+      }
+      line = reader.readLine()
+    }
+  }
+}
+
+/** Stdio main: `runMain graft.api.Mcp <dataDir>` (MCP client config points here). */
+object Mcp {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Mcp <dataDir>")
+    val spark = SparkSession.builder()
+      .appName("graft-mcp").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR") // stdout belongs to the protocol
+    new McpServer(spark, args(0)).serve(System.in, System.out)
+  }
+}
