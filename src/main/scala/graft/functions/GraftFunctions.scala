@@ -28,6 +28,10 @@ object GraftFunctions {
       "chrono/strftime-style formatting (full token set incl. %a %A %b %B %j %I %p %f %z), the reference's to_char (to_char.rs:1-83)"),
     FnSpec("to_char", "scalar", "(t timestamp, fmt string)", "string",
       "Alias of strftime (the reference's primary name, to_char.rs:42)"),
+    FnSpec("cosine_similarity", "scalar", "(a array<float|double>, b array<float|double>)",
+      "double", "Codegen'd fused-loop cosine similarity (native Expression, VectorExpressions.scala)"),
+    FnSpec("dot_product", "scalar", "(a array<float|double>, b array<float|double>)",
+      "double", "Codegen'd dot product with deterministic left-to-right accumulation"),
     FnSpec("approx_percentile_cont_with_weight", "aggregate", "(x double, w double, p double)",
       "double", "Weighted approximate percentile via a mergeable centroid sketch (bounded memory per group; DataFusion aggregate/mod.rs:40)"),
     FnSpec("nth_value_agg", "aggregate", "(x double, n bigint)", "double",
@@ -158,6 +162,10 @@ object GraftFunctions {
     // Native plan-time builders (chrono translation / interval-stride dispatch
     // cannot be expressed as a SQL-function body — they need the stride's TYPE).
     Aggregators.register(spark)
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "cosine_similarity",
+      args => CosineSimilarity(args(0), args(1)))
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "dot_product",
+      args => DotProduct(args(0), args(1)))
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "date_bin", ChronoFormat.dateBinBuilder)
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "strftime", ChronoFormat.strftimeBuilder)
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "to_char", ChronoFormat.strftimeBuilder)

@@ -3,14 +3,17 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Approximate-nearest-neighbor search over an embedding column (`array<float>`).
   *
   * Two paths: brute-force cosine top-k as the exactness baseline, and an
   * LSH-bucketed (random-hyperplane) variant as the 100 TB scale path — signatures
   * turn the O(|Q|·|C|) cross join into per-bucket joins; multi-probe keeps recall.
-  * The dot product is a sequential `aggregate` fold over `zip_with`, i.e. a codegen'd
-  * expression with deterministic left-to-right double accumulation (no UDF).
+  * Scoring runs through the native loop expressions in `VectorExpressions.scala`
+  * (whole-stage codegen, deterministic left-to-right double accumulation, no UDF);
+  * the HOF `aggregate`-fold forms are kept as the reference semantics they must
+  * stay bit-identical to.
   */
 object Similarity {
 
@@ -19,23 +22,31 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Unrolled dot product for a statically-known dimension: higher-order functions
-    * (`aggregate`/`zip_with`) are interpreted per row, outside whole-stage codegen;
-    * 64 explicit element_at products compile into the generated code and keep the
-    * exact left-to-right double accumulation order (bit-identical to `dot`).
+  /** Codegen'd dot product via the native loop expression
+    * ([[graft.functions.DotProduct]]): same left-to-right double accumulation as
+    * `dot`, but ~20 lines of generated Java instead of an unrolled term per element
+    * (which cost seconds of janino compile per plan at dim=64). `dim` is unused
+    * (the loop reads the runtime length) and kept for call-site compatibility.
     */
-  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
+  def dotUnrolled(a: Column, b: Column, dim: Int = 0): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    Bridge.column(graft.functions.DotProduct(
+      Bridge.toExpression(spark, a), Bridge.toExpression(spark, b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Codegen'd cosine for known dimension (same accumulation order as `cosine`). */
-  def cosineUnrolled(a: Column, b: Column, dim: Int): Column =
-    dotUnrolled(a, b, dim) /
-      (sqrt(dotUnrolled(a, a, dim)) * sqrt(dotUnrolled(b, b, dim)))
+  /** Codegen'd cosine ([[graft.functions.CosineSimilarity]]): one fused loop
+    * computing a·b, a·a, b·b (same accumulation order as `cosine`, bit-identical
+    * scores), compiled in milliseconds where the unrolled form took seconds.
+    */
+  def cosineUnrolled(a: Column, b: Column, dim: Int = 0): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    Bridge.column(graft.functions.CosineSimilarity(
+      Bridge.toExpression(spark, a), Bridge.toExpression(spark, b)))
+  }
 
   /** Brute-force cosine top-k: every query against every corpus row, ranked per query.
     * Broadcast the (small) query side so the corpus streams map-side; the only wide
@@ -46,9 +57,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 0): DataFrame = {
     val q = broadcast(queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qv")))
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
-    val cosFn =
-      if (dim > 0) cosineUnrolled(col("qv"), col("cv"), dim)
-      else cosine(col("qv"), col("cv"))
+    val cosFn = cosineUnrolled(col("qv"), col("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosFn)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -70,15 +79,17 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a long. Uses the
-    * interpreted HOF dot: signatures are computed once per row (not per pair), so
-    * evaluation volume never amortizes the multi-second codegen compile an unrolled
-    * form would cost.
+  /** Random-hyperplane signature: `planes` sign bits packed into a long. Each plane
+    * is a foldable array LITERAL (constant ArrayData in the generated code, not a
+    * per-row CreateArray) dotted through the native loop expression — compiles in
+    * milliseconds and evaluates inside whole-stage codegen. Accumulation order
+    * matches the HOF fold, so signatures (and every LSH bucket downstream) are
+    * unchanged.
     */
   def lshSignature(vec: Column, dim: Int, planes: Int = 16): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
-      when(dot(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val plane = typedLit((0 until dim).map(j => planeComponent(p, j)))
+      when(dotUnrolled(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -103,7 +114,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .distinct()
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineUnrolled(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -117,7 +128,7 @@ object Similarity {
     */
   private def centroidScores(v: Column, cents: Seq[(Int, Array[Double])]): Seq[Column] =
     cents.map { case (cid, u) =>
-      struct(dot(v, typedLit(u.toSeq)).alias("sim"), lit(cid).alias("cid"))
+      struct(dotUnrolled(v, typedLit(u.toSeq)).alias("sim"), lit(cid).alias("cid"))
     }
 
   /** Arg-max cell id for a vector against driver-held centroids: one codegen-friendly
@@ -195,7 +206,7 @@ object Similarity {
 
     val scored = probes.join(cells, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineUnrolled(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -239,7 +250,7 @@ object Similarity {
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"),
         col("a.v").alias("va"), col("b.v").alias("vb"))
       .distinct()
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineUnrolled(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).alias("cos"))
   }

@@ -91,6 +91,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
       == Seq("a", "b"))
   }
 
+  test("cosine_similarity / dot_product match the HOF fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(-0.5f, 4.0f, 2.5f))).toDF("a", "b")
+    df.createOrReplaceTempView("vec_t")
+    val viaExpr = spark.sql(
+      "SELECT cosine_similarity(a, b), dot_product(a, b) FROM vec_t").head
+    val viaFold = df.select(
+      graft.operators.Similarity.cosine(col("a"), col("b")),
+      graft.operators.Similarity.dot(col("a"), col("b"))).head
+    assert(viaExpr.getDouble(0) == viaFold.getDouble(0))
+    assert(viaExpr.getDouble(1) == viaFold.getDouble(1))
+    val err = intercept[Exception](spark.sql("SELECT cosine_similarity(1, 2)").collect())
+    assert(err.getMessage.contains("array"))
+  }
+
   test("nth_value_agg returns the n-th smallest (or largest for negative n)") {
     import spark.implicits._
     val df = Seq(5.0, 1.0, 4.0, 2.0, 3.0).toDF("x").repartition(3)
