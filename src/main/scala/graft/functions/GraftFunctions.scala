@@ -66,7 +66,32 @@ object GraftFunctions {
     FnSpec("is_double", "scalar", "(json string)", "boolean", "True when the value is numeric"),
     FnSpec("is_boolean", "scalar", "(json string)", "boolean", "True when the value is true/false"),
     FnSpec("is_varchar", "scalar", "(json string)", "boolean", "True when the value is a JSON string"),
-    FnSpec("is_null_value", "scalar", "(json string)", "boolean", "True when the value is JSON null"))
+    FnSpec("is_null_value", "scalar", "(json string)", "boolean", "True when the value is JSON null"),
+    FnSpec("as_number", "scalar", "(json string)", "decimal(38,10)", "JSON value as number or NULL"),
+    FnSpec("as_binary", "scalar", "(json string)", "binary", "JSON hex string as binary or NULL"),
+    FnSpec("as_timestamp_tz", "scalar", "(json string)", "timestamp", "JSON value as tz-aware timestamp (Spark timestamps carry the session zone)"),
+    FnSpec("is_char", "scalar", "(json string)", "boolean", "Alias of is_varchar"),
+    FnSpec("is_real", "scalar", "(json string)", "boolean", "Alias of is_double"),
+    FnSpec("is_date", "scalar", "(json string)", "boolean", "True when the value parses as a date"),
+    FnSpec("is_timestamp", "scalar", "(json string)", "boolean", "True when the value parses as a timestamp"),
+    FnSpec("is_timestamp_tz", "scalar", "(json string)", "boolean", "Alias of is_timestamp"),
+    FnSpec("is_binary", "scalar", "(json string)", "boolean", "True when the value is a hex binary string"),
+    FnSpec("sha224", "scalar", "(s string)", "string", "sha2(s, 224) (DataFusion crypto name parity)"),
+    FnSpec("sha256", "scalar", "(s string)", "string", "sha2(s, 256)"),
+    FnSpec("sha384", "scalar", "(s string)", "string", "sha2(s, 384)"),
+    FnSpec("sha512", "scalar", "(s string)", "string", "sha2(s, 512)"),
+    FnSpec("to_timestamp_seconds", "scalar", "(x bigint)", "timestamp", "Epoch seconds to timestamp"),
+    FnSpec("to_timestamp_millis", "scalar", "(x bigint)", "timestamp", "Epoch millis to timestamp"),
+    FnSpec("to_timestamp_micros", "scalar", "(x bigint)", "timestamp", "Epoch micros to timestamp"),
+    FnSpec("to_timestamp_nanos", "scalar", "(x bigint)", "timestamp", "Epoch nanos to timestamp (truncated to Spark's µs)"),
+    FnSpec("regexp_match", "scalar", "(s string, re string)", "array<string>", "All regex matches (DataFusion regexp_match)"),
+    FnSpec("string_to_array", "scalar", "(s string, delim string)", "array<string>", "Split on a literal (non-regex) delimiter"),
+    FnSpec("to_hex", "scalar", "(x bigint)", "string", "Lowercase hex rendering"),
+    FnSpec("strpos", "scalar", "(s string, sub string)", "int", "1-based substring position, 0 when absent"),
+    FnSpec("gcd", "scalar", "(a bigint, b bigint)", "bigint", "Greatest common divisor (native expression)"),
+    FnSpec("lcm", "scalar", "(a bigint, b bigint)", "bigint", "Least common multiple (exact, overflow-safe)"),
+    FnSpec("array_distance", "scalar", "(a array<float|double>, b array<float|double>)", "double",
+      "Euclidean distance via the native dot kernels"))
 
   /** Reference functions that are Spark built-ins under the same or a documented name
     * (kept for /functions listing parity; nothing to register).
@@ -80,9 +105,6 @@ object GraftFunctions {
       "Spark string_agg / listagg ... WITHIN GROUP (ORDER BY ...)"),
     FnSpec("array_agg", "aggregate", "(x any)", "array", "Spark array_agg/collect_list"),
     FnSpec("arrow_typeof", "scalar", "(x any)", "string", "Spark typeof"),
-    FnSpec("regexp_match", "scalar", "(s string, re string)", "array<string>",
-      "Spark regexp_extract_all"),
-    FnSpec("string_to_array", "scalar", "(s string, delim string)", "array<string>", "Spark split"),
     FnSpec("nth_value", "window", "(x any, n int)", "any", "Spark nth_value window function"))
 
   def listing: Seq[FnSpec] = registered ++ builtinMappings
@@ -169,6 +191,21 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "date_bin", ChronoFormat.dateBinBuilder)
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "strftime", ChronoFormat.strftimeBuilder)
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "to_char", ChronoFormat.strftimeBuilder)
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "gcd", args => Gcd(args(0), args(1)))
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "lcm", args => Lcm(args(0), args(1)))
+    // DataFusion array_distance (euclidean): ‖a−b‖ = sqrt(a·a + b·b − 2·a·b) over the
+    // native dot kernels — works for any float/double array without pinning a type.
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "array_distance", args => {
+      val br = org.apache.spark.sql.graft.Bridge
+      val s = SparkSession.active
+      // cast up front so decimal/int array literals work; float/double arrays are a
+      // no-op cast that Catalyst elides
+      val a = br.column(args(0)).cast("array<double>")
+      val b = br.column(args(1)).cast("array<double>")
+      def dp(x: Column, y: Column): Column =
+        br.column(DotProduct(br.toExpression(s, x), br.toExpression(s, y)))
+      br.toExpression(s, sqrt(dp(a, a) + dp(b, b) - lit(2.0) * dp(a, b)))
+    })
     val stmts = Seq(
       """CREATE OR REPLACE TEMPORARY FUNCTION to_local_time(t TIMESTAMP)
         |RETURNS TIMESTAMP_NTZ RETURN cast(t as timestamp_ntz)""",
@@ -176,6 +213,32 @@ object GraftFunctions {
         |RETURNS DOUBLE RETURN unix_micros(t) / 1e6""",
       """CREATE OR REPLACE TEMPORARY FUNCTION substr_index(s STRING, delim STRING, cnt INT)
         |RETURNS STRING RETURN substring_index(s, delim, cnt)""",
+      // DataFusion name-parity one-liners (scalar/mod.rs:39-143)
+      """CREATE OR REPLACE TEMPORARY FUNCTION sha224(s STRING)
+        |RETURNS STRING RETURN sha2(s, 224)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING)
+        |RETURNS STRING RETURN sha2(s, 256)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION sha384(s STRING)
+        |RETURNS STRING RETURN sha2(s, 384)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION sha512(s STRING)
+        |RETURNS STRING RETURN sha2(s, 512)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_seconds(x BIGINT)
+        |RETURNS TIMESTAMP RETURN timestamp_seconds(x)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_millis(x BIGINT)
+        |RETURNS TIMESTAMP RETURN timestamp_millis(x)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_micros(x BIGINT)
+        |RETURNS TIMESTAMP RETURN timestamp_micros(x)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_nanos(x BIGINT)
+        |RETURNS TIMESTAMP RETURN timestamp_micros(x div 1000)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION regexp_match(s STRING, re STRING)
+        |RETURNS ARRAY<STRING> RETURN regexp_extract_all(s, re, 0)""",
+      // literal (non-regex) delimiter split, like DataFusion's string_to_array
+      """CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(s STRING, delim STRING)
+        |RETURNS ARRAY<STRING> RETURN split(s, concat('\\Q', delim, '\\E'))""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION to_hex(x BIGINT)
+        |RETURNS STRING RETURN lower(hex(x))""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING)
+        |RETURNS INT RETURN instr(s, sub)""",
       """CREATE OR REPLACE TEMPORARY FUNCTION iszero(x DOUBLE)
         |RETURNS BOOLEAN RETURN x = cast(0 as double)""",
       """CREATE OR REPLACE TEMPORARY FUNCTION digest(data STRING, algo STRING)
@@ -214,6 +277,12 @@ object GraftFunctions {
         |RETURNS DATE RETURN try_cast(as_varchar(j) AS DATE)""",
       """CREATE OR REPLACE TEMPORARY FUNCTION as_timestamp(j STRING)
         |RETURNS TIMESTAMP RETURN try_cast(as_varchar(j) AS TIMESTAMP)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_number(j STRING)
+        |RETURNS DECIMAL(38,10) RETURN try_cast(j AS DECIMAL(38,10))""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_binary(j STRING)
+        |RETURNS BINARY RETURN try_to_binary(as_varchar(j), 'hex')""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION as_timestamp_tz(j STRING)
+        |RETURNS TIMESTAMP RETURN try_cast(as_varchar(j) AS TIMESTAMP)""",
       """CREATE OR REPLACE TEMPORARY FUNCTION as_array(j STRING)
         |RETURNS ARRAY<STRING>
         |RETURN CASE WHEN ltrim(j) LIKE '[%' THEN from_json(j, 'array<string>') END""",
@@ -232,7 +301,19 @@ object GraftFunctions {
       """CREATE OR REPLACE TEMPORARY FUNCTION is_varchar(j STRING)
         |RETURNS BOOLEAN RETURN j IS NOT NULL AND j LIKE '"%"'""",
       """CREATE OR REPLACE TEMPORARY FUNCTION is_null_value(j STRING)
-        |RETURNS BOOLEAN RETURN j = 'null'""")
+        |RETURNS BOOLEAN RETURN j = 'null'""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_char(j STRING)
+        |RETURNS BOOLEAN RETURN is_varchar(j)""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_real(j STRING)
+        |RETURNS BOOLEAN RETURN try_cast(j AS DOUBLE) IS NOT NULL""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_date(j STRING)
+        |RETURNS BOOLEAN RETURN try_cast(as_varchar(j) AS DATE) IS NOT NULL""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_timestamp(j STRING)
+        |RETURNS BOOLEAN RETURN try_cast(as_varchar(j) AS TIMESTAMP) IS NOT NULL""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_timestamp_tz(j STRING)
+        |RETURNS BOOLEAN RETURN try_cast(as_varchar(j) AS TIMESTAMP) IS NOT NULL""",
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_binary(j STRING)
+        |RETURNS BOOLEAN RETURN try_to_binary(as_varchar(j), 'hex') IS NOT NULL""")
     stmts.foreach(s => spark.sql(s.stripMargin))
   }
 }
