@@ -50,7 +50,7 @@ object Dedup {
     * produces all k min-hashes (single shuffle by document id).
     */
   def minHashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
-    val hashed = sh.withColumn("__h", xxhash64(col("shingle")))
+    val hashed = sh.withColumn("__h", shingleKey(col("shingle"), sh))
     val mins = (0 until k).map(i =>
       min(xxhash64(col("__h"), lit(i))).alias(s"mh_$i"))
     hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
@@ -85,7 +85,8 @@ object Dedup {
     * the corpus' near-dup cluster size (default 1000) — at 100 TB this is the knob
     * that trades exactness on boilerplate-heavy corpora for a bounded join.
     */
-  def pairJaccard(sh: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+  def pairJaccard(shRaw: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+    val sh = hashedShingles(shRaw)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).alias("df"))
       .filter(col("df") >= 2 && col("df") <= maxDocFreq)
     val shShared = sh.join(dfreq.select("shingle"), "shingle")
@@ -102,12 +103,27 @@ object Dedup {
         (col("sza") + col("szb") - col("inter")).cast("double"), 6))
   }
 
+  /** Shingle equality key: xxhash64 when the column still holds raw shingle strings.
+    * Jaccard/MinHash only ever compare shingles for EQUALITY, so joining and
+    * shuffling an 8-byte long instead of a multi-word string cuts shuffle bytes
+    * several-fold; a 64-bit collision merging two distinct shingles has
+    * probability ~n²/2⁶⁵ over n distinct shingles — immaterial against the
+    * threshold-rounded scores. SimHash keeps raw strings (its hash must be
+    * reproducible in the oracle engine, md5Hash60).
+    */
+  private def shingleKey(c: Column, df: DataFrame): Column =
+    if (df.schema("shingle").dataType == org.apache.spark.sql.types.StringType) xxhash64(c) else c
+
+  private def hashedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("id"), shingleKey(col("shingle"), sh).alias("shingle"))
+
   /** Exact Jaccard of candidate pairs, count-based and proportional to the candidate
     * set (not all pairs): expand each candidate pair by side-A shingles, inner-join
     * against side-B's (id, shingle) pairs to count the intersection, then
     * |union| = |A| + |B| − |A∩B|.
     */
-  def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  def verifyJaccard(cands: DataFrame, shRaw: DataFrame, threshold: Double): DataFrame = {
+    val sh = hashedShingles(shRaw)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).alias("sz"))
     val inter = cands
       .join(sh.select(col("id").alias("id_a"), col("shingle")), "id_a")
@@ -136,7 +152,7 @@ object Dedup {
   def minHashNearDup(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n)
+    val sh = hashedShingles(shingles(df, textCol, idCol, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
     verifyJaccard(cands, sh, threshold)
@@ -152,7 +168,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
     // persisted for the same 4-subtree reuse reason as minHashNearDup
-    val sh = shingles(df, textCol, idCol, n)
+    val sh = hashedShingles(shingles(df, textCol, idCol, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairJaccard(sh, maxDocFreq)
       .filter(col("jaccard") >= threshold)
