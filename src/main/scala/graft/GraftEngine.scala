@@ -126,6 +126,27 @@ final class GraftSession(
     }
   }
 
+  /** Like `withProperties`, but `props` REPLACES the deploy-time properties instead
+    * of merging over them — the per-request form (an HTTP request's headers are the
+    * complete property set; a session deployed for tenant A must not leak A's
+    * properties into a request that supplied none). Shares the planner's base scans
+    * like `withProperties`; only RLAC/CLAC re-resolve.
+    */
+  def withExactProperties(props: Map[String, String]): GraftSession =
+    if (props == properties) this
+    else {
+      val cached = propSessions.get(props)
+      if (cached != null) cached
+      else {
+        val p = planner.withProperties(props)
+        p.deploy()
+        val s = new GraftSession(spark, manifest, p, props)
+        if (propSessions.size >= 64) propSessions.clear() // crude bound; rebuilds are cheap
+        propSessions.put(props, s)
+        s
+      }
+    }
+
   /** Per-query properties: resolve against a property-override session and run. */
   def query(sql: String, props: Map[String, String]): DataFrame =
     withProperties(props).query(sql)
@@ -160,11 +181,17 @@ final class GraftSession(
     * (current_timestamp & co.) keep per-execution semantics.
     */
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Option[Int]), org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[Int], String), org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+
+  /** Analysis-relevant session conf baked into cached plans — a change must miss. */
+  private def planConfKey: String =
+    spark.conf.get("spark.sql.session.timeZone") + "|" +
+      spark.conf.get("spark.sql.ansi.enabled", "false") + "|" +
+      spark.conf.get("spark.sql.caseSensitive", "false")
 
   def query(sql: String, limit: Option[Int] = None): DataFrame = {
     ensureViews()
-    val key = (sql, limit)
+    val key = (sql, limit, planConfKey)
     val hit = planCache.get(key)
     if (hit != null) return org.apache.spark.sql.graft.Bridge.ofRows(spark, hit)
     val df =

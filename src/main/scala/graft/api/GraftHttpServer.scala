@@ -46,7 +46,7 @@ import graft.planner.PathResolver
 final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  private val sessions = new ConcurrentHashMap[(String, Map[String, String]), graft.GraftSession]
+  private val sessions = new ConcurrentHashMap[String, graft.GraftSession]
 
   def start(): Int = {
     server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -93,14 +93,25 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
     case _ => None
   }
 
+  /** One base deployment per manifest (built on first request, under that request's
+    * header properties); every other property set derives via `withExactProperties`,
+    * which re-resolves only RLAC/CLAC against the shared planner — no full re-deploy
+    * per tenant, and exact (non-merging) semantics so one tenant's properties never
+    * leak into another request.
+    */
   private def session(manifestStr: String, props: Map[String, String]): graft.GraftSession = {
-    val key = (manifestStr, props)
-    val cached = sessions.get(key)
-    if (cached != null) cached
+    val cached = sessions.get(manifestStr)
+    if (cached != null) cached.withExactProperties(props)
     else {
-      val s = GraftEngine.deployJson(spark, manifestStr, new PathResolver(dataDir), props)
+      val s =
+        try GraftEngine.deployJson(spark, manifestStr, new PathResolver(dataDir), props)
+        catch {
+          // manifest shape errors are client errors (422), not server faults
+          case e: RuntimeException if e.getCause == null && !e.isInstanceOf[IllegalArgumentException] =>
+            throw new IllegalArgumentException(s"invalid manifest: ${e.getMessage}")
+        }
       if (sessions.size >= 64) sessions.clear() // crude bound, same policy as deployOnDir
-      sessions.put(key, s)
+      sessions.put(manifestStr, s)
       s
     }
   }
@@ -130,7 +141,12 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
         respond(ex, 200, JsonMethods.compact(JArray(fns.toList)))
 
       case ("POST", "v3" :: "connector" :: _ :: rest) =>
-        val body = JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        val body =
+          try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              throw new IllegalArgumentException(s"malformed JSON body: ${e.getOriginalMessage}")
+          }
         val manifestStr = jstr(body \ "manifestStr")
           .getOrElse(throw new IllegalArgumentException("manifestStr is required"))
         val props = headerProperties(ex)

@@ -170,7 +170,7 @@ final class McpServer(spark: SparkSession, dataDir: String) {
   /** Serve newline-delimited JSON-RPC until EOF. */
   def serve(in: InputStream, out: OutputStream): Unit = {
     val reader = new BufferedReader(new InputStreamReader(in, UTF_8))
-    val writer = new PrintWriter(out, true)
+    val writer = new PrintWriter(new java.io.OutputStreamWriter(out, UTF_8), true)
     var line = reader.readLine()
     while (line != null) {
       if (line.trim.nonEmpty) {

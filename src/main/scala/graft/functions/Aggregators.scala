@@ -35,7 +35,7 @@ object Aggregators {
       var vs: Array[Double], var ws: Array[Double], var cnt: Int, var p: Double)
 
   class ApproxWeightedPercentile(maxCentroids: Int = 1024)
-      extends Aggregator[(Double, Double, Double), PctBuf, java.lang.Double] {
+      extends Aggregator[(java.lang.Double, java.lang.Double, java.lang.Double), PctBuf, java.lang.Double] {
 
     private val softCap = 2 * maxCentroids
 
@@ -74,10 +74,11 @@ object Aggregators {
       b.vs(b.cnt) = x; b.ws(b.cnt) = w; b.cnt += 1
     }
 
-    override def reduce(b: PctBuf, in: (Double, Double, Double)): PctBuf = {
+    // NULL x/w/p rows are skipped, like the DataFusion reference aggregate
+    override def reduce(b: PctBuf, in: (java.lang.Double, java.lang.Double, java.lang.Double)): PctBuf = {
       val (x, w, p) = in
-      if (b.p.isNaN) b.p = p
-      if (w > 0 && !x.isNaN) append(b, x, w)
+      if (b.p.isNaN && p != null) b.p = p
+      if (x != null && w != null && w > 0 && !x.isNaN) append(b, x, w)
       b
     }
 
@@ -121,7 +122,7 @@ object Aggregators {
   final case class NthBuf(var vs: Array[Double], var n: Long)
 
   class NthValueAgg(maxN: Int = 100000)
-      extends Aggregator[(Double, Long), NthBuf, java.lang.Double] {
+      extends Aggregator[(java.lang.Double, java.lang.Long), NthBuf, java.lang.Double] {
 
     override def zero: NthBuf = NthBuf(Array.empty, 0L)
 
@@ -132,8 +133,12 @@ object Aggregators {
       else sorted.takeRight(cap) //      n-th from the end:   keep largest
     }
 
-    override def reduce(b: NthBuf, in: (Double, Long)): NthBuf = {
-      val (x, n) = in
+    // NULL values are skipped (DataFusion nth_value ignores nulls)
+    override def reduce(b: NthBuf, in: (java.lang.Double, java.lang.Long)): NthBuf = {
+      val (xBoxed, nBoxed) = in
+      if (xBoxed == null) return b
+      val x = xBoxed.doubleValue
+      val n = if (nBoxed == null) b.n else nBoxed.longValue
       require(math.abs(n) <= maxN, s"nth_value_agg: |n| must be <= $maxN")
       if (b.n == 0L) b.n = n
       val at = java.util.Arrays.binarySearch(b.vs, x)

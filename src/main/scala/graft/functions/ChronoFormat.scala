@@ -73,7 +73,13 @@ object ChronoFormat {
           lit.append('.'); pat("SSSSSS"); i += 3
         case d @ ('3' | '6' | '9') if i + 2 < fmt.length && fmt.charAt(i + 2) == 'f' =>
           pat("S" * (d - '0')); i += 3
-        case m @ ('-' | '_' | '0') if i + 2 < fmt.length && unpadded.contains(fmt.charAt(i + 2)) =>
+        // %-X / %_X drop padding (Java single-letter fields are unpadded; no
+        // space-pad form exists, so %_X approximates with unpadded); %0X means
+        // zero-padded, which IS the plain token's two-letter pattern.
+        case '0' if i + 2 < fmt.length && simple.contains(fmt.charAt(i + 2)) &&
+            unpadded.contains(fmt.charAt(i + 2)) =>
+          pat(simple(fmt.charAt(i + 2))); i += 3
+        case ('-' | '_') if i + 2 < fmt.length && unpadded.contains(fmt.charAt(i + 2)) =>
           pat(unpadded(fmt.charAt(i + 2))); i += 3
         case t if simple.contains(t) => pat(simple(t)); i += 2
         case t =>
@@ -85,6 +91,21 @@ object ChronoFormat {
     out.toString
   }
 
+  /** Per-row chrono → Java pattern translation, for non-constant format columns.
+    * Interpreted eval (CodegenFallback): translation is string-length work and the
+    * per-tenant-format use case is metadata-scale, not fact-table-scale.
+    */
+  case class ChronoPattern(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def prettyName: String = "chrono_pattern"
+    override def nullSafeEval(fmt: Any): Any =
+      UTF8String.fromString(toJavaPattern(fmt.toString))
+    override protected def withNewChildInternal(c: Expression): ChronoPattern = copy(c)
+  }
+
   private def constString(e: Expression, what: String): String = {
     require(e.resolved && e.foldable, s"$what must be a constant string")
     e.eval() match {
@@ -94,14 +115,21 @@ object ChronoFormat {
     }
   }
 
-  /** strftime(t, fmt) / to_char(t, fmt): plan-time chrono translation + date_format. */
+  /** strftime(t, fmt) / to_char(t, fmt): constant formats translate ONCE at
+    * analysis time; a column-valued format falls back to per-row translation
+    * through [[ChronoPattern]] (the reference parses chrono formats per row too).
+    */
   def strftimeBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, "strftime(t, fmt) takes exactly 2 arguments")
-    val fmt = constString(args(1), "strftime format")
     val col = Bridge.column(args.head)
     val res =
-      if (fmt == null) lit(null).cast("string")
-      else date_format(col, toJavaPattern(fmt))
+      if (args(1).resolved && args(1).foldable) {
+        val fmt = constString(args(1), "strftime format")
+        if (fmt == null) lit(null).cast("string")
+        else date_format(col, toJavaPattern(fmt))
+      } else Bridge.column(org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+        Bridge.toExpression(org.apache.spark.sql.SparkSession.active, col.cast("timestamp")),
+        ChronoPattern(args(1))))
     Bridge.toExpression(org.apache.spark.sql.SparkSession.active, res)
   }
 

@@ -7,8 +7,9 @@ import org.apache.spark.sql.types._
 
 /** DataFusion's integer gcd/lcm (`functions/math`), absent from Spark's function
   * surface. Interpreted eval (CodegenFallback) — these are occasional scalar calls,
-  * not analytical hot paths; correctness (exact BigInt lcm, no Long overflow
-  * surprises) matters more than codegen here.
+  * not analytical hot paths; correctness (exact BigInt
+  * arithmetic, explicit overflow errors instead of silent wraps) matters more than
+  * codegen here.
   */
 case class Gcd(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -22,7 +23,9 @@ case class Gcd(left: Expression, right: Expression)
     def long(x: Any): Long = x match {
       case i: Int => i.toLong; case l: Long => l; case s: Short => s.toLong; case b: Byte => b.toLong
     }
-    BigInt(long(a)).gcd(BigInt(long(b))).toLong
+    val g = BigInt(long(a)).gcd(BigInt(long(b)))
+    if (!g.isValidLong) throw new ArithmeticException("gcd overflows BIGINT") // gcd(minLong, minLong)
+    g.toLong
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Gcd = copy(l, r)
 }
@@ -40,7 +43,12 @@ case class Lcm(left: Expression, right: Expression)
       case i: Int => i.toLong; case l: Long => l; case s: Short => s.toLong; case b: Byte => b.toLong
     }
     val (x, y) = (BigInt(long(a)), BigInt(long(b)))
-    if (x == 0 || y == 0) 0L else ((x * y).abs / x.gcd(y)).toLong
+    if (x == 0 || y == 0) 0L
+    else {
+      val l = (x * y).abs / x.gcd(y)
+      if (!l.isValidLong) throw new ArithmeticException("lcm overflows BIGINT") // DataFusion errors here too
+      l.toLong
+    }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Lcm = copy(l, r)
 }

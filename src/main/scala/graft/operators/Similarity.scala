@@ -25,10 +25,9 @@ object Similarity {
   /** Codegen'd dot product via the native loop expression
     * ([[graft.functions.DotProduct]]): same left-to-right double accumulation as
     * `dot`, but ~20 lines of generated Java instead of an unrolled term per element
-    * (which cost seconds of janino compile per plan at dim=64). `dim` is unused
-    * (the loop reads the runtime length) and kept for call-site compatibility.
+    * (which cost seconds of janino compile per plan at dim=64).
     */
-  def dotUnrolled(a: Column, b: Column, dim: Int = 0): Column = {
+  def dotNative(a: Column, b: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     Bridge.column(graft.functions.DotProduct(
       Bridge.toExpression(spark, a), Bridge.toExpression(spark, b)))
@@ -42,7 +41,7 @@ object Similarity {
     * computing a·b, a·a, b·b (same accumulation order as `cosine`, bit-identical
     * scores), compiled in milliseconds where the unrolled form took seconds.
     */
-  def cosineUnrolled(a: Column, b: Column, dim: Int = 0): Column = {
+  def cosineNative(a: Column, b: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     Bridge.column(graft.functions.CosineSimilarity(
       Bridge.toExpression(spark, a), Bridge.toExpression(spark, b)))
@@ -54,10 +53,10 @@ object Similarity {
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding", dim: Int = 0): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qv")))
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
-    val cosFn = cosineUnrolled(col("qv"), col("cv"))
+    val cosFn = cosineNative(col("qv"), col("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosFn)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -89,7 +88,7 @@ object Similarity {
   def lshSignature(vec: Column, dim: Int, planes: Int = 16): Column = {
     val bits = (0 until planes).map { p =>
       val plane = typedLit((0 until dim).map(j => planeComponent(p, j)))
-      when(dotUnrolled(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(dotNative(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -114,7 +113,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .distinct()
-      .withColumn("cos", cosineUnrolled(col("qv"), col("cv")))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -128,7 +127,7 @@ object Similarity {
     */
   private def centroidScores(v: Column, cents: Seq[(Int, Array[Double])]): Seq[Column] =
     cents.map { case (cid, u) =>
-      struct(dotUnrolled(v, typedLit(u.toSeq)).alias("sim"), lit(cid).alias("cid"))
+      struct(dotNative(v, typedLit(u.toSeq)).alias("sim"), lit(cid).alias("cid"))
     }
 
   /** Arg-max cell id for a vector against driver-held centroids: one codegen-friendly
@@ -206,7 +205,7 @@ object Similarity {
 
     val scored = probes.join(cells, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineUnrolled(col("qv"), col("cv")))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -215,21 +214,21 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine near-duplicates (id_a < id_b, cosine ≥ threshold):
-    * broadcast self-join scored with the codegen'd unrolled cosine. Exact recall —
+    * broadcast self-join scored with the native-loop cosine. Exact recall —
     * the oracle-checkable baseline; O(n²) scoring bounds it to corpora whose
     * broadcast side fits (use [[cosineNearDup]]'s LSH blocking past that).
     */
   def cosinePairsExact(
-      df: DataFrame, threshold: Double, dim: Int,
+      df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Unrolled cosine straight off the scan rows: measured 5× faster than the HOF
+    // Native-loop cosine straight off the scan rows: measured 5× faster than the HOF
     // fold at 12.5M pairs, and faster than pre-normalizing through a cached
     // projection (per-pair access to InMemoryRelation array columns costs more than
     // the two extra norm computations inside codegen).
     val a = df.select(col(idCol).alias("id_a"), col(vecCol).alias("va"))
     val b = broadcast(df.select(col(idCol).alias("id_b"), col(vecCol).alias("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosineUnrolled(col("va"), col("vb"), dim))
+      .withColumn("cos", cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
@@ -250,7 +249,7 @@ object Similarity {
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"),
         col("a.v").alias("va"), col("b.v").alias("vb"))
       .distinct()
-      .withColumn("cos", cosineUnrolled(col("va"), col("vb")))
+      .withColumn("cos", cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).alias("cos"))
   }

@@ -187,7 +187,7 @@ object Pipeline {
     // pair SET is stable, per-pair scores are not).
     "d5_embed_neardup" -> (((s: SparkSession, dir: String) =>
       Similarity.cosinePairsExact(embs(s, dir).filter(col("vec_id") < 1000),
-        threshold = 0.45, dim = 64)
+        threshold = 0.45)
         .orderBy("id_a", "id_b"),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
              |FROM embeddings a, embeddings b
@@ -223,7 +223,7 @@ object Pipeline {
 
     "s1_ann_brute" -> (((s: SparkSession, dir: String) => {
       val all = embs(s, dir)
-      Similarity.bruteForceTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64)
+      Similarity.bruteForceTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rk"))
         .orderBy("query_id", "rk")
     },

@@ -86,7 +86,7 @@ object Validator {
         val unknown = path.filterNot(d => declared.contains(d.toLowerCase))
         if (unknown.nonEmpty)
           Some(s"$name: unknown dimensions ${unknown.mkString(",")}")
-        else if (path.distinct.size != path.size)
+        else if (path.map(_.toLowerCase).distinct.size != path.size)
           Some(s"$name: repeated dimension in drill path")
         else None
       }

@@ -91,6 +91,35 @@ class GraftFunctionsSpec extends AnyFunSuite {
       == Seq("a", "b"))
   }
 
+  test("typed aggregates skip NULL inputs instead of crashing") {
+    import spark.implicits._
+    Seq(Some(3.0), None, Some(1.0), Some(2.0)).toDF("x").createOrReplaceTempView("nullagg_t")
+    assert(one("(SELECT nth_value_agg(x, 2) FROM nullagg_t)") == 2.0)
+    assert(one("(SELECT approx_percentile_cont_with_weight(x, 1.0, 0.5) FROM nullagg_t)") == 2.0)
+    assert(one("(SELECT nth_value_agg(x, 1) FROM nullagg_t WHERE x IS NULL)") == null)
+  }
+
+  test("strftime accepts a column-valued (non-constant) format") {
+    import spark.implicits._
+    Seq(("2024-03-05 14:07:09", "%Y/%m"), ("2024-03-05 14:07:09", "%H:%M"))
+      .toDF("t", "fmt").createOrReplaceTempView("fmt_t")
+    val rows = spark.sql("SELECT strftime(cast(t as timestamp), fmt) FROM fmt_t ORDER BY fmt")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("14:07", "2024/03"))
+  }
+
+  test("padding modifiers: %0X stays zero-padded, %-X strips padding") {
+    assert(one("strftime(timestamp '2024-03-05 04:07:09', '%0d/%0m %0H')") == "05/03 04")
+    assert(one("strftime(timestamp '2024-03-05 04:07:09', '%-d/%-m %-H')") == "5/3 4")
+  }
+
+  test("gcd/lcm error on BIGINT overflow instead of wrapping") {
+    assert(one("lcm(0, 5)") == 0L)
+    val e = intercept[Exception](spark.sql("SELECT lcm(4611686018427387904, 3)").collect())
+    assert(e.getMessage.contains("overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflow")))
+  }
+
   test("cosine_similarity / dot_product match the HOF fold bit-for-bit") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(-0.5f, 4.0f, 2.5f))).toDF("a", "b")
