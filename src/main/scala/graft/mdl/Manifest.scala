@@ -20,7 +20,9 @@ final case class Manifest(
     views: List[View] = Nil,
     cubes: List[Cube] = Nil,
     dataSource: Option[String] = None,
-    layoutVersion: Int = Manifest.DefaultLayoutVersion) {
+    layoutVersion: Int = Manifest.DefaultLayoutVersion,
+    metrics: List[Metric] = Nil,
+    cumulativeMetrics: List[CumulativeMetric] = Nil) {
   def model(name: String): Option[Model] =
     models.find(_.name.equalsIgnoreCase(name))
   def relationship(name: String): Option[Relationship] =
@@ -128,6 +130,42 @@ final case class Cube(
 
 final case class CubeMeasure(name: String, expression: String)
 
+/** Pre-aggregated rollup over a model or another metric — the reference's v2 MDL
+  * concept (`wren-core-legacy/wren-base/.../dto/Metric.java:31-76`): `dimension`
+  * columns group, `measure` columns aggregate (each carries its SQL expression),
+  * `timeGrain`s additionally expose per-date-part rollup views.
+  */
+final case class Metric(
+    name: String,
+    baseObject: String,
+    dimension: List[Column] = Nil,
+    measure: List[Column] = Nil,
+    timeGrain: List[TimeGrain] = Nil,
+    cached: Boolean = false) {
+  require(measure.nonEmpty, s"metric $name: at least one measure is required") // Metric.java:73
+}
+
+/** TimeGrain.java:26-47: named time rollup of `refColumn` at each of `dateParts`. */
+final case class TimeGrain(name: String, refColumn: String, dateParts: List[String])
+
+/** Cumulative aggregate over a date spine (CumulativeMetric.java:31-44 +
+  * Window.java:29-36): for each `timeUnit` period in [start, end], the measure
+  * aggregated over ALL rows up to that period.
+  */
+final case class CumulativeMetric(
+    name: String,
+    baseObject: String,
+    measure: CumulativeMeasure,
+    window: MetricWindow,
+    cached: Boolean = false)
+
+/** Measure.java:32-35: `operator` ∈ sum/count/avg/min/max applied to `refColumn`. */
+final case class CumulativeMeasure(
+    name: String, `type`: String = "double", operator: String, refColumn: String)
+
+final case class MetricWindow(
+    name: String, refColumn: String, timeUnit: String, start: String, end: String)
+
 final case class SessionProperty(
     name: String,
     required: Boolean = false,
@@ -202,7 +240,9 @@ object ManifestJson {
       case JLong(i) => i.toInt
       case JString(s) if s.forall(_.isDigit) && s.nonEmpty => s.toInt
       case _ => Manifest.DefaultLayoutVersion
-    })
+    },
+    metrics = arr(j \ "metrics").map(metric),
+    cumulativeMetrics = arr(j \ "cumulativeMetrics").map(cumulativeMetric))
 
   private def model(j: JValue): Model = Model(
     name = str(j \ "name").getOrElse(sys.error("model requires a name")),
@@ -269,6 +309,39 @@ object ManifestJson {
         fields.map { case JField(n, path) => n -> arr(path).flatMap(str) }.sortBy(_._1)
       case _ => Nil
     })
+
+  private def metric(j: JValue): Metric = Metric(
+    name = str(j \ "name").getOrElse(sys.error("metric requires a name")),
+    baseObject = str(j \ "baseObject").getOrElse(sys.error("metric requires a baseObject")),
+    dimension = arr(j \ "dimension").map(column),
+    measure = arr(j \ "measure").map(column),
+    timeGrain = arr(j \ "timeGrain").map(tg => TimeGrain(
+      name = str(tg \ "name").getOrElse(""),
+      refColumn = str(tg \ "refColumn").getOrElse(sys.error("timeGrain requires refColumn")),
+      dateParts = arr(tg \ "dateParts").flatMap(str))),
+    cached = bool(j \ "cached"))
+
+  private def cumulativeMetric(j: JValue): CumulativeMetric = CumulativeMetric(
+    name = str(j \ "name").getOrElse(sys.error("cumulativeMetric requires a name")),
+    baseObject = str(j \ "baseObject").getOrElse(sys.error("cumulativeMetric requires a baseObject")),
+    measure = {
+      val m = j \ "measure"
+      CumulativeMeasure(
+        name = str(m \ "name").getOrElse("measure"),
+        `type` = str(m \ "type").getOrElse("double"),
+        operator = str(m \ "operator").getOrElse(sys.error("measure requires an operator")).toLowerCase,
+        refColumn = str(m \ "refColumn").getOrElse(sys.error("measure requires refColumn")))
+    },
+    window = {
+      val w = j \ "window"
+      MetricWindow(
+        name = str(w \ "name").getOrElse("period"),
+        refColumn = str(w \ "refColumn").getOrElse(sys.error("window requires refColumn")),
+        timeUnit = str(w \ "timeUnit").getOrElse("MONTH"),
+        start = str(w \ "start").getOrElse(sys.error("window requires start")),
+        end = str(w \ "end").getOrElse(sys.error("window requires end")))
+    },
+    cached = bool(j \ "cached"))
 
   private def sessionProperty(j: JValue): SessionProperty = SessionProperty(
     name = str(j \ "name").getOrElse(""),

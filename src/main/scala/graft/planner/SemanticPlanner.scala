@@ -125,8 +125,91 @@ final class SemanticPlanner(
       df.createOrReplaceTempView(v.name)
       v.name -> df
     }
-    deployed = modelViews ++ viewDFs
+    // 4. v2 metrics (grouped rollups; metric-on-metric allowed) and cumulative
+    //    metrics (per-period agg + running window over the date spine).
+    val metricDFs = deployMetrics(modelViews.map(_._1).toSet ++ viewDFs.map(_._1))
+    deployed = modelViews ++ viewDFs ++ metricDFs
     deployed.map(_._1)
+  }
+
+  /** Register metric views in dependency order (a metric's baseObject may be a
+    * model, a view, or another metric — MetricSqlRender.render, MetricSqlRender.java:87-104).
+    * Metrics whose base was pruned away (manifest extraction) are skipped like any
+    * other unreferenced object. Each `timeGrain` additionally registers
+    * `<metric>_<grain>_<datepart>` rollup views (TimeGrain.java:26-47).
+    */
+  private def deployMetrics(available: Set[String]): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    var known = available.map(_.toLowerCase)
+    var pending = manifest.metrics
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      val (ready, blocked) = pending.partition(m => known.contains(m.baseObject.toLowerCase))
+      progressed = ready.nonEmpty
+      ready.foreach { m =>
+        val base = spark.table(m.baseObject)
+        def colExpr(c: graft.mdl.Column) =
+          expr(normalizeQuotes(c.expression.getOrElse(c.name))).alias(c.name)
+        val dims = m.dimension.map(colExpr)
+        val measures = m.measure.map(colExpr)
+        val df0 =
+          if (dims.isEmpty) base.agg(measures.head, measures.tail: _*)
+          else base.groupBy(dims: _*).agg(measures.head, measures.tail: _*)
+        val df = if (m.cached) df0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df0
+        df.createOrReplaceTempView(m.name)
+        out += m.name -> df
+        known += m.name.toLowerCase
+        for (tg <- m.timeGrain; part <- tg.dateParts) {
+          val grainCol = date_trunc(part, col(tg.refColumn)).alias(tg.name)
+          val gdf = base.groupBy(dims :+ grainCol: _*).agg(measures.head, measures.tail: _*)
+          val gname = s"${m.name}_${tg.name}_${part.toLowerCase}"
+          gdf.createOrReplaceTempView(gname)
+          out += gname -> gdf
+        }
+      }
+      pending = blocked
+    }
+    manifest.cumulativeMetrics.foreach { cm =>
+      if (known.contains(cm.baseObject.toLowerCase)) {
+        val base = spark.table(cm.baseObject)
+        val w = cm.window
+        val unit = w.timeUnit.toLowerCase
+        val ref = col(w.refColumn).cast("timestamp")
+        val cumWindow = Window.orderBy(col(w.name))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mcol = col(cm.measure.refColumn)
+        // Per-period partials compose into the running value: sums/counts add,
+        // min/max fold, avg = running sum / running count (an avg of avgs would be
+        // wrong whenever periods differ in size).
+        val (perAggs, cumCol) = cm.measure.operator match {
+          case "sum" => (Seq(sum(mcol).alias("__a")), sum(col("__a")).over(cumWindow))
+          case "count" => (Seq(count(mcol).alias("__a")), sum(col("__a")).over(cumWindow))
+          case "min" => (Seq(min(mcol).alias("__a")), min(col("__a")).over(cumWindow))
+          case "max" => (Seq(max(mcol).alias("__a")), max(col("__a")).over(cumWindow))
+          case "avg" => (Seq(sum(mcol).alias("__a"), count(mcol).alias("__c")),
+            sum(col("__a")).over(cumWindow) / sum(col("__c")).over(cumWindow))
+          case other => throw new GraftException(s"cumulative metric ${cm.name}: unknown operator $other")
+        }
+        // One shuffle: aggregate per period first; the running total then runs over
+        // the SPINE-sized frame (|periods| rows, single-partition window by design —
+        // a 10-year monthly spine is 120 rows regardless of fact-table size).
+        val perPeriod = base
+          .filter(ref >= lit(w.start).cast("timestamp") && ref <= lit(w.end).cast("timestamp"))
+          .groupBy(date_trunc(unit, ref).alias(w.name))
+          .agg(perAggs.head, perAggs.tail: _*)
+        val spine = spark.sql(
+          s"SELECT explode(sequence(date_trunc('$unit', timestamp '${w.start}'), " +
+            s"date_trunc('$unit', timestamp '${w.end}'), interval 1 $unit)) AS `${w.name}`")
+        val df = spine.join(perPeriod, Seq(w.name), "left")
+          .withColumn(cm.measure.name, cumCol)
+          .drop("__a", "__c")
+        df.createOrReplaceTempView(cm.name)
+        out += cm.name -> df
+      }
+    }
+    out.toSeq
   }
 
   /** Re-register the already-built views (plans are immutable DataFrames, so this is

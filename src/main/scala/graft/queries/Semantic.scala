@@ -60,6 +60,8 @@ object Semantic {
         columns = List(
           pcol("o_orderkey", "bigint"), pcol("o_custkey", "bigint"),
           pcol("o_orderstatus", "varchar"), pcol("o_totalprice", "double"),
+          // exact-decimal mirror so metric aggregations stay engine-deterministic
+          ecol("o_price_dec", "decimal(18,2)", "cast(o_totalprice as decimal(18,2))"),
           ecol("o_orderdate", "date", "cast(o_orderdate as date)"),
           pcol("o_orderpriority", "varchar"),
           // expression-backed column (ModelSourceNode, plan.rs:891-1035)
@@ -103,7 +105,25 @@ object Semantic {
         measures = List(
           CubeMeasure("n", "count(*)"),
           CubeMeasure("total", "sum(cast(o_totalprice as decimal(18,2)))")),
-        dimensions = List("cust_segment", "o_orderstatus"))))
+        dimensions = List("cust_segment", "o_orderstatus"))),
+    // v2 metrics (Metric.java:31-76): a grouped rollup with a monthly time grain,
+    // a metric-on-metric (MetricSqlRender.java:97), and a cumulative metric over a
+    // monthly date spine (CumulativeMetric.java + DateSpine)
+    metrics = List(
+      Metric("status_revenue", baseObject = "m_orders",
+        dimension = List(pcol("o_orderstatus", "varchar")),
+        measure = List(
+          Column("n_orders", "bigint", expression = Some("count(*)")),
+          Column("revenue", "double",
+            expression = Some("cast(sum(o_price_dec) as double)"))),
+        timeGrain = List(TimeGrain("odate", "o_orderdate", List("month")))),
+      Metric("total_revenue", baseObject = "status_revenue",
+        measure = List(Column("total", "double",
+          expression = Some("cast(sum(cast(revenue as decimal(18,2))) as double)"))))),
+    cumulativeMetrics = List(
+      CumulativeMetric("cum_monthly_revenue", baseObject = "m_orders",
+        measure = CumulativeMeasure("cum_revenue", "decimal(18,2)", "sum", "o_price_dec"),
+        window = MetricWindow("mon", "o_orderdate", "month", "1995-01-01", "1996-12-01"))))
 
   private def deployAndRun(sql: String, props: Map[String, String] = Map.empty)(
       s: SparkSession, dir: String): DataFrame =
@@ -344,6 +364,47 @@ object Semantic {
     },
       Some("""SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,2)) as double) AS price
              |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin))),
+
+    // v2 metric + metric-on-metric: the deployed metric view vs a direct rollup,
+    // with the second-level metric folded in as a scalar
+    "m17_metric" -> ((deployAndRun(
+      """SELECT o_orderstatus AS st, n_orders, revenue,
+        |  (SELECT total FROM total_revenue) AS grand_total
+        |FROM status_revenue ORDER BY st""".stripMargin)(_, _),
+      Some("""WITH sr AS (
+             |  SELECT o_orderstatus AS st, count(*) AS n_orders,
+             |    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+             |  FROM orders GROUP BY 1)
+             |SELECT st, n_orders, revenue,
+             |  (SELECT cast(sum(cast(revenue as decimal(18,2))) as double) FROM sr) AS grand_total
+             |FROM sr ORDER BY st""".stripMargin))),
+
+    // time-grain rollup view generated from the metric's timeGrain declaration
+    "m18_metric_grain" -> ((deployAndRun(
+      """SELECT cast(odate as timestamp_ntz) AS mon, o_orderstatus AS st, n_orders, revenue
+        |FROM status_revenue_odate_month ORDER BY mon, st""".stripMargin)(_, _),
+      Some("""SELECT date_trunc('month', cast(o_orderdate as timestamp)) AS mon,
+             |  o_orderstatus AS st, count(*) AS n_orders,
+             |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+             |FROM orders GROUP BY 1, 2 ORDER BY mon, st""".stripMargin))),
+
+    // cumulative metric over the monthly date spine (empty months carry the total)
+    "m19_cumulative" -> ((deployAndRun(
+      """SELECT cast(mon as timestamp_ntz) AS mon, cast(cum_revenue as double) AS cum_rev
+        |FROM cum_monthly_revenue ORDER BY mon""".stripMargin)(_, _),
+      Some("""WITH spine AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+             |                                TIMESTAMP '1996-12-01', INTERVAL 1 month)) AS mon),
+             |agg AS (
+             |  SELECT date_trunc('month', cast(o_orderdate as timestamp)) AS mon,
+             |    sum(cast(o_totalprice as decimal(18,2))) AS s
+             |  FROM orders
+             |  WHERE cast(o_orderdate as timestamp) >= TIMESTAMP '1995-01-01'
+             |    AND cast(o_orderdate as timestamp) <= TIMESTAMP '1996-12-01'
+             |  GROUP BY 1)
+             |SELECT spine.mon AS mon,
+             |  cast(sum(agg.s) OVER (ORDER BY spine.mon) as double) AS cum_rev
+             |FROM spine LEFT JOIN agg USING (mon) ORDER BY mon""".stripMargin))),
 
     // Aggregation over a semantic model (the reference's flagship test_access_model shape)
     "m10_model_agg" -> ((deployAndRun(
