@@ -195,7 +195,7 @@ final class GraftSession(
     val hit = planCache.get(key)
     if (hit != null) return org.apache.spark.sql.graft.Bridge.ofRows(spark, hit)
     val df =
-      try withSessionTimezone(spark.sql(planner.stripNamespace(sql)))
+      try withSessionTimezone(planner.runSql(sql))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition != null && e.getCondition.startsWith("UNRESOLVED_COLUMN") =>

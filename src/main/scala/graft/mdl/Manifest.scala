@@ -22,11 +22,15 @@ final case class Manifest(
     dataSource: Option[String] = None,
     layoutVersion: Int = Manifest.DefaultLayoutVersion,
     metrics: List[Metric] = Nil,
-    cumulativeMetrics: List[CumulativeMetric] = Nil) {
+    cumulativeMetrics: List[CumulativeMetric] = Nil,
+    macros: List[Macro] = Nil,
+    enums: List[EnumDefinition] = Nil) {
   def model(name: String): Option[Model] =
     models.find(_.name.equalsIgnoreCase(name))
   def relationship(name: String): Option[Relationship] =
     relationships.find(_.name.equalsIgnoreCase(name))
+  def enumDef(name: String): Option[EnumDefinition] =
+    enums.find(_.name.equalsIgnoreCase(name))
 
   /** Reject manifests from a newer layout generation (manifest.rs:96-109). */
   def validateLayoutVersion(): Unit =
@@ -166,6 +170,40 @@ final case class CumulativeMeasure(
 final case class MetricWindow(
     name: String, refColumn: String, timeUnit: String, start: String, end: String)
 
+/** v2 SQL macro (`Macro.java:42-56`): `definition` is `(p: type, ...) => body`,
+  * deployed as a Spark SQL temp function (Catalyst-inlined — exactly the reference's
+  * expand-at-rewrite semantics, MacroSqlRewrite).
+  */
+final case class Macro(name: String, definition: String) {
+  private val split = definition.split("=>", 2)
+  require(split.length == 2, s"macro $name: definition must be '(params) => body'")
+  /** (paramName, mdlType) pairs. */
+  val parameters: List[(String, String)] = {
+    val ps = split(0).trim.stripPrefix("(").stripSuffix(")").trim
+    if (ps.isEmpty) Nil
+    else ps.split(",").toList.map { p =>
+      p.split(":", 2) match {
+        case Array(n, t) => (n.trim, t.trim)
+        case Array(n) => (n.trim, "varchar") // untyped params default like loose MDL
+      }
+    }
+  }
+  val body: String = split(1).trim
+}
+
+/** v2 enum (`EnumDefinition.java:35-36`): `Enum.Value` dereferences in query SQL
+  * rewrite to the value's string literal (EnumRewrite.java:73-91).
+  */
+final case class EnumDefinition(name: String, values: List[EnumValue]) {
+  def valueOf(v: String): Option[String] =
+    values.collectFirst { case ev if ev.name.equalsIgnoreCase(v) => ev.effective }
+}
+
+/** `value` defaults to the name itself when omitted (EnumValue.java:38-39). */
+final case class EnumValue(name: String, value: Option[String] = None) {
+  def effective: String = value.getOrElse(name)
+}
+
 final case class SessionProperty(
     name: String,
     required: Boolean = false,
@@ -242,7 +280,15 @@ object ManifestJson {
       case _ => Manifest.DefaultLayoutVersion
     },
     metrics = arr(j \ "metrics").map(metric),
-    cumulativeMetrics = arr(j \ "cumulativeMetrics").map(cumulativeMetric))
+    cumulativeMetrics = arr(j \ "cumulativeMetrics").map(cumulativeMetric),
+    macros = arr(j \ "macros").map(mj => Macro(
+      name = str(mj \ "name").getOrElse(sys.error("macro requires a name")),
+      definition = str(mj \ "definition").getOrElse(sys.error("macro requires a definition")))),
+    enums = arr(j \ "enumDefinitions").map(ej => EnumDefinition(
+      name = str(ej \ "name").getOrElse(sys.error("enum requires a name")),
+      values = arr(ej \ "values").map(vj => EnumValue(
+        name = str(vj \ "name").getOrElse(sys.error("enum value requires a name")),
+        value = str(vj \ "value").filter(_.nonEmpty))))))
 
   private def model(j: JValue): Model = Model(
     name = str(j \ "name").getOrElse(sys.error("model requires a name")),

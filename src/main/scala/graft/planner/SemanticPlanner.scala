@@ -119,9 +119,19 @@ final class SemanticPlanner(
       df.createOrReplaceTempView(m.name)
       m.name -> df
     }
+    // 2.5 v2 macros deploy as SQL temp functions — Catalyst inlines the body into
+    //     every caller, which IS the reference's expand-at-rewrite semantics
+    //     (Macro.java:42-56); param types map through TypeMapper.
+    manifest.macros.foreach { m =>
+      val params = m.parameters
+        .map { case (n, t) => s"`$n` ${graft.mdl.TypeMapper.toSpark(t).sql}" }
+        .mkString(", ")
+      spark.sql(
+        s"CREATE OR REPLACE TEMPORARY FUNCTION `${m.name}`($params) RETURN ${normalizeQuotes(m.body)}")
+    }
     // 3. MDL views are plain SQL over models (ViewTable, context.rs:320-327).
     val viewDFs = manifest.views.map { v =>
-      val df = spark.sql(stripNamespace(v.statement))
+      val df = runSql(v.statement)
       df.createOrReplaceTempView(v.name)
       v.name -> df
     }
@@ -251,6 +261,30 @@ final class SemanticPlanner(
     }
     sb ++= qual.replaceAllIn(sql.substring(last), "")
     sb.result()
+  }
+
+  /** Execute SQL with the namespace stripped and v2 enum dereferences rewritten:
+    * a two-part reference whose head names a declared enum becomes the value's
+    * string literal (EnumRewrite.java:73-91 — the enum shadows a same-named table
+    * alias there too; a missing value is an error, not a fall-through).
+    */
+  def runSql(sql: String): DataFrame = {
+    val stripped = stripNamespace(sql)
+    if (manifest.enums.isEmpty) spark.sql(stripped)
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val plan = spark.sessionState.sqlParser.parsePlan(stripped)
+      val rewritten = plan.transformAllExpressions {
+        case ua: UnresolvedAttribute if ua.nameParts.size == 2 &&
+            manifest.enumDef(ua.nameParts.head).isDefined =>
+          val e = manifest.enumDef(ua.nameParts.head).get
+          e.valueOf(ua.nameParts(1)).map(v => Literal(v)).getOrElse(
+            throw new GraftException(
+              s"Enum value '${ua.nameParts(1)}' not found in enum '${e.name}'"))
+      }
+      org.apache.spark.sql.graft.Bridge.ofRows(spark, rewritten)
+    }
   }
 
   // ---------------------------------------------------------------- base scan

@@ -123,7 +123,13 @@ object Semantic {
     cumulativeMetrics = List(
       CumulativeMetric("cum_monthly_revenue", baseObject = "m_orders",
         measure = CumulativeMeasure("cum_revenue", "decimal(18,2)", "sum", "o_price_dec"),
-        window = MetricWindow("mon", "o_orderdate", "month", "1995-01-01", "1996-12-01"))))
+        window = MetricWindow("mon", "o_orderdate", "month", "1995-01-01", "1996-12-01"))),
+    // v2 macro (SQL temp function at deploy) + enum (Enum.Value literal rewrite)
+    macros = List(Macro("discounted",
+      "(price: double, pct: double) => cast(cast(price as decimal(18,2)) * cast(1 - pct as decimal(4,2)) as double)")),
+    enums = List(EnumDefinition("OrderStatus", List(
+      EnumValue("Open", Some("O")), EnumValue("Filled", Some("F")),
+      EnumValue("Partial", Some("P"))))))
 
   private def deployAndRun(sql: String, props: Map[String, String] = Map.empty)(
       s: SparkSession, dir: String): DataFrame =
@@ -405,6 +411,18 @@ object Semantic {
              |SELECT spine.mon AS mon,
              |  cast(sum(agg.s) OVER (ORDER BY spine.mon) as double) AS cum_rev
              |FROM spine LEFT JOIN agg USING (mon) ORDER BY mon""".stripMargin))),
+
+    // v2 macro expansion + Enum.Value rewrite in one query
+    "m20_macro_enum" -> ((deployAndRun(
+      """SELECT o_orderkey, discounted(o_totalprice, cast(0.10 as double)) AS disc
+        |FROM m_orders
+        |WHERE o_orderstatus = OrderStatus.Filled AND o_orderkey <= 600
+        |ORDER BY o_orderkey""".stripMargin)(_, _),
+      Some("""SELECT o_orderkey,
+             |  cast(cast(o_totalprice as decimal(18,2)) * cast(1 - 0.10 as decimal(4,2)) as double) AS disc
+             |FROM orders
+             |WHERE o_orderstatus = 'F' AND o_orderkey <= 600
+             |ORDER BY o_orderkey""".stripMargin))),
 
     // Aggregation over a semantic model (the reference's flagship test_access_model shape)
     "m10_model_agg" -> ((deployAndRun(
