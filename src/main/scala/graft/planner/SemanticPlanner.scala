@@ -275,7 +275,9 @@ final class SemanticPlanner(
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.expressions.Literal
       val plan = spark.sessionState.sqlParser.parsePlan(stripped)
-      val rewritten = plan.transformAllExpressions {
+      // WithSubqueries: enum dereferences inside IN/EXISTS/scalar subqueries must
+      // rewrite too (plain transformAllExpressions stops at the subquery boundary)
+      val rewritten = plan.transformAllExpressionsWithSubqueries {
         case ua: UnresolvedAttribute if ua.nameParts.size == 2 &&
             manifest.enumDef(ua.nameParts.head).isDefined =>
           val e = manifest.enumDef(ua.nameParts.head).get

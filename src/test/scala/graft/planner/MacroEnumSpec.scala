@@ -47,6 +47,16 @@ class MacroEnumSpec extends AnyFunSuite {
     assert(pending == "Pending")
   }
 
+  test("enum rewrite reaches inside subqueries") {
+    val n = session.query(
+      """SELECT count(*) FROM eo
+        |WHERE o_orderkey IN (SELECT o_orderkey FROM eo WHERE o_orderstatus = Status.Open)
+        |""".stripMargin).head.getLong(0)
+    val direct = session.query(
+      "SELECT count(*) FROM eo WHERE o_orderstatus = 'O'").head.getLong(0)
+    assert(n == direct && n > 0)
+  }
+
   test("missing enum values fail loud; unrelated two-part names still resolve") {
     val e = intercept[Exception](session.query("SELECT Status.Nope FROM eo"))
     assert(e.getMessage.contains("not found in enum"))
