@@ -24,7 +24,8 @@ final case class Manifest(
     metrics: List[Metric] = Nil,
     cumulativeMetrics: List[CumulativeMetric] = Nil,
     macros: List[Macro] = Nil,
-    enums: List[EnumDefinition] = Nil) {
+    enums: List[EnumDefinition] = Nil,
+    dateSpine: DateSpine = DateSpine()) {
   def model(name: String): Option[Model] =
     models.find(_.name.equalsIgnoreCase(name))
   def relationship(name: String): Option[Relationship] =
@@ -204,6 +205,14 @@ final case class EnumValue(name: String, value: Option[String] = None) {
   def effective: String = value.getOrElse(name)
 }
 
+/** v2 date spine bounds (DateSpine.java:28-32). Cumulative metrics here generate
+  * their period spine directly (a `sequence()` at the window's grain) instead of
+  * joining a materialized spine table — same results, no auxiliary table — so the
+  * spine config is carried for manifest fidelity and as clamping bounds.
+  */
+final case class DateSpine(
+    unit: String = "DAY", start: String = "1970-01-01", end: String = "2077-12-31")
+
 final case class SessionProperty(
     name: String,
     required: Boolean = false,
@@ -288,7 +297,14 @@ object ManifestJson {
       name = str(ej \ "name").getOrElse(sys.error("enum requires a name")),
       values = arr(ej \ "values").map(vj => EnumValue(
         name = str(vj \ "name").getOrElse(sys.error("enum value requires a name")),
-        value = str(vj \ "value").filter(_.nonEmpty))))))
+        value = str(vj \ "value").filter(_.nonEmpty))))),
+    dateSpine = (j \ "dateSpine") match {
+      case o: JObject => DateSpine(
+        unit = str(o \ "unit").getOrElse("DAY").toUpperCase,
+        start = str(o \ "start").getOrElse("1970-01-01"),
+        end = str(o \ "end").getOrElse("2077-12-31"))
+      case _ => DateSpine()
+    })
 
   private def model(j: JValue): Model = Model(
     name = str(j \ "name").getOrElse(sys.error("model requires a name")),

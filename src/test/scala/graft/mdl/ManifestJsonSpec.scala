@@ -101,6 +101,30 @@ class ManifestJsonSpec extends AnyFunSuite {
     assert(m.views.head.dialect.contains("postgres"))
   }
 
+  test("v2 concepts parse: metrics, cumulative metrics, macros, enums, dateSpine") {
+    val m = ManifestJson.parse(
+      """{"catalog":"c","schema":"s",
+        |"metrics":[{"name":"mt","baseObject":"mo",
+        |  "dimension":[{"name":"d","type":"varchar"}],
+        |  "measure":[{"name":"n","type":"bigint","expression":"count(*)"}],
+        |  "timeGrain":[{"name":"g","refColumn":"dt","dateParts":["MONTH","YEAR"]}]}],
+        |"cumulativeMetrics":[{"name":"cm","baseObject":"mo",
+        |  "measure":{"name":"x","operator":"SUM","refColumn":"v"},
+        |  "window":{"name":"w","refColumn":"dt","timeUnit":"month",
+        |            "start":"1995-01-01","end":"1995-12-01"}}],
+        |"macros":[{"name":"f","definition":"(x: int) => x + 1"}],
+        |"enumDefinitions":[{"name":"E","values":[{"name":"A","value":"a"},{"name":"B"}]}],
+        |"dateSpine":{"unit":"month","start":"1990-01-01","end":"2020-01-01"}}""".stripMargin)
+    assert(m.metrics.head.timeGrain.head.dateParts == List("MONTH", "YEAR"))
+    assert(m.cumulativeMetrics.head.measure.operator == "sum")
+    assert(m.macros.head.parameters == List(("x", "int")) && m.macros.head.body == "x + 1")
+    assert(m.enumDef("e").flatMap(_.valueOf("b")).contains("B")) // value defaults to name
+    assert(m.dateSpine == DateSpine("MONTH", "1990-01-01", "2020-01-01"))
+    intercept[IllegalArgumentException](Macro("bad", "no arrow here"))
+    intercept[RuntimeException](ManifestJson.parse(
+      """{"catalog":"c","schema":"s","metrics":[{"name":"m","baseObject":"b"}]}"""))
+  }
+
   test("cube hierarchies parse sorted and validate drill paths (lib.rs:356-369)") {
     val m = ManifestJson.parse(
       """{"catalog":"c","schema":"s",
