@@ -215,9 +215,13 @@ final class GraftSession(
           else throw e
       }
     val limited = limit.map(df.limit).getOrElse(df)
+    // A6 partial-model pruning: drop engine-generated to-one join sides the query
+    // never references (see PartialModelPruner) — then cache the pruned plan.
+    val pruned = graft.planner.PartialModelPruner.prune(limited.queryExecution.analyzed)
+    val out = org.apache.spark.sql.graft.Bridge.ofRows(spark, pruned)
     if (planCache.size >= 256) planCache.clear() // crude bound, same policy as deployOnDir
-    planCache.put(key, limited.queryExecution.analyzed)
-    limited
+    planCache.put(key, pruned)
+    out
   }
 
   /** The planned form of the SQL — the `/dry-plan` analogue. The reference returns

@@ -414,7 +414,11 @@ final class SemanticPlanner(
       c -> rewritten
     }
     joins.values.foreach { st =>
-      df = df.join(joinSideDF(st).alias(st.alias), st.condition, "left_outer")
+      // inner Marker alias tags the side as engine-generated + key-unique, so
+      // PartialModelPruner may drop it when a query references none of its columns
+      df = df.join(
+        joinSideDF(st).alias(PartialModelPruner.Marker).alias(st.alias),
+        st.condition, "left_outer")
     }
 
     // --- to-many calculated fields: pre-aggregate + join back on pk ---
@@ -449,7 +453,8 @@ final class SemanticPlanner(
         case Some((baseSide, _)) => baseSide === col(pkCol)
         case None => col(s"$baseAlias.$pk") === col(pkCol)
       }
-      df = df.join(aggDF, joinKey, "left_outer").drop(pkCol)
+      // groupBy(pk) makes the aggregated side unique on the join key → prunable
+      df = df.join(aggDF.alias(PartialModelPruner.Marker), joinKey, "left_outer").drop(pkCol)
     }
 
     // --- final projection: visible columns passing CLAC ---

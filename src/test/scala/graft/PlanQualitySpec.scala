@@ -62,6 +62,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(lineitemScans <= 2, s"expected a single lineitem scan path\n${plan.take(2000)}")
   }
 
+  test("partial-model pruning: physical-only queries drop the calc-field join chains") {
+    // m18 groups the orders model by physical/expression columns only — the
+    // customer→nation→region joins that back the calc columns must be pruned away
+    val plan = executedPlan("m18_metric_grain")
+    assert(!plan.contains("customer.parquet") && !plan.contains("nation.parquet"),
+      plan.take(2500))
+    // a query that DOES use a calc column keeps exactly its chain: cust_segment
+    // needs customer, but the pruning recurses into the join side and drops
+    // customer's own unused nation→region chain too
+    val used = executedPlan("m2_calc_to_one")
+    assert(used.contains("customer.parquet") && !used.contains("nation.parquet"),
+      used.take(2000))
+    // the nested calc (orders → customer → nation) keeps the chain it references
+    val nested = executedPlan("m12_nested_calc")
+    assert(nested.contains("customer.parquet") && nested.contains("nation.parquet"),
+      nested.take(2000))
+  }
+
   test("s1_ann_brute: the query side broadcasts so the corpus streams map-side") {
     val plan = executedPlan("s1_ann_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
