@@ -252,7 +252,9 @@ final class GraftSession(
     */
   def querySubstituted(sql: String): DataFrame = {
     ensureViews()
-    Substitution.substituteDF(spark, manifest, planner.stripNamespace(sql))
+    // same enum semantics as query(): Enum.Value rewrites before substitution
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, planner.rewriteEnums(
+      Substitution.substitute(spark, manifest, planner.stripNamespace(sql))))
   }
 
   /** Collision-resistant deployment identity: SHA-256 over the full structural

@@ -178,14 +178,28 @@ final case class MetricWindow(
 final case class Macro(name: String, definition: String) {
   private val split = definition.split("=>", 2)
   require(split.length == 2, s"macro $name: definition must be '(params) => body'")
-  /** (paramName, mdlType) pairs. */
+  /** (paramName, mdlType) pairs — split on TOP-LEVEL commas only, so parameterized
+    * types (`decimal(18,2)`, `map<string,int>`, `struct<...>`) survive intact.
+    */
   val parameters: List[(String, String)] = {
     val ps = split(0).trim.stripPrefix("(").stripSuffix(")").trim
     if (ps.isEmpty) Nil
-    else ps.split(",").toList.map { p =>
-      p.split(":", 2) match {
-        case Array(n, t) => (n.trim, t.trim)
-        case Array(n) => (n.trim, "varchar") // untyped params default like loose MDL
+    else {
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      ps.foreach {
+        case c @ ('(' | '<') => depth += 1; cur += c
+        case c @ (')' | '>') => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      parts += cur.toString
+      parts.toList.map { p =>
+        p.split(":", 2) match {
+          case Array(n, t) => (n.trim, t.trim)
+          case Array(n) => (n.trim, "varchar") // untyped params default like loose MDL
+        }
       }
     }
   }

@@ -42,9 +42,15 @@ object PartialModelPruner {
     // Prune project lists so a model view's blanket projection doesn't keep dead
     // join outputs alive; the top-level call passes plan.outputSet, so the result
     // schema can never change.
-    case p @ Project(list, child) =>
+    case Project(list, child) =>
       val kept = list.filter(ne => required.contains(ne.toAttribute))
-      val keptList = if (kept.isEmpty) list.take(1) else kept
+      // nothing required at all (e.g. under count(*)): a literal keeps the node
+      // valid without pinning an arbitrary first column (which could be a calc
+      // field whose join chain this pass exists to drop)
+      val keptList =
+        if (kept.nonEmpty) kept
+        else Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+          org.apache.spark.sql.catalyst.expressions.Literal(1), "__graft_one")())
       val childReq = AttributeSet(keptList.flatMap(_.references))
       Project(keptList, go(child, childReq))
 
@@ -53,8 +59,15 @@ object PartialModelPruner {
       val rr = j.references ++ required.intersect(right.outputSet)
       j.copy(left = go(left, lr), right = go(right, rr))
 
-    // Filter/Sort/Limit/Distinct/Window/Aggregate/SubqueryAlias/...: the child must
-    // supply this node's own references plus whatever of its outputs flow upward.
+    // DISTINCT semantics depend on EVERY child column, referenced upstream or not —
+    // pruning beneath would change the distinct key set.
+    case d: Distinct =>
+      d.withNewChildren(Seq(go(d.child, d.child.outputSet)))
+    case d: Deduplicate =>
+      d.withNewChildren(Seq(go(d.child, d.child.outputSet)))
+
+    // Filter/Sort/Limit/Window/Aggregate/SubqueryAlias/...: the child must supply
+    // this node's own references plus whatever of its outputs flow upward.
     case u: UnaryNode =>
       u.withNewChildren(Seq(go(u.child, u.references ++ required.intersect(u.child.outputSet))))
 

@@ -96,6 +96,7 @@ final class SemanticPlanner(
     * re-registration when a cached deployment's temp views may have been shadowed.
     */
   private var deployed: Seq[(String, DataFrame)] = Nil
+  private var macroSql: Seq[String] = Nil
 
   /** Build and register every model and view. Returns registered view names. */
   def deploy(): Seq[String] = {
@@ -121,14 +122,16 @@ final class SemanticPlanner(
     }
     // 2.5 v2 macros deploy as SQL temp functions — Catalyst inlines the body into
     //     every caller, which IS the reference's expand-at-rewrite semantics
-    //     (Macro.java:42-56); param types map through TypeMapper.
-    manifest.macros.foreach { m =>
+    //     (Macro.java:42-56); param types map through TypeMapper. Definitions are
+    //     kept so reregister() can restore them after another deployment on the
+    //     same SparkSession replaced same-named functions.
+    macroSql = manifest.macros.map { m =>
       val params = m.parameters
         .map { case (n, t) => s"`$n` ${graft.mdl.TypeMapper.toSpark(t).sql}" }
         .mkString(", ")
-      spark.sql(
-        s"CREATE OR REPLACE TEMPORARY FUNCTION `${m.name}`($params) RETURN ${normalizeQuotes(m.body)}")
+      s"CREATE OR REPLACE TEMPORARY FUNCTION `${m.name}`($params) RETURN ${normalizeQuotes(m.body)}"
     }
+    macroSql.foreach(spark.sql(_))
     // 3. MDL views are plain SQL over models (ViewTable, context.rs:320-327).
     val viewDFs = manifest.views.map { v =>
       val df = runSql(v.statement)
@@ -149,40 +152,57 @@ final class SemanticPlanner(
     * `<metric>_<grain>_<datepart>` rollup views (TimeGrain.java:26-47).
     */
   private def deployMetrics(available: Set[String]): Seq[(String, DataFrame)] = {
-    import org.apache.spark.sql.expressions.Window
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     var known = available.map(_.toLowerCase)
-    var pending = manifest.metrics
+    // one fixpoint over BOTH kinds so metrics may layer on cumulative metrics and
+    // vice versa; whatever stays blocked had its base pruned (or is cyclic) and is
+    // skipped like any other unreferenced object
+    var pending: List[Either[Metric, CumulativeMetric]] =
+      manifest.metrics.map(Left(_)) ++ manifest.cumulativeMetrics.map(Right(_))
     var progressed = true
     while (pending.nonEmpty && progressed) {
-      val (ready, blocked) = pending.partition(m => known.contains(m.baseObject.toLowerCase))
+      val (ready, blocked) = pending.partition {
+        case Left(m) => known.contains(m.baseObject.toLowerCase)
+        case Right(cm) => known.contains(cm.baseObject.toLowerCase)
+      }
       progressed = ready.nonEmpty
-      ready.foreach { m =>
-        val base = spark.table(m.baseObject)
-        def colExpr(c: graft.mdl.Column) =
-          expr(normalizeQuotes(c.expression.getOrElse(c.name))).alias(c.name)
-        val dims = m.dimension.map(colExpr)
-        val measures = m.measure.map(colExpr)
-        val df0 =
-          if (dims.isEmpty) base.agg(measures.head, measures.tail: _*)
-          else base.groupBy(dims: _*).agg(measures.head, measures.tail: _*)
-        val df = if (m.cached) df0.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df0
-        df.createOrReplaceTempView(m.name)
-        out += m.name -> df
-        known += m.name.toLowerCase
-        for (tg <- m.timeGrain; part <- tg.dateParts) {
-          val grainCol = date_trunc(part, col(tg.refColumn)).alias(tg.name)
-          val gdf = base.groupBy(dims :+ grainCol: _*).agg(measures.head, measures.tail: _*)
-          val gname = s"${m.name}_${tg.name}_${part.toLowerCase}"
-          gdf.createOrReplaceTempView(gname)
-          out += gname -> gdf
-        }
+      ready.foreach {
+        case Left(m) =>
+          val base = spark.table(m.baseObject)
+          def colExpr(c: graft.mdl.Column) =
+            expr(normalizeQuotes(c.expression.getOrElse(c.name))).alias(c.name)
+          val dims = m.dimension.map(colExpr)
+          val measures = m.measure.map(colExpr)
+          val df0 =
+            if (dims.isEmpty) base.agg(measures.head, measures.tail: _*)
+            else base.groupBy(dims: _*).agg(measures.head, measures.tail: _*)
+          val df = if (m.cached) df0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df0
+          df.createOrReplaceTempView(m.name)
+          out += m.name -> df
+          known += m.name.toLowerCase
+          for (tg <- m.timeGrain; part <- tg.dateParts) {
+            val grainCol = date_trunc(part, col(tg.refColumn)).alias(tg.name)
+            val gdf = base.groupBy(dims :+ grainCol: _*).agg(measures.head, measures.tail: _*)
+            val gname = s"${m.name}_${tg.name}_${part.toLowerCase}"
+            gdf.createOrReplaceTempView(gname)
+            out += gname -> gdf
+            known += gname.toLowerCase
+          }
+        case Right(cm) =>
+          val df = cumulativeMetricDF(cm)
+          df.createOrReplaceTempView(cm.name)
+          out += cm.name -> df
+          known += cm.name.toLowerCase
       }
       pending = blocked
     }
-    manifest.cumulativeMetrics.foreach { cm =>
-      if (known.contains(cm.baseObject.toLowerCase)) {
+    out.toSeq
+  }
+
+  private def cumulativeMetricDF(cm: CumulativeMetric): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    {
         val base = spark.table(cm.baseObject)
         val w = cm.window
         val unit = w.timeUnit.toLowerCase
@@ -205,29 +225,29 @@ final class SemanticPlanner(
         // One shuffle: aggregate per period first; the running total then runs over
         // the SPINE-sized frame (|periods| rows, single-partition window by design —
         // a 10-year monthly spine is 120 rows regardless of fact-table size).
+        // quarter truncates fine but is not a Spark interval unit — stride 3 months
+        val stride = if (unit == "quarter") "3 month" else s"1 $unit"
         val perPeriod = base
           .filter(ref >= lit(w.start).cast("timestamp") && ref <= lit(w.end).cast("timestamp"))
           .groupBy(date_trunc(unit, ref).alias(w.name))
           .agg(perAggs.head, perAggs.tail: _*)
         val spine = spark.sql(
           s"SELECT explode(sequence(date_trunc('$unit', timestamp '${w.start}'), " +
-            s"date_trunc('$unit', timestamp '${w.end}'), interval 1 $unit)) AS `${w.name}`")
-        val df = spine.join(perPeriod, Seq(w.name), "left")
+            s"date_trunc('$unit', timestamp '${w.end}'), interval $stride)) AS `${w.name}`")
+        spine.join(perPeriod, Seq(w.name), "left")
           .withColumn(cm.measure.name, cumCol)
           .drop("__a", "__c")
-        df.createOrReplaceTempView(cm.name)
-        out += cm.name -> df
-      }
     }
-    out.toSeq
   }
 
   /** Re-register the already-built views (plans are immutable DataFrames, so this is
     * milliseconds) — used when a cached deployment's temp-view names may have been
     * overwritten by other work on the session.
     */
-  def reregister(): Unit =
+  def reregister(): Unit = {
     deployed.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    macroSql.foreach(spark.sql(_)) // temp functions are session-global: restore ours
+  }
 
   /** A planner over the same manifest/resolver with different session properties:
     * resolved base scans are SHARED (sources are property-independent), so a deploy
@@ -271,23 +291,25 @@ final class SemanticPlanner(
   def runSql(sql: String): DataFrame = {
     val stripped = stripNamespace(sql)
     if (manifest.enums.isEmpty) spark.sql(stripped)
-    else {
-      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      val plan = spark.sessionState.sqlParser.parsePlan(stripped)
-      // WithSubqueries: enum dereferences inside IN/EXISTS/scalar subqueries must
-      // rewrite too (plain transformAllExpressions stops at the subquery boundary)
-      val rewritten = plan.transformAllExpressionsWithSubqueries {
-        case ua: UnresolvedAttribute if ua.nameParts.size == 2 &&
-            manifest.enumDef(ua.nameParts.head).isDefined =>
-          val e = manifest.enumDef(ua.nameParts.head).get
-          e.valueOf(ua.nameParts(1)).map(v => Literal(v)).getOrElse(
-            throw new GraftException(
-              s"Enum value '${ua.nameParts(1)}' not found in enum '${e.name}'"))
-      }
-      org.apache.spark.sql.graft.Bridge.ofRows(spark, rewritten)
-    }
+    else org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, rewriteEnums(spark.sessionState.sqlParser.parsePlan(stripped)))
   }
+
+  /** Enum.Value → string literal, across subqueries too (plain
+    * transformAllExpressions stops at the subquery boundary). Shared by the plain
+    * SQL path and model substitution.
+    */
+  def rewriteEnums(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    if (manifest.enums.isEmpty) plan
+    else plan.transformAllExpressionsWithSubqueries {
+      case ua: UnresolvedAttribute if ua.nameParts.size == 2 &&
+          manifest.enumDef(ua.nameParts.head).isDefined =>
+        val e = manifest.enumDef(ua.nameParts.head).get
+        e.valueOf(ua.nameParts(1)).map(v => Literal(v)).getOrElse(
+          throw new GraftException(
+            s"Enum value '${ua.nameParts(1)}' not found in enum '${e.name}'"))
+    }
 
   // ---------------------------------------------------------------- base scan
 
