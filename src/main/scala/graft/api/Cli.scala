@@ -1,0 +1,65 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftEngine
+import graft.planner.PathResolver
+
+/** One-shot CLI over the engine — the reference's `wren` CLI/SDK surface
+  * (`wren/src/wren/engine.py:1-60`: load MDL, transform/execute SQL) reduced to its
+  * engine-facing core:
+  *
+  * {{{
+  * runMain graft.api.Cli <dataDir> <manifest.json|base64> <sql> [--json|--plan|--dry-run]
+  * }}}
+  *
+  * Default output is a text table; `--json` emits the v3 result JSON, `--plan` the
+  * planned (optimized) form, `--dry-run` validates only. Session properties pass as
+  * `-P name=value` pairs (the header-variable analogue for scripts).
+  */
+object Cli {
+
+  /** Testable core: returns what main prints. */
+  def run(
+      spark: SparkSession, dataDir: String, manifest: String, sql: String,
+      mode: String = "table", props: Map[String, String] = Map.empty): String = {
+    val manifestStr =
+      if (manifest.trim.startsWith("{")) manifest
+      else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(manifest)), "UTF-8")
+    val session = GraftEngine.deployJson(spark, manifestStr, new PathResolver(dataDir), props)
+    mode match {
+      case "json" => session.queryJson(sql)
+      case "plan" => session.transformSql(sql)
+      case "dry-run" => session.dryRun(sql); "OK"
+      case _ => format(session.query(sql), numRows = 1000)
+    }
+  }
+
+  // Dataset.showString is private[sql]; format compactly ourselves.
+  private def format(df: org.apache.spark.sql.DataFrame, numRows: Int): String = {
+    val rows = df.limit(numRows).collect()
+    val header = df.columns.mkString("\t")
+    (header +: rows.map(_.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString("\t")))
+      .mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val propPairs = args.sliding(2).collect {
+      case Array("-P", kv) if kv.contains("=") =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap
+    val pos = positional.filterNot(a => a == "-P" || propPairs.exists { case (k, v) => a == s"$k=$v" })
+    require(pos.length >= 3, "usage: Cli <dataDir> <manifest.json> <sql> [--json|--plan|--dry-run] [-P k=v]")
+    val mode = flags.headOption.map(_.stripPrefix("--")).getOrElse("table")
+    val spark = SparkSession.builder()
+      .appName("graft-cli").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(run(spark, pos(0), pos(1), pos(2), mode, propPairs))
+    spark.stop()
+  }
+}

@@ -1,0 +1,47 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The CLI core across its output modes (table/json/plan/dry-run) and with session
+  * properties — the scripted analogue of the HTTP header variables.
+  */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val manifest =
+    """{"catalog":"cli","schema":"demo","models":[
+      |  {"name":"cli_nation","tableReference":"nation","primaryKey":"n_nationkey",
+      |   "columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"varchar"}],
+      |   "rowLevelAccessControls":[
+      |     {"name":"key_gate","requiredProperties":[{"name":"max_key","required":false,
+      |       "defaultExpr":"100"}],
+      |      "condition":"n_nationkey <= @max_key"}]}
+      |]}""".stripMargin
+
+  test("table, json, plan, and dry-run modes") {
+    val table = Cli.run(spark, TestSpark.sfDir, manifest,
+      "SELECT n_nationkey, n_name FROM cli_nation ORDER BY n_nationkey LIMIT 3")
+    assert(table.linesIterator.next() == "n_nationkey\tn_name" && table.linesIterator.size == 4)
+
+    val json = Cli.run(spark, TestSpark.sfDir, manifest,
+      "SELECT count(*) AS n FROM cli_nation", mode = "json")
+    assert(json.contains("\"columns\"") && json.contains("\"n\""))
+
+    val plan = Cli.run(spark, TestSpark.sfDir, manifest,
+      "SELECT n_name FROM cli_nation", mode = "plan")
+    assert(plan.contains("Relation") || plan.contains("Project"))
+
+    assert(Cli.run(spark, TestSpark.sfDir, manifest,
+      "SELECT n_name FROM cli_nation", mode = "dry-run") == "OK")
+  }
+
+  test("session properties flow through -P style map") {
+    val restricted = Cli.run(spark, TestSpark.sfDir, manifest,
+      "SELECT count(*) AS n FROM cli_nation", mode = "json",
+      props = Map("max_key" -> "2"))
+    // 3 nations with key <= 2 vs all 25 under the default property
+    assert(restricted.contains("[[3]]") || restricted.contains("[3]"), restricted)
+  }
+}
