@@ -37,7 +37,14 @@ object ChronoFormat {
       out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
       lit.clear()
     }
-    def pat(p: String): Unit = { flushLit(); out.append(p) }
+    def pat(p: String): Unit = {
+      flushLit()
+      // adjacent tokens must not merge into one longer (invalid) field: chrono's
+      // "%b%b" is two separate month names, but "MMM"+"MMM"="MMMMMM" is no field at
+      // all — an empty optional section [] is a zero-width separator
+      if (out.nonEmpty && out.last.isLetter && p.head.isLetter) out.append("[]")
+      out.append(p)
+    }
 
     val simple: Map[Char, String] = Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",

@@ -100,6 +100,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: chrono pattern translation is total over supported tokens + literals") {
+    import graft.functions.ChronoFormat
+    val tokens = Seq("%Y", "%y", "%m", "%d", "%e", "%a", "%A", "%b", "%B", "%h", "%j",
+      "%H", "%k", "%I", "%l", "%p", "%M", "%S", "%f", "%3f", "%6f", "%.f", "%z", "%:z",
+      "%D", "%F", "%T", "%R", "%%", "%n", "%t", "%-d", "%-m", "%0d", "%0H")
+    val genFmt = Gen.listOf(Gen.oneOf(
+      Gen.oneOf(tokens),
+      Gen.oneOf(Seq(" ", "-", ":", "/", ".", "T", "at ", "o'clock", "week", "100")))
+    ).map(_.mkString)
+    forSamples(genFmt, 60) { fmt =>
+      val pattern = ChronoFormat.toJavaPattern(fmt) // must not throw
+      // the pattern must round-trip through Spark's formatter without error
+      val out = spark.sql(
+        s"SELECT date_format(timestamp '2024-03-05 14:07:09.123456', '${pattern.replace("'", "''")}')")
+        .head.getString(0)
+      assert(out != null)
+    }
+  }
+
   test("property: quality score is always in [0,1]") {
     forSamples(genDoc, 10) { text =>
       val s = Seq(text).toDF("text")
