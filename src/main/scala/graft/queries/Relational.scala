@@ -355,7 +355,30 @@ object Relational {
          |  cast(sum(${dec("o_totalprice")}) as double) AS total
          |FROM orders
          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
-         |ORDER BY st, pr""".stripMargin)
+         |ORDER BY st, pr""".stripMargin),
+
+    // CSV source scan through the semantic layer: the parquet table round-trips
+    // through a CSV directory and deploys via PathResolver(format=csv); the oracle
+    // reads the ORIGINAL parquet — so header/inference/typing must all agree.
+    "q25_csv_scan" -> (((s: SparkSession, dir: String) => {
+      import graft.mdl._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      s.read.parquet(s"$dir/nation.parquet")
+        .coalesce(1).write.option("header", "true").mode("overwrite")
+        .csv(s"$tmp/nation.csv")
+      val manifest = Manifest(
+        catalog = "g", schema = "csv",
+        models = List(Model(
+          "csv_nation", tableReference = Some(TableReference(table = "nation")),
+          primaryKey = Some("n_nationkey"),
+          columns = List(
+            Column("n_nationkey", "int"), Column("n_name", "varchar"),
+            Column("n_regionkey", "int")))))
+      graft.GraftEngine
+        .deploy(s, manifest, new graft.planner.PathResolver(tmp, "csv"))
+        .query("SELECT n_nationkey, n_name, n_regionkey FROM csv_nation ORDER BY n_nationkey")
+    },
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
