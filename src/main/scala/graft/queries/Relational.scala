@@ -378,7 +378,29 @@ object Relational {
         .deploy(s, manifest, new graft.planner.PathResolver(tmp, "csv"))
         .query("SELECT n_nationkey, n_name, n_regionkey FROM csv_nation ORDER BY n_nationkey")
     },
-      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"""))
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""")),
+
+    // JSON-lines source scan, same round-trip shape; declared MDL types drive the
+    // cast (JSON infers longs — the model says int, and typing must still match).
+    "q26_json_scan" -> (((s: SparkSession, dir: String) => {
+      import graft.mdl._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      s.read.parquet(s"$dir/region.parquet")
+        .coalesce(1).write.mode("overwrite").json(s"$tmp/region.json")
+      val manifest = Manifest(
+        catalog = "g", schema = "json",
+        models = List(Model(
+          "json_region", tableReference = Some(TableReference(table = "region")),
+          primaryKey = Some("r_regionkey"),
+          columns = List(
+            Column("r_regionkey", "int",
+              expression = Some("cast(r_regionkey as int)")),
+            Column("r_name", "varchar")))))
+      graft.GraftEngine
+        .deploy(s, manifest, new graft.planner.PathResolver(tmp, "json"))
+        .query("SELECT r_regionkey, r_name FROM json_region ORDER BY r_regionkey")
+    },
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
