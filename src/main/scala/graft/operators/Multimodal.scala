@@ -69,11 +69,15 @@ object Multimodal {
 
   /** Frame sampling stub: emits every `stride`-th 4-byte window as a "frame" —
     * the explode shape of real video frame extraction (one row per sampled frame).
+    * Spark's `base64` is MIME-chunked (CRLF every 76 chars); strip the line breaks
+    * before windowing or the `\G` chunker stalls at the first line boundary.
     */
   def sampleFrames(df: DataFrame, idCol: String = "doc_id", stride: Int = 32): DataFrame =
     df.select(
       col(idCol),
-      posexplode(split(base64(col("payload")), "(?<=\\G.{" + stride + "})"))
+      posexplode(split(
+        regexp_replace(base64(col("payload")), "[\\r\\n]", ""),
+        "(?<=\\G.{" + stride + "})"))
         .as(Seq("frame_no", "frame_b64")))
       .filter(length(col("frame_b64")) > 0)
 }

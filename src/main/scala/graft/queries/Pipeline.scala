@@ -361,11 +361,27 @@ object Pipeline {
         .groupBy(col("doc_id")).agg(count(lit(1)).alias("n_frames"))
       feats.join(frames, Seq("doc_id"))
         .select(col("doc_id"), col("format"), col("n_bytes"),
-          round(col("byte_mean"), 4).alias("byte_mean"),
-          col("byte_min"), col("byte_max"), col("n_frames"))
+          col("byte_mean"), col("byte_min"), col("byte_max"), col("n_frames"))
         .orderBy("doc_id")
     },
-      None)), // mapPartitions decode stub: rows-only check
+      // The stub decode is deterministic over the fake payload (128 UTF-8 bytes of
+      // repeat(md5-hex, 4)), so the byte statistics ARE oracle-expressible: stats over
+      // the 32 md5 hex chars (repetition preserves min/max; sum/128 is an exact binary
+      // fraction, so the double compares bit-identically). base64(128 bytes) = 172
+      // chars -> 6 frames of stride 32.
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, length(text) AS lt,
+              |    list_transform(regexp_extract_all($duckFp, '.'), c -> ord(c)) AS bytes
+              |  FROM documents
+              |)
+              |SELECT doc_id,
+              |  (['jpeg', 'png', 'wav'])[(lt % 3) + 1] AS format,
+              |  cast(128 AS int) AS n_bytes,
+              |  cast(list_aggregate(bytes, 'sum') AS double) / 32.0 AS byte_mean,
+              |  cast(list_aggregate(bytes, 'min') AS int) AS byte_min,
+              |  cast(list_aggregate(bytes, 'max') AS int) AS byte_max,
+              |  cast(6 AS bigint) AS n_frames
+              |FROM b ORDER BY doc_id""".stripMargin))),
 
     // ---------------- event analytics ----------------
 

@@ -400,7 +400,43 @@ object Relational {
         .deploy(s, manifest, new graft.planner.PathResolver(tmp, "json"))
         .query("SELECT r_regionkey, r_name FROM json_region ORDER BY r_regionkey")
     },
-      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""))
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""")),
+
+    // JDBC warehouse scan through the semantic layer: parquet round-tripped into an
+    // embedded Derby database, deployed via JdbcResolver (the funnel for the
+    // reference's 20 warehouse connectors, ibis-server/app/model/data_source.py:241-530).
+    // Catalyst pushes the projection to the remote (JDBCScan ReadSchema) — the role
+    // the reference's unparse/ibis layer plays. Table/column identifiers are written
+    // uppercase so Spark's quoted CREATE matches Derby's unquoted, case-folded lookup.
+    "q27_jdbc_scan" -> (((s: SparkSession, dir: String) => {
+      import graft.mdl._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_").toString
+      System.setProperty("derby.system.home", tmp)
+      System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      s.read.parquet(s"$dir/supplier.parquet")
+        .selectExpr("s_suppkey AS S_SUPPKEY", "s_name AS S_NAME",
+          "s_nationkey AS S_NATIONKEY", "s_acctbal AS S_ACCTBAL")
+        .write.mode("overwrite").jdbc(url, "SUPPLIER", new java.util.Properties)
+      val manifest = Manifest(
+        catalog = "g", schema = "jdbc",
+        models = List(Model(
+          "jdbc_supplier", tableReference = Some(TableReference(table = "SUPPLIER")),
+          primaryKey = Some("S_SUPPKEY"),
+          columns = List(
+            Column("s_suppkey", "bigint", expression = Some("S_SUPPKEY")),
+            Column("s_name", "varchar", expression = Some("S_NAME")),
+            Column("s_nationkey", "int", expression = Some("S_NATIONKEY")),
+            Column("s_acctbal", "double", expression = Some("S_ACCTBAL"))))))
+      graft.GraftEngine
+        .deploy(s, manifest, new graft.planner.JdbcResolver(url))
+        .query(s"""SELECT s_nationkey, count(*) AS n_suppliers,
+                  |  cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS total_acctbal
+                  |FROM jdbc_supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
+      s"""SELECT s_nationkey, count(*) AS n_suppliers,
+         |  cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS total_acctbal
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
