@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash-LSH, SimHash,
@@ -13,14 +12,27 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the lowest-`idCol` row per normalized-content fingerprint.
-    * The shuffle key is the 32-char md5, not the document body, so shuffle volume is
-    * bounded by row count, not corpus bytes.
+    *
+    * Formulated as `min_by` aggregation, not a `row_number` window: an aggregate
+    * partial-combines map-side, so each mapper ships at most one row per distinct
+    * fingerprint into the shuffle — a window must shuffle EVERY row (full corpus
+    * bytes) before it can rank. On a duplicate-heavy 100 TB crawl the difference is
+    * the shuffle being sized by unique content rather than raw content.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(fp.alias("__fp"))
+      .agg(min_by(all, col(idCol)).alias("__row"))
+      .select("__row.*")
   }
+
+  /** Normalized word array of a text column (shared by the shingle pipelines and the
+    * native one-pass SimHash).
+    */
+  private[graft] def wordsArray(textCol: Column): Column = filter(
+    split(regexp_replace(lower(textCol), "[^a-z0-9一-鿿 ]", " "), "\\s+"),
+    w => length(w) > 0)
 
   /** Word n-gram shingles of the normalized text (distinct, as one row per shingle).
     *
@@ -31,10 +43,7 @@ object Dedup {
     * makes it O(words) and is ~35× faster end-to-end.
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val words = filter(
-      split(regexp_replace(lower(col(textCol)), "[^a-z0-9一-鿿 ]", " "), "\\s+"),
-      w => length(w) > 0)
-    val staged = df.select(col(idCol).alias("id"), words.alias("__w"))
+    val staged = df.select(col(idCol).alias("id"), wordsArray(col(textCol)).alias("__w"))
     val w = col("__w")
     val grams = when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
@@ -87,13 +96,21 @@ object Dedup {
     */
   def pairJaccard(shRaw: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
     val sh = hashedShingles(shRaw)
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).alias("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDocFreq)
-    val shShared = sh.join(dfreq.select("shingle"), "shingle")
-    val a = shShared.alias("a")
-    val b = shShared.alias("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+    // Inverted-index pair expansion in ONE shuffle: group ids per shingle, cap the
+    // posting list at maxDocFreq, and expand the c(c−1)/2 ordered pairs map-side
+    // from the sorted posting array — where the previous self-join formulation
+    // shuffled the (id, shingle) table twice (both join sides) plus a dfreq
+    // pre-aggregation. Posting arrays are bounded by maxDocFreq (≤1000 longs), so
+    // the collect_list state is capped per group.
+    val postings = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("id"))).alias("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
+    val pairs = postings.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.alias("id_a"), y.alias("id_b")))))).alias("p"))
+    val inter = pairs
+      .groupBy(col("p.id_a").alias("id_a"), col("p.id_b").alias("id_b"))
       .agg(count(lit(1)).alias("inter"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).alias("sz"))
     inter
@@ -154,8 +171,27 @@ object Dedup {
       n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     val sh = hashedShingles(shingles(df, textCol, idCol, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minHashSignatures(sh, k), k, bands)
+    val cands = lshCandidates(minHashSignaturesNative(df, textCol, idCol, n, k), k, bands)
     verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Map-only MinHash signatures via [[graft.functions.MinHashWords]]: all k minima
+    * computed in one scan-stage loop per document — no shingle explode, no
+    * groupBy(id) shuffle of (id, hash) pairs. Bit-identical to
+    * `minHashSignatures(hashedShingles(shingles(df, …)), k)` (asserted in
+    * OperatorsSpec), so the LSH candidate set is unchanged.
+    */
+  def minHashSignaturesNative(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val staged = df.select(col(idCol).alias("id"), wordsArray(col(textCol)).alias("__w"))
+    val sig = staged.filter(size(col("__w")) >= n)
+      .select(col("id"), org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.MinHashWords(
+          org.apache.spark.sql.graft.Bridge.toExpression(spark, col("__w")), n, k))
+        .alias("__mh"))
+    sig.select(col("id") +: (0 until k).map(i => col("__mh")(i).alias(s"mh_$i")): _*)
   }
 
   /** Inverted-index n-gram Jaccard near-dup: candidate pairs share at least one
@@ -200,16 +236,44 @@ object Dedup {
     sums.select(col("id"), sig.alias("simhash"))
   }
 
+  /** Map-only SimHash signatures via the native one-pass expression
+    * ([[graft.functions.SimHashWords]]): shingling, md5, and bit-counting fused into
+    * a single scan stage — no explode, no groupBy shuffle. Bit-identical to
+    * `simHash(shingles(df, …), bits, md5Hash60)` (asserted in OperatorsSpec).
+    * Documents with fewer than `n` words are dropped, matching the exploded form
+    * (they produce no shingle rows there).
+    */
+  def simHashSignaturesNative(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bits: Int = 60): DataFrame = {
+    val spark = df.sparkSession
+    val staged = df.select(col(idCol).alias("id"), wordsArray(col(textCol)).alias("__w"))
+    staged.filter(size(col("__w")) >= n)
+      .select(col("id"), org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.SimHashWords(
+          org.apache.spark.sql.graft.Bridge.toExpression(spark, col("__w")), n, bits))
+        .alias("simhash"))
+  }
+
   /** SimHash near-dup: band the `bits`-wide signature into 4 chunks (any equal chunk
     * → candidate, guaranteeing recall for hamming distance ≤ 3), then verify by exact
     * hamming distance.
     */
   def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bits: Int = 64,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
+      hash: Column => Column = xxhash64(_)): DataFrame =
+    bandPairs(simHash(shingles(df, textCol, idCol), bits, hash), bits, maxHamming)
+
+  /** [[simHashNearDup]] with the signature stage replaced by the native map-only
+    * expression (md5-derived 60-bit shingle hashes — the oracle-reproducible form).
+    */
+  def simHashNearDupNative(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, n: Int = 3, bits: Int = 60): DataFrame =
+    bandPairs(simHashSignaturesNative(df, textCol, idCol, n, bits), bits, maxHamming)
+
+  private def bandPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     require(bits % 4 == 0, "simHashNearDup bands the signature into 4 equal chunks")
     val cw = bits / 4
-    val sig = simHash(shingles(df, textCol, idCol), bits, hash)
     val chunks = (0 until 4).map(i =>
       struct(lit(i).alias("c"),
         shiftright(col("simhash"), i * cw).bitwiseAND((1L << cw) - 1).alias("v")))

@@ -170,8 +170,8 @@ object Pipeline {
     // md5-derived 60-bit signature (md5Hash60) so the whole simhash pipeline —
     // bit votes, banding, hamming verify — is replicated in the oracle engine.
     "d3_dedup_simhash" -> (((s: SparkSession, dir: String) =>
-      Dedup.simHashNearDup(docs(s, dir), "text", "doc_id", maxHamming = 3,
-        bits = 60, hash = Dedup.md5Hash60)
+      Dedup.simHashNearDupNative(docs(s, dir), "text", "doc_id", maxHamming = 3,
+        bits = 60)
         .orderBy("id_a", "id_b"),
       Some(duckSimHash(bits = 60, maxHamming = 3)))),
 

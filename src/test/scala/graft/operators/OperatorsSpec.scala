@@ -40,6 +40,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("minhash: native one-pass signature is bit-identical to the exploded pipeline") {
+    val composed = Dedup
+      .minHashSignatures(Dedup.shingles(docs, "text", "doc_id", n = 3), k = 32)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toVector).toMap
+    val native = Dedup.minHashSignaturesNative(docs, "text", "doc_id", n = 3, k = 32)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toVector).toMap
+    assert(native == composed)
+  }
+
+  test("simhash: native one-pass signature is bit-identical to the exploded pipeline") {
+    val composed = Dedup
+      .simHash(Dedup.shingles(docs, "text", "doc_id"), bits = 60, hash = Dedup.md5Hash60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simHashSignaturesNative(docs, "text", "doc_id", n = 3, bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed) // same doc set (short docs dropped) and same signatures
+    assert(!native.contains(7L)) // empty doc has no shingles in either form
+    val pairs = Dedup.simHashNearDupNative(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
   test("ngram jaccard: exact pair scores 1.0") {
     val pairs = Dedup.ngramJaccardNearDup(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
