@@ -19,23 +19,29 @@ object Bench {
       spark.sql("select count(*) c from range(1000)").collect()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case _: Throwable => }
-    // Two runs per query: the first pays one-time costs a long-lived service never
-    // re-pays per query (janino codegen compiles, parquet footer/file-listing cache,
-    // JDBC pool spin-up, manifest deploy); the second is the steady-state throughput
-    // we report. Cold total is disclosed alongside (cold_total_sec).
+    // One cold run (janino codegen compiles, parquet footer/file-listing cache, JDBC
+    // pool spin-up, manifest deploy — one-time costs a long-lived service never
+    // re-pays per query), then THREE warm runs reported as the per-query MEDIAN:
+    // the 99-query shared-JVM run co-schedules queries against GC/JIT, and a single
+    // warm sample can read 3× its isolated latency (r3's q9: 1.80 s benched vs
+    // 0.64 s isolated). The max-min spread across the warm runs is disclosed so
+    // round-over-round comparisons can tell regression from noise.
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    val warmRuns = 3
     val timed = SparkEntry.queries.map { case (name, fn) =>
       val cold = once(fn)
-      val warm = once(fn)
-      (name, cold, warm)
+      val warms = Seq.fill(warmRuns)(once(fn)).sorted
+      (name, cold, warms(warmRuns / 2), warms.last - warms.head)
     }
     val coldTotal = timed.map(_._2).sum
-    val qs = timed.map { case (k, _, warm) => s"\"" + k + "\":" + warm }
+    val qs = timed.map { case (k, _, med, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val spreads = timed.map { case (k, _, _, sp) =>
+      s"\"" + k + "\":" + f"$sp%.3f" }.mkString("{", ",", "}")
     val total = timed.map(_._3).sum
     // Planning parity (BASELINE.md): warm manifest->plan latency per TPC-H query —
     // deploy once, then time analysis+optimization only (no execution), mirroring
@@ -49,9 +55,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e6 / sqls.size
     } catch { case _: Throwable => -1.0 }
     val planningStr = "%.2f".formatLocal(java.util.Locale.ROOT, planningMs)
+    // "total"/"queries" are warm per-query MEDIANS (warm_total_sec aliases it
+    // explicitly); cold_total_sec is the separate single-cold-pass total, and
+    // queries_spread_sec carries each query's warm max−min.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""planning_ms_per_query":$planningStr,"timing":"warm_2nd_run",""" +
-      s""""cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
+      s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
+      s""""warm_total_sec":$total,"cold_total_sec":$coldTotal,""" +
+      s""""queries_spread_sec":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,6 +74,9 @@ object GraftEngine {
   }
 }
 
+/** A query exceeded its time budget and its Spark jobs were cancelled. */
+final class QueryTimeoutException(msg: String) extends RuntimeException(msg)
+
 object GraftSession {
   /** Which deployment's temp views are currently registered, per Spark session.
     * Sessions over the same SparkSession (e.g. per-query property overrides) share
@@ -82,6 +85,23 @@ object GraftSession {
     */
   private val viewOwner =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, AnyRef]
+
+  /** Executor for time-bounded query actions (daemon threads — must not block JVM
+    * exit; cached — bounded by concurrent timed queries, idle threads reaped).
+    */
+  private lazy val timeoutPool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-timeout-runner")
+    t.setDaemon(true)
+    t
+  })
+
+  /** Cache hit/miss/override outcome for one cached execution — what the HTTP layer
+    * needs to populate `X-Cache-Hit` / `X-Cache-Create-At` / `X-Cache-Override[-At]`
+    * (reference: connector.py:126-204's cache_headers).
+    */
+  final case class CacheOutcome(
+      df: DataFrame, hit: Boolean, createdAtMs: Option[Long],
+      overridden: Boolean, overriddenAtMs: Option[Long])
 }
 
 final class GraftSession(
@@ -199,7 +219,13 @@ final class GraftSession(
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition != null && e.getCondition.startsWith("UNRESOLVED_COLUMN") =>
-          val missing = "`([^`]+)`".r.findFirstMatchIn(e.getMessage).map(_.group(1))
+          // The unresolved name comes from the error's structured parameters
+          // (`objectName`, stable across message-text changes), not a grep of the
+          // rendered message; the regex remains only as a fallback for parameter-less
+          // builds. Multi-part names keep their last segment.
+          val missing = Option(e.getMessageParameters.get("objectName"))
+            .map(_.split("\\.").last.replace("`", ""))
+            .orElse("`([^`]+)`".r.findFirstMatchIn(e.getMessage).map(_.group(1)))
           // Convert only when the column belongs to a model the query actually names
           // AND its rule denies under THIS session's properties — a typo on an
           // unrestricted column stays a plain resolution error.
@@ -270,16 +296,71 @@ final class GraftSession(
   /** Result cache (A17): execute through a parquet-backed cache keyed by
     * (manifest, sql, session properties).
     */
-  def queryCached(sql: String, cache: QueryCache): DataFrame = {
+  def queryCached(sql: String, cache: QueryCache): DataFrame =
+    queryCachedMeta(sql, cache).df
+
+  /** Like [[queryCached]], reporting how the cache behaved. `overrideCache` forces
+    * re-execution and re-write even on a hit (the reference's `overrideCache` query
+    * parameter).
+    */
+  def queryCachedMeta(sql: String, cache: QueryCache, overrideCache: Boolean = false)
+      : GraftSession.CacheOutcome = {
+    import GraftSession.CacheOutcome
     val id = s"${manifest.catalog}.${manifest.schema}:$manifestDigest"
-    cache.get(spark, id, sql, properties).getOrElse {
-      cache.put(query(sql), id, sql, properties)
+    val cached = cache.get(spark, id, sql, properties)
+    (cached, overrideCache) match {
+      case (Some(df), false) =>
+        CacheOutcome(df, hit = true, cache.createdAt(id, sql, properties),
+          overridden = false, None)
+      case (hitBefore, _) =>
+        val prevAt = if (hitBefore.isDefined) cache.createdAt(id, sql, properties) else None
+        val df = cache.put(query(sql), id, sql, properties)
+        CacheOutcome(df, hit = false, prevAt,
+          overridden = hitBefore.isDefined, cache.createdAt(id, sql, properties))
     }
   }
 
   /** Formatted JSON response (A18) — the v3 query-response shape. */
   def queryJson(sql: String, limit: Int = 1000): String =
     ResultFormatter.toJsonResponse(query(sql), limit)
+
+  /** Run `action` with a wall-clock budget — the reference's
+    * `execute_query_with_timeout` (ibis-server/app/model/connector.py:157-160),
+    * built on Spark's job-group cancellation. The action runs on a pool thread
+    * under a unique job group with `interruptOnCancel`; on timeout every job the
+    * group has launched is cancelled (running tasks are interrupted), the thread
+    * is interrupted for any non-Spark wait, and a [[QueryTimeoutException]] is
+    * thrown. The session stays fully usable — cancellation is scoped to the group.
+    */
+  def withTimeout[T](timeoutMs: Long)(action: => T): T = {
+    val sc = spark.sparkContext
+    val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
+    val task = GraftSession.timeoutPool.submit(new java.util.concurrent.Callable[T] {
+      override def call(): T = {
+        sc.setJobGroup(group, s"graft query (budget $timeoutMs ms)", interruptOnCancel = true)
+        try action finally sc.clearJobGroup()
+      }
+    })
+    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(group)
+        task.cancel(true)
+        throw new QueryTimeoutException(
+          s"query exceeded its $timeoutMs ms budget and was cancelled")
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
+
+  /** Time-bounded collect of a governed query. */
+  def collectWithTimeout(sql: String, timeoutMs: Long, limit: Option[Int] = None)
+      : Array[org.apache.spark.sql.Row] =
+    withTimeout(timeoutMs)(query(sql, limit).collect())
+
+  /** Time-bounded v3 JSON response (the HTTP route's `timeout` parameter). */
+  def queryJsonWithTimeout(sql: String, limit: Int, timeoutMs: Long): String =
+    withTimeout(timeoutMs)(queryJson(sql, limit))
 
   /** Validation probes (A19). */
   def validateColumn(model: String, column: String): Validator.ValidationResult =

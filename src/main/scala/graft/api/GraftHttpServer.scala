@@ -48,6 +48,12 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val sessions = new ConcurrentHashMap[String, graft.GraftSession]
 
+  /** Server-wide result cache for `?cacheEnable=true` queries (the reference's
+    * query_cache_manager; hit/create/override surfaced as X-Cache-* headers).
+    */
+  private lazy val queryCache = new QueryCache(
+    java.nio.file.Files.createTempDirectory("graft_http_cache_").toString)
+
   def start(): Int = {
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null) // single-threaded: Spark driver work serializes anyway
@@ -69,6 +75,12 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
 
   private def detail(msg: String): String =
     JsonMethods.compact(JObject("detail" -> JString(Option(msg).getOrElse("error"))))
+
+  private def fnJson(f: graft.functions.GraftFunctions.FnSpec): JObject =
+    JObject(
+      "name" -> JString(f.name), "function_type" -> JString(f.kind),
+      "param_types" -> JString(f.signature), "return_type" -> JString(f.returns),
+      "description" -> JString(f.description))
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split('&').filter(_.contains("="))
@@ -121,6 +133,7 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
   private def handle(ex: HttpExchange): Unit =
     try route(ex)
     catch {
+      case e: graft.QueryTimeoutException => respond(ex, 504, detail(e.getMessage))
       case e: IllegalArgumentException => respond(ex, 422, detail(e.getMessage))
       case e: graft.planner.GraftException => respond(ex, 422, detail(e.getMessage))
       case e: org.apache.spark.sql.AnalysisException => respond(ex, 422, detail(e.getMessage))
@@ -132,13 +145,17 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
     val method = ex.getRequestMethod.toUpperCase
     (method, segs) match {
       case ("GET", "v3" :: "connector" :: _ :: "functions" :: Nil) =>
-        val fns = graft.functions.GraftFunctions.listing.map { f =>
-          JObject(
-            "name" -> JString(f.name), "function_type" -> JString(f.kind),
-            "param_types" -> JString(f.signature), "return_type" -> JString(f.returns),
-            "description" -> JString(f.description))
-        }
-        respond(ex, 200, JsonMethods.compact(JArray(fns.toList)))
+        respond(ex, 200, JsonMethods.compact(JArray(
+          graft.functions.GraftFunctions.listing.map(fnJson).toList)))
+
+      // Single-function lookup (reference: GET /{ds}/function/{name},
+      // connector.py:459-479 — answers a list, empty when unknown). Both the
+      // reference's singular `function` segment and the plural are accepted.
+      case ("GET", "v3" :: "connector" :: _ :: seg :: name :: Nil)
+          if seg == "functions" || seg == "function" =>
+        val hits = graft.functions.GraftFunctions.listing
+          .filter(_.name.equalsIgnoreCase(name))
+        respond(ex, 200, JsonMethods.compact(JArray(hits.map(fnJson).toList)))
 
       case ("POST", "v3" :: "connector" :: _ :: rest) =>
         val body =
@@ -161,7 +178,28 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
               respond(ex, 204, "")
             } else {
               val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(1000)
-              respond(ex, 200, sess.queryJson(sql, limit))
+              val timeoutMs = params.get("timeout").flatMap(_.toLongOption).map(_ * 1000)
+              val cacheEnable = params.get("cacheEnable").exists(_.equalsIgnoreCase("true"))
+              val overrideCache = params.get("overrideCache").exists(_.equalsIgnoreCase("true"))
+              def run(): String =
+                if (!cacheEnable) sess.queryJson(sql, limit)
+                else {
+                  // cache semantics + headers per connector.py:126-204
+                  val o = sess.queryCachedMeta(sql, queryCache, overrideCache)
+                  val hs = ex.getResponseHeaders
+                  hs.set("X-Cache-Hit", o.hit.toString)
+                  o.createdAtMs.foreach(t => hs.set("X-Cache-Create-At", t.toString))
+                  if (o.overridden) {
+                    hs.set("X-Cache-Override", "true")
+                    o.overriddenAtMs.foreach(t => hs.set("X-Cache-Override-At", t.toString))
+                  }
+                  ResultFormatter.toJsonResponse(o.df, limit)
+                }
+              val out = timeoutMs match {
+                case Some(ms) => sess.withTimeout(ms)(run())
+                case None => run()
+              }
+              respond(ex, 200, out)
             }
 
           case "dry-plan" :: Nil =>
@@ -207,6 +245,37 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
                 }.toList))
             }
             respond(ex, 200, JsonMethods.compact(JArray(md.toList)))
+
+          // FK constraints from the manifest relationships (reference Constraint DTO:
+          // metadata/dto.py:138-145; served per connector.py's /metadata/constraints).
+          // A relationship's condition `A.x = B.y` is one FOREIGN KEY edge.
+          case "metadata" :: "constraints" :: Nil =>
+            val m = session(manifestStr, props).manifest
+            val cond = """(?s)\s*"?([\w]+)"?\."?([\w]+)"?\s*=\s*"?([\w]+)"?\."?([\w]+)"?\s*""".r
+            val cs = m.relationships.flatMap { r =>
+              r.condition match {
+                case cond(t1, c1, t2, c2) => Some(JObject(
+                  "constraintName" -> JString(r.name),
+                  "constraintType" -> JString("FOREIGN KEY"),
+                  "constraintTable" -> JString(t1),
+                  "constraintColumn" -> JString(c1),
+                  "constraintedTable" -> JString(t2),
+                  "constraintedColumn" -> JString(c2)))
+                case _ => None // composite/expression conditions have no FK shape
+              }
+            }
+            respond(ex, 200, JsonMethods.compact(JArray(cs)))
+
+          // Catalog → schemas listing (reference Catalog DTO: metadata/dto.py:127-129).
+          case "metadata" :: "schemas" :: Nil =>
+            val m = session(manifestStr, props).manifest
+            respond(ex, 200, JsonMethods.compact(JArray(List(JObject(
+              "name" -> JString(m.catalog),
+              "schemas" -> JArray(List(JString(m.schema))))))))
+
+          // Backend version string (reference: /metadata/version, connector.py:645+).
+          case "metadata" :: "version" :: Nil =>
+            respond(ex, 200, JsonMethods.compact(JString(s"Spark ${spark.version}")))
 
           case _ => respond(ex, 404, detail(s"no such route: ${ex.getRequestURI.getPath}"))
         }

@@ -44,6 +44,14 @@ final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000) {
     df.sparkSession.read.parquet(d.toString)
   }
 
+  /** Creation time (epoch ms) of a live cache entry — the `X-Cache-Create-At`
+    * header's value (reference: `get_cache_file_timestamp`, query_cache/manager.py).
+    */
+  def createdAt(manifestId: String, sql: String, props: Map[String, String]): Option[Long] = {
+    val marker = dirFor(keyOf(manifestId, sql, props.toSeq.sorted.mkString(";"))).resolve("_SUCCESS")
+    if (Files.exists(marker)) Some(Files.getLastModifiedTime(marker).toMillis) else None
+  }
+
   def invalidateAll(): Unit = {
     val r = Paths.get(root)
     if (Files.exists(r)) {

@@ -166,6 +166,55 @@ object Aggregators {
     override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
+  /** Size-bounded sorted collect: gathers up to `cap` longs per group; a group that
+    * exceeds the cap yields NULL (the caller filters it — the "too hot to pair"
+    * posting list). Unlike `collect_list` + post-hoc size filter, the BUFFER is
+    * bounded: once a group overflows, accumulation stops and the array is freed, so
+    * a pathological hot key (a boilerplate shingle present in millions of documents)
+    * costs O(cap) memory instead of an executor OOM. Output is ascending-sorted.
+    */
+  final case class BoundedBuf(var vs: Array[Long], var cnt: Int, var over: Boolean)
+
+  class BoundedSortedCollect(cap: Int)
+      extends Aggregator[java.lang.Long, BoundedBuf, Array[Long]] {
+    require(cap >= 1, "BoundedSortedCollect cap must be >= 1")
+
+    override def zero: BoundedBuf = BoundedBuf(Array.empty, 0, over = false)
+
+    override def reduce(b: BoundedBuf, x: java.lang.Long): BoundedBuf = {
+      if (b.over || x == null) return b
+      if (b.cnt == cap) { b.vs = Array.empty; b.cnt = 0; b.over = true; return b }
+      if (b.cnt == b.vs.length)
+        b.vs = java.util.Arrays.copyOf(b.vs, math.min(math.max(4, b.vs.length * 2), cap))
+      b.vs(b.cnt) = x.longValue
+      b.cnt += 1
+      b
+    }
+
+    override def merge(a: BoundedBuf, b: BoundedBuf): BoundedBuf = {
+      if (a.over || b.over || a.cnt + b.cnt > cap) {
+        a.vs = Array.empty; a.cnt = 0; a.over = true; return a
+      }
+      val out = java.util.Arrays.copyOf(a.vs, a.cnt + b.cnt)
+      System.arraycopy(b.vs, 0, out, a.cnt, b.cnt)
+      a.vs = out
+      a.cnt += b.cnt
+      a
+    }
+
+    override def finish(b: BoundedBuf): Array[Long] =
+      if (b.over) null
+      else {
+        val out = java.util.Arrays.copyOf(b.vs, b.cnt)
+        java.util.Arrays.sort(out)
+        out
+      }
+
+    override def bufferEncoder: Encoder[BoundedBuf] = Encoders.product[BoundedBuf]
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Register both on the session (idempotent, like `GraftFunctions.register`). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("approx_percentile_cont_with_weight", udaf(new ApproxWeightedPercentile))

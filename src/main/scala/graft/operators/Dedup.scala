@@ -18,12 +18,18 @@ object Dedup {
     * fingerprint into the shuffle — a window must shuffle EVERY row (full corpus
     * bytes) before it can rank. On a duplicate-heavy 100 TB crawl the difference is
     * the shuffle being sized by unique content rather than raw content.
+    *
+    * The ordering key is (id IS NULL, id) rather than the bare id: `min_by` skips
+    * rows whose ordering value is null, so a group whose ids are ALL null would
+    * otherwise emit one all-null row instead of retaining an original. Null-id rows
+    * sort after real ids (a real id always wins); among several null-id duplicates
+    * the kept row is arbitrary, as with any tied ordering key.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
     val all = struct(df.columns.map(col): _*)
     df.groupBy(fp.alias("__fp"))
-      .agg(min_by(all, col(idCol)).alias("__row"))
+      .agg(min_by(all, struct(col(idCol).isNull.alias("n"), col(idCol).alias("k"))).alias("__row"))
       .select("__row.*")
   }
 
@@ -96,15 +102,18 @@ object Dedup {
     */
   def pairJaccard(shRaw: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
     val sh = hashedShingles(shRaw)
-    // Inverted-index pair expansion in ONE shuffle: group ids per shingle, cap the
-    // posting list at maxDocFreq, and expand the c(c−1)/2 ordered pairs map-side
-    // from the sorted posting array — where the previous self-join formulation
-    // shuffled the (id, shingle) table twice (both join sides) plus a dfreq
-    // pre-aggregation. Posting arrays are bounded by maxDocFreq (≤1000 longs), so
-    // the collect_list state is capped per group.
+    // Inverted-index pair expansion in ONE shuffle: group ids per shingle via a
+    // size-BOUNDED sorted collect (BoundedSortedCollect — a group past maxDocFreq
+    // nulls out and frees its buffer, so a boilerplate shingle in millions of docs
+    // costs O(maxDocFreq) agg state, never an executor OOM), then expand the
+    // c(c−1)/2 ordered pairs map-side from the sorted posting array — where the
+    // previous self-join formulation shuffled the (id, shingle) table twice (both
+    // join sides) plus a dfreq pre-aggregation.
+    val boundedCollect = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.BoundedSortedCollect(maxDocFreq))
     val postings = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("id"))).alias("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
+      .agg(boundedCollect(col("id")).alias("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
     val pairs = postings.select(explode(flatten(
       transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),

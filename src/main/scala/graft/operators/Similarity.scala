@@ -109,10 +109,14 @@ object Similarity {
     val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qv"), sig.alias("qsig"))
       .withColumn("bucket", explode(transform(probes, m => col("qsig").bitwiseXOR(m))))
+    // No candidate dedup needed: each corpus row carries ONE bucket and a query's
+    // probe values are pairwise distinct (XOR with distinct masks is injective), so a
+    // (query, corpus) pair can match at most one probe — the join emits each pair at
+    // most once. The previous distinct() here shuffled both embedding vectors per
+    // candidate pair for nothing.
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .distinct()
       .withColumn("cos", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -245,10 +249,14 @@ object Similarity {
     val probed = base.withColumn("bucket", explode(transform(probes, m => col("sig").bitwiseXOR(m))))
     val a = probed.alias("a")
     val b = base.withColumnRenamed("sig", "bucket").alias("b")
+    // Pairs are unique by construction (no distinct needed): the b-side carries ONE
+    // bucket per row and a-side probe values are pairwise distinct (XOR with distinct
+    // masks), so (a, b) can meet on at most one bucket; the id_a < id_b orientation
+    // rules out the mirrored match. Dropping the distinct() removes a shuffle that
+    // carried both dim-sized vectors per candidate pair.
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"),
         col("a.v").alias("va"), col("b.v").alias("vb"))
-      .distinct()
       .withColumn("cos", cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).alias("cos"))

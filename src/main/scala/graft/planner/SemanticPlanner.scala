@@ -17,20 +17,84 @@ import graft.mdl._
   */
 trait TableResolver {
   def resolve(spark: SparkSession, ref: TableReference): DataFrame
+  /** Resolve with the model's declared column types as a schema hint. Resolvers for
+    * self-describing sources (parquet, catalog, JDBC) ignore the hint; text sources
+    * (CSV) use it to skip schema inference — the MDL already declares every type, and
+    * `inferSchema` costs a full extra pass over the data at scale.
+    */
+  def resolve(
+      spark: SparkSession, ref: TableReference,
+      declared: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame =
+    resolve(spark, ref)
   /** Physical table names (used to pre-register temp views for refSql models). */
   def physicalNames: Seq[String] = Nil
 }
 
+/** Connection info for cloud object stores — the Spark shape of the reference's
+  * S3File/GcsFile/MinioFile connection info (ibis-server/app/model/data_source.py:
+  * 241-530, S3FileConnectionInfo et al.). Credentials apply as PER-BUCKET Hadoop
+  * S3A configuration (`fs.s3a.bucket.<bucket>.*`), not global keys, so two
+  * deployments against different buckets/endpoints coexist on one SparkSession.
+  */
+final case class CloudConnection(
+    accessKey: Option[String] = None,
+    secretKey: Option[String] = None,
+    endpoint: Option[String] = None, // MinIO/S3-compatible endpoint URL
+    region: Option[String] = None,
+    pathStyleAccess: Boolean = false) {
+
+  /** Apply as bucket-scoped S3A conf for the bucket of `url` (e.g. `s3a://b/dir`). */
+  def configure(spark: SparkSession, url: String): Unit = {
+    val bucket = url.stripPrefix("s3a://").stripPrefix("s3://").takeWhile(_ != '/')
+    require(bucket.nonEmpty, s"cloud url $url has no bucket")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = s"fs.s3a.bucket.$bucket"
+    accessKey.foreach(conf.set(s"$p.access.key", _))
+    secretKey.foreach(conf.set(s"$p.secret.key", _))
+    endpoint.foreach(conf.set(s"$p.endpoint", _))
+    region.foreach(conf.set(s"$p.endpoint.region", _))
+    if (pathStyleAccess) conf.set(s"$p.path.style.access", "true")
+  }
+}
+
 /** Directory of `<table>.<ext>` files — the reference's LocalFile/S3File connection
   * shape `{url, format}` (ibis-server/tests/.../local_file/conftest.py:21-25).
+  * `cloud` carries object-store credentials for `s3a://` urls (applied bucket-scoped
+  * at construction, mirroring the reference's per-connector connection info).
   */
-final class PathResolver(url: String, format: String = "parquet") extends TableResolver {
+final class PathResolver(
+    url: String, format: String = "parquet",
+    cloud: Option[CloudConnection] = None) extends TableResolver {
   private val ext = format match { case "csv" => "csv"; case "json" => "json"; case _ => "parquet" }
-  override def resolve(spark: SparkSession, ref: TableReference): DataFrame = {
-    val reader = spark.read.format(format)
-    val withOpts = if (format == "csv") reader.option("header", "true").option("inferSchema", "true") else reader
-    withOpts.load(s"$url/${ref.table}.$ext")
+
+  if (url.startsWith("s3a://") || url.startsWith("s3://"))
+    cloud.foreach(_.configure(SparkSession.active, url))
+
+  override def resolve(spark: SparkSession, ref: TableReference): DataFrame =
+    resolve(spark, ref, Nil)
+
+  override def resolve(
+      spark: SparkSession, ref: TableReference,
+      declared: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    val path = s"$url/${ref.table}.$ext"
+    format match {
+      case "csv" =>
+        // Schema from the MDL declaration, not inference: a header-only read (no
+        // inferSchema — Spark reads just the first line) supplies the file's column
+        // order; declared columns take their declared type, anything the model
+        // doesn't declare stays string (CSV cells are text — expression columns
+        // cast what they need). Exactly ONE full pass over the file remains.
+        val byName = declared.map { case (n, t) => n.toLowerCase -> t }.toMap
+        val header = spark.read.option("header", "true").csv(path).schema.fieldNames
+        val schema = org.apache.spark.sql.types.StructType(header.map(n =>
+          org.apache.spark.sql.types.StructField(
+            n, byName.getOrElse(n.toLowerCase, org.apache.spark.sql.types.StringType))))
+        spark.read.format("csv").option("header", "true").schema(schema).load(path)
+      case _ =>
+        spark.read.format(format).load(path)
+    }
   }
+
   override def physicalNames: Seq[String] = {
     val dir = new java.io.File(url)
     if (!dir.isDirectory) Nil
@@ -44,16 +108,52 @@ final class CatalogResolver extends TableResolver {
     spark.table(ref.dotted)
 }
 
+/** Range-partitioning spec for a JDBC table scan: Spark opens `numPartitions`
+  * connections, each reading `column BETWEEN` a stride of [lowerBound, upperBound]
+  * (rows outside the bounds land in the first/last partition — bounds shape the
+  * split, they don't filter). The column should be indexed and roughly uniform;
+  * a model's numeric primary key is the usual choice.
+  */
+final case class JdbcPartitioning(
+    column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+
 /** Resolve over a JDBC connection — the funnel for the reference's warehouse
   * connectors (Postgres/MySQL/Trino/…, data_source.py:241-530): on Spark they are
   * all `spark.read.jdbc`, and Catalyst pushes filters/projections down to the remote
   * (JDBCScan PushedFilters), replacing the reference's unparse-to-dialect layer.
+  *
+  * Remote scans parallelize through per-table partitioning carried in the connection
+  * shape (the Spark analogue of the reference's per-connector connection info):
+  * `partitioning` range-splits on a numeric column; `predicates` gives one remote
+  * WHERE clause per partition for keys a range can't split (hash buckets, enum
+  * columns). A table in neither map reads through a single connection — fine for
+  * dimension-sized tables, a bottleneck for facts, so size partitioning to the
+  * remote table, not to Spark.
   */
 final class JdbcResolver(
     url: String,
-    connectionProperties: java.util.Properties = new java.util.Properties) extends TableResolver {
+    connectionProperties: java.util.Properties = new java.util.Properties,
+    partitioning: Map[String, JdbcPartitioning] = Map.empty,
+    predicates: Map[String, Seq[String]] = Map.empty) extends TableResolver {
+
+  private def forTable[T](m: Map[String, T], ref: TableReference): Option[T] =
+    m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(ref.dotted) || k.equalsIgnoreCase(ref.table) => v
+    }
+
   override def resolve(spark: SparkSession, ref: TableReference): DataFrame =
-    spark.read.jdbc(url, ref.dotted, connectionProperties)
+    forTable(partitioning, ref) match {
+      case Some(p) =>
+        spark.read.jdbc(
+          url, ref.dotted, p.column, p.lowerBound, p.upperBound, p.numPartitions,
+          connectionProperties)
+      case None =>
+        forTable(predicates, ref) match {
+          case Some(preds) if preds.nonEmpty =>
+            spark.read.jdbc(url, ref.dotted, preds.toArray, connectionProperties)
+          case _ => spark.read.jdbc(url, ref.dotted, connectionProperties)
+        }
+    }
 }
 
 final class GraftException(msg: String) extends RuntimeException(msg)
@@ -313,17 +413,27 @@ final class SemanticPlanner(
 
   // ---------------------------------------------------------------- base scan
 
+  /** The model's declared (name → Spark type) pairs for columns read 1:1 from the
+    * source — the schema hint that lets text sources skip inference. Expression
+    * columns reference source columns the model doesn't declare, so they're excluded
+    * (the source keeps its own type there; CSV defaults those to string).
+    */
+  private def declaredTypes(model: Model): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    model.physicalColumns.filter(_.expression.isEmpty)
+      .map(c => c.name -> TypeMapper.toSpark(c.`type`))
+
   /** Source scan + physical/expression columns, typed per the MDL declaration. */
   def baseDF(model: Model): DataFrame = baseCache.getOrElseUpdate(model.name.toLowerCase, {
     val src: DataFrame = (model.refSql, model.tableReference) match {
       case (Some(sql), _) => spark.sql(stripNamespace(sql))
-      case (None, Some(ref)) => resolver.resolve(spark, ref)
+      case (None, Some(ref)) => resolver.resolve(spark, ref, declaredTypes(model))
       case (None, None) =>
         model.baseObject match {
           case Some(b) =>
             baseDF(manifest.model(b).getOrElse(
               throw new GraftException(s"model ${model.name}: baseObject $b not found")))
-          case None => resolver.resolve(spark, TableReference(table = model.name))
+          case None =>
+            resolver.resolve(spark, TableReference(table = model.name), declaredTypes(model))
         }
     }
     val cols = model.physicalColumns.map { c =>

@@ -383,6 +383,26 @@ object Pipeline {
               |  cast(6 AS bigint) AS n_frames
               |FROM b ORDER BY doc_id""".stripMargin))),
 
+    // Real image decode (not the stub): uniform-gray PNGs generated per doc_id
+    // (width/height/gray all id-derived), decoded back through the JDK's ImageIO in
+    // decodeFeatures — the oracle predicts the pixel statistics arithmetically
+    // because PNG is lossless and the image is uniform. JPEG decode runs through
+    // the same code path and is golden-tested in OperatorsSpec (DCT quantization
+    // makes its pixel values deterministic but not SQL-expressible).
+    "mm3_image_decode" -> (((s: SparkSession, dir: String) =>
+      Multimodal.decodeFeatures(
+          Multimodal.attachImagePayload(docs(s, dir).select(col("doc_id")), "doc_id"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("px_mean"), col("px_min"), col("px_max"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  cast(4 + doc_id % 13 as int) AS width,
+             |  cast(3 + doc_id % 7 as int) AS height,
+             |  cast((doc_id * 37) % 256 as double) AS px_mean,
+             |  cast((doc_id * 37) % 256 as int) AS px_min,
+             |  cast((doc_id * 37) % 256 as int) AS px_max
+             |FROM documents ORDER BY doc_id""".stripMargin))),
+
     // ---------------- event analytics ----------------
 
     "e1_sessionize" -> (((s: SparkSession, dir: String) => {

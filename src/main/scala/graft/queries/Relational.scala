@@ -15,6 +15,19 @@ object Relational {
   def load(s: SparkSession, dir: String, tables: String*): Unit =
     tables.foreach(t => s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
 
+  /** One embedded Derby database per JVM for the JDBC round-trip query. Derby's
+    * system properties only take effect on the first boot, and every `create=true`
+    * URL leaves a database plus log handles open for the JVM's lifetime — so boot
+    * exactly once and let re-runs (Bench runs each query ≥3 times) overwrite the
+    * table inside the same instance.
+    */
+  private lazy val derbyUrl: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_").toString
+    System.setProperty("derby.system.home", tmp)
+    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    s"jdbc:derby:$tmp/db;create=true"
+  }
+
   private def q(tables: Seq[String], sparkSql: String, oracle: String)
       : ((SparkSession, String) => DataFrame, String) =
     ((s: SparkSession, dir: String) => { load(s, dir, tables: _*); s.sql(sparkSql) }, oracle)
@@ -406,14 +419,14 @@ object Relational {
     // embedded Derby database, deployed via JdbcResolver (the funnel for the
     // reference's 20 warehouse connectors, ibis-server/app/model/data_source.py:241-530).
     // Catalyst pushes the projection to the remote (JDBCScan ReadSchema) — the role
-    // the reference's unparse/ibis layer plays. Table/column identifiers are written
-    // uppercase so Spark's quoted CREATE matches Derby's unquoted, case-folded lookup.
+    // the reference's unparse/ibis layer plays — and the scan range-partitions on the
+    // primary key (JdbcPartitioning): 4 connections each reading a S_SUPPKEY stride,
+    // so remote I/O parallelizes instead of serializing through one task.
+    // Table/column identifiers are written uppercase so Spark's quoted CREATE matches
+    // Derby's unquoted, case-folded lookup.
     "q27_jdbc_scan" -> (((s: SparkSession, dir: String) => {
       import graft.mdl._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jdbc_").toString
-      System.setProperty("derby.system.home", tmp)
-      System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
-      val url = s"jdbc:derby:$tmp/db;create=true"
+      val url = derbyUrl // one embedded instance per JVM (re-runs reuse it)
       s.read.parquet(s"$dir/supplier.parquet")
         .selectExpr("s_suppkey AS S_SUPPKEY", "s_name AS S_NAME",
           "s_nationkey AS S_NATIONKEY", "s_acctbal AS S_ACCTBAL")
@@ -429,7 +442,9 @@ object Relational {
             Column("s_nationkey", "int", expression = Some("S_NATIONKEY")),
             Column("s_acctbal", "double", expression = Some("S_ACCTBAL"))))))
       graft.GraftEngine
-        .deploy(s, manifest, new graft.planner.JdbcResolver(url))
+        .deploy(s, manifest, new graft.planner.JdbcResolver(url,
+          partitioning = Map("SUPPLIER" -> graft.planner.JdbcPartitioning(
+            "S_SUPPKEY", lowerBound = 1L, upperBound = 100000L, numPartitions = 4))))
         .query(s"""SELECT s_nationkey, count(*) AS n_suppliers,
                   |  cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS total_acctbal
                   |FROM jdbc_supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)

@@ -85,4 +85,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       plan.take(1500))
   }
+
+  test("q27_jdbc_scan: the remote scan range-partitions across 4 connections") {
+    val plan = executedPlan("q27_jdbc_scan")
+    assert(plan.contains("JDBCRelation(SUPPLIER) [numPartitions=4]"), plan.take(2000))
+  }
+
+  test("s2_ann_lsh / d6: candidate scoring carries no vector-bearing dedup exchange") {
+    // The multi-probe candidate join emits each pair at most once (distinct XOR
+    // masks), so no distinct/aggregate should sit between the join and the cosine —
+    // the old shape shuffled both dim-64 vectors per candidate pair to dedup them.
+    for (name <- Seq("s2_ann_lsh", "d6_embed_neardup_lsh")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("Join"), plan.take(1200))
+      assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
+        s"$name: unexpected dedup aggregate in the candidate pipeline\n${plan.take(2500)}")
+    }
+  }
 }

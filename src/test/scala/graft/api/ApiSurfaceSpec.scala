@@ -78,6 +78,22 @@ class ApiSurfaceSpec extends AnyFunSuite {
     cache.invalidateAll()
   }
 
+  test("withTimeout cancels a runaway query and the session stays usable") {
+    val e = intercept[graft.QueryTimeoutException] {
+      session.withTimeout(1200) {
+        // max(id % 7) never overflows (ANSI mode), so the scan genuinely runs long
+        spark.range(Long.MaxValue).selectExpr("max(id % 7) AS s").collect()
+      }
+    }
+    assert(e.getMessage.contains("cancelled"))
+    // cancellation is job-group-scoped: the same session answers immediately after
+    val n = session.query("SELECT count(*) AS n FROM m_orders").collect().head.getLong(0)
+    assert(n > 0)
+    // and a query within budget completes through the same wrapper
+    val rows = session.collectWithTimeout("SELECT count(*) AS n FROM m_orders", 120000)
+    assert(rows.head.getLong(0) == n)
+  }
+
   test("json response formats types and carries the shape") {
     val json = session.queryJson(
       "SELECT o_orderkey, o_orderdate, cast(o_totalprice as decimal(18,2)) AS p " +

@@ -128,6 +128,80 @@ class HttpServerSpec extends AnyFunSuite {
     assert(post("/v3/connector/spark/nope", bodyJson("SELECT 1")).statusCode() == 404)
   }
 
+  private val relManifestStr =
+    """{"catalog":"web","schema":"demo",
+      |"models":[
+      |  {"name":"w_nation","tableReference":"nation","primaryKey":"n_nationkey",
+      |   "columns":[{"name":"n_nationkey","type":"int"},{"name":"n_regionkey","type":"int"}]},
+      |  {"name":"w_region","tableReference":"region","primaryKey":"r_regionkey",
+      |   "columns":[{"name":"r_regionkey","type":"int"}]}],
+      |"relationships":[
+      |  {"name":"nation_region","models":["w_nation","w_region"],"joinType":"MANY_TO_ONE",
+      |   "condition":"\"w_nation\".\"n_regionkey\" = \"w_region\".\"r_regionkey\""}]}""".stripMargin
+
+  test("metadata constraints route lists FK edges from manifest relationships") {
+    val r = post("/v3/connector/spark/metadata/constraints",
+      s"""{"manifestStr":${quoted(relManifestStr)}}""")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"constraintName\":\"nation_region\""))
+    assert(r.body().contains("\"constraintType\":\"FOREIGN KEY\""))
+    assert(r.body().contains("\"constraintTable\":\"w_nation\"")
+      && r.body().contains("\"constraintColumn\":\"n_regionkey\""))
+    assert(r.body().contains("\"constraintedTable\":\"w_region\"")
+      && r.body().contains("\"constraintedColumn\":\"r_regionkey\""))
+  }
+
+  test("metadata schemas and version routes") {
+    val s = post("/v3/connector/spark/metadata/schemas",
+      s"""{"manifestStr":${quoted(relManifestStr)}}""")
+    assert(s.statusCode() == 200 && s.body().contains("\"web\"") && s.body().contains("\"demo\""))
+    val v = post("/v3/connector/spark/metadata/version",
+      s"""{"manifestStr":${quoted(relManifestStr)}}""")
+    assert(v.statusCode() == 200 && v.body().contains("Spark "))
+  }
+
+  test("single-function lookup answers a list; unknown names an empty one") {
+    def get(path: String) = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    val hit = get("/v3/connector/spark/functions/date_bin")
+    assert(hit.statusCode() == 200 && hit.body().contains("\"date_bin\""))
+    val miss = get("/v3/connector/spark/function/definitely_not_a_function")
+    assert(miss.statusCode() == 200 && miss.body() == "[]")
+  }
+
+  test("cacheEnable surfaces X-Cache-Hit / X-Cache-Create-At / X-Cache-Override headers") {
+    val hdrs = Map("x-wren-variable-session_status" -> "F")
+    val sql = "SELECT count(*) AS n FROM w_orders"
+    val r1 = post("/v3/connector/spark/query?cacheEnable=true", bodyJson(sql), hdrs)
+    assert(r1.statusCode() == 200, r1.body())
+    assert(r1.headers().firstValue("X-Cache-Hit").orElse("") == "false")
+
+    val r2 = post("/v3/connector/spark/query?cacheEnable=true", bodyJson(sql), hdrs)
+    assert(r2.statusCode() == 200)
+    assert(r2.headers().firstValue("X-Cache-Hit").orElse("") == "true")
+    assert(r2.headers().firstValue("X-Cache-Create-At").isPresent)
+    assert(r2.body() == r1.body(), "cache must serve the same result")
+
+    val r3 = post("/v3/connector/spark/query?cacheEnable=true&overrideCache=true",
+      bodyJson(sql), hdrs)
+    assert(r3.statusCode() == 200)
+    assert(r3.headers().firstValue("X-Cache-Hit").orElse("") == "false")
+    assert(r3.headers().firstValue("X-Cache-Override").orElse("") == "true")
+    assert(r3.headers().firstValue("X-Cache-Override-At").isPresent)
+  }
+
+  test("timeout parameter cancels a runaway query with 504; server stays usable") {
+    val hdrs = Map("x-wren-variable-session_status" -> "F")
+    val slow = post("/v3/connector/spark/query?timeout=1", bodyJson(
+      "SELECT max(id % 7) AS s FROM range(1000000000000)"), hdrs)
+    assert(slow.statusCode() == 504, s"${slow.statusCode()} ${slow.body()}")
+    assert(slow.body().contains("cancelled"))
+    val ok = post("/v3/connector/spark/query?timeout=120&limit=1", bodyJson(
+      "SELECT o_orderkey FROM w_orders ORDER BY o_orderkey"), hdrs)
+    assert(ok.statusCode() == 200, ok.body())
+  }
+
   private def quoted(s: String): String =
     org.json4s.jackson.JsonMethods.compact(org.json4s.JString(s))
 }

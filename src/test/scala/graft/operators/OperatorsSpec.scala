@@ -183,5 +183,72 @@ class OperatorsSpec extends AnyFunSuite {
     // identical text -> identical features
     val byId = feats.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("byte_mean")).toMap
     assert(byId(1L) == byId(2L))
+    // fake payloads are not decodable images: image fields stay null
+    assert(feats.forall(_.isNullAt(f.fieldIndex("width"))))
+  }
+
+  test("real PNG decode: ImageIO roundtrips the generated uniform image exactly") {
+    val feats = Multimodal.decodeFeatures(
+        Multimodal.attachImagePayload(docs.select($"doc_id"), "doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- 1L to 7L) {
+      val r = feats(id)
+      assert(r.getAs[Int]("width") == 4 + (id % 13).toInt)
+      assert(r.getAs[Int]("height") == 3 + (id % 7).toInt)
+      val g = ((id * 37) % 256).toInt
+      assert(r.getAs[Int]("px_min") == g && r.getAs[Int]("px_max") == g)
+      assert(r.getAs[Double]("px_mean") == g.toDouble) // uniform + lossless = exact
+    }
+  }
+
+  test("real JPEG decode: golden roundtrip through the same decode path") {
+    // JPEG DCT quantization shifts a uniform gray deterministically but not
+    // SQL-predictably — golden-test it against a direct ImageIO roundtrip instead.
+    val cases = Seq((16, 8, 100, 11L), (9, 5, 200, 12L), (24, 24, 7, 13L))
+    val rows = cases.map { case (w, h, g, id) =>
+      (id, "jpeg", Multimodal.encodeUniformImage(w, h, g, "jpeg"))
+    }.toDF("doc_id", "media_format", "payload")
+      .withColumn("media_meta", struct($"media_format".as("format"),
+        length($"payload").as("n_bytes")))
+    val feats = Multimodal.decodeFeatures(rows)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((w, h, g, id) <- cases) {
+      val r = feats(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val expected = {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(Multimodal.encodeUniformImage(w, h, g, "jpeg")))
+        val samples = for (y <- 0 until h; x <- 0 until w) yield img.getRaster.getSample(x, y, 0)
+        (samples.sum.toDouble / samples.size, samples.min, samples.max)
+      }
+      assert(r.getAs[Double]("px_mean") == expected._1)
+      assert(r.getAs[Int]("px_min") == expected._2 && r.getAs[Int]("px_max") == expected._3)
+      assert(math.abs(r.getAs[Double]("px_mean") - g) <= 4.0, "quantization drift bound")
+    }
+  }
+
+  test("bounded posting-list collect nulls out hot shingles instead of buffering them") {
+    // 'the quick brown' appears in docs 1,2,3 (df=3): with maxDocFreq=2 every pair
+    // sharing ONLY capped shingles must disappear, while pairs that also share
+    // rarer shingles survive through those.
+    val sh = Dedup.shingles(docs, "text", "doc_id", n = 3)
+    val capped = Dedup.pairJaccard(sh, maxDocFreq = 1)
+    assert(capped.count() == 0) // every shared shingle has df >= 2: all capped away
+    val uncapped = Dedup.pairJaccard(sh, maxDocFreq = 1000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(uncapped.contains((1L, 2L)))
+  }
+
+  test("exact dedup with null ids keeps an original row, preferring non-null ids") {
+    val d = Seq(
+      (java.lang.Long.valueOf(5L), "same text here"),
+      (null.asInstanceOf[java.lang.Long], "same text here"),
+      (null.asInstanceOf[java.lang.Long], "only null ids")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exact(d, "text", "doc_id").collect()
+    assert(kept.length == 2)
+    val byText = kept.map(r => r.getString(1) -> r).toMap
+    assert(byText("same text here").getLong(0) == 5L) // non-null id wins the group
+    assert(byText("only null ids").isNullAt(0)) // the original row, not an all-null row
   }
 }

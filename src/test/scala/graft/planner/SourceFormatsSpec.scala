@@ -55,4 +55,46 @@ class SourceFormatsSpec extends AnyFunSuite {
       assert(rows.head.getString(2) == s"${rows.head.getInt(0)}:${rows.head.getString(1)}")
     }
   }
+
+  test("csv scans take the DECLARED schema — no inference pass over the file") {
+    val src = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    val tmp = Files.createTempDirectory("graft_csv_sch_").toString
+    src.coalesce(1).write.option("header", "true").csv(s"$tmp/nation.csv.dir")
+    val part = new java.io.File(s"$tmp/nation.csv.dir").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    Files.move(part.toPath, new java.io.File(s"$tmp/nation.csv").toPath)
+
+    val resolver = new PathResolver(tmp, "csv")
+    // declare ONLY n_name: the declared column takes its MDL type, and the clearly
+    // numeric n_nationkey stays STRING — proof the reader used the declaration, not
+    // an inference pass (inference would type it int).
+    val df = resolver.resolve(spark, TableReference(table = "nation"),
+      Seq("n_name" -> org.apache.spark.sql.types.StringType))
+    assert(df.schema("n_name").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.schema("n_nationkey").dataType == org.apache.spark.sql.types.StringType)
+    // declared int flows through to the scan schema
+    val df2 = resolver.resolve(spark, TableReference(table = "nation"),
+      Seq("n_nationkey" -> org.apache.spark.sql.types.IntegerType))
+    assert(df2.schema("n_nationkey").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df2.select("n_nationkey").collect().map(_.getInt(0)).toSet ==
+      expected.map(_._1))
+  }
+
+  test("cloud connection info configures bucket-scoped S3A keys, never global ones") {
+    val conn = CloudConnection(
+      accessKey = Some("AKTEST"), secretKey = Some("SKTEST"),
+      endpoint = Some("http://minio.internal:9000"), pathStyleAccess = true)
+    conn.configure(spark, "s3a://training-corpus/docs")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.bucket.training-corpus.access.key") == "AKTEST")
+    assert(hc.get("fs.s3a.bucket.training-corpus.secret.key") == "SKTEST")
+    assert(hc.get("fs.s3a.bucket.training-corpus.endpoint") == "http://minio.internal:9000")
+    assert(hc.get("fs.s3a.bucket.training-corpus.path.style.access") == "true")
+    // a second deployment against another bucket must not clobber the first
+    CloudConnection(accessKey = Some("OTHER")).configure(spark, "s3a://other-bucket/x")
+    assert(hc.get("fs.s3a.bucket.training-corpus.access.key") == "AKTEST")
+    assert(hc.get("fs.s3a.bucket.other-bucket.access.key") == "OTHER")
+    // global credentials stay unset — per-deployment scoping is the contract
+    assert(hc.get("fs.s3a.access.key") == null)
+  }
 }
