@@ -193,15 +193,39 @@ final class GraftSession(
     * column *does* exist in the manifest, that error is converted into an explicit
     * access-denied message instead of a confusing resolution failure.
     */
-  /** Warm-path plan cache: raw SQL → its ANALYZED logical plan. Analysis (view
-    * expansion, resolution, access checks) is deterministic for a fixed deployment +
-    * property set (both fixed per GraftSession), so re-analysis is pure overhead —
-    * roughly half the warm planning cost. Optimization is deliberately NOT cached: a
-    * fresh Dataset per call re-optimizes, so time-dependent foldables
-    * (current_timestamp & co.) keep per-execution semantics.
+  /** Warm-path plan cache: raw SQL → its ANALYZED plan, plus the OPTIMIZED plan when
+    * the query is time-stable. Analysis (view expansion, resolution, access checks)
+    * and optimization are each deterministic for a fixed deployment + property set
+    * (both fixed per GraftSession), so re-running either warm is pure overhead — and
+    * together they are nearly all of warm planning latency. The optimized plan is
+    * withheld (None) exactly when caching it would change semantics: plans carrying
+    * time-dependent foldables (current_timestamp & co. — the optimizer freezes them
+    * per-optimization) or non-deterministic expressions (rand, uuid) re-optimize per
+    * call so every execution gets fresh values.
     */
+  private final case class CachedPlan(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      optimized: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Option[Int], String), org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[Int], String), CachedPlan]
+
+  /** False when any expression (subqueries included) is non-deterministic or bound
+    * to query-submission time — the set the optimizer's ComputeCurrentTime /
+    * ReplaceExpressions freeze per optimization run.
+    */
+  private def timeStable(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    var stable = true
+    plan.transformAllExpressionsWithSubqueries {
+      case e if !e.deterministic || e.isInstanceOf[CurrentTimestamp] ||
+          e.isInstanceOf[CurrentDate] || e.isInstanceOf[Now] ||
+          e.isInstanceOf[LocalTimestamp] || e.isInstanceOf[CurrentTimeZone] ||
+          e.isInstanceOf[CurrentDatabase] || e.isInstanceOf[CurrentCatalog] =>
+        stable = false; e
+    }
+    stable
+  }
 
   /** Analysis-relevant session conf baked into cached plans — a change must miss. */
   private def planConfKey: String =
@@ -213,7 +237,11 @@ final class GraftSession(
     ensureViews()
     val key = (sql, limit, planConfKey)
     val hit = planCache.get(key)
-    if (hit != null) return org.apache.spark.sql.graft.Bridge.ofRows(spark, hit)
+    if (hit != null) return hit.optimized match {
+      case Some(opt) =>
+        org.apache.spark.sql.graft.Bridge.ofRowsPreOptimized(spark, hit.analyzed, opt)
+      case None => org.apache.spark.sql.graft.Bridge.ofRows(spark, hit.analyzed)
+    }
     val df =
       try withSessionTimezone(planner.runSql(sql))
       catch {
@@ -246,7 +274,13 @@ final class GraftSession(
     val pruned = graft.planner.PartialModelPruner.prune(limited.queryExecution.analyzed)
     val out = org.apache.spark.sql.graft.Bridge.ofRows(spark, pruned)
     if (planCache.size >= 256) planCache.clear() // crude bound, same policy as deployOnDir
-    planCache.put(key, pruned)
+    // Optimize eagerly on the miss path (execution would anyway) so warm hits can
+    // skip the optimizer entirely; time-sensitive plans cache analyzed-only.
+    val optimized =
+      if (timeStable(pruned))
+        scala.util.Try(out.queryExecution.optimizedPlan).toOption
+      else None
+    planCache.put(key, CachedPlan(pruned, optimized))
     out
   }
 

@@ -60,6 +60,82 @@ object Multimodal {
         length(col("payload")).alias("n_bytes")))
   }
 
+  /** Deterministic REAL audio payloads: one 8-bit PCM mono WAV per row, length and
+    * samples derived from the id (n = 50 + id%50 samples at 8 kHz, sample i =
+    * (id + 7i) mod 256) — WAV is a RIFF header plus raw PCM, so both the encoder
+    * and the decoder below are complete, dependency-free implementations and an
+    * external oracle can predict the decoded sample statistics exactly.
+    */
+  def attachAudioPayload(df: DataFrame, idCol: String = "doc_id", sampleRate: Int = 8000)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 50 + java.lang.Math.floorMod(id, 50L).toInt
+          val samples = Array.tabulate(n)(i => java.lang.Math.floorMod(id + 7L * i, 256L).toInt)
+          (id, "wav", encodeWavPcm8(samples, sampleRate))
+        }
+      }
+      .toDF("doc_id", "media_format", "payload")
+      .withColumn("media_meta", struct(
+        col("media_format").alias("format"),
+        length(col("payload")).alias("n_bytes")))
+  }
+
+  /** Minimal canonical WAV writer: RIFF / fmt(PCM, mono, 8-bit) / data. */
+  private[graft] def encodeWavPcm8(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate = rate * channels * bytesPerSample
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(n)
+    samples.foreach(s => buf.put((s & 0xFF).toByte))
+    buf.array()
+  }
+
+  /** Minimal WAV reader: returns (sampleRate, unsigned 8-bit samples) for PCM mono
+    * 8-bit payloads, None for anything that isn't one (corrupt file behavior).
+    */
+  private[graft] def decodeWavPcm8(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (bytes.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+    if (tag4() != "RIFF") return None
+    buf.getInt // riff size
+    if (tag4() != "WAVE") return None
+    var rate = -1
+    var ok = false
+    // walk chunks: fmt must declare PCM/mono/8-bit before data
+    while (buf.remaining() >= 8) {
+      val id = tag4()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) return None
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort; val ch = buf.getShort
+          rate = buf.getInt; buf.getInt; buf.getShort
+          val bits = buf.getShort
+          ok = fmt == 1 && ch == 1 && bits == 8
+          buf.position(buf.position() + size - 16)
+        case "data" if ok && rate > 0 =>
+          val out = new Array[Int](size)
+          var i = 0
+          while (i < size) { out(i) = buf.get() & 0xFF; i += 1 }
+          return Some((rate, out))
+        case _ => buf.position(buf.position() + size)
+      }
+    }
+    None
+  }
+
   /** Encode a w×h uniform-gray image with the JDK encoder ("png" or "jpeg"). */
   private[graft] def encodeUniformImage(w: Int, h: Int, gray: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -79,13 +155,16 @@ object Multimodal {
       doc_id: Long, format: String, n_bytes: Int,
       byte_mean: Double, byte_min: Int, byte_max: Int, head: Array[Byte],
       width: Option[Int], height: Option[Int],
-      px_mean: Option[Double], px_min: Option[Int], px_max: Option[Int])
+      px_mean: Option[Double], px_min: Option[Int], px_max: Option[Int],
+      sample_rate: Option[Int], n_samples: Option[Int],
+      sample_mean: Option[Double], sample_min: Option[Int], sample_max: Option[Int])
 
   /** Partition-wise decode: consumes (id, format, payload) rows in batches and emits
     * fixed-shape features. JPEG/PNG payloads are REALLY decoded (ImageIO) into
-    * width/height/pixel stats; undecodable payloads and non-image formats keep the
-    * byte statistics with null image fields — the behavior a production pipeline
-    * wants for corrupt files (feature row survives, decode fields null).
+    * width/height/pixel stats and WAV payloads into sample-rate/PCM statistics;
+    * undecodable payloads and other formats keep the byte statistics with null
+    * decode fields — the behavior a production pipeline wants for corrupt files
+    * (feature row survives, decode fields null).
     */
   def decodeFeatures(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
@@ -102,8 +181,8 @@ object Multimodal {
 
   /** Per-payload decode. Byte statistics always; real ImageIO decode for image
     * formats (raster band 0 — the gray channel for grayscale, red for RGB; our
-    * generated payloads are single-band gray). A WAV/audio codec would slot in here;
-    * audio stays byte-stats-only (stub) in this container.
+    * generated payloads are single-band gray); real RIFF/PCM parse for WAV. Video
+    * would need an external codec — [[sampleFrames]] keeps its explode shape stubbed.
     */
   private def decodeOne(id: Long, format: String, bytes: Array[Byte]): MediaFeatures = {
     var sum = 0L
@@ -123,6 +202,24 @@ object Multimodal {
         try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
         catch { case _: java.io.IOException => None }
       else None
+    val audio = if (format == "wav") decodeWavPcm8(bytes) else None
+    val (sr, nS, sMean, sMin, sMax) = audio match {
+      case Some((rate, samples)) if samples.nonEmpty =>
+        var ss = 0L
+        var smn = Int.MaxValue
+        var smx = Int.MinValue
+        var j = 0
+        while (j < samples.length) {
+          val v = samples(j)
+          ss += v
+          if (v < smn) smn = v
+          if (v > smx) smx = v
+          j += 1
+        }
+        (Some(rate), Some(samples.length),
+          Some(ss.toDouble / samples.length), Some(smn), Some(smx))
+      case _ => (None, None, None, None, None)
+    }
     val (w, h, pMean, pMin, pMax) = img match {
       case Some(im) =>
         val raster = im.getRaster
@@ -146,7 +243,7 @@ object Multimodal {
       case None => (None, None, None, None, None)
     }
     MediaFeatures(id, format, bytes.length, mean, if (bytes.isEmpty) 0 else mn, mx,
-      bytes.take(8), w, h, pMean, pMin, pMax)
+      bytes.take(8), w, h, pMean, pMin, pMax, sr, nS, sMean, sMin, sMax)
   }
 
   /** Frame sampling stub: emits every `stride`-th 4-byte window as a "frame" —

@@ -403,6 +403,29 @@ object Pipeline {
              |  cast((doc_id * 37) % 256 as int) AS px_max
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // Real WAV decode: 8-bit PCM mono payloads written by the dependency-free RIFF
+    // encoder and read back by the matching parser in decodeFeatures — samples are
+    // id-derived ((id + 7i) mod 256 over 50 + id%50 samples), so the oracle rebuilds
+    // the exact sample statistics relationally.
+    "mm4_audio_decode" -> (((s: SparkSession, dir: String) =>
+      Multimodal.decodeFeatures(
+          Multimodal.attachAudioPayload(docs(s, dir).select(col("doc_id")), "doc_id"))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sample_mean"), col("sample_min"), col("sample_max"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, 50 + doc_id % 50 AS n,
+             |    list_transform(range(50 + doc_id % 50), i -> (doc_id + 7*i) % 256) AS smp
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  cast(8000 as int) AS sample_rate,
+             |  cast(n as int) AS n_samples,
+             |  cast(list_aggregate(smp, 'sum') as double) / n AS sample_mean,
+             |  cast(list_aggregate(smp, 'min') as int) AS sample_min,
+             |  cast(list_aggregate(smp, 'max') as int) AS sample_max
+             |FROM s ORDER BY doc_id""".stripMargin))),
+
     // ---------------- event analytics ----------------
 
     "e1_sessionize" -> (((s: SparkSession, dir: String) => {

@@ -14,6 +14,26 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** DataFrame over an ALREADY analyzed + optimized plan pair: the QueryExecution's
+    * analysis and optimization phases are pinned to the supplied plans, so the warm
+    * path pays neither (the optimizer alone is ~half of warm planning latency).
+    * Only sound when the optimized plan is execution-invariant — the caller must
+    * exclude plans with time-dependent foldables (current_timestamp & co., which
+    * the optimizer freezes per-optimization) and non-deterministic expressions.
+    * Physical planning still runs per call, so nothing stateful (AQE stages,
+    * exchange reuse) leaks between executions.
+    */
+  def ofRowsPreOptimized(
+      spark: SparkSession, analyzedPlan: LogicalPlan, optimized: LogicalPlan): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    val qe = new org.apache.spark.sql.execution.QueryExecution(cs, analyzedPlan) {
+      override lazy val analyzed: LogicalPlan = analyzedPlan
+      override lazy val optimizedPlan: LogicalPlan = optimized
+    }
+    new Dataset[org.apache.spark.sql.Row](qe,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(analyzedPlan.schema))
+  }
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

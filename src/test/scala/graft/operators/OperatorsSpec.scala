@@ -227,6 +227,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV decode: RIFF/PCM roundtrip recovers rate and exact sample stats") {
+    val feats = Multimodal.decodeFeatures(
+        Multimodal.attachAudioPayload(docs.select($"doc_id"), "doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- 1L to 7L) {
+      val r = feats(id)
+      val n = 50 + (id % 50).toInt
+      val samples = (0 until n).map(i => ((id + 7 * i) % 256).toInt)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("n_samples") == n)
+      assert(r.getAs[Int]("sample_min") == samples.min)
+      assert(r.getAs[Int]("sample_max") == samples.max)
+      assert(r.getAs[Double]("sample_mean") == samples.sum.toDouble / n)
+    }
+    // corrupt payload (truncated header) survives as a null-decode row
+    assert(Multimodal.decodeWavPcm8("RIFFxxxx".getBytes).isEmpty)
+  }
+
   test("bounded posting-list collect nulls out hot shingles instead of buffering them") {
     // 'the quick brown' appears in docs 1,2,3 (df=3): with maxDocFreq=2 every pair
     // sharing ONLY capped shingles must disappear, while pairs that also share
