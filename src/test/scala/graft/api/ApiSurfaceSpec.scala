@@ -94,6 +94,21 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == n)
   }
 
+  test("optimized-plan cache: time-dependent queries still get fresh values warm") {
+    // the optimizer freezes current_timestamp per run — such plans must cache
+    // analyzed-only and re-optimize per call (a cached optimized plan would pin t)
+    val sql = "SELECT current_timestamp() AS t FROM m_orders LIMIT 1"
+    val t1 = session.query(sql).collect().head.getTimestamp(0)
+    Thread.sleep(10)
+    val t2 = session.query(sql).collect().head.getTimestamp(0) // warm (plan-cache hit)
+    assert(t2.after(t1), s"warm call must re-freeze current_timestamp: $t1 vs $t2")
+    // while a time-stable query serves the SAME optimized plan object warm
+    val stable = "SELECT count(*) AS n FROM m_orders"
+    val o1 = session.query(stable).queryExecution.optimizedPlan
+    val o2 = session.query(stable).queryExecution.optimizedPlan
+    assert(o1 eq o2, "time-stable warm hit must reuse the cached optimized plan")
+  }
+
   test("json response formats types and carries the shape") {
     val json = session.queryJson(
       "SELECT o_orderkey, o_orderdate, cast(o_totalprice as decimal(18,2)) AS p " +
