@@ -78,7 +78,7 @@ final class PathResolver(
       declared: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
     val path = s"$url/${ref.table}.$ext"
     format match {
-      case "csv" =>
+      case "csv" if declared.nonEmpty =>
         // Schema from the MDL declaration, not inference: a header-only read (no
         // inferSchema — Spark reads just the first line) supplies the file's column
         // order; declared columns take their declared type, anything the model
@@ -90,6 +90,12 @@ final class PathResolver(
           org.apache.spark.sql.types.StructField(
             n, byName.getOrElse(n.toLowerCase, org.apache.spark.sql.types.StringType))))
         spark.read.format("csv").option("header", "true").schema(schema).load(path)
+      case "csv" =>
+        // No declaration to read from (refSql pre-registration, expression-only
+        // models): inference is the only source of types — the extra pass is the
+        // price of not declaring.
+        spark.read.format("csv")
+          .option("header", "true").option("inferSchema", "true").load(path)
       case _ =>
         spark.read.format(format).load(path)
     }

@@ -80,6 +80,19 @@ class SourceFormatsSpec extends AnyFunSuite {
       expected.map(_._1))
   }
 
+  test("jdbc predicates partitioning: one remote WHERE clause per partition") {
+    val tmp = Files.createTempDirectory("graft_jdbc_pred_").toString
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .selectExpr("n_nationkey AS N_NATIONKEY", "n_name AS N_NAME")
+      .write.mode("overwrite").jdbc(url, "NATION", new java.util.Properties)
+    val resolver = new JdbcResolver(url,
+      predicates = Map("NATION" -> Seq("N_NATIONKEY < 12", "N_NATIONKEY >= 12")))
+    val df = resolver.resolve(spark, TableReference(table = "NATION"))
+    assert(df.rdd.getNumPartitions == 2, "one partition per predicate")
+    assert(df.count() == 25, "predicates must tile the table exactly")
+  }
+
   test("cloud connection info configures bucket-scoped S3A keys, never global ones") {
     val conn = CloudConnection(
       accessKey = Some("AKTEST"), secretKey = Some("SKTEST"),
