@@ -342,6 +342,62 @@ object Pipeline {
               |  count(*) OVER (PARTITION BY $duckFp) AS n_dups
               |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // Corpus-frequency top-k (boilerplate detection): most common word trigrams by
+    // DOCUMENT frequency (shingles are distinct per doc). Exact; one shuffle sized
+    // by distinct shingles (map-side partial counts) + TakeOrdered for the top-k —
+    // the plan that holds when the corpus is 100 TB but the answer is 25 rows.
+    "t5_top_ngrams" -> (((s: SparkSession, dir: String) =>
+      Dedup.shingles(docs(s, dir), "text", "doc_id", n = 3)
+        .groupBy(col("shingle")).agg(count(lit(1)).alias("n_docs"))
+        .orderBy(col("n_docs").desc, col("shingle"))
+        .limit(25),
+      Some(s"""$duckShingleSets
+              |SELECT shingle, count(*) AS n_docs
+              |FROM (SELECT doc_id, unnest(s) AS shingle FROM g)
+              |GROUP BY shingle
+              |ORDER BY n_docs DESC, shingle
+              |LIMIT 25""".stripMargin))),
+
+    // Deterministic content-hash sampling: keep documents whose fingerprint hashes
+    // into bucket 0 of 10 — reproducible across runs AND engines (md5-derived
+    // bucket), the sampling a training pipeline wants (same doc always lands in
+    // the same split; no RNG state, pure map stage).
+    "t6_hash_sample" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          Dedup.md5Hash60(TextAnalysis.fingerprint(col("text"))).alias("h"))
+        .filter(col("h") % 10 === 0)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+      Some(s"""SELECT doc_id FROM documents
+              |WHERE ('0x' || substr(md5($duckFp), 1, 15))::BIGINT % 10 = 0
+              |ORDER BY doc_id""".stripMargin))),
+
+    // End-to-end curation composition — the actual shape of a training-data prep
+    // job: exact dedup → language filter → quality floor, emitting the surviving
+    // ids with their scores. Every stage is an operator verified on its own above;
+    // this proves they compose (one pipeline, no intermediate materialization).
+    "p1_curate" -> (((s: SparkSession, dir: String) =>
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).alias("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .orderBy("doc_id"),
+      Some(s"""WITH kept AS (
+              |  SELECT doc_id, text FROM (
+              |    SELECT doc_id, text,
+              |      row_number() OVER (PARTITION BY $duckFp ORDER BY doc_id) AS rn
+              |    FROM documents) WHERE rn = 1
+              |)
+              |SELECT k.doc_id, l.lang_pred, q.quality
+              |FROM kept k
+              |JOIN ($duckLangId) l ON l.doc_id = k.doc_id
+              |JOIN ($duckQuality) q ON q.doc_id = k.doc_id
+              |WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+              |ORDER BY k.doc_id""".stripMargin))),
+
     // ---------------- multimodal ----------------
 
     "mm1_media_meta" -> (((s: SparkSession, dir: String) =>
