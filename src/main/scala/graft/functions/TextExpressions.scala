@@ -190,3 +190,94 @@ object SimHashWords {
     sig
   }
 }
+
+/** Stopword-count language ID fused into one native expression.
+  *
+  * The composed Column formulation ([[graft.operators.TextAnalysis.langIdComposed]])
+  * inlines `concat(' ', lower(text), ' ')` into every keyword-occurrence count —
+  * ~64 copies of the lowered text across the CASE — and the generated Janino method
+  * blows past the JVM method-size limit, so whole-stage codegen falls back to
+  * interpreted mode for any projection containing it. This expression is a single
+  * static call: the projection stays inside codegen, and the text is lowered once
+  * per row instead of once per keyword.
+  *
+  * Semantics are bit-identical to the composed form (asserted in OperatorsSpec):
+  * CJK presence short-circuits to "zh"; otherwise per-language scores sum
+  * NON-OVERLAPPING occurrences of " kw " in ' '||lower(text)||' ' (the same count
+  * the portable length-difference/replace trick produces, so the DuckDB oracle
+  * needs no lookarounds), with the deterministic en > de > fr > es tie-break.
+  */
+case class StopwordLangId(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "stopword_lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    StopwordLangId.compute(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.StopwordLangId.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordLangId =
+    copy(child = newChild)
+}
+
+object StopwordLangId {
+
+  /** Single source of truth for the stopword lists — the DuckDB oracle generator and
+    * the composed parity formulation both read these.
+    */
+  val keywords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "con"))
+
+  private val needles: Array[Array[String]] =
+    keywords.map(_._2.map(k => s" $k ").toArray).toArray
+
+  private val ZH = UTF8String.fromString("zh")
+  private val LANGS = keywords.map(k => UTF8String.fromString(k._1)).toArray
+  private val UNKNOWN = UTF8String.fromString("unknown")
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c >= '一' && c <= '鿿') return ZH
+      i += 1
+    }
+    // UTF8String.toLowerCase is exactly what the `lower` function applies
+    val t = " " + s.toLowerCase.toString + " "
+    val sc = new Array[Int](needles.length)
+    var li = 0
+    while (li < needles.length) {
+      val ks = needles(li)
+      var total = 0
+      var j = 0
+      while (j < ks.length) {
+        val kw = ks(j)
+        var idx = t.indexOf(kw)
+        while (idx >= 0) { total += 1; idx = t.indexOf(kw, idx + kw.length) }
+        j += 1
+      }
+      sc(li) = total
+      li += 1
+    }
+    val en = sc(0); val de = sc(1); val fr = sc(2); val es = sc(3)
+    if (en >= de && en >= fr && en >= es && en > 0) LANGS(0)
+    else if (de >= fr && de >= es && de > 0) LANGS(1)
+    else if (fr >= es && fr > 0) LANGS(2)
+    else if (es > 0) LANGS(3)
+    else UNKNOWN
+  }
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark decontamination,
+  * per-domain caps, document chunking, sequence packing, semantic (embedding-cluster)
+  * dedup, incremental snapshot dedup, and PII redaction.
+  *
+  * Like the rest of `graft.operators`, every operator is a pure DataFrame pipeline
+  * whose 100 TB cost profile is explicit in the plan: map-only stages wherever the
+  * semantics allow, broadcast joins for benchmark-sized sides, and bounded state on
+  * every key-partitioned phase. Reference scope: these extend the engine beyond
+  * wren-engine's own surface per the builder brief (the reference has no
+  * data-pipeline layer; its closest analogue is the ibis-server's relational surface).
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- decontamination
+
+  /** Training documents that share at least one word `n`-gram with an evaluation
+    * benchmark — the GPT-3/Dolma 13-gram decontamination rule. Returns distinct
+    * contaminated ids (one column, named after `idCol`).
+    *
+    * Scale shape: the benchmark side is eval-set-sized (thousands of documents, vs a
+    * 100 TB training corpus), so its distinct n-gram hash set is aggregated and then
+    * BROADCAST — contamination tagging is a broadcast left-semi hash join against the
+    * exploded training shingles, i.e. a map-only pass over the corpus with no shuffle
+    * of training data at all. Shingles are 64-bit hashes, not strings, so the
+    * broadcast table is 8 bytes per benchmark n-gram.
+    */
+  def contaminatedIds(
+      train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = Dedup.shingles(benchmark, textCol, idCol, n)
+      .select(xxhash64(col("shingle")).alias("__h")).distinct()
+    Dedup.shingles(train, textCol, idCol, n)
+      .select(col("id"), xxhash64(col("shingle")).alias("__h"))
+      .join(broadcast(benchGrams), Seq("__h"), "left_semi")
+      .select(col("id").alias(idCol)).distinct()
+  }
+
+  /** Remove contaminated documents from the training set (left-anti on the
+    * contaminated-id set, which is small — join key is the id only).
+    */
+  def decontaminate(
+      train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame =
+    train.join(contaminatedIds(train, benchmark, textCol, idCol, n),
+      Seq(idCol), "left_anti")
+
+  // ---------------------------------------------------------------- per-domain caps
+
+  /** Keep at most `k` rows per key, preferring the `ordering` columns (which must be
+    * a TOTAL order — include a unique id as the last tie-break for deterministic
+    * output). The domain-balancing cap every crawl pipeline applies per host/domain.
+    *
+    * Skew-safe two-phase top-K: a straight `row_number` window shuffles every row of
+    * a hot domain into ONE task (a 100 TB crawl can have a single domain with 10⁹
+    * pages). Phase 1 splits each key into `salts` deterministic sub-groups and keeps
+    * top-k within each — bounding any task's group to ~1/salts of the hot key — so
+    * phase 2 ranks at most `salts × k` rows per key. Both phases are windows over a
+    * total order, so the final result is exactly the unsalted answer.
+    */
+  def topKPerKey(
+      df: DataFrame, keyCol: String, ordering: Seq[Column], k: Int,
+      salts: Int = 16): DataFrame = {
+    require(ordering.nonEmpty, "topKPerKey needs ordering columns (ending in a unique id)")
+    val salt = pmod(xxhash64(ordering.last), lit(salts))
+    val partial = Window.partitionBy(col(keyCol), salt).orderBy(ordering: _*)
+    val full = Window.partitionBy(col(keyCol)).orderBy(ordering: _*)
+    df.withColumn("__prk", row_number().over(partial)).filter(col("__prk") <= k)
+      .withColumn("__rk", row_number().over(full)).filter(col("__rk") <= k)
+      .drop("__prk", "__rk")
+  }
+
+  // ---------------------------------------------------------------- chunking
+
+  /** Split each document into overlapping word windows of `size` words every `stride`
+    * words (chunk c covers words [c·stride, c·stride + size)); the RAG/embedding
+    * chunking primitive. Emits (id, chunk_ix, n_words, chunk_text).
+    *
+    * Map-only: normalize → word array → explode over `ceil(words / stride)` chunk
+    * indices. No shuffle; output rows ≈ rows × (1/stride overlap factor), each chunk
+    * sliced from the staged word array (the array is materialized once per document
+    * in its own projection — see [[Dedup.shingles]] for why that matters inside
+    * higher-order-function lambdas).
+    */
+  def chunk(
+      df: DataFrame, textCol: String, idCol: String,
+      size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size >= 1 && stride >= 1, "chunk needs size >= 1 and stride >= 1")
+    val staged = df.select(col(idCol).alias("id"),
+      Dedup.wordsArray(col(textCol)).alias("__w"))
+    val nw = array_size(col("__w"))
+    val nChunks = ceil(nw.cast("double") / stride).cast("int")
+    staged.filter(nw > 0)
+      .select(col("id"), col("__w"),
+        explode(sequence(lit(0), nChunks - 1)).alias("chunk_ix"))
+      .select(
+        col("id"),
+        col("chunk_ix"),
+        least(lit(size), nw - col("chunk_ix") * stride).alias("n_words"),
+        concat_ws(" ", slice(col("__w"), col("chunk_ix") * stride + 1, lit(size)))
+          .alias("chunk_text"))
+  }
+
+  // ---------------------------------------------------------------- sequence packing
+
+  /** Pack documents into fixed-`budget` token sequences, GPT-pretraining style:
+    * documents are concatenated in a deterministic order and the stream is cut every
+    * `budget` tokens; a document's pack is the sequence its first token lands in.
+    * Emits (id, bucket, pack_ix, pack_off) — pack_off is the document's token offset
+    * within its pack.
+    *
+    * The concatenation order is (bucket, id) where bucket is an md5-derived hash of
+    * the id: each bucket packs independently, so the cumulative-sum window
+    * parallelizes across `buckets` partitions instead of serializing the corpus
+    * through one task — the knob that makes a running total work at 100 TB (buckets
+    * ≈ cluster cores; each bucket's window shuffles only its own slice). Within a
+    * bucket the window carries (id, n_tokens) longs, never document text.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokens: Column,
+      budget: Int = 512, buckets: Int = 8): DataFrame = {
+    require(budget >= 1 && buckets >= 1, "packSequences needs budget >= 1 and buckets >= 1")
+    val bucket = Dedup.md5Hash60(col(idCol).cast("string")) % buckets
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    df.select(col(idCol).alias("id"), tokens.alias("__n"), bucket.alias("bucket"))
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .select(
+        col("id"), col("bucket"),
+        floor(col("__start") / budget).alias("pack_ix"),
+        (col("__start") % budget).alias("pack_off"))
+  }
+
+  // ---------------------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al. 2023): coarse-cluster embeddings with the IVF quantizer,
+    * then find cosine near-duplicate pairs WITHIN each cluster only — the scale
+    * trick that turns O(n²) semantic dedup into per-cell all-pairs. Returns
+    * (id_a, id_b) with id_a < id_b and within-cell cosine ≥ `threshold`.
+    *
+    * Scale shape: cell assignment is a broadcast-centroid argmax map stage (zero
+    * shuffle — same quantizer as [[Similarity.ivfTopK]]); the self-join shuffles the
+    * corpus once by cell id. Per-cell pair cost is |cell|²: size `nlist` ≈ n/1000 so
+    * cells average ~10³ vectors, and raise `nlist` (or re-cluster oversized cells)
+    * when the cell-size histogram is skewed — the cap lives in the quantizer, not
+    * the join.
+    */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double, nlist: Int = 16, lloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).alias("id"), col(vecCol).alias("v"))
+    val unit = Similarity.buildCentroids(c, nlist, lloydIters)
+    val cells = c.withColumn("cid", Similarity.argmaxCid(col("v"), unit))
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("cos", Similarity.cosineNative(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+  }
+
+  // ---------------------------------------------------------------- incremental dedup
+
+  /** Dedup a NEW snapshot against an already-curated corpus without re-reading the
+    * corpus bodies: drop new documents whose content fingerprint appears in
+    * `existingFingerprints` (a one-column frame of fingerprints — the stored dedup
+    * index), then exact-dedup within the batch. The daily-crawl incremental path:
+    * the existing corpus contributes 32 hex chars per document, not its text.
+    *
+    * Scale shape: fingerprint anti-join shuffles (id, fp) pairs only; at 100 TB the
+    * fingerprint index is ~3 orders of magnitude smaller than the corpus and can be
+    * bucketed by fp so repeated daily runs co-locate without re-shuffling the index.
+    */
+  def incrementalDedup(
+      newDocs: DataFrame, existingFingerprints: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val fpCol = existingFingerprints.columns.head
+    val withFp = newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val fresh = withFp.join(
+      existingFingerprints.select(col(fpCol).alias("__fp")), Seq("__fp"), "left_anti")
+    Dedup.exact(fresh.drop("__fp"), textCol, idCol)
+  }
+
+  // ---------------------------------------------------------------- PII redaction
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped numbers from `textCol`, adding
+    * per-type match counts. Pure codegen map stage (three `regexp_replace` + three
+    * `regexp_count`) — the patterns are RE2-compatible (no lookarounds), so external
+    * engines reproduce the redaction byte-for-byte.
+    *
+    * Order matters and is fixed: emails first (their local part may contain digits),
+    * then IPs, then phones — the replacement tokens contain no digits, so later
+    * patterns cannot match inside earlier redactions.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(ipv4Re)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>"))
+}

@@ -138,9 +138,44 @@ object Similarity {
     * expression per row — no join, no row expansion, no shuffle. Ties break to the
     * larger cid (struct `greatest` compares (sim, cid) lexicographically).
     */
-  private def argmaxCid(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
+  private[graft] def argmaxCid(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
     val scored = centroidScores(v, cents)
     (if (scored.size >= 2) greatest(scored: _*) else scored.head).getField("cid")
+  }
+
+  /** The IVF coarse quantizer: seed `nlist` unit centroids from an md5-keyed corpus
+    * sample (reproducible in any engine), refine with `lloydIters` k-means steps, and
+    * return them unit-normalized for dot-product scoring. `c` must carry (id, vector)
+    * as its first two columns. Shared by [[ivfTopK]] and [[Curation.semanticDedup]].
+    *
+    * Lloyd refinement is a per-row argmax assignment (map stage) followed by a
+    * (cid × dim)-sized mean aggregation collected to the driver — the only driver
+    * collect is the centroid table itself, which is broadcast-dimension-sized by
+    * construction. Empty cells keep their previous centroid.
+    */
+  private[graft] def buildCentroids(
+      c: DataFrame, nlist: Int, lloydIters: Int): Seq[(Int, Array[Double])] = {
+    val idC = col(c.columns(0))
+    val vecC = col(c.columns(1))
+    // Seed centroids: nlist rows to the driver (index build, not a hot path); cid is
+    // the 1-based position in md5-hash order.
+    val seedRows = c.orderBy(md5(idC.cast("string"))).limit(nlist).collect()
+    val seeds: Seq[(Int, Array[Double])] = seedRows.toSeq.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    }
+    val refined = (1 to math.max(lloydIters, 0)).foldLeft(seeds) { (cents, _) =>
+      val unit = unitNormalized(cents)
+      val means = c.withColumn("cid", argmaxCid(vecC, unit))
+        .select(col("cid"), posexplode(vecC).as(Seq("j", "x")))
+        .groupBy("cid", "j").agg(avg(col("x")).alias("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+      cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    unitNormalized(refined)
   }
 
   private def unitNormalized(cents: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] =
@@ -171,30 +206,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nlist >= 2, "ivfTopK needs at least 2 cells")
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
-
-    // Seed centroids: nlist rows to the driver (index build, not a hot path); cid is
-    // the 1-based position in md5-hash order.
-    val seedRows = c.orderBy(md5(col("neighbor_id").cast("string"))).limit(nlist).collect()
-    val seeds: Seq[(Int, Array[Double])] = seedRows.toSeq.zipWithIndex.map { case (r, i) =>
-      (i + 1, r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
-    }
-
-    // Lloyd refinement: per-row argmax assignment (map stage), then a (cid, dim)-sized
-    // mean aggregation collected back to the driver. Empty cells keep their previous
-    // centroid.
-    val refined = (1 to math.max(lloydIters, 0)).foldLeft(seeds) { (cents, _) =>
-      val unit = unitNormalized(cents)
-      val means = c.withColumn("cid", argmaxCid(col("cv"), unit))
-        .select(col("cid"), posexplode(col("cv")).as(Seq("j", "x")))
-        .groupBy("cid", "j").agg(avg(col("x")).alias("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
-        }
-      cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-    }
-    val unit = unitNormalized(refined)
+    val unit = buildCentroids(c, nlist, lloydIters)
 
     val cells = c.withColumn("cid", argmaxCid(col("cv"), unit))
 

@@ -52,13 +52,29 @@ object TextAnalysis {
   /** Stopword-count language ID over {en, de, fr, es, zh}. CJK presence short-circuits
     * to zh; otherwise argmax of per-language stopword hits with a deterministic
     * tie-break (en > de > fr > es > unknown).
+    *
+    * Backed by the native [[graft.functions.StopwordLangId]] expression: the composed
+    * Column form below expands to ~64 copies of the lowered text and overflows the
+    * Janino method-size limit, knocking the whole projection out of whole-stage
+    * codegen — the native form is one static call and lowers the text once per row.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.StopwordLangId(
+        org.apache.spark.sql.graft.Bridge.toExpression(
+          org.apache.spark.sql.SparkSession.active, text)))
+
+  /** The portable composed formulation of [[langId]] (kept for the bit-parity spec;
+    * its arithmetic — the length-difference occurrence count over the padded lowered
+    * text — is what the DuckDB oracle replicates).
+    */
+  private[graft] def langIdComposed(text: Column): Column = {
+    val kws = graft.functions.StopwordLangId.keywords.toMap
     val t = concat(lit(" "), lower(text), lit(" "))
-    val en = Seq("the", "and", "of", "to", "is", "in", "that", "it").map(occ(t, _)).reduce(_ + _)
-    val de = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu").map(occ(t, _)).reduce(_ + _)
-    val fr = Seq("le", "la", "les", "et", "est", "une", "que", "des").map(occ(t, _)).reduce(_ + _)
-    val es = Seq("el", "los", "las", "es", "una", "que", "por", "con").map(occ(t, _)).reduce(_ + _)
+    val en = kws("en").map(occ(t, _)).reduce(_ + _)
+    val de = kws("de").map(occ(t, _)).reduce(_ + _)
+    val fr = kws("fr").map(occ(t, _)).reduce(_ + _)
+    val es = kws("es").map(occ(t, _)).reduce(_ + _)
     when(text.rlike("[一-鿿]"), lit("zh"))
       .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
       .when(de >= fr && de >= es && de > 0, lit("de"))

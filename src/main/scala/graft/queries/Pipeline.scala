@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` / `embeddings` / `events`
   * tables: dedup (d*), similarity search (s*), text analysis (t*), multimodal (mm*),
@@ -38,6 +38,21 @@ object Pipeline {
       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
       |  FROM w WHERE len(words) >= 3
       |)""".stripMargin
+
+  /** [[duckShingleSets]] generalized to word n-grams of any width (decontamination
+    * uses the 13-gram rule).
+    */
+  private def duckShingleSetsN(n: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\\s+'),
+       |    x -> len(x) > 0) AS words
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words) - ${n - 2}, 1)),
+       |    i -> array_to_string(list_slice(words, i, i + ${n - 1}), ' '))) AS s
+       |  FROM w WHERE len(words) >= $n
+       |)""".stripMargin
 
   private def duckJaccardPairs(threshold: Double) =
     s"""$duckShingleSets
@@ -98,13 +113,9 @@ object Pipeline {
     "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 
   /** Language-ID stopword lists — single source of truth shared by the Spark operator
-    * (TextAnalysis.langId) and the generated oracle.
+    * (TextAnalysis.langId / the native StopwordLangId expression) and this oracle.
     */
-  private val langKw = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "des"),
-    "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "con"))
+  private val langKw = graft.functions.StopwordLangId.keywords
 
   private def duckLangId: String = {
     val scores = langKw.map { case (lang, kws) =>
@@ -397,6 +408,178 @@ object Pipeline {
               |JOIN ($duckQuality) q ON q.doc_id = k.doc_id
               |WHERE l.lang_pred = 'en' AND q.quality >= 0.5
               |ORDER BY k.doc_id""".stripMargin))),
+
+    // ---------------- corpus curation ----------------
+
+    // Benchmark decontamination (GPT-3/Dolma 13-gram rule): benchmark = every 20th
+    // document; training docs sharing any 13-gram with it are flagged. The Spark side
+    // compares xxhash64 of the shingles (8-byte broadcast set); the oracle compares
+    // the shingle strings themselves — equivalent short of a 64-bit hash collision.
+    "p2_decontam" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      Curation.contaminatedIds(
+          d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", n = 13)
+        .orderBy("doc_id")
+    },
+      Some(s"""${duckShingleSetsN(13)},
+              |bench AS (SELECT DISTINCT unnest(s) AS sh FROM g WHERE doc_id % 20 = 0)
+              |SELECT DISTINCT doc_id
+              |FROM (SELECT doc_id, unnest(s) AS sh FROM g WHERE doc_id % 20 != 0) t
+              |WHERE sh IN (SELECT sh FROM bench)
+              |ORDER BY doc_id""".stripMargin))),
+
+    // Per-domain cap (crawl balancing): keep the 20 highest-quality docs per source.
+    // Exercises the skew-safe two-phase top-K; ordering is total (quality desc, id),
+    // so the salted plan's output equals the plain window's exactly.
+    "p3_domain_cap" -> (((s: SparkSession, dir: String) =>
+      Curation.topKPerKey(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).alias("quality")),
+          "source", Seq(col("quality").desc, col("doc_id")), k = 20)
+        .select(col("source"), col("doc_id"), col("quality"))
+        .orderBy("source", "doc_id"),
+      Some(s"""WITH q AS ($duckQuality), r AS (
+              |  SELECT d.source, d.doc_id, q.quality,
+              |    row_number() OVER (PARTITION BY d.source
+              |      ORDER BY q.quality DESC, d.doc_id) AS rk
+              |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+              |)
+              |SELECT source, doc_id, quality FROM r WHERE rk <= 20
+              |ORDER BY source, doc_id""".stripMargin))),
+
+    // SemDeDup: within-cell cosine near-dup pairs over the IVF quantizer's cells
+    // (lloydIters=0 keeps centroids as md5-sampled corpus vectors, so the oracle
+    // rebuilds the identical clustering relationally — same construction as s3).
+    "d7_semdedup" -> (((s: SparkSession, dir: String) =>
+      Curation.semanticDedup(embs(s, dir), threshold = 0.45, nlist = 16,
+        lloydIters = 0)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH cent AS (
+             |  SELECT embedding AS centroid,
+             |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) AS cid
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY md5(cast(vec_id as varchar)) LIMIT 16)
+             |), cells AS (
+             |  SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cid DESC) AS crk
+             |    FROM embeddings e, cent c) WHERE crk = 1
+             |)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin))),
+
+    // Incremental snapshot dedup: the "new batch" is every 3rd doc plus planted
+    // copies (id+100000) of every 40th; the existing-corpus index is the OTHER docs'
+    // fingerprints. Planted copies whose original sits in the existing corpus are
+    // dropped by the index anti-join; copies whose original is in the batch itself
+    // are dropped by the within-batch exact dedup — both paths verified.
+    "d8_incremental" -> (((s: SparkSession, dir: String) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 100000).alias("doc_id"), col("text"))
+      val newBatch = base.filter(col("doc_id") % 3 === 0).union(planted)
+      val index = base.filter(col("doc_id") % 3 =!= 0)
+        .select(TextAnalysis.fingerprint(col("text")).alias("fp"))
+      Curation.incrementalDedup(newBatch, index, "text", "doc_id")
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+      Some(s"""WITH newb AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0
+              |), ex AS (
+              |  SELECT $duckFp AS fp FROM documents WHERE doc_id % 3 != 0
+              |), fresh AS (
+              |  SELECT doc_id, $duckFp AS fp FROM newb
+              |  WHERE $duckFp NOT IN (SELECT fp FROM ex)
+              |)
+              |SELECT doc_id FROM (
+              |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |  FROM fresh) WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin))),
+
+    // Overlapping word-window chunking (RAG/embedding prep): 32-word chunks every 24
+    // words; chunk text compared byte-for-byte across engines.
+    "t7_chunk" -> (((s: SparkSession, dir: String) =>
+      Curation.chunk(docs(s, dir), "text", "doc_id", size = 32, stride = 24)
+        .select(col("id").alias("doc_id"), col("chunk_ix"), col("n_words"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_ix"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, words,
+             |    unnest(range(0, cast(ceil(len(words) / 24.0) as bigint))) AS cx
+             |  FROM w WHERE len(words) > 0
+             |)
+             |SELECT doc_id, cast(cx as int) AS chunk_ix,
+             |  cast(least(32, len(words) - cx * 24) as int) AS n_words,
+             |  array_to_string(list_slice(words, cx * 24 + 1, cx * 24 + 32), ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_ix""".stripMargin))),
+
+    // GPT-style sequence packing: concatenate docs in (bucket, id) order, cut every
+    // 512 tokens; a doc's pack = the sequence its first token lands in. Buckets are
+    // md5-derived so the running total parallelizes and both engines agree.
+    "t8_pack" -> (((s: SparkSession, dir: String) =>
+      Curation.packSequences(
+          docs(s, dir).select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).alias("nt")),
+          "doc_id", col("nt"), budget = 512, buckets = 8)
+        .select(col("id").alias("doc_id"), col("bucket"), col("pack_ix"),
+          col("pack_off"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, cast($duckTok as bigint) AS nt,
+              |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 8 AS bucket
+              |  FROM documents
+              |), p AS (
+              |  SELECT doc_id, bucket,
+              |    sum(nt) OVER (PARTITION BY bucket ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS st
+              |  FROM t
+              |)
+              |SELECT doc_id, bucket,
+              |  cast(floor(st / 512.0) as bigint) AS pack_ix,
+              |  cast(st % 512 as bigint) AS pack_off
+              |FROM p ORDER BY doc_id""".stripMargin))),
+
+    // PII redaction: deterministic PII (email/IP/phone derived from doc_id) is
+    // injected, then redacted; counts and the redacted text are compared
+    // byte-for-byte (patterns are RE2-compatible, so Java and DuckDB agree).
+    "t9_pii_redact" -> (((s: SparkSession, dir: String) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).alias("text"))
+      Curation.redactPii(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("redacted"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@example.com via 10.0.'
+             |      || (doc_id % 256) || '.7 or call 555-'
+             |      || lpad(cast(doc_id % 10000 as varchar), 4, '0') AS t
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  cast(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) as int) AS n_emails,
+             |  cast(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as int) AS n_ips,
+             |  cast(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) as int) AS n_phones,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+             |FROM p ORDER BY doc_id""".stripMargin))),
 
     // ---------------- multimodal ----------------
 

@@ -102,4 +102,39 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name: unexpected dedup aggregate in the candidate pipeline\n${plan.take(2500)}")
     }
   }
+
+  test("p2_decontam: the benchmark n-gram set broadcasts; training docs never shuffle") {
+    val plan = executedPlan("p2_decontam")
+    // contamination tagging must be a broadcast LEFT-SEMI hash join against the
+    // benchmark-side hash set — a shuffled join here would move the whole training
+    // corpus' shingles at 100 TB
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+  }
+
+  test("t7_chunk / t9_pii_redact: chunking and redaction stay map-only (no exchange)") {
+    for (name <- Seq("t7_chunk", "t9_pii_redact")) {
+      // drop the final presentation orderBy (driver-side determinism, not the
+      // operator) before asserting shuffle-freedom
+      val df = SparkEntry.queries(name)(spark, dir)
+      val core = df.queryExecution.optimizedPlan.children.headOption.getOrElse(
+        df.queryExecution.optimizedPlan)
+      val plan = new org.apache.spark.sql.execution.QueryExecution(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], core)
+        .executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name core should be a pure scan stage\n${plan.take(2500)}")
+    }
+  }
+
+  test("t1_langid: the native expression keeps the projection inside codegen") {
+    val df = SparkEntry.queries("t1_langid")(spark, dir)
+    df.collect() // materialize the AQE final plan (codegen markers appear post-exec)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("stopword_lang_id"), plan.take(1500))
+    // the projection over the scan must sit inside a WholeStageCodegen span — the
+    // composed form's 64-copy CASE overflowed Janino and fell back to interpreted
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan.take(1500))
+  }
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "totally different words with no overlap at all here"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  // ---------------- decontamination ----------------
+
+  test("decontamination flags docs sharing an n-gram with the benchmark") {
+    val bench = docs.filter($"doc_id" === 1L)
+    val train = docs.filter($"doc_id" =!= 1L)
+    val bad = Curation.contaminatedIds(train, bench, "text", "doc_id", n = 5)
+      .as[Long].collect().toSet
+    assert(bad == Set(2L)) // only the duplicate shares 5-grams
+    val kept = Curation.decontaminate(train, bench, "text", "doc_id", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("decontamination with n longer than every doc flags nothing") {
+    val bench = docs.filter($"doc_id" === 1L)
+    val bad = Curation.contaminatedIds(docs, bench, "text", "doc_id", n = 50)
+    assert(bad.count() == 0)
+  }
+
+  // ---------------- per-key top-K ----------------
+
+  test("two-phase topKPerKey equals the plain window answer") {
+    val rows = (1 to 200).map(i => (i.toLong, s"k${i % 5}", (i * 37 % 100).toDouble))
+    val df = rows.toDF("id", "key", "score")
+    val expected = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"key").orderBy($"score".desc, $"id")))
+      .filter($"rk" <= 7).select("id").as[Long].collect().toSet
+    val got = Curation.topKPerKey(df, "key", Seq($"score".desc, $"id"), k = 7, salts = 4)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("topKPerKey keeps all rows when k exceeds the group size") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)).toDF("id", "key", "score")
+    assert(Curation.topKPerKey(df, "key", Seq($"score".desc, $"id"), k = 10).count() == 3)
+  }
+
+  // ---------------- chunking ----------------
+
+  test("chunk covers every word with the declared size/stride geometry") {
+    val d = Seq((1L, (1 to 80).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Curation.chunk(d, "text", "doc_id", size = 32, stride = 24)
+      .orderBy("chunk_ix")
+      .collect()
+    // 80 words, stride 24 -> chunk starts at 0, 24, 48, 72
+    assert(chunks.length == 4)
+    assert(chunks.map(_.getAs[Int]("n_words")).toSeq == Seq(32, 32, 32, 8))
+    val first = chunks.head.getAs[String]("chunk_text").split(" ")
+    assert(first.head == "w1" && first.last == "w32")
+    val last = chunks.last.getAs[String]("chunk_text").split(" ")
+    assert(last.head == "w73" && last.last == "w80")
+  }
+
+  test("chunk of a short doc is a single full-coverage chunk; empty docs drop") {
+    val d = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val chunks = Curation.chunk(d, "text", "doc_id", size = 32, stride = 24).collect()
+    assert(chunks.length == 1)
+    assert(chunks.head.getAs[Long]("id") == 1L)
+    assert(chunks.head.getAs[Int]("n_words") == 3)
+    assert(chunks.head.getAs[String]("chunk_text") == "a b c")
+  }
+
+  // ---------------- sequence packing ----------------
+
+  test("packSequences cuts the concatenated stream exactly every budget tokens") {
+    val d = (1 to 20).map(i => (i.toLong, 10L)).toDF("doc_id", "nt")
+    val packed = Curation.packSequences(d, "doc_id", $"nt", budget = 25, buckets = 1)
+      .orderBy("id").collect()
+    // One bucket, docs of 10 tokens: starts 0,10,20,30,... pack = start/25
+    val expected = (0 until 20).map(i => (i * 10L / 25, i * 10L % 25))
+    assert(packed.map(r => (r.getAs[Long]("pack_ix"), r.getAs[Long]("pack_off"))).toSeq
+      == expected)
+  }
+
+  test("packSequences buckets partition the corpus and pack independently") {
+    val d = (1 to 100).map(i => (i.toLong, 5L)).toDF("doc_id", "nt")
+    val packed = Curation.packSequences(d, "doc_id", $"nt", budget = 50, buckets = 4)
+    assert(packed.select("bucket").distinct().count() == 4)
+    assert(packed.count() == 100)
+    // within each bucket offsets restart from 0 in id order
+    val firstPerBucket = packed.withColumn("rk",
+        row_number().over(Window.partitionBy($"bucket").orderBy($"id")))
+      .filter($"rk" === 1)
+    assert(firstPerBucket.filter($"pack_ix" =!= 0 || $"pack_off" =!= 0).count() == 0)
+  }
+
+  // ---------------- semantic dedup ----------------
+
+  test("semanticDedup finds planted within-cell duplicates and no cross-noise pairs") {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 40).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    // plant exact duplicates of vectors 1 and 2 under ids 101, 102
+    val planted = base.take(2).map { case (id, v) => (id + 100, v) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Curation.semanticDedup(df, threshold = 0.999, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L), (2L, 102L)))
+  }
+
+  // ---------------- incremental dedup ----------------
+
+  test("incrementalDedup drops index hits and within-batch duplicates") {
+    val newDocs = Seq(
+      (10L, "alpha beta gamma"), // fingerprint in the index -> dropped
+      (11L, "fresh new content"),
+      (12L, "fresh new content"), // within-batch dup of 11 -> dropped
+      (13L, "another doc")
+    ).toDF("doc_id", "text")
+    val index = Seq("alpha beta gamma").toDF("t")
+      .select(TextAnalysis.fingerprint($"t").alias("fp"))
+    val kept = Curation.incrementalDedup(newDocs, index, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
+  // ---------------- PII redaction ----------------
+
+  test("redactPii replaces emails, IPs, and phones and counts each type") {
+    val d = Seq(
+      (1L, "mail me at jane.doe+x@mail.example.org from 192.168.0.1 or 555-1234"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.net and ips 10.0.0.1 8.8.8.8")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(d, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 1)
+    assert(out(0).getAs[Int]("n_ips") == 1)
+    assert(out(0).getAs[Int]("n_phones") == 1)
+    assert(out(0).getAs[String]("redacted")
+      == "mail me at <EMAIL> from <IP> or <PHONE>")
+    assert(out(1).getAs[String]("redacted") == "no pii here at all")
+    assert(out(2).getAs[Int]("n_emails") == 2 && out(2).getAs[Int]("n_ips") == 2)
+  }
+}

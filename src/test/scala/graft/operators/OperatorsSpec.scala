@@ -81,6 +81,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(7L)._2 == "unknown")
   }
 
+  test("native langId is bit-identical to the composed formulation") {
+    // adversarial inputs: adjacent repeated stopwords (non-overlapping count),
+    // mixed case, ties between languages, CJK short-circuit, empty text
+    val texts = Seq(
+      "the the the and and of it", "The THE is in that it",
+      "der die und le la les", "le la et el los es", "que que",
+      "中文 text the and of", "", "no stopwords here at all",
+      "es es es una", "a the b the c the d")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = df.select($"id", TextAnalysis.langIdComposed($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+  }
+
   test("funnel enforces strict step ordering per user") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
