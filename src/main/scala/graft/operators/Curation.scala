@@ -185,6 +185,124 @@ object Curation {
     Dedup.exact(fresh.drop("__fp"), textCol, idCol)
   }
 
+  // ------------------------------------------------------ dup-cluster components
+
+  /** Connected components over a pair table — the step every near-dup pipeline needs
+    * after pair generation: `(id_a, id_b)` pairs from MinHash/SimHash/SemDeDup are
+    * EDGES, and "keep one document per duplicate group" requires collapsing them into
+    * components (A~B, B~C ⇒ {A,B,C} is one group even though (A,C) was never emitted).
+    * Returns `(id, component)` for every id appearing in a pair, where `component` is
+    * the smallest id in its connected component — the canonical representative.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — converges in O(log n) rounds
+    * on any graph (vs O(diameter) for naive label propagation, which dies on pair
+    * chains), and each round is aggregate + self-join on the SAME key, so per-round
+    * state is one min per node, never a neighbor list (a celebrity node with 10⁸
+    * duplicate edges costs 8 bytes of agg buffer, not an OOM).
+    *
+    * Each round is `localCheckpoint`ed: iterative plans otherwise nest one Exchange
+    * tree per round (analysis cost grows quadratically) and a failure would recompute
+    * the whole chain. On a real cluster prefer `spark.sparkContext.setCheckpointDir`
+    * + reliable `checkpoint()` for fault tolerance past executor loss.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val Array(ca, cb) = pairs.columns.take(2)
+    var edges = pairs
+      .select(col(ca).alias("u"), col(cb).alias("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // (count, hash-xor) fingerprint of the canonically-oriented edge set: iteration
+    // stops when two consecutive rounds produce the same set. XOR is
+    // order-independent and overflow-free (the edge set is distinct, so no pair
+    // cancels itself).
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(least(col("u"), col("v")),
+          greatest(col("u"), col("v")))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // large-star: per node u over BOTH edge directions, link every larger neighbor
+    // to m = min(N(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").alias("u"), col("u").alias("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), col("u")).alias("m"))
+      nbrs.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").alias("u"), col("m").alias("v"))
+        .distinct()
+    }
+
+    // small-star: orient each edge large→small, link every smaller neighbor (and u
+    // itself) to the smallest neighbor.
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(
+        greatest(col("u"), col("v")).alias("u"), least(col("u"), col("v")).alias("v"))
+      val mins = o.groupBy("u").agg(min(col("v")).alias("m"))
+      val relink = o.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").alias("u"), col("m").alias("v"))
+      relink.union(mins.select(col("u"), col("m").alias("v"))).distinct()
+    }
+
+    var prev = fingerprint(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = fingerprint(edges)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    // At the fixed point every component is a star rooted at its minimum id and
+    // small-star left edges oriented member→root.
+    edges.select(col("u").alias("id"), col("v").alias("component"))
+      .union(edges.select(col("v").alias("id"), col("v").alias("component")))
+      .distinct()
+  }
+
+  // ------------------------------------------------------ line-level boilerplate
+
+  /** CCNet-style line-level dedup: drop every line that appears (identically) in at
+    * least `minDocFreq` distinct documents — navigation menus, cookie banners,
+    * "subscribe" footers — and rebuild each document from its surviving lines.
+    * Returns `(id, n_lines, cleaned)`; documents whose every line was boilerplate
+    * drop out entirely (nothing survives to rebuild).
+    *
+    * Scale shape: document frequency aggregates over (id, line-hash) pairs — 8-byte
+    * xxhash64 keys, never line text — and the frequent-line set is
+    * boilerplate-sized by definition (lines repeated across ≥ minDocFreq documents),
+    * so membership is a BROADCAST anti-join: tagging is map-only over the corpus.
+    * The one corpus-sized shuffle is the per-document rebuild, which any engine
+    * must pay to emit rewritten documents.
+    */
+  def dedupLines(
+      df: DataFrame, textCol: String, idCol: String, minDocFreq: Int,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).alias("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("ix", "line")))
+    val freq = lines.select(col("id"), xxhash64(col("line")).alias("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).alias("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("__h")
+    lines
+      .join(broadcast(freq), xxhash64(col("line")) === col("__h"), "left_anti")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).alias("n_lines"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("ix"), col("line")))),
+          s => s.getField("line"))).alias("cleaned"))
+  }
+
   // ---------------------------------------------------------------- PII redaction
 
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

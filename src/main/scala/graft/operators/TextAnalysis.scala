@@ -104,6 +104,64 @@ object TextAnalysis {
     round(lenScore * 0.4 + alphaRatio * 0.3 + (lit(1.0) - punctPenalty) * 0.1 + wordScore * 0.2, 6)
   }
 
+  /** Non-distinct word n-grams of a word-array column (cf. [[Dedup.shingles]], which
+    * distincts per doc — repetition metrics need every occurrence). The word array
+    * must be a bound attribute, not a nested expression (the HOF re-evaluation
+    * pitfall documented on Dedup.shingles).
+    */
+  private def allGrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Within-document repetition metrics — the Gopher (Rae et al. 2021) repetition
+    * filters: documents dominated by repeated n-grams are low-quality (scrapes,
+    * keyword stuffing, broken boilerplate). Emits
+    * (id, n_2grams, dup_2gram_frac, dup_3gram_frac, top_2gram_frac):
+    *
+    *   - `dup_Ngram_frac`: fraction of n-gram occurrences that are repeats of an
+    *     earlier occurrence (1 − distinct/total).
+    *   - `top_2gram_frac`: occurrence share of the single most frequent 2-gram.
+    *
+    * Entirely map-only: the top-gram count is the longest run of equal adjacent
+    * elements in the SORTED gram array (an `aggregate` fold with (prev, run, best)
+    * struct state — the lambda touches only its own variables, so nothing outer is
+    * re-evaluated per element), so the per-document mode never shuffles — at 100 TB
+    * this stays a pure scan like the rest of the text metrics. The word and gram
+    * arrays are staged as bound attributes across two projections (the HOF
+    * re-evaluation pitfall documented on [[Dedup.shingles]]).
+    */
+  def repetitionScores(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0)).otherwise(
+        round((size(g) - size(array_distinct(g))).cast("double") /
+          size(g).cast("double"), 6))
+    def topFrac(g: Column): Column = {
+      val st = aggregate(
+        array_sort(g),
+        struct(lit("").alias("prev"), lit(0L).alias("run"), lit(0L).alias("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.alias("prev"), run.alias("run"),
+            greatest(acc.getField("best"), run).alias("best"))
+        })
+      when(size(g) === 0, lit(0.0)).otherwise(
+        round(st.getField("best").cast("double") / size(g).cast("double"), 6))
+    }
+    df.select(col(idCol).alias("id"), Dedup.wordsArray(col(textCol)).alias("__w"))
+      .select(col("id"),
+        allGrams(col("__w"), 2).alias("__g2"), allGrams(col("__w"), 3).alias("__g3"))
+      .select(col("id"),
+        size(col("__g2")).cast("long").alias("n_2grams"),
+        dupFrac(col("__g2")).alias("dup_2gram_frac"),
+        dupFrac(col("__g3")).alias("dup_3gram_frac"),
+        topFrac(col("__g2")).alias("top_2gram_frac"))
+  }
+
   /** Document fingerprint: md5 of the case/whitespace/punctuation-normalized text.
     * Identical normalization is expressible in any engine, so fingerprint equality is
     * portable; used as the exact-dedup key so the shuffle carries 32 hex chars, not

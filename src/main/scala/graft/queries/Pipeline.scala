@@ -502,6 +502,135 @@ object Pipeline {
               |  FROM fresh) WHERE rn = 1
               |ORDER BY doc_id""".stripMargin))),
 
+    // Duplicate-pair clustering: near-dup pairs (d2's MinHash pipeline) are edges;
+    // collapsing them into groups — A~B, B~C ⇒ {A,B,C} even though (A,C) was never
+    // emitted — is connected components (alternating large-star/small-star, O(log n)
+    // rounds). component = min doc_id of the group, the canonical keeper. The oracle
+    // rebuilds the same closure with a recursive CTE over the exact-Jaccard pairs.
+    "d9_dup_clusters" -> (((s: SparkSession, dir: String) => {
+      val pairs = Dedup.minHashNearDup(docs(s, dir), "text", "doc_id",
+        n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
+      Curation.connectedComponents(pairs)
+        .select(col("id").alias("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+      Some(s"""${duckShingleSets.replaceFirst("WITH", "WITH RECURSIVE")}, p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM g a, g b
+              |  WHERE a.doc_id < b.doc_id
+              |    AND round(len(list_intersect(a.s, b.s)) * 1.0
+              |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7
+              |), e AS (
+              |  SELECT id_a AS u, id_b AS v FROM p
+              |  UNION ALL
+              |  SELECT id_b AS u, id_a AS v FROM p
+              |), reach(u, v) AS (
+              |  SELECT u, v FROM e
+              |  UNION
+              |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+              |)
+              |SELECT u AS doc_id, least(u, min(v)) AS component
+              |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin))),
+
+    // CCNet-style line-level boilerplate removal: documents are re-lined (newline
+    // every 8 words) and every doc gets a universal "subscribe" footer plus a
+    // per-source footer; lines appearing in ≥ 25% of documents are dropped and the
+    // text rebuilt from surviving lines. The universal footer crosses the threshold,
+    // per-source footers (~10% each) stay — selectivity is part of the check.
+    "t10_line_dedup" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val thr = math.ceil(0.25 * d.count()).toInt
+      val lined = d.select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n"),
+          lit("\nsubscribe to our newsletter"),
+          lit("\nvisit "), col("source"), lit(" homepage")).alias("text"))
+      Curation.dedupLines(lined, "text", "doc_id", minDocFreq = thr)
+        .select(col("id").alias("doc_id"), col("n_lines"), col("cleaned"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+             |      || chr(10) || 'subscribe to our newsletter'
+             |      || chr(10) || 'visit ' || source || ' homepage' AS t
+             |  FROM documents
+             |), lx AS (
+             |  SELECT doc_id, string_split(t, chr(10)) AS l FROM base
+             |), lines AS (
+             |  SELECT doc_id, ix, l[ix + 1] AS line
+             |  FROM (SELECT doc_id, l, unnest(range(len(l))) AS ix FROM lx)
+             |), freq AS (
+             |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+             |  GROUP BY line
+             |  HAVING count(*) >= (SELECT ceil(0.25 * count(*)) FROM documents)
+             |), kept AS (
+             |  SELECT doc_id, ix, line FROM lines
+             |  WHERE line NOT IN (SELECT line FROM freq)
+             |)
+             |SELECT doc_id, count(*) AS n_lines,
+             |  string_agg(line, chr(10) ORDER BY ix) AS cleaned
+             |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
+    // Gopher-style within-document repetition filters: duplicate-2/3-gram fractions
+    // and the top-2-gram occurrence share. Spark computes the mode as the longest
+    // equal run of the sorted gram array (map-only fold); the oracle computes the
+    // same number relationally (unnest + group + max) — value-identical.
+    "t11_repetition" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.repetitionScores(docs(s, dir), "text", "doc_id")
+        .select(col("id").alias("doc_id"), col("n_2grams"),
+          col("dup_2gram_frac"), col("dup_3gram_frac"), col("top_2gram_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(words) >= 2 THEN list_transform(range(1, len(words)),
+             |      i -> words[i] || ' ' || words[i+1]) ELSE CAST([] AS VARCHAR[]) END AS g2,
+             |    CASE WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1),
+             |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             |      ELSE CAST([] AS VARCHAR[]) END AS g3
+             |  FROM w
+             |), top AS (
+             |  SELECT doc_id, max(c) AS topc
+             |  FROM (SELECT doc_id, count(*) AS c
+             |        FROM (SELECT doc_id, unnest(g2) AS x FROM g) GROUP BY doc_id, x)
+             |  GROUP BY doc_id
+             |)
+             |SELECT g.doc_id,
+             |  cast(len(g2) as bigint) AS n_2grams,
+             |  CASE WHEN len(g2) = 0 THEN 0.0
+             |       ELSE round((len(g2) - len(list_distinct(g2))) / cast(len(g2) as double), 6)
+             |  END AS dup_2gram_frac,
+             |  CASE WHEN len(g3) = 0 THEN 0.0
+             |       ELSE round((len(g3) - len(list_distinct(g3))) / cast(len(g3) as double), 6)
+             |  END AS dup_3gram_frac,
+             |  CASE WHEN len(g2) = 0 THEN 0.0
+             |       ELSE round(coalesce(topc, 0) / cast(len(g2) as double), 6)
+             |  END AS top_2gram_frac
+             |FROM g LEFT JOIN top ON top.doc_id = g.doc_id
+             |ORDER BY g.doc_id""".stripMargin))),
+
+    // Deterministic stratified sampling: exactly 10 docs per source, chosen by
+    // content-free md5(doc_id) order — reproducible across runs and engines, and
+    // executed through the skew-safe two-phase top-K (a hot stratum never serializes
+    // through one task).
+    "p4_stratified_sample" -> (((s: SparkSession, dir: String) =>
+      Curation.topKPerKey(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          "source", Seq(md5(col("doc_id").cast("string")), col("doc_id")), k = 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(cast(doc_id as varchar)), doc_id) AS rk
+             |  FROM documents) WHERE rk <= 10
+             |ORDER BY source, doc_id""".stripMargin))),
+
     // Overlapping word-window chunking (RAG/embedding prep): 32-word chunks every 24
     // words; chunk text compared byte-for-byte across engines.
     "t7_chunk" -> (((s: SparkSession, dir: String) =>

@@ -136,6 +136,80 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  // ---------------- connected components ----------------
+
+  /** Reference union-find, for checking the distributed star algorithm. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccResult(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Curation.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents matches union-find on a random graph") {
+    val rnd = new scala.util.Random(11)
+    // sparse random graph over non-contiguous ids -> many components
+    val edges = Seq.fill(120)((rnd.nextInt(100) * 7L + 3, rnd.nextInt(100) * 7L + 3))
+      .filter { case (a, b) => a != b }
+    assert(ccResult(edges) == unionFind(edges))
+  }
+
+  test("connectedComponents collapses a long chain (worst case for propagation)") {
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val got = ccResult(chain)
+    assert(got.keySet == (0L to 60L).toSet)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("connectedComponents handles duplicate, reversed, and self edges") {
+    val edges = Seq((5L, 2L), (2L, 5L), (5L, 5L), (2L, 5L), (9L, 9L), (7L, 8L))
+    // 9's only edge is a self loop -> it never appears in a pair with another node
+    assert(ccResult(edges) == Map(2L -> 2L, 5L -> 2L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    assert(ccResult(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  // ---------------- line-level boilerplate dedup ----------------
+
+  test("dedupLines drops cross-document boilerplate lines and rebuilds text in order") {
+    val d = Seq(
+      (1L, "unique first line\nsubscribe now\nunique last line"),
+      (2L, "another doc body\nsubscribe now"),
+      (3L, "subscribe now\nthird doc text\nmore third doc"),
+      (4L, "subscribe now") // all-boilerplate doc drops out entirely
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupLines(d, "text", "doc_id", minDocFreq = 3)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getAs[String]("cleaned") == "unique first line\nunique last line")
+    assert(out(0).getAs[Long]("n_lines") == 2L)
+    assert(out(1).getAs[String]("cleaned") == "another doc body")
+    assert(out(2).getAs[String]("cleaned") == "third doc text\nmore third doc")
+  }
+
+  test("dedupLines counts a line repeated within one doc once toward doc frequency") {
+    val d = Seq(
+      (1L, "dup line\ndup line\nbody one"),
+      (2L, "body two")
+    ).toDF("doc_id", "text")
+    // "dup line" appears twice in doc 1 but in only ONE document -> kept at df>=2
+    val out = Curation.dedupLines(d, "text", "doc_id", minDocFreq = 2)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("cleaned") == "dup line\ndup line\nbody one")
+  }
+
   // ---------------- PII redaction ----------------
 
   test("redactPii replaces emails, IPs, and phones and counts each type") {

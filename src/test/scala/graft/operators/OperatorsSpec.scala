@@ -81,6 +81,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(7L)._2 == "unknown")
   }
 
+  test("repetition scores: dup fractions and top-gram share, hand-computed") {
+    val d = Seq(
+      (1L, "a b a b a b"),  // g2 = [a b, b a, a b, b a, a b]: 5 grams, 2 distinct
+      (2L, "w1 w2 w3 w4 w5"), // all grams unique
+      (3L, "x"), // too short for any 2-gram
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScores(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((5L, 0.6, 0.5, 0.6))) // dup2 3/5, dup3 2/4, top "a b" 3/5
+    assert(out(2L) == ((4L, 0.0, 0.0, 0.25)))
+    assert(out(3L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0L, 0.0, 0.0, 0.0)))
+  }
+
   test("native langId is bit-identical to the composed formulation") {
     // adversarial inputs: adjacent repeated stopwords (non-overlapping count),
     // mixed case, ties between languages, CJK short-circuit, empty text
