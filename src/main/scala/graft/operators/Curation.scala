@@ -185,6 +185,30 @@ object Curation {
     Dedup.exact(fresh.drop("__fp"), textCol, idCol)
   }
 
+  // ---------------------------------------------------------------- weighted mixing
+
+  /** Deterministic weighted corpus mixing: keep each row with probability
+    * `rates(key)` — the domain-reweighting step of a training mix (DoReMi-style
+    * domain weights applied to a crawl). The keep/drop decision is the row's
+    * md5-derived uniform in [0,1) compared against its key's rate, so the sample is
+    * reproducible across runs AND engines (no RNG state), and re-running with a
+    * raised rate strictly grows the previous sample (nested samples — the property
+    * that lets a pipeline dial a domain up without resampling everything).
+    *
+    * `rates` is a small (key, rate) frame — domain-count-sized — broadcast to the
+    * corpus; sampling is then a pure map stage over the scan.
+    */
+  def weightedMix(
+      df: DataFrame, keyCol: String, idCol: String, rates: DataFrame): DataFrame = {
+    val Array(rk, rr) = rates.columns.take(2)
+    val u = (Dedup.md5Hash60(col(idCol).cast("string")) % 1000000L).cast("double") /
+      1000000.0
+    df.join(broadcast(rates.select(col(rk).alias(keyCol), col(rr).alias("__rate"))),
+        Seq(keyCol))
+      .filter(u < col("__rate"))
+      .drop("__rate")
+  }
+
   // ------------------------------------------------------ dup-cluster components
 
   /** Connected components over a pair table — the step every near-dup pipeline needs

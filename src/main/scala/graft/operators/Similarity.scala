@@ -229,6 +229,100 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").alias("rk"))
   }
 
+  /** Product-quantization codebooks: `m` subspaces of `dim / m` components, each with
+    * `ksub` sub-centroids seeded from the md5-keyed corpus sample (the same
+    * engine-reproducible construction as [[buildCentroids]]) and optionally refined
+    * with Lloyd steps (all subspaces refined per iteration, in one aggregation
+    * sized (m·ksub·dsub) — centroid-table-sized, never corpus-sized). Assignment is
+    * L2 via the dot-trick (argmin ‖x−c‖² = argmax x·c − ‖c‖²/2), evaluated by the
+    * native [[graft.functions.PqEncode]] loop kernel.
+    */
+  private[graft] def buildPqCodebooks(
+      c: DataFrame, dim: Int, m: Int, ksub: Int, lloydIters: Int)
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val idC = col(c.columns(0))
+    val vecC = col(c.columns(1))
+    val seedRows = c.orderBy(md5(idC.cast("string"))).limit(ksub).collect()
+    val seeds: Array[Array[Double]] = seedRows.map(
+      _.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    var books = Array.tabulate(m, ksub)((s, i) =>
+      seeds(i).slice(s * dsub, (s + 1) * dsub))
+    for (_ <- 1 to math.max(lloydIters, 0)) {
+      val means = c
+        .select(pqEncodeCol(vecC, books).alias("__codes"),
+          posexplode(vecC).as(Seq("j", "x")))
+        .select(
+          (col("j") / dsub).cast("int").alias("s"),
+          (col("j") % dsub).alias("d"),
+          element_at(col("__codes"), (col("j") / dsub).cast("int") + 1).alias("scid"),
+          col("x"))
+        .groupBy("s", "scid", "d").agg(avg(col("x")).alias("mn"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      // row schema: (s, scid, d, mn); cells with no assigned vectors keep their
+      // previous centroid (the clone default)
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((s, scid), rows) =>
+        val arr = next(s)(scid - 1)
+        rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+      }
+      books = next
+    }
+    books
+  }
+
+  private def pqEncodeCol(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(graft.functions.PqEncode(
+      Bridge.toExpression(org.apache.spark.sql.SparkSession.active, vec), books))
+
+  private def pqTableCol(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(graft.functions.PqTable(
+      Bridge.toExpression(org.apache.spark.sql.SparkSession.active, vec), books))
+
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring — the vector
+    * COMPRESSION scale path, complementary to [[ivfTopK]]'s candidate pruning: the
+    * corpus is encoded once into `m` one-byte codes per vector (64 float dims →
+    * 8 bytes, a 32× scan/shuffle compression), and each query ranks the whole code
+    * table through a per-query lookup table of sub-dot-products, never touching a
+    * corpus float again.
+    *
+    * Scale shape: codebooks are driver-held literals (m·ksub·dsub doubles — an
+    * index-build artifact like the IVF centroids); encoding is a per-row arg-max map
+    * stage (zero shuffle); scoring broadcasts the query side with its precomputed
+    * flat lookup table (m·ksub doubles per query) over the code table, so the only
+    * corpus-wide data in motion are (id, m codes) rows. Approximate by construction
+    * (quantization error); compose with exact re-ranking over the returned top-k ids
+    * when the original vectors are retrievable.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, lloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
+    val books = buildPqCodebooks(c, dim, m, ksub, lloydIters)
+
+    val codes = c.select(col("neighbor_id"), pqEncodeCol(col("cv"), books).alias("codes"))
+
+    // flat per-query ADC table: entry (s·ksub + scid−1) = q_s · c_{s,scid}
+    val q = broadcast(queries
+      .select(col(idCol).alias("query_id"), col(vecCol).alias("qv"))
+      .withColumn("qtab", pqTableCol(col("qv"), books))
+      .select(col("query_id"), col("qtab")))
+
+    val score = (0 until m).map(s =>
+      element_at(col("qtab"), lit(s * ksub) + element_at(col("codes"), s + 1)))
+      .reduce(_ + _)
+    val scored = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", score)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("adc"), 6).alias("adc"),
+        col("rk").cast("int").alias("rk"))
+  }
+
   /** Exact all-pairs cosine near-duplicates (id_a < id_b, cosine ≥ threshold):
     * broadcast self-join scored with the native-loop cosine. Exact recall —
     * the oracle-checkable baseline; O(n²) scoring bounds it to corpora whose

@@ -317,6 +317,57 @@ object Pipeline {
              |QUALIFY rk <= 5
              |ORDER BY query_id, rk""".stripMargin))),
 
+    // Product quantization with ADC scoring — the vector-compression scale path
+    // (64 floats → 8 one-byte codes per corpus vector). lloydIters=0 keeps the
+    // sub-codebooks as subvectors of the md5-sampled corpus rows, and assignment is
+    // written as dot − ‖c‖²/2 (plain double chains), so the oracle rebuilds codes,
+    // lookup tables, and the full ADC ranking with bit-identical arithmetic.
+    "s4_ann_pq" -> (((s: SparkSession, dir: String) => {
+      val all = embs(s, dir)
+      Similarity.pqTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64,
+        m = 8, ksub = 16, lloydIters = 0)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+        .orderBy("query_id", "rk")
+    }, {
+      val (m, ksub, dsub) = (8, 16, 8)
+      def chainDot(a: String, b: String, off: Int): String =
+        (0 until dsub).map(j =>
+          s"($a[${off + j + 1}]::DOUBLE * $b[${off + j + 1}]::DOUBLE)").mkString(" + ")
+      val codeCtes = (0 until m).map { sx =>
+        val off = sx * dsub
+        s"""code_$sx AS (
+           |  SELECT vec_id, scid AS c$sx FROM (
+           |    SELECT e.vec_id, c.scid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        (${chainDot("e.embedding", "c.embedding", off)})
+           |        - (${chainDot("c.embedding", "c.embedding", off)}) / 2 DESC,
+           |        c.scid DESC) AS rn
+           |    FROM embeddings e, cent c) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val codesJoin = (1 until m).map(sx => s"JOIN code_$sx USING (vec_id)").mkString(" ")
+      val centJoins = (0 until m).map(sx => s"JOIN cent x$sx ON x$sx.scid = cd.c$sx").mkString(" ")
+      val adc = (0 until m).map(sx =>
+        s"(${chainDot("q.qv", s"x$sx.embedding", sx * dsub)})").mkString(" + ")
+      Some(s"""WITH cent AS (
+              |  SELECT embedding,
+              |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) AS scid
+              |  FROM (SELECT vec_id, embedding FROM embeddings
+              |        ORDER BY md5(cast(vec_id as varchar)) LIMIT $ksub)
+              |),
+              |$codeCtes,
+              |codes AS (SELECT * FROM code_0 $codesJoin),
+              |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              |      WHERE vec_id % 50 = 0)
+              |SELECT query_id, neighbor_id, cast(rk as int) AS rk FROM (
+              |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+              |    row_number() OVER (PARTITION BY q.query_id
+              |      ORDER BY ($adc) DESC, cd.vec_id) AS rk
+              |  FROM q, codes cd $centJoins
+              |  WHERE cd.vec_id != q.query_id
+              |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
+    })),
+
     // ---------------- text analysis ----------------
 
     "t1_langid" -> (((s: SparkSession, dir: String) =>
@@ -571,6 +622,26 @@ object Pipeline {
              |SELECT doc_id, count(*) AS n_lines,
              |  string_agg(line, chr(10) ORDER BY ix) AS cleaned
              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
+    // Deterministic weighted corpus mixing: per-source keep rates (0.25/0.50/0.75,
+    // derived from the source number) applied via md5(doc_id) uniforms — the
+    // domain-reweighting step of a training mix, reproducible in any engine.
+    "p5_weighted_mix" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val rates = d.select(col("source")).distinct()
+        .withColumn("rate",
+          lit(0.25) + lit(0.5) *
+            (substring(col("source"), 4, 10).cast("int") % 3).cast("double") / 2.0)
+      Curation.weightedMix(d.select(col("doc_id"), col("source")),
+          "source", "doc_id", rates)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE (('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+             |        % 1000000)::DOUBLE / 1000000.0
+             |  < 0.25 + 0.5 * (cast(substr(source, 4, 10) as int) % 3)::DOUBLE / 2.0
+             |ORDER BY doc_id""".stripMargin))),
 
     // Gopher-style within-document repetition filters: duplicate-2/3-gram fractions
     // and the top-2-gram occurrence share. Spark computes the mode as the longest

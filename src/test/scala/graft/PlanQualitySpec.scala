@@ -128,6 +128,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("t10_line_dedup: the frequent-line set broadcasts; tagging is map-only") {
+    // the boilerplate-line membership check must be a broadcast LEFT-ANTI hash
+    // join — a shuffled anti-join would move every exploded line of a 100 TB
+    // corpus by line hash just to drop the few frequent ones
+    val plan = executedPlan("t10_line_dedup")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2500))
+  }
+
+  test("s4_ann_pq / p5: broadcast sides carry the small table, corpus stays lean") {
+    // PQ scoring joins the corpus CODE table (id + m bytes) against the broadcast
+    // query side; the corpus' float vectors must not appear past the encode stage
+    val pq = executedPlan("s4_ann_pq")
+    assert(pq.contains("BroadcastNestedLoopJoin") || pq.contains("BroadcastHashJoin"),
+      pq.take(2500))
+    val rankExchange = "Exchange hashpartitioning\\(query_id[^\n]*".r.findFirstIn(pq)
+    assert(rankExchange.exists(!_.contains("embedding")),
+      s"top-k exchange should carry codes, not vectors\n${rankExchange.getOrElse("")}")
+    // weighted mixing: the per-domain rate table broadcasts, sampling is map-only
+    val mix = executedPlan("p5_weighted_mix")
+    assert(mix.contains("BroadcastHashJoin"), mix.take(2500))
+    assert(!mix.contains("SortMergeJoin"), mix.take(2500))
+  }
+
   test("t1_langid: the native expression keeps the projection inside codegen") {
     val df = SparkEntry.queries("t1_langid")(spark, dir)
     df.collect() // materialize the AQE final plan (codegen markers appear post-exec)

@@ -136,6 +136,25 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  // ---------------- weighted mixing ----------------
+
+  test("weightedMix keeps rate-proportional nested samples per key") {
+    val rows = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("id", "key")
+    def sample(ra: Double, rb: Double): Set[Long] =
+      Curation.weightedMix(df, "key", "id",
+        Seq(("a", ra), ("b", rb)).toDF("key", "rate"))
+        .select("id").as[Long].collect().toSet
+    val s1 = sample(0.3, 0.8)
+    val aKept = s1.count(_ % 2 == 0) / 1000.0
+    val bKept = s1.count(_ % 2 == 1) / 1000.0
+    assert(math.abs(aKept - 0.3) < 0.08, f"rate-a off: $aKept%.2f")
+    assert(math.abs(bKept - 0.8) < 0.08, f"rate-b off: $bKept%.2f")
+    // raising a rate strictly grows the sample (nested property), and reruns agree
+    assert(s1.subsetOf(sample(0.5, 0.9)))
+    assert(sample(0.3, 0.8) == s1)
+  }
+
   // ---------------- connected components ----------------
 
   /** Reference union-find, for checking the distributed star algorithm. */

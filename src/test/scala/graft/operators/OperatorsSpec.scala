@@ -205,6 +205,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"IVF recall@5 too low: $recall%.2f")
   }
 
+  test("PQ top-k ranks an exact duplicate first and tracks brute force") {
+    // toy set: the duplicate of the query encodes to identical codes, so its ADC
+    // score is the query's own quantized self-similarity — the top rank
+    val top = Similarity.pqTopK(vecs.filter($"vec_id" === 1), vecs, k = 3,
+      dim = 4, m = 2, ksub = 4)
+      .orderBy("rk").collect().map(_.getLong(1))
+    assert(top.head == 2L)
+    // real embeddings: recall floor vs brute force (quantization is lossy; 32×
+    // compression at dim=64/m=8 still has to keep most of the neighborhood)
+    val all = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val queries = all.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, all, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(queries, all, k = 5, dim = 64, m = 8, ksub = 32,
+      lloydIters = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    // the synthetic embeddings are near-isotropic noise — the hardest case for a
+    // quantizer; random top-5 would recall ~1%, PQ holds well above that
+    assert(recall >= 0.2, f"PQ recall@5 too low: $recall%.2f")
+  }
+
   test("multimodal payload + stub decode preserve batch shape") {
     val withP = Multimodal.attachFakePayload(docs.filter($"doc_id" <= 3), "text")
     val feats = Multimodal.decodeFeatures(withP).collect()
