@@ -323,6 +323,62 @@ object Similarity {
         col("rk").cast("int").alias("rk"))
   }
 
+  /** IVF+PQ with exact re-ranking — the production composition (FAISS IVFPQ shape):
+    * coarse cells PRUNE (each query touches ~nprobe/nlist of the corpus), PQ codes
+    * COMPRESS (candidates are scored from m one-byte codes, never vectors), and the
+    * top-`rerank` ADC candidates are re-scored with exact cosine against the
+    * original vectors to restore exactness on the short list.
+    *
+    * Scale shape: the index table shuffles the corpus once by cell at build time
+    * carrying (cid, id, codes); the per-candidate scoring join moves codes only; the
+    * re-rank join fetches original vectors for `rerank` ids PER QUERY — the only
+    * stage that touches floats after index build, sized queries×rerank, not corpus.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 32, lloydIters: Int = 0, pqLloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
+    val unit = buildCentroids(c, nlist, lloydIters)
+    val books = buildPqCodebooks(c, dim, m, ksub, pqLloydIters)
+
+    val codesIdx = c.select(
+      argmaxCid(col("cv"), unit).alias("cid"),
+      col("neighbor_id"),
+      pqEncodeCol(col("cv"), books).alias("codes"))
+
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qv"))
+      .withColumn("qtab", pqTableCol(col("qv"), books))
+    val probeCells = slice(
+      sort_array(array(centroidScores(col("qv"), unit): _*), asc = false), 1, nprobe)
+    val probes = broadcast(q
+      .withColumn("__p", explode(probeCells))
+      .select(col("query_id"), col("qv"), col("qtab"), col("__p.cid").alias("cid")))
+
+    val adc = (0 until m).map(s =>
+      element_at(col("qtab"), lit(s * ksub) + element_at(col("codes"), s + 1)))
+      .reduce(_ + _)
+    // each corpus vector lives in ONE cell and probe cells are distinct, so a
+    // candidate appears at most once per query — no dedup exchange needed
+    val aw = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val shortList = probes.join(codesIdx, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("ark", row_number().over(aw))
+      .filter(col("ark") <= rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+
+    val rw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    shortList.join(c, Seq("neighbor_id"))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).alias("cos"),
+        col("rk").cast("int").alias("rk"))
+  }
+
   /** Exact all-pairs cosine near-duplicates (id_a < id_b, cosine ≥ threshold):
     * broadcast self-join scored with the native-loop cosine. Exact recall —
     * the oracle-checkable baseline; O(n²) scoring bounds it to corpora whose

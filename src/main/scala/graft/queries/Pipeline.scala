@@ -105,6 +105,14 @@ object Pipeline {
       s"(CASE WHEN $dot >= 0 THEN (1::BIGINT << $p) ELSE 0::BIGINT END)"
     }.mkString(" | ")
 
+  /** Left-associated double dot-product chain between two DuckDB array expressions
+    * over `dsub` components starting at `off` — the arithmetic twin of the native
+    * loop kernels (PqEncode/PqTable/DotProduct accumulate left-to-right in doubles).
+    */
+  private def duckChainDot(a: String, b: String, off: Int, dsub: Int): String =
+    (0 until dsub).map(j =>
+      s"($a[${off + j + 1}]::DOUBLE * $b[${off + j + 1}]::DOUBLE)").mkString(" + ")
+
   /** DuckDB replica of TextAnalysis.fingerprint. */
   private val duckFp = "md5(regexp_replace(lower(text), '[^a-z0-9一-鿿]', '', 'g'))"
 
@@ -330,9 +338,7 @@ object Pipeline {
         .orderBy("query_id", "rk")
     }, {
       val (m, ksub, dsub) = (8, 16, 8)
-      def chainDot(a: String, b: String, off: Int): String =
-        (0 until dsub).map(j =>
-          s"($a[${off + j + 1}]::DOUBLE * $b[${off + j + 1}]::DOUBLE)").mkString(" + ")
+      def chainDot(a: String, b: String, off: Int): String = duckChainDot(a, b, off, dsub)
       val codeCtes = (0 until m).map { sx =>
         val off = sx * dsub
         s"""code_$sx AS (
@@ -365,6 +371,83 @@ object Pipeline {
               |      ORDER BY ($adc) DESC, cd.vec_id) AS rk
               |  FROM q, codes cd $centJoins
               |  WHERE cd.vec_id != q.query_id
+              |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
+    })),
+
+    // IVF+PQ with exact re-ranking — the production ANN composition: coarse cells
+    // prune, PQ codes compress, the ADC top-20 re-scores with exact cosine. Both
+    // quantizers use lloydIters=0 md5 samples, so the oracle rebuilds the entire
+    // index relationally: cells + per-subspace codes + probes + ADC shortlist +
+    // exact rerank, ranking rules matched stage by stage.
+    "s5_ann_ivfpq" -> (((s: SparkSession, dir: String) => {
+      val all = embs(s, dir)
+      Similarity.ivfPqTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+        .orderBy("query_id", "rk")
+    }, {
+      val (m, ksub, dsub) = (8, 16, 8)
+      val codeCtes = (0 until m).map { sx =>
+        val off = sx * dsub
+        s"""code_$sx AS (
+           |  SELECT vec_id, scid AS c$sx FROM (
+           |    SELECT e.vec_id, c.scid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        (${duckChainDot("e.embedding", "c.embedding", off, dsub)})
+           |        - (${duckChainDot("c.embedding", "c.embedding", off, dsub)}) / 2 DESC,
+           |        c.scid DESC) AS rn
+           |    FROM embeddings e, cent c) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val codesJoin = (1 until m).map(sx => s"JOIN code_$sx USING (vec_id)").mkString(" ")
+      val centJoins = (0 until m).map(sx => s"JOIN cent x$sx ON x$sx.scid = cd.c$sx").mkString(" ")
+      val adc = (0 until m).map(sx =>
+        s"(${duckChainDot("p.qv", s"x$sx.embedding", sx * dsub, dsub)})").mkString(" + ")
+      Some(s"""WITH cent AS (
+              |  SELECT embedding,
+              |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) AS scid
+              |  FROM (SELECT vec_id, embedding FROM embeddings
+              |        ORDER BY md5(cast(vec_id as varchar)) LIMIT $ksub)
+              |),
+              |coarse AS (SELECT embedding AS centroid, scid AS cid FROM cent),
+              |cells AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+              |          c.cid DESC) AS crk
+              |    FROM embeddings e, coarse c) WHERE crk = 1
+              |),
+              |$codeCtes,
+              |codes AS (SELECT * FROM code_0 $codesJoin),
+              |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              |      WHERE vec_id % 50 = 0),
+              |probes AS (
+              |  SELECT query_id, qv, cid FROM (
+              |    SELECT q.query_id, q.qv, c.cid,
+              |      row_number() OVER (PARTITION BY q.query_id
+              |        ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
+              |          c.cid DESC) AS prk
+              |    FROM q, coarse c) WHERE prk <= 4
+              |),
+              |shortlist AS (
+              |  SELECT query_id, qv, neighbor_id FROM (
+              |    SELECT p.query_id, p.qv, cd.vec_id AS neighbor_id,
+              |      row_number() OVER (PARTITION BY p.query_id
+              |        ORDER BY ($adc) DESC, cd.vec_id) AS ark
+              |    FROM probes p
+              |    JOIN cells cl ON cl.cid = p.cid
+              |    JOIN codes cd ON cd.vec_id = cl.vec_id
+              |    $centJoins
+              |    WHERE cd.vec_id != p.query_id
+              |  ) WHERE ark <= 20
+              |)
+              |SELECT query_id, neighbor_id, cast(rk as int) AS rk FROM (
+              |  SELECT sl.query_id, sl.neighbor_id,
+              |    row_number() OVER (PARTITION BY sl.query_id
+              |      ORDER BY list_cosine_similarity(sl.qv, e.embedding) DESC,
+              |        sl.neighbor_id) AS rk
+              |  FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.neighbor_id
               |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
     })),
 

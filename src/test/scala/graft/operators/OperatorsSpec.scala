@@ -229,6 +229,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"PQ recall@5 too low: $recall%.2f")
   }
 
+  test("IVFPQ with exact rerank tracks brute force at least as well as raw PQ") {
+    val all = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val queries = all.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, all, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(queries, all, k = 5, dim = 64,
+      nlist = 8, nprobe = 4, m = 8, ksub = 32, rerank = 48, pqLloydIters = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivfpq & exact).size.toDouble / exact.size
+    assert(recall >= 0.25, f"IVFPQ recall@5 too low: $recall%.2f")
+  }
+
   test("multimodal payload + stub decode preserve batch shape") {
     val withP = Multimodal.attachFakePayload(docs.filter($"doc_id" <= 3), "text")
     val feats = Multimodal.decodeFeatures(withP).collect()
