@@ -451,7 +451,50 @@ object Relational {
     },
       s"""SELECT s_nationkey, count(*) AS n_suppliers,
          |  cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS total_acctbal
-         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // One-pass table profiling (rows/nulls/distinct/min/max/mean per column) — the
+    // warehouse utility behind the reference's validation probes, generalized: one
+    // aggregation over the scan for any column count, exact decimal means, string
+    // min/max renders so heterogeneous columns share a schema. exactDistinct=true
+    // for the oracle (the default HLL++ estimate is the 100 TB path).
+    "q28_profile" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Profiler.profile(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_quantity", "l_extendedprice", "l_orderkey", "l_returnflag"),
+          exactDistinct = true)
+        .select(col("column").alias("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"), col("mean_value"))
+        .orderBy("column_name")
+    }, {
+      def prof(c: String, numeric: Boolean): String = {
+        val mean =
+          if (numeric) s"cast(sum(cast($c as decimal(38,6))) as double) / count($c)"
+          else "cast(NULL as double)"
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+           |  cast(min($c) as varchar) AS min_value,
+           |  cast(max($c) as varchar) AS max_value,
+           |  $mean AS mean_value
+           |FROM lineitem""".stripMargin
+      }
+      Seq(prof("l_quantity", true), prof("l_extendedprice", true),
+        prof("l_orderkey", true), prof("l_returnflag", false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    })),
+
+    // Equi-width histogram with engine-portable bin arithmetic
+    // (floor((x − lo)/w) + 1, clamped): the bin ids and counts are exact.
+    "q29_histogram" -> (((s: SparkSession, dir: String) =>
+      graft.operators.Profiler.histogram(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          "l_extendedprice", lo = 0.0, hi = 110000.0, buckets = 11)
+        .orderBy("bucket"),
+      s"""SELECT least(greatest(cast(floor((l_extendedprice - 0.0) / 10000.0)
+         |    as bigint) + 1, 1), 11) AS bucket, count(*) AS n
+         |FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -327,6 +327,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uncapped.contains((1L, 2L)))
   }
 
+  test("profiler: one-pass stats with nulls, exact decimal mean, edge-clamped bins") {
+    val d = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, null), (null, "a"))
+      .toDF("x", "s")
+    val p = Profiler.profile(d, Seq("x", "s"), exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("x").getAs[Long]("n_rows") == 4 && p("x").getAs[Long]("n_nulls") == 1)
+    assert(p("x").getAs[Long]("n_distinct") == 3)
+    assert(p("x").getAs[String]("min_value") == "1" && p("x").getAs[String]("max_value") == "3")
+    assert(p("x").getAs[Double]("mean_value") == 2.0)
+    assert(p("s").getAs[Long]("n_nulls") == 1 && p("s").isNullAt(p("s").fieldIndex("mean_value")))
+    val h = Profiler.histogram(
+        Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0).toDF("v"), "v", 0.0, 30.0, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 clamps into bin 1; 10.0 starts bin 2; 99 clamps into bin 3
+    assert(h == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
   test("exact dedup with null ids keeps an original row, preferring non-null ids") {
     val d = Seq(
       (java.lang.Long.valueOf(5L), "same text here"),
