@@ -89,6 +89,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: connected components are a valid partition refinement of the edges") {
+    val genEdges = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L))).map(_.filter(e => e._1 != e._2))
+    forSamples(genEdges, 6) { edges =>
+      if (edges.nonEmpty) {
+        val comp = graft.operators.Curation.connectedComponents(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // every endpoint is labeled; each label is the component's own minimum
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        assert(comp.keySet == nodes)
+        comp.groupBy(_._2).foreach { case (label, members) =>
+          assert(members.keys.min == label, s"label $label is not the member minimum")
+        }
+        // both endpoints of every edge share a label (no edge crosses components)
+        edges.foreach { case (a, b) => assert(comp(a) == comp(b), s"edge ($a,$b) split") }
+        // idempotence: running CC over the star edges reproduces the same labels
+        val stars = comp.toSeq.filter { case (id, c) => id != c }
+        if (stars.nonEmpty) {
+          val again = graft.operators.Curation.connectedComponents(stars.toDF("a", "b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(again == comp.filter { case (id, c) =>
+            stars.exists(e => e._1 == id || e._2 == id) })
+        }
+      }
+    }
+  }
+
   test("property: the type mapper is total (never throws, unknown -> StringType)") {
     val genType = Gen.oneOf(
       Gen.oneOf("int", "bigint", "varchar", "double", "decimal(10,2)", "date",
