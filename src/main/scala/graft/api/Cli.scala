@@ -19,14 +19,27 @@ import graft.planner.PathResolver
   */
 object Cli {
 
-  /** Testable core: returns what main prints. */
+  /** Testable core: returns what main prints. The manifest argument accepts inline
+    * JSON, a .json file path, or a YAML PROJECT DIRECTORY (the reference's
+    * `wren context build` layout — compiled through [[graft.mdl.YamlProject]],
+    * validation errors abort the deploy).
+    */
   def run(
       spark: SparkSession, dataDir: String, manifest: String, sql: String,
       mode: String = "table", props: Map[String, String] = Map.empty): String = {
-    val manifestStr =
-      if (manifest.trim.startsWith("{")) manifest
-      else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(manifest)), "UTF-8")
-    val session = GraftEngine.deployJson(spark, manifestStr, new PathResolver(dataDir), props)
+    val path = java.nio.file.Paths.get(if (manifest.trim.startsWith("{")) "." else manifest)
+    val session =
+      if (!manifest.trim.startsWith("{") && java.nio.file.Files.isDirectory(path)) {
+        val issues = graft.mdl.YamlProject.validate(path)
+        require(issues.isEmpty, s"invalid project:\n${issues.mkString("\n")}")
+        GraftEngine.deploy(spark, graft.mdl.YamlProject.buildManifest(path),
+          new PathResolver(dataDir), props)
+      } else {
+        val manifestStr =
+          if (manifest.trim.startsWith("{")) manifest
+          else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        GraftEngine.deployJson(spark, manifestStr, new PathResolver(dataDir), props)
+      }
     mode match {
       case "json" => session.queryJson(sql)
       case "plan" => session.transformSql(sql)

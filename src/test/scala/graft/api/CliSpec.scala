@@ -37,6 +37,35 @@ class CliSpec extends AnyFunSuite {
       "SELECT n_name FROM cli_nation", mode = "dry-run") == "OK")
   }
 
+  test("a YAML project directory deploys through the CLI (wren context build parity)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_proj_")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    write("wren_project.yml", "catalog: g\nschema: cli\nschema_version: 3\n")
+    write("models/proj_nation/metadata.yml",
+      """name: proj_nation
+        |table_reference:
+        |  table: nation
+        |columns:
+        |  - name: n_nationkey
+        |    type: int
+        |  - name: n_name
+        |    type: varchar
+        |""".stripMargin)
+    val out = Cli.run(spark, TestSpark.sfDir, root.toString,
+      "SELECT count(*) AS n FROM proj_nation", mode = "json")
+    assert(out.contains("25"))
+    // an invalid project aborts with the validation messages
+    write("models/broken/metadata.yml", "name: broken\n")
+    val err = intercept[IllegalArgumentException] {
+      Cli.run(spark, TestSpark.sfDir, root.toString, "SELECT 1")
+    }
+    assert(err.getMessage.contains("model has no columns"))
+  }
+
   test("session properties flow through -P style map") {
     val restricted = Cli.run(spark, TestSpark.sfDir, manifest,
       "SELECT count(*) AS n FROM cli_nation", mode = "json",
