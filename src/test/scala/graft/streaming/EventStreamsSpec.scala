@@ -24,6 +24,29 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("streaming curation: in-stream dedup, static-index anti-join, quality gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "The quick brown fox jumps over the lazy dog and then " +
+      "the dog chases the fox around the garden for a while. " * 4
+    val src = MemoryStream[Doc]
+    src.addData(
+      Doc(1, ts("2024-01-01 10:00:00"), good),              // kept
+      Doc(2, ts("2024-01-01 10:01:00"), good),              // in-stream dup of 1
+      Doc(3, ts("2024-01-01 10:02:00"), good + " extra!"),  // kept (new content)
+      Doc(4, ts("2024-01-01 10:03:00"), "already indexed doc body " * 20), // in index
+      Doc(5, ts("2024-01-01 10:04:00"), "kurz"),            // fails quality/lang
+      Doc(6, ts("2024-01-01 10:05:00"), "der die das und nicht ist auch " * 20)) // de
+    val index = Seq("already indexed doc body " * 20).toDF("t")
+      .select(graft.operators.TextAnalysis.fingerprint($"t").alias("fp"))
+    val out = runStream("curated",
+      EventStreams.curateStream(src.toDF(), index), mode = "append")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("hourly rollup closes windows once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
