@@ -299,6 +299,26 @@ final class GraftSession(
     ()
   }
 
+  /** Strict-mode policy validation before planning (the reference SDK's
+    * `validate_sql_policy`, wren/src/wren/policy.py:15-110): every table must be a
+    * deployed model/view or an in-scope CTE, table-valued functions are rejected,
+    * and `deniedFunctions` names are rejected anywhere in the query. Runs on the
+    * parsed plan only — no data access.
+    */
+  def validatePolicy(
+      sql: String, strictMode: Boolean = true,
+      deniedFunctions: Set[String] = Set.empty): Unit =
+    graft.semantics.Policy.validate(spark, sql,
+      (manifest.models.map(_.name) ++ manifest.views.map(_.name) ++
+        manifest.metrics.map(_.name)).toSet,
+      strictMode, deniedFunctions)
+
+  /** [[query]] gated by [[validatePolicy]] — the strict-mode query entry point. */
+  def queryStrict(sql: String, deniedFunctions: Set[String] = Set.empty): DataFrame = {
+    validatePolicy(sql, strictMode = true, deniedFunctions)
+    query(sql)
+  }
+
   def modelDF(name: String): DataFrame = { ensureViews(); spark.table(name) }
 
   /** Re-register this deployment's temp views (cache-hit path of deployOnDir). */
