@@ -32,6 +32,8 @@ final class McpServer(spark: SparkSession, dataDir: String) {
   private case class Tool(name: String, description: String, params: Seq[(String, String)])
 
   private val tools = Seq(
+    Tool("deploy", "Deploy an MDL manifest from a file path (JSON, or a YAML project directory)",
+      Seq("mdl_file_path" -> "path to manifest JSON / YAML project dir")),
     Tool("deploy_manifest", "Deploy an MDL manifest (JSON object or base64) to the engine",
       Seq("mdl" -> "the manifest JSON (object as string, or base64)")),
     Tool("mdl_validate_manifest", "Validate a manifest without deploying it",
@@ -43,12 +45,18 @@ final class McpServer(spark: SparkSession, dataDir: String) {
     Tool("dry_run", "Plan the SQL without executing (validates names, access rules)",
       Seq("sql" -> "SQL over model/view names")),
     Tool("get_available_tables", "List deployed model and view names", Nil),
+    Tool("list_remote_tables", "Tables visible in the underlying data directory (pre-deploy discovery)", Nil),
+    Tool("list_remote_constraints", "Declared FK-style constraints derived from the deployed relationships", Nil),
     Tool("get_table_info", "Columns (name, type) of one deployed model",
+      Seq("table_name" -> "model name")),
+    Tool("get_table_columns_info", "All columns of one model keyed by name, full definitions",
       Seq("table_name" -> "model name")),
     Tool("get_column_info", "One column's manifest definition",
       Seq("table_name" -> "model name", "column_name" -> "column name")),
     Tool("get_relationships", "Declared relationships of the deployed manifest", Nil),
     Tool("get_available_functions", "The engine's function listing", Nil),
+    Tool("get_current_data_source_type", "The deployed manifest's dataSource (engine executes on Spark)", Nil),
+    Tool("get_wren_guide", "Short usage guide for this engine's MCP surface", Nil),
     Tool("health_check", "Liveness probe", Nil))
 
   // ---- JSON helpers --------------------------------------------------------
@@ -73,6 +81,20 @@ final class McpServer(spark: SparkSession, dataDir: String) {
   // ---- tool dispatch -------------------------------------------------------
 
   private def callTool(name: String, args: JValue): JValue = name match {
+    case "deploy" =>
+      val path = java.nio.file.Paths.get(argStr(args, "mdl_file_path"))
+      if (java.nio.file.Files.isDirectory(path)) {
+        val issues = graft.mdl.YamlProject.validate(path)
+        if (issues.nonEmpty) return textResult(issues.mkString("; "), isError = true)
+        val mdlJson = graft.mdl.YamlProject.buildManifestJson(path)
+        session = Some(GraftEngine.deployJson(spark, mdlJson, new PathResolver(dataDir)))
+        manifestJson = Some(mdlJson)
+      } else {
+        val mdl = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        session = Some(GraftEngine.deployJson(spark, mdl, new PathResolver(dataDir)))
+        manifestJson = Some(mdl)
+      }
+      textResult("deployed")
     case "deploy_manifest" =>
       val mdl = argStr(args, "mdl")
       session = Some(GraftEngine.deployJson(spark, mdl, new PathResolver(dataDir)))
@@ -110,6 +132,42 @@ final class McpServer(spark: SparkSession, dataDir: String) {
         "expression" -> c.expression.map(js).getOrElse(JNull),
         "isCalculated" -> JBool(c.isCalculated),
         "relationship" -> c.relationship.map(js).getOrElse(JNull))))
+    case "list_remote_tables" =>
+      // pre-deploy discovery over the data directory (the reference asks the
+      // remote warehouse; file-backed deployments list source tables)
+      val dir = new java.io.File(dataDir)
+      val names = Option(dir.list()).getOrElse(Array.empty[String])
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+      textResult(JsonMethods.compact(JArray(names.map(js).toList)))
+    case "list_remote_constraints" =>
+      // the reference derives constraints from relationships (metadata/constraints)
+      textResult(JsonMethods.compact(JArray(deployed.manifest.relationships.map(r =>
+        JObject(
+          "constraintName" -> js(r.name),
+          "constraintType" -> js("FOREIGN KEY"),
+          "constraintCondition" -> js(r.condition),
+          "models" -> JArray(r.models.map(js)))).toList)))
+    case "get_table_columns_info" =>
+      val model = deployed.manifest.model(argStr(args, "table_name"))
+        .getOrElse(throw new IllegalArgumentException("no such model"))
+      textResult(JsonMethods.compact(JObject(model.columns.map(c =>
+        c.name -> (JObject(
+          "type" -> js(c.`type`),
+          "expression" -> c.expression.map(js).getOrElse(JNull),
+          "isCalculated" -> JBool(c.isCalculated),
+          "notNull" -> JBool(c.notNull),
+          "relationship" -> c.relationship.map(js).getOrElse(JNull)): JValue)))))
+    case "get_current_data_source_type" =>
+      textResult(deployed.manifest.dataSource.getOrElse("spark"))
+    case "get_wren_guide" =>
+      textResult(
+        """graft engine MCP guide:
+          |1. deploy_manifest (inline JSON) or deploy (file path / YAML project dir)
+          |2. browse: get_available_tables, get_table_info, get_table_columns_info,
+          |   get_column_info, get_relationships, get_available_functions
+          |3. run: query (v3 result JSON) / dry_run (plan-only validation)
+          |SQL is written against MODEL names; access control (RLAC/CLAC) and
+          |calculated fields come from the deployed manifest.""".stripMargin)
     case "get_relationships" =>
       textResult(JsonMethods.compact(JArray(deployed.manifest.relationships.map(r =>
         JObject("name" -> js(r.name), "models" -> JArray(r.models.map(js)),

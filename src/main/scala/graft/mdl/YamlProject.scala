@@ -35,6 +35,12 @@ object YamlProject {
   def buildManifest(projectPath: Path): Manifest =
     ManifestJson.fromJValue(buildJValue(projectPath))
 
+  /** The compiled manifest as camelCase JSON text (the `target/mdl.json` artifact
+    * of `wren context build`, context.py:613-619).
+    */
+  def buildManifestJson(projectPath: Path): String =
+    org.json4s.jackson.JsonMethods.compact(buildJValue(projectPath))
+
   /** The camelCase manifest AST (exposed for tests and for `validate`). */
   private[mdl] def buildJValue(projectPath: Path): JValue = {
     val config = loadYamlMap(projectPath.resolve("wren_project.yml"))

@@ -70,6 +70,42 @@ class McpServerSpec extends AnyFunSuite {
     assert(text(rs(7)) == "ok")
   }
 
+  test("reference tool-name parity: discovery, columns dict, guide, file deploy") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mcp_proj_")
+    java.nio.file.Files.write(root.resolve("wren_project.yml"),
+      "catalog: g\nschema: mcp2\nschema_version: 3\n".getBytes(UTF_8))
+    val md = root.resolve("models/fp_nation")
+    java.nio.file.Files.createDirectories(md)
+    java.nio.file.Files.write(md.resolve("metadata.yml"),
+      """name: fp_nation
+        |table_reference:
+        |  table: nation
+        |columns:
+        |  - name: n_nationkey
+        |    type: int
+        |    not_null: true
+        |  - name: n_name
+        |    type: varchar
+        |""".stripMargin.getBytes(UTF_8))
+    val rs = roundTrip(Seq(
+      call(1, "deploy", "mdl_file_path" -> root.toString),
+      call(2, "query", "sql" -> "SELECT count(*) AS n FROM fp_nation"),
+      call(3, "list_remote_tables"),
+      call(4, "get_table_columns_info", "table_name" -> "fp_nation"),
+      call(5, "get_current_data_source_type"),
+      call(6, "get_wren_guide"),
+      call(7, "list_remote_constraints")))
+    assert(text(rs(0)) == "deployed")
+    assert(text(rs(1)).contains("25"))
+    assert(text(rs(2)).contains("\"nation\"") && text(rs(2)).contains("\"orders\""))
+    val cols = JsonMethods.parse(text(rs(3)))
+    assert((cols \ "n_nationkey" \ "notNull") == JBool(true))
+    assert((cols \ "n_name" \ "type") == JString("varchar"))
+    assert(text(rs(4)) == "spark")
+    assert(text(rs(5)).contains("deploy_manifest"))
+    assert(text(rs(6)) == "[]") // no relationships declared in this project
+  }
+
   test("errors surface as isError tool results, not protocol failures") {
     val rs = roundTrip(Seq(
       call(1, "query", "sql" -> "SELECT 1"), // nothing deployed yet
