@@ -157,6 +157,27 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
           .filter(_.name.equalsIgnoreCase(name))
         respond(ex, 200, JsonMethods.compact(JArray(hits.map(fnJson).toList)))
 
+      // Decision-point SQL analysis (legacy v2 surface the UI consumes:
+      // routers/v2/analysis.py → DecisionPointAnalyzer). Stateless — only parses.
+      case (_, "v2" :: "analysis" :: which :: Nil) if which == "sql" || which == "sqls" =>
+        val body =
+          try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              throw new IllegalArgumentException(s"malformed JSON body: ${e.getOriginalMessage}")
+          }
+        val out =
+          if (which == "sql") {
+            val sql = jstr(body \ "sql")
+              .getOrElse(throw new IllegalArgumentException("sql is required"))
+            JArray(List(graft.semantics.QueryAnalyzer.analyze(spark, sql)))
+          } else body \ "sqls" match {
+            case JArray(sqls) => JArray(sqls.map(s => JArray(List(
+              graft.semantics.QueryAnalyzer.analyze(spark, jstr(s).getOrElse(""))))))
+            case _ => throw new IllegalArgumentException("sqls is required")
+          }
+        respond(ex, 200, JsonMethods.compact(out))
+
       case ("POST", "v3" :: "connector" :: _ :: rest) =>
         val body =
           try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))

@@ -124,6 +124,19 @@ class HttpServerSpec extends AnyFunSuite {
     assert(r.statusCode() == 200 && r.body().contains("\"n\""), r.body().take(200))
   }
 
+  test("v2 analysis route decomposes SQL into decision points") {
+    val r = post("/v2/analysis/sql",
+      """{"sql":"SELECT o_custkey, sum(o_totalprice) AS t FROM orders WHERE o_custkey > 1 GROUP BY o_custkey"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"selectItems\""))
+    assert(r.body().contains("\"tableName\":\"orders\""))
+    assert(r.body().contains("\"includeFunctionCall\":\"true\""))
+    val batch = post("/v2/analysis/sqls",
+      """{"sqls":["SELECT 1 AS a","SELECT 2 AS b"]}""")
+    assert(batch.statusCode() == 200)
+    assert(batch.body().contains("\"a\"") && batch.body().contains("\"b\""))
+  }
+
   test("unknown routes are 404") {
     assert(post("/v3/connector/spark/nope", bodyJson("SELECT 1")).statusCode() == 404)
   }
