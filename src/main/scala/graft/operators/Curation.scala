@@ -327,6 +327,41 @@ object Curation {
           s => s.getField("line"))).alias("cleaned"))
   }
 
+  // ------------------------------------------------------------- data selection
+
+  /** Hashed n-gram seed-affinity scoring — the DSIR shape (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): featurize documents
+    * as hashed n-grams into a FIXED number of buckets, build a bucket-weight table
+    * from a seed corpus (the high-quality target distribution), and score every
+    * candidate document as the sum of its distinct grams' bucket weights. Selecting
+    * the top-scored documents biases the corpus toward the seed's distribution.
+    *
+    * Weights here are integer seed-corpus gram counts, so scores are exact long
+    * sums — order-independent, reproducible in any engine (true DSIR uses
+    * log-likelihood ratios; a ratio of two of these scores under different seeds
+    * recovers that up to the log).
+    *
+    * Scale shape: the weight table is AT MOST `buckets` rows regardless of seed
+    * size (hashing bounds it — that is DSIR's trick), so it broadcasts; scoring is
+    * explode → broadcast join → per-doc sum, with only (id, weight) longs in the
+    * aggregation. The bucket hash is md5-derived ([[Dedup.md5Hash60]]) so external
+    * engines replicate it bit-for-bit.
+    */
+  def seedAffinityScores(
+      corpus: DataFrame, seed: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, buckets: Int = 65536): DataFrame = {
+    val weights = Dedup.shingles(seed, textCol, idCol, n)
+      .select((Dedup.md5Hash60(col("shingle")) % buckets).alias("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).alias("w"))
+    Dedup.shingles(corpus, textCol, idCol, n)
+      .select(col("id"), (Dedup.md5Hash60(col("shingle")) % buckets).alias("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).alias("n_grams"),
+        coalesce(sum(col("w")), lit(0L)).alias("seed_hits"))
+  }
+
   // ---------------------------------------------------------------- PII redaction
 
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -726,6 +726,42 @@ object Pipeline {
              |  < 0.25 + 0.5 * (cast(substr(source, 4, 10) as int) % 3)::DOUBLE / 2.0
              |ORDER BY doc_id""".stripMargin))),
 
+    // DSIR-style data selection: hashed-bigram seed-affinity scores against a seed
+    // corpus (every 10th doc), integer bucket weights so both engines sum the exact
+    // same longs. Selecting the top-scored candidates biases toward the seed
+    // distribution — the importance-resampling shape with a fixed-size broadcast
+    // weight table.
+    "p6_seed_affinity" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      Curation.seedAffinityScores(
+          d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", n = 2, buckets = 65536)
+        .select(col("id").alias("doc_id"), col("n_grams"), col("seed_hits"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+             |    i -> words[i] || ' ' || words[i+1])) AS s
+             |  FROM w WHERE len(words) >= 2
+             |), grams AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT % 65536 AS bucket
+             |  FROM g
+             |), wt AS (
+             |  SELECT bucket, count(*) AS w FROM grams WHERE doc_id % 10 = 0
+             |  GROUP BY bucket
+             |)
+             |SELECT g.doc_id, count(*) AS n_grams,
+             |  coalesce(sum(wt.w), 0) AS seed_hits
+             |FROM grams g LEFT JOIN wt USING (bucket)
+             |WHERE g.doc_id % 10 != 0
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))),
+
     // Gopher-style within-document repetition filters: duplicate-2/3-gram fractions
     // and the top-2-gram occurrence share. Spark computes the mode as the longest
     // equal run of the sorted gram array (map-only fold); the oracle computes the

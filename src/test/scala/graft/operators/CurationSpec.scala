@@ -136,6 +136,24 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  // ---------------- data selection ----------------
+
+  test("seedAffinityScores rank seed-like documents above unrelated ones") {
+    val seed = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat on a chair"), // shares bigrams with the seed
+      (2L, "quantum flux capacitors emit tachyon bursts"), // none
+      (3L, "the cat sat on the mat today") // nearly the seed itself
+    ).toDF("doc_id", "text")
+    val out = Curation.seedAffinityScores(corpus, seed, "text", "doc_id", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(3L)._2 > out(1L)._2 && out(1L)._2 > out(2L)._2)
+    assert(out(2L)._2 == 0L)
+    assert(out(1L)._1 == 5L) // 6 words -> 5 bigrams, all distinct
+  }
+
   // ---------------- weighted mixing ----------------
 
   test("weightedMix keeps rate-proportional nested samples per key") {
