@@ -162,6 +162,58 @@ object TextAnalysis {
         topFrac(col("__g2")).alias("top_2gram_frac"))
   }
 
+  /** BM25-style lexical retrieval over the corpus for a FIXED query-term list —
+    * the keyword-search complement to the vector ANN family. Per document:
+    * per-term tf (occurrences in the normalized word array), dl (word count), and
+    * the score
+    *
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with the RATIONAL idf form idf(t) = (N − df + 0.5)/(df + 0.5) instead of the
+    * classical ln of it: per-term it is the same monotone ordering, and avoiding
+    * `ln` keeps every operation (+,−,×,÷) bit-identical across engines — `ln`
+    * implementations legitimately differ in the last ulp, which is enough to swap
+    * near-tie ranks under a hash-compare oracle. The terms sum in FIXED declaration
+    * order as one projection expression (a groupBy sum of doubles would re-order).
+    *
+    * Scale shape: corpus stats (N, avgdl, per-term df) are a handful of scalars —
+    * one aggregation pass, then a broadcast-free map-stage score (stats inline as
+    * literals via a driver collect of ONE row) and a top-k TakeOrdered. Returns
+    * (id, dl, tf_0.., score) ranked by (score desc, id).
+    */
+  def bm25(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val staged = df.select(col(idCol).alias("id"),
+      Dedup.wordsArray(col(textCol)).alias("__w"))
+    val withTf = staged.select(
+      (col("id") +: size(col("__w")).cast("long").alias("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__w"), w => w === lit(t))).cast("long").alias(s"tf_$i")
+        }): _*)
+    // one row of corpus stats: N, avgdl, df per term
+    val statAggs =
+      (sum(col("dl")).cast("double") / count(lit(1))).alias("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).alias(s"df_$i"))
+    val statsRow = withTf.agg(count(lit(1)).alias("n"), statAggs: _*).head()
+    val n = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getDouble(1)
+    val score = terms.indices.map { i =>
+      val dfT = statsRow.getLong(2 + i).toDouble
+      val idf = (n - dfT + 0.5) / (dfT + 0.5)
+      val tf = col(s"tf_$i").cast("double")
+      lit(idf) * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    withTf.withColumn("score", round(score, 6))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Document fingerprint: md5 of the case/whitespace/punctuation-normalized text.
     * Identical normalization is expressible in any engine, so fingerprint equality is
     * portable; used as the exact-dedup key so the shuffle carries 32 hex chars, not

@@ -726,6 +726,44 @@ object Pipeline {
              |  < 0.25 + 0.5 * (cast(substr(source, 4, 10) as int) % 3)::DOUBLE / 2.0
              |ORDER BY doc_id""".stripMargin))),
 
+    // BM25-style lexical retrieval (keyword search complement to the s* vector
+    // family): rational idf form + fixed-order term sum keeps every floating-point
+    // operation identical across engines, so the ranked result hash-matches.
+    "t12_bm25" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.bm25(docs(s, dir), "text", "doc_id",
+        terms = Seq("spark", "window", "vector"), k = 25)
+        .select(col("id").alias("doc_id"), col("dl"), col("tf_0"), col("tf_1"),
+          col("tf_2"), col("score")),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, len(words)::BIGINT AS dl,
+             |    len(list_filter(words, x -> x = 'spark'))::BIGINT AS tf_0,
+             |    len(list_filter(words, x -> x = 'window'))::BIGINT AS tf_1,
+             |    len(list_filter(words, x -> x = 'vector'))::BIGINT AS tf_2
+             |  FROM w
+             |), st AS (
+             |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+             |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+             |  FROM tf
+             |)
+             |SELECT doc_id, dl, tf_0, tf_1, tf_2, score FROM (
+             |  SELECT t.doc_id, t.dl, t.tf_0, t.tf_1, t.tf_2, round(
+             |      ((st.n - st.df_0 + 0.5) / (st.df_0 + 0.5)) * (t.tf_0 * 2.2)
+             |        / (t.tf_0 + 1.2 * (0.25 + (0.75 * t.dl) / st.avgdl))
+             |    + ((st.n - st.df_1 + 0.5) / (st.df_1 + 0.5)) * (t.tf_1 * 2.2)
+             |        / (t.tf_1 + 1.2 * (0.25 + (0.75 * t.dl) / st.avgdl))
+             |    + ((st.n - st.df_2 + 0.5) / (st.df_2 + 0.5)) * (t.tf_2 * 2.2)
+             |        / (t.tf_2 + 1.2 * (0.25 + (0.75 * t.dl) / st.avgdl)), 6) AS score
+             |  FROM tf t, st
+             |) WHERE score > 0
+             |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin))),
+
     // DSIR-style data selection: hashed-bigram seed-affinity scores against a seed
     // corpus (every 10th doc), integer bucket weights so both engines sum the exact
     // same longs. Selecting the top-scored candidates biases toward the seed

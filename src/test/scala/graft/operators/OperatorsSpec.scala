@@ -81,6 +81,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(7L)._2 == "unknown")
   }
 
+  test("bm25 ranks term-dense short docs first and drops no-match docs") {
+    val d = Seq(
+      (1L, "spark spark spark"),                    // dense in the query term
+      (2L, "spark and a lot of other words here making this document longer"),
+      (3L, "nothing relevant at all"),
+      (4L, "spark once")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(d, "text", "doc_id", terms = Seq("spark"), k = 10)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 4L)) // doc 3 filtered (score 0)
+    assert(out.head.getLong(0) == 1L) // highest tf, shortest doc
+    val scores = out.map(_.getDouble(out.head.fieldIndex("score")))
+    assert(scores.sorted.reverse.toSeq == scores.toSeq)
+  }
+
   test("repetition scores: dup fractions and top-gram share, hand-computed") {
     val d = Seq(
       (1L, "a b a b a b"),  // g2 = [a b, b a, a b, b a, a b]: 5 grams, 2 distinct
