@@ -188,11 +188,14 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val staged = df.select(col(idCol).alias("id"),
       Dedup.wordsArray(col(textCol)).alias("__w"))
+    // evaluated twice (stats pass + scoring pass): persist so the regex
+    // normalization runs once over the corpus, not twice (cf. Dedup.minHashNearDup)
     val withTf = staged.select(
       (col("id") +: size(col("__w")).cast("long").alias("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("__w"), w => w === lit(t))).cast("long").alias(s"tf_$i")
         }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row of corpus stats: N, avgdl, df per term
     val statAggs =
       (sum(col("dl")).cast("double") / count(lit(1))).alias("avgdl") +:
