@@ -152,6 +152,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!mix.contains("SortMergeJoin"), mix.take(2500))
   }
 
+  test("p6_seed_affinity: the hashed weight table broadcasts (DSIR's fixed-size trick)") {
+    val plan = executedPlan("p6_seed_affinity")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+  }
+
+  test("d9_dup_clusters: star-round exchanges carry only id pairs, never text") {
+    val df = SparkEntry.queries("d9_dup_clusters")(spark, dir)
+    // the final component frame descends from localCheckpointed edges; its own plan
+    // must be free of document-text columns (text only feeds the pair generation)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("text#"), plan.take(2500))
+  }
+
   test("t1_langid: the native expression keeps the projection inside codegen") {
     val df = SparkEntry.queries("t1_langid")(spark, dir)
     df.collect() // materialize the AQE final plan (codegen markers appear post-exec)
