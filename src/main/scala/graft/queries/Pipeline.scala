@@ -543,6 +543,86 @@ object Pipeline {
               |WHERE l.lang_pred = 'en' AND q.quality >= 0.5
               |ORDER BY k.doc_id""".stripMargin))),
 
+    // The full curation composition — every stage an independently-verified
+    // operator, chained as ONE lazy plan: exact dedup → MinHash near-dup pairs →
+    // connected components (drop non-canonical members) → 13-gram benchmark
+    // decontamination → language + quality gate. The oracle rebuilds the identical
+    // five stages (window dedup, all-pairs Jaccard, recursive closure, gram
+    // semi-join, score filters) in one recursive CTE chain.
+    "p7_full_curation" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val kept1 = Dedup.exact(d.filter(col("doc_id") % 20 =!= 0), "text", "doc_id")
+      val pairs = Dedup.minHashNearDup(kept1, "text", "doc_id",
+        n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
+      val members = Curation.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").alias("doc_id"))
+      val kept2 = kept1.join(members, Seq("doc_id"), "left_anti")
+      Curation.decontaminate(kept2, bench, "text", "doc_id", n = 13)
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).alias("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.4)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }, {
+      val shingleOverKept = duckShingleSets
+        .replaceFirst("WITH", "")
+        .replace("FROM documents", "FROM kept1")
+      Some(s"""WITH RECURSIVE kept1 AS (
+              |  SELECT doc_id, text FROM (
+              |    SELECT doc_id, text,
+              |      row_number() OVER (PARTITION BY $duckFp ORDER BY doc_id) AS rn
+              |    FROM documents WHERE doc_id % 20 != 0) WHERE rn = 1
+              |), $shingleOverKept, p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM g a, g b
+              |  WHERE a.doc_id < b.doc_id
+              |    AND round(len(list_intersect(a.s, b.s)) * 1.0
+              |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7
+              |), e AS (
+              |  SELECT id_a AS u, id_b AS v FROM p
+              |  UNION ALL
+              |  SELECT id_b AS u, id_a AS v FROM p
+              |), reach(u, v) AS (
+              |  SELECT u, v FROM e
+              |  UNION
+              |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+              |), members AS (
+              |  SELECT u AS doc_id FROM reach GROUP BY u
+              |  HAVING least(u, min(v)) != u
+              |), kept2 AS (
+              |  SELECT k.doc_id, k.text FROM kept1 k
+              |  WHERE k.doc_id NOT IN (SELECT doc_id FROM members)
+              |), w13 AS (
+              |  SELECT doc_id, list_filter(
+              |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\\s+'),
+              |    x -> len(x) > 0) AS wds
+              |  FROM documents
+              |), g13 AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wds) - 11, 1)),
+              |    i -> array_to_string(list_slice(wds, i, i + 12), ' '))) AS s
+              |  FROM w13 WHERE len(wds) >= 13
+              |), benchg AS (
+              |  SELECT DISTINCT unnest(s) AS sh FROM g13 WHERE doc_id % 20 = 0
+              |), contaminated AS (
+              |  SELECT DISTINCT t.doc_id
+              |  FROM (SELECT doc_id, unnest(s) AS sh FROM g13) t
+              |  JOIN kept2 USING (doc_id)
+              |  WHERE t.sh IN (SELECT sh FROM benchg)
+              |), kept3 AS (
+              |  SELECT doc_id FROM kept2
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+              |)
+              |SELECT k.doc_id
+              |FROM kept3 k
+              |JOIN ($duckLangId) l USING (doc_id)
+              |JOIN ($duckQuality) q USING (doc_id)
+              |WHERE l.lang_pred = 'en' AND q.quality >= 0.4
+              |ORDER BY k.doc_id""".stripMargin)
+    })),
+
     // ---------------- corpus curation ----------------
 
     // Benchmark decontamination (GPT-3/Dolma 13-gram rule): benchmark = every 20th
