@@ -552,13 +552,18 @@ object Pipeline {
     "p7_full_curation" -> (((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
       val bench = d.filter(col("doc_id") % 20 === 0)
+      // kept1/kept2 are branch points (near-dup pipeline + anti-join + decontam all
+      // consume them): persist spill-safely so the dedup aggregation and the text
+      // bodies are computed once, not once per stage (cf. Dedup.minHashNearDup)
       val kept1 = Dedup.exact(d.filter(col("doc_id") % 20 =!= 0), "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minHashNearDup(kept1, "text", "doc_id",
         n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
       val members = Curation.connectedComponents(pairs)
         .filter(col("id") =!= col("component"))
         .select(col("id").alias("doc_id"))
       val kept2 = kept1.join(members, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Curation.decontaminate(kept2, bench, "text", "doc_id", n = 13)
         .select(col("doc_id"),
           TextAnalysis.langId(col("text")).alias("lang_pred"),
