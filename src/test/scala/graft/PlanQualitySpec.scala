@@ -152,6 +152,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!mix.contains("SortMergeJoin"), mix.take(2500))
   }
 
+  test("s5_ann_ivfpq: only the rerank stage touches corpus vectors") {
+    // the ADC shortlist must rank on codes; embeddings may appear in exactly the
+    // index-build scan and the final rerank join — never in the per-query rank
+    // exchange (which would mean candidates ship dim-64 floats)
+    val plan = executedPlan("s5_ann_ivfpq")
+    val rankExchange = "Exchange hashpartitioning\\(query_id[^\n]*".r
+      .findAllIn(plan).toSeq
+    assert(rankExchange.nonEmpty, plan.take(1500))
+    assert(rankExchange.head.contains("adc") || !rankExchange.head.contains("embedding"),
+      s"ADC rank exchange must not carry vectors\n${rankExchange.head}")
+  }
+
   test("p6_seed_affinity: the hashed weight table broadcasts (DSIR's fixed-size trick)") {
     val plan = executedPlan("p6_seed_affinity")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2500))

@@ -218,6 +218,15 @@ class CurationSpec extends AnyFunSuite {
     assert(ccResult(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("connectedComponents works over string ids (lexicographic minimum labels)") {
+    val pairs = Seq(("docB", "docA"), ("docC", "docB"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val comp = Curation.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "x" -> "x", "y" -> "x"))
+  }
+
   // ---------------- line-level boilerplate dedup ----------------
 
   test("dedupLines drops cross-document boilerplate lines and rebuilds text in order") {
