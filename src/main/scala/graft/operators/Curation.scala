@@ -145,22 +145,65 @@ object Curation {
     * Scale shape: cell assignment is a broadcast-centroid argmax map stage (zero
     * shuffle — same quantizer as [[Similarity.ivfTopK]]); the self-join shuffles the
     * corpus once by cell id. Per-cell pair cost is |cell|²: size `nlist` ≈ n/1000 so
-    * cells average ~10³ vectors, and raise `nlist` (or re-cluster oversized cells)
-    * when the cell-size histogram is skewed — the cap lives in the quantizer, not
-    * the join.
+    * cells average ~10³ vectors. When the quantizer collapses (skewed embeddings), a
+    * hot cell would degenerate to |cell|² pairs in one task — `maxCellSize > 0`
+    * bounds that by recursively re-quantizing every oversized cell with sub-centroids
+    * seeded from the cell's own vectors (see [[splitCells]]); 0 keeps the flat
+    * quantizer. Recursive cells narrow the candidate set the same way the top-level
+    * cells do — SemDeDup's within-cell approximation applied one level deeper.
     */
   def semanticDedup(
       corpus: DataFrame, threshold: Double, nlist: Int = 16, lloydIters: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellSize: Int = 0, maxSplitDepth: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).alias("id"), col(vecCol).alias("v"))
-    val unit = Similarity.buildCentroids(c, nlist, lloydIters)
-    val cells = c.withColumn("cid", Similarity.argmaxCid(col("v"), unit))
+    val cells = splitCells(c, nlist, lloydIters, maxCellSize, maxSplitDepth)
     val a = cells.alias("a")
     val b = cells.alias("b")
     a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .withColumn("cos", Similarity.cosineNative(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+  }
+
+  /** Cell assignment with oversized-cell re-split: assign every row of `c` (columns
+    * (id, v)) to a quantizer cell, and while any cell holds more than `maxCellSize`
+    * rows (and `depth` remains), re-run the quantizer WITHIN that cell — sub-centroids
+    * seeded from the cell's own vectors — producing hierarchical string cell ids
+    * (`"3"`, `"3/1"`, `"3/1/2"`). Returns (id, v, cid).
+    *
+    * `maxCellSize <= 0` disables splitting (flat integer cids as strings). The depth
+    * bound terminates degenerate cells that CANNOT split — `k` identical vectors
+    * always share an argmax, so no quantizer separates them; such a cell keeps its
+    * |cell|² cost and the bound keeps the driver loop finite. Driver cost is bounded:
+    * at most `nlist^depth` cell-size probes, each an nlist-row aggregate, and the
+    * assignment frame is localCheckpoint'ed before recursion so per-cell filters
+    * don't recompute the scan.
+    */
+  private[graft] def splitCells(
+      c: DataFrame, nlist: Int, lloydIters: Int,
+      maxCellSize: Int, depth: Int): DataFrame = {
+    val unit = Similarity.buildCentroids(c, nlist, lloydIters)
+    val assigned = c.withColumn("cid",
+      Similarity.argmaxCid(col("v"), unit).cast("string"))
+    if (maxCellSize <= 0 || depth <= 0) return assigned
+    val snap = assigned.localCheckpoint(true)
+    val sizes = snap.groupBy("cid").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val oversized = sizes.filter(_._2 > maxCellSize).map(_._1).sorted
+    if (oversized.isEmpty) snap
+    else {
+      val kept = snap.filter(!col("cid").isin(oversized.toSeq: _*))
+      oversized.foldLeft(kept) { (acc, cid) =>
+        val cell = snap.filter(col("cid") === cid).select(col("id"), col("v"))
+        // A cell that the sub-quantizer cannot separate (all rows to one sub-cid)
+        // recurses with the same size until depth runs out — identical vectors are
+        // the only such case, and for them all-pairs is the true answer anyway.
+        val sub = splitCells(cell, nlist, lloydIters, maxCellSize, depth - 1)
+          .withColumn("cid", concat_ws("/", lit(cid), col("cid")))
+        acc.unionByName(sub)
+      }
+    }
   }
 
   // ---------------------------------------------------------------- incremental dedup
@@ -225,18 +268,26 @@ object Curation {
     * state is one min per node, never a neighbor list (a celebrity node with 10⁸
     * duplicate edges costs 8 bytes of agg buffer, not an OOM).
     *
-    * Each round is `localCheckpoint`ed: iterative plans otherwise nest one Exchange
-    * tree per round (analysis cost grows quadratically) and a failure would recompute
-    * the whole chain. On a real cluster prefer `spark.sparkContext.setCheckpointDir`
-    * + reliable `checkpoint()` for fault tolerance past executor loss.
+    * Each round is checkpointed: iterative plans otherwise nest one Exchange tree
+    * per round (analysis cost grows quadratically) and a failure would recompute the
+    * whole chain. `reliable = false` uses `localCheckpoint` (executor-local blocks —
+    * fastest, fine for local mode and short jobs); `reliable = true` uses
+    * `checkpoint()` against `spark.sparkContext.setCheckpointDir` (HDFS/object-store
+    * backed) so a cluster run survives executor loss mid-iteration — the right
+    * setting for a 100 TB job whose iteration chain is hours long.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 50, reliable: Boolean = false): DataFrame = {
+    if (reliable)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "connectedComponents(reliable = true) needs spark.sparkContext.setCheckpointDir")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val Array(ca, cb) = pairs.columns.take(2)
-    var edges = pairs
+    var edges = snap(pairs
       .select(col(ca).alias("u"), col(cb).alias("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // (count, hash-xor) fingerprint of the canonically-oriented edge set: iteration
     // stops when two consecutive rounds produce the same set. XOR is
@@ -279,7 +330,7 @@ object Curation {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      edges = snap(smallStar(largeStar(edges)))
       val cur = fingerprint(edges)
       converged = cur == prev
       prev = cur

@@ -880,7 +880,7 @@ object Pipeline {
              |  GROUP BY bucket
              |)
              |SELECT g.doc_id, count(*) AS n_grams,
-             |  coalesce(sum(wt.w), 0) AS seed_hits
+             |  coalesce(sum(wt.w), 0)::BIGINT AS seed_hits
              |FROM grams g LEFT JOIN wt USING (bucket)
              |WHERE g.doc_id % 10 != 0
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))),

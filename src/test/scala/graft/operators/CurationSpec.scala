@@ -120,6 +120,46 @@ class CurationSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 101L), (2L, 102L)))
   }
 
+  test("splitCells re-quantizes oversized cells under adversarially collapsed embeddings") {
+    // Every vector crowds into a narrow cone around e0 (norm-dominant first
+    // component, small jitter elsewhere) so the flat quantizer collapses: with
+    // nlist=4 most of the corpus lands in one or two hot cells.
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 240).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+      v(0) = 1.0f + rnd.nextGaussian().toFloat * 0.01f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").select($"vec_id".alias("id"), $"embedding".alias("v"))
+
+    val flat = Curation.splitCells(df, nlist = 4, lloydIters = 0,
+      maxCellSize = 0, depth = 0)
+    val flatMax = flat.groupBy("cid").count().agg(max("count")).head().getLong(0)
+    assert(flatMax > 60, s"fixture must collapse the flat quantizer (max cell $flatMax)")
+
+    val split = Curation.splitCells(df, nlist = 4, lloydIters = 0,
+      maxCellSize = 60, depth = 4)
+    assert(split.count() == 240) // re-split is a partition, not a filter
+    val sizes = split.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(sizes.max <= 60, s"oversized cell survived the re-split: max ${sizes.max}")
+  }
+
+  test("semanticDedup with a cell cap still finds planted duplicates") {
+    // Identical vectors share an argmax at EVERY split level, so planted exact
+    // duplicates stay co-located no matter how deep the re-split goes.
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 120).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+      v(0) = 1.0f
+      (i.toLong, v)
+    }
+    val planted = base.take(3).map { case (id, v) => (id + 1000, v) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Curation.semanticDedup(df, threshold = 0.9999, nlist = 4,
+        maxCellSize = 30, maxSplitDepth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 1001L), (2L, 1002L), (3L, 1003L)).subsetOf(pairs))
+  }
+
   // ---------------- incremental dedup ----------------
 
   test("incrementalDedup drops index hits and within-batch duplicates") {
@@ -216,6 +256,34 @@ class CurationSpec extends AnyFunSuite {
 
   test("connectedComponents of an empty pair set is empty") {
     assert(ccResult(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("connectedComponents(reliable = true) iterates through a reliable checkpoint dir") {
+    // Before any dir is set (setCheckpointDir is one-way), the reliable path must
+    // fail fast instead of dying mid-iteration on the first checkpoint().
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Curation.connectedComponents(Seq((1L, 2L)).toDF("a", "b"), reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val edges = ((0L until 20L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+        .toDF("id_a", "id_b")
+      val got = Curation.connectedComponents(edges, reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ((0L to 20L).map(_ -> 0L) ++ Seq(100L -> 100L, 101L -> 100L)).toMap)
+      // the reliable path must actually have written RDD checkpoint data
+      val written = dir.toFile.listFiles
+      assert(written != null && written.nonEmpty)
+    } finally {
+      val del = java.nio.file.Files.walk(dir)
+      try del.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally del.close()
+    }
   }
 
   test("connectedComponents works over string ids (lexicographic minimum labels)") {
