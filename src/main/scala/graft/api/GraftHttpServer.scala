@@ -35,6 +35,13 @@ import graft.planner.PathResolver
   *   - `POST /v3/connector/{ds}/metadata/tables` — model/column metadata
   *     (`routers/v2/connector.py` metadata analogue).
   *
+  * The deprecated-but-served legacy v2 surface (`ibis-server/app/routers/v2/
+  * connector.py:66-384`) aliases the same handlers: `POST /v2/connector/{ds}/
+  * query|dry-plan|validate/{rule}|model-substitute|metadata/...`, plus the ds-less
+  * `POST /v2/connector/dry-plan` and `POST /v2/analysis/sql[s]` (POST-only; other
+  * methods answer 405). `GET /v{2,3}/connector/{ds}/knowledge` serves the
+  * per-datasource SQL-knowledge blob (`connector.py:552-565`, [[SqlKnowledge]]).
+  *
   * Per-query session properties come from `x-wren-variable-*` headers and the
   * timezone from `x-wren-timezone` (`app/dependencies.py:8-11`,
   * `app/mdl/rewriter.py:177-189`), exactly like the reference; `{ds}` is accepted
@@ -157,9 +164,19 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
           .filter(_.name.equalsIgnoreCase(name))
         respond(ex, 200, JsonMethods.compact(JArray(hits.map(fnJson).toList)))
 
+      // Per-datasource SQL knowledge blob for agent/MCP consumers (reference:
+      // GET /v3/connector/{ds}/knowledge, connector.py:552-565 — text-to-SQL rule,
+      // topic instructions, correction rule). `{ds}` selects the dialect note.
+      case ("GET", ("v2" | "v3") :: "connector" :: ds :: "knowledge" :: Nil) =>
+        respond(ex, 200, JsonMethods.compact(SqlKnowledge.forDataSource(ds)))
+
       // Decision-point SQL analysis (legacy v2 surface the UI consumes:
       // routers/v2/analysis.py → DecisionPointAnalyzer). Stateless — only parses.
-      case (_, "v2" :: "analysis" :: which :: Nil) if which == "sql" || which == "sqls" =>
+      // POST-only like the reference router; other methods answer 405.
+      case (m, "v2" :: "analysis" :: which :: Nil)
+          if (which == "sql" || which == "sqls") && m != "POST" =>
+        respond(ex, 405, detail(s"method $m not allowed; use POST"))
+      case ("POST", "v2" :: "analysis" :: which :: Nil) if which == "sql" || which == "sqls" =>
         val body =
           try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
           catch {
@@ -178,7 +195,26 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
           }
         respond(ex, 200, JsonMethods.compact(out))
 
-      case ("POST", "v3" :: "connector" :: _ :: rest) =>
+      // Legacy v2 ds-less dry-plan (POST /v2/connector/dry-plan,
+      // routers/v2/connector.py:336-354): plan the SQL with no datasource context.
+      case ("POST", "v2" :: "connector" :: "dry-plan" :: Nil) =>
+        val body =
+          try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              throw new IllegalArgumentException(s"malformed JSON body: ${e.getOriginalMessage}")
+          }
+        val manifestStr = jstr(body \ "manifestStr")
+          .getOrElse(throw new IllegalArgumentException("manifestStr is required"))
+        val sql = jstr(body \ "sql")
+          .getOrElse(throw new IllegalArgumentException("sql is required"))
+        respond(ex, 200, session(manifestStr, headerProperties(ex)).transformSql(sql),
+          "text/plain")
+
+      // v3 routes, plus the deprecated-but-served v2 connector aliases
+      // (routers/v2/connector.py:66-384) — same DTO shape (sql/manifestStr body,
+      // dryRun/cacheEnable/limit query params), same engine calls behind both.
+      case ("POST", ("v2" | "v3") :: "connector" :: _ :: rest) =>
         val body =
           try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
           catch {

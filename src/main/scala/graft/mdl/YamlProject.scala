@@ -91,8 +91,19 @@ object YamlProject {
         if (!c.contains("type"))
           issues += s"[ERROR] $at: column '${c.getOrElse("name", "?")}' has no type"
       }
-      val hasRef = m.contains("table_reference")
-      val hasSql = m.contains("ref_sql")
+      // Python-truthiness like the reference's `bool(model.get(...))`: an explicit
+      // `table_reference: null` or empty mapping counts as ABSENT, so the
+      // exactly-one rule still fires on it.
+      def truthy(v: Any): Boolean = v match {
+        case null => false
+        case mm: java.util.Map[_, _] => !mm.isEmpty
+        case l: java.util.List[_] => !l.isEmpty
+        case b: java.lang.Boolean => b.booleanValue
+        case n: java.lang.Number => n.doubleValue != 0
+        case s => s.toString.nonEmpty
+      }
+      val hasRef = m.get("table_reference").exists(truthy)
+      val hasSql = m.get("ref_sql").exists(truthy)
       if (hasRef == hasSql)
         issues += s"[ERROR] $at: needs exactly one of table_reference or ref_sql"
       m.get("primary_key").map(_.toString).foreach { pk =>

@@ -370,20 +370,26 @@ final class SemanticPlanner(
 
   /** Strip the semantic `catalog.schema.` qualifier (reference strips it from unparsed
     * SQL at mdl/mod.rs:530-537; here models live in the session temp-view namespace).
-    * Single-quoted string literals are left untouched — a literal that happens to
-    * contain `catalog.schema.` text is data, not a qualifier.
+    * Protected spans are left untouched: single-quoted string literals (always data),
+    * and double-quoted or backtick-quoted identifiers CONTAINING a dot —
+    * `"catalog.schema.weird"` is one identifier, not a qualifier. Dotless quoted
+    * spans stay in the scanned stream because a legit qualifier is written as two of
+    * them (`"catalog"."schema".`) and must still strip.
     */
   def stripNamespace(sql: String): String = {
     val c = java.util.regex.Pattern.quote(manifest.catalog)
     val s = java.util.regex.Pattern.quote(manifest.schema)
     val qual = ("(?i)\"?" + c + "\"?\\.\"?" + s + "\"?\\.").r
-    val literal = "'(?:[^']|'')*'".r
+    val spans = "'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`(?:[^`]|``)*`".r
     val sb = new StringBuilder
     var last = 0
-    for (m <- literal.findAllMatchIn(sql)) {
-      sb ++= qual.replaceAllIn(sql.substring(last, m.start), "")
-      sb ++= m.matched
-      last = m.end
+    for (m <- spans.findAllMatchIn(sql)) {
+      val protect = m.matched.head == '\'' || m.matched.contains(".")
+      if (protect) {
+        sb ++= qual.replaceAllIn(sql.substring(last, m.start), "")
+        sb ++= m.matched
+        last = m.end
+      }
     }
     sb ++= qual.replaceAllIn(sql.substring(last), "")
     sb.result()

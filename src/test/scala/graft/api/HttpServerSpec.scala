@@ -215,6 +215,67 @@ class HttpServerSpec extends AnyFunSuite {
     assert(ok.statusCode() == 200, ok.body())
   }
 
+  private def get(path: String): HttpResponse[String] = http.send(
+    HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+    HttpResponse.BodyHandlers.ofString())
+
+  test("legacy v2 connector query/dry-run route aliases answer like v3") {
+    val hdrs = Map("x-wren-variable-session_status" -> "F")
+    val r = post("/v2/connector/spark/query?limit=5", bodyJson(
+      "SELECT o_orderkey, o_orderstatus FROM w_orders ORDER BY o_orderkey"), hdrs)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"columns\"") && r.body().contains("\"data\""))
+
+    val dry = post("/v2/connector/spark/query?dryRun=true", bodyJson(
+      "SELECT o_orderkey FROM w_orders"), hdrs)
+    assert(dry.statusCode() == 204 && dry.body().isEmpty)
+  }
+
+  test("legacy v2 validate and metadata route aliases") {
+    val v = post("/v2/connector/spark/validate/column_is_valid",
+      s"""{"manifestStr":${quoted(manifestStr)},
+         |"parameters":{"modelName":"w_orders","columnName":"o_orderkey"}}""".stripMargin,
+      Map("x-wren-variable-session_status" -> "F"))
+    assert(v.statusCode() == 204, v.body())
+
+    val t = post("/v2/connector/spark/metadata/tables",
+      s"""{"manifestStr":${quoted(relManifestStr)}}""")
+    assert(t.statusCode() == 200 && t.body().contains("\"w_nation\""), t.body())
+    val ver = post("/v2/connector/spark/metadata/version",
+      s"""{"manifestStr":${quoted(relManifestStr)}}""")
+    assert(ver.statusCode() == 200 && ver.body().contains("Spark "))
+  }
+
+  test("legacy v2 dry-plan: with and without a datasource segment") {
+    val hdrs = Map("x-wren-variable-session_status" -> "F")
+    val withDs = post("/v2/connector/spark/dry-plan", bodyJson(
+      "SELECT o_orderkey FROM w_orders"), hdrs)
+    assert(withDs.statusCode() == 200 && withDs.body().toLowerCase.contains("project"))
+    val dsLess = post("/v2/connector/dry-plan", bodyJson(
+      "SELECT o_orderkey FROM w_orders"), hdrs)
+    assert(dsLess.statusCode() == 200 && dsLess.body().toLowerCase.contains("project"))
+    assert(dsLess.body() == withDs.body(), "ds-less dry-plan must plan identically")
+  }
+
+  test("v2 analysis routes are POST-only (405 on GET, not a body-parse 4xx)") {
+    val r = get("/v2/analysis/sql")
+    assert(r.statusCode() == 405, s"${r.statusCode()} ${r.body()}")
+    assert(r.body().contains("POST"))
+  }
+
+  test("knowledge route serves the text-to-SQL blob with a per-datasource dialect note") {
+    val r = get("/v3/connector/spark/knowledge")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"text_to_sql_rule\"")
+      && r.body().contains("\"instructions\"")
+      && r.body().contains("\"sql_correction_rule\""))
+    assert(r.body().contains("calculated_field") && r.body().contains("dialect_spark"))
+
+    val pg = get("/v2/connector/postgres/knowledge")
+    assert(pg.statusCode() == 200 && pg.body().contains("dialect_postgres"))
+    assert(pg.body().contains("JDBC"))
+  }
+
   private def quoted(s: String): String =
     org.json4s.jackson.JsonMethods.compact(org.json4s.JString(s))
 }

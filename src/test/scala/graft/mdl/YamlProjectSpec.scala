@@ -117,7 +117,18 @@ class YamlProjectSpec extends AnyFunSuite {
         |    join_type: ONE_TO_ONE
         |    condition: 1 = 1
         |""".stripMargin)
+    // explicit `table_reference: null` (and no ref_sql) is ABSENT under the
+    // reference's truthiness rule -> exactly-one violation, not a pass
+    write(root.resolve("models/nullref/metadata.yml"),
+      """name: nullref
+        |table_reference: null
+        |columns:
+        |  - name: a
+        |    type: int
+        |""".stripMargin)
     val issues = YamlProject.validate(root)
+    assert(issues.exists(i => i.contains("nullref")
+      && i.contains("exactly one of table_reference or ref_sql")))
     assert(issues.exists(_.contains("exactly one of table_reference or ref_sql")))
     assert(issues.exists(_.contains("primary_key 'nope'")))
     assert(issues.exists(_.contains("model has no columns")))

@@ -290,6 +290,14 @@ class PlannerSpec extends AnyFunSuite {
     assert(v == "graft.amalgam.m_orders")
   }
 
+  test("stripNamespace leaves quoted identifiers containing catalog.schema text alone") {
+    // a backtick-quoted IDENTIFIER containing the namespace text is one name, not a
+    // qualifier — it must survive the strip (while the FROM qualifier still strips)
+    val df = deployed.query(
+      "SELECT o_orderkey AS `graft.amalgam.weird` FROM graft.amalgam.m_orders LIMIT 1")
+    assert(df.columns.toSeq == Seq("graft.amalgam.weird"))
+  }
+
   test("hidden columns are excluded from the view projection") {
     val m = Semantic.manifest
     val hidden = m.copy(models = m.models.map(mm =>
