@@ -13,11 +13,12 @@ import org.apache.spark.sql.types._
   * batch operators (`mapPartitions`) so a real decoder (JNI/ffmpeg/libjpeg-turbo)
   * drops in without changing the plan shape.
   *
-  * The IMAGE path is real: `decodeOne` decodes JPEG/PNG payloads with the JDK's
-  * `javax.imageio.ImageIO` (no external dependency) and emits width/height/pixel
-  * statistics from the actual raster. Audio/video decode stays STUBBED (no codec
-  * libs in this container) with deterministic byte statistics that preserve the
-  * production batch shape: binary in → fixed-width feature row out.
+  * All three decode paths are REAL and dependency-free: images through the JDK's
+  * `javax.imageio.ImageIO` (JPEG/PNG), audio through the RIFF/PCM-8 WAV codec below,
+  * and video through the RIFF/AVI walker ([[decodeAviFrames]]) whose Motion-PNG/
+  * MJPEG frame chunks are plain stills decoded per frame ([[extractFrames]]).
+  * [[sampleFrames]] remains the byte-window stand-in for payloads that are not real
+  * containers (the fake-payload path).
   */
 object Multimodal {
 
@@ -136,6 +137,202 @@ object Multimodal {
     None
   }
 
+  // ------------------------------------------------------------------ video (AVI)
+
+  /** Minimal canonical AVI writer (RIFF 'AVI ': hdrl(avih, strl(strh, strf)) +
+    * movi('00dc' per frame) + idx1), carrying one video stream of independently
+    * decodable image frames — the Motion-PNG/MJPEG shape, where every '00dc' chunk
+    * is a complete still image. PNG frames make the pixel statistics losslessly
+    * predictable by an external oracle; the same container with JPEG frames is
+    * bona-fide MJPEG. `fps` lands in the stream header as rate/scale.
+    */
+  private[graft] def encodeAviFrames(
+      frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      fourcc: String = "MPNG"): Array[Byte] = {
+    def even(n: Int) = n + (n & 1)
+    val framesSize = frames.map(f => 8 + even(f.length)).sum
+    val idx1Size = 8 + 16 * frames.size
+    // hdrl list: 4 (type) + avih chunk (8+56) + strl list (8 + 4 + (8+56) + (8+40))
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + framesSize
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + idx1Size
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffSize); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0x10 /* AVIF_HASINDEX */)
+      .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(strlSize); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag(fourcc)
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1) // dwScale
+      .putInt(fps) // dwRate -> fps = rate/scale
+      .putInt(0).putInt(frames.size).putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    tag("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    tag(fourcc) // biCompression
+    buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(moviSize); tag("movi")
+    val offsets = frames.map { f =>
+      val off = buf.position()
+      tag("00dc"); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+      off
+    }
+    tag("idx1"); buf.putInt(16 * frames.size)
+    frames.zip(offsets).foreach { case (f, _) =>
+      tag("00dc"); buf.putInt(0x10 /* AVIIF_KEYFRAME */)
+      // idx1 offsets are relative to the start of the 'movi' list data
+      buf.putInt(0).putInt(f.length)
+    }
+    buf.array()
+  }
+
+  /** Minimal AVI reader: RIFF walk that returns (fps, frame payloads) for a
+    * single-video-stream AVI — every '00dc'/'00db' chunk inside LIST('movi') is one
+    * frame's complete image bytes. None for anything that isn't an AVI (corrupt
+    * file behavior). Frames may still individually fail image decode downstream.
+    */
+  private[graft] def decodeAviFrames(bytes: Array[Byte]): Option[(Double, Seq[Array[Byte]])] = {
+    if (bytes.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+    if (tag4() != "RIFF") return None
+    buf.getInt // riff size
+    if (tag4() != "AVI ") return None
+    var fps = 0.0
+    val frames = Seq.newBuilder[Array[Byte]]
+    // walk chunks; descend into LIST('hdrl'|'strl'|'movi'), skip everything else
+    def walk(end: Int): Option[Unit] = {
+      while (buf.position() + 8 <= end) {
+        val id = tag4()
+        val size = buf.getInt
+        if (size < 0 || buf.position() + size > end) return None
+        val next = buf.position() + size + (size & 1)
+        id match {
+          case "LIST" =>
+            val listType = tag4()
+            if (listType == "hdrl" || listType == "strl" || listType == "movi")
+              walk(buf.position() + size - 4) match {
+                case None => return None
+                case _ =>
+              }
+          case "strh" if size >= 32 =>
+            val fccType = tag4()
+            tag4() // handler
+            buf.getInt; buf.getShort; buf.getShort; buf.getInt
+            val scale = buf.getInt
+            val rate = buf.getInt
+            if (fccType == "vids" && scale != 0) fps = rate.toDouble / scale
+          case cc if cc.length == 4 && (cc.endsWith("dc") || cc.endsWith("db")) =>
+            val f = new Array[Byte](size)
+            buf.get(f)
+            frames += f
+          case _ =>
+        }
+        buf.position(math.min(next, end))
+      }
+      Some(())
+    }
+    walk(bytes.length).map(_ => (fps, frames.result()))
+  }
+
+  /** Deterministic REAL video payloads: one Motion-PNG AVI per row. Frame count,
+    * geometry, and per-frame gray level are id-derived — n = 3 + id%4 frames of
+    * (4 + id%6) × (3 + id%5) at 10 fps, frame f uniformly gray (id*31 + f*17) % 256 —
+    * so an external oracle predicts every decoded frame statistic arithmetically
+    * (PNG frames round-trip bit-exact), mirroring the WAV construction.
+    */
+  def attachVideoPayload(df: DataFrame, idCol: String = "doc_id", fps: Int = 10)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 3 + java.lang.Math.floorMod(id, 4L).toInt
+          val w = 4 + java.lang.Math.floorMod(id, 6L).toInt
+          val h = 3 + java.lang.Math.floorMod(id, 5L).toInt
+          val frames = (0 until n).map { f =>
+            val g = java.lang.Math.floorMod(id * 31L + f * 17L, 256L).toInt
+            encodeUniformImage(w, h, g, "png")
+          }
+          (id, "avi", encodeAviFrames(frames, w, h, fps))
+        }
+      }
+      .toDF("doc_id", "media_format", "payload")
+      .withColumn("media_meta", struct(
+        col("media_format").alias("format"),
+        length(col("payload")).alias("n_bytes")))
+  }
+
+  final case class FrameFeatures(
+      doc_id: Long, frame_no: Int, fps: Double,
+      width: Option[Int], height: Option[Int],
+      px_mean: Option[Double], px_min: Option[Int], px_max: Option[Int])
+
+  /** REAL video frame extraction: RIFF-walk each AVI payload, image-decode every
+    * frame chunk (ImageIO — PNG/MJPEG frames are plain stills), and emit one row per
+    * frame with pixel statistics. The explode shape of production frame sampling:
+    * partition-wise batch decode, no shuffle, output rows ≈ rows × frames-per-video.
+    * Corrupt containers contribute zero rows; an individually undecodable frame
+    * keeps its row with null pixel fields (the per-frame corrupt-file behavior).
+    */
+  def extractFrames(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeAviFrames(bytes).toSeq.flatMap { case (fps, frames) =>
+            frames.zipWithIndex.map { case (fb, i) =>
+              val img =
+                try Option(ImageIO.read(new ByteArrayInputStream(fb)))
+                catch { case _: java.io.IOException => None }
+              img match {
+                case Some(im) =>
+                  val (w, h, mean, mn, mx) = rasterStats(im)
+                  FrameFeatures(id, i, fps, Some(w), Some(h), Some(mean), Some(mn), Some(mx))
+                case None =>
+                  FrameFeatures(id, i, fps, None, None, None, None, None)
+              }
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Band-0 statistics over a decoded image raster: (width, height, mean, min, max). */
+  private def rasterStats(im: java.awt.image.BufferedImage): (Int, Int, Double, Int, Int) = {
+    val raster = im.getRaster
+    val (iw, ih) = (im.getWidth, im.getHeight)
+    var ps = 0L
+    var pmn = Int.MaxValue
+    var pmx = Int.MinValue
+    var y = 0
+    while (y < ih) {
+      var x = 0
+      while (x < iw) {
+        val v = raster.getSample(x, y, 0)
+        ps += v
+        if (v < pmn) pmn = v
+        if (v > pmx) pmx = v
+        x += 1
+      }
+      y += 1
+    }
+    (iw, ih, ps.toDouble / (iw.toLong * ih), pmn, pmx)
+  }
+
   /** Encode a w×h uniform-gray image with the JDK encoder ("png" or "jpeg"). */
   private[graft] def encodeUniformImage(w: Int, h: Int, gray: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -182,7 +379,8 @@ object Multimodal {
   /** Per-payload decode. Byte statistics always; real ImageIO decode for image
     * formats (raster band 0 — the gray channel for grayscale, red for RGB; our
     * generated payloads are single-band gray); real RIFF/PCM parse for WAV. Video
-    * would need an external codec — [[sampleFrames]] keeps its explode shape stubbed.
+    * containers decode per frame through [[extractFrames]] (one row per frame, not
+    * a fixed-width feature row).
     */
   private def decodeOne(id: Long, format: String, bytes: Array[Byte]): MediaFeatures = {
     var sum = 0L
@@ -222,24 +420,8 @@ object Multimodal {
     }
     val (w, h, pMean, pMin, pMax) = img match {
       case Some(im) =>
-        val raster = im.getRaster
-        val (iw, ih) = (im.getWidth, im.getHeight)
-        var ps = 0L
-        var pmn = Int.MaxValue
-        var pmx = Int.MinValue
-        var y = 0
-        while (y < ih) {
-          var x = 0
-          while (x < iw) {
-            val v = raster.getSample(x, y, 0)
-            ps += v
-            if (v < pmn) pmn = v
-            if (v > pmx) pmx = v
-            x += 1
-          }
-          y += 1
-        }
-        (Some(iw), Some(ih), Some(ps.toDouble / (iw.toLong * ih)), Some(pmn), Some(pmx))
+        val (iw, ih, mean2, pmn, pmx) = rasterStats(im)
+        (Some(iw), Some(ih), Some(mean2), Some(pmn), Some(pmx))
       case None => (None, None, None, None, None)
     }
     MediaFeatures(id, format, bytes.length, mean, if (bytes.isEmpty) 0 else mn, mx,

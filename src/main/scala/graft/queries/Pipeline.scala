@@ -1107,6 +1107,31 @@ object Pipeline {
              |  cast(list_aggregate(smp, 'max') as int) AS sample_max
              |FROM s ORDER BY doc_id""".stripMargin))),
 
+    // Real video frame extraction: Motion-PNG AVIs written by the dependency-free
+    // RIFF/AVI encoder, frames recovered by the container walker and image-decoded
+    // per frame (ImageIO). Frame count/geometry/gray are id-derived
+    // (n = 3 + id%4, (4 + id%6)×(3 + id%5), gray_f = (id*31 + f*17) % 256), so the
+    // oracle rebuilds every frame statistic arithmetically — PNG frames are
+    // lossless and uniform, mirroring the WAV construction.
+    "mm5_video_frames" -> (((s: SparkSession, dir: String) =>
+      Multimodal.extractFrames(
+          Multimodal.attachVideoPayload(docs(s, dir).select(col("doc_id")), "doc_id"))
+        .select(col("doc_id"), col("frame_no"), col("fps"), col("width"),
+          col("height"), col("px_mean"), col("px_min"), col("px_max"))
+        .orderBy("doc_id", "frame_no"),
+      Some("""WITH fr AS (
+             |  SELECT doc_id, unnest(range(3 + doc_id % 4)) AS f FROM documents
+             |)
+             |SELECT doc_id,
+             |  cast(f as int) AS frame_no,
+             |  cast(10.0 as double) AS fps,
+             |  cast(4 + doc_id % 6 as int) AS width,
+             |  cast(3 + doc_id % 5 as int) AS height,
+             |  cast((doc_id * 31 + f * 17) % 256 as double) AS px_mean,
+             |  cast((doc_id * 31 + f * 17) % 256 as int) AS px_min,
+             |  cast((doc_id * 31 + f * 17) % 256 as int) AS px_max
+             |FROM fr ORDER BY doc_id, frame_no""".stripMargin))),
+
     // ---------------- event analytics ----------------
 
     "e1_sessionize" -> (((s: SparkSession, dir: String) => {

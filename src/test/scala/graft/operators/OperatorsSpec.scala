@@ -330,6 +330,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavPcm8("RIFFxxxx".getBytes).isEmpty)
   }
 
+  test("real AVI video decode: container roundtrip recovers fps and exact frame stats") {
+    // direct codec roundtrip: encode three distinct PNG frames, walk them back out
+    val frames = (0 until 3).map(f => Multimodal.encodeUniformImage(5, 4, 50 + f * 60, "png"))
+    val avi = Multimodal.encodeAviFrames(frames, 5, 4, fps = 10)
+    val Some((fps, out)) = Multimodal.decodeAviFrames(avi)
+    assert(fps == 10.0 && out.size == 3)
+    assert(out.zip(frames).forall { case (a, b) => a.sameElements(b) },
+      "frame chunks must round-trip byte-exact")
+
+    // end-to-end explode shape over the deterministic payloads
+    val rows = Multimodal.extractFrames(
+        Multimodal.attachVideoPayload(docs.select($"doc_id"), "doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_no")) -> r).toMap
+    for (id <- 1L to 7L) {
+      val n = 3 + (id % 4).toInt
+      assert(rows.keys.count(_._1 == id) == n, s"doc $id must emit $n frames")
+      for (f <- 0 until n) {
+        val r = rows((id, f))
+        val g = ((id * 31 + f * 17) % 256).toInt
+        assert(r.getAs[Double]("fps") == 10.0)
+        assert(r.getAs[Int]("width") == 4 + (id % 6).toInt)
+        assert(r.getAs[Int]("height") == 3 + (id % 5).toInt)
+        assert(r.getAs[Double]("px_mean") == g.toDouble)
+        assert(r.getAs[Int]("px_min") == g && r.getAs[Int]("px_max") == g)
+      }
+    }
+
+    // corrupt containers contribute zero rows (not a crash, not null rows)
+    assert(Multimodal.decodeAviFrames("RIFFxxxxAVI".getBytes).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array.fill[Byte](64)(7)).isEmpty)
+  }
+
   test("bounded posting-list collect nulls out hot shingles instead of buffering them") {
     // 'the quick brown' appears in docs 1,2,3 (df=3): with maxDocFreq=2 every pair
     // sharing ONLY capped shingles must disappear, while pairs that also share
