@@ -119,9 +119,22 @@ final class CatalogResolver extends TableResolver {
   * (rows outside the bounds land in the first/last partition — bounds shape the
   * split, they don't filter). The column should be indexed and roughly uniform;
   * a model's numeric primary key is the usual choice.
+  *
+  * Bounds left as `None` are AUTO-DERIVED at first resolve: the resolver probes
+  * `SELECT min(column), max(column)` over one remote connection (a cheap indexed
+  * aggregate) and caches the result, so users get parallel scans without
+  * hand-tuning bounds to the remote table's key range.
   */
 final case class JdbcPartitioning(
-    column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+    column: String, numPartitions: Int,
+    lowerBound: Option[Long] = None, upperBound: Option[Long] = None)
+
+object JdbcPartitioning {
+  /** Explicit-bounds shape (the original signature, kept for declared ranges). */
+  def apply(column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+      : JdbcPartitioning =
+    JdbcPartitioning(column, numPartitions, Some(lowerBound), Some(upperBound))
+}
 
 /** Resolve over a JDBC connection — the funnel for the reference's warehouse
   * connectors (Postgres/MySQL/Trino/…, data_source.py:241-530): on Spark they are
@@ -147,12 +160,37 @@ final class JdbcResolver(
       case (k, v) if k.equalsIgnoreCase(ref.dotted) || k.equalsIgnoreCase(ref.table) => v
     }
 
+  /** (min, max) of the partitioning column, probed once per table over a single
+    * remote connection and cached for the resolver's lifetime — repeat resolves of
+    * the same table (warm plan cache, multiple models) never re-probe.
+    */
+  private val probedBounds = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+
+  private def bounds(spark: SparkSession, ref: TableReference, p: JdbcPartitioning): (Long, Long) = {
+    def probe(): (Long, Long) =
+      probedBounds.computeIfAbsent(ref.dotted.toLowerCase, _ => {
+        val q = s"(SELECT min(${p.column}) AS lo, max(${p.column}) AS hi FROM ${ref.dotted}) AS probe"
+        val row = spark.read.jdbc(url, q, connectionProperties).head()
+        def asLong(i: Int): Long = row.get(i) match {
+          case null => 0L
+          case n: Number => n.longValue
+          case d: java.sql.Date => d.getTime
+          case t: java.sql.Timestamp => t.getTime
+          case o => o.toString.toLong
+        }
+        (asLong(0), asLong(1))
+      })
+    val lo = p.lowerBound.getOrElse(probe()._1)
+    val hi = p.upperBound.getOrElse(probe()._2)
+    (lo, math.max(hi, lo + 1)) // Spark requires lowerBound < upperBound
+  }
+
   override def resolve(spark: SparkSession, ref: TableReference): DataFrame =
     forTable(partitioning, ref) match {
       case Some(p) =>
+        val (lo, hi) = bounds(spark, ref, p)
         spark.read.jdbc(
-          url, ref.dotted, p.column, p.lowerBound, p.upperBound, p.numPartitions,
-          connectionProperties)
+          url, ref.dotted, p.column, lo, hi, p.numPartitions, connectionProperties)
       case None =>
         forTable(predicates, ref) match {
           case Some(preds) if preds.nonEmpty =>

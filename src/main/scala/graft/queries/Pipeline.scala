@@ -113,6 +113,15 @@ object Pipeline {
     (0 until dsub).map(j =>
       s"($a[${off + j + 1}]::DOUBLE * $b[${off + j + 1}]::DOUBLE)").mkString(" + ")
 
+  /** Chain dot of `a` against `b` normalized by `scale` — the oracle replica of
+    * Spark's dot-against-driver-normalized-centroids (each component divided FIRST,
+    * then the left-associated accumulation), so near-tie cell assignment rounds
+    * identically in both engines.
+    */
+  private def duckChainDotScaled(a: String, b: String, scale: String, dim: Int): String =
+    (0 until dim).map(j =>
+      s"($a[${j + 1}]::DOUBLE * ($b[${j + 1}]::DOUBLE / $scale))").mkString(" + ")
+
   /** DuckDB replica of TextAnalysis.fingerprint. */
   private val duckFp = "md5(regexp_replace(lower(text), '[^a-z0-9一-鿿]', '', 'g'))"
 
@@ -378,7 +387,11 @@ object Pipeline {
     // prune, PQ codes compress, the ADC top-20 re-scores with exact cosine. Both
     // quantizers use lloydIters=0 md5 samples, so the oracle rebuilds the entire
     // index relationally: cells + per-subspace codes + probes + ADC shortlist +
-    // exact rerank, ranking rules matched stage by stage.
+    // exact rerank, ranking rules matched stage by stage. Coarse/probe scores use
+    // the same left-associated double chains as the PQ stages, against explicitly
+    // normalized centroid components (duckChainDotScaled) — bit-identical arithmetic
+    // to Spark's dot-against-driver-normalized centroids, so near-tie cell
+    // assignment can't flip between engines (the float-determinism recipe).
     "s5_ann_ivfpq" -> (((s: SparkSession, dir: String) => {
       val all = embs(s, dir)
       Similarity.ivfPqTopK(all.filter(col("vec_id") % 50 === 0), all, k = 5, dim = 64,
@@ -409,13 +422,18 @@ object Pipeline {
               |  FROM (SELECT vec_id, embedding FROM embeddings
               |        ORDER BY md5(cast(vec_id as varchar)) LIMIT $ksub)
               |),
-              |coarse AS (SELECT embedding AS centroid, scid AS cid FROM cent),
+              |coarse AS (
+              |  SELECT embedding AS centroid,
+              |    sqrt(${duckChainDot("embedding", "embedding", 0, 64)}) AS nrm,
+              |    scid AS cid
+              |  FROM cent
+              |),
               |cells AS (
               |  SELECT vec_id, cid FROM (
               |    SELECT e.vec_id, c.cid,
               |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
-              |          c.cid DESC) AS crk
+              |        ORDER BY (${duckChainDotScaled("e.embedding", "c.centroid", "c.nrm", 64)})
+              |          DESC, c.cid DESC) AS crk
               |    FROM embeddings e, coarse c) WHERE crk = 1
               |),
               |$codeCtes,
@@ -426,8 +444,8 @@ object Pipeline {
               |  SELECT query_id, qv, cid FROM (
               |    SELECT q.query_id, q.qv, c.cid,
               |      row_number() OVER (PARTITION BY q.query_id
-              |        ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
-              |          c.cid DESC) AS prk
+              |        ORDER BY (${duckChainDotScaled("q.qv", "c.centroid", "c.nrm", 64)})
+              |          DESC, c.cid DESC) AS prk
               |    FROM q, coarse c) WHERE prk <= 4
               |),
               |shortlist AS (
@@ -726,6 +744,16 @@ object Pipeline {
     // emitted — is connected components (alternating large-star/small-star, O(log n)
     // rounds). component = min doc_id of the group, the canonical keeper. The oracle
     // rebuilds the same closure with a recursive CTE over the exact-Jaccard pairs.
+    //
+    // RECALL ASSUMPTION (shared with d2/p7): the Spark side emits MinHash-LSH
+    // candidates (k=32, 16 bands × 2 rows) while the oracle computes exact all-pairs
+    // Jaccard ≥ 0.7 — they agree only when no true pair misses every band. At the
+    // 0.7 threshold the banding's expected recall is 1 − (1 − 0.7²)^16 ≈ 0.9999 per
+    // pair, and the fixture's true pairs are planted near-exact copies (Jaccard
+    // ≈ 1.0 ⇒ miss probability (1 − 1)^16 = 0). PipelineOracleSpec pins the
+    // assumption: every exact-Jaccard pair in the fixture must be banded out, so a
+    // fixture regeneration that drifts toward the recall knee fails a TEST, not the
+    // driver gate.
     "d9_dup_clusters" -> (((s: SparkSession, dir: String) => {
       val pairs = Dedup.minHashNearDup(docs(s, dir), "text", "doc_id",
         n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))

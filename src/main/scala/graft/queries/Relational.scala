@@ -443,8 +443,10 @@ object Relational {
             Column("s_acctbal", "double", expression = Some("S_ACCTBAL"))))))
       graft.GraftEngine
         .deploy(s, manifest, new graft.planner.JdbcResolver(url,
+          // bounds auto-derived: the resolver probes min/max(S_SUPPKEY) over one
+          // remote connection, so the 4-way split matches the actual key range
           partitioning = Map("SUPPLIER" -> graft.planner.JdbcPartitioning(
-            "S_SUPPKEY", lowerBound = 1L, upperBound = 100000L, numPartitions = 4))))
+            "S_SUPPKEY", numPartitions = 4))))
         .query(s"""SELECT s_nationkey, count(*) AS n_suppliers,
                   |  cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS total_acctbal
                   |FROM jdbc_supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)

@@ -146,6 +146,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: composed curation pipeline equals its sequentially-materialized stages") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Curation
+    // The p7 composition law: chaining the five stages as ONE lazy plan (with
+    // persisted branch points, exactly like queries/Pipeline's p7) must produce the
+    // same survivors as materializing every stage to storage before the next — the
+    // invariant that catches future fusion/persist/pushdown bugs in the composition.
+    def stages(d: DataFrame, mat: DataFrame => DataFrame): Set[Long] = {
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val kept1 = mat(Dedup.exact(d.filter(col("doc_id") % 20 =!= 0), "text", "doc_id"))
+      val pairs = mat(Dedup.minHashNearDup(kept1, "text", "doc_id",
+        n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b")))
+      val members = mat(graft.operators.Curation.connectedComponents(pairs)
+        .filter(col("id") =!= col("component")).select(col("id").alias("doc_id")))
+      val kept2 = mat(kept1.join(members, Seq("doc_id"), "left_anti"))
+      val gated = mat(Curation.decontaminate(kept2, bench, "text", "doc_id", n = 13)
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).alias("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).alias("quality")))
+      gated.filter(col("lang_pred") === "en" && col("quality") >= 0.4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    forSamples(Gen.listOfN(24, genDoc), 4) { texts0 =>
+      // plant the structure every stage needs to fire: a bench doc (id % 20 == 0)
+      // sharing a 13-gram with a train doc, an exact-dup pair, and a near-dup pair
+      val long = (texts0(1) + " " + filler).trim
+      val texts = texts0.zipWithIndex.map { case (t, i) =>
+        i match {
+          case 7 => long
+          case 20 => long
+          case 13 => texts0(14)
+          case 9 => (texts0(11) + " tail").trim
+          case _ => t
+        }
+      }
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .filter(_._2.nonEmpty).toDF("doc_id", "text")
+      val composed = stages(d, identity) // one lazy plan, like p7
+      val sequential = stages(d, _.localCheckpoint(true)) // hard barrier per stage
+      assert(composed == sequential,
+        s"composition diverged: composed-only=${(composed -- sequential).take(5)} " +
+          s"sequential-only=${(sequential -- composed).take(5)}")
+    }
+  }
+
   test("property: quality score is always in [0,1]") {
     forSamples(genDoc, 10) { text =>
       val s = Seq(text).toDF("text")

@@ -93,6 +93,28 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(df.count() == 25, "predicates must tile the table exactly")
   }
 
+  test("jdbc range partitioning auto-derives bounds from a min/max probe") {
+    val tmp = Files.createTempDirectory("graft_jdbc_auto_").toString
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .selectExpr("n_nationkey AS N_NATIONKEY", "n_name AS N_NAME")
+      .write.mode("overwrite").jdbc(url, "NATION", new java.util.Properties)
+    val resolver = new JdbcResolver(url,
+      partitioning = Map("NATION" -> JdbcPartitioning("N_NATIONKEY", numPartitions = 4)))
+    val df = resolver.resolve(spark, TableReference(table = "NATION"))
+    assert(df.rdd.getNumPartitions == 4, "derived bounds must still 4-way split")
+    assert(df.count() == 25)
+    // bounds came from the real key range (0..24), so the split is a genuine
+    // spread — no stride swallows the whole table
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.max < 25 && sizes.count(_ > 0) >= 2, sizes.mkString(","))
+    // an explicitly bounded spec still honors its declared range
+    val explicit = new JdbcResolver(url,
+      partitioning = Map("NATION" -> JdbcPartitioning("N_NATIONKEY", 0L, 24L, 4)))
+      .resolve(spark, TableReference(table = "NATION"))
+    assert(explicit.rdd.getNumPartitions == 4 && explicit.count() == 25)
+  }
+
   test("cloud connection info configures bucket-scoped S3A keys, never global ones") {
     val conn = CloudConnection(
       accessKey = Some("AKTEST"), secretKey = Some("SKTEST"),
