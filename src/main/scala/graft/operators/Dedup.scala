@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash-LSH, SimHash,
@@ -298,5 +299,50 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").alias("hamming"))
+  }
+
+  /** Exact substring-duplication spans (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" primitive, arXiv:2107.06499): every
+    * `window`-word sliding window whose exact text occurs at least `minCount` times
+    * across the corpus marks its start position duplicated, and overlapping
+    * duplicated windows merge into maximal spans. Returns
+    * (id, span_start, span_end, n_words) in normalized-word offsets — a span covers
+    * words [span_start, span_end); feeding the spans to a rewrite stage (drop, or
+    * keep one occurrence) is the training-data dedup the paper measures.
+    *
+    * The paper builds a suffix array — a single-machine construction. The Spark
+    * shape is window-fingerprint → shuffle-by-hash count → join back → per-document
+    * interval merge: three shuffles, every one carrying (id, pos, hash64) longs,
+    * never window text. Unlike [[Curation.contaminatedIds]]'s benchmark set, the
+    * duplicated-window set is corpus-shaped at 100 TB, so membership is a shuffle
+    * join on the hash, NOT a broadcast. The interval merge is a per-document window
+    * over duplicated positions only (duplicate-dense docs, not the corpus, pay it).
+    */
+  def duplicateSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      window: Int = 20, minCount: Int = 2): DataFrame = {
+    require(window >= 2 && minCount >= 2, "duplicateSpans needs window >= 2, minCount >= 2")
+    val staged = df.select(col(idCol).alias("id"), wordsArray(col(textCol)).alias("__w"))
+    val w = col("__w")
+    val hashes = when(size(w) >= window,
+      transform(sequence(lit(0), size(w) - window),
+        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(window))))))
+      .otherwise(array().cast("array<bigint>"))
+    val wins = staged.select(col("id"), posexplode(hashes).as(Seq("pos", "h")))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).alias("c"))
+      .filter(col("c") >= minCount).select("h")
+    val dup = wins.join(dupH, "h").select("id", "pos")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // classic interval union: a new span starts where pos clears every prior
+    // window's end (running max over [unbounded, -1])
+    val prevMaxEnd = max(col("pos") + window)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("__ns", when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__ns")).over(byDoc))
+      .groupBy(col("id"), col("__sid"))
+      .agg(min(col("pos")).alias("span_start"), (max(col("pos")) + window).alias("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).alias("n_words"))
   }
 }

@@ -125,6 +125,10 @@ object Pipeline {
   /** DuckDB replica of TextAnalysis.fingerprint. */
   private val duckFp = "md5(regexp_replace(lower(text), '[^a-z0-9一-鿿]', '', 'g'))"
 
+  /** DuckDB replica of Dedup.wordsArray (normalized word list of `text`). */
+  private val duckWords =
+    """list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'), x -> len(x) > 0)"""
+
   /** DuckDB replica of TextAnalysis.tokenCount. */
   private val duckTok =
     "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
@@ -778,6 +782,63 @@ object Pipeline {
               |)
               |SELECT u AS doc_id, least(u, min(v)) AS component
               |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin))),
+
+    // Exact substring-duplication spans (Lee et al. 2022, arXiv:2107.06499): the
+    // corpus is the fixture plus planted full copies (id+100000 of every 25th doc)
+    // and 30-word-prefix "franken" docs (id+200000 of every 40th) — full copies must
+    // produce whole-document spans, prefix copies a merged [0, 30) span in both the
+    // copy and its source. Spark hashes each 13-word window (xxhash64) and
+    // interval-merges duplicated positions; the oracle groups the window TEXT
+    // itself — identical answers unless a 64-bit hash collides.
+    "d10_dup_spans" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).alias("doc_id"), col("text"))
+      val franken = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 200000).alias("doc_id"),
+          concat_ws(" ", slice(Dedup.wordsArray(col("text")), 1, 30)).alias("text"))
+      Dedup.duplicateSpans(d.union(copies).union(franken), "text", "doc_id",
+          window = 13)
+        .select(col("id").alias("doc_id"), col("span_start"), col("span_end"),
+          col("n_words"))
+        .orderBy("doc_id", "span_start")
+    },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 200000 AS doc_id,
+              |    array_to_string(($duckWords)[1:30], ' ') AS text
+              |  FROM documents WHERE doc_id % 40 = 0
+              |), w AS (
+              |  SELECT doc_id, $duckWords AS words FROM base
+              |), wins AS (
+              |  SELECT doc_id, unnest(range(len(words) - 12)) AS pos, words
+              |  FROM w WHERE len(words) >= 13
+              |), wt AS (
+              |  SELECT doc_id, pos, array_to_string(words[pos+1:pos+13], ' ') AS win
+              |  FROM wins
+              |), dup AS (
+              |  SELECT win FROM wt GROUP BY win HAVING count(*) >= 2
+              |), d AS (
+              |  SELECT doc_id, pos FROM wt WHERE win IN (SELECT win FROM dup)
+              |), m AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos > coalesce(max(pos + 13) OVER (PARTITION BY doc_id
+              |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              |      THEN 1 ELSE 0 END AS ns
+              |  FROM d
+              |), sp AS (
+              |  SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM m
+              |)
+              |SELECT doc_id, cast(min(pos) as int) AS span_start,
+              |  cast(max(pos) + 13 as int) AS span_end,
+              |  cast(max(pos) + 13 - min(pos) as int) AS n_words
+              |FROM sp GROUP BY doc_id, sid
+              |ORDER BY doc_id, span_start""".stripMargin))),
 
     // CCNet-style line-level boilerplate removal: documents are re-lined (newline
     // every 8 words) and every doc gets a universal "subscribe" footer plus a

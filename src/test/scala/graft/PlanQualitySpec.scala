@@ -178,6 +178,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("text#"), plan.take(2500))
   }
 
+  test("d10_dup_spans: every exchange carries (id, pos, hash) longs, never window text") {
+    val df = SparkEntry.queries("d10_dup_spans")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the duplicated-window membership join shuffles by hash; no exchange may carry
+    // the document text or materialized window strings (the 100 TB constraint)
+    val exchanges = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan.take(1500))
+    exchanges.foreach(e =>
+      assert(!e.contains("text#") && !e.contains("__w#"),
+        s"span exchange must not carry text/word arrays\n$e"))
+  }
+
   test("t1_langid: the native expression keeps the projection inside codegen") {
     val df = SparkEntry.queries("t1_langid")(spark, dir)
     df.collect() // materialize the AQE final plan (codegen markers appear post-exec)

@@ -362,6 +362,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeAviFrames(Array.fill[Byte](64)(7)).isEmpty)
   }
 
+  test("duplicateSpans finds and merges exact repeated substrings across documents") {
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ") // 10-word duplicated run
+    val d = Seq(
+      (1L, s"one two three $shared four five six"),        // span at words [3, 13)
+      (2L, s"$shared completely different trailing words"), // span at words [0, 10)
+      (3L, "nothing here repeats at all ten eleven twelve"),
+      // two ADJACENT duplicated runs in one doc must merge into one span
+      (4L, s"$shared $shared")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "text", "doc_id", window = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans((1L, 3, 13)) && spans((2L, 0, 10)), spans.toString)
+    assert(spans.exists { case (id, s, e) => id == 4L && s == 0 && e == 20 },
+      s"doc 4's back-to-back duplicated runs must merge: $spans")
+    assert(!spans.exists(_._1 == 3L), "unique text must produce no spans")
+    // within-corpus uniqueness respected: doc 1's unique words stay out of spans
+    assert(spans.count(_._1 == 1L) == 1)
+  }
+
   test("bounded posting-list collect nulls out hot shingles instead of buffering them") {
     // 'the quick brown' appears in docs 1,2,3 (df=3): with maxDocFreq=2 every pair
     // sharing ONLY capped shingles must disappear, while pairs that also share
