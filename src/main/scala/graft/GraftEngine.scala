@@ -54,7 +54,7 @@ object GraftEngine {
   // keyed on the SparkSession reference itself (identity equality) — an int hash
   // could collide across GC'd sessions and hand back a GraftSession bound elsewhere
   private val deployCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Manifest, String, Map[String, String]), GraftSession]
+    new LruCache[(SparkSession, Manifest, String, Map[String, String]), GraftSession](64)
 
   /** Convenience: models over `<dir>/<table>.parquet` files. */
   def deployOnDir(
@@ -67,8 +67,8 @@ object GraftEngine {
     if (cached != null) { cached.reregister(); cached }
     else {
       val s = deploy(spark, manifest, new PathResolver(dir), properties)
-      if (deployCache.size >= 64) deployCache.clear() // crude bound; rebuilds are cheap
-      deployCache.put(key, s)
+      deployCache.put(key, s) // LRU-bounded
+
       s
     }
   }
@@ -76,6 +76,20 @@ object GraftEngine {
 
 /** A query exceeded its time budget and its Spark jobs were cancelled. */
 final class QueryTimeoutException(msg: String) extends RuntimeException(msg)
+
+/** Tiny synchronized LRU (access-order LinkedHashMap) for the engine's session/plan
+  * caches: at capacity the least-recently-USED entry is evicted — the old bound
+  * cleared the whole map, cold-starting every cached tenant/plan at once.
+  */
+private[graft] final class LruCache[K, V](capacity: Int) {
+  private val m = new java.util.LinkedHashMap[K, V](capacity * 2, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size > capacity
+  }
+  def get(k: K): V = m.synchronized(m.get(k))
+  def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+  def size: Int = m.synchronized(m.size)
+}
 
 object GraftSession {
   /** Which deployment's temp views are currently registered, per Spark session.
@@ -119,8 +133,7 @@ final class GraftSession(
     * distinct merged property set (bounded; rebuilds are cheap — base scans are
     * shared through the planner).
     */
-  private val propSessions =
-    new java.util.concurrent.ConcurrentHashMap[Map[String, String], GraftSession]
+  private val propSessions = new LruCache[Map[String, String], GraftSession](64)
 
   /** A session over the SAME deployment with per-query session properties — the
     * reference's `x-wren-variable-*` headers (ibis-server/app/mdl/rewriter.py:177-189).
@@ -139,8 +152,7 @@ final class GraftSession(
         val p = planner.withProperties(merged)
         p.deploy()
         val s = new GraftSession(spark, manifest, p, merged)
-        if (propSessions.size >= 64) propSessions.clear() // crude bound; rebuilds are cheap
-        propSessions.put(merged, s)
+        propSessions.put(merged, s) // LRU-bounded
         s
       }
     }
@@ -161,8 +173,7 @@ final class GraftSession(
         val p = planner.withProperties(props)
         p.deploy()
         val s = new GraftSession(spark, manifest, p, props)
-        if (propSessions.size >= 64) propSessions.clear() // crude bound; rebuilds are cheap
-        propSessions.put(props, s)
+        propSessions.put(props, s) // LRU-bounded
         s
       }
     }
@@ -207,8 +218,7 @@ final class GraftSession(
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       optimized: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
 
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Option[Int], String), CachedPlan]
+  private val planCache = new LruCache[(String, Option[Int], String), CachedPlan](256)
 
   /** False when any expression (subqueries included) is non-deterministic or bound
     * to query-submission time — the set the optimizer's ComputeCurrentTime /
@@ -273,7 +283,6 @@ final class GraftSession(
     // never references (see PartialModelPruner) — then cache the pruned plan.
     val pruned = graft.planner.PartialModelPruner.prune(limited.queryExecution.analyzed)
     val out = org.apache.spark.sql.graft.Bridge.ofRows(spark, pruned)
-    if (planCache.size >= 256) planCache.clear() // crude bound, same policy as deployOnDir
     // Optimize eagerly on the miss path (execution would anyway) so warm hits can
     // skip the optimizer entirely; time-sensitive plans cache analyzed-only.
     val optimized =

@@ -164,6 +164,25 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
           .filter(_.name.equalsIgnoreCase(name))
         respond(ex, 200, JsonMethods.compact(JArray(hits.map(fnJson).toList)))
 
+      // App-level routes (reference: app/main.py:59-73): health probe and the
+      // diagnose-flag config, readable and PATCHable.
+      case ("GET", "health" :: Nil) =>
+        respond(ex, 200, """{"status":"ok"}""")
+      case ("GET", "config" :: Nil) =>
+        respond(ex, 200, s"""{"diagnose":${GraftHttpServer.diagnose.get()}}""")
+      case ("PATCH", "config" :: Nil) =>
+        val body =
+          try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              throw new IllegalArgumentException(s"malformed JSON body: ${e.getOriginalMessage}")
+          }
+        body \ "diagnose" match {
+          case JBool(b) => GraftHttpServer.diagnose.set(b)
+          case _ => // absent -> unchanged, like ConfigModel's optional field
+        }
+        respond(ex, 200, s"""{"diagnose":${GraftHttpServer.diagnose.get()}}""")
+
       // Per-datasource SQL knowledge blob for agent/MCP consumers (reference:
       // GET /v3/connector/{ds}/knowledge, connector.py:552-565 — text-to-SQL rule,
       // topic instructions, correction rule). `{ds}` selects the dialect note.
@@ -172,11 +191,14 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
 
       // Decision-point SQL analysis (legacy v2 surface the UI consumes:
       // routers/v2/analysis.py → DecisionPointAnalyzer). Stateless — only parses.
-      // POST-only like the reference router; other methods answer 405.
+      // The reference declares these GET (with a JSON body — FastAPI's
+      // model-as-body on GET); POST is accepted too, anything else answers 405
+      // instead of a confusing body-parse 4xx.
       case (m, "v2" :: "analysis" :: which :: Nil)
-          if (which == "sql" || which == "sqls") && m != "POST" =>
-        respond(ex, 405, detail(s"method $m not allowed; use POST"))
-      case ("POST", "v2" :: "analysis" :: which :: Nil) if which == "sql" || which == "sqls" =>
+          if (which == "sql" || which == "sqls") && m != "POST" && m != "GET" =>
+        respond(ex, 405, detail(s"method $m not allowed; use GET or POST"))
+      case ("POST" | "GET", "v2" :: "analysis" :: which :: Nil)
+          if which == "sql" || which == "sqls" =>
         val body =
           try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
           catch {
@@ -340,6 +362,14 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
       case _ => respond(ex, 404, detail(s"no such route: ${ex.getRequestURI.getPath}"))
     }
   }
+}
+
+object GraftHttpServer {
+  /** Server-wide diagnose flag (the reference ConfigModel's one mutable setting,
+    * app/config.py — verbose error payloads when on), shared across instances like
+    * the reference's process-global config.
+    */
+  private[api] val diagnose = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 /** Opt-in server main: `runMain graft.api.Serve <dataDir> [port]`. */

@@ -257,10 +257,40 @@ class HttpServerSpec extends AnyFunSuite {
     assert(dsLess.body() == withDs.body(), "ds-less dry-plan must plan identically")
   }
 
-  test("v2 analysis routes are POST-only (405 on GET, not a body-parse 4xx)") {
-    val r = get("/v2/analysis/sql")
-    assert(r.statusCode() == 405, s"${r.statusCode()} ${r.body()}")
-    assert(r.body().contains("POST"))
+  test("v2 analysis accepts GET-with-body and POST; other methods answer 405") {
+    // the reference declares these GET with a JSON body (FastAPI model-as-body)
+    val viaGet = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v2/analysis/sql"))
+        .method("GET", HttpRequest.BodyPublishers.ofString(
+          """{"sql":"SELECT 1 AS one"}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(viaGet.statusCode() == 200, viaGet.body())
+
+    val del = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v2/analysis/sql"))
+        .DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 405, s"${del.statusCode()} ${del.body()}")
+  }
+
+  test("health and config app routes; PATCH /config flips the diagnose flag") {
+    val h = get("/health")
+    assert(h.statusCode() == 200 && h.body() == """{"status":"ok"}""")
+    assert(get("/config").body() == """{"diagnose":false}""")
+    val patched = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/config"))
+        .method("PATCH", HttpRequest.BodyPublishers.ofString("""{"diagnose":true}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(patched.statusCode() == 200 && patched.body() == """{"diagnose":true}""")
+    assert(get("/config").body() == """{"diagnose":true}""")
+    // restore for other suites (process-global, like the reference's config)
+    http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/config"))
+        .method("PATCH", HttpRequest.BodyPublishers.ofString("""{"diagnose":false}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
   }
 
   test("knowledge route serves the text-to-SQL blob with a per-datasource dialect note") {
