@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -275,19 +277,37 @@ object Curation {
     * `checkpoint()` against `spark.sparkContext.setCheckpointDir` (HDFS/object-store
     * backed) so a cluster run survives executor loss mid-iteration — the right
     * setting for a 100 TB job whose iteration chain is hours long.
+    *
+    * Adaptive small-graph path: after dedup, an edge set of at most `localSolveMax`
+    * rows is collected and solved with driver union-find in ONE job — near-dup pair
+    * graphs are usually corpus-tiny (pairs, not documents), and the star rounds pay
+    * ~6 driver-looped job waves of fixed overhead regardless of data size. The
+    * labels are identical by construction (component = minimum member). Set
+    * `localSolveMax = 0` to force the distributed path; the default (1M edges ≈
+    * 16 MB of longs) is far below any driver's collect ceiling.
     */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 50, reliable: Boolean = false): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 50, reliable: Boolean = false,
+      localSolveMax: Long = 1000000L): DataFrame = {
     if (reliable)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "connectedComponents(reliable = true) needs spark.sparkContext.setCheckpointDir")
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val Array(ca, cb) = pairs.columns.take(2)
-    var edges = snap(pairs
+    val deduped = pairs
       .select(col(ca).alias("u"), col(cb).alias("v"))
       .filter(col("u") =!= col("v"))
-      .distinct())
+      .distinct()
+    if (localSolveMax > 0) {
+      // one pass decides the path; limit(n+1) bounds the probe so an oversized
+      // graph never collects more than the threshold
+      val probe = deduped.limit(
+        (math.min(localSolveMax, Int.MaxValue - 1L) + 1).toInt).collect()
+      if (probe.length <= localSolveMax)
+        return localComponents(pairs.sparkSession, probe, deduped.schema.head.dataType)
+    }
+    var edges = snap(deduped)
 
     // (count, hash-xor) fingerprint of the canonically-oriented edge set: iteration
     // stops when two consecutive rounds produce the same set. XOR is
@@ -341,6 +361,39 @@ object Curation {
     edges.select(col("u").alias("id"), col("v").alias("component"))
       .union(edges.select(col("v").alias("id"), col("v").alias("component")))
       .distinct()
+  }
+
+  /** Driver union-find over a collected edge set — the small-graph fast path of
+    * [[connectedComponents]]. component = minimum member via iterative find with
+    * path compression (no recursion: a collected million-edge chain must not blow
+    * the stack); ids compare through their natural `Comparable` ordering, the same
+    * ordering the distributed `least`/`min` use, so labels are identical.
+    */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def less(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def find(x: Any): Any = {
+      parent.getOrElseUpdate(x, x)
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) { if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = parent.keys.toSeq.map(k => org.apache.spark.sql.Row(k, find(k)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](out.asJava), schema)
   }
 
   // ------------------------------------------------------ line-level boilerplate

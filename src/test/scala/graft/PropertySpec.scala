@@ -94,7 +94,10 @@ class PropertySpec extends AnyFunSuite {
       Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L))).map(_.filter(e => e._1 != e._2))
     forSamples(genEdges, 6) { edges =>
       if (edges.nonEmpty) {
-        val comp = graft.operators.Curation.connectedComponents(edges.toDF("a", "b"))
+        // localSolveMax = 0 pins the DISTRIBUTED star rounds (the default would
+        // short-circuit these small graphs to driver union-find)
+        val comp = graft.operators.Curation
+          .connectedComponents(edges.toDF("a", "b"), localSolveMax = 0)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // every endpoint is labeled; each label is the component's own minimum
         val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
@@ -107,7 +110,8 @@ class PropertySpec extends AnyFunSuite {
         // idempotence: running CC over the star edges reproduces the same labels
         val stars = comp.toSeq.filter { case (id, c) => id != c }
         if (stars.nonEmpty) {
-          val again = graft.operators.Curation.connectedComponents(stars.toDF("a", "b"))
+          val again = graft.operators.Curation
+            .connectedComponents(stars.toDF("a", "b"), localSolveMax = 0)
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           assert(again == comp.filter { case (id, c) =>
             stars.exists(e => e._1 == id || e._2 == id) })

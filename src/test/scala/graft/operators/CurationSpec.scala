@@ -229,23 +229,29 @@ class CurationSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccResult(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Curation.connectedComponents(edges.toDF("id_a", "id_b"))
+  // exercise BOTH execution paths: the driver union-find fast path (default) and
+  // the distributed star rounds (localSolveMax = 0 forces them)
+  private def ccResult(edges: Seq[(Long, Long)], localSolveMax: Long = 1000000L): Map[Long, Long] =
+    Curation.connectedComponents(edges.toDF("id_a", "id_b"), localSolveMax = localSolveMax)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("connectedComponents matches union-find on a random graph") {
+  test("connectedComponents matches union-find on a random graph (both paths)") {
     val rnd = new scala.util.Random(11)
     // sparse random graph over non-contiguous ids -> many components
     val edges = Seq.fill(120)((rnd.nextInt(100) * 7L + 3, rnd.nextInt(100) * 7L + 3))
       .filter { case (a, b) => a != b }
     assert(ccResult(edges) == unionFind(edges))
+    assert(ccResult(edges, localSolveMax = 0) == unionFind(edges),
+      "distributed star rounds must agree with the local fast path")
   }
 
   test("connectedComponents collapses a long chain (worst case for propagation)") {
     val chain = (0L until 60L).map(i => (i, i + 1))
-    val got = ccResult(chain)
-    assert(got.keySet == (0L to 60L).toSet)
-    assert(got.values.toSet == Set(0L))
+    for (cap <- Seq(1000000L, 0L)) {
+      val got = ccResult(chain, localSolveMax = cap)
+      assert(got.keySet == (0L to 60L).toSet)
+      assert(got.values.toSet == Set(0L))
+    }
   }
 
   test("connectedComponents handles duplicate, reversed, and self edges") {
@@ -263,7 +269,8 @@ class CurationSpec extends AnyFunSuite {
     // fail fast instead of dying mid-iteration on the first checkpoint().
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
       val e = intercept[IllegalArgumentException] {
-        Curation.connectedComponents(Seq((1L, 2L)).toDF("a", "b"), reliable = true)
+        Curation.connectedComponents(Seq((1L, 2L)).toDF("a", "b"),
+          reliable = true, localSolveMax = 0)
       }
       assert(e.getMessage.contains("setCheckpointDir"))
     }
@@ -272,7 +279,9 @@ class CurationSpec extends AnyFunSuite {
     try {
       val edges = ((0L until 20L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
         .toDF("id_a", "id_b")
-      val got = Curation.connectedComponents(edges, reliable = true)
+      // localSolveMax = 0: the reliable-checkpoint behavior belongs to the
+      // DISTRIBUTED star rounds; the small-graph fast path never checkpoints
+      val got = Curation.connectedComponents(edges, reliable = true, localSolveMax = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == ((0L to 20L).map(_ -> 0L) ++ Seq(100L -> 100L, 101L -> 100L)).toMap)
       // the reliable path must actually have written RDD checkpoint data
@@ -289,10 +298,12 @@ class CurationSpec extends AnyFunSuite {
   test("connectedComponents works over string ids (lexicographic minimum labels)") {
     val pairs = Seq(("docB", "docA"), ("docC", "docB"), ("x", "y"))
       .toDF("id_a", "id_b")
-    val comp = Curation.connectedComponents(pairs)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(comp == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
-      "x" -> "x", "y" -> "x"))
+    for (cap <- Seq(1000000L, 0L)) {
+      val comp = Curation.connectedComponents(pairs, localSolveMax = cap)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(comp == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+        "x" -> "x", "y" -> "x"))
+    }
   }
 
   // ---------------- line-level boilerplate dedup ----------------
