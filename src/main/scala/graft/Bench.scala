@@ -56,11 +56,13 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     val planningStr = "%.2f".formatLocal(java.util.Locale.ROOT, planningMs)
     def f3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    // The driver's BENCH capture keeps only the output TAIL, so the one parseable
-    // summary line must be LAST and compact (r3/r4 printed a single long line whose
-    // head — the medians and planning number — was truncated away: `parsed: null`).
-    // Full-precision detail (cold per-query, spreads) goes to bench_full.json; stdout
-    // ends with one ~3 KB line: 3-decimal warm medians + the headline scalars.
+    // The driver's BENCH capture keeps only the LAST 2000 chars of output, and sbt
+    // appends "[success] Total time: ..." (~75 chars) after us — so the one
+    // parseable summary line must be LAST and comfortably under ~1.8 KB. A map of
+    // all 123 per-query medians is ~2.6 KB and can never survive (r3/r4:
+    // `parsed: null`). Stdout therefore carries per-query medians only for the
+    // TPC-H suite (the set BASELINE.md compares) plus one total per query family;
+    // the full per-query medians/cold/spread detail goes to bench_full.json.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
@@ -71,8 +73,23 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => }
-    val qsCompact = timed.map { case (k, _, med, _) => s"\"" + k + "\":" + f3(med) }
-      .mkString("{", ",", "}")
+    def family(name: String): String =
+      if (name.startsWith("tpch_")) "tpch"
+      else if (name.startsWith("mm")) "suite_multimodal"
+      else name.head match {
+        case 'm' => "suite_semantic"   case 'q' => "suite_relational"
+        case 'd' => "suite_dedup"      case 'e' => "suite_events"
+        case 'f' => "suite_functions"  case 's' => "suite_ann"
+        case 't' => "suite_text"       case 'p' => "suite_pipeline"
+        case _   => "suite_other"
+      }
+    val tpchEntries = timed.toSeq.collect {
+      case (k, _, med, _) if k.startsWith("tpch_") => s"\"" + k + "\":" + f3(med)
+    }.sorted
+    val familyTotals = timed.toSeq.filterNot(_._1.startsWith("tpch_"))
+      .groupBy(t => family(t._1)).toSeq.sortBy(_._1)
+      .map { case (fam, ts) => s"\"" + fam + "\":" + f3(ts.map(_._3).sum) }
+    val qsCompact = (tpchEntries ++ familyTotals).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
       s""""warm_total_sec":${f3(total)},"cold_total_sec":${f3(coldTotal)},""" +

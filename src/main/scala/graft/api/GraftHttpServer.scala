@@ -83,6 +83,24 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
   private def detail(msg: String): String =
     JsonMethods.compact(JObject("detail" -> JString(Option(msg).getOrElse("error"))))
 
+  /** The reference's structured error envelope for ENGINE errors
+    * (`app/model/error.py:55-62`, emitted by the WrenError/Exception handlers in
+    * `app/main.py:77-113`): errorCode/message/metadata/phase/timestamp plus the
+    * echoed X-Correlation-ID. Request-shape errors (missing fields, malformed JSON)
+    * keep the FastAPI `detail` shape, exactly as the reference's DTO validation
+    * does.
+    */
+  private def envelope(ex: HttpExchange, code: String, msg: String): String = {
+    val corr = Option(ex.getRequestHeaders.getFirst("X-Correlation-ID"))
+    JsonMethods.compact(JObject(
+      "errorCode" -> JString(code),
+      "message" -> JString(Option(msg).getOrElse("error")),
+      "metadata" -> JNull,
+      "phase" -> JNull,
+      "timestamp" -> JString(java.time.OffsetDateTime.now().toString),
+      "correlationId" -> corr.map(JString).getOrElse(JNull)))
+  }
+
   private def fnJson(f: graft.functions.GraftFunctions.FnSpec): JObject =
     JObject(
       "name" -> JString(f.name), "function_type" -> JString(f.kind),
@@ -140,11 +158,19 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
   private def handle(ex: HttpExchange): Unit =
     try route(ex)
     catch {
-      case e: graft.QueryTimeoutException => respond(ex, 504, detail(e.getMessage))
+      // engine errors carry the reference's ErrorResponse envelope with its
+      // error-code → HTTP-status mapping (error.py:96-113)
+      case e: graft.QueryTimeoutException =>
+        respond(ex, 504, envelope(ex, "DATABASE_TIMEOUT", e.getMessage))
+      case e: graft.planner.GraftException =>
+        respond(ex, 422, envelope(ex, "GENERIC_USER_ERROR", e.getMessage))
+      case e: org.apache.spark.sql.AnalysisException =>
+        respond(ex, 422, envelope(ex, "INVALID_SQL", e.getMessage))
+      // request-shape errors (missing fields, malformed JSON, unknown rule names)
+      // keep the FastAPI detail shape, like the reference's DTO validation
       case e: IllegalArgumentException => respond(ex, 422, detail(e.getMessage))
-      case e: graft.planner.GraftException => respond(ex, 422, detail(e.getMessage))
-      case e: org.apache.spark.sql.AnalysisException => respond(ex, 422, detail(e.getMessage))
-      case NonFatal(e) => respond(ex, 500, detail(e.toString))
+      case NonFatal(e) =>
+        respond(ex, 500, envelope(ex, "GENERIC_INTERNAL_ERROR", e.toString))
     }
 
   private def route(ex: HttpExchange): Unit = {

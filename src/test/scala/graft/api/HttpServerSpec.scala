@@ -65,10 +65,16 @@ class HttpServerSpec extends AnyFunSuite {
     assert(r2.statusCode() == 200 && !r2.body().contains("\"F\""))
   }
 
-  test("missing required RLAC property is a 422 with the FastAPI detail shape") {
-    val r = post("/v3/connector/spark/query", bodyJson("SELECT count(*) AS n FROM w_orders"))
-    assert(r.statusCode() == 422 && r.body().contains("detail"), r.body())
+  test("missing required RLAC property is a 422 with the engine error envelope") {
+    val r = post("/v3/connector/spark/query", bodyJson("SELECT count(*) AS n FROM w_orders"),
+      Map("X-Correlation-ID" -> "corr-42"))
+    assert(r.statusCode() == 422, r.body())
+    // engine errors carry the reference's ErrorResponse shape (error.py:55-62):
+    // errorCode/message/timestamp + the echoed correlation id
+    assert(r.body().contains("\"errorCode\"") && r.body().contains("GENERIC_USER_ERROR"), r.body())
     assert(r.body().contains("session_status"))
+    assert(r.body().contains("\"correlationId\":\"corr-42\""), r.body())
+    assert(r.body().contains("\"timestamp\""))
   }
 
   test("dryRun=true answers 204 with no body; bad SQL answers 422") {
@@ -80,7 +86,7 @@ class HttpServerSpec extends AnyFunSuite {
     val bad = post("/v3/connector/spark/query?dryRun=true", bodyJson(
       "SELECT no_such_col FROM w_orders"),
       Map("x-wren-variable-session_status" -> "F"))
-    assert(bad.statusCode() == 422 && bad.body().contains("detail"))
+    assert(bad.statusCode() == 422 && bad.body().contains("INVALID_SQL"), bad.body())
   }
 
   test("dry-plan returns the planned form") {
@@ -210,6 +216,7 @@ class HttpServerSpec extends AnyFunSuite {
       "SELECT max(id % 7) AS s FROM range(1000000000000)"), hdrs)
     assert(slow.statusCode() == 504, s"${slow.statusCode()} ${slow.body()}")
     assert(slow.body().contains("cancelled"))
+    assert(slow.body().contains("DATABASE_TIMEOUT"), slow.body())
     val ok = post("/v3/connector/spark/query?timeout=120&limit=1", bodyJson(
       "SELECT o_orderkey FROM w_orders ORDER BY o_orderkey"), hdrs)
     assert(ok.statusCode() == 200, ok.body())
