@@ -32,7 +32,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val warmRuns = 3
-    val timed = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=d4_ngram_jaccard,d2_dedup_minhash narrows the run for
+    // iterating on one query's plan; the driver never sets it (full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val timed = selected.map { case (name, fn) =>
       val cold = once(fn)
       val warms = Seq.fill(warmRuns)(once(fn)).sorted
       (name, cold, warms(warmRuns / 2), warms.last - warms.head)

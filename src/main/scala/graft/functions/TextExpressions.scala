@@ -191,6 +191,123 @@ object SimHashWords {
   }
 }
 
+/** All sliding `window`-word hashes of a document as one map-side array —
+  * position i holds `xxhash64(concat_ws(' ', words[i..i+window)))`, the exact
+  * Catalyst chain (`XXH64.hashUnsafeBytes`, seed 42), asserted bit-identical to
+  * the `transform(sequence(...), i => xxhash64(concat_ws(slice(...))))`
+  * formulation in OperatorsSpec. The higher-order-function form allocates a
+  * sliced array plus a concatenated string PER POSITION through Catalyst's
+  * lambda machinery; this loop builds each window's bytes once into a local
+  * buffer and hashes it — the duplicate-span scan stays a pure codegen stage.
+  * Documents shorter than `window` return an empty array.
+  */
+case class WindowHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if window >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    WindowHashes.compute(a.asInstanceOf[ArrayData], window)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WindowHashes.compute($a, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+
+  def compute(words: ArrayData, window: Int): ArrayData = {
+    val m = words.numElements()
+    val n = if (m >= window) m - window + 1 else 0
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val buf = TextHashing.gramBytes(words, i, window)
+      out(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, buf.length, 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Per-document distinct shingle-hash set as ONE map-side array: shingling,
+  * dedup, and xxhash64 fused into a single loop — no gram strings materialized in
+  * the row, no string explode. The Jaccard pipelines only ever compare shingles
+  * for equality, so each document reduces to a sorted `array<long>` of its gram
+  * hashes: candidate verification becomes a map-side `array_intersect` over two
+  * ~doc-length arrays instead of an (candidate × shingles) join + count shuffle,
+  * and the exploded `(id, hash)` form — when the inverted index still needs it —
+  * is a cheap `explode` of longs.
+  *
+  * Hash parity with the composed pipeline (`xxhash64(gram_string)` over
+  * `array_distinct` grams joined by ' ') is exact — same `XXH64.hashUnsafeBytes`
+  * chain as [[MinHashWords]] (asserted in OperatorsSpec). Output is sorted
+  * ascending for plan stability; documents with fewer than `n` words return an
+  * empty array (callers filter `size > 0` for parity with the exploded form).
+  */
+case class ShingleHashes(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHashes.compute(a.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    if (m >= n) {
+      // distinct by gram STRING (matching array_distinct on the gram text), then
+      // hash — two distinct grams colliding in xxhash64 would duplicate a value
+      // here exactly as they collide in the exploded (id, hash) form
+      val seen = new java.util.HashSet[UTF8String]()
+      var i = 0
+      while (i <= m - n) {
+        val buf = TextHashing.gramBytes(words, i, n)
+        if (seen.add(UTF8String.fromBytes(buf)))
+          out.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, buf.length, 42L))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    java.util.Arrays.sort(arr)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+}
+
 /** Stopword-count language ID fused into one native expression.
   *
   * The composed Column formulation ([[graft.operators.TextAnalysis.langIdComposed]])

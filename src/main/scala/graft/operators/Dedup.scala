@@ -130,6 +130,94 @@ object Dedup {
         (col("sza") + col("szb") - col("inter")).cast("double"), 6))
   }
 
+  /** Per-document distinct shingle-hash SET as one map-side array — (id, s) with
+    * `s: array<long>` sorted ascending, empty-shingle documents dropped. Computed
+    * by the fused native expression [[graft.functions.ShingleHashes]] (no gram
+    * strings in the row, no explode, no groupBy): the whole signature stage is a
+    * pure scan, and downstream stages choose their shape — `explode(s)` where an
+    * inverted index is needed, `array_intersect` where per-pair verification is.
+    */
+  def shingleHashSets(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val staged = df.select(col(idCol).alias("id"), wordsArray(col(textCol)).alias("__w"))
+    staged
+      .select(col("id"), org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.ShingleHashes(
+          org.apache.spark.sql.graft.Bridge.toExpression(spark, col("__w")), n))
+        .alias("s"))
+      .filter(size(col("s")) > 0)
+  }
+
+  /** Exact Jaccard over candidate pairs against per-document hash SETS: two joins
+    * by id bring both documents' sorted hash arrays onto the candidate row, and the
+    * intersection is a map-side `array_intersect` — no (candidate × shingles)
+    * explosion, no count shuffle, which is what makes a large candidate set (dense
+    * shingle vocabularies where every prefix collides) cheap to verify. Shuffles
+    * carry (id_a, id_b) plus one doc-length long array per side; at corpus scale
+    * both joins are sort-merge on id, and the sets table is the same scan-stage
+    * projection [[shingleHashSets]] produces — no aggregation anywhere.
+    */
+  def verifyJaccardSets(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("id").alias("id_a"), col("s").alias("__sa")), "id_a")
+      .join(sets.select(col("id").alias("id_b"), col("s").alias("__sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Prefix-filtered candidate pairs for an exact Jaccard-threshold join — the
+    * prefix filtering principle of the set-similarity-join literature (Chaudhuri et
+    * al. ICDE'06; Bayardo et al. WWW'07; the candidate stage of PPJoin, Xiao et al.
+    * WWW'08): under ANY global total order of shingles, two sets with
+    * `J(a,b) >= t` must share a shingle among each set's first
+    * `|d| − ⌈t·|d|⌉ + 1` shingles, so only that prefix needs indexing.
+    *
+    * Ordering by ascending document frequency puts the RAREST shingles in the
+    * prefix: a stopword gram shared by half the corpus lands in every suffix and
+    * generates no candidate pairs at all. This is what replaces [[pairJaccard]]'s
+    * `maxDocFreq` recall cap for the near-dup join — the quadratic posting-list
+    * expansion on hot shingles disappears by construction, and exactness is a
+    * theorem rather than a cap-sized-right assumption. Posting lists here are
+    * prefix postings (df-ascending order makes them small for any corpus whose
+    * near-dup clusters are small; a corpus that is ONE giant near-dup cluster has
+    * quadratic output anyway), so a plain `collect_list` is safe where the
+    * all-shingle index needed `BoundedSortedCollect`.
+    *
+    * The `1e-9` slack keeps `ceil` from overshooting when `t·|d|` is integral but
+    * floating-point rounds it up (an overshoot would shorten the prefix and lose
+    * recall; undershoot only lengthens it — safe).
+    *
+    * Cost shape at 100 TB: one df aggregation + one window rank (both shuffling
+    * (id, shingle-hash) longs), candidate expansion over prefix postings only,
+    * then [[verifyJaccard]] within candidates.
+    */
+  def prefixJaccardCandidates(shRaw: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs 0 < t <= 1, got $threshold")
+    val sh = hashedShingles(shRaw)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).alias("__df"))
+    val byDoc = Window.partitionBy(col("id"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("__rk", row_number().over(byDoc.orderBy(col("__df"), col("shingle"))))
+      .withColumn("__sz", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("__rk") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+      .select(col("id"), col("shingle"))
+    val postings = prefix.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("id"))).alias("ids"))
+      .filter(size(col("ids")) >= 2)
+    postings.select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.alias("id_a"), y.alias("id_b")))))).alias("p"))
+      .select(col("p.id_a").alias("id_a"), col("p.id_b").alias("id_b"))
+      .distinct()
+  }
+
   /** Shingle equality key: xxhash64 when the column still holds raw shingle strings.
     * Jaccard/MinHash only ever compare shingles for EQUALITY, so joining and
     * shuffling an 8-byte long instead of a multi-word string cuts shuffle bytes
@@ -167,22 +255,22 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * The shingle table feeds four independent subtrees (signatures, both verify join
-    * sides, per-doc sizes); Spark only reuses *exchanges*, and shingling is a narrow
-    * scan→explode, so without persistence the regex+explode would run 4×. We persist
-    * it spill-safely — at 100 TB the shingle table is corpus-scale, and
-    * MEMORY_AND_DISK trades executor disk for 3 redundant passes over every document.
-    * The cache is released when the returned plan's RDDs are garbage-collected
-    * (ContextCleaner); callers running many corpora through one session can force it
-    * earlier with `spark.catalog.clearCache()`.
+    * Signatures are the map-only native expression; verification joins the LSH
+    * candidates against per-document hash SETS ([[shingleHashSets]] +
+    * [[verifyJaccardSets]]) — the intersection is a map-side `array_intersect`, so
+    * nothing candidate×shingle-shaped ever shuffles. The sets cache is released
+    * when the returned plan's RDDs are garbage-collected (ContextCleaner); callers
+    * running many corpora through one session can force it earlier with
+    * `spark.catalog.clearCache()`.
     */
   def minHashNearDup(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val sh = hashedShingles(shingles(df, textCol, idCol, n))
+    // both verify join sides read the sets; persist keeps the doc scan single-pass
+    val sets = shingleHashSets(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minHashSignaturesNative(df, textCol, idCol, n, k), k, bands)
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccardSets(cands, sets, threshold)
   }
 
   /** Map-only MinHash signatures via [[graft.functions.MinHashWords]]: all k minima
@@ -204,21 +292,84 @@ object Dedup {
     sig.select(col("id") +: (0 until k).map(i => col("__mh")(i).alias(s"mh_$i")): _*)
   }
 
-  /** Inverted-index n-gram Jaccard near-dup: candidate pairs share at least one
-    * non-common shingle (document-frequency cap `maxDocFreq` is the rare-shingle
-    * blocking that keeps hot shingles from exploding the candidate join at scale),
-    * then exact-Jaccard verification. With a generous cap this is exact for any
-    * realistic threshold ≥ 0.5.
+  /** [[pairJaccard]]'s posting-intersection join over pre-computed hash sets:
+    * exploded `(id, hash)` longs come from the fused scan (no gram strings, no
+    * string explode), and per-doc sizes are `size(s)` — array lengths off the same
+    * cached sets, not a second aggregation over the corpus.
+    */
+  def pairJaccardFromSets(sets: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+    val sh = sets.select(col("id"), explode(col("s")).alias("shingle"))
+    val boundedCollect = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.BoundedSortedCollect(maxDocFreq))
+    val postings = sh.groupBy(col("shingle"))
+      .agg(boundedCollect(col("id")).alias("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    val pairs = postings.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.alias("id_a"), y.alias("id_b")))))).alias("p"))
+    val inter = pairs
+      .groupBy(col("p.id_a").alias("id_a"), col("p.id_b").alias("id_b"))
+      .agg(count(lit(1)).alias("inter"))
+    val sizes = sets.select(col("id"), size(col("s")).cast("long").alias("sz"))
+    inter
+      .join(sizes.select(col("id").alias("id_a"), col("sz").alias("sza")), "id_a")
+      .join(sizes.select(col("id").alias("id_b"), col("sz").alias("szb")), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+  }
+
+  /** Exact n-gram Jaccard near-dup with adaptive candidate strategy.
+    *
+    * Two exact-result paths share the fused hash-set scan ([[shingleHashSets]]):
+    *
+    *   - `"capped"` — the one-shuffle capped inverted index
+    *     ([[pairJaccardFromSets]]): fastest when every posting fits the
+    *     `maxDocFreq` cap, i.e. exact as long as no shingle is shared by more
+    *     documents than the cap (near-dup cluster sizes and boilerplate df both
+    *     bounded by it);
+    *   - `"prefix"` — prefix filtering ([[prefixJaccardCandidates]]) + map-side
+    *     array verification ([[verifyJaccardSets]]): exact by theorem at ANY
+    *     corpus size, at the fixed cost of the df-ordering shuffles.
+    *
+    * `"auto"` (default) picks like the connected-components fast path, but
+    * MEASURES instead of assuming: for a corpus small enough to make the check
+    * cheap (`docs <= cappedMaxDocs`, counted off the cached sets) it computes the
+    * maximum shingle document frequency — if no posting can exceed the cap, the
+    * capped path is provably exact for THIS corpus and its lower per-stage
+    * overhead wins; otherwise (larger corpus, or a measured df above the cap) the
+    * prefix path runs, whose extra shuffles are linear in the shingle table and
+    * whose exactness rests on the prefix theorem rather than a cap sized right.
     */
   def ngramJaccardNearDup(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    // persisted for the same 4-subtree reuse reason as minHashNearDup
-    val sh = hashedShingles(shingles(df, textCol, idCol, n))
+      n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000,
+      strategy: String = "auto", cappedMaxDocs: Long = 1000000L): DataFrame = {
+    // persisted for multi-subtree reuse: every strategy reads the sets at least
+    // twice (postings + sizes, or candidates + both verify join sides)
+    val sets = shingleHashSets(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairJaccard(sh, maxDocFreq)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val capped = strategy match {
+      case "capped" => true
+      case "prefix" => false
+      case "auto" =>
+        sets.count() <= cappedMaxDocs && {
+          val maxDf = sets.select(explode(col("s")).alias("h"))
+            .groupBy(col("h")).agg(count(lit(1)).alias("df"))
+            .agg(max(col("df"))).head.getLong(0)
+          maxDf <= maxDocFreq
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown jaccard strategy '$other' (capped|prefix|auto)")
+    }
+    if (capped)
+      pairJaccardFromSets(sets, maxDocFreq)
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    else {
+      val sh = sets.select(col("id"), explode(col("s")).alias("shingle"))
+      verifyJaccardSets(prefixJaccardCandidates(sh, threshold), sets, threshold)
+    }
   }
 
   /** 60-bit shingle hash derived from md5 (15 hex chars keep the long positive):
@@ -322,12 +473,14 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       window: Int = 20, minCount: Int = 2): DataFrame = {
     require(window >= 2 && minCount >= 2, "duplicateSpans needs window >= 2, minCount >= 2")
+    val spark = df.sparkSession
     val staged = df.select(col(idCol).alias("id"), wordsArray(col(textCol)).alias("__w"))
-    val w = col("__w")
-    val hashes = when(size(w) >= window,
-      transform(sequence(lit(0), size(w) - window),
-        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(window))))))
-      .otherwise(array().cast("array<bigint>"))
+    // one-pass native rolling hash (WindowHashes): each window's bytes are built
+    // once and hashed, vs. a sliced array + concat string per position through
+    // the HOF lambda machinery
+    val hashes = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WindowHashes(
+        org.apache.spark.sql.graft.Bridge.toExpression(spark, col("__w")), window))
     val wins = staged.select(col("id"), posexplode(hashes).as(Seq("pos", "h")))
     val dupH = wins.groupBy("h").agg(count(lit(1)).alias("c"))
       .filter(col("c") >= minCount).select("h")

@@ -89,6 +89,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: prefix-filtered jaccard join equals the uncapped all-pairs join") {
+    // The 9-word vocabulary makes hot shingles (high document frequency) the norm —
+    // exactly the regime where the prefix filter prunes hardest; equality against
+    // the uncapped inverted-index join checks the no-lost-pair theorem end to end.
+    forSamples(Gen.listOfN(10, genDoc), 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sh = Dedup.shingles(df, "text", "doc_id", n = 2)
+      Seq(0.3, 0.5, 0.9).foreach { t =>
+        val exact = Dedup.pairJaccard(sh, maxDocFreq = 100000)
+          .filter(col("jaccard") >= t)
+          .collect()
+          .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+          .toSet
+        Seq("prefix", "capped", "auto").foreach { strat =>
+          val got = Dedup.ngramJaccardNearDup(df, "text", "doc_id", n = 2,
+              threshold = t, maxDocFreq = 100000, strategy = strat)
+            .collect()
+            .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+            .toSet
+          assert(got == exact, s"threshold $t strategy $strat")
+        }
+      }
+    }
+  }
+
   test("property: connected components are a valid partition refinement of the edges") {
     val genEdges = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L))).map(_.filter(e => e._1 != e._2))

@@ -49,6 +49,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("shingle hash sets: native fused array equals the exploded hash pipeline") {
+    val composed = Dedup.shingles(docs, "text", "doc_id", n = 3)
+      .select($"id", xxhash64($"shingle").as("h"))
+      .groupBy($"id").agg(sort_array(collect_list($"h")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val native = Dedup.shingleHashSets(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(native == composed) // same doc set (empty-shingle docs dropped), same hashes
+  }
+
+  test("window hashes: native rolling array equals the HOF slice+concat formulation") {
+    val staged = docs.select($"doc_id", Dedup.wordsArray($"text").as("w"))
+    val hof = staged.select($"doc_id",
+      when(size($"w") >= 5,
+        transform(sequence(lit(0), size($"w") - 5),
+          i => xxhash64(concat_ws(" ", slice($"w", i + 1, lit(5))))))
+        .otherwise(array().cast("array<bigint>")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val spark2 = docs.sparkSession
+    val native = staged.select($"doc_id", org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.WindowHashes(
+          org.apache.spark.sql.graft.Bridge.toExpression(spark2, $"w"), 5)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(native == hof)
+  }
+
   test("simhash: native one-pass signature is bit-identical to the exploded pipeline") {
     val composed = Dedup
       .simHash(Dedup.shingles(docs, "text", "doc_id"), bits = 60, hash = Dedup.md5Hash60)
