@@ -35,10 +35,12 @@ object Curation {
   def contaminatedIds(
       train: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 13): DataFrame = {
-    val benchGrams = Dedup.shingles(benchmark, textCol, idCol, n)
-      .select(xxhash64(col("shingle")).alias("__h")).distinct()
-    Dedup.shingles(train, textCol, idCol, n)
-      .select(col("id"), xxhash64(col("shingle")).alias("__h"))
+    // fused per-doc gram hashing (ShingleHashes): no 13-word gram strings are ever
+    // materialized in rows on either side — only 8-byte hashes explode
+    val benchGrams = Dedup.shingleHashSets(benchmark, textCol, idCol, n)
+      .select(explode(col("s")).alias("__h")).distinct()
+    Dedup.shingleHashSets(train, textCol, idCol, n)
+      .select(col("id"), explode(col("s")).alias("__h"))
       .join(broadcast(benchGrams), Seq("__h"), "left_semi")
       .select(col("id").alias(idCol)).distinct()
   }

@@ -83,10 +83,28 @@ object Dedup {
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).alias("h"))
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).alias("bh"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+    // One-shuffle bucket expansion: collect ids per (band, band-hash) bucket and
+    // expand the c(c−1)/2 ordered pairs map-side. The previous self-join
+    // formulation computed the signature subtree TWICE (both join sides) and
+    // shuffled both copies; this groups once. Bucket posting lists are near-dup
+    // cluster sized by construction — a bucket too large to collect is a bucket
+    // whose quadratic pair expansion is infeasible under ANY formulation, i.e. a
+    // banding parameterization mismatched to the corpus, not a memory knob.
+    bucketPairs(banded.select(col("id"), col("bh").alias("key")))
+  }
+
+  /** Ordered candidate pairs `(id_a < id_b)` from equal-key buckets in one
+    * shuffle: sorted posting list per key, map-side pair expansion, distinct.
+    */
+  private def bucketPairs(keyed: DataFrame): DataFrame = {
+    val postings = keyed.groupBy(col("key"))
+      .agg(sort_array(collect_list(col("id"))).alias("ids"))
+      .filter(size(col("ids")) >= 2)
+    postings.select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.alias("id_a"), y.alias("id_b")))))).alias("p"))
+      .select(col("p.id_a").alias("id_a"), col("p.id_b").alias("id_b"))
       .distinct()
   }
 
@@ -439,12 +457,20 @@ object Dedup {
       struct(lit(i).alias("c"),
         shiftright(col("simhash"), i * cw).bitwiseAND((1L << cw) - 1).alias("v")))
     val banded = sig.select(col("id"), col("simhash"), explode(array(chunks: _*)).alias("ch"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val pairs = a.join(b, col("a.ch") === col("b.ch") && col("a.id") < col("b.id"))
-      .select(
-        col("a.id").alias("id_a"), col("b.id").alias("id_b"),
-        col("a.simhash").alias("sh_a"), col("b.simhash").alias("sh_b"))
+    // same one-shuffle bucket expansion as lshCandidates, carrying each side's
+    // signature in the posting struct so hamming verification stays map-side
+    // (structs sort by leading id field, so expanded pairs are id-ordered)
+    val postings = banded.groupBy(col("ch"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).alias("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairs = postings.select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.getField("id").alias("id_a"), y.getField("id").alias("id_b"),
+              x.getField("simhash").alias("sh_a"), y.getField("simhash").alias("sh_b"))))))
+        .alias("p"))
+      .select(col("p.id_a").alias("id_a"), col("p.id_b").alias("id_b"),
+        col("p.sh_a").alias("sh_a"), col("p.sh_b").alias("sh_b"))
       .distinct()
     pairs
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
