@@ -212,20 +212,26 @@ object Dedup {
     * (id, shingle-hash) longs), candidate expansion over prefix postings only,
     * then [[verifyJaccard]] within candidates.
     */
-  def prefixJaccardCandidates(shRaw: DataFrame, threshold: Double): DataFrame = {
+  /** The (id, shingle) rows each document INDEXES under prefix filtering: its
+    * `|d| − ⌈t·|d|⌉ + 1` rarest shingles in the global (df asc, shingle) order.
+    * Exposed for plan/pruning assertions; [[prefixJaccardCandidates]] consumes it.
+    */
+  private[graft] def prefixIndex(shRaw: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < t <= 1, got $threshold")
     val sh = hashedShingles(shRaw)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).alias("__df"))
     val byDoc = Window.partitionBy(col("id"))
-    val ranked = sh.join(dfreq, "shingle")
+    sh.join(dfreq, "shingle")
       .withColumn("__rk", row_number().over(byDoc.orderBy(col("__df"), col("shingle"))))
       .withColumn("__sz", count(lit(1)).over(byDoc))
-    val prefix = ranked
       .filter(col("__rk") <=
         col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"))
-    val postings = prefix.groupBy(col("shingle"))
+  }
+
+  def prefixJaccardCandidates(shRaw: DataFrame, threshold: Double): DataFrame = {
+    val postings = prefixIndex(shRaw, threshold).groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("id"))).alias("ids"))
       .filter(size(col("ids")) >= 2)
     postings.select(explode(flatten(

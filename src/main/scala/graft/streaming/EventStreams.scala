@@ -83,6 +83,31 @@ object EventStreams {
   def dedupStream(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-duplicate dedup at hamming distance 0: each document reduces
+    * map-side to its 60-bit SimHash signature (the same native one-pass expression
+    * as the batch path — works unchanged under `readStream` because it is a pure
+    * projection), and `dropDuplicatesWithinWatermark` keeps one document per
+    * signature in the horizon. This catches the near-dup class exact fingerprinting
+    * misses — reordered whitespace, punctuation, and case survive normalization
+    * identically, and any doc whose shingle-bit profile matches (hamming 0) dedups.
+    * State per in-horizon doc is one long, not text. Hamming-k (k>0) matching needs
+    * cross-document banding joins — a batch/`foreachBatch` concern
+    * ([[graft.operators.Dedup.simHashNearDupNative]]), not a per-row stream map.
+    */
+  def nearDedupStream(docs: DataFrame, lateness: String = "1 hour",
+      n: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    val words = Dedup.wordsArray(col("text"))
+    docs
+      .withColumn("__sig", org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.SimHashWords(
+          org.apache.spark.sql.graft.Bridge.toExpression(spark, words), n, 60)))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
   /** Streaming corpus curation — the incremental-arrival form of the batch pipeline
     * (`Curation.incrementalDedup` + langID + quality floor) over a document stream
     * (doc_id, ts, text):

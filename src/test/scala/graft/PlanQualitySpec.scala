@@ -190,6 +190,38 @@ class PlanQualitySpec extends AnyFunSuite {
         s"span exchange must not carry text/word arrays\n$e"))
   }
 
+  test("d4: jaccard exchanges carry hash arrays or id/count longs, never text") {
+    val df = SparkEntry.queries("d4_ngram_jaccard")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fused ShingleHashes scan means no gram strings exist anywhere in the
+    // plan; exchanges may carry (id, hash) longs, posting arrays, or per-doc hash
+    // sets — never the document text or a shingle string column
+    assert(plan.contains("shingle_hashes"), plan.take(2000))
+    "Exchange hashpartitioning\\([^\n]*".r.findAllIn(plan).foreach(e =>
+      assert(!e.contains("text#") && !e.contains("__w#"),
+        s"jaccard exchange must not carry text/word arrays\n$e"))
+  }
+
+  test("prefix jaccard: hot shingles are pruned out of the candidate index") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sets = graft.operators.Dedup.shingleHashSets(docs, "text", "doc_id", 3)
+    val sh = sets.select(col("id"), explode(col("s")).alias("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).alias("df"))
+    val hot = dfreq.orderBy(col("df").desc).limit(1).head
+    val (hottest, hotDf) = (hot.getLong(0), hot.getLong(1))
+    assert(hotDf > 2, s"fixture should have shared shingles, max df=$hotDf")
+    val prefix = graft.operators.Dedup.prefixIndex(sh, 0.5)
+    // at t=0.5 each doc indexes ~half its shingles (the rarest half): the index is
+    // materially smaller than the full inverted index…
+    val (fullRows, prefixRows) = (sh.count(), prefix.count())
+    assert(prefixRows < fullRows * 0.7, s"$prefixRows of $fullRows")
+    // …and the hottest shingle — the c² blowup the cap used to guard — sits in
+    // suffixes for most documents that contain it
+    val hotPosting = prefix.filter(col("shingle") === hottest).count()
+    assert(hotPosting * 2 <= hotDf, s"hot posting $hotPosting vs df $hotDf")
+  }
+
   test("t1_langid: the native expression keeps the projection inside codegen") {
     val df = SparkEntry.queries("t1_langid")(spark, dir)
     df.collect() // materialize the AQE final plan (codegen markers appear post-exec)

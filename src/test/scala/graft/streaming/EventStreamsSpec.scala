@@ -47,6 +47,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("streaming near-dup drops punctuation/case variants the exact path keeps apart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val src = MemoryStream[Doc]
+    src.addData(
+      Doc(1, ts("2024-01-01 10:00:00"), base),
+      Doc(2, ts("2024-01-01 10:01:00"), base.toUpperCase + "!!!"), // same signature
+      Doc(3, ts("2024-01-01 10:02:00"), "completely different content about " +
+        "databases and distributed query engines running at scale"))
+    val out = runStream("neardedup", EventStreams.nearDedupStream(src.toDF()))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+  }
+
   test("hourly rollup closes windows once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
