@@ -22,6 +22,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's ImageInputStream/ImageOutputStream default to a DISK-backed cache —
+  // one temp file created and deleted per encode/decode. Per-frame stills are a
+  // few KB and every call site here already holds them in byte arrays, so the
+  // memory-backed stream is strictly better; this flips the JVM-wide default once
+  // per executor (class-load time), turning tens of thousands of tiny-file
+  // creations per partition into pure in-memory work.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic fake payload: expands a document's fingerprint into N pseudo-bytes.
     * Stands in for `spark.read.format("binaryFile")` content where no real media
     * exists (the payloads are NOT decodable images — `decodeFeatures` falls back to
