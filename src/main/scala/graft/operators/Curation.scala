@@ -232,6 +232,63 @@ object Curation {
     Dedup.exact(fresh.drop("__fp"), textCol, idCol)
   }
 
+  /** One batch of ONLINE near-duplicate curation against an accumulating index —
+    * the hamming-k streaming shape [[graft.streaming.EventStreams.nearDedupStream]]
+    * (signature identity) cannot express, run per micro-batch via `foreachBatch`.
+    *
+    * The index stores, per already-accepted document, its LSH band hashes
+    * (`bands` longs) and its shingle-hash set — never text. A batch document is
+    * dropped if it near-matches (MinHash-LSH candidates, exact-Jaccard verified)
+    * (a) any indexed document, or (b) an earlier-id document in its own batch —
+    * the online "first occurrence wins" rule. Chains that drift across the
+    * threshold (A~B, B~C, but not A~C) resolve greedily in id order, as any
+    * online dedup must; the batch connected-components pass
+    * ([[connectedComponents]]) is the offline reconciliation of that drift.
+    *
+    * Returns (survivors, their index rows). The caller appends the index rows to
+    * the index store and the survivors to the curated sink; per-batch cost tracks
+    * batch size × index candidate density, never corpus size.
+    */
+  def incrementalNearDedup(
+      batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7)
+      : (DataFrame, DataFrame) = {
+    val sets = Dedup.shingleHashSets(batch, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Dedup.minHashSignaturesNative(batch, textCol, idCol, n, k)
+    val batchBands = Dedup.bandHashArray(sig, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // in-batch: a doc matching an earlier (lower-id) batch doc drops
+    val inDups = Dedup.verifyJaccardSets(
+        Dedup.lshCandidates(sig, k, bands), sets, threshold)
+      .select(col("id_b").alias("id"))
+    // vs index: a doc matching any accepted doc drops
+    val vsIndex = Dedup.verifyJaccardSetsAcross(
+        Dedup.lshCandidatesAcross(batchBands, index.select(col("id"), col("bands"))),
+        sets, index.select(col("id"), col("s")), threshold)
+      .select(col("id_a").alias("id"))
+    val dropped = inDups.union(vsIndex).distinct()
+    val survivors = batch
+      .join(dropped.select(col("id").alias(idCol)), Seq(idCol), "left_anti")
+    val indexRows = batchBands
+      .join(dropped, Seq("id"), "left_anti")
+      .join(sets, "id")
+      .select(col("id"), col("bands"), col("s"))
+    (survivors, indexRows)
+  }
+
+  /** Empty index frame with [[incrementalNearDedup]]'s storage schema. */
+  def emptyNearDupIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("bands", ArrayType(LongType, containsNull = false)),
+        StructField("s", ArrayType(LongType, containsNull = false)))))
+  }
+
   // ---------------------------------------------------------------- weighted mixing
 
   /** Deterministic weighted corpus mixing: keep each row with probability

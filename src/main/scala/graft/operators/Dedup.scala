@@ -93,6 +93,35 @@ object Dedup {
     bucketPairs(banded.select(col("id"), col("bh").alias("key")))
   }
 
+  /** The `bands` LSH band hashes of a signature frame as ONE array column —
+    * (id, bands: array<long>) — the compact form an incremental dedup INDEX
+    * stores per document (`bands` longs instead of `k` minhashes).
+    */
+  def bandHashArray(sig: DataFrame, k: Int = 32, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    sig.select(col("id"), array((0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+    }: _*).alias("bands"))
+  }
+
+  /** LSH candidate pairs ACROSS two frames of per-doc band-hash arrays (the
+    * batch-versus-index join of incremental dedup): explode both sides to
+    * (band position, hash) and equi-join — a candidate is any (a, b) agreeing on
+    * at least one band. Output (id_a from `a`, id_b from `b`), distinct. The
+    * index side shuffles (id, 8-byte hash) rows only; at corpus scale this is a
+    * sort-merge join keyed by band hash, and a daily-batch side small enough to
+    * broadcast turns it map-side.
+    */
+  def lshCandidatesAcross(a: DataFrame, b: DataFrame): DataFrame = {
+    def banded(df: DataFrame) =
+      df.select(col("id"), posexplode(col("bands")).as(Seq("band", "h")))
+    banded(a).alias("a")
+      .join(banded(b).alias("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h"))
+      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .distinct()
+  }
+
   /** Ordered candidate pairs `(id_a < id_b)` from equal-key buckets in one
     * shuffle: sorted posting list per key, map-side pair expansion, distinct.
     */
@@ -177,9 +206,16 @@ object Dedup {
     * projection [[shingleHashSets]] produces — no aggregation anywhere.
     */
   def verifyJaccardSets(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardSetsAcross(cands, sets, sets, threshold)
+
+  /** [[verifyJaccardSets]] with each pair side resolved against its OWN sets frame
+    * (the batch-versus-index shape of incremental dedup).
+    */
+  def verifyJaccardSetsAcross(cands: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      threshold: Double): DataFrame =
     cands
-      .join(sets.select(col("id").alias("id_a"), col("s").alias("__sa")), "id_a")
-      .join(sets.select(col("id").alias("id_b"), col("s").alias("__sb")), "id_b")
+      .join(setsA.select(col("id").alias("id_a"), col("s").alias("__sa")), "id_a")
+      .join(setsB.select(col("id").alias("id_b"), col("s").alias("__sb")), "id_b")
       .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("__sa")) + size(col("__sb")) - col("inter")).cast("double"), 6))

@@ -840,6 +840,47 @@ object Pipeline {
               |FROM sp GROUP BY doc_id, sid
               |ORDER BY doc_id, span_start""".stripMargin))),
 
+    // Online near-dup curation in two arrival waves (evens first, then odds) via
+    // incrementalNearDedup — the foreachBatch micro-batch operator run as two
+    // explicit batches: wave-2 docs drop on a verified near-match to an indexed
+    // wave-1 survivor OR a lower-id doc of their own wave. The oracle replays the
+    // same online rule over the exact all-pairs Jaccard graph (two NOT EXISTS
+    // levels — no recursion needed for two waves). Equality rests on LSH recall
+    // being 1.0 on the fixture, the same pinned-above-the-banding-knee assumption
+    // documented at d9.
+    "d11_incremental_neardup" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val wave1 = d.filter(col("doc_id") % 2 === 0)
+      val wave2 = d.filter(col("doc_id") % 2 =!= 0)
+      val (s1, i1) = Curation.incrementalNearDedup(
+        wave1, Curation.emptyNearDupIndex(s), "text", "doc_id", threshold = 0.7)
+      val (s2, _) = Curation.incrementalNearDedup(
+        wave2, i1, "text", "doc_id", threshold = 0.7)
+      s1.select(col("doc_id")).union(s2.select(col("doc_id"))).orderBy("doc_id")
+    },
+      Some(s"""$duckShingleSets, p AS (
+              |  SELECT a.doc_id AS ia, b.doc_id AS ib
+              |  FROM g a, g b
+              |  WHERE a.doc_id != b.doc_id
+              |    AND round(len(list_intersect(a.s, b.s)) * 1.0
+              |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7
+              |), surv1 AS (
+              |  SELECT doc_id FROM documents d1
+              |  WHERE doc_id % 2 = 0
+              |    AND NOT EXISTS (SELECT 1 FROM p
+              |      WHERE p.ib = d1.doc_id AND p.ia % 2 = 0 AND p.ia < d1.doc_id)
+              |), surv2 AS (
+              |  SELECT doc_id FROM documents d2
+              |  WHERE doc_id % 2 = 1
+              |    AND NOT EXISTS (SELECT 1 FROM p
+              |      WHERE p.ib = d2.doc_id AND p.ia % 2 = 1 AND p.ia < d2.doc_id)
+              |    AND NOT EXISTS (SELECT 1 FROM p JOIN surv1 s1 ON p.ia = s1.doc_id
+              |      WHERE p.ib = d2.doc_id)
+              |)
+              |SELECT doc_id FROM surv1
+              |UNION ALL SELECT doc_id FROM surv2
+              |ORDER BY doc_id""".stripMargin))),
+
     // CCNet-style line-level boilerplate removal: documents are re-lined (newline
     // every 8 words) and every doc gets a universal "subscribe" footer plus a
     // per-source footer; lines appearing in ≥ 25% of documents are dropped and the

@@ -108,6 +108,41 @@ object EventStreams {
       .drop("__sig")
   }
 
+  /** Hamming-k streaming near-dup via `foreachBatch`: every micro-batch runs one
+    * round of [[graft.operators.Curation.incrementalNearDedup]] (MinHash-LSH
+    * against the accumulated index + in-batch, exact-Jaccard verified), appends
+    * survivors to `outDir` and their (band hashes, shingle set) rows to
+    * `indexDir`. Cross-document similarity joins cannot run inside a streaming
+    * plan (no watermark bound exists for "similar to anything ever seen"), so the
+    * batch operator IS the streaming operator here — `foreachBatch` is Spark's
+    * designated escape hatch for exactly this shape. The parquet appends are
+    * at-least-once on failure/retry; a transactional table format slots in at the
+    * two `write` calls for exactly-once.
+    */
+  def curateNearDupStream(
+      docs: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Curation
+    val step = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      val spark = batch.sparkSession
+      val index =
+        try spark.read.parquet(indexDir)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Curation.emptyNearDupIndex(spark) }
+      val (survivors, indexRows) = Curation.incrementalNearDedup(
+        batch, index, textCol, idCol, n, k, bands, threshold)
+      survivors.write.mode("append").parquet(outDir)
+      indexRows.write.mode("append").parquet(indexDir)
+      ()
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Streaming corpus curation — the incremental-arrival form of the batch pipeline
     * (`Curation.incrementalDedup` + langID + quality floor) over a document stream
     * (doc_id, ts, text):

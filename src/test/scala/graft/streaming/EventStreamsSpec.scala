@@ -62,6 +62,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L), s"got $kept")
   }
 
+  test("foreachBatch near-dup curation dedups across micro-batches via the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val src = MemoryStream[Doc]
+    val q = EventStreams.curateNearDupStream(src.toDF(),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", threshold = 0.5)
+    // batch 1: doc 2 is an in-batch near-dup of doc 1 ("today" -> "yesterday")
+    src.addData(
+      Doc(1, ts("2024-01-01 10:00:00"), base),
+      Doc(2, ts("2024-01-01 10:01:00"), base.replace("today", "yesterday")))
+    q.processAllAvailable()
+    // batch 2: doc 3 near-matches INDEXED doc 1; doc 4 is fresh content
+    src.addData(
+      Doc(3, ts("2024-01-01 11:00:00"), base.replace("today", "tonight")),
+      Doc(4, ts("2024-01-01 11:01:00"), "completely different content about " +
+        "databases and distributed query engines running at massive scale"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+    // the index holds exactly the survivors' band/set rows
+    val idx = spark.read.parquet(s"$tmp/index")
+    assert(idx.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(idx.columns.toSet == Set("id", "bands", "s"))
+  }
+
   test("hourly rollup closes windows once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
