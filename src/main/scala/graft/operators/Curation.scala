@@ -268,7 +268,10 @@ object Curation {
         Dedup.lshCandidatesAcross(batchBands, index.select(col("id"), col("bands"))),
         sets, index.select(col("id"), col("s")), threshold)
       .select(col("id_a").alias("id"))
+    // dropped ids feed BOTH outputs (survivor anti-join and index-row anti-join);
+    // persisting the id set (8 bytes/row) keeps the two verify pipelines single-run
     val dropped = inDups.union(vsIndex).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survivors = batch
       .join(dropped.select(col("id").alias(idCol)), Seq(idCol), "left_anti")
     val indexRows = batchBands

@@ -852,8 +852,12 @@ object Pipeline {
       val d = docs(s, dir)
       val wave1 = d.filter(col("doc_id") % 2 === 0)
       val wave2 = d.filter(col("doc_id") % 2 =!= 0)
-      val (s1, i1) = Curation.incrementalNearDedup(
+      val (s1, i1raw) = Curation.incrementalNearDedup(
         wave1, Curation.emptyNearDupIndex(s), "text", "doc_id", threshold = 0.7)
+      // the index feeds two wave-2 subtrees (band join + set verify); in the
+      // foreachBatch flow it is a materialized parquet read — here persist stands
+      // in for that materialization so wave 1 isn't recomputed per subtree
+      val i1 = i1raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (s2, _) = Curation.incrementalNearDedup(
         wave2, i1, "text", "doc_id", threshold = 0.7)
       s1.select(col("doc_id")).union(s2.select(col("doc_id"))).orderBy("doc_id")
