@@ -54,6 +54,70 @@ object Curation {
     train.join(contaminatedIds(train, benchmark, textCol, idCol, n),
       Seq(idCol), "left_anti")
 
+  /** Embedding-level decontamination: corpus rows whose vector is within cosine
+    * `threshold` of ANY benchmark vector — the semantic cousin of the 13-gram rule
+    * (catches paraphrased eval leakage that exact n-grams miss).
+    *
+    * Scale shape mirrors [[contaminatedIds]]: the benchmark is eval-set-sized, so
+    * its (id, vector, LSH bucket) table is BROADCAST and the corpus runs a map-only
+    * pass — signature + multi-probe bucket lookup + exact cosine on collisions, no
+    * corpus shuffle before the final id-only anti join. The LSH prune keeps the
+    * per-row work at |colliding benchmark rows| cosines instead of |benchmark|
+    * (recall is the banding recall of `planes`/1-bit multi-probe — exact copies
+    * always collide; see `Similarity.cosineNearDup` for the recall discussion).
+    */
+  def embeddingContaminatedIds(
+      corpus: DataFrame, benchmark: DataFrame, threshold: Double, dim: Int,
+      planes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val sig = Similarity.lshSignature(col(vecCol), dim, planes)
+    val bench = benchmark.select(col(vecCol).alias("__bv"), sig.alias("__bucket"))
+    val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
+    corpus
+      .select(col(idCol), col(vecCol), sig.alias("__sig"))
+      .withColumn("__bucket", explode(transform(probes, m => col("__sig").bitwiseXOR(m))))
+      .join(broadcast(bench), Seq("__bucket"))
+      .filter(Similarity.cosineNative(col(vecCol), col("__bv")) >= threshold)
+      .select(col(idCol)).distinct()
+  }
+
+  /** Drop corpus rows semantically too close to the benchmark (id-only anti join
+    * against [[embeddingContaminatedIds]]).
+    */
+  def decontaminateByEmbedding(
+      corpus: DataFrame, benchmark: DataFrame, threshold: Double, dim: Int,
+      planes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    corpus.join(
+      embeddingContaminatedIds(corpus, benchmark, threshold, dim, planes, idCol, vecCol),
+      Seq(idCol), "left_anti")
+
+  // ---------------------------------------------------------------- curriculum order
+
+  /** Curriculum schedule: a difficulty `bin` from fixed ascending `boundaries`
+    * (bin = number of boundaries at or below the difficulty) plus a deterministic
+    * md5-derived `sched` key, so sorting by (bin, sched, id) yields easy-to-hard
+    * training stages with reproducible within-stage mixing — the
+    * shuffle-within-stage curriculum shape.
+    *
+    * Scale: bin assignment and the schedule hash are pure map work; the only
+    * distributed cost the consumer pays is the final range-partitioned sort. At
+    * scale, exact decile boundaries come from one `stat.approxQuantile` pass fed in
+    * as `boundaries` — never a global `ntile` window, whose single-partition sort
+    * serializes the corpus through one task.
+    */
+  def curriculum(
+      df: DataFrame, difficulty: Column, idCol: String,
+      boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "curriculum needs ascending, non-empty boundaries")
+    val bin = boundaries
+      .map(b => when(difficulty >= lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("bin", bin)
+      .withColumn("sched", Dedup.md5Hash60(col(idCol).cast("string")))
+  }
+
   // ---------------------------------------------------------------- per-domain caps
 
   /** Keep at most `k` rows per key, preferring the `ordering` columns (which must be

@@ -1407,7 +1407,163 @@ object Pipeline {
              |  cast(date_diff('day', cohort, p) as int) AS offset_days,
              |  count(DISTINCT a.user_id) AS users
              |FROM a JOIN c USING (user_id)
-             |GROUP BY 1, 2 ORDER BY cohort, offset_days""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY cohort, offset_days""".stripMargin))),
+
+    // As-of join (purchase attribution): each purchase matched to the latest click
+    // at-or-before it by the same user — EventOps.asofJoin's union+window scan vs
+    // DuckDB's NATIVE ASOF JOIN, the cross-engine parity check for the operator
+    // Spark lacks. Clicks are pre-collapsed to one row per (user, instant) with
+    // arg_max-by-event_id in BOTH engines, so the as-of match is unique by
+    // construction, not by fixture luck.
+    // Timestamps are compared at µs (ts div 1000 / epoch_us): DuckDB truncates the
+    // parquet ns column to TIMESTAMP(µs) on read, so µs is the exact precision BOTH
+    // engines share (and µs epochs stay under 2^53, surviving pandas' float64).
+    "e6_asof_join" -> (((s: SparkSession, dir: String) => {
+      val e = events(s, dir).withColumn("ts", expr("ts div 1000"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(expr("max_by(value, event_id)").alias("value"),
+          max(col("event_id")).alias("click_id"))
+      EventOps.asofJoin(p, c, Seq("user_id"), "ts", "ts", Seq("value"), "click_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_value"), col("asof_ts"))
+        .orderBy("event_id")
+    },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+             |  WHERE event_type = 'purchase'
+             |), c AS (
+             |  SELECT user_id, epoch_us(ts) AS ts, arg_max(value, event_id) AS value
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+             |)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |  c.value AS asof_value, c.ts AS asof_ts
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin))),
+
+    // Range (interval) join: clicks within +-1 hour of each error by the same
+    // user — EventOps.rangeJoin's binned equi-join (bounded 2x left expansion, no
+    // per-key nested loop) vs DuckDB's raw inequality join. Float sums ride a
+    // decimal cast so the aggregation order can't perturb the hash.
+    "e7_range_join" -> (((s: SparkSession, dir: String) => {
+      val e = events(s, dir).withColumn("ts", expr("ts div 1000")) // µs, see e6
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val win = 3600L * 1000000L // 1 hour in µs
+      EventOps.rangeJoin(err, clk, Seq("user_id"), "ts", "ts", -win, win)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).alias("n_clicks"),
+          sum(col("r_value").cast("decimal(18,6)")).cast("double").alias("sum_value"))
+        .orderBy("event_id")
+    },
+      Some("""WITH err AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+             |  WHERE event_type = 'error'
+             |), clk AS (
+             |  SELECT user_id, epoch_us(ts) AS ts, value FROM events
+             |  WHERE event_type = 'click'
+             |)
+             |SELECT e.event_id, count(*) AS n_clicks,
+             |  cast(sum(cast(c.value as decimal(18,6))) as double) AS sum_value
+             |FROM err e JOIN clk c ON e.user_id = c.user_id
+             |  AND c.ts BETWEEN e.ts - 3600000000 AND e.ts + 3600000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Curriculum schedule: word-count difficulty binned at the corpus quartiles,
+    // deterministic md5 schedule key for within-stage mixing. Sorting the output by
+    // (bin, sched, doc_id) IS the easy-to-hard training order; bin and key are
+    // map-computed (no ntile window — see Curation.curriculum).
+    "t13_curriculum" -> (((s: SparkSession, dir: String) => {
+      val staged = docs(s, dir).select(col("doc_id"),
+        array_size(Dedup.wordsArray(col("text"))).alias("n_words"))
+      Curation.curriculum(staged, col("n_words"), "doc_id", Seq(32, 56, 76))
+        .select(col("doc_id"), col("n_words"), col("bin"), col("sched"))
+        .orderBy("bin", "sched", "doc_id")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents
+             |), n AS (SELECT doc_id, cast(len(words) as int) AS n_words FROM w)
+             |SELECT doc_id, n_words,
+             |  (CASE WHEN n_words >= 32 THEN 1 ELSE 0 END
+             |   + CASE WHEN n_words >= 56 THEN 1 ELSE 0 END
+             |   + CASE WHEN n_words >= 76 THEN 1 ELSE 0 END) AS bin,
+             |  ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT AS sched
+             |FROM n ORDER BY bin, sched, doc_id""".stripMargin))),
+
+    // Embedding-level decontamination: drop corpus vectors within cosine 0.9 of any
+    // benchmark vector (benchmark = every 20th id, so planted overlap is exact and
+    // always LSH-reachable; natural >=0.9 neighbors ride the same banding recall the
+    // d6 oracle already verifies). The benchmark bucket table broadcasts; the corpus
+    // never shuffles before the id-only anti join (plan-asserted).
+    "p8_embed_decontam" -> (((s: SparkSession, dir: String) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val bench = e.filter(col("vec_id") % 20 === 0)
+      Curation.decontaminateByEmbedding(e, bench, threshold = 0.9, dim = 64, planes = 8)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    },
+      Some("""SELECT c.vec_id FROM embeddings c
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM embeddings b
+             |  WHERE b.vec_id % 20 = 0
+             |    AND list_cosine_similarity(c.embedding, b.embedding) >= 0.9)
+             |ORDER BY vec_id""".stripMargin))),
+
+    // Canonical-document selection per near-dup cluster: the longest member wins,
+    // ties to the lowest id — the "keep best, not first" cluster collapse real
+    // pipelines run after connected components. Oracle rebuilds the clusters via
+    // the recursive closure (d9's) and the same argmax relationally.
+    "p9_cluster_canonical" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashNearDup(d, "text", "doc_id",
+        n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
+      val cc = Curation.connectedComponents(pairs)
+      val words = d.select(col("doc_id").alias("id"),
+        array_size(Dedup.wordsArray(col("text"))).alias("n_words"))
+      val m = cc.join(words, "id")
+      val best = m.groupBy(col("component"))
+        .agg(max(col("n_words")).alias("bw"), count(lit(1)).alias("n_members"))
+      m.join(best, "component").filter(col("n_words") === col("bw"))
+        .groupBy(col("component"))
+        .agg(min(col("id")).alias("canonical_id"),
+          min(col("bw")).alias("canon_words"),
+          min(col("n_members")).alias("n_members"))
+        .orderBy("component")
+    },
+      Some(s"""${duckShingleSets.replaceFirst("WITH", "WITH RECURSIVE")}, p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM g a, g b
+              |  WHERE a.doc_id < b.doc_id
+              |    AND round(len(list_intersect(a.s, b.s)) * 1.0
+              |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7
+              |), e AS (
+              |  SELECT id_a AS u, id_b AS v FROM p
+              |  UNION ALL
+              |  SELECT id_b AS u, id_a AS v FROM p
+              |), reach(u, v) AS (
+              |  SELECT u, v FROM e
+              |  UNION
+              |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+              |), cc AS (
+              |  SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+              |), m AS (
+              |  SELECT cc.id, cc.component, cast(len(w.words) as int) AS n_words
+              |  FROM cc JOIN w ON w.doc_id = cc.id
+              |), b AS (
+              |  SELECT component, max(n_words) AS bw, count(*) AS n_members
+              |  FROM m GROUP BY component
+              |)
+              |SELECT m.component, min(m.id) AS canonical_id,
+              |  cast(min(b.bw) as int) AS canon_words, min(b.n_members) AS n_members
+              |FROM m JOIN b USING (component) WHERE m.n_words = b.bw
+              |GROUP BY m.component ORDER BY component""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -231,4 +231,23 @@ class PlanQualitySpec extends AnyFunSuite {
     // composed form's 64-copy CASE overflowed Janino and fell back to interpreted
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan.take(1500))
   }
+
+  test("e6_asof_join: union+window scan, never a join — hot keys cost |key|, not |L|x|R|") {
+    val plan = executedPlan("e6_asof_join")
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+    // both sides shuffle once by user_id for the window; nothing else re-exchanges
+    // the event rows before the final presentation sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"$exchanges hash exchanges\n" + plan.take(2000))
+  }
+
+  test("e7_range_join: binned equi-join, never a nested loop / cartesian") {
+    val plan = executedPlan("e7_range_join")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the bin key joins as an equality: SortMergeJoin or ShuffledHashJoin (or a
+    // broadcast hash join if AQE sizes one side small) — all hash-based
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
