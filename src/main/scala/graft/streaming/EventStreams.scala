@@ -76,6 +76,51 @@ object EventStreams {
       }
   }
 
+  final case class TaggedEvent(
+      key: Long, ts: Long, isRight: Boolean, tie: Long, value: Double)
+  final case class AsofEnriched(
+      key: Long, ts: Long, tie: Long,
+      asof_ts: Option[Long], asof_value: Option[Double])
+
+  /** Streaming as-of enrichment — the online form of
+    * [[graft.operators.EventOps.asofJoin]]: a single tagged stream (right rows are
+    * reference updates, left rows are lookups) where each left row emits with the
+    * greatest right `(ts, tie)` at-or-before it seen so far on its key. Per-key
+    * state is ONE (ts, tie, value) triple — 24 bytes per key regardless of stream
+    * length, so 10⁹ keys spread across the cluster's state stores like
+    * [[runningTotals]].
+    *
+    * Within a micro-batch, rows process in full (ts, side, tie) order — identical
+    * tie/boundary semantics to the batch operator (same-instant right rows are
+    * visible to left rows). ACROSS batches the guarantee is weaker by nature: a
+    * left row arriving after a right row with a later event-time has already been
+    * processed will see that newer value (processing-time race inherent to online
+    * enrichment; bound it upstream with a watermark-sorted source, or run the batch
+    * operator over closed windows for exact replay).
+    */
+  def asofEnrichStream(tagged: Dataset[TaggedEvent]): Dataset[AsofEnriched] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Double), AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[TaggedEvent], state: GroupState[(Long, Long, Double)]) =>
+          var cur = state.getOption // (ts, tie, value) of the best right row so far
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
+          // batch-local ordering: ts, then right-before-left, then tie
+          rows.toSeq.sortBy(e => (e.ts, if (e.isRight) 0 else 1, e.tie)).foreach { e =>
+            if (e.isRight) {
+              if (cur.forall(c => e.ts > c._1 || (e.ts == c._1 && e.tie >= c._2)))
+                cur = Some((e.ts, e.tie, e.value))
+            } else {
+              out += AsofEnriched(key, e.ts, e.tie, cur.map(_._1), cur.map(_._3))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Source-side dedup for at-least-once delivery: drops event_id duplicates whose
     * first occurrence is within the watermark horizon. State is one entry per id in
     * the horizon — bounded, unlike un-watermarked dropDuplicates.

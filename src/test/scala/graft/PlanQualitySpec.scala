@@ -242,6 +242,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges hash exchanges\n" + plan.take(2000))
   }
 
+  test("p8_embed_decontam: benchmark buckets broadcast; corpus joins map-side") {
+    val plan = executedPlan("p8_embed_decontam")
+    // contamination probing joins the broadcast bench table (no corpus shuffle
+    // before the hit-id distinct); the final anti join carries ids only
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val anti = "(?s)Join LeftAnti.*".r.findFirstIn(plan).getOrElse("")
+    assert(!anti.contains("embedding#") ||
+      !"Exchange hashpartitioning\\([^)]*embedding".r.findFirstIn(plan).isDefined,
+      "an exchange carries embedding vectors\n" + plan.take(2000))
+  }
+
   test("e7_range_join: binned equi-join, never a nested loop / cartesian") {
     val plan = executedPlan("e7_range_join")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))

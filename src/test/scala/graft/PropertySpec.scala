@@ -228,4 +228,54 @@ class PropertySpec extends AnyFunSuite {
       assert(s >= 0.0 && s <= 1.0, s"score $s for '$text'")
     }
   }
+
+  // random tagged event streams over few keys/timestamps so collisions (same-instant
+  // rows, ties, empty sides) are generated often
+  private val genEvents = for {
+    nl <- Gen.choose(0, 15); nr <- Gen.choose(0, 15)
+    l <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 20L)))
+    r <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 20L)))
+  } yield (l, r)
+
+  test("property: asofJoin equals the brute-force argmax on random event sets") {
+    forSamples(genEvents, 10) { case (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "ts")
+      val right = r.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, k, t, i * 1.5) }
+        .toDF("tie", "k", "ts", "v")
+      val got = graft.operators.EventOps
+        .asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"), "tie")
+        .select("id", "asof_ts", "asof_v").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+      val rr = r.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, k, t, i * 1.5) }
+      val expect = l.zipWithIndex.map { case ((k, t), i) =>
+        val best = rr.filter(x => x._2 == k && x._3 <= t)
+          .sortBy(x => (x._3, x._1)).lastOption
+        (i.toLong, best.map(_._3: Any), best.map(_._4: Any))
+      }.toSet
+      assert(got == expect, s"asof diverged\n got=$got\n exp=$expect")
+    }
+  }
+
+  test("property: rangeJoin equals the brute-force interval filter on random event sets") {
+    forSamples(genEvents, 10) { case (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "ts")
+      val right = r.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, k, t) }
+        .toDF("tie", "k", "ts")
+      for ((lo, hi) <- Seq((-5L, 5L), (0L, 3L), (-7L, 0L), (2L, 2L))) {
+        val got = graft.operators.EventOps
+          .rangeJoin(left, right, Seq("k"), "ts", "ts", lo, hi)
+          .select("id", "r_tie").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+        val rr = r.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, k, t) }
+        val expect = (for {
+          ((lk, lt), li) <- l.zipWithIndex
+          (tie, rk, rt) <- rr
+          if lk == rk && rt >= lt + lo && rt <= lt + hi
+        } yield (li.toLong, tie)).sorted
+        assert(got == expect, s"range[$lo,$hi] diverged\n got=$got\n exp=$expect")
+      }
+    }
+  }
 }

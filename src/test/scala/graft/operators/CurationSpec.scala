@@ -352,4 +352,45 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("redacted") == "no pii here at all")
     assert(out(2).getAs[Int]("n_emails") == 2 && out(2).getAs[Int]("n_ips") == 2)
   }
+
+  test("curriculum bins at the boundaries and the schedule key is id-stable") {
+    val d = Seq((1L, 10.0), (2L, 32.0), (3L, 55.9), (4L, 56.0), (5L, 99.0))
+      .toDF("doc_id", "difficulty")
+    val out = Curation.curriculum(d, col("difficulty"), "doc_id", Seq(32.0, 56.0, 76.0))
+      .orderBy("doc_id").collect()
+    // boundary values land in the HIGHER bin (>=), just below stays lower
+    assert(out.map(_.getAs[Int]("bin")).toSeq == Seq(0, 1, 1, 2, 3))
+    val again = Curation.curriculum(d, col("difficulty"), "doc_id", Seq(32.0, 56.0, 76.0))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("sched")).toSeq
+    assert(out.map(_.getAs[Long]("sched")).toSeq == again, "sched key must be deterministic")
+    assert(intercept[IllegalArgumentException] {
+      Curation.curriculum(d, col("difficulty"), "doc_id", Seq(56.0, 32.0))
+    }.getMessage.contains("ascending"))
+  }
+
+  test("embedding decontamination drops exact and near benchmark copies, keeps the rest") {
+    def unit(seed: Int): Seq[Float] = {
+      // deterministic pseudo-random unit vector (no Math.random in tests either)
+      val raw = (0 until 8).map(j => math.sin(seed * 31 + j * 7).toFloat)
+      val n = math.sqrt(raw.map(x => x * x).sum).toFloat
+      raw.map(_ / n)
+    }
+    def nudge(v: Seq[Float]): Seq[Float] = { // tiny rotation: cosine stays ~0.999
+      val m = v.updated(0, v.head + 0.01f)
+      val n = math.sqrt(m.map(x => x * x).sum).toFloat
+      m.map(_ / n)
+    }
+    val bench = Seq((100L, unit(1)), (101L, unit(2))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, unit(1)),        // exact copy of bench 100
+      (2L, nudge(unit(2))), // near copy of bench 101
+      (3L, unit(9)), (4L, unit(17)), (5L, unit(23))
+    ).toDF("vec_id", "embedding")
+    val kept = Curation.decontaminateByEmbedding(corpus, bench, threshold = 0.95, dim = 8)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(!kept.contains(1L), "exact benchmark copy must be dropped")
+    assert(!kept.contains(2L), "near benchmark copy must be dropped")
+    assert(kept.nonEmpty && kept.forall(Seq(3L, 4L, 5L).contains),
+      s"unrelated vectors should survive, got $kept")
+  }
 }

@@ -140,6 +140,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("n_events") == 2 && r.getAs[Double]("total_value") == 5.0))
   }
 
+  test("streaming as-of enrichment: batch-exact ordering, state carries across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{TaggedEvent => T}
+    val src = MemoryStream[T]
+    val q = EventStreams.asofEnrichStream(src.toDS()).writeStream
+      .format("memory").queryName("asof").outputMode("append").start()
+    // batch 1: quote@100 then lookup@150 (in-batch match), lookup@50 (no quote yet),
+    // same-instant quote+lookup@200 (inclusive boundary), quote tie at 200
+    src.addData(
+      T(1, 100L, isRight = true, tie = 1L, value = 10.0),
+      T(1, 150L, isRight = false, tie = 0L, value = 0.0),
+      T(1, 50L, isRight = false, tie = 0L, value = 0.0),
+      T(1, 200L, isRight = true, tie = 2L, value = 20.0),
+      T(1, 200L, isRight = true, tie = 3L, value = 21.0),
+      T(1, 200L, isRight = false, tie = 0L, value = 0.0))
+    q.processAllAvailable()
+    // batch 2: lookup@300 must see batch 1's best quote (200, tie 3) from state
+    src.addData(T(1, 300L, isRight = false, tie = 0L, value = 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof").orderBy("ts").collect()
+      .map(r => (r.getAs[Long]("ts"), Option(r.getAs[Any]("asof_ts")),
+        Option(r.getAs[Any]("asof_value"))))
+    assert(rows(0) == ((50L, None, None)),           "lookup before any quote")
+    assert(rows(1) == ((150L, Some(100L), Some(10.0))), "in-batch preceding quote")
+    assert(rows(2) == ((200L, Some(200L), Some(21.0))), "same-instant + tie by max tie")
+    assert(rows(3) == ((300L, Some(200L), Some(21.0))), "state carries across triggers")
+  }
+
   test("dropDuplicatesWithinWatermark removes redelivered events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
