@@ -25,6 +25,19 @@ object TextAnalysis {
     greatest(words, ceil(chars.cast("double") / 4.0).cast("long"))
   }
 
+  /** EXACT subword token count under a trained BPE merge table (the real
+    * vocabulary-aware count [[subwordCount]] approximates) — train with
+    * `Bpe.learnMergesFromCorpus`, count map-side via the native
+    * [[graft.functions.BpeCountWords]] kernel.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BpeCountWords(
+        org.apache.spark.sql.graft.Bridge.toExpression(spark,
+          graft.operators.Dedup.wordsArray(text)), merges))
+  }
+
   /** GPT-2-style pre-tokenizer pattern, lookahead-free so the identical regex runs on
     * Java regex (Spark) and RE2 (DuckDB, for the oracle): contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs.

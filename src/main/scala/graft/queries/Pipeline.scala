@@ -1563,7 +1563,86 @@ object Pipeline {
               |SELECT m.component, min(m.id) AS canonical_id,
               |  cast(min(b.bw) as int) AS canon_words, min(b.n_members) AS n_members
               |FROM m JOIN b USING (component) WHERE m.n_words = b.bw
-              |GROUP BY m.component ORDER BY component""".stripMargin)))
+              |GROUP BY m.component ORDER BY component""".stripMargin))),
+
+    // EXACT BPE token counts under the pretrained merge table — the real greedy
+    // merge algorithm (native codegen kernel), not the regex pre-tokenizer of t3.
+    // The oracle replays the identical greedy encode in a recursive CTE: each word
+    // is a '|'-delimited symbol string, each step applies the lowest-ranked
+    // applicable merge at its leftmost occurrence, terminal states are the rows no
+    // merge applies to. String-level replace is symbol-safe because '|' never
+    // occurs inside a symbol, so every pattern match aligns with symbol bounds.
+    "t14_bpe_tokens" -> (((s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"),
+          graft.functions.Bpe.pretrainedMerges).alias("n_bpe_exact"))
+        .orderBy("doc_id"),
+      Some {
+        val mergeRows = graft.functions.Bpe.pretrainedMerges.zipWithIndex
+          .map { case ((a, b), i) => s"($i, '|$a|$b|', '|$a$b|')" }
+          .mkString(",\n|    ")
+        s"""WITH RECURSIVE mg(rk, pat, rep) AS (
+           |  VALUES $mergeRows
+           |), w AS (
+           |  SELECT doc_id, list_filter(
+           |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\\s+'),
+           |    x -> len(x) > 0) AS words
+           |  FROM documents
+           |), wx AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(words))) AS i, words FROM w
+           |), init AS (
+           |  SELECT doc_id, i,
+           |    '|' || regexp_replace(words[i], '(.)', '\\1|', 'g') AS s
+           |  FROM wx
+           |), enc(doc_id, i, s) AS (
+           |  SELECT doc_id, i, s FROM init
+           |  UNION ALL
+           |  SELECT doc_id, i, substr(s, 1, p - 1) || rep || substr(s, p + length(pat))
+           |  FROM (
+           |    SELECT e.doc_id, e.i, e.s, m.pat, m.rep, strpos(e.s, m.pat) AS p
+           |    FROM enc e JOIN mg m
+           |      ON m.rk = (SELECT min(m2.rk) FROM mg m2 WHERE strpos(e.s, m2.pat) > 0))
+           |), fin AS (
+           |  SELECT doc_id, length(s) - length(replace(s, '|', '')) - 1 AS n_tok
+           |  FROM enc e
+           |  WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE strpos(e.s, m.pat) > 0)
+           |)
+           |SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_bpe_exact
+           |FROM documents d LEFT JOIN
+           |  (SELECT doc_id, sum(n_tok) AS n FROM fin GROUP BY doc_id) c
+           |  USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      })),
+
+    // Corpus-sink shard manifest: token-budgeted (bucket, pack) shard assignment via
+    // the packSequences rule, collapsed to the per-shard accounting artifact a
+    // training job resumes from. The oracle rebuilds the same bucketed running sum
+    // and aggregation; sums are cast to BIGINT (DuckDB sum(BIGINT) is HUGEINT).
+    "w1_shard_manifest" -> (((s: SparkSession, dir: String) =>
+      graft.sinks.CorpusSink.shardManifest(
+        graft.sinks.CorpusSink.assignShards(
+          docs(s, dir), "text", "doc_id", budget = 256, buckets = 8),
+        "doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, cast(len(words) as bigint) AS nt,
+             |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 8 AS bucket
+             |  FROM w
+             |), p AS (
+             |  SELECT doc_id, bucket, nt,
+             |    sum(nt) OVER (PARTITION BY bucket ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS st
+             |  FROM t
+             |)
+             |SELECT bucket, cast(floor(st / 256.0) as bigint) AS pack_ix,
+             |  count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM p GROUP BY bucket, pack_ix
+             |ORDER BY bucket, pack_ix""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,97 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Training-corpus output: the write side of the curation pipeline.
+  *
+  * A curated corpus leaves the engine in one of two shapes:
+  *
+  *   - '''token-budgeted shards''' ([[writeShards]]): documents are assigned to
+  *     fixed-token-budget shards with [[Curation.packSequences]]' deterministic
+  *     concat-and-cut rule, then each (bucket, pack) lands in exactly one output
+  *     file — the layout a data loader streams sequentially, one shard per reader,
+  *     no shard ever larger than its token budget by more than one document.
+  *   - '''JSONL export''' ([[writeJsonl]]): one JSON object per line, the lingua
+  *     franca of tokenizer/training tooling.
+  *
+  * Both paths also produce a driver-sized '''shard manifest''' ([[shardManifest]]):
+  * one row per shard with document/token counts and id bounds, the artifact a
+  * training job uses for deterministic resume and per-shard accounting.
+  *
+  * Scale notes. Shard assignment is packSequences' bucketed cumulative-sum window —
+  * parallel across `buckets`, never a single global sort. The physical write
+  * repartitions by (bucket, pack_ix), so one shuffle sized by the corpus; files come
+  * out one-per-shard via `partitionBy` directory layout. The manifest is an
+  * aggregation collapsing to |shards| rows — always driver-safe. Nothing here
+  * collects document text to the driver.
+  */
+object CorpusSink {
+
+  /** Assign each document to a (bucket, pack_ix) shard under `budget` tokens via
+    * the packSequences rule, returning the input columns plus `bucket`, `pack_ix`,
+    * and `n_tokens`. `tokens` defaults to whitespace-word count when not supplied
+    * as a column name present in `df`.
+    */
+  def assignShards(
+      df: DataFrame, textCol: String, idCol: String,
+      budget: Int = 2048, buckets: Int = 8, tokensCol: Option[String] = None)
+      : DataFrame = {
+    val toks = tokensCol.map(col).getOrElse(
+      array_size(graft.operators.Dedup.wordsArray(col(textCol))))
+    val staged = df.withColumn("n_tokens", toks.cast("long"))
+    val packed = Curation.packSequences(staged, idCol, col("n_tokens"),
+      budget = budget, buckets = buckets)
+      .select(col("id").alias(idCol), col("bucket"), col("pack_ix"))
+    staged.join(packed, Seq(idCol))
+  }
+
+  /** Write `df` as token-budgeted parquet shards under `path`:
+    * `path/bucket=N/pack_ix=M/part-*.parquet`, exactly one file per shard
+    * (each (bucket, pack) group is repartitioned into its own task). Returns the
+    * shard manifest of what was written.
+    */
+  def writeShards(
+      df: DataFrame, path: String, textCol: String, idCol: String,
+      budget: Int = 2048, buckets: Int = 8, mode: SaveMode = SaveMode.Overwrite)
+      : DataFrame = {
+    val assigned = assignShards(df, textCol, idCol, budget, buckets)
+    assigned
+      .repartition(col("bucket"), col("pack_ix"))
+      .write.mode(mode)
+      .partitionBy("bucket", "pack_ix")
+      .parquet(path)
+    shardManifest(assigned, idCol)
+  }
+
+  /** One row per shard: document count, token sum, id bounds — the resume/accounting
+    * artifact. Input must carry `bucket`, `pack_ix`, `n_tokens` (assignShards
+    * output).
+    */
+  def shardManifest(assigned: DataFrame, idCol: String): DataFrame =
+    assigned.groupBy(col("bucket"), col("pack_ix"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(col("n_tokens")).alias("n_tokens"),
+        min(col(idCol)).alias("min_id"),
+        max(col(idCol)).alias("max_id"))
+      .orderBy("bucket", "pack_ix")
+
+  /** Export as JSONL (one JSON object per line, text format the tokenizer stack
+    * reads): each output column becomes a JSON field; one file per `bucket` of the
+    * deterministic md5 id-hash so export parallelism and file count are explicit
+    * and reproducible.
+    */
+  def writeJsonl(
+      df: DataFrame, path: String, idCol: String, files: Int = 8,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val bucket = graft.operators.Dedup.md5Hash60(col(idCol).cast("string")) % files
+    df.withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .write.mode(mode)
+      .partitionBy("bucket")
+      .json(path)
+  }
+}
