@@ -380,6 +380,29 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Temperature-style domain rebalancing: keep each row of domain `d` with rate
+    * `min(1, scale / sqrt(n_d))` — the α = 0.5 corner of the `p_d ∝ n_d^α` sampling
+    * temperature used to flatten head-heavy corpus mixes (big domains are
+    * downsampled toward `scale·sqrt(n_d)` docs, tail domains kept whole). `scale`
+    * is the calibration knob: expected output size is `Σ_d min(n_d, scale·sqrt(n_d))`.
+    *
+    * α is fixed at 0.5 deliberately: IEEE-754 `sqrt` is exactly rounded on every
+    * platform (unlike `pow`/`exp`/`log`), so the per-domain rate — and therefore
+    * the md5-threshold keep/drop decision — is bit-identical across engines, which
+    * keeps this operator oracle-checkable and run-to-run reproducible.
+    *
+    * Scale shape: one count aggregation collapsing to |domains| rows (map-side
+    * partial), broadcast back; sampling itself is [[weightedMix]]'s pure map stage.
+    */
+  def temperatureMix(
+      df: DataFrame, keyCol: String, idCol: String, scale: Double): DataFrame = {
+    val rates = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).alias("__n"))
+      .select(col(keyCol),
+        least(lit(1.0), lit(scale) / sqrt(col("__n").cast("double"))).alias("__rate"))
+    weightedMix(df, keyCol, idCol, rates)
+  }
+
   // ------------------------------------------------------ dup-cluster components
 
   /** Connected components over a pair table — the step every near-dup pipeline needs

@@ -1642,7 +1642,33 @@ object Pipeline {
              |  count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM p GROUP BY bucket, pack_ix
-             |ORDER BY bucket, pack_ix""".stripMargin)))
+             |ORDER BY bucket, pack_ix""".stripMargin))),
+
+    // Temperature-scaled domain rebalancing (α = 0.5): even doc_ids are collapsed
+    // into one oversized 'head' domain, which the inverse-sqrt rate downsamples to
+    // ~32% while the 25× smaller tail domains cap at rate 1.0 and survive whole —
+    // the flatten-the-head mix shape. sqrt is IEEE exactly-rounded in both engines,
+    // so the rate boundary (and thus the md5-threshold sample) hash-matches.
+    "p10_temperature_mix" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("head")).otherwise(col("source"))
+          .alias("domain"))
+      Curation.temperatureMix(d, "domain", "doc_id", scale = 5.0)
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'head' ELSE source END AS domain
+             |  FROM documents
+             |), c AS (
+             |  SELECT domain, count(*) AS n FROM d GROUP BY domain
+             |)
+             |SELECT doc_id, domain FROM d JOIN c USING (domain)
+             |WHERE (('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+             |        % 1000000)::DOUBLE / 1000000.0
+             |  < least(1.0, 5.0 / sqrt(n::DOUBLE))
+             |ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

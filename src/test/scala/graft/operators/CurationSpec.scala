@@ -213,6 +213,27 @@ class CurationSpec extends AnyFunSuite {
     assert(sample(0.3, 0.8) == s1)
   }
 
+  test("temperatureMix downsamples the head domain to ~scale*sqrt(n) and keeps tails whole") {
+    // head: 1600 docs; tails: 4 domains of 100 docs each
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, if (i <= 1600) "head" else s"tail${i % 4}")
+    }
+    val df = rows.toDF("id", "domain")
+    val kept = Curation.temperatureMix(df, "domain", "id", scale = 8.0)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("domain")))
+    // tail rate = min(1, 8/sqrt(100)) = 0.8; head rate = 8/sqrt(1600) = 0.2
+    val headKept = kept.count(_._2 == "head") / 1600.0
+    val tailKept = kept.count(_._2 != "head") / 400.0
+    assert(math.abs(headKept - 0.2) < 0.05, f"head rate off: $headKept%.2f")
+    assert(math.abs(tailKept - 0.8) < 0.08, f"tail rate off: $tailKept%.2f")
+    // a domain small enough to cap at rate 1.0 survives whole
+    val tiny = (1 to 20).map(i => (10000L + i, "tiny")).toDF("id", "domain")
+    val both = df.union(tiny)
+    val keptTiny = Curation.temperatureMix(both, "domain", "id", scale = 8.0)
+      .filter($"domain" === "tiny").count()
+    assert(keptTiny == 20, s"tiny domain must cap at rate 1.0, kept $keptTiny/20")
+  }
+
   // ---------------- connected components ----------------
 
   /** Reference union-find, for checking the distributed star algorithm. */

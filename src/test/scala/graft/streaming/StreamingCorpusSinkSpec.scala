@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingCorpusSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  final case class Doc(doc_id: Long, text: String)
+
+  private def doc(i: Int) = Doc(i.toLong, (s"tok$i " * (5 + i % 11)).trim)
+
+  test("shard sink packs each batch into new shards continuing per-bucket numbering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Files.createTempDirectory("streamshards").toString
+    val (dataDir, manifestDir, ckpt) =
+      (s"$base/data", s"$base/manifest", s"$base/ckpt")
+
+    val src = MemoryStream[Doc]
+    val q = StreamingCorpusSink.shardSinkStream(
+      src.toDF(), dataDir, manifestDir, ckpt,
+      budget = 48, buckets = 4)
+    src.addData((1 to 40).map(doc): _*)
+    q.processAllAvailable()
+    src.addData((41 to 70).map(doc): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // every doc landed exactly once
+    val back = spark.read.parquet(dataDir)
+    assert(back.count() == 70)
+    assert(back.select("doc_id").distinct().count() == 70)
+
+    val manifest = spark.read.parquet(manifestDir)
+    // manifest accounts for the same shards the data layout holds
+    val diskShards = back.select("bucket", "pack_ix").distinct().count()
+    assert(manifest.select("bucket", "pack_ix").distinct().count() == diskShards)
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) == 70)
+
+    // batch 2's packs continue after batch 1's per bucket — no shard is reopened
+    val perBatch = manifest.groupBy("bucket").pivot("batch_id", Seq(0, 1))
+      .agg(min("pack_ix").alias("lo"), max("pack_ix").alias("hi"))
+    perBatch.collect().foreach { r =>
+      val (hi0, lo1) = (r.getAs[Any]("0_hi"), r.getAs[Any]("1_lo"))
+      if (hi0 != null && lo1 != null)
+        assert(lo1.asInstanceOf[Long] == hi0.asInstanceOf[Long] + 1,
+          s"bucket ${r.get(0)}: batch-1 packs must start right after batch-0's")
+    }
+
+    // budget holds: no shard exceeds budget + one-doc spill
+    val maxDoc = back.agg(max("n_tokens")).head.getLong(0)
+    manifest.collect().foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= 48 + maxDoc)
+    }
+  }
+}
