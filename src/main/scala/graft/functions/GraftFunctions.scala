@@ -107,7 +107,25 @@ object GraftFunctions {
     FnSpec("arrow_typeof", "scalar", "(x any)", "string", "Spark typeof"),
     FnSpec("nth_value", "window", "(x any, n int)", "any", "Spark nth_value window function"))
 
-  def listing: Seq[FnSpec] = registered ++ builtinMappings
+  /** Pipeline text/vector kernels exposed to SQL (beyond the reference's surface):
+    * the same native expressions the Scala operators ride, callable as plain SQL
+    * functions so spark-sql / JDBC / pyspark users reach them without the Scala API.
+    */
+  val pipelineKernels: Seq[FnSpec] = Seq(
+    FnSpec("stopword_langid", "scalar", "(text string)", "string",
+      "Stopword-count language ID over {en,de,fr,es,zh} (native one-pass expression)"),
+    FnSpec("minhash_words", "scalar", "(words array<string>[, n int, k int])", "array<bigint>",
+      "k MinHash signature values over word n-gram shingles, one pass, no shuffle"),
+    FnSpec("simhash_words", "scalar", "(words array<string>[, n int, bits int])", "bigint",
+      "SimHash bit signature over word n-gram shingles (near-dup fingerprint)"),
+    FnSpec("shingle_hashes", "scalar", "(words array<string>[, n int])", "array<bigint>",
+      "Distinct 60-bit hashes of word n-gram shingles (Jaccard set representation)"),
+    FnSpec("window_hashes", "scalar", "(words array<string>, window int)", "array<bigint>",
+      "Rolling window hashes for substring-duplication span detection"),
+    FnSpec("bpe_count", "scalar", "(words array<string>)", "bigint",
+      "Exact BPE token count under the pretrained merge table (greedy merge, codegen'd)"))
+
+  def listing: Seq[FnSpec] = registered ++ builtinMappings ++ pipelineKernels
 
   /** CSV-driven function registry (A20): the reference loads per-dialect remote
     * function lists from CSV `function_type,name,return_type,param_names,param_types,
@@ -179,8 +197,43 @@ object GraftFunctions {
     when(size(a) >= n, slice(a, lit(1), n))
       .otherwise(concat(a, array_repeat(pad, (n - size(a)).cast("int"))))
 
+  /** SQL builders for [[pipelineKernels]] — shared between session registration
+    * ([[register]]) and the config-driven injection path
+    * ([[graft.GraftExtensions]], `spark.sql.extensions=graft.GraftExtensions`).
+    * Tuning arguments (n, k, bits, window) must be integer literals: they become
+    * part of the generated code, not per-row inputs.
+    */
+  val kernelBuilders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def intLit(e: Expression, fn: String, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case Literal(v: Short, _) => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal (it is compiled into the kernel)")
+    }
+    Seq(
+      "stopword_langid" -> ((args: Seq[Expression]) => StopwordLangId(args.head)),
+      "minhash_words" -> ((args: Seq[Expression]) => MinHashWords(args.head,
+        n = if (args.length > 1) intLit(args(1), "minhash_words", "n") else 3,
+        k = if (args.length > 2) intLit(args(2), "minhash_words", "k") else 32)),
+      "simhash_words" -> ((args: Seq[Expression]) => SimHashWords(args.head,
+        n = if (args.length > 1) intLit(args(1), "simhash_words", "n") else 3,
+        bits = if (args.length > 2) intLit(args(2), "simhash_words", "bits") else 60)),
+      "shingle_hashes" -> ((args: Seq[Expression]) => ShingleHashes(args.head,
+        n = if (args.length > 1) intLit(args(1), "shingle_hashes", "n") else 3)),
+      "window_hashes" -> ((args: Seq[Expression]) =>
+        WindowHashes(args.head, intLit(args(1), "window_hashes", "window"))),
+      "bpe_count" -> ((args: Seq[Expression]) =>
+        BpeCountWords(args.head, Bpe.pretrainedMerges)))
+  }
+
   /** Register every gap-fill as a temporary SQL function on the session. Idempotent. */
   def register(spark: SparkSession): Unit = {
+    kernelBuilders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, builder)
+    }
     // Native plan-time builders (chrono translation / interval-stride dispatch
     // cannot be expressed as a SQL-function body — they need the stride's TYPE).
     Aggregators.register(spark)
