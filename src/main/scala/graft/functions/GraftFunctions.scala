@@ -123,7 +123,9 @@ object GraftFunctions {
     FnSpec("window_hashes", "scalar", "(words array<string>, window int)", "array<bigint>",
       "Rolling window hashes for substring-duplication span detection"),
     FnSpec("bpe_count", "scalar", "(words array<string>)", "bigint",
-      "Exact BPE token count under the pretrained merge table (greedy merge, codegen'd)"))
+      "Exact BPE token count under the pretrained merge table (greedy merge, codegen'd)"),
+    FnSpec("bpe_tokens", "scalar", "(words array<string>)", "string",
+      "Space-joined BPE subword sequence under the pretrained merge table"))
 
   def listing: Seq[FnSpec] = registered ++ builtinMappings ++ pipelineKernels
 
@@ -226,7 +228,9 @@ object GraftFunctions {
       "window_hashes" -> ((args: Seq[Expression]) =>
         WindowHashes(args.head, intLit(args(1), "window_hashes", "window"))),
       "bpe_count" -> ((args: Seq[Expression]) =>
-        BpeCountWords(args.head, Bpe.pretrainedMerges)))
+        BpeCountWords(args.head, Bpe.pretrainedMerges)),
+      "bpe_tokens" -> ((args: Seq[Expression]) =>
+        BpeTokensWords(args.head, Bpe.pretrainedMerges)))
   }
 
   /** Register every gap-fill as a temporary SQL function on the session. Idempotent. */

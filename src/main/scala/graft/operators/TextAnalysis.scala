@@ -38,6 +38,18 @@ object TextAnalysis {
           graft.operators.Dedup.wordsArray(text)), merges))
   }
 
+  /** The tokenized text itself (space-joined subwords in word order) under a trained
+    * BPE merge table — the emit form of [[bpeTokenCount]], for pipelines whose
+    * output column is the token sequence.
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BpeTokensWords(
+        org.apache.spark.sql.graft.Bridge.toExpression(spark,
+          graft.operators.Dedup.wordsArray(text)), merges))
+  }
+
   /** GPT-2-style pre-tokenizer pattern, lookahead-free so the identical regex runs on
     * Java regex (Spark) and RE2 (DuckDB, for the oracle): contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs.

@@ -54,6 +54,42 @@ object Pipeline {
        |  FROM w WHERE len(words) >= $n
        |)""".stripMargin
 
+  /** DuckDB replay of the greedy BPE encode under [[graft.functions.Bpe]]'s
+    * pretrained merge table: each word is a '|'-delimited symbol string, each
+    * recursion step applies the lowest-ranked applicable merge at its leftmost
+    * occurrence, and terminal states are rows no merge applies to. String-level
+    * replace is symbol-safe because '|' never occurs inside a symbol, so every
+    * pattern match aligns with symbol bounds. Yields CTEs `mg` (the merge table)
+    * and `enc` (all encode states; terminal = no applicable merge).
+    */
+  private val duckBpeEncode: String = {
+    val mergeRows = graft.functions.Bpe.pretrainedMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '|$a|$b|', '|$a$b|')" }
+      .mkString(",\n|    ")
+    s"""WITH RECURSIVE mg(rk, pat, rep) AS (
+       |  VALUES $mergeRows
+       |), w AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\\s+'),
+       |    x -> len(x) > 0) AS words
+       |  FROM documents
+       |), wx AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(words))) AS i, words FROM w
+       |), init AS (
+       |  SELECT doc_id, i,
+       |    '|' || regexp_replace(words[i], '(.)', '\\1|', 'g') AS s
+       |  FROM wx
+       |), enc(doc_id, i, s) AS (
+       |  SELECT doc_id, i, s FROM init
+       |  UNION ALL
+       |  SELECT doc_id, i, substr(s, 1, p - 1) || rep || substr(s, p + length(pat))
+       |  FROM (
+       |    SELECT e.doc_id, e.i, e.s, m.pat, m.rep, strpos(e.s, m.pat) AS p
+       |    FROM enc e JOIN mg m
+       |      ON m.rk = (SELECT min(m2.rk) FROM mg m2 WHERE strpos(e.s, m2.pat) > 0))
+       |)""".stripMargin
+  }
+
   private def duckJaccardPairs(threshold: Double) =
     s"""$duckShingleSets
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1577,42 +1613,36 @@ object Pipeline {
         TextAnalysis.bpeTokenCount(col("text"),
           graft.functions.Bpe.pretrainedMerges).alias("n_bpe_exact"))
         .orderBy("doc_id"),
-      Some {
-        val mergeRows = graft.functions.Bpe.pretrainedMerges.zipWithIndex
-          .map { case ((a, b), i) => s"($i, '|$a|$b|', '|$a$b|')" }
-          .mkString(",\n|    ")
-        s"""WITH RECURSIVE mg(rk, pat, rep) AS (
-           |  VALUES $mergeRows
-           |), w AS (
-           |  SELECT doc_id, list_filter(
-           |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\\s+'),
-           |    x -> len(x) > 0) AS words
-           |  FROM documents
-           |), wx AS (
-           |  SELECT doc_id, unnest(generate_series(1, len(words))) AS i, words FROM w
-           |), init AS (
-           |  SELECT doc_id, i,
-           |    '|' || regexp_replace(words[i], '(.)', '\\1|', 'g') AS s
-           |  FROM wx
-           |), enc(doc_id, i, s) AS (
-           |  SELECT doc_id, i, s FROM init
-           |  UNION ALL
-           |  SELECT doc_id, i, substr(s, 1, p - 1) || rep || substr(s, p + length(pat))
-           |  FROM (
-           |    SELECT e.doc_id, e.i, e.s, m.pat, m.rep, strpos(e.s, m.pat) AS p
-           |    FROM enc e JOIN mg m
-           |      ON m.rk = (SELECT min(m2.rk) FROM mg m2 WHERE strpos(e.s, m2.pat) > 0))
-           |), fin AS (
-           |  SELECT doc_id, length(s) - length(replace(s, '|', '')) - 1 AS n_tok
-           |  FROM enc e
-           |  WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE strpos(e.s, m.pat) > 0)
-           |)
-           |SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_bpe_exact
-           |FROM documents d LEFT JOIN
-           |  (SELECT doc_id, sum(n_tok) AS n FROM fin GROUP BY doc_id) c
-           |  USING (doc_id)
-           |ORDER BY doc_id""".stripMargin
-      })),
+      Some(s"""$duckBpeEncode, fin AS (
+              |  SELECT doc_id, length(s) - length(replace(s, '|', '')) - 1 AS n_tok
+              |  FROM enc e
+              |  WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE strpos(e.s, m.pat) > 0)
+              |)
+              |SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_bpe_exact
+              |FROM documents d LEFT JOIN
+              |  (SELECT doc_id, sum(n_tok) AS n FROM fin GROUP BY doc_id) c
+              |  USING (doc_id)
+              |ORDER BY doc_id""".stripMargin))),
+
+    // The tokenized text itself: every terminal symbol string, word order preserved,
+    // space-joined — compared byte-for-byte against the oracle's replay of the same
+    // greedy encode (t14 checks the count; this checks the actual token sequence).
+    "t15_bpe_encode" -> (((s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.bpeTokens(col("text"),
+          graft.functions.Bpe.pretrainedMerges).alias("bpe_text"))
+        .orderBy("doc_id"),
+      Some(s"""$duckBpeEncode, fin AS (
+              |  SELECT doc_id, i, trim(replace(s, '|', ' ')) AS toks
+              |  FROM enc e
+              |  WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE strpos(e.s, m.pat) > 0)
+              |)
+              |SELECT d.doc_id, coalesce(c.t, '') AS bpe_text
+              |FROM documents d LEFT JOIN
+              |  (SELECT doc_id, string_agg(toks, ' ' ORDER BY i) AS t
+              |   FROM fin GROUP BY doc_id) c
+              |  USING (doc_id)
+              |ORDER BY doc_id""".stripMargin))),
 
     // Corpus-sink shard manifest: token-budgeted (bucket, pack) shard assignment via
     // the packSequences rule, collapsed to the per-shard accounting artifact a

@@ -52,6 +52,21 @@ class BpeSpec extends AnyFunSuite {
     assert(got.head == 6L)
   }
 
+  test("native BpeTokensWords emits the greedy token sequence; concat restores the words") {
+    val merges = Bpe.learnMerges(corpus, 5)
+    val d = Seq((1L, "lowest newest"), (2L, ""), (3L, "widest low")).toDF("id", "text")
+    val got = d.select(col("id"), TextAnalysis.bpeTokens(col("text"), merges).alias("t"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got.head == "low est n ew est") // lowest -> [low, est], newest -> [n, ew, est]
+    assert(got(1) == "")
+    // lossless: removing the token separators restores the normalized word stream
+    assert(got(2).replace(" ", "") == "widestlow")
+    // emit and count kernels agree
+    val counts = d.select(TextAnalysis.bpeTokenCount(col("text"), merges))
+      .orderBy().collect().map(_.getLong(0)).toSeq
+    assert(got.map(t => if (t.isEmpty) 0 else t.split(" ").length.toLong) == counts)
+  }
+
   test("learnMergesFromCorpus trains from a DataFrame word-count pass") {
     val d = Seq.fill(3)("newest newest widest low low low lower").toDF("text")
     val merges = Bpe.learnMergesFromCorpus(d, "text", 3)
