@@ -261,4 +261,37 @@ class PlanQualitySpec extends AnyFunSuite {
     // broadcast hash join if AQE sizes one side small) — all hash-based
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("t14/t15: BPE count and encode stay map-only scans (core has no exchange)") {
+    for (name <- Seq("t14_bpe_tokens", "t15_bpe_encode")) {
+      // strip the presentation orderBy (driver determinism, not the operator)
+      val df = SparkEntry.queries(name)(spark, dir)
+      val core = df.queryExecution.optimizedPlan.children.headOption.getOrElse(
+        df.queryExecution.optimizedPlan)
+      val plan = new org.apache.spark.sql.execution.QueryExecution(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], core)
+        .executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name tokenization must be a pure scan stage\n${plan.take(2500)}")
+      assert(plan.contains("bpe_"), plan.take(1500))
+    }
+  }
+
+  test("p10_temperature_mix: the domain-rate table broadcasts; sampling is map-side") {
+    val plan = executedPlan("p10_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+  }
+
+  test("w1_shard_manifest: no exchange carries document text (packing moves longs)") {
+    val df = SparkEntry.queries("w1_shard_manifest")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cumulative-sum window shuffles (id, n_tokens, bucket) longs and the
+    // manifest aggregation needs no text — column pruning must keep every exchange
+    // text-free even though assignShards' join-back could carry it
+    "Exchange hashpartitioning\\([^\n]*".r.findAllIn(plan).foreach(e =>
+      assert(!e.contains("text#"), s"manifest exchange must not carry text\n$e"))
+    assert(!plan.contains("text#") ||
+      "ReadSchema:[^\n]*text".r.findFirstIn(plan).isDefined, plan.take(2000))
+  }
 }
