@@ -615,6 +615,74 @@ object Curation {
         coalesce(sum(col("w")), lit(0L)).alias("seed_hits"))
   }
 
+  /** CCNet-style seed-LM surprisal scoring (Wenzek et al. 2020): train hashed
+    * n-gram and context ((n−1)-gram) count tables on a seed corpus, then score
+    * every candidate document by its total conditional surprisal under that model —
+    * the perplexity-filter shape (keep the low-surprisal head, drop gibberish and
+    * out-of-domain tails). Complements [[seedAffinityScores]]: DSIR sums raw
+    * bucket hits; this scores `−log P(w_n | context)` per gram, the LM view.
+    *
+    * The per-gram model is add-one (Laplace) smoothed over the bucket vocabulary:
+    * `P(w | ctx) = (c_gram + 1) / (c_ctx + V)` with `V = buckets`, so surprisal is
+    * `qlog2(V + c_ctx) − qlog2(1 + c_gram)` — fully-OOV grams cost ~log2 V bits
+    * (gibberish scores HIGH, as it must), frequent continuations approach 0.
+    *
+    * Determinism: probabilities are quantized to integer log2s —
+    * `qlog2(x) = length(bin(x)) − 1 = floor(log2 x)` — making every per-gram
+    * surprisal an INTEGER; per-doc scores are exact long sums, bit-identical in any
+    * engine (float `ln` is not exactly rounded and would hash-diverge). Mean
+    * surprisal `surprisal_q / n_grams` rank-correlates with the float perplexity
+    * CCNet uses; the quantization is the price of cross-engine verifiability.
+    *
+    * Scale shape: both count tables are AT MOST `buckets` rows regardless of seed
+    * size (the DSIR hashing trick) so they broadcast; scoring is one map-side
+    * explode → two broadcast joins → per-doc sum, with only (id, int) pairs in the
+    * aggregation shuffle.
+    */
+  def seedLmSurprisal(
+      corpus: DataFrame, seed: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, buckets: Int = 1 << 20): DataFrame = {
+    require(n >= 2, "seedLmSurprisal needs n >= 2 (a context of n-1 words)")
+    def qlog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    def bucketOf(c: Column): Column = Dedup.md5Hash60(c) % buckets
+    def gramCounts(df: DataFrame, width: Int, cnt: String): DataFrame = {
+      val staged = df.select(Dedup.wordsArray(col(textCol)).alias("__w"))
+      staged
+        .select(explode(when(size(col("__w")) >= width,
+          transform(sequence(lit(0), size(col("__w")) - width),
+            i => concat_ws(" ", (0 until width).map(j =>
+              element_at(col("__w"), i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).alias("g"))
+        .select(bucketOf(col("g")).alias("b"))
+        .groupBy("b").agg(count(lit(1)).alias(cnt))
+    }
+    val gramTable = gramCounts(seed, n, "cn")
+    val ctxTable = gramCounts(seed, n - 1, "cc")
+    val staged = corpus.select(col(idCol).alias("id"),
+      Dedup.wordsArray(col(textCol)).alias("__w"))
+    staged
+      .select(col("id"), explode(when(size(col("__w")) >= n,
+        transform(sequence(lit(0), size(col("__w")) - n),
+          i => struct(
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(col("__w"), i + j + 1)): _*).alias("g"),
+            concat_ws(" ", (0 until n - 1).map(j =>
+              element_at(col("__w"), i + j + 1)): _*).alias("ctx"))))
+        .otherwise(array().cast("array<struct<g:string,ctx:string>>"))).alias("p"))
+      .select(col("id"),
+        bucketOf(col("p.g")).alias("bn"), bucketOf(col("p.ctx")).alias("bc"))
+      .join(broadcast(gramTable), col("bn") === gramTable("b"), "left")
+      .drop("b")
+      .join(broadcast(ctxTable), col("bc") === ctxTable("b"), "left")
+      .select(col("id"),
+        (qlog2(lit(buckets.toLong) + coalesce(col("cc"), lit(0L))) -
+          qlog2(lit(1) + coalesce(col("cn"), lit(0L)))).alias("s"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).alias("n_grams"),
+        sum(col("s")).alias("surprisal_q"))
+  }
+
   // ---------------------------------------------------------------- PII redaction
 
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

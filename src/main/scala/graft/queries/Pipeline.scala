@@ -1674,6 +1674,49 @@ object Pipeline {
              |FROM p GROUP BY bucket, pack_ix
              |ORDER BY bucket, pack_ix""".stripMargin))),
 
+    // CCNet-style seed-LM surprisal: bigram + unigram-context count tables trained
+    // on the seed split (every 10th doc), every other doc scored by total quantized
+    // Laplace-smoothed conditional surprisal qlog2(V+c_ctx) − qlog2(1+c_gram).
+    // Integer log2 (length(bin(x))−1) keeps every arithmetic step exact in both
+    // engines — the reason the scores hash-match where float ln-perplexity could not.
+    "t16_lm_surprisal" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      Curation.seedLmSurprisal(
+          d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", n = 2, buckets = 1 << 20)
+        .select(col("id").alias("doc_id"), col("n_grams"), col("surprisal_q"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents
+             |), sx AS (
+             |  SELECT doc_id, unnest(generate_series(1, len(words))) AS i, words
+             |  FROM w WHERE doc_id % 10 = 0
+             |), sn AS (
+             |  SELECT ('0x' || substr(md5(words[i] || ' ' || words[i+1]), 1, 15))::BIGINT
+             |      % 1048576 AS b, count(*) AS cn
+             |  FROM sx WHERE i < len(words) GROUP BY b
+             |), sc AS (
+             |  SELECT ('0x' || substr(md5(words[i]), 1, 15))::BIGINT
+             |      % 1048576 AS b, count(*) AS cc
+             |  FROM sx GROUP BY b
+             |), cg AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(words[i] || ' ' || words[i+1]), 1, 15))::BIGINT
+             |      % 1048576 AS bn,
+             |    ('0x' || substr(md5(words[i]), 1, 15))::BIGINT % 1048576 AS bc
+             |  FROM (SELECT doc_id, unnest(generate_series(1, len(words) - 1)) AS i, words
+             |        FROM w WHERE doc_id % 10 != 0)
+             |)
+             |SELECT doc_id, count(*) AS n_grams,
+             |  sum((length(bin(1048576 + coalesce(sc.cc, 0))) - 1)
+             |    - (length(bin(1 + coalesce(sn.cn, 0))) - 1))::BIGINT AS surprisal_q
+             |FROM cg LEFT JOIN sn ON cg.bn = sn.b LEFT JOIN sc ON cg.bc = sc.b
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
     // Temperature-scaled domain rebalancing (α = 0.5): even doc_ids are collapsed
     // into one oversized 'head' domain, which the inverse-sqrt rate downsamples to
     // ~32% while the 25× smaller tail domains cap at rate 1.0 and survive whole —

@@ -194,6 +194,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._1 == 5L) // 6 words -> 5 bigrams, all distinct
   }
 
+  test("seedLmSurprisal ranks gibberish above seed-like text (per-gram mean)") {
+    val seed = (1 to 30).map(i =>
+      (1000L + i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // in-distribution
+      (2L, "zxqv wpln kjhg bnmr tyu qsd fgh jkl poi"), // gibberish: all grams OOV
+      (3L, "the quick brown fox sat under a green tree")) // shared head, novel tail
+      .toDF("id", "text")
+    val got = Curation.seedLmSurprisal(corpus, seed, "text", "id",
+      n = 2, buckets = 1 << 20)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("surprisal_q").toDouble / r.getAs[Long]("n_grams"))).toMap
+    assert(got(1) < got(2), s"seed-like must beat gibberish: $got")
+    assert(got(1) < got(3) && got(3) < got(2),
+      s"partially-novel text must land between: $got")
+    // OOV grams cost ~log2(V) bits under add-one smoothing
+    assert(got(2) >= 19.0, s"fully-OOV mean surprisal should be ~20, got ${got(2)}")
+  }
+
   // ---------------- weighted mixing ----------------
 
   test("weightedMix keeps rate-proportional nested samples per key") {
