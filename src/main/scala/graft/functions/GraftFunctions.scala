@@ -210,27 +210,49 @@ object GraftFunctions {
     import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
     def intLit(e: Expression, fn: String, what: String): Int = e match {
       case Literal(v: Int, _) => v
-      case Literal(v: Long, _) => v.toInt
+      case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
       case Literal(v: Short, _) => v.toInt
       case _ => throw new IllegalArgumentException(
-        s"$fn: $what must be an integer literal (it is compiled into the kernel)")
+        s"$fn: $what must be an Int-range integer literal (it is compiled into the kernel)")
     }
+    def arity(fn: String, args: Seq[Expression], min: Int, max: Int): Unit =
+      if (args.length < min || args.length > max)
+        throw new IllegalArgumentException(
+          s"$fn takes $min to $max arguments, got ${args.length}")
     Seq(
-      "stopword_langid" -> ((args: Seq[Expression]) => StopwordLangId(args.head)),
-      "minhash_words" -> ((args: Seq[Expression]) => MinHashWords(args.head,
-        n = if (args.length > 1) intLit(args(1), "minhash_words", "n") else 3,
-        k = if (args.length > 2) intLit(args(2), "minhash_words", "k") else 32)),
-      "simhash_words" -> ((args: Seq[Expression]) => SimHashWords(args.head,
-        n = if (args.length > 1) intLit(args(1), "simhash_words", "n") else 3,
-        bits = if (args.length > 2) intLit(args(2), "simhash_words", "bits") else 60)),
-      "shingle_hashes" -> ((args: Seq[Expression]) => ShingleHashes(args.head,
-        n = if (args.length > 1) intLit(args(1), "shingle_hashes", "n") else 3)),
-      "window_hashes" -> ((args: Seq[Expression]) =>
-        WindowHashes(args.head, intLit(args(1), "window_hashes", "window"))),
-      "bpe_count" -> ((args: Seq[Expression]) =>
-        BpeCountWords(args.head, Bpe.pretrainedMerges)),
-      "bpe_tokens" -> ((args: Seq[Expression]) =>
-        BpeTokensWords(args.head, Bpe.pretrainedMerges)))
+      "stopword_langid" -> ((args: Seq[Expression]) => {
+        arity("stopword_langid", args, 1, 1)
+        StopwordLangId(args.head)
+      }),
+      "minhash_words" -> ((args: Seq[Expression]) => {
+        arity("minhash_words", args, 1, 3)
+        MinHashWords(args.head,
+          n = if (args.length > 1) intLit(args(1), "minhash_words", "n") else 3,
+          k = if (args.length > 2) intLit(args(2), "minhash_words", "k") else 32)
+      }),
+      "simhash_words" -> ((args: Seq[Expression]) => {
+        arity("simhash_words", args, 1, 3)
+        SimHashWords(args.head,
+          n = if (args.length > 1) intLit(args(1), "simhash_words", "n") else 3,
+          bits = if (args.length > 2) intLit(args(2), "simhash_words", "bits") else 60)
+      }),
+      "shingle_hashes" -> ((args: Seq[Expression]) => {
+        arity("shingle_hashes", args, 1, 2)
+        ShingleHashes(args.head,
+          n = if (args.length > 1) intLit(args(1), "shingle_hashes", "n") else 3)
+      }),
+      "window_hashes" -> ((args: Seq[Expression]) => {
+        arity("window_hashes", args, 2, 2)
+        WindowHashes(args.head, intLit(args(1), "window_hashes", "window"))
+      }),
+      "bpe_count" -> ((args: Seq[Expression]) => {
+        arity("bpe_count", args, 1, 1)
+        BpeCountWords(args.head, Bpe.pretrainedMerges)
+      }),
+      "bpe_tokens" -> ((args: Seq[Expression]) => {
+        arity("bpe_tokens", args, 1, 1)
+        BpeTokensWords(args.head, Bpe.pretrainedMerges)
+      }))
   }
 
   /** Register every gap-fill as a temporary SQL function on the session. Idempotent. */

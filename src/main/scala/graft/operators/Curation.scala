@@ -637,7 +637,8 @@ object Curation {
     * Scale shape: both count tables are AT MOST `buckets` rows regardless of seed
     * size (the DSIR hashing trick) so they broadcast; scoring is one map-side
     * explode → two broadcast joins → per-doc sum, with only (id, int) pairs in the
-    * aggregation shuffle.
+    * aggregation shuffle. Every corpus document gets a row — documents shorter
+    * than `n` words score (n_grams = 0, surprisal_q = 0).
     */
   def seedLmSurprisal(
       corpus: DataFrame, seed: DataFrame, textCol: String, idCol: String,
@@ -681,6 +682,12 @@ object Curation {
       .agg(
         count(lit(1)).alias("n_grams"),
         sum(col("s")).alias("surprisal_q"))
+      // documents shorter than n words have no grams but must still score — a
+      // downstream filter would otherwise silently drop them from BOTH sides
+      .join(staged.select(col("id")), Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).alias("n_grams"),
+        coalesce(col("surprisal_q"), lit(0L)).alias("surprisal_q"))
   }
 
   // ---------------------------------------------------------------- PII redaction

@@ -1711,11 +1711,17 @@ object Pipeline {
              |  FROM (SELECT doc_id, unnest(generate_series(1, len(words) - 1)) AS i, words
              |        FROM w WHERE doc_id % 10 != 0)
              |)
-             |SELECT doc_id, count(*) AS n_grams,
-             |  sum((length(bin(1048576 + coalesce(sc.cc, 0))) - 1)
-             |    - (length(bin(1 + coalesce(sn.cn, 0))) - 1))::BIGINT AS surprisal_q
-             |FROM cg LEFT JOIN sn ON cg.bn = sn.b LEFT JOIN sc ON cg.bc = sc.b
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+             |, sco AS (
+             |  SELECT doc_id, count(*) AS n_grams,
+             |    sum((length(bin(1048576 + coalesce(sc.cc, 0))) - 1)
+             |      - (length(bin(1 + coalesce(sn.cn, 0))) - 1))::BIGINT AS surprisal_q
+             |  FROM cg LEFT JOIN sn ON cg.bn = sn.b LEFT JOIN sc ON cg.bc = sc.b
+             |  GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, coalesce(sco.n_grams, 0) AS n_grams,
+             |  coalesce(sco.surprisal_q, 0) AS surprisal_q
+             |FROM documents d LEFT JOIN sco USING (doc_id)
+             |WHERE d.doc_id % 10 != 0 ORDER BY doc_id""".stripMargin))),
 
     // Temperature-scaled domain rebalancing (α = 0.5): even doc_ids are collapsed
     // into one oversized 'head' domain, which the inverse-sqrt rate downsamples to

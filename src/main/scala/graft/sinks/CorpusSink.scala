@@ -39,6 +39,15 @@ object CorpusSink {
       df: DataFrame, textCol: String, idCol: String,
       budget: Int = 2048, buckets: Int = 8, tokensCol: Option[String] = None)
       : DataFrame = {
+    // bucket/pack_ix are output columns this sink owns, and n_tokens is derived
+    // unless the caller names it as the token source — a pre-existing column of the
+    // same name would either collide in the join-back or be silently replaced
+    val reserved = Seq("bucket", "pack_ix") ++
+      (if (tokensCol.contains("n_tokens")) Nil else Seq("n_tokens"))
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"assignShards input must not carry reserved column(s) ${clash.mkString(", ")} " +
+        "(rename them, or pass tokensCol to reuse a precomputed token count)")
     val toks = tokensCol.map(col).getOrElse(
       array_size(graft.operators.Dedup.wordsArray(col(textCol))))
     val staged = df.withColumn("n_tokens", toks.cast("long"))
@@ -51,19 +60,24 @@ object CorpusSink {
   /** Write `df` as token-budgeted parquet shards under `path`:
     * `path/bucket=N/pack_ix=M/part-*.parquet`, exactly one file per shard
     * (each (bucket, pack) group is repartitioned into its own task). Returns the
-    * shard manifest of what was written.
+    * shard manifest of what was written — computed from the FILES ON DISK, so
+    * consuming it never re-runs the tokenize/pack assignment, and it reports
+    * exactly what a reader will see.
     */
   def writeShards(
       df: DataFrame, path: String, textCol: String, idCol: String,
       budget: Int = 2048, buckets: Int = 8, mode: SaveMode = SaveMode.Overwrite)
       : DataFrame = {
-    val assigned = assignShards(df, textCol, idCol, budget, buckets)
-    assigned
+    assignShards(df, textCol, idCol, budget, buckets)
       .repartition(col("bucket"), col("pack_ix"))
       .write.mode(mode)
       .partitionBy("bucket", "pack_ix")
       .parquet(path)
-    shardManifest(assigned, idCol)
+    // partition discovery types directory values as int; restore the long schema
+    val back = df.sparkSession.read.parquet(path)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .withColumn("pack_ix", col("pack_ix").cast("long"))
+    shardManifest(back, idCol)
   }
 
   /** One row per shard: document count, token sum, id bounds — the resume/accounting
@@ -87,6 +101,8 @@ object CorpusSink {
   def writeJsonl(
       df: DataFrame, path: String, idCol: String, files: Int = 8,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(!df.columns.contains("bucket"),
+      "writeJsonl input must not carry a 'bucket' column (it is the export's file key)")
     val bucket = graft.operators.Dedup.md5Hash60(col(idCol).cast("string")) % files
     df.withColumn("bucket", bucket)
       .repartition(col("bucket"))

@@ -63,6 +63,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("the class honors the spark.sql.extensions loader contract by name") {
+    // applyExtensions instantiates the configured class reflectively with a
+    // zero-arg constructor and calls it as SparkSessionExtensions => Unit — pin
+    // that contract so a constructor/package refactor can't silently break
+    // --conf spark.sql.extensions=graft.GraftExtensions
+    val f = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val ext = new org.apache.spark.sql.SparkSessionExtensions()
+    f(ext) // must inject without throwing
+  }
+
   test("session-level register() exposes the same kernels without extensions") {
     val s = TestSpark.spark
     graft.functions.GraftFunctions.register(s)

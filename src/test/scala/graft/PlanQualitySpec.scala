@@ -284,14 +284,25 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("w1_shard_manifest: no exchange carries document text (packing moves longs)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = SparkEntry.queries("w1_shard_manifest")(spark, dir)
-    val plan = df.queryExecution.executedPlan.toString
     // the cumulative-sum window shuffles (id, n_tokens, bucket) longs and the
-    // manifest aggregation needs no text — column pruning must keep every exchange
-    // text-free even though assignShards' join-back could carry it
-    "Exchange hashpartitioning\\([^\n]*".r.findAllIn(plan).foreach(e =>
-      assert(!e.contains("text#"), s"manifest exchange must not carry text\n$e"))
-    assert(!plan.contains("text#") ||
-      "ReadSchema:[^\n]*text".r.findFirstIn(plan).isDefined, plan.take(2000))
+    // manifest aggregation needs no text — column pruning must keep every
+    // exchange's OUTPUT text-free even though assignShards' join-back could carry
+    // it (the plan's toString shows only partition keys, so walk the real nodes)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val exchanges = walk(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "packing must shuffle at least the window input")
+    exchanges.foreach { e =>
+      val carried = e.output.map(_.name)
+      assert(!carried.contains("text"),
+        s"manifest exchange must not carry text, got: ${carried.mkString(", ")}")
+    }
   }
 }

@@ -32,9 +32,22 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("", ranks) == Seq())
   }
 
-  test("learnMerges stops early when nothing repeats") {
-    assert(Bpe.learnMerges(Seq("ab" -> 1L), 10) == Seq(("a", "b")))
+  test("learnMerges stops early when nothing repeats (frequency-1 pairs are noise)") {
+    assert(Bpe.learnMerges(Seq("ab" -> 1L), 10) == Seq())
+    assert(Bpe.learnMerges(Seq("ab" -> 2L), 10) == Seq(("a", "b")))
     assert(Bpe.learnMerges(Seq("a" -> 5L), 10) == Seq())
+  }
+
+  test("encode splits by code point, never shearing surrogate pairs") {
+    val ranks = Bpe.ranksOf(Seq())
+    val emoji = new String(Character.toChars(0x1F600)) // astral-plane code point
+    assert(Bpe.encodeWord(emoji + "a" + emoji, ranks) == Seq(emoji, "a", emoji))
+    val viaDf = Seq(Tuple1(Seq(emoji + "a"))).toDF("w")
+      .select(org.apache.spark.sql.graft.Bridge.column(
+        BpeTokensWords(org.apache.spark.sql.graft.Bridge.toExpression(
+          spark, col("w")), Seq())).alias("t"))
+      .head.getString(0)
+    assert(viaDf == s"$emoji a")
   }
 
   test("native BpeCountWords matches per-word encode over a DataFrame") {
