@@ -93,6 +93,28 @@ object CorpusSink {
         max(col(idCol)).alias("max_id"))
       .orderBy("bucket", "pack_ix")
 
+  /** Rewrite a shard manifest directory as a single parquet file, preserving every
+    * row. The streaming sink ([[graft.streaming.StreamingCorpusSink]]) appends one
+    * small file per batch, so a long-lived stream accumulates thousands of tiny
+    * files; restart recovery (and any ad-hoc manifest read) then pays the full
+    * listing. Run this while the stream is STOPPED — the swap is
+    * write-to-sibling-then-rename via the Hadoop FileSystem API (works on local
+    * paths and cluster filesystems alike), not atomic against concurrent writers.
+    * Returns the row count preserved.
+    */
+  def compactManifest(spark: org.apache.spark.sql.SparkSession, manifestDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(manifestDir)
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir + ".compact.tmp")
+    val fs = dir.getFileSystem(conf)
+    val n = spark.read.parquet(manifestDir).count()
+    spark.read.parquet(manifestDir).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.delete(dir, true), s"could not remove $manifestDir for swap")
+    require(fs.rename(tmp, dir), s"could not move compacted manifest into $manifestDir")
+    n
+  }
+
   /** Export as JSONL (one JSON object per line, text format the tokenizer stack
     * reads): each output column becomes a JSON field; one file per `bucket` of the
     * deterministic md5 id-hash so export parallelism and file count are explicit

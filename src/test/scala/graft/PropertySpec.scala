@@ -76,6 +76,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: BPE is lossless and the native kernels agree with the driver encode") {
+    import graft.functions.Bpe
+    // a 4-letter alphabet makes merge-dense tables (every pair repeats) — the
+    // regime where greedy-rank order and replace bugs would surface
+    val genWord = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val genCorpus = Gen.listOfN(10, Gen.listOf(genWord).map(_.mkString(" ")))
+    forSamples(genCorpus, 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val merges = Bpe.learnMergesFromCorpus(df, "text", k = 12)
+      val ranks = Bpe.ranksOf(merges)
+      val rows = df.select(col("id"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).alias("n"),
+        TextAnalysis.bpeTokens(col("text"), merges).alias("t"))
+        .orderBy("id").collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val words = texts(i).split("\\s+").filter(_.nonEmpty)
+        val expect = words.flatMap(w => Bpe.encodeWord(w, ranks))
+        assert(r.getAs[Long]("n") == expect.length.toLong, s"count for '${texts(i)}'")
+        assert(r.getAs[String]("t") == expect.mkString(" "), s"tokens for '${texts(i)}'")
+        // lossless: stripping token boundaries restores the word stream
+        assert(r.getAs[String]("t").replace(" ", "") == words.mkString(""))
+      }
+    }
+  }
+
   test("property: pairwise jaccard lands in [0,1] and is symmetric by construction") {
     forSamples(Gen.listOfN(8, genDoc), 5) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

@@ -59,5 +59,17 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
     manifest.collect().foreach { r =>
       assert(r.getAs[Long]("n_tokens") <= 48 + maxDoc)
     }
+
+    // compaction (run with the stream stopped) collapses the per-batch files into
+    // one while preserving every manifest row
+    val before = manifest.orderBy("bucket", "pack_ix").collect().toSeq
+    val kept = graft.sinks.CorpusSink.compactManifest(spark, manifestDir)
+    assert(kept == before.size.toLong)
+    val files = new java.io.File(manifestDir)
+      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
+    assert(files.length == 1, s"expected one compacted file, got ${files.length}")
+    val after = spark.read.parquet(manifestDir)
+      .orderBy("bucket", "pack_ix").collect().toSeq
+    assert(after.map(_.toString).sorted == before.map(_.toString).sorted)
   }
 }
