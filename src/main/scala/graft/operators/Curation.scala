@@ -296,6 +296,43 @@ object Curation {
     Dedup.exact(fresh.drop("__fp"), textCol, idCol)
   }
 
+  /** [[incrementalDedup]] with a Bloom-filter pre-probe — the steady-state shape
+    * where most batch documents are genuinely new. A Bloom filter over the
+    * fingerprint index (built in one pass, broadcast once) classifies each batch row
+    * map-side: "definitely not indexed" rows bypass the anti-join entirely, and only
+    * the maybe-seen sliver — true duplicates plus an `fpp` fraction of the batch —
+    * shuffles against the index. Bloom filters have no false negatives and the
+    * false positives are resolved by the exact join, so the result is IDENTICAL to
+    * [[incrementalDedup]] (the driver oracle checks this equality, not an
+    * approximation).
+    *
+    * At 100 TB: the index relation never joins against the full batch again — the
+    * join's left side shrinks from |batch| to ~fpp·|batch|, and the filter itself
+    * (~1.2 GB per billion fingerprints at 1 % fpp) broadcasts like any dimension
+    * table. `expectedItems` defaults to the index count (one cheap `count()`);
+    * pass it explicitly when the caller already tracks index cardinality.
+    */
+  def incrementalDedupBloom(
+      newDocs: DataFrame, existingFingerprints: DataFrame,
+      textCol: String, idCol: String,
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val fpCol = existingFingerprints.columns.head
+    val fps = existingFingerprints.select(col(fpCol).alias("__fp"))
+    val n = if (expectedItems > 0) expectedItems else math.max(fps.count(), 1L)
+    val bloom = spark.sparkContext.broadcast(
+      fps.select(xxhash64(col("__fp")).alias("__fpl"))
+        .stat.bloomFilter("__fpl", n, fpp))
+    val withFp = newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.MightContainBloom(
+        org.apache.spark.sql.graft.Bridge.toExpression(spark, xxhash64(col("__fp"))),
+        bloom))
+    val definitelyFresh = withFp.filter(!probe)
+    val resolved = withFp.filter(probe).join(fps, Seq("__fp"), "left_anti")
+    Dedup.exact(definitelyFresh.unionByName(resolved).drop("__fp"), textCol, idCol)
+  }
+
   /** One batch of ONLINE near-duplicate curation against an accumulating index —
     * the hamming-k streaming shape [[graft.streaming.EventStreams.nearDedupStream]]
     * (signature identity) cannot express, run per micro-batch via `foreachBatch`.

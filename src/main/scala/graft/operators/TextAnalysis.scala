@@ -242,6 +242,71 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** C4-style heuristic line filtering (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+    * the cleaning rules behind the C4 corpus, reused by FineWeb/RefinedWeb-class
+    * pipelines). Line rules (a line survives iff ALL hold):
+    *
+    *   - ends with terminal punctuation (`.` `!` `?` `"`);
+    *   - has at least `minLineWords` whitespace-separated words;
+    *   - does not contain the word "javascript" (cookie/JS-warning boilerplate).
+    *
+    * Document rules: any document containing a substring from `dropDocSubstrings`
+    * (default `lorem ipsum` placeholder text and `{`, the code heuristic) is dropped
+    * whole, as is any document retaining fewer than `minKeptLines` lines. Survivors
+    * are rebuilt from their kept lines.
+    *
+    * Emits (id, n_lines, n_kept, cleaned) for passing documents. Entirely map-only —
+    * every rule is per-document, so at 100 TB this is a pure scan with no shuffle
+    * (the output ordering, if requested, is the only exchange). The line array is
+    * staged as a bound attribute before the HOF lambdas touch it (the re-evaluation
+    * pitfall documented on [[Dedup.shingles]]).
+    */
+  def c4LineFilter(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3,
+      dropDocSubstrings: Seq[String] = Seq("lorem ipsum", "{"))
+      : org.apache.spark.sql.DataFrame = {
+    val staged = df.select(col(idCol).alias("id"),
+      transform(split(col(textCol), "\n"), l => trim(l)).alias("__lines"),
+      lower(col(textCol)).alias("__lower"))
+    val docOk = dropDocSubstrings
+      .map(s => !col("__lower").contains(s))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val kept = filter(col("__lines"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    staged.filter(docOk)
+      .select(col("id"), size(col("__lines")).alias("n_lines"), kept.alias("__kept"))
+      .filter(size(col("__kept")) >= minKeptLines)
+      .select(col("id"), col("n_lines"), size(col("__kept")).alias("n_kept"),
+        array_join(col("__kept"), "\n").alias("cleaned"))
+  }
+
+  /** Dependency-free HTML → text extraction: strip `<script>`/`<style>` blocks and
+    * comments wholesale, drop every remaining tag, decode the six ubiquitous
+    * entities, and collapse whitespace. Regexes stay inside the syntax subset Java
+    * and RE2 share (`(?is)` flags, lazy `.*?`, no backreferences), so an oracle
+    * engine replays the extraction verbatim; entities decode in a FIXED chain with
+    * `&amp;` last, so `&amp;lt;` yields the literal `&lt;` exactly once in every
+    * engine. Pure per-row column expression — a scan-shaped map at any scale.
+    *
+    * This is the deterministic skeleton of a trafilatura-class extractor: real-world
+    * main-content scoring (link density, DOM weights) would slot in as a scoring
+    * pass over the same stripped segments.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&#39;" -> "'", "&quot;" -> "\"",
+      "&gt;" -> ">", "&lt;" -> "<", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Document fingerprint: md5 of the case/whitespace/punctuation-normalized text.
     * Identical normalization is expressible in any engine, so fingerprint equality is
     * portable; used as the exact-dedup key so the shuffle carries 32 hex chars, not

@@ -921,6 +921,37 @@ object Pipeline {
               |UNION ALL SELECT doc_id FROM surv2
               |ORDER BY doc_id""".stripMargin))),
 
+    // Bloom-filter scale path for incremental dedup: same fixture as d8 (batch =
+    // every 3rd doc + planted copies of every 40th; index = the other docs'
+    // fingerprints), but the index is pre-probed through a broadcast Bloom filter so
+    // only maybe-seen rows reach the anti-join. Bloom false positives are resolved
+    // by the exact join and false negatives don't exist, so the oracle is the SAME
+    // exact-dedup SQL as d8 — the driver checks equality, not approximation.
+    "d12_incremental_bloom" -> (((s: SparkSession, dir: String) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 100000).alias("doc_id"), col("text"))
+      val newBatch = base.filter(col("doc_id") % 3 === 0).union(planted)
+      val index = base.filter(col("doc_id") % 3 =!= 0)
+        .select(TextAnalysis.fingerprint(col("text")).alias("fp"))
+      Curation.incrementalDedupBloom(newBatch, index, "text", "doc_id", fpp = 0.01)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+      Some(s"""WITH newb AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0
+              |), ex AS (
+              |  SELECT $duckFp AS fp FROM documents WHERE doc_id % 3 != 0
+              |), fresh AS (
+              |  SELECT doc_id, $duckFp AS fp FROM newb
+              |  WHERE $duckFp NOT IN (SELECT fp FROM ex)
+              |)
+              |SELECT doc_id FROM (
+              |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |  FROM fresh) WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin))),
+
     // CCNet-style line-level boilerplate removal: documents are re-lined (newline
     // every 8 words) and every doc gets a universal "subscribe" footer plus a
     // per-source footer; lines appearing in ≥ 25% of documents are dropped and the
@@ -1722,6 +1753,102 @@ object Pipeline {
              |  coalesce(sco.surprisal_q, 0) AS surprisal_q
              |FROM documents d LEFT JOIN sco USING (doc_id)
              |WHERE d.doc_id % 10 != 0 ORDER BY doc_id""".stripMargin))),
+
+    // C4-style heuristic line filtering (Raffel et al. 2020 §2.2): documents are
+    // re-lined (period + newline every 8 words) and every doc gets junk lines that
+    // each trip ONE rule — no terminal punct ("click here"), the javascript filter,
+    // too few words ("tiny.", "all rights reserved.") — plus one well-formed footer
+    // line that must SURVIVE. Every 50th doc gains placeholder "lorem ipsum" text
+    // and every 70th a code fragment with '{'; both doc-level rules drop the whole
+    // document. The oracle replays line splitting, the per-line predicate, and the
+    // doc gates verbatim.
+    "t17_c4_filter" -> (((s: SparkSession, dir: String) => {
+      val lined = docs(s, dir).select(col("doc_id"), concat(
+        regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1.\n"), lit("."),
+        lit("\nclick here\nplease enable javascript to continue.\ntiny.\n" +
+          "all rights reserved.\nplease subscribe to our newsletter today."),
+        when(col("doc_id") % 50 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 70 === 0, lit("\nfunction f() { return 1; }"))
+          .otherwise(lit(""))).alias("text"))
+      TextAnalysis.c4LineFilter(lined, "text", "doc_id")
+        .select(col("id").alias("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH lined AS (
+             |  SELECT doc_id,
+             |    regexp_replace(text, '((\S+ ){7}\S+) ', '\1.' || chr(10), 'g') || '.'
+             |    || chr(10) || 'click here'
+             |    || chr(10) || 'please enable javascript to continue.'
+             |    || chr(10) || 'tiny.'
+             |    || chr(10) || 'all rights reserved.'
+             |    || chr(10) || 'please subscribe to our newsletter today.'
+             |    || CASE WHEN doc_id % 50 = 0
+             |         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+             |    || CASE WHEN doc_id % 70 = 0
+             |         THEN chr(10) || 'function f() { return 1; }' ELSE '' END AS text
+             |  FROM documents
+             |), ls AS (
+             |  SELECT doc_id, list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines
+             |  FROM lined
+             |  WHERE NOT contains(lower(text), 'lorem ipsum')
+             |    AND NOT contains(lower(text), '{')
+             |), kept AS (
+             |  SELECT doc_id, len(lines) AS n_lines,
+             |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+             |      AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
+             |      AND NOT contains(lower(l), 'javascript')) AS ks
+             |  FROM ls
+             |)
+             |SELECT doc_id, n_lines, len(ks) AS n_kept,
+             |  array_to_string(ks, chr(10)) AS cleaned
+             |FROM kept WHERE len(ks) >= 3 ORDER BY doc_id""".stripMargin))),
+
+    // HTML → text extraction: every document is wrapped in a deterministic page
+    // (title, style block with '{', a script whose body contains '<', '{' and
+    // quotes, a comment, and a footer using all six decoded entities), then
+    // stripped back to text. Script/style removal must run BEFORE tag stripping —
+    // the '<' inside the script would desynchronize a naive tag regex — and the
+    // entity chain decodes &amp; LAST so '&amp;lt;' yields literal '&lt;'. Both
+    // engines run the same RE2∩Java regex subset, so the extraction hash-matches.
+    "t18_html_extract" -> (((s: SparkSession, dir: String) => {
+      val page = docs(s, dir).select(col("doc_id"), concat(
+        lit("<html><head><title>Doc</title><style>p { color: red; }</style>"),
+        lit("<script type=\"text/javascript\">if (a < b) { alert(\"x&y\"); }</script></head>"),
+        lit("<body><!-- header --><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><br/><div class=\"footer\">Tom &amp; Jerry &lt;info&gt; " +
+          "&quot;quoted&quot; &#39;s &nbsp;end</div></body></html>")).alias("html"))
+      page.select(col("doc_id"),
+          TextAnalysis.htmlToText(col("html")).alias("content"))
+        .withColumn("content_len", length(col("content")))
+        .orderBy("doc_id")
+    },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>Doc</title><style>p { color: red; }</style>'
+             |    || '<script type="text/javascript">if (a < b) { alert("x&y"); }</script></head>'
+             |    || '<body><!-- header --><h1>Doc ' || doc_id || '</h1><p>' || text
+             |    || '</p><br/><div class="footer">Tom &amp; Jerry &lt;info&gt; '
+             |    || '&quot;quoted&quot; &#39;s &nbsp;end</div></body></html>' AS html
+             |  FROM documents
+             |), x AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(
+             |      replace(replace(replace(replace(replace(replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(html,
+             |              '(?is)<(?:script|style)\b[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+             |            '(?s)<!--.*?-->', ' ', 'g'),
+             |          '(?s)<[^>]*>', ' ', 'g'),
+             |        '&nbsp;', ' '), '&#39;', ''''), '&quot;', '"'),
+             |        '&gt;', '>'), '&lt;', '<'), '&amp;', '&'),
+             |      '\s+', ' ', 'g')) AS content
+             |  FROM h
+             |)
+             |SELECT doc_id, content, length(content) AS content_len
+             |FROM x ORDER BY doc_id""".stripMargin))),
 
     // Temperature-scaled domain rebalancing (α = 0.5): even doc_ids are collapsed
     // into one oversized 'head' domain, which the inverse-sqrt rate downsamples to

@@ -176,6 +176,28 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  test("incrementalDedupBloom equals the exact path on a larger randomized batch") {
+    val rnd = new scala.util.Random(7)
+    def sentence(i: Int) = s"document body $i " + rnd.alphanumeric.take(20).mkString
+    val corpus = (1 to 300).map(i => (i.toLong, sentence(i)))
+    val batch = // 100 overlapping with the index, 100 fresh, plus in-batch dups
+      corpus.take(100).map { case (id, t) => (id + 10000, t) } ++
+        (301 to 400).map(i => (i.toLong, sentence(i))) ++
+        Seq((20001L, "batch dup body"), (20002L, "batch dup body"))
+    val newDocs = batch.toDF("doc_id", "text")
+    val index = corpus.take(200).map(_._2).toDF("t")
+      .select(TextAnalysis.fingerprint($"t").alias("fp"))
+    val exact = Curation.incrementalDedup(newDocs, index, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    // a high fpp forces real false positives through the resolving join
+    for (fpp <- Seq(0.3, 0.01)) {
+      val bloomed = Curation.incrementalDedupBloom(
+          newDocs, index, "text", "doc_id", fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted
+      assert(bloomed.sameElements(exact), s"fpp=$fpp diverged from exact path")
+    }
+  }
+
   // ---------------- data selection ----------------
 
   test("seedAffinityScores rank seed-like documents above unrelated ones") {

@@ -207,6 +207,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q(1L) > q(2L) && q(2L) > q(3L))
   }
 
+  test("c4LineFilter applies line and document rules") {
+    val good = "this is a well formed sentence with enough words."
+    val docs = Seq(
+      (1L, s"$good\n$good\n$good\nclick here\ntiny.\nplease enable javascript now ok."),
+      (2L, s"$good\n$good\nshort doc."),                  // only 2 kept lines -> doc dropped
+      (3L, s"$good\n$good\n$good\nlorem ipsum filler."),  // placeholder text -> doc dropped
+      (4L, s"$good\n$good\n$good\nvar f = function() { return 1; };") // code -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.map(_._1).toSet == Set(1L))
+    val (_, nLines, nKept, cleaned) = out.head
+    assert(nLines == 6 && nKept == 3) // junk lines each trip one rule
+    assert(cleaned == Seq(good, good, good).mkString("\n"))
+  }
+
+  test("htmlToText strips script/style/tags and decodes entities once") {
+    val html = """<html><head><style>p { color: red; }</style>
+      |<script>if (a < b) { alert("x&y"); }</script></head>
+      |<body><!-- c --><h1>Title</h1><p>Tom &amp; Jerry &lt;b&gt; &amp;lt; &quot;q&quot;</p>
+      |</body></html>""".stripMargin
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(TextAnalysis.htmlToText($"h")).head().getString(0)
+    assert(got == """Title Tom & Jerry <b> &lt; "q"""")
+  }
+
   private lazy val vecs = {
     // deterministic small vector set: v2 = v1 (dup), v3 close to v1, v4 orthogonal-ish
     Seq(
