@@ -215,6 +215,66 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Misra-Gries heavy-hitters sketch (Misra & Gries 1982; mergeable-summaries
+    * merge per Agarwal et al. 2012): at most `k` (item, counter) entries per buffer,
+    * guaranteeing every item with true frequency > N/(k+1) survives to the output
+    * (undercount error ≤ N/(k+1), no false negatives above that bar). `reduce` is
+    * the classic counter scheme (hit → +1; room → insert; full → decrement all);
+    * `merge` sums counters and subtracts the (k+1)-th largest, which preserves the
+    * error bound — so Spark's partial/final aggregation plan IS the mergeable
+    * summaries construction, and the sketch state is bounded at k entries per
+    * partition no matter how many distinct items stream through.
+    *
+    * The candidate SET can vary with merge order (like any MG summary); callers
+    * wanting deterministic exact output recount candidates exactly —
+    * [[graft.operators.Dedup.topNgramsBounded]] does, and documents the condition
+    * under which that recount is provably the exact global top-K.
+    */
+  final case class MgBuf(var m: Map[String, Long])
+
+  class MisraGries(k: Int) extends Aggregator[String, MgBuf, Array[String]] {
+    require(k >= 1, "MisraGries needs at least one counter")
+
+    override def zero: MgBuf = MgBuf(Map.empty)
+
+    override def reduce(b: MgBuf, x: String): MgBuf = {
+      if (x == null) return b
+      b.m.get(x) match {
+        case Some(c) => b.m = b.m.updated(x, c + 1L)
+        case None if b.m.size < k => b.m = b.m.updated(x, 1L)
+        case None =>
+          b.m = b.m.collect { case (g, c) if c > 1L => g -> (c - 1L) }
+      }
+      b
+    }
+
+    override def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      val comb = b.m.foldLeft(a.m) { case (m, (g, c)) =>
+        m.updated(g, m.getOrElse(g, 0L) + c)
+      }
+      a.m =
+        if (comb.size <= k) comb
+        else {
+          // subtract the (k+1)-th largest counter; ≤ k entries stay positive
+          val cs = comb.values.toArray
+          java.util.Arrays.sort(cs)
+          val thr = cs(cs.length - 1 - k)
+          comb.collect { case (g, c) if c > thr => g -> (c - thr) }
+        }
+      a
+    }
+
+    override def finish(b: MgBuf): Array[String] = {
+      val out = b.m.keys.toArray
+      java.util.Arrays.sort(out, Ordering[String])
+      out
+    }
+
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
   /** Register both on the session (idempotent, like `GraftFunctions.register`). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("approx_percentile_cont_with_weight", udaf(new ApproxWeightedPercentile))

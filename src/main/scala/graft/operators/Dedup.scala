@@ -59,6 +59,56 @@ object Dedup {
     staged.select(col("id"), explode(array_distinct(grams)).alias("shingle"))
   }
 
+  /** Corpus-wide top-K n-grams by document frequency with BOUNDED aggregation
+    * state — the scale path for the exact `groupBy(shingle).count` plan, whose
+    * hash-aggregate state grows with the number of DISTINCT grams (at 100 TB that
+    * is the corpus vocabulary, not a bounded quantity). Two passes over the same
+    * persisted shingle stream:
+    *
+    *   1. Misra-Gries candidate sketch ([[graft.functions.Aggregators.MisraGries]]):
+    *      ≤ `counters` entries per partial buffer, mergeable, so the aggregation
+    *      state is O(counters) per partition regardless of vocabulary size. Every
+    *      gram with document frequency > N/(counters+1) is guaranteed present.
+    *   2. Exact recount of the candidates only (broadcast join — the candidate set
+    *      is driver-sized by construction), then top-K by (count desc, gram).
+    *
+    * The recount makes the output EXACT — identical to the unbounded groupBy —
+    * whenever the true K-th document frequency exceeds N/(counters+1) (then every
+    * gram that could place in the top K, ties included, is a candidate, and exact
+    * counts order them deterministically; MG's merge-order-dependent candidate set
+    * stops mattering). With `verified = true` the operator CHECKS that condition at
+    * runtime (N and the K-th recounted frequency are both in hand) and falls back
+    * to the exact groupBy when it fails — it never silently approximates. Pick
+    * `counters` ≈ (expected gram occurrences) / (frequency of the boilerplate
+    * being hunted); 16k counters ≈ half a megabyte of driver candidates.
+    */
+  def topNgramsBounded(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, topK: Int = 25, counters: Int = 16384,
+      verified: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingles(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = sh.select(col("shingle")).as[String]
+      .select(new graft.functions.Aggregators.MisraGries(counters).toColumn)
+      .head()
+    val top = sh.join(broadcast(cands.toSeq.toDF("shingle")), Seq("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).alias("n_docs"))
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(topK)
+    if (!verified) top
+    else {
+      val rows = top.collect()
+      val kth = if (rows.length < topK) Long.MinValue else rows.last.getLong(1)
+      if (rows.length == topK && kth > sh.count() / (counters + 1L)) top
+      else // guarantee violated (counters too small for this corpus): exact plan
+        sh.groupBy(col("shingle")).agg(count(lit(1)).alias("n_docs"))
+          .orderBy(col("n_docs").desc, col("shingle"))
+          .limit(topK)
+    }
+  }
+
   /** MinHash signatures: hash each shingle string ONCE, then derive the k permutations
     * by re-hashing that fixed-width 64-bit value with the permutation index —
     * k·|shingles| variable-length string hashes become |shingles| string hashes plus

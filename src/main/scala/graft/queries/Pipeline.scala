@@ -561,6 +561,23 @@ object Pipeline {
               |ORDER BY n_docs DESC, shingle
               |LIMIT 25""".stripMargin))),
 
+    // Bounded-state heavy hitters: t5's top-25 boilerplate grams through the
+    // Misra-Gries candidates → exact-recount path instead of the unbounded groupBy.
+    // 16384 counters sketch genuinely at sf0.1 (27k distinct grams) while the
+    // exactness condition (25th df > N/(counters+1)) holds at both gate SFs, so the
+    // oracle is t5's exact SQL — equality, not approximation; the operator's
+    // verified mode re-checks the condition at runtime and would fall back to the
+    // exact plan rather than return an unproven ranking.
+    "t19_top_ngrams_sketch" -> (((s: SparkSession, dir: String) =>
+      Dedup.topNgramsBounded(docs(s, dir), "text", "doc_id",
+        n = 3, topK = 25, counters = 16384),
+      Some(s"""$duckShingleSets
+              |SELECT shingle, count(*) AS n_docs
+              |FROM (SELECT doc_id, unnest(s) AS shingle FROM g)
+              |GROUP BY shingle
+              |ORDER BY n_docs DESC, shingle
+              |LIMIT 25""".stripMargin))),
+
     // Deterministic content-hash sampling: keep documents whose fingerprint hashes
     // into bucket 0 of 10 — reproducible across runs AND engines (md5-derived
     // bucket), the sampling a training pipeline wants (same doc always lands in

@@ -223,6 +223,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned == Seq(good, good, good).mkString("\n"))
   }
 
+  test("topNgramsBounded equals the exact top-K, including the fallback path") {
+    val rnd = new scala.util.Random(11)
+    // 40 docs share a planted boilerplate trigram; the rest is random noise
+    val docs = (1 to 120).map { i =>
+      val noise = Seq.fill(12)(s"w${rnd.nextInt(400)}").mkString(" ")
+      val text = if (i <= 40) s"subscribe our newsletter $noise" else noise
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.shingles(docs, "text", "doc_id", n = 3)
+      .groupBy($"shingle").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"shingle").limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.head._1 == "subscribe our newsletter" && exact.head._2 == 40L)
+    // plenty of counters: the sketch guarantee holds, no fallback
+    val sketched = Dedup.topNgramsBounded(docs, "text", "doc_id",
+        n = 3, topK = 5, counters = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sketched.sameElements(exact))
+    // starved counters: the runtime guarantee check must trigger the exact fallback
+    val starved = Dedup.topNgramsBounded(docs, "text", "doc_id",
+        n = 3, topK = 5, counters = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(starved.sameElements(exact))
+  }
+
   test("htmlToText strips script/style/tags and decodes entities once") {
     val html = """<html><head><style>p { color: red; }</style>
       |<script>if (a < b) { alert("x&y"); }</script></head>
