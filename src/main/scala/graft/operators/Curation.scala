@@ -652,6 +652,54 @@ object Curation {
         coalesce(sum(col("w")), lit(0L)).alias("seed_hits"))
   }
 
+  /** Model-based quality filtering with a two-class lexical classifier — the
+    * GPT-3/FineWeb-Edu pipeline stage (Brown et al. 2020 §A; Penedo et al. 2024)
+    * in its hashed bag-of-n-grams form: train per-bucket counts on a POSITIVE seed
+    * (the quality target) and a NEGATIVE seed (the reject distribution), give each
+    * bucket an integer majority vote, and score every candidate document as the
+    * sum of its distinct grams' votes.
+    *
+    * A bucket votes `+1` when its relative frequency is higher in the positive
+    * seed than the negative (`c⁺ · N⁻ > c⁻ · N⁺` — the frequency-ratio comparison
+    * as an integer cross-multiplication, no division), `−1` when lower, `0` on
+    * ties and unseen buckets. Scores are exact long sums of {−1,0,+1}, so the
+    * keep/drop verdict (`score > 0`) is bit-identical in any engine — the
+    * cross-engine-verifiable stand-in for a logistic regression's real-valued
+    * logit, with the same featurization and the same decision boundary shape.
+    *
+    * Scale shape is [[seedAffinityScores]]'s: both count tables are at most
+    * `buckets` rows however large the seeds grow, the vote table broadcasts, and
+    * scoring is explode → broadcast join → per-doc sum with only `(id, vote)`
+    * longs in the aggregation shuffle. Corpus documents with fewer than `n` words
+    * produce no grams and are absent from the output (no text, no verdict).
+    */
+  def qualityClassifierScores(
+      corpus: DataFrame, seedPos: DataFrame, seedNeg: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 2, buckets: Int = 65536): DataFrame = {
+    def bucketCounts(seed: DataFrame, cnt: String): DataFrame =
+      Dedup.shingles(seed, textCol, idCol, n)
+        .select((Dedup.md5Hash60(col("shingle")) % buckets).alias("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).alias(cnt))
+    val pos = bucketCounts(seedPos, "cp")
+    val neg = bucketCounts(seedNeg, "cn")
+    val totals = pos.agg(sum(col("cp"))).head.getLong(0) ->
+      neg.agg(sum(col("cn"))).head.getLong(0)
+    val (np, nn) = totals
+    val votes = pos.join(neg, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        signum(coalesce(col("cp"), lit(0L)) * nn -
+          coalesce(col("cn"), lit(0L)) * np).cast("long").alias("vote"))
+    Dedup.shingles(corpus, textCol, idCol, n)
+      .select(col("id"), (Dedup.md5Hash60(col("shingle")) % buckets).alias("bucket"))
+      .join(broadcast(votes), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).alias("n_grams"),
+        coalesce(sum(col("vote")), lit(0L)).alias("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
   /** CCNet-style seed-LM surprisal scoring (Wenzek et al. 2020): train hashed
     * n-gram and context ((n−1)-gram) count tables on a seed corpus, then score
     * every candidate document by its total conditional surprisal under that model —

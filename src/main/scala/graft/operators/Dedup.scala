@@ -429,6 +429,43 @@ object Dedup {
         (col("sza") + col("szb") - col("inter")).cast("double"), 6))
   }
 
+  /** Asymmetric shingle-containment near-dup: `C(A→B) = |A∩B| / |A|` over the
+    * distinct n-gram shingle sets. Containment is what catches document-INSIDE-
+    * document duplication — a quoted excerpt, a scraped article embedded in a
+    * boilerplate page, a prefix slice — where symmetric Jaccard stays low by
+    * construction (a 30-word excerpt of a 300-word article has `J ≈ 0.1` but
+    * `C = 1.0`). The measure of Broder's resemblance/containment pair (Broder,
+    * SEQUENCES '97), the one the exact-substring dedup literature (Lee et al. 2022)
+    * targets at the corpus level.
+    *
+    * Shape: the same one-shuffle capped inverted index as [[pairJaccardFromSets]]
+    * (postings of 8-byte hashes, pair expansion map-side off the sorted posting
+    * array, `(id, count)` longs in every exchange), then BOTH directions of each
+    * unordered pair are emitted — containment is asymmetric, so `(a in b)` and
+    * `(b in a)` are separate judgements. Exact whenever no shingle's document
+    * frequency exceeds `maxDocFreq` (same contract, and same 100 TB knob, as the
+    * capped Jaccard path).
+    */
+  def containmentNearDup(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.9, maxDocFreq: Int = 1000): DataFrame = {
+    val sets = shingleHashSets(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overlap = pairJaccardFromSets(sets, maxDocFreq)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sza"), col("szb"))
+    val directed = overlap.select(
+        col("id_a").alias("contained_id"), col("id_b").alias("container_id"),
+        col("inter"), col("sza").alias("sz"))
+      .union(overlap.select(
+        col("id_b").alias("contained_id"), col("id_a").alias("container_id"),
+        col("inter"), col("szb").alias("sz")))
+    directed
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+  }
+
   /** Exact n-gram Jaccard near-dup with adaptive candidate strategy.
     *
     * Two exact-result paths share the fused hash-set scan ([[shingleHashSets]]):

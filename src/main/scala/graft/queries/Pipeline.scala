@@ -578,6 +578,56 @@ object Pipeline {
               |ORDER BY n_docs DESC, shingle
               |LIMIT 25""".stripMargin))),
 
+    // Model-based quality filtering (the GPT-3/FineWeb-Edu classifier stage) as a
+    // two-class hashed-bigram vote classifier: positive seed = held-out English
+    // docs, negative seed = held-out non-English docs, corpus = the rest. Each
+    // bucket votes by integer cross-multiplied frequency ratio, doc score = sum of
+    // votes — all-integer, so the DuckDB replay of train+score is hash-exact. The
+    // English corpus docs score positive, non-English negative (checked in
+    // CurationSpec); here the driver verifies the full score surface.
+    "t20_quality_classifier" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val held = d.filter(col("doc_id") % 5 === 0)
+      Curation.qualityClassifierScores(
+          d.filter(col("doc_id") % 5 =!= 0),
+          held.filter(col("lang") === "en"), held.filter(col("lang") =!= "en"),
+          "text", "doc_id", n = 2, buckets = 65536)
+        .select(col("id").alias("doc_id"), col("n_grams"), col("score"), col("keep"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, lang, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(words)),
+             |    i -> words[i] || ' ' || words[i+1])) AS s
+             |  FROM w WHERE len(words) >= 2
+             |), grams AS (
+             |  SELECT doc_id, lang,
+             |    ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT % 65536 AS bucket
+             |  FROM g
+             |), pos AS (
+             |  SELECT bucket, count(*) AS cp FROM grams
+             |  WHERE doc_id % 5 = 0 AND lang = 'en' GROUP BY bucket
+             |), neg AS (
+             |  SELECT bucket, count(*) AS cn FROM grams
+             |  WHERE doc_id % 5 = 0 AND lang != 'en' GROUP BY bucket
+             |), tot AS (
+             |  SELECT (SELECT sum(cp) FROM pos) AS np, (SELECT sum(cn) FROM neg) AS nn
+             |), votes AS (
+             |  SELECT coalesce(pos.bucket, neg.bucket) AS bucket,
+             |    sign(coalesce(cp, 0) * nn - coalesce(cn, 0) * np)::BIGINT AS vote
+             |  FROM pos FULL OUTER JOIN neg ON pos.bucket = neg.bucket, tot
+             |)
+             |SELECT g.doc_id, count(*) AS n_grams,
+             |  coalesce(sum(v.vote), 0)::BIGINT AS score,
+             |  coalesce(sum(v.vote), 0) > 0 AS keep
+             |FROM grams g LEFT JOIN votes v USING (bucket)
+             |WHERE g.doc_id % 5 != 0
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))),
+
     // Deterministic content-hash sampling: keep documents whose fingerprint hashes
     // into bucket 0 of 10 — reproducible across runs AND engines (md5-derived
     // bucket), the sampling a training pipeline wants (same doc always lands in
@@ -968,6 +1018,51 @@ object Pipeline {
               |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
               |  FROM fresh) WHERE rn = 1
               |ORDER BY doc_id""".stripMargin))),
+
+    // Asymmetric containment dedup (Broder's C(A→B) = |A∩B|/|A|): catches
+    // document-INSIDE-document duplication — planted 30-word excerpt docs score
+    // containment 1.0 in their source (Jaccard ≈ 0.15 there, invisible to d2/d4),
+    // and suffix-extended docs contain their original whole. The oracle is exact
+    // all-pairs containment over the same distinct-shingle sets; both engines
+    // compute inter/|A| with one rounded division, and the Spark side's capped
+    // inverted index is exact here because no shingle's df can approach the cap.
+    "d13_containment" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val excerpt = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 200000).alias("doc_id"),
+          concat_ws(" ", slice(Dedup.wordsArray(col("text")), 1, 30)).alias("text"))
+      val extended = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 300000).alias("doc_id"),
+          concat(col("text"), lit(" zq0 zq1 zq2 zq3 zq4")).alias("text"))
+      Dedup.containmentNearDup(d.union(excerpt).union(extended),
+          "text", "doc_id", threshold = 0.9)
+        .orderBy("contained_id", "container_id")
+    },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 200000 AS doc_id,
+              |    array_to_string(($duckWords)[1:30], ' ') AS text
+              |  FROM documents WHERE doc_id % 40 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 300000 AS doc_id,
+              |    text || ' zq0 zq1 zq2 zq3 zq4' AS text
+              |  FROM documents WHERE doc_id % 50 = 0
+              |), w AS (
+              |  SELECT doc_id, list_filter(
+              |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\\s+'),
+              |    x -> len(x) > 0) AS words
+              |  FROM base
+              |), g AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+              |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+              |  FROM w WHERE len(words) >= 3
+              |)
+              |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+              |  round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS containment
+              |FROM g a JOIN g b ON a.doc_id != b.doc_id
+              |WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) >= 0.9
+              |ORDER BY contained_id, container_id""".stripMargin))),
 
     // CCNet-style line-level boilerplate removal: documents are re-lined (newline
     // every 8 words) and every doc gets a universal "subscribe" footer plus a

@@ -456,4 +456,26 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.forall(Seq(3L, 4L, 5L).contains),
       s"unrelated vectors should survive, got $kept")
   }
+
+  test("quality classifier votes separate seed-like classes and ignore shared vocab") {
+    val seedPos = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "the quick red fox runs past the sleeping dog")
+    ).toDF("doc_id", "text")
+    val seedNeg = Seq(
+      (201L, "der schnelle braune fuchs springt gern hoch"),
+      (202L, "der schnelle rote fuchs rennt sehr weit")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),    // positive-seed vocabulary
+      (2L, "der schnelle braune fuchs springt"), // negative-seed vocabulary
+      (3L, "zz1 zz2 zz3 zz4")                    // vocabulary unseen by either seed
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityClassifierScores(
+        corpus, seedPos, seedNeg, "text", "doc_id", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 > 0 && out(1L)._2, s"pos-vocab doc must score positive: $out")
+    assert(out(2L)._1 < 0 && !out(2L)._2, s"neg-vocab doc must score negative: $out")
+    assert(out(3L)._1 == 0 && !out(3L)._2, s"unseen vocab is all zero votes: $out")
+  }
 }

@@ -499,4 +499,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byText("same text here").getLong(0) == 5L) // non-null id wins the group
     assert(byText("only null ids").isNullAt(0)) // the original row, not an all-null row
   }
+
+  test("containmentNearDup flags excerpt-in-document pairs that Jaccard misses") {
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, long1),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10-word prefix excerpt of 1
+      (3L, (1 to 40).map(i => s"v$i").mkString(" "))  // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentNearDup(d, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every contiguous 3-gram of the excerpt appears in doc 1: containment 1.0;
+    // the reverse direction (8 of 38 shingles) and the unrelated doc stay silent
+    assert(out.toSeq == Seq((2L, 1L, 1.0)), s"got ${out.toSeq}")
+    val jac = Dedup.pairJaccardFromSets(
+        Dedup.shingleHashSets(d, "text", "doc_id", 3))
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("jaccard").head.getDouble(0)
+    assert(jac < 0.5, s"the pair must be invisible to symmetric Jaccard, J=$jac")
+  }
 }
