@@ -579,6 +579,14 @@ object Dedup {
       maxHamming: Int = 3, n: Int = 3, bits: Int = 60): DataFrame =
     bandPairs(simHashSignaturesNative(df, textCol, idCol, n, bits), bits, maxHamming)
 
+  /** Banded hamming near-dup over ANY precomputed `(id, simhash)` signature frame —
+    * the SimHash candidate/verify machinery opened up for other 64-bit perceptual
+    * fingerprints (image dHash from [[Multimodal.perceptualHash]], audio chroma
+    * hashes, …). Recall is exact for `maxHamming ≤ 3` by the 4-band pigeonhole.
+    */
+  def hammingNearDup(sig: DataFrame, bits: Int = 64, maxHamming: Int = 3): DataFrame =
+    bandPairs(sig, bits, maxHamming)
+
   private def bandPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     require(bits % 4 == 0, "simHashNearDup bands the signature into 4 equal chunks")
     val cw = bits / 4

@@ -93,6 +93,111 @@ object Multimodal {
         length(col("payload")).alias("n_bytes")))
   }
 
+  /** Scalar md5-60 matching [[Dedup.md5Hash60]] / DuckDB
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT` — the digest's top 60 bits, so
+    * payload constructions using it are reproducible in an external oracle engine.
+    */
+  private[graft] def md5Mod(key: String, m: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(key.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xFF); i += 1 }
+    h = (h << 4) | ((d(7) & 0xF0) >>> 4)
+    (h % m).toInt
+  }
+
+  /** Deterministic REAL textured image payloads for perceptual-hash dedup: fixed
+    * `w`×`h` gray PNGs whose pixel (x,y) is the md5-60 of
+    * `"<id % groupMod>_<x>_<y>"` mod 256 — ids in the same group render the SAME
+    * image, and odd ids additionally get one id-derived pixel perturbed by +64
+    * (a near-duplicate, not an exact one: the kind of single-region edit
+    * perceptual hashing exists to catch). PNG is lossless and the pixel function
+    * is md5-replayable, so an external oracle can rebuild every decoded raster —
+    * and therefore every [[perceptualHash]] — arithmetically.
+    */
+  def attachTexturedImagePayload(df: DataFrame, idCol: String = "doc_id",
+      w: Int = 16, h: Int = 12, groupMod: Int = 101): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = java.lang.Math.floorMod(id, groupMod.toLong)
+          val nx = java.lang.Math.floorMod(id, w.toLong).toInt
+          val ny = java.lang.Math.floorMod(id, h.toLong).toInt
+          val odd = java.lang.Math.floorMod(id, 2L) == 1L
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = md5Mod(s"${g}_${x}_${y}", 256)
+              val v = if (odd && x == nx && y == ny) (base + 64) % 256 else base
+              raster.setSample(x, y, 0, v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          (id, "png", out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "media_format", "payload")
+      .withColumn("media_meta", struct(
+        col("media_format").alias("format"),
+        length(col("payload")).alias("n_bytes")))
+  }
+
+  /** 64-bit difference hash (dHash — the standard perceptual image fingerprint:
+    * Krawetz's "Kind of Like That" construction) over REAL decoded rasters:
+    * nearest-neighbor sample the gray image on a 9×8 lattice
+    * (`sx = x·W/9`, `sy = y·H/8`, integer division), set bit `y·8 + x` iff the
+    * right neighbor is brighter than the left. Robust to uniform brightness and
+    * scale changes, and a small pixel edit flips at most two bits.
+    *
+    * Pure map stage, partition-wise decode: at 100 TB the corpus collapses to
+    * 8 bytes of signature per image right at the scan, and near-dup detection
+    * downstream ([[Dedup.hammingNearDup]]) never touches payload bytes again.
+    * Undecodable payloads are dropped (no raster, no hash).
+    */
+  def perceptualHash(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          img.collect { case im if im.getWidth >= 9 && im.getHeight >= 8 =>
+            val raster = im.getRaster
+            val iw = im.getWidth
+            val ih = im.getHeight
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              val sy = y * ih / 8
+              var x = 0
+              while (x < 8) {
+                val a = raster.getSample(x * iw / 9, sy, 0)
+                val b = raster.getSample((x + 1) * iw / 9, sy, 0)
+                if (b > a) hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            (id, hash)
+          }
+        }
+      }
+      .toDF("id", "simhash")
+  }
+
   /** Minimal canonical WAV writer: RIFF / fmt(PCM, mono, 8-bit) / data. */
   private[graft] def encodeWavPcm8(samples: Array[Int], sampleRate: Int): Array[Byte] = {
     val n = samples.length

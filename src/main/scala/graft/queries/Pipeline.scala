@@ -1445,6 +1445,49 @@ object Pipeline {
              |  cast((doc_id * 31 + f * 17) % 256 as int) AS px_max
              |FROM fr ORDER BY doc_id, frame_no""".stripMargin))),
 
+    // Perceptual image dedup: REAL textured PNGs (pixel = md5-60 of
+    // "<id%101>_<x>_<y>" mod 256; odd ids get one pixel perturbed +64) are decoded
+    // back through ImageIO and fingerprinted with the standard 64-bit dHash
+    // (9×8 nearest lattice, brighter-than-left bits), then paired by 4-band LSH +
+    // exact hamming ≤ 3 — same-group images match at hamming ≤ 2 (the perturbed
+    // pixel flips ≤ 2 bits), unrelated textures sit near hamming 32. The oracle
+    // never decodes a PNG: it rebuilds every raster arithmetically from the md5
+    // pixel function (lossless roundtrip) and replays the same lattice and
+    // banding-free exact pair scan — banding recall is exact for hamming ≤ 3 by
+    // pigeonhole, so candidate generation cannot diverge from the all-pairs scan.
+    "mm6_image_neardup" -> (((s: SparkSession, dir: String) => {
+      val imgs = Multimodal.attachTexturedImagePayload(
+        docs(s, dir).select(col("doc_id")), "doc_id")
+      Dedup.hammingNearDup(Multimodal.perceptualHash(imgs), bits = 64, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+      Some("""WITH xs AS (
+             |  SELECT * FROM (VALUES (0,0),(1,1),(2,3),(3,5),(4,7),(5,8),(6,10),(7,12),(8,14)) t(x, sx)
+             |), ys AS (
+             |  SELECT * FROM (VALUES (0,0),(1,1),(2,3),(3,4),(4,6),(5,7),(6,9),(7,10)) t(y, sy)
+             |), px AS (
+             |  SELECT d.doc_id, xs.x, ys.y,
+             |    (('0x' || substr(md5((d.doc_id % 101)::VARCHAR || '_' ||
+             |        xs.sx::VARCHAR || '_' || ys.sy::VARCHAR), 1, 15))::BIGINT % 256
+             |      + CASE WHEN d.doc_id % 2 = 1 AND xs.sx = d.doc_id % 16
+             |             AND ys.sy = d.doc_id % 12 THEN 64 ELSE 0 END) % 256 AS v
+             |  FROM documents d, xs, ys
+             |), sig AS (
+             |  SELECT p1.doc_id,
+             |    sum(CASE WHEN p2.v <= p1.v THEN 0::BIGINT
+             |        WHEN p1.y * 8 + p1.x = 63 THEN -9223372036854775807 - 1
+             |        ELSE (1::BIGINT << (p1.y * 8 + p1.x)) END)::BIGINT AS dhash
+             |  FROM px p1 JOIN px p2
+             |    ON p2.doc_id = p1.doc_id AND p2.y = p1.y AND p2.x = p1.x + 1
+             |  WHERE p1.x < 8
+             |  GROUP BY p1.doc_id
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  cast(bit_count(xor(a.dhash, b.dhash)) as int) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin))),
+
     // ---------------- event analytics ----------------
 
     "e1_sessionize" -> (((s: SparkSession, dir: String) => {

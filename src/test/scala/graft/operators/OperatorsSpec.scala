@@ -500,6 +500,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byText("only null ids").isNullAt(0)) // the original row, not an all-null row
   }
 
+  test("perceptual dHash groups textured images and tolerates a one-pixel edit") {
+    // groupMod 101: ids 2 and 204 render identical PNGs; 103 is the same texture
+    // with one pixel perturbed (odd id); 3 is an unrelated texture
+    val ids = Seq(2L, 204L, 103L, 3L).toDF("doc_id")
+    val sig = Multimodal.perceptualHash(
+      Multimodal.attachTexturedImagePayload(ids, "doc_id"))
+    assert(sig.count() == 4, "every payload must decode to a hash")
+    val pairs = Dedup.hammingNearDup(sig, bits = 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val matched = pairs.map(p => (p._1, p._2)).toSet
+    assert(matched == Set((2L, 103L), (2L, 204L), (103L, 204L)),
+      s"same-texture trio must pair up, unrelated id 3 must not: $pairs")
+    assert(pairs.collect { case (2L, 204L, hd) => hd }.head == 0,
+      "identical renders hash identically")
+    assert(pairs.forall(_._3 <= 2), s"one-pixel edit flips at most two bits: $pairs")
+  }
+
   test("containmentNearDup flags excerpt-in-document pairs that Jaccard misses") {
     val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq(
