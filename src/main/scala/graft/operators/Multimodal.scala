@@ -198,6 +198,64 @@ object Multimodal {
       .toDF("id", "simhash")
   }
 
+  /** Deterministic REAL textured audio payloads for fingerprint dedup: fixed-length
+    * 8-bit PCM WAVs whose sample i is the md5-60 of `"<id % groupMod>_<i>"` mod 256
+    * — same-group ids render the SAME waveform, odd ids get one id-derived sample
+    * perturbed by +64 (a near-duplicate: a click/dropout edit, the case audio
+    * fingerprinting exists to survive). md5-replayable like the image analogue.
+    */
+  def attachTexturedAudioPayload(df: DataFrame, idCol: String = "doc_id",
+      n: Int = 80, groupMod: Int = 101, sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = java.lang.Math.floorMod(id, groupMod.toLong)
+          val np = java.lang.Math.floorMod(id, n.toLong).toInt
+          val odd = java.lang.Math.floorMod(id, 2L) == 1L
+          val samples = Array.tabulate(n) { i =>
+            val base = md5Mod(s"${g}_${i}", 256)
+            if (odd && i == np) (base + 64) % 256 else base
+          }
+          (id, "wav", encodeWavPcm8(samples, sampleRate))
+        }
+      }
+      .toDF("doc_id", "media_format", "payload")
+      .withColumn("media_meta", struct(
+        col("media_format").alias("format"),
+        length(col("payload")).alias("n_bytes")))
+  }
+
+  /** 64-bit sign-of-difference audio fingerprint over the REAL decoded PCM
+    * envelope — the Haitsma–Kalker construction (ISMIR '02) with the band-energy
+    * deltas replaced by raw envelope deltas (our payloads are already envelopes):
+    * bit `i` is set iff `sample[i+1] > sample[i]`. Robust to uniform gain, and a
+    * single-sample edit flips at most two bits. Pure map stage, partition-wise
+    * decode; payloads that are not PCM-8 WAVs or carry fewer than 65 samples are
+    * dropped (no envelope, no fingerprint).
+    */
+  def audioFingerprint(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWavPcm8(bytes).collect { case (_, s) if s.length >= 65 =>
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              if (s(i + 1) > s(i)) hash |= 1L << i
+              i += 1
+            }
+            (id, hash)
+          }
+        }
+      }
+      .toDF("id", "simhash")
+  }
+
   /** Minimal canonical WAV writer: RIFF / fmt(PCM, mono, 8-bit) / data. */
   private[graft] def encodeWavPcm8(samples: Array[Int], sampleRate: Int): Array[Byte] = {
     val n = samples.length

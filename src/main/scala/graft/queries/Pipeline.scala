@@ -1488,6 +1488,42 @@ object Pipeline {
              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
              |ORDER BY id_a, id_b""".stripMargin))),
 
+    // Audio fingerprint dedup: REAL textured WAVs (sample = md5-60 of
+    // "<id%101>_<i>" mod 256 over 80 samples; odd ids get one sample bumped +64 —
+    // a click edit) decoded back through the RIFF/PCM parser and fingerprinted
+    // with the Haitsma-Kalker sign-of-difference hash (64 envelope-delta bits),
+    // then paired by the same 4-band hamming machinery as mm6. The oracle rebuilds
+    // every waveform arithmetically and replays the fingerprint + all-pairs scan.
+    "mm7_audio_neardup" -> (((s: SparkSession, dir: String) => {
+      val wavs = Multimodal.attachTexturedAudioPayload(
+        docs(s, dir).select(col("doc_id")), "doc_id")
+      Dedup.hammingNearDup(Multimodal.audioFingerprint(wavs), bits = 64, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+      Some("""WITH ix AS (
+             |  SELECT unnest(range(65)) AS i
+             |), smp AS (
+             |  SELECT d.doc_id, ix.i,
+             |    (('0x' || substr(md5((d.doc_id % 101)::VARCHAR || '_' ||
+             |        ix.i::VARCHAR), 1, 15))::BIGINT % 256
+             |      + CASE WHEN d.doc_id % 2 = 1 AND ix.i = d.doc_id % 80
+             |        THEN 64 ELSE 0 END) % 256 AS v
+             |  FROM documents d, ix
+             |), sig AS (
+             |  SELECT s1.doc_id,
+             |    sum(CASE WHEN s2.v <= s1.v THEN 0::BIGINT
+             |        WHEN s1.i = 63 THEN -9223372036854775807 - 1
+             |        ELSE (1::BIGINT << s1.i) END)::BIGINT AS fp
+             |  FROM smp s1 JOIN smp s2 ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1
+             |  WHERE s1.i < 64
+             |  GROUP BY s1.doc_id
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  cast(bit_count(xor(a.fp, b.fp)) as int) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin))),
+
     // ---------------- event analytics ----------------
 
     "e1_sessionize" -> (((s: SparkSession, dir: String) => {

@@ -517,6 +517,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 2), s"one-pixel edit flips at most two bits: $pairs")
   }
 
+  test("audio fingerprint groups textured waveforms and tolerates a one-sample edit") {
+    val ids = Seq(2L, 204L, 103L, 3L).toDF("doc_id") // same trio construction as dHash
+    val sig = Multimodal.audioFingerprint(
+      Multimodal.attachTexturedAudioPayload(ids, "doc_id"))
+    assert(sig.count() == 4)
+    val pairs = Dedup.hammingNearDup(sig, bits = 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((2L, 103L), (2L, 204L), (103L, 204L)),
+      s"same-waveform trio must pair up, unrelated id 3 must not: $pairs")
+    assert(pairs.forall(_._3 <= 2), s"one-sample edit flips at most two bits: $pairs")
+  }
+
   test("containmentNearDup flags excerpt-in-document pairs that Jaccard misses") {
     val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq(
