@@ -202,6 +202,28 @@ class PlanQualitySpec extends AnyFunSuite {
         s"jaccard exchange must not carry text/word arrays\n$e"))
   }
 
+  test("d13_containment: exchanges carry hash/count longs, never text") {
+    val df = SparkEntry.queries("d13_containment")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // same contract as d4: the fused set scan leaves no gram strings anywhere,
+    // and pair expansion shuffles postings/(id,count) longs only
+    assert(plan.contains("shingle_hashes"), plan.take(2000))
+    "Exchange hashpartitioning\\([^\n]*".r.findAllIn(plan).foreach(e =>
+      assert(!e.contains("text#") && !e.contains("__w#"),
+        s"containment exchange must not carry text/word arrays\n$e"))
+  }
+
+  test("mm6/mm7: perceptual pair exchanges carry (id, signature) longs, never payloads") {
+    for (name <- Seq("mm6_image_neardup", "mm7_audio_neardup")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      // decode+hash is a map stage; after it the corpus is 8 bytes/row — no
+      // exchange may carry the payload bytes (the 100 TB constraint for media)
+      "Exchange hashpartitioning\\([^\n]*".r.findAllIn(plan).foreach(e =>
+        assert(!e.contains("payload#"), s"$name exchange must not carry payloads\n$e"))
+    }
+  }
+
   test("prefix jaccard: hot shingles are pruned out of the candidate index") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
