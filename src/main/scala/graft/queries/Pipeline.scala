@@ -668,6 +668,54 @@ object Pipeline {
               |WHERE l.lang_pred = 'en' AND q.quality >= 0.5
               |ORDER BY k.doc_id""".stripMargin))),
 
+    // Curation AUDIT — the lineage view of p1: every document gets a verdict row
+    // naming the FIRST stage that would drop it (duplicate → language → quality)
+    // or 'kept'. The "why was this doc dropped" query a production pipeline must
+    // answer, computed in ONE pass: the dedup window is the only shuffle (same
+    // key as the dedup itself), language/quality are map-only expressions — the
+    // audit costs no more than the curation it explains, at any corpus size.
+    "p11_curation_audit" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = base.union(base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).alias("doc_id"), col("text")))
+      val rn = row_number().over(
+        Window.partitionBy(TextAnalysis.fingerprint(col("text"))).orderBy("doc_id"))
+      d.select(col("doc_id"),
+          rn.alias("rn"),
+          TextAnalysis.langId(col("text")).alias("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .select(col("doc_id"),
+          when(col("rn") > 1, "duplicate")
+            .when(col("lang_pred") =!= "en", "language")
+            .when(col("quality") < 0.5, "quality")
+            .otherwise("kept").alias("verdict"),
+          col("lang_pred"), col("quality"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+              |), r AS (
+              |  SELECT doc_id,
+              |    row_number() OVER (PARTITION BY $duckFp ORDER BY doc_id) AS rn
+              |  FROM b
+              |)
+              |SELECT b.doc_id,
+              |  CASE WHEN r.rn > 1 THEN 'duplicate'
+              |       WHEN l.lang_pred != 'en' THEN 'language'
+              |       WHEN q.quality < 0.5 THEN 'quality'
+              |       ELSE 'kept' END AS verdict,
+              |  l.lang_pred, q.quality
+              |FROM b
+              |JOIN r ON r.doc_id = b.doc_id
+              |JOIN ($duckLangId) l
+              |  ON l.doc_id = CASE WHEN b.doc_id > 99999 THEN b.doc_id - 100000 ELSE b.doc_id END
+              |JOIN ($duckQuality) q
+              |  ON q.doc_id = CASE WHEN b.doc_id > 99999 THEN b.doc_id - 100000 ELSE b.doc_id END
+              |ORDER BY b.doc_id""".stripMargin))),
+
     // The full curation composition — every stage an independently-verified
     // operator, chained as ONE lazy plan: exact dedup → MinHash near-dup pairs →
     // connected components (drop non-canonical members) → 13-gram benchmark
