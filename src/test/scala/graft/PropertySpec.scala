@@ -140,6 +140,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: containment pairs equal the brute-force directed set computation") {
+    forSamples(Gen.listOfN(8, genDoc), 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sets = Dedup.shingleHashSets(df, "text", "doc_id", 3)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      Seq(0.5, 0.9).foreach { t =>
+        val expect = (for {
+          (a, sa) <- sets; (b, sb) <- sets if a != b
+          c = math.rint(sa.intersect(sb).size.toDouble / sa.size * 1e6) / 1e6 if c >= t
+        } yield (a, b, c)).toSet
+        val got = Dedup.containmentNearDup(df, "text", "doc_id", threshold = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == expect, s"threshold $t: $got vs $expect")
+      }
+    }
+  }
+
+  test("property: swapping classifier seed classes negates every score") {
+    forSamples(Gen.zip(Gen.listOfN(4, genDoc), Gen.listOfN(4, genDoc), Gen.listOfN(6, genDoc)), 4) {
+      case (pos, neg, corpus) =>
+        def df(ts: List[String], off: Long) =
+          ts.zipWithIndex.map { case (t, i) => (off + i, t) }.toDF("doc_id", "text")
+        val (p, n, c) = (df(pos, 100), df(neg, 200), df(corpus, 0))
+        def scores(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+          graft.operators.Curation.qualityClassifierScores(c, a, b, "text", "doc_id")
+            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val fwd = scores(p, n)
+        val rev = scores(n, p)
+        assert(fwd.keySet == rev.keySet)
+        fwd.foreach { case (id, (ng, s)) =>
+          assert(rev(id) == ((ng, -s)), s"doc $id: $s must negate, got ${rev(id)._2}")
+        }
+    }
+  }
+
   test("property: connected components are a valid partition refinement of the edges") {
     val genEdges = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L))).map(_.filter(e => e._1 != e._2))
