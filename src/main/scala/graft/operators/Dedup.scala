@@ -579,6 +579,39 @@ object Dedup {
       maxHamming: Int = 3, n: Int = 3, bits: Int = 60): DataFrame =
     bandPairs(simHashSignaturesNative(df, textCol, idCol, n, bits), bits, maxHamming)
 
+  /** Empty `(id, simhash)` signature index — the seed for incremental hamming dedup. */
+  def emptyHammingIndex(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("simhash",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Incremental banded hamming dedup: batch signatures survive unless within
+    * `maxHamming` of an INDEXED signature or of a lower-id signature of their own
+    * batch — the online arrival rule of [[graft.operators.Curation.incrementalNearDedup]]
+    * applied to 64-bit perceptual fingerprints. Index state is 16 bytes per
+    * retained item; both the index probe and the in-batch pass are 4-band joins,
+    * so per-batch cost tracks the batch, never the corpus.
+    */
+  def incrementalHammingDedup(batch: DataFrame, index: DataFrame,
+      bits: Int = 64, maxHamming: Int = 3): DataFrame = {
+    require(bits % 4 == 0, "hamming banding uses 4 equal chunks")
+    val cw = bits / 4
+    def banded(df: DataFrame) = df.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(i => struct(lit(i).alias("c"),
+        shiftright(col("simhash"), i * cw).bitwiseAND((1L << cw) - 1).alias("v"))): _*))
+        .alias("ch"))
+    val vsIndex = banded(batch).alias("a")
+      .join(banded(index).alias("b"), col("a.ch") === col("b.ch"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("a.id").alias("id"))
+    val inBatch = hammingNearDup(batch, bits, maxHamming)
+      .select(col("id_b").alias("id"))
+    batch.join(vsIndex.union(inBatch).distinct(), Seq("id"), "left_anti")
+  }
+
   /** Banded hamming near-dup over ANY precomputed `(id, simhash)` signature frame —
     * the SimHash candidate/verify machinery opened up for other 64-bit perceptual
     * fingerprints (image dHash from [[Multimodal.perceptualHash]], audio chroma

@@ -188,6 +188,48 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming perceptual near-dup for MEDIA payloads — `curateNearDupStream`'s
+    * shape with text MinHash replaced by a 64-bit perceptual signature (image
+    * dHash via [[graft.operators.Multimodal.perceptualHash]] by default; pass
+    * [[graft.operators.Multimodal.audioFingerprint]] for audio streams). Every
+    * micro-batch fingerprints its payloads map-side, drops rows within
+    * `maxHamming` of the accumulated index or of a lower-id row of their own
+    * batch ([[graft.operators.Dedup.incrementalHammingDedup]]), then appends
+    * surviving rows to `outDir` and their 16-byte `(id, simhash)` signatures to
+    * `indexDir`. Index state is 16 bytes per retained item — a billion-image
+    * index is ~16 GB of parquet, and the per-batch band join tracks the batch
+    * size, never the corpus. Undecodable payloads produce no signature and are
+    * dropped (no fingerprint, no dedup verdict — route them aside upstream if
+    * they must be kept).
+    */
+  def mediaNearDupStream(
+      media: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
+      idCol: String = "doc_id",
+      sigFn: DataFrame => DataFrame = graft.operators.Multimodal.perceptualHash(_, "doc_id"),
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val step = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      val spark = batch.sparkSession
+      val index =
+        try spark.read.parquet(indexDir)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Dedup.emptyHammingIndex(spark) }
+      val sigs = sigFn(batch)
+      val surviving = Dedup.incrementalHammingDedup(sigs, index, 64, maxHamming)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        batch.join(surviving.select(col("id").alias(idCol)), Seq(idCol), "left_semi")
+          .write.mode("append").parquet(outDir)
+        surviving.write.mode("append").parquet(indexDir)
+      } finally surviving.unpersist()
+      ()
+    }
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Streaming corpus curation — the incremental-arrival form of the batch pipeline
     * (`Curation.incrementalDedup` + langID + quality floor) over a document stream
     * (doc_id, ts, text):

@@ -91,6 +91,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(idx.columns.toSet == Set("id", "bands", "s"))
   }
 
+  test("streaming media near-dup: perceptual index accumulates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_media_").toString
+    final case class M(doc_id: Long)
+    val src = MemoryStream[Long]
+    val q = EventStreams.mediaNearDupStream(
+      src.toDF().withColumnRenamed("value", "doc_id"),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+      sigFn = df => graft.operators.Multimodal.perceptualHash(
+        graft.operators.Multimodal.attachTexturedImagePayload(df, "doc_id")))
+    // batch 1: ids 2 and 3 render distinct textures (groups 2, 3); both survive
+    src.addData(2L, 3L)
+    q.processAllAvailable()
+    // batch 2: 204 re-renders group 2 exactly, 103 is its one-pixel edit — both
+    // drop against the INDEXED 2; 5 is a fresh texture and survives
+    src.addData(204L, 103L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L), s"got $kept")
+    val idx = spark.read.parquet(s"$tmp/index")
+    assert(idx.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 5L))
+    assert(idx.columns.toSet == Set("id", "simhash"))
+  }
+
   test("hourly rollup closes windows once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
