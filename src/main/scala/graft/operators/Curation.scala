@@ -683,9 +683,10 @@ object Curation {
         .groupBy("bucket").agg(count(lit(1)).alias(cnt))
     val pos = bucketCounts(seedPos, "cp")
     val neg = bucketCounts(seedNeg, "cn")
-    val totals = pos.agg(sum(col("cp"))).head.getLong(0) ->
-      neg.agg(sum(col("cn"))).head.getLong(0)
-    val (np, nn) = totals
+    // coalesce: an EMPTY seed sums to null — treat it as 0 (the ratio comparison
+    // then degenerates to all-neutral votes instead of an NPE at plan-build time)
+    val np = pos.agg(coalesce(sum(col("cp")), lit(0L))).head.getLong(0)
+    val nn = neg.agg(coalesce(sum(col("cn")), lit(0L))).head.getLong(0)
     val votes = pos.join(neg, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         signum(coalesce(col("cp"), lit(0L)) * nn -

@@ -592,8 +592,10 @@ object Dedup {
     * `maxHamming` of an INDEXED signature or of a lower-id signature of their own
     * batch — the online arrival rule of [[graft.operators.Curation.incrementalNearDedup]]
     * applied to 64-bit perceptual fingerprints. Index state is 16 bytes per
-    * retained item; both the index probe and the in-batch pass are 4-band joins,
-    * so per-batch cost tracks the batch, never the corpus.
+    * retained item; the band join's shuffle carries the batch side only — the
+    * index is scanned (a linear read of 16-byte rows, prunable by partitioning
+    * the index files on a band prefix), never reshuffled, and the small batch
+    * side broadcasts.
     */
   def incrementalHammingDedup(batch: DataFrame, index: DataFrame,
       bits: Int = 64, maxHamming: Int = 3): DataFrame = {

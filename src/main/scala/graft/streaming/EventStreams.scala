@@ -197,8 +197,8 @@ object EventStreams {
     * batch ([[graft.operators.Dedup.incrementalHammingDedup]]), then appends
     * surviving rows to `outDir` and their 16-byte `(id, simhash)` signatures to
     * `indexDir`. Index state is 16 bytes per retained item — a billion-image
-    * index is ~16 GB of parquet, and the per-batch band join tracks the batch
-    * size, never the corpus. Undecodable payloads produce no signature and are
+    * index is ~16 GB of parquet, read (never reshuffled) once per batch while
+    * the batch side broadcasts. Undecodable payloads produce no signature and are
     * dropped (no fingerprint, no dedup verdict — route them aside upstream if
     * they must be kept).
     */

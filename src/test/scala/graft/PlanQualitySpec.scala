@@ -224,6 +224,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("t20: the classifier vote table broadcasts (fixed-bucket trick)") {
+    val df = SparkEntry.queries("t20_quality_classifier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+    // scoring shuffles (id, vote) longs only — never text
+    "Exchange hashpartitioning\\([^\n]*".r.findAllIn(plan).foreach(e =>
+      assert(!e.contains("text#"), s"classifier exchange must not carry text\n$e"))
+  }
+
+  test("p11: the audit's only wide exchange is the dedup fingerprint window") {
+    val df = SparkEntry.queries("p11_curation_audit")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(plan).toSeq
+    // one window shuffle (the union reaches it pre-partitioned); lang/quality are
+    // map-only expressions over the same pass
+    assert(exchanges.size <= 2, s"audit must not add shuffles beyond the dedup window:\n" +
+      exchanges.mkString("\n"))
+  }
+
   test("prefix jaccard: hot shingles are pruned out of the candidate index") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
