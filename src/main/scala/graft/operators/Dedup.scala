@@ -438,33 +438,100 @@ object Dedup {
     * SEQUENCES '97), the one the exact-substring dedup literature (Lee et al. 2022)
     * targets at the corpus level.
     *
-    * Shape: the same one-shuffle capped inverted index as [[pairJaccardFromSets]]
-    * (postings of 8-byte hashes, pair expansion map-side off the sorted posting
-    * array, `(id, count)` longs in every exchange), then BOTH directions of each
-    * unordered pair are emitted — containment is asymmetric, so `(a in b)` and
-    * `(b in a)` are separate judgements. Exact whenever no shingle's document
-    * frequency exceeds `maxDocFreq` (same contract, and same 100 TB knob, as the
-    * capped Jaccard path).
+    * Two exact strategies share the fused hash-set scan, mirroring
+    * [[ngramJaccardNearDup]]'s dispatch:
+    *
+    *   - `"capped"` — the one-shuffle capped inverted index of
+    *     [[pairJaccardFromSets]], both directions of each unordered pair emitted
+    *     (containment is asymmetric — `(a in b)` and `(b in a)` are separate
+    *     judgements); exact whenever no shingle's document frequency exceeds
+    *     `maxDocFreq`;
+    *   - `"prefix"` — one-sided prefix filtering
+    *     ([[prefixContainmentCandidates]]: the contained side probes its rarest
+    *     `|A| − ⌈t·|A|⌉ + 1` shingles against the flat corpus shingle table) +
+    *     map-side `array_intersect` verification; exact by theorem at ANY corpus
+    *     size, the 100 TB route on boilerplate-heavy corpora where the capped
+    *     index would need an uncomfortable cap.
+    *
+    * `"auto"` (default) measures like the Jaccard dispatch: small corpus with a
+    * provably-safe max document frequency → capped, otherwise prefix.
     */
   def containmentNearDup(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.9, maxDocFreq: Int = 1000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.9, maxDocFreq: Int = 1000,
+      strategy: String = "auto", cappedMaxDocs: Long = 1000000L): DataFrame = {
     val sets = shingleHashSets(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val overlap = pairJaccardFromSets(sets, maxDocFreq)
-      .select(col("id_a"), col("id_b"), col("inter"), col("sza"), col("szb"))
-    val directed = overlap.select(
-        col("id_a").alias("contained_id"), col("id_b").alias("container_id"),
-        col("inter"), col("sza").alias("sz"))
-      .union(overlap.select(
-        col("id_b").alias("contained_id"), col("id_a").alias("container_id"),
-        col("inter"), col("szb").alias("sz")))
-    directed
+    val capped = strategy match {
+      case "capped" => true
+      case "prefix" => false
+      case "auto" => // same measured dispatch as [[ngramJaccardNearDup]]
+        sets.count() <= cappedMaxDocs && {
+          val maxDf = sets.select(explode(col("s")).alias("h"))
+            .groupBy(col("h")).agg(count(lit(1)).alias("df"))
+            .agg(max(col("df"))).head.getLong(0)
+          maxDf <= maxDocFreq
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown containment strategy '$other' (capped|prefix|auto)")
+    }
+    if (capped) {
+      val overlap = pairJaccardFromSets(sets, maxDocFreq)
+        .select(col("id_a"), col("id_b"), col("inter"), col("sza"), col("szb"))
+      val directed = overlap.select(
+          col("id_a").alias("contained_id"), col("id_b").alias("container_id"),
+          col("inter"), col("sza").alias("sz"))
+        .union(overlap.select(
+          col("id_b").alias("contained_id"), col("id_a").alias("container_id"),
+          col("inter"), col("szb").alias("sz")))
+      directed
+        .withColumn("containment",
+          round(col("inter").cast("double") / col("sz").cast("double"), 6))
+        .filter(col("containment") >= threshold)
+        .select(col("contained_id"), col("container_id"), col("containment"))
+    } else {
+      verifyContainmentSets(prefixContainmentCandidates(sets, threshold), sets, threshold)
+    }
+  }
+
+  /** Directed containment candidates by prefix filtering: if `C(A→B) ≥ t` then
+    * the overlap is at least `⌈t·|A|⌉`, so under any global order A's first
+    * `|A| − ⌈t·|A|⌉ + 1` shingles must intersect B's FULL set — only A's prefix
+    * probes, and the probed side is the flat `(id, shingle)` table, never a
+    * collected posting list. With the df-ascending order the probes are each
+    * document's RAREST shingles, so a boilerplate shingle shared by half the
+    * corpus is never probed and its postings never expand (it sits in every
+    * suffix) — the hot-key blowup of the capped index disappears by construction,
+    * exactly as in [[prefixJaccardCandidates]], but one-sided: containment
+    * constrains only the contained side, so the container side stays unfiltered.
+    * At `t = 0.9` a document probes ~10 % of its shingles.
+    */
+  private[graft] def prefixContainmentCandidates(sets: DataFrame, threshold: Double)
+      : DataFrame = {
+    val sh = sets.select(col("id"), explode(col("s")).alias("shingle"))
+    prefixIndex(sh, threshold).alias("a")
+      .join(sh.alias("b"), Seq("shingle"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").alias("contained_id"), col("b.id").alias("container_id"))
+      .distinct()
+  }
+
+  /** Exact containment over directed candidates against per-document hash sets:
+    * the intersection is a map-side `array_intersect`, divided by the CONTAINED
+    * side's set size.
+    */
+  private def verifyContainmentSets(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("id").alias("contained_id"), col("s").alias("__sa")),
+        "contained_id")
+      .join(sets.select(col("id").alias("container_id"), col("s").alias("__sb")),
+        "container_id")
       .withColumn("containment",
-        round(col("inter").cast("double") / col("sz").cast("double"), 6))
+        round(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(col("__sa")).cast("double"), 6))
       .filter(col("containment") >= threshold)
       .select(col("contained_id"), col("container_id"), col("containment"))
-  }
 
   /** Exact n-gram Jaccard near-dup with adaptive candidate strategy.
     *

@@ -150,9 +150,12 @@ class PropertySpec extends AnyFunSuite {
           (a, sa) <- sets; (b, sb) <- sets if a != b
           c = math.rint(sa.intersect(sb).size.toDouble / sa.size * 1e6) / 1e6 if c >= t
         } yield (a, b, c)).toSet
-        val got = Dedup.containmentNearDup(df, "text", "doc_id", threshold = t)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        assert(got == expect, s"threshold $t: $got vs $expect")
+        Seq("capped", "prefix", "auto").foreach { strat =>
+          val got = Dedup.containmentNearDup(df, "text", "doc_id", threshold = t,
+              maxDocFreq = 100000, strategy = strat)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          assert(got == expect, s"threshold $t strategy $strat: $got vs $expect")
+        }
       }
     }
   }
