@@ -302,11 +302,15 @@ object Dedup {
     * `|d| − ⌈t·|d|⌉ + 1` rarest shingles in the global (df asc, shingle) order.
     * Exposed for plan/pruning assertions; [[prefixJaccardCandidates]] consumes it.
     */
-  private[graft] def prefixIndex(shRaw: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def prefixIndex(shRaw: DataFrame, threshold: Double,
+      dfreqPre: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < t <= 1, got $threshold")
     val sh = hashedShingles(shRaw)
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).alias("__df"))
+    // the df aggregation is the prefix path's priciest shuffle — reuse a
+    // (shingle, __df) table when the caller already built one (auto dispatch)
+    val dfreq = dfreqPre.getOrElse(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).alias("__df")))
     val byDoc = Window.partitionBy(col("id"))
     sh.join(dfreq, "shingle")
       .withColumn("__rk", row_number().over(byDoc.orderBy(col("__df"), col("shingle"))))
@@ -316,8 +320,9 @@ object Dedup {
       .select(col("id"), col("shingle"))
   }
 
-  def prefixJaccardCandidates(shRaw: DataFrame, threshold: Double): DataFrame = {
-    val postings = prefixIndex(shRaw, threshold).groupBy(col("shingle"))
+  def prefixJaccardCandidates(shRaw: DataFrame, threshold: Double,
+      dfreqPre: Option[DataFrame] = None): DataFrame = {
+    val postings = prefixIndex(shRaw, threshold, dfreqPre).groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("id"))).alias("ids"))
       .filter(size(col("ids")) >= 2)
     postings.select(explode(flatten(
@@ -407,12 +412,27 @@ object Dedup {
     * string explode), and per-doc sizes are `size(s)` — array lengths off the same
     * cached sets, not a second aggregation over the corpus.
     */
-  def pairJaccardFromSets(sets: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+  def pairJaccardFromSets(sets: DataFrame, maxDocFreq: Int = 1000): DataFrame =
+    pairJaccardFromPostings(cappedPostings(sets, maxDocFreq), sets)
+
+  /** The capped inverted index WITH an exact per-shingle document frequency: one
+    * groupBy produces both the size-bounded posting list (null when over cap) and
+    * the true df — so the auto dispatch can read `max(__df)` off this one shuffle
+    * instead of paying a second df aggregation, and the prefix fallback can reuse
+    * the `(shingle, __df)` projection as its ordering table.
+    */
+  private[graft] def cappedPostings(sets: DataFrame, maxDocFreq: Int): DataFrame = {
     val sh = sets.select(col("id"), explode(col("s")).alias("shingle"))
     val boundedCollect = org.apache.spark.sql.functions.udaf(
       new graft.functions.Aggregators.BoundedSortedCollect(maxDocFreq))
-    val postings = sh.groupBy(col("shingle"))
-      .agg(boundedCollect(col("id")).alias("ids"))
+    sh.groupBy(col("shingle"))
+      .agg(boundedCollect(col("id")).alias("ids"), count(lit(1)).alias("__df"))
+  }
+
+  /** Pair expansion + exact Jaccard off a prebuilt capped-postings table. */
+  private[graft] def pairJaccardFromPostings(postingsRaw: DataFrame, sets: DataFrame)
+      : DataFrame = {
+    val postings = postingsRaw
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
     val pairs = postings.select(explode(flatten(
       transform(col("ids"), (x, i) =>
@@ -462,36 +482,57 @@ object Dedup {
       strategy: String = "auto", cappedMaxDocs: Long = 1000000L): DataFrame = {
     val sets = shingleHashSets(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = strategy match {
-      case "capped" => true
-      case "prefix" => false
-      case "auto" => // same measured dispatch as [[ngramJaccardNearDup]]
-        sets.count() <= cappedMaxDocs && {
-          val maxDf = sets.select(explode(col("s")).alias("h"))
-            .groupBy(col("h")).agg(count(lit(1)).alias("df"))
-            .agg(max(col("df"))).head.getLong(0)
-          maxDf <= maxDocFreq
-        }
-      case other => throw new IllegalArgumentException(
-        s"unknown containment strategy '$other' (capped|prefix|auto)")
+    dispatchCappedOrPrefix(sets, strategy, maxDocFreq, cappedMaxDocs, "containment") match {
+      case Left(postings) =>
+        val overlap = pairJaccardFromPostings(postings, sets)
+          .select(col("id_a"), col("id_b"), col("inter"), col("sza"), col("szb"))
+        val directed = overlap.select(
+            col("id_a").alias("contained_id"), col("id_b").alias("container_id"),
+            col("inter"), col("sza").alias("sz"))
+          .union(overlap.select(
+            col("id_b").alias("contained_id"), col("id_a").alias("container_id"),
+            col("inter"), col("szb").alias("sz")))
+        directed
+          .withColumn("containment",
+            round(col("inter").cast("double") / col("sz").cast("double"), 6))
+          .filter(col("containment") >= threshold)
+          .select(col("contained_id"), col("container_id"), col("containment"))
+      case Right(dfreqPre) =>
+        verifyContainmentSets(
+          prefixContainmentCandidates(sets, threshold, dfreqPre), sets, threshold)
     }
-    if (capped) {
-      val overlap = pairJaccardFromSets(sets, maxDocFreq)
-        .select(col("id_a"), col("id_b"), col("inter"), col("sza"), col("szb"))
-      val directed = overlap.select(
-          col("id_a").alias("contained_id"), col("id_b").alias("container_id"),
-          col("inter"), col("sza").alias("sz"))
-        .union(overlap.select(
-          col("id_b").alias("contained_id"), col("id_a").alias("container_id"),
-          col("inter"), col("szb").alias("sz")))
-      directed
-        .withColumn("containment",
-          round(col("inter").cast("double") / col("sz").cast("double"), 6))
-        .filter(col("containment") >= threshold)
-        .select(col("contained_id"), col("container_id"), col("containment"))
-    } else {
-      verifyContainmentSets(prefixContainmentCandidates(sets, threshold), sets, threshold)
-    }
+  }
+
+  /** Capped-vs-prefix dispatch shared by the Jaccard and containment joins, with
+    * at most ONE aggregation pass spent deciding. `"capped"`/`"prefix"` skip the
+    * probe entirely. `"auto"` counts the persisted sets (cheap); a corpus over
+    * `cappedMaxDocs` goes straight to prefix with nothing built, and a small one
+    * builds the capped postings WITH their df column ([[cappedPostings]]) and
+    * reads `max(__df)` off that persisted table — so when the capped path wins
+    * (the common small-corpus case) its only shuffle is already done, and when it
+    * loses, the `(shingle, __df)` projection feeds [[prefixIndex]]'s ordering so
+    * the prefix path skips its df aggregation. Either way the probe's shuffle is
+    * never thrown away.
+    *
+    * Returns `Left(postings)` when the capped index is provably exact for this
+    * corpus, `Right(dfreqPre)` when the prefix path must run.
+    */
+  private def dispatchCappedOrPrefix(sets: DataFrame, strategy: String,
+      maxDocFreq: Int, cappedMaxDocs: Long, opName: String)
+      : Either[DataFrame, Option[DataFrame]] = strategy match {
+    case "capped" => Left(cappedPostings(sets, maxDocFreq))
+    case "prefix" => Right(None)
+    case "auto" =>
+      if (sets.count() > cappedMaxDocs) Right(None)
+      else {
+        val postings = cappedPostings(sets, maxDocFreq)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val maxDf = postings.agg(max(col("__df"))).head.getLong(0)
+        if (maxDf <= maxDocFreq) Left(postings)
+        else Right(Some(postings.select(col("shingle"), col("__df"))))
+      }
+    case other => throw new IllegalArgumentException(
+      s"unknown $opName strategy '$other' (capped|prefix|auto)")
   }
 
   /** Directed containment candidates by prefix filtering: if `C(A→B) ≥ t` then
@@ -506,10 +547,10 @@ object Dedup {
     * constrains only the contained side, so the container side stays unfiltered.
     * At `t = 0.9` a document probes ~10 % of its shingles.
     */
-  private[graft] def prefixContainmentCandidates(sets: DataFrame, threshold: Double)
-      : DataFrame = {
+  private[graft] def prefixContainmentCandidates(sets: DataFrame, threshold: Double,
+      dfreqPre: Option[DataFrame] = None): DataFrame = {
     val sh = sets.select(col("id"), explode(col("s")).alias("shingle"))
-    prefixIndex(sh, threshold).alias("a")
+    prefixIndex(sh, threshold, dfreqPre).alias("a")
       .join(sh.alias("b"), Seq("shingle"))
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").alias("contained_id"), col("b.id").alias("container_id"))
@@ -563,26 +604,15 @@ object Dedup {
     // twice (postings + sizes, or candidates + both verify join sides)
     val sets = shingleHashSets(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = strategy match {
-      case "capped" => true
-      case "prefix" => false
-      case "auto" =>
-        sets.count() <= cappedMaxDocs && {
-          val maxDf = sets.select(explode(col("s")).alias("h"))
-            .groupBy(col("h")).agg(count(lit(1)).alias("df"))
-            .agg(max(col("df"))).head.getLong(0)
-          maxDf <= maxDocFreq
-        }
-      case other => throw new IllegalArgumentException(
-        s"unknown jaccard strategy '$other' (capped|prefix|auto)")
-    }
-    if (capped)
-      pairJaccardFromSets(sets, maxDocFreq)
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-    else {
-      val sh = sets.select(col("id"), explode(col("s")).alias("shingle"))
-      verifyJaccardSets(prefixJaccardCandidates(sh, threshold), sets, threshold)
+    dispatchCappedOrPrefix(sets, strategy, maxDocFreq, cappedMaxDocs, "jaccard") match {
+      case Left(postings) =>
+        pairJaccardFromPostings(postings, sets)
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      case Right(dfreqPre) =>
+        val sh = sets.select(col("id"), explode(col("s")).alias("shingle"))
+        verifyJaccardSets(
+          prefixJaccardCandidates(sh, threshold, dfreqPre), sets, threshold)
     }
   }
 
