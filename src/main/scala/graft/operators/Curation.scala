@@ -355,14 +355,15 @@ object Curation {
       textCol: String, idCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7)
       : (DataFrame, DataFrame) = {
-    val sets = Dedup.shingleHashSets(batch, textCol, idCol, n)
+    // one fused scan produces sets + signatures (the regex normalization runs
+    // once); every subtree below reads this single persisted projection
+    val both = Dedup.setsAndMinHash(batch, textCol, idCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = Dedup.minHashSignaturesNative(batch, textCol, idCol, n, k)
-    val batchBands = Dedup.bandHashArray(sig, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = both.select(col("id"), col("s"))
+    val batchBands = Dedup.bandHashArray(both, k, bands)
     // in-batch: a doc matching an earlier (lower-id) batch doc drops
     val inDups = Dedup.verifyJaccardSets(
-        Dedup.lshCandidates(sig, k, bands), sets, threshold)
+        Dedup.lshCandidates(both, k, bands), sets, threshold)
       .select(col("id_b").alias("id"))
     // vs index: a doc matching any accepted doc drops
     val vsIndex = Dedup.verifyJaccardSetsAcross(

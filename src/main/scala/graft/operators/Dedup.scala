@@ -381,11 +381,35 @@ object Dedup {
   def minHashNearDup(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    // both verify join sides read the sets; persist keeps the doc scan single-pass
-    val sets = shingleHashSets(df, textCol, idCol, n)
+    // one fused scan feeds candidates AND both verify join sides
+    val both = setsAndMinHash(df, textCol, idCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minHashSignaturesNative(df, textCol, idCol, n, k), k, bands)
-    verifyJaccardSets(cands, sets, threshold)
+    val sets = both.select(col("id"), col("s"))
+    verifyJaccardSets(lshCandidates(both, k, bands), sets, threshold)
+  }
+
+  /** One-scan `(id, s, mh_0 … mh_{k−1})` projection: the shingle-hash set AND the
+    * MinHash signature off the SAME staged word array. The regex word
+    * normalization is the scan's dominant per-row cost, and the two-frame
+    * formulation (`shingleHashSets` + `minHashSignaturesNative`) paid it twice —
+    * fusing halves the scan work for every operator that needs candidates and
+    * verification sets from one corpus pass. Row set matches both constituents:
+    * documents with fewer than `n` words produce an empty shingle set and are
+    * dropped, exactly as each unfused frame drops them.
+    */
+  private[graft] def setsAndMinHash(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val staged = df.select(col(idCol).alias("id"), wordsArray(col(textCol)).alias("__w"))
+    val w = org.apache.spark.sql.graft.Bridge.toExpression(spark, col("__w"))
+    staged.select(col("id"),
+        org.apache.spark.sql.graft.Bridge.column(graft.functions.ShingleHashes(w, n))
+          .alias("s"),
+        org.apache.spark.sql.graft.Bridge.column(graft.functions.MinHashWords(w, n, k))
+          .alias("__mh"))
+      .filter(size(col("s")) > 0)
+      .select(col("id") +: col("s") +:
+        (0 until k).map(i => col("__mh")(i).alias(s"mh_$i")): _*)
   }
 
   /** Map-only MinHash signatures via [[graft.functions.MinHashWords]]: all k minima
