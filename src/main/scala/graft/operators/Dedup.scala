@@ -800,7 +800,11 @@ object Dedup {
     val hashes = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.WindowHashes(
         org.apache.spark.sql.graft.Bridge.toExpression(spark, col("__w")), window))
+    // both consumers below (dup-hash aggregation, membership join) read the
+    // window stream; persisting the (id, pos, h) longs keeps the text scan and
+    // rolling-hash pass single-run — the cache holds 20-byte rows, never text
     val wins = staged.select(col("id"), posexplode(hashes).as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupH = wins.groupBy("h").agg(count(lit(1)).alias("c"))
       .filter(col("c") >= minCount).select("h")
     val dup = wins.join(dupH, "h").select("id", "pos")
