@@ -26,10 +26,18 @@ object Bench {
     // warm sample can read 3× its isolated latency (r3's q9: 1.80 s benched vs
     // 0.64 s isolated). The max-min spread across the warm runs is disclosed so
     // round-over-round comparisons can tell regression from noise.
-    def once(fn: (SparkSession, String) => DataFrame): Double = {
+    // A failed run must NOT contribute a plausible-looking timing (r5 lesson: 8
+    // analysis-time failures appeared as 0.05-0.23 s "medians" and masked a real
+    // regression) — failures return the error message and are excluded from every
+    // total, surfacing in an "errors" map instead.
+    def once(fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     }
     val warmRuns = 3
     // SPARK_GRAFT_ONLY=d4_ngram_jaccard,d2_dedup_minhash narrows the run for
@@ -40,10 +48,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    val timed = selected.map { case (name, fn) =>
+    val attempted = selected.map { case (name, fn) =>
       val cold = once(fn)
-      val warms = Seq.fill(warmRuns)(once(fn)).sorted
-      (name, cold, warms(warmRuns / 2), warms.last - warms.head)
+      val warms = Seq.fill(warmRuns)(once(fn))
+      (name, cold, warms)
+    }
+    val errors: Seq[(String, String)] = attempted.toSeq.collect {
+      case (name, cold, warms) if cold.isLeft || warms.exists(_.isLeft) =>
+        (name, (cold.left.toSeq ++ warms.flatMap(_.left.toSeq)).head)
+    }
+    val timed = attempted.toSeq.collect {
+      case (name, Right(cold), warms) if warms.forall(_.isRight) =>
+        val ws = warms.collect { case Right(w) => w }.sorted
+        (name, cold, ws(warmRuns / 2), ws.last - ws.head)
     }
     val coldTotal = timed.map(_._2).sum
     val qs = timed.map { case (k, _, med, _) => s"\"" + k + "\":" + med }
@@ -64,6 +81,14 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     val planningStr = "%.2f".formatLocal(java.util.Locale.ROOT, planningMs)
     def f3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errorsJson = errors.map { case (k, msg) => s"\"$k\":${jstr(msg)}" }
+      .mkString("{", ",", "}")
     // The driver's BENCH capture keeps only the LAST 2000 chars of output, and sbt
     // appends "[success] Total time: ..." (~75 chars) after us — so the one
     // parseable summary line must be LAST and comfortably under ~1.8 KB. A map of
@@ -76,7 +101,7 @@ object Bench {
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
       s""""warm_total_sec":$total,"cold_total_sec":$coldTotal,""" +
       s""""queries_cold_sec":${timed.map { case (k, c, _, _) => s"\"" + k + "\":" + f3(c) }.mkString("{", ",", "}")},""" +
-      s""""queries_spread_sec":$spreads,"sf":"$sfDir"}"""
+      s""""queries_spread_sec":$spreads,"errors":$errorsJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         full.getBytes("UTF-8"))
@@ -98,11 +123,21 @@ object Bench {
       .groupBy(t => family(t._1)).toSeq.sortBy(_._1)
       .map { case (fam, ts) => s"\"" + fam + "\":" + f3(ts.map(_._3).sum) }
     val qsCompact = (tpchEntries ++ familyTotals).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
       s""""warm_total_sec":${f3(total)},"cold_total_sec":${f3(coldTotal)},""" +
-      s""""detail":"bench_full.json","sf":"$sfDir",""" +
-      s""""queries":$qsCompact}""")
+      s""""detail":"bench_full.json","errors":$errorsJson,"sf":"$sfDir",""" +
+      s""""queries":$qsCompact}"""
+    // Also to a fixed path the driver (or a human) can read whole, immune to
+    // stdout tail-capture and sbt's own trailer lines.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
+        compact.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    // Print the summary LAST — after spark.stop()'s shutdown chatter — and flush,
+    // so it is the final line this JVM writes to stdout.
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -12,7 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries ns timestamps; read them as long (µs conversion in-query)
+      // only consulted if events.parquet carries legacy NANOS columns (see
+      // queries.Relational.normalizeEventTs — queries normalize either shape)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()

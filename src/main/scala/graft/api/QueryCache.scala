@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * predicate-pushable if a reader queries it directly — at scale the cache is just
   * another table.
   */
-final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000) {
+final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000,
+    maxEntries: Int = 256) {
 
   private def keyOf(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -41,7 +42,46 @@ final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000) {
       props: Map[String, String]): DataFrame = {
     val d = dirFor(keyOf(manifestId, sql, props.toSeq.sorted.mkString(";")))
     df.write.mode(SaveMode.Overwrite).parquet(d.toString)
+    sweep(keep = d)
     df.sparkSession.read.parquet(d.toString)
+  }
+
+  /** Bound the cache by age AND count. Expired entries are deleted first; if the
+    * directory still holds more than `maxEntries` live entries, the oldest (by
+    * completion time) are evicted — so sustained DISTINCT-SQL load cannot grow the
+    * cache without bound between TTL expiries. Runs on every put: the listing is
+    * one directory scan of ≤ maxEntries+1 names, trivial next to the parquet
+    * write it follows. The entry just written is never the victim.
+    */
+  private def sweep(keep: java.nio.file.Path): Unit = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) return
+    val now = System.currentTimeMillis()
+    val entries = {
+      val s = Files.list(r)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ListBuffer.empty[(java.nio.file.Path, Long)]
+        while (it.hasNext) {
+          val d = it.next()
+          if (Files.isDirectory(d) && d.getFileName != keep.getFileName) {
+            val marker = d.resolve("_SUCCESS")
+            val ts = if (Files.exists(marker)) Files.getLastModifiedTime(marker).toMillis
+              else Files.getLastModifiedTime(d).toMillis // half-written leftover
+            buf += ((d, ts))
+          }
+        }
+        buf.toList
+      } finally s.close()
+    }
+    def rm(d: java.nio.file.Path): Unit =
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    val (dead, live) = entries.partition { case (_, ts) => now - ts >= ttlMillis }
+    dead.foreach { case (d, _) => rm(d) }
+    // keep the newest maxEntries-1 besides the entry just written
+    live.sortBy(-_._2).drop(math.max(maxEntries - 1, 0))
+      .foreach { case (d, _) => rm(d) }
   }
 
   /** Creation time (epoch ms) of a live cache entry — the `X-Cache-Create-At`

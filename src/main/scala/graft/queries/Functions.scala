@@ -20,9 +20,10 @@ object Functions {
 
   val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
 
-    // date_bin: 15-minute buckets over the events stream (events.ts is ns in parquet;
-    // Spark reads it as long under nanosAsLong, DuckDB reads ns natively — both
-    // truncate to µs per the TESTDATA gotcha)
+    // date_bin: 15-minute buckets over the events stream. Relational.load normalizes
+    // the events view's ts to epoch ns whatever representation the parquet carries
+    // (µs TIMESTAMP or legacy ns-long); DuckDB sees a µs timestamp either way — both
+    // engines compare at µs precision.
     "f1_date_bin" -> q(
       Seq("events"),
       """SELECT bucket,

@@ -18,10 +18,11 @@ object Pipeline {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String): DataFrame = {
-    // events.parquet carries ns timestamps; needs nanosAsLong (set in Verify/Bench,
-    // best-effort here for foreign sessions)
+    // nanosAsLong is only consulted when the fixture carries NANOS columns (the
+    // legacy shape); set it best-effort so that shape loads in foreign sessions,
+    // then normalize whatever representation arrived to the ns-long contract.
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") catch { case _: Exception => }
-    s.read.parquet(s"$dir/events.parquet")
+    Relational.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
   }
 
   // ---- shared oracle fragments (DuckDB dialect) ----
@@ -1721,9 +1722,9 @@ object Pipeline {
     // Spark lacks. Clicks are pre-collapsed to one row per (user, instant) with
     // arg_max-by-event_id in BOTH engines, so the as-of match is unique by
     // construction, not by fixture luck.
-    // Timestamps are compared at µs (ts div 1000 / epoch_us): DuckDB truncates the
-    // parquet ns column to TIMESTAMP(µs) on read, so µs is the exact precision BOTH
-    // engines share (and µs epochs stay under 2^53, surviving pandas' float64).
+    // Timestamps are compared at µs (ts div 1000 / epoch_us): events() normalizes
+    // ts to epoch ns from either fixture shape, and µs is the exact precision BOTH
+    // engines share (µs epochs also stay under 2^53, surviving pandas' float64).
     "e6_asof_join" -> (((s: SparkSession, dir: String) => {
       val e = events(s, dir).withColumn("ts", expr("ts div 1000"))
       val p = e.filter(col("event_type") === "purchase")
@@ -1943,6 +1944,137 @@ object Pipeline {
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM p GROUP BY bucket, pack_ix
              |ORDER BY bucket, pack_ix""".stripMargin))),
+
+    // Streaming shard sink equivalence: the SAME corpus fed through
+    // StreamingCorpusSink in TWO micro-batches (even ids, then odd) must produce a
+    // manifest whose batch-2 pack numbering continues per-bucket after batch 1's —
+    // the oracle replays per-batch packSequences packing plus the forward-carried
+    // offsets. MemoryStream feeding is driver-side by necessity (the test harness,
+    // not the operator); the doc_id cap bounds it at every scale factor.
+    "w2_stream_manifest" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 600)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_w2_").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingCorpusSink.shardSinkStream(
+        src.toDF().toDF("doc_id", "text"), s"$tmp/data", s"$tmp/manifest",
+        s"$tmp/ckpt", budget = 256, buckets = 8)
+      try {
+        src.addData(d.filter(_._1 % 2 == 0): _*)
+        q.processAllAvailable()
+        src.addData(d.filter(_._1 % 2 == 1): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$tmp/manifest")
+        .select(col("bucket"), col("pack_ix"), col("n_docs"), col("n_tokens"),
+          col("min_id"), col("max_id"))
+        .orderBy("bucket", "pack_ix")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+             |    x -> len(x) > 0) AS words
+             |  FROM documents WHERE doc_id < 600
+             |), t AS (
+             |  SELECT doc_id, cast(len(words) as bigint) AS nt,
+             |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 8 AS bucket
+             |  FROM w
+             |), p1 AS (
+             |  SELECT doc_id, bucket, nt,
+             |    sum(nt) OVER (PARTITION BY bucket ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS st
+             |  FROM t WHERE doc_id % 2 = 0
+             |), m1 AS (
+             |  SELECT bucket, cast(floor(st / 256.0) as bigint) AS pack_ix,
+             |    count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+             |    min(doc_id) AS min_id, max(doc_id) AS max_id
+             |  FROM p1 GROUP BY bucket, pack_ix
+             |), off AS (
+             |  SELECT bucket, max(pack_ix) + 1 AS o FROM m1 GROUP BY bucket
+             |), p2 AS (
+             |  SELECT doc_id, bucket, nt,
+             |    sum(nt) OVER (PARTITION BY bucket ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS st
+             |  FROM t WHERE doc_id % 2 = 1
+             |), m2 AS (
+             |  SELECT m.bucket, m.pack_ix + coalesce(o.o, 0) AS pack_ix,
+             |    m.n_docs, m.n_tokens, m.min_id, m.max_id
+             |  FROM (
+             |    SELECT bucket, cast(floor(st / 256.0) as bigint) AS pack_ix,
+             |      count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+             |      min(doc_id) AS min_id, max(doc_id) AS max_id
+             |    FROM p2 GROUP BY bucket, pack_ix) m
+             |  LEFT JOIN off o USING (bucket)
+             |)
+             |SELECT * FROM m1 UNION ALL SELECT * FROM m2
+             |ORDER BY bucket, pack_ix""".stripMargin))),
+
+    // Streaming media near-dup equivalence: textured PNGs (the mm6 payloads) fed
+    // through mediaNearDupStream in TWO batches (even ids seed the index, odd ids
+    // dedup against it and themselves). The oracle rebuilds every dHash
+    // arithmetically (see mm6) and replays the online arrival rule: a row survives
+    // unless within hamming 3 of a BATCH-1 SURVIVOR (the index) or a lower-id row
+    // of its own batch.
+    "mm8_stream_media_dedup" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ids = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 600)
+        .as[Long].collect().sorted.toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mm8_").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val media = Multimodal.attachTexturedImagePayload(
+        src.toDF().withColumnRenamed("value", "doc_id"), "doc_id")
+      val q = graft.streaming.EventStreams.mediaNearDupStream(
+        media, s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+      try {
+        src.addData(ids.filter(_ % 2 == 0): _*)
+        q.processAllAvailable()
+        src.addData(ids.filter(_ % 2 == 1): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$tmp/out").select(col("doc_id")).orderBy("doc_id")
+    },
+      Some("""WITH xs AS (
+             |  SELECT * FROM (VALUES (0,0),(1,1),(2,3),(3,5),(4,7),(5,8),(6,10),(7,12),(8,14)) t(x, sx)
+             |), ys AS (
+             |  SELECT * FROM (VALUES (0,0),(1,1),(2,3),(3,4),(4,6),(5,7),(6,9),(7,10)) t(y, sy)
+             |), px AS (
+             |  SELECT d.doc_id, xs.x, ys.y,
+             |    (('0x' || substr(md5((d.doc_id % 101)::VARCHAR || '_' ||
+             |        xs.sx::VARCHAR || '_' || ys.sy::VARCHAR), 1, 15))::BIGINT % 256
+             |      + CASE WHEN d.doc_id % 2 = 1 AND xs.sx = d.doc_id % 16
+             |             AND ys.sy = d.doc_id % 12 THEN 64 ELSE 0 END) % 256 AS v
+             |  FROM documents d, xs, ys WHERE d.doc_id < 600
+             |), sig AS (
+             |  SELECT p1.doc_id,
+             |    sum(CASE WHEN p2.v <= p1.v THEN 0::BIGINT
+             |        WHEN p1.y * 8 + p1.x = 63 THEN -9223372036854775807 - 1
+             |        ELSE (1::BIGINT << (p1.y * 8 + p1.x)) END)::BIGINT AS dhash
+             |  FROM px p1 JOIN px p2
+             |    ON p2.doc_id = p1.doc_id AND p2.y = p1.y AND p2.x = p1.x + 1
+             |  WHERE p1.x < 8
+             |  GROUP BY p1.doc_id
+             |), b1 AS (
+             |  SELECT doc_id, dhash FROM sig WHERE doc_id % 2 = 0
+             |), s1 AS (
+             |  SELECT a.doc_id, a.dhash FROM b1 a WHERE NOT EXISTS (
+             |    SELECT 1 FROM b1 b WHERE b.doc_id < a.doc_id
+             |      AND bit_count(xor(a.dhash, b.dhash)) <= 3)
+             |), b2 AS (
+             |  SELECT doc_id, dhash FROM sig WHERE doc_id % 2 = 1
+             |), s2 AS (
+             |  SELECT a.doc_id FROM b2 a
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM s1 i WHERE bit_count(xor(a.dhash, i.dhash)) <= 3)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM b2 b WHERE b.doc_id < a.doc_id
+             |      AND bit_count(xor(a.dhash, b.dhash)) <= 3)
+             |)
+             |SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+             |ORDER BY doc_id""".stripMargin))),
 
     // CCNet-style seed-LM surprisal: bigram + unigram-context count tables trained
     // on the seed split (every 10th doc), every other doc scored by total quantized

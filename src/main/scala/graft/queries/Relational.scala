@@ -13,7 +13,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Relational {
 
   def load(s: SparkSession, dir: String, tables: String*): Unit =
-    tables.foreach(t => s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+    tables.foreach { t =>
+      val df = s.read.parquet(s"$dir/$t.parquet")
+      val normalized = if (t == "events") normalizeEventTs(df) else df
+      normalized.createOrReplaceTempView(t)
+    }
+
+  /** `events.parquet` has shipped in two `ts` representations across fixture
+    * generations: raw INT64 epoch NANOS (LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (TIMESTAMP_NTZ). Probe the loaded schema and
+    * normalize both to the ns-long contract every event query — and its DuckDB
+    * oracle, which sees a µs timestamp either way — is written against. The NTZ
+    * arm is session-timezone-free: `timestampdiff` measures the stored wall
+    * clock against the epoch directly, matching DuckDB's `epoch_us(ts)` on the
+    * same naive column.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw // legacy fixture: already epoch ns
+      case TimestampNTZType => raw.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case TimestampType => raw.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case _ => raw
+    }
+  }
 
   /** One embedded Derby database per JVM for the JDBC round-trip query. Derby's
     * system properties only take effect on the first boot, and every `create=true`

@@ -160,6 +160,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: df-skew probe routes boilerplate-heavy SMALL corpora to prefix") {
+    // Every doc shares one boilerplate block, so its shingles' document frequency
+    // equals the corpus size; doc 0 IS the boilerplate, so C(0→b) = 1.0 for every
+    // other doc and EVERY witnessing shingle is hot. A capped index at
+    // maxDocFreq = 4 truncates exactly those postings (BoundedSortedCollect nulls
+    // over-cap lists), so a capped run provably loses the pairs — equality of the
+    // "auto" run with brute force is therefore only reachable through the
+    // max(__df) probe routing to the prefix path, corpus size notwithstanding.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (0L until 12L).map { i =>
+      if (i == 0) (i, boiler)
+      else (i, s"$boiler unique tail number $i alpha$i beta$i gamma$i")
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val sets = Dedup.shingleHashSets(df, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val t = 0.9
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = math.rint(sa.intersect(sb).size.toDouble / sa.size * 1e6) / 1e6 if c >= t
+    } yield (a, b, c)).toSet
+    assert(expect.size >= 11, s"fixture must plant containment pairs, got $expect")
+    def run(strat: String) = Dedup.containmentNearDup(df, "text", "doc_id",
+        threshold = t, maxDocFreq = 4, strategy = strat)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run("capped") != expect,
+      "the capped index at this cap must lose the hot-shingle pairs — otherwise this law proves nothing")
+    assert(run("prefix") == expect, "prefix is exact at any df by theorem")
+    assert(run("auto") == expect, "auto must probe max(__df) and route to prefix")
+  }
+
   test("property: swapping classifier seed classes negates every score") {
     forSamples(Gen.zip(Gen.listOfN(4, genDoc), Gen.listOfN(4, genDoc), Gen.listOfN(6, genDoc)), 4) {
       case (pos, neg, corpus) =>

@@ -83,4 +83,51 @@ class EventJoinsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(out == Seq(1L, 2L)) // dt = +100s and -300s (inclusive bound)
   }
+
+  // ---- fixture-representation drift (the regression that broke round 5) ----
+  //
+  // events.parquet has shipped `ts` both as raw INT64 epoch NANOS and as
+  // TIMESTAMP(MICROS, isAdjustedToUTC=false). Queries must absorb either shape
+  // (queries.Relational.normalizeEventTs): write the SAME events under both
+  // representations and require the event queries to return identical rows.
+
+  private def writeEventFixtures(): (String, String) = {
+    import org.apache.spark.sql.types._
+    val baseUs = 1704067200000000L // 2024-01-01 in µs
+    val rng = new scala.util.Random(7)
+    val types = Array("view", "click", "purchase", "error")
+    val rows = (0 until 400).map { i =>
+      val us = baseUs + rng.nextInt(6 * 3600) * 1000000L + rng.nextInt(1000) * 1000L
+      (i.toLong, us, (i % 17).toLong, types(rng.nextInt(4)),
+        rng.nextInt(1000) / 10.0, s"""{"k": ${rng.nextInt(50)}}""")
+    }
+    val df = rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val dirLong = java.nio.file.Files.createTempDirectory("graft_ev_nslong_").toString
+    val dirTs = java.nio.file.Files.createTempDirectory("graft_ev_ustz_").toString
+    // shape 1: epoch-ns long (the legacy contract the queries are written against)
+    df.select(col("event_id"), (col("ts_us") * 1000).alias("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dirLong/events.parquet")
+    // shape 2: µs TIMESTAMP_NTZ (the current fixture: MICROS, isAdjustedToUTC=0)
+    val ntz = df.select(col("event_id"),
+        expr("timestampadd(MICROSECOND, ts_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')").alias("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    ntz.coalesce(1).write.mode("overwrite").parquet(s"$dirTs/events.parquet")
+    // the written shapes must actually differ on read
+    assert(spark.read.parquet(s"$dirLong/events.parquet").schema("ts").dataType == LongType)
+    assert(spark.read.parquet(s"$dirTs/events.parquet").schema("ts").dataType == TimestampNTZType)
+    (dirLong, dirTs)
+  }
+
+  test("event queries are representation-agnostic: ns-long and µs-timestamp fixtures agree") {
+    val (dirLong, dirTs) = writeEventFixtures()
+    for (q <- Seq("e1_sessionize", "e6_asof_join", "e7_range_join")) {
+      val fn = graft.SparkEntry.queries(q)
+      val a = fn(spark, dirLong).collect().map(_.toString).toSeq
+      val b = fn(spark, dirTs).collect().map(_.toString).toSeq
+      assert(a.nonEmpty, s"$q returned no rows on the fixture")
+      assert(a == b, s"$q drifted between fixture representations")
+    }
+  }
 }
