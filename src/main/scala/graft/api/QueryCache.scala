@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * another table.
   */
 final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000,
-    maxEntries: Int = 256) {
+    maxEntries: Int = 256, graceMillis: Long = 60 * 1000) {
 
   private def keyOf(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -52,6 +52,16 @@ final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000,
     * cache without bound between TTL expiries. Runs on every put: the listing is
     * one directory scan of ≤ maxEntries+1 names, trivial next to the parquet
     * write it follows. The entry just written is never the victim.
+    *
+    * Two safety rules: (1) deletion is best-effort per entry — a concurrent put
+    * or sweep racing on the same directory must not fail THIS put after its
+    * parquet write already succeeded; (2) nothing is deleted until `graceMillis`
+    * past its eviction point (TTL expiry, or count-based selection), so a lazy
+    * DataFrame handed out by a recent `get()` — which reads the files only at
+    * action time — is not pulled out from under the caller. `get()` stops
+    * serving an entry at exactly `ttlMillis`, so the grace window only protects
+    * readers that already hold a handle; the count bound is soft by at most the
+    * entries written inside one grace window.
     */
   private def sweep(keep: java.nio.file.Path): Unit = {
     val r = Paths.get(root)
@@ -75,13 +85,15 @@ final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000,
       } finally s.close()
     }
     def rm(d: java.nio.file.Path): Unit =
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { Files.deleteIfExists(p); () })
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
     val (dead, live) = entries.partition { case (_, ts) => now - ts >= ttlMillis }
-    dead.foreach { case (d, _) => rm(d) }
-    // keep the newest maxEntries-1 besides the entry just written
+    dead.collect { case (d, ts) if now - ts >= ttlMillis + graceMillis => rm(d) }
+    // keep the newest maxEntries-1 besides the entry just written; evict the
+    // rest once they age past the grace window
     live.sortBy(-_._2).drop(math.max(maxEntries - 1, 0))
-      .foreach { case (d, _) => rm(d) }
+      .collect { case (d, ts) if now - ts >= graceMillis => rm(d) }
   }
 
   /** Creation time (epoch ms) of a live cache entry — the `X-Cache-Create-At`

@@ -37,6 +37,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1)
   }
 
+  test("tpch_q7: five broadcast dimension joins, a single lineitem scan, no cartesian") {
+    // the r6 bench scare (0.32→1.58 s) was co-scheduling noise, but the plan
+    // properties that make q7 cheap are now pinned: every non-fact side
+    // (supplier, orders, customer, nation×2) broadcasts, lineitem is scanned
+    // exactly once, and the OR'd nation pair predicate never degenerates to a
+    // cartesian product
+    val plan = executedPlan("tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5, plan.take(2500))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2500))
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"q7 must scan lineitem exactly once\n${plan.take(2500)}")
+  }
+
+  test("tpch_q4: EXISTS plans as a broadcast left-semi join on the date-filtered orders") {
+    val plan = executedPlan("tpch_q4")
+    // the correlated EXISTS must decorrelate to a semi join (each order emitted
+    // once no matter how many late lineitems), with the small filtered side built
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // the orderdate range filter reaches the orders scan, not a post-join filter
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+      plan.take(2500))
+  }
+
+  test("tpch_q16: NOT IN plans as a broadcast anti join feeding the distinct aggregate") {
+    val plan = executedPlan("tpch_q16")
+    // supplier exclusion: broadcast anti join (never a shuffled join — the
+    // excluded set is tiny), then part joins broadcast, and supplier_cnt runs as
+    // a two-phase distinct aggregate
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2500))
+    assert(plan.contains("count(distinct l_suppkey") ||
+      plan.contains("partial_count(distinct l_suppkey"), plan.take(2500))
+  }
+
   test("m10_model_agg: the semantic-layer view adds no unpruned scan") {
     val plan = executedPlan("m10_model_agg")
     // orders side: aggregation needs o_custkey/o_totalprice only — o_orderpriority

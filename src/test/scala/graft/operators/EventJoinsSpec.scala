@@ -91,7 +91,7 @@ class EventJoinsSpec extends AnyFunSuite {
   // (queries.Relational.normalizeEventTs): write the SAME events under both
   // representations and require the event queries to return identical rows.
 
-  private def writeEventFixtures(): (String, String) = {
+  private def writeEventFixtures(): (String, String, String) = {
     import org.apache.spark.sql.types._
     val baseUs = 1704067200000000L // 2024-01-01 in µs
     val rng = new scala.util.Random(7)
@@ -114,20 +114,40 @@ class EventJoinsSpec extends AnyFunSuite {
         col("user_id"), col("event_type"), col("value"), col("props"))
     assert(ntz.schema("ts").dataType == TimestampNTZType)
     ntz.coalesce(1).write.mode("overwrite").parquet(s"$dirTs/events.parquet")
+    // shape 3: µs TIMESTAMP (MICROS, isAdjustedToUTC=1 — tz-adjusted instants).
+    // Written under a session tz far from UTC: parquet must still store the
+    // UTC-normalized instant, which is what makes the unix_micros() arm of
+    // normalizeEventTs correct regardless of who wrote the file.
+    val dirTz = java.nio.file.Files.createTempDirectory("graft_ev_usutc_").toString
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      df.select(col("event_id"), expr("timestamp_micros(ts_us)").alias("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dirTz/events.parquet")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+    }
     // the written shapes must actually differ on read
     assert(spark.read.parquet(s"$dirLong/events.parquet").schema("ts").dataType == LongType)
     assert(spark.read.parquet(s"$dirTs/events.parquet").schema("ts").dataType == TimestampNTZType)
-    (dirLong, dirTs)
+    assert(spark.read.parquet(s"$dirTz/events.parquet").schema("ts").dataType == TimestampType)
+    (dirLong, dirTs, dirTz)
   }
 
-  test("event queries are representation-agnostic: ns-long and µs-timestamp fixtures agree") {
-    val (dirLong, dirTs) = writeEventFixtures()
+  test("event queries are representation-agnostic: ns-long, µs-NTZ and µs-tz-adjusted agree") {
+    val (dirLong, dirTs, dirTz) = writeEventFixtures()
     for (q <- Seq("e1_sessionize", "e6_asof_join", "e7_range_join")) {
       val fn = graft.SparkEntry.queries(q)
       val a = fn(spark, dirLong).collect().map(_.toString).toSeq
       val b = fn(spark, dirTs).collect().map(_.toString).toSeq
+      val c = fn(spark, dirTz).collect().map(_.toString).toSeq
       assert(a.nonEmpty, s"$q returned no rows on the fixture")
-      assert(a == b, s"$q drifted between fixture representations")
+      assert(a == b, s"$q drifted between ns-long and NTZ representations")
+      assert(a == c, s"$q drifted between ns-long and tz-adjusted representations")
     }
   }
 }
