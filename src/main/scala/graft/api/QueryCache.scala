@@ -14,6 +14,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000,
     maxEntries: Int = 256, graceMillis: Long = 60 * 1000) {
+  // maxEntries = 0 would make `drop(maxEntries - 1)` keep EVERY live entry —
+  // the opposite of the tightest bound — so reject it up front.
+  require(maxEntries >= 1, s"maxEntries must be >= 1 (got $maxEntries)")
 
   private def keyOf(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -541,22 +541,35 @@ object Dedup {
     * Returns `Left(postings)` when the capped index is provably exact for this
     * corpus, `Right(dfreqPre)` when the prefix path must run.
     */
+  /** Last dispatch decision per op name ("jaccard"/"containment") — bench/smoke
+    * observability only (read by `tools.ScaleSmoke` to report which route the
+    * auto probe chose for a corpus); the operators never read it back.
+    */
+  private[graft] val lastDispatch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def dispatchCappedOrPrefix(sets: DataFrame, strategy: String,
       maxDocFreq: Int, cappedMaxDocs: Long, opName: String)
-      : Either[DataFrame, Option[DataFrame]] = strategy match {
-    case "capped" => Left(cappedPostings(sets, maxDocFreq))
-    case "prefix" => Right(None)
+      : Either[DataFrame, Option[DataFrame]] = {
+    def chose(c: String): Unit = { lastDispatch.put(opName, c); () }
+    strategy match {
+    case "capped" => chose("capped(forced)"); Left(cappedPostings(sets, maxDocFreq))
+    case "prefix" => chose("prefix(forced)"); Right(None)
     case "auto" =>
-      if (sets.count() > cappedMaxDocs) Right(None)
+      if (sets.count() > cappedMaxDocs) { chose("prefix(docs>cap)"); Right(None) }
       else {
         val postings = cappedPostings(sets, maxDocFreq)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val maxDf = postings.agg(max(col("__df"))).head.getLong(0)
-        if (maxDf <= maxDocFreq) Left(postings)
-        else Right(Some(postings.select(col("shingle"), col("__df"))))
+        if (maxDf <= maxDocFreq) { chose(s"capped(maxDf=$maxDf)"); Left(postings) }
+        else {
+          chose(s"prefix(maxDf=$maxDf)")
+          Right(Some(postings.select(col("shingle"), col("__df"))))
+        }
       }
     case other => throw new IllegalArgumentException(
       s"unknown $opName strategy '$other' (capped|prefix|auto)")
+    }
   }
 
   /** Directed containment candidates by prefix filtering: if `C(A→B) ≥ t` then

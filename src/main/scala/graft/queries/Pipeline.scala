@@ -15,6 +15,25 @@ object Pipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Collect a SMALL harness result into a local DataFrame and delete the temp
+    * tree it was read from. The streaming harnesses (w2, mm8) write manifests /
+    * outputs under a fresh temp dir per invocation; returning a lazy reader over
+    * that dir forces the dir to outlive the DataFrame, and Bench's 4 runs per
+    * query leaked 8+ parquet+checkpoint trees per round. The results are bounded
+    * by the harness's doc_id cap (≤600 rows), so materializing is the harness
+    * collecting its own test output — not an operator-scale collect.
+    */
+  private def materializeAndClean(s: SparkSession, df: DataFrame, tmp: String): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(df.collect(): _*)
+    val out = s.createDataFrame(rows, df.schema)
+    try java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    out
+  }
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String): DataFrame = {
@@ -1968,10 +1987,10 @@ object Pipeline {
         src.addData(d.filter(_._1 % 2 == 1): _*)
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(s"$tmp/manifest")
+      materializeAndClean(s, s.read.parquet(s"$tmp/manifest")
         .select(col("bucket"), col("pack_ix"), col("n_docs"), col("n_tokens"),
           col("min_id"), col("max_id"))
-        .orderBy("bucket", "pack_ix")
+        .orderBy("bucket", "pack_ix"), tmp)
     },
       Some("""WITH w AS (
              |  SELECT doc_id, list_filter(
@@ -2035,7 +2054,8 @@ object Pipeline {
         src.addData(ids.filter(_ % 2 == 1): _*)
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(s"$tmp/out").select(col("doc_id")).orderBy("doc_id")
+      materializeAndClean(s,
+        s.read.parquet(s"$tmp/out").select(col("doc_id")).orderBy("doc_id"), tmp)
     },
       Some("""WITH xs AS (
              |  SELECT * FROM (VALUES (0,0),(1,1),(2,3),(3,5),(4,7),(5,8),(6,10),(7,12),(8,14)) t(x, sx)

@@ -1,0 +1,175 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.operators.Dedup
+
+/** 10× scale smoke for the dedup/curation flagships (d2, d4, d13, d9, p7).
+  *
+  * The per-round bench verifies correctness and absolute latency at ONE scale;
+  * this main measures how the flagship operators SCALE by synthesizing a 10×
+  * corpus from the same fixture and running each query end-to-end at both sizes:
+  *
+  *   - `plain ×10`: ten salted copies of `documents.parquet`. Copy k shifts
+  *     `doc_id` by `k·900000` (divisible by every modulus the queries plant
+  *     with: 3, 20, 25, 40, 50 — so planted excerpts/copies replicate exactly
+  *     per copy) and suffixes every word with `xx$k`, so copies are
+  *     word-structure-identical but share NO shingles — near-dup pair structure
+  *     is exactly 10× the 1× corpus's, making wall-time scaling interpretable.
+  *   - `skew ×1` / `skew ×10`: the same corpora with an UNSALTED boilerplate
+  *     sentence appended to every third document. Its shingle document
+  *     frequency grows with the corpus (~1.7k at 1×, ~17k at 10× — both past
+  *     the `maxDocFreq = 1000` cap), exactly the hot-key pattern the
+  *     capped inverted index cannot survive: the jaccard/containment auto
+  *     dispatch must measure `max(__df)` and route BOTH scales to the prefix
+  *     path (recorded below via [[Dedup.lastDispatch]]), while the plain 1×
+  *     corpus stays on the capped path — the dispatch contrast, observed on
+  *     real data rather than asserted from the plan.
+  *
+  * d2/d9/p7 run on the plain corpora (their LSH band buckets are near-dup
+  * cluster sized by construction; boilerplate would grow hot buckets
+  * quadratically, which is a banding parameterization question, not a scaling
+  * one — see `lshCandidates`'s scaladoc). d4/d13 run on the skewed corpora so
+  * the measured 10× path is the prefix route that a 100 TB corpus would take.
+  *
+  * Per (query, scale) it reports wall seconds (best of `runs`), result rows
+  * (sanity: ≈10× at ×10), total and peak-stage shuffle-write bytes (the number
+  * that decides whether the shape survives 100×), and the wall/shuffle scaling
+  * factors. Results land in `scale_smoke.json` and a markdown table on stdout
+  * (pasted into SCALE_SMOKE.md).
+  *
+  * Run: `sbt "runMain graft.tools.ScaleSmoke"` (≈10 min at sf0.1×10).
+  */
+object ScaleSmoke {
+
+  /** Stage-granular shuffle meter: total bytes written across stages and the
+    * single largest stage — the peak is what bounds executor/disk pressure.
+    */
+  private final class ShuffleMeter extends SparkListener {
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val peak = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      total.addAndGet(w)
+      peak.getAndAccumulate(w, (a, b) => math.max(a, b))
+    }
+    def reset(): Unit = { total.set(0); peak.set(0) }
+  }
+
+  private val boiler = "subscribe to our newsletter for updates terms of " +
+    "service apply all rights reserved contact us today"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val work = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // Copy k: ids shifted by a multiple of lcm-friendly 900000, every word
+    // salted with xx$k ("xx" so no salted token collides with d13's planted
+    // zq* suffix tokens). Copy 0 is the fixture verbatim.
+    def salted(k: Int): DataFrame =
+      if (k == 0) base
+      else base.select((col("doc_id") + k * 900000L).alias("doc_id"),
+        regexp_replace(lower(col("text")), "([a-z0-9一-鿿]+)", "$1xx" + k)
+          .alias("text"))
+    def skewed(df: DataFrame): DataFrame =
+      df.withColumn("text", when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
+
+    def writeCorpus(name: String, df: DataFrame): String = {
+      val dir = s"$work/$name"
+      df.repartition(32).write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val x10 = (0 until copies).map(salted).reduce(_ union _)
+    val plain1 = writeCorpus("plain1", base)
+    val plain10 = writeCorpus("plain10", x10)
+    val skew1 = writeCorpus("skew1", skewed(base))
+    val skew10 = writeCorpus("skew10", skewed(x10))
+
+    // (query, 1x corpus, 10x corpus): minhash-family on plain, df-dispatch
+    // family on skew (scaladoc above).
+    val suites = Seq(
+      ("d2_dedup_minhash", plain1, plain10),
+      ("d9_dup_clusters", plain1, plain10),
+      ("p7_full_curation", plain1, plain10),
+      ("d4_ngram_jaccard", skew1, skew10),
+      ("d13_containment", skew1, skew10))
+
+    def run(name: String, dir: String): (Double, Long, Long, Long) = {
+      val fn = SparkEntry.queries(name)
+      var best = Double.MaxValue; var rows = 0L
+      var shuffle = 0L; var peak = 0L
+      for (_ <- 0 until runs) {
+        spark.catalog.clearCache()
+        meter.reset()
+        val t0 = System.nanoTime()
+        rows = fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+        if (dt < best) { best = dt; shuffle = meter.total.get; peak = meter.peak.get }
+      }
+      (best, rows, shuffle, peak)
+    }
+
+    // Warm codegen/JIT on the small corpus before any timed run.
+    suites.foreach { case (n, d1, _) => run(n, d1) }
+
+    def mb(b: Long): String = f"${b / 1e6}%.1f"
+    val results = suites.map { case (name, d1, d10) =>
+      val (t1, r1, s1, p1) = run(name, d1)
+      val dispatch1 = Option(Dedup.lastDispatch.get(
+        if (name == "d13_containment") "containment" else "jaccard")).getOrElse("-")
+      val (t10, r10, s10, p10) = run(name, d10)
+      val dispatch10 = Option(Dedup.lastDispatch.get(
+        if (name == "d13_containment") "containment" else "jaccard")).getOrElse("-")
+      val row = Map(
+        "query" -> name, "t1_sec" -> f"$t1%.2f", "t10_sec" -> f"$t10%.2f",
+        "wall_factor" -> f"${t10 / t1}%.1f",
+        "rows1" -> r1.toString, "rows10" -> r10.toString,
+        "shuffle1_mb" -> mb(s1), "shuffle10_mb" -> mb(s10),
+        "peak_stage1_mb" -> mb(p1), "peak_stage10_mb" -> mb(p10),
+        "shuffle_factor" -> (if (s1 > 0) f"${s10.toDouble / s1}%.1f" else "-"),
+        "dispatch1" -> (if (name.startsWith("d4") || name.startsWith("d13")) dispatch1 else "-"),
+        "dispatch10" -> (if (name.startsWith("d4") || name.startsWith("d13")) dispatch10 else "-"))
+      println(s"[scale] $name 1x=${row("t1_sec")}s 10x=${row("t10_sec")}s " +
+        s"factor=${row("wall_factor")} rows ${r1}->${r10} " +
+        s"shuffle ${row("shuffle1_mb")}->${row("shuffle10_mb")} MB " +
+        s"dispatch ${row("dispatch1")}->${row("dispatch10")}")
+      row
+    }
+
+    val json = results.map(r => r.map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
+      .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+
+    // best-effort cleanup of the synthesized corpora
+    try java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    spark.stop()
+  }
+}

@@ -46,6 +46,12 @@ object Bridge {
   def toExpression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[ClassicSession].expression(c)
 
+  /** Drain the listener bus so SparkListener-accumulated metrics (stage shuffle
+    * bytes, etc.) are complete before a measurement tool reads them.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a plan-time expression builder as a session temp function (the same
     * registry SQL temp functions land in, so `SHOW FUNCTIONS` / drops behave alike).
     */
