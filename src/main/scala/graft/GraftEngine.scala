@@ -300,6 +300,21 @@ final class GraftSession(
   def transformSql(sql: String): String =
     query(sql).queryExecution.optimizedPlan.toString
 
+  /** `/dry-plan` with a target dialect — the reference's `Mode::Unparse`
+    * (wren_dialect.rs:41-110): the optimized semantic-layer expansion rendered
+    * as executable SQL text. `"spark"` emits self-contained Spark SQL over
+    * `parquet.`path`` scans; `"duckdb"` emits DuckDB SQL over logical table
+    * names. Any other value falls back to the Catalyst plan dump above.
+    */
+  def transformSql(sql: String, dialect: String): String =
+    if (dialect == null || dialect.isEmpty || dialect == "plan") transformSql(sql)
+    else {
+      val qe = query(sql).queryExecution
+      graft.semantics.SqlUnparser.unparse(qe.optimizedPlan,
+        qe.analyzed.output.map(_.name),
+        graft.semantics.SqlUnparser.dialectFor(dialect))
+    }
+
   /** Plan without executing; throws on invalid SQL / access violations (the `/dry-run`
     * analogue, connector.py:110-123).
     */

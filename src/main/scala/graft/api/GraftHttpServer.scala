@@ -310,7 +310,11 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
           case "dry-plan" :: Nil =>
             val sql = jstr(body \ "sql")
               .getOrElse(throw new IllegalArgumentException("sql is required"))
-            respond(ex, 200, session(manifestStr, props).transformSql(sql), "text/plain")
+            // optional dialect: "spark" | "duckdb" → unparsed SQL text (the
+            // reference's Mode::Unparse); absent → Catalyst plan dump
+            val dialect = jstr(body \ "dialect").getOrElse("plan")
+            respond(ex, 200, session(manifestStr, props).transformSql(sql, dialect),
+              "text/plain")
 
           case "model-substitute" :: Nil =>
             // The reference answers with rewritten SQL text (connector.py:482-540);

@@ -135,6 +135,22 @@ object Semantic {
       s: SparkSession, dir: String): DataFrame =
     GraftEngine.deployOnDir(s, manifest, dir, props).query(sql)
 
+  /** Source SQL for `m21_unparse_duckdb`: a semantic query whose model expansion
+    * (relationship join + expression column + decimal aggregate) is unparsed to
+    * DuckDB SQL by [[graft.semantics.SqlUnparser]]. The oracle below is the
+    * GENERATED text, pinned verbatim (SqlUnparserSpec asserts generator output
+    * == this string), so the driver's DuckDB gate executes the unparser's own
+    * output against the physical tables and hash-compares it to Spark executing
+    * the source query — cross-engine proof of the unparse layer.
+    */
+  val m21Sql: String =
+    """SELECT cust_segment, count(*) AS n, cast(sum(o_price_dec) as double) AS rev
+      |FROM m_orders WHERE o_orderkey <= 5000
+      |GROUP BY cust_segment ORDER BY cust_segment""".stripMargin
+
+  val m21DuckOracle: String =
+    """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(sum("c3") AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
+
   /** RLAC/CLAC manifest (FIXTURES.md §3 shape). */
   def aclManifest: Manifest = Manifest(
     catalog = "graft", schema = "amalgam",
@@ -432,7 +448,11 @@ object Semantic {
       Some("""SELECT c_mktsegment AS cust_segment, count(*) AS n,
              |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS seg_rev
              |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY cust_segment""".stripMargin)))
+             |GROUP BY 1 ORDER BY cust_segment""".stripMargin))),
+
+    // §2.C parity stretch: the unparse layer (Mode::Unparse / transform_sql) —
+    // DuckDB executes the machine-emitted dialect text (see m21DuckOracle).
+    "m21_unparse_duckdb" -> ((deployAndRun(m21Sql)(_, _), Some(m21DuckOracle)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,372 @@
+package graft.semantics
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+/** Logical-plan → SQL-text unparser: the reference's `Mode::Unparse` surface
+  * (`wren-core/core/src/mdl/dialect/wren_dialect.rs:41-110`, driven from
+  * `mdl/mod.rs:477-541` `transform_sql_with_ctx`), re-expressed over Catalyst.
+  * The reference unparses its optimized DataFusion plan to backend SQL so a
+  * remote warehouse executes the semantic-layer expansion; here the OPTIMIZED
+  * Catalyst plan (models/views/calc fields already expanded, subqueries
+  * decorrelated) is rendered to executable SQL in a target dialect:
+  *
+  *   - `spark`  — self-contained Spark SQL over `parquet.`path`` scans; any bare
+  *     Spark session (no deploy, no temp views) can run the text. Expressions
+  *     the structural renderer doesn't know fall back to Catalyst's own
+  *     `Expression.sql`, so coverage is total for this dialect.
+  *   - `duckdb` — ANSI-flavored DuckDB SQL over bare table names (scan paths
+  *     reduced to `basename.parquet` → `basename`, the logical-name convention
+  *     the reference's unparser also emits); a curated expression subset, with
+  *     a clear `UnsupportedOperationException` beyond it (the reference errors
+  *     identically on constructs a dialect cannot express).
+  *
+  * Correct-by-construction naming: every subquery's output column is aliased to
+  * the globally unique `c<exprId>`, and every reference renders that name — so
+  * self-joins, reused lineage, and column shadowing cannot mis-bind, at the
+  * cost of mechanical (not pretty) SQL. The top level re-aliases to the user
+  * query's visible names. Unparse is planning-surface work (driver-side, no
+  * jobs), so the text length — linear in plan size — is the only cost.
+  */
+object SqlUnparser {
+
+  def dialectFor(name: String): Dialect =
+    name.toLowerCase match {
+      case "spark" => SparkDialect
+      case "duckdb" => DuckDbDialect
+      case other => throw new IllegalArgumentException(
+        s"unknown unparse dialect '$other' (spark|duckdb)")
+    }
+
+  /** Render `plan` as executable SQL with final columns named `outputNames`
+    * (positionally aligned with `plan.output`).
+    */
+  def unparse(plan: LogicalPlan, outputNames: Seq[String], dialect: Dialect): String = {
+    val g = new Generator(dialect)
+    val inner = g.render(plan)
+    val outer = plan.output.zip(outputNames).map { case (a, n) =>
+      s"${dialect.quote(g.cname(a))} AS ${dialect.quote(n)}" }.mkString(", ")
+    s"SELECT $outer FROM ($inner) ${dialect.quote("t_out")}"
+  }
+
+  sealed trait Dialect {
+    def quote(ident: String): String
+    def relation(rootPath: String): String
+    def typeName(dt: DataType): String
+    def literal(l: Literal): String
+    def joinKeyword(jt: JoinType): String
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String
+    /** Last-resort rendering for expressions outside the structural subset;
+      * `rendered` maps any expression to dialect SQL (for argument recursion).
+      */
+    def fallback(e: Expression, rendered: Expression => String): String
+    /** Scalar function name mapping; None = not expressible. */
+    def fnName(prettyName: String): Option[String]
+  }
+
+  object SparkDialect extends Dialect {
+    def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    def relation(rootPath: String): String = s"parquet.${quote(rootPath)}"
+    def typeName(dt: DataType): String = dt.sql
+    def literal(l: Literal): String = l.sql
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi => "LEFT SEMI JOIN"
+      case LeftAnti => "LEFT ANTI JOIN"
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      s"VALUES ${rows.mkString(", ")} AS ${quote(alias)}(${cols.map(quote).mkString(", ")})"
+    def fallback(e: Expression, rendered: Expression => String): String = e.sql
+    def fnName(prettyName: String): Option[String] = Some(prettyName)
+  }
+
+  object DuckDbDialect extends Dialect {
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else s"read_parquet('${rootPath.replace("'", "''")}/**/*.parquet')"
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "VARCHAR"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"duckdb dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = (l.value, l.dataType) match {
+      case (null, NullType) => "NULL"
+      case (null, dt) => s"CAST(NULL AS ${typeName(dt)})"
+      case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        "'" + v.toString.replace("'", "''") + "'"
+      case (v: Int, DateType) =>
+        s"DATE '${java.time.LocalDate.ofEpochDay(v.toLong)}'"
+      case (v: Long, _: TimestampType) =>
+        val i = java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS)
+        s"TIMESTAMP '${java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)}'"
+      case (v: Boolean, BooleanType) => if (v) "TRUE" else "FALSE"
+      case (v: Decimal, _) => v.toBigDecimal.bigDecimal.toPlainString
+      case (v: Double, DoubleType) if !v.isNaN && !v.isInfinite =>
+        java.math.BigDecimal.valueOf(v).toPlainString
+      case (v, dt) if dt == IntegerType || dt == LongType || dt == ShortType ||
+        dt == ByteType => v.toString
+      case (v, dt) => throw new UnsupportedOperationException(
+        s"duckdb dialect: literal $v: ${dt.sql}")
+    }
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi => "SEMI JOIN"
+      case LeftAnti => "ANTI JOIN"
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      s"(VALUES ${rows.mkString(", ")}) ${quote(alias)}(${cols.map(quote).mkString(", ")})"
+    def fallback(e: Expression, rendered: Expression => String): String =
+      fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"duckdb dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    private val direct = Set("upper", "lower", "length", "concat", "abs",
+      "round", "floor", "ceil", "ceiling", "trim", "ltrim", "rtrim", "replace",
+      "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",
+      "exp", "sign")
+    private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
+      "startswith" -> "starts_with", "endswith" -> "ends_with",
+      "day" -> "day", "dayofmonth" -> "day")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
+  private final class Generator(dialect: Dialect) {
+    private var counter = 0
+    private def freshAlias(): String = { counter += 1; s"t$counter" }
+
+    // Globally-unique per-ExprId names, numbered in first-visit order rather
+    // than by raw exprId: exprIds are JVM-lifetime counters, so using them
+    // verbatim would make the emitted text differ run-to-run and break golden
+    // comparisons; visit order is a function of the plan alone.
+    private val names = scala.collection.mutable.LinkedHashMap.empty[ExprId, String]
+    def cname(a: Attribute): String =
+      names.getOrElseUpdate(a.exprId, s"c${names.size + 1}")
+    private def cnameById(id: ExprId): String =
+      names.getOrElseUpdate(id, s"c${names.size + 1}")
+    private def q(s: String) = dialect.quote(s)
+    private def sub(plan: LogicalPlan): String =
+      s"(${render(plan)}) ${q(freshAlias())}"
+
+    private def selectItem(ne: NamedExpression): String = ne match {
+      case al: Alias => s"${re(al.child)} AS ${q(cnameById(al.exprId))}"
+      case a: Attribute => s"${q(cname(a))} AS ${q(cname(a))}"
+      case other => throw new UnsupportedOperationException(
+        s"unparse: named expression $other")
+    }
+
+    def render(plan: LogicalPlan): String = plan match {
+      case Project(list, _: OneRowRelation) =>
+        s"SELECT ${list.map(selectItem).mkString(", ")}"
+      case Project(list, child) =>
+        s"SELECT ${list.map(selectItem).mkString(", ")} FROM ${sub(child)}"
+      case Filter(cond, child) =>
+        s"SELECT * FROM ${sub(child)} WHERE ${re(cond)}"
+      case a: Aggregate =>
+        val groups = if (a.groupingExpressions.isEmpty) ""
+          else s" GROUP BY ${a.groupingExpressions.map(re).mkString(", ")}"
+        s"SELECT ${a.aggregateExpressions.map(selectItem).mkString(", ")}" +
+          s" FROM ${sub(a.child)}$groups"
+      case j: Join =>
+        val kw = dialect.joinKeyword(j.joinType)
+        val leftAlias = q(freshAlias())
+        val projection = j.joinType match {
+          case LeftSemi | LeftAnti => s"$leftAlias.*"
+          case _ => "*"
+        }
+        val on = j.condition.map(c => s" ON ${re(c)}").getOrElse("")
+        s"SELECT $projection FROM (${render(j.left)}) $leftAlias $kw ${sub(j.right)}$on"
+      case s: Sort =>
+        s"SELECT * FROM ${sub(s.child)} ORDER BY ${s.order.map(reSort).mkString(", ")}"
+      case GlobalLimit(IntegerLiteral(n), child) =>
+        val inner = child match {
+          case LocalLimit(IntegerLiteral(_), grandchild) => grandchild
+          case other => other
+        }
+        // ORDER BY immediately under LIMIT must stay in the same SELECT: both
+        // engines are free to ignore a subquery-level ORDER BY, which would
+        // turn top-K into an arbitrary K.
+        inner match {
+          case s: Sort =>
+            s"SELECT * FROM ${sub(s.child)} ORDER BY " +
+              s"${s.order.map(reSort).mkString(", ")} LIMIT $n"
+          case other => s"SELECT * FROM ${sub(other)} LIMIT $n"
+        }
+      case w: Window =>
+        val extra = w.windowExpressions.map(selectItem)
+        s"SELECT ${("*" +: extra).mkString(", ")} FROM ${sub(w.child)}"
+      case u: Union =>
+        u.children.map(c => s"(${render(c)})").mkString(" UNION ALL ")
+      case d: Distinct =>
+        s"SELECT DISTINCT * FROM ${sub(d.child)}"
+      case sa: SubqueryAlias => render(sa.child)
+      case lr: LogicalRelation =>
+        val path = lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.head.toString
+          case other => throw new UnsupportedOperationException(
+            s"unparse: non-file relation ${other.getClass.getSimpleName}")
+        }
+        val cols = lr.output.map(a => s"${q(a.name)} AS ${q(cname(a))}")
+        s"SELECT ${cols.mkString(", ")} FROM ${dialect.relation(path)}"
+      case lr: LocalRelation =>
+        val cols = lr.output.map(cname)
+        if (lr.data.isEmpty) {
+          val nulls = lr.output.map(a =>
+            s"CAST(NULL AS ${dialect.typeName(a.dataType)}) AS ${q(cname(a))}")
+          s"SELECT ${nulls.mkString(", ")} WHERE 1 = 0"
+        } else {
+          val rows = lr.data.map { row =>
+            lr.output.zipWithIndex.map { case (a, i) =>
+              dialect.literal(Literal(row.get(i, a.dataType), a.dataType))
+            }.mkString("(", ", ", ")")
+          }
+          s"SELECT * FROM ${dialect.values(rows, freshAlias(), cols)}"
+        }
+      case _: OneRowRelation => "SELECT 1"
+      case other => throw new UnsupportedOperationException(
+        s"unparse: plan node ${other.getClass.getSimpleName} is not SQL-expressible here")
+    }
+
+    private def reSort(so: SortOrder): String = {
+      val dir = so.direction match {
+        case Ascending => "ASC"; case Descending => "DESC" }
+      val nulls = so.nullOrdering match {
+        case NullsFirst => "NULLS FIRST"; case NullsLast => "NULLS LAST" }
+      s"${re(so.child)} $dir $nulls"
+    }
+
+    private def reAgg(ae: AggregateExpression): String = {
+      val d = if (ae.isDistinct) "DISTINCT " else ""
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(1, _))) if !ae.isDistinct => "count(*)"
+        case c: Count => s"count($d${c.children.map(re).mkString(", ")})"
+        case s: Sum => s"sum($d${re(s.child)})"
+        case m: Min => s"min(${re(m.child)})"
+        case m: Max => s"max(${re(m.child)})"
+        case a: Average => s"avg($d${re(a.child)})"
+        case other => dialect.fallback(
+          renameRefs(if (ae.isDistinct) ae else other), re)
+      }
+    }
+
+    def re(e: Expression): String = e match {
+      case a: AttributeReference => q(cname(a))
+      case al: Alias => re(al.child)
+      case l: Literal => dialect.literal(l)
+      case c: Cast => s"CAST(${re(c.child)} AS ${dialect.typeName(c.dataType)})"
+      case co: CheckOverflow =>
+        s"CAST(${re(co.child)} AS ${dialect.typeName(co.dataType)})"
+      case k: KnownFloatingPointNormalized => re(k.child)
+      case n: org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero =>
+        re(n.child)
+      case And(l, r) => s"(${re(l)} AND ${re(r)})"
+      case Or(l, r) => s"(${re(l)} OR ${re(r)})"
+      case Not(c) => s"(NOT ${re(c)})"
+      case IsNull(c) => s"(${re(c)} IS NULL)"
+      case IsNotNull(c) => s"(${re(c)} IS NOT NULL)"
+      case e: EqualNullSafe =>
+        s"(${re(e.left)} IS NOT DISTINCT FROM ${re(e.right)})"
+      case b: BinaryComparison => s"(${re(b.left)} ${b.symbol} ${re(b.right)})"
+      case b: BinaryArithmetic => s"(${re(b.left)} ${b.symbol} ${re(b.right)})"
+      case u: UnaryMinus => s"(- ${re(u.child)})"
+      case i: In => s"(${re(i.value)} IN (${i.list.map(re).mkString(", ")}))"
+      case i: InSet =>
+        val items = i.hset.toSeq.map(v =>
+          dialect.literal(Literal(v, i.child.dataType))).sorted
+        s"(${re(i.child)} IN (${items.mkString(", ")}))"
+      case l: Like => s"(${re(l.left)} LIKE ${re(l.right)})"
+      case cw: CaseWhen =>
+        val branches = cw.branches.map { case (p, v) =>
+          s"WHEN ${re(p)} THEN ${re(v)}" }.mkString(" ")
+        val els = cw.elseValue.map(v => s" ELSE ${re(v)}").getOrElse("")
+        s"(CASE $branches$els END)"
+      case If(p, t, f) => s"(CASE WHEN ${re(p)} THEN ${re(t)} ELSE ${re(f)} END)"
+      case c: Coalesce => s"coalesce(${c.children.map(re).mkString(", ")})"
+      case s: Substring =>
+        val fn = dialect.fnName("substring").getOrElse("substring")
+        s"$fn(${re(s.str)}, ${re(s.pos)}, ${re(s.len)})"
+      case y: Year => extractOr(y, "year")
+      case m: Month => extractOr(m, "month")
+      case d: DayOfMonth => extractOr(d, "day")
+      case ae: AggregateExpression => reAgg(ae)
+      case we: WindowExpression =>
+        s"${reWindowFn(we.windowFunction)} OVER (${reSpec(we.windowSpec)})"
+      case other => dialect.fallback(renameRefs(other), re)
+    }
+
+    private def extractOr(e: UnaryExpression, field: String): String =
+      dialect match {
+        case DuckDbDialect => s"extract($field FROM ${re(e.child)})"
+        case _ => dialect.fallback(renameRefs(e), re)
+      }
+
+    private def reWindowFn(f: Expression): String = f match {
+      case _: RowNumber => "row_number()"
+      case _: Rank => "rank()"
+      case _: DenseRank => "dense_rank()"
+      case ae: AggregateExpression => reAgg(ae)
+      case other => dialect.fallback(renameRefs(other), re)
+    }
+
+    private def reSpec(spec: WindowSpecDefinition): String = {
+      val parts = if (spec.partitionSpec.isEmpty) ""
+        else s"PARTITION BY ${spec.partitionSpec.map(re).mkString(", ")}"
+      val order = if (spec.orderSpec.isEmpty) ""
+        else s"ORDER BY ${spec.orderSpec.map(reSort).mkString(", ")}"
+      val frame = spec.frameSpecification match {
+        case UnspecifiedFrame => ""
+        case f: SpecifiedWindowFrame
+          if f.frameType == RowFrame && f.lower == UnboundedPreceding &&
+            f.upper == CurrentRow =>
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        case f: SpecifiedWindowFrame
+          if f.frameType == RangeFrame && f.lower == UnboundedPreceding &&
+            f.upper == CurrentRow =>
+          "" // both engines' default frame with ORDER BY
+        case other => throw new UnsupportedOperationException(
+          s"unparse: window frame $other")
+      }
+      Seq(parts, order, frame).filter(_.nonEmpty).mkString(" ")
+    }
+
+    /** For dialect fallbacks that render via Catalyst's own `.sql`: rewrite
+      * attribute names to the unparser's unique c<exprId> names first, so the
+      * fallback text binds to the same subquery columns as the structural path.
+      */
+    private def renameRefs(e: Expression): Expression = e.transform {
+      case a: AttributeReference => a.withName(cname(a))
+    }
+  }
+}

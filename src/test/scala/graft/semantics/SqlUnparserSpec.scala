@@ -1,0 +1,107 @@
+package graft.semantics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftEngine, TestSpark}
+import graft.queries.Semantic
+
+/** Unparse laws. The Spark dialect is verified by ROUND-TRIP EXECUTION: the
+  * emitted text must run on a bare session (no deploy, no temp views — scans
+  * are `parquet.`path``) and produce exactly the rows and column names of the
+  * engine executing the original semantic SQL. The DuckDB dialect is pinned by
+  * a golden exact-match against the static oracle string that the driver's
+  * DuckDB gate executes for `m21_unparse_duckdb` — so the text DuckDB actually
+  * runs is provably the generator's output, and the driver's hash-compare
+  * closes the loop on a second engine.
+  */
+class SqlUnparserSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val session =
+    GraftEngine.deployOnDir(spark, Semantic.manifest, TestSpark.sfDir)
+
+  private def roundTrip(sql: String): Unit = {
+    val engine = session.query(sql)
+    val expected = engine.collect().map(_.toString).sorted.toSeq
+    val text = session.transformSql(sql, "spark")
+    val replayed = spark.sql(text)
+    assert(replayed.columns.toSeq == engine.columns.toSeq, s"\n$text")
+    assert(replayed.collect().map(_.toString).sorted.toSeq == expected, s"\n$text")
+  }
+
+  test("spark round-trip: expression column + filter + sort") {
+    roundTrip("""SELECT o_orderkey, order_cust FROM m_orders
+                |WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  test("spark round-trip: to-one calculated field (relationship LEFT JOIN)") {
+    roundTrip("""SELECT o_orderkey, cust_segment FROM m_orders
+                |WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  test("spark round-trip: to-many aggregated calc (pre-agg + join back)") {
+    roundTrip("""SELECT c_custkey, cast(total_spent as double) AS ts, order_count
+                |FROM m_customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  test("spark round-trip: group-by aggregate with having") {
+    roundTrip("""SELECT o_orderstatus, count(*) AS n,
+                |  cast(sum(o_price_dec) as double) AS rev
+                |FROM m_orders GROUP BY o_orderstatus HAVING count(*) > 5
+                |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  test("spark round-trip: window function over model") {
+    roundTrip("""SELECT o_orderkey,
+                |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+                |FROM m_orders WHERE o_orderkey <= 300""".stripMargin)
+  }
+
+  test("spark round-trip: IN-subquery (decorrelates to a semi join)") {
+    roundTrip("""SELECT o_orderkey FROM m_orders
+                |WHERE o_custkey IN (SELECT c_custkey FROM m_customer WHERE c_acctbal > 5000)
+                |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  test("spark round-trip: UNION ALL + DISTINCT") {
+    roundTrip("""SELECT DISTINCT o_orderstatus FROM (
+                |  SELECT o_orderstatus FROM m_orders WHERE o_orderkey <= 100
+                |  UNION ALL
+                |  SELECT o_orderstatus FROM m_orders WHERE o_orderkey > 4000
+                |) t ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  test("spark round-trip: top-K (ORDER BY + LIMIT stay in one SELECT)") {
+    roundTrip("""SELECT o_orderkey, o_totalprice FROM m_orders
+                |ORDER BY o_totalprice DESC, o_orderkey LIMIT 7""".stripMargin)
+  }
+
+  test("duckdb golden: m21 text is exactly the driver's oracle string") {
+    val text = session.transformSql(Semantic.m21Sql, "duckdb")
+    println(s"[unparse-duckdb]\n$text")
+    assert(text == Semantic.m21DuckOracle,
+      s"generated:\n$text\noracle:\n${Semantic.m21DuckOracle}")
+  }
+
+  test("duckdb dialect: bare logical table names, no backticks, double-quoted idents") {
+    val text = session.transformSql(
+      "SELECT o_orderkey FROM m_orders WHERE o_orderkey <= 10", "duckdb")
+    assert(text.contains("FROM \"orders\""), text)
+    assert(!text.contains("`"), text)
+  }
+
+  test("duckdb dialect: unsupported expression fails loudly, not silently") {
+    val e = intercept[UnsupportedOperationException] {
+      session.transformSql(
+        "SELECT xxhash64(o_orderstatus) AS h FROM m_orders", "duckdb")
+    }
+    assert(e.getMessage.contains("unsupported expression"), e.getMessage)
+  }
+
+  test("unknown dialect is rejected; 'plan' falls back to the catalyst dump") {
+    intercept[IllegalArgumentException] {
+      session.transformSql("SELECT 1", "oracle9i")
+    }
+    assert(session.transformSql("SELECT o_orderkey FROM m_orders LIMIT 1", "plan")
+      .contains("GlobalLimit"))
+  }
+}
