@@ -61,9 +61,15 @@ object Bench {
       qseq.map { case (n, fn) => n -> once(fn) }.toMap
     val warmSamples = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ListBuffer[Either[String, Double]]]
-    for (_ <- 0 until warmRuns; (n, fn) <- qseq)
+    for (_ <- 0 until warmRuns; (n, fn) <- qseq) {
       warmSamples.getOrElseUpdate(n,
         scala.collection.mutable.ListBuffer.empty) += once(fn)
+    }
+    // Drop accumulated storage memory before the isolated reruns: interleaving
+    // keeps ~every query's persisted frames resident at once (sequential runs
+    // let the ContextCleaner reclaim between queries), and measuring the rerun
+    // under that pressure is what the rerun exists to avoid.
+    spark.catalog.clearCache()
     def median(ws: Seq[Double]): Double = ws.sorted.apply(ws.size / 2)
     // First-pass stats for every query whose warm runs ALL succeeded — a failed
     // cold run alone no longer drops the query from the timing maps (it was
@@ -75,15 +81,21 @@ object Bench {
         Some((name, median(ws), ws.max - ws.min))
       } else None
     }
-    // Any query whose spread still exceeds its median is re-run ISOLATED
-    // (nothing else co-scheduled in the JVM) and the isolated median replaces
-    // the suite number; the query is flagged "noisy" so the judge knows which
-    // timings came from the rerun. This keeps the bench regression-detecting:
-    // a genuine 2x slowdown reproduces isolated, co-scheduling noise does not.
-    val noisy = firstPass.collect {
-      case (name, med, spread) if spread > med && med > 0.05 => name }.toSet
+    // A query whose spread exceeds BOTH its median and an absolute floor is
+    // re-run ISOLATED (nothing else co-scheduled, cache cleared) and the
+    // isolated median replaces the suite number; the query is flagged "noisy"
+    // so the judge knows which timings came from the rerun. The floor matters:
+    // interleaved samples are separated by full suite passes, so sub-second
+    // queries routinely show spread > median from scheduling alone — without it
+    // the whole suite re-runs (r7 first cut: 103/125 flagged). The rerun set is
+    // capped at the 12 worst spreads to bound the phase; a genuine regression
+    // is by definition near the top of that order.
+    val candidates = firstPass.collect {
+      case (name, med, spread) if spread > med && spread > 0.75 => (name, spread) }
+    val noisy = candidates.sortBy(-_._2).take(12).map(_._1).toSet
     val isolated: Map[String, (Double, Double)] = noisy.toSeq.sorted.map { name =>
       val fn = selected(name)
+      spark.catalog.clearCache()
       val ws = Seq.fill(warmRuns)(once(fn)).collect { case Right(w) => w }
       if (ws.size == warmRuns) name -> (median(ws), ws.max - ws.min)
       else name -> (firstPass.find(_._1 == name).get._2,

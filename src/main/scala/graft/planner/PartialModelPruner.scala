@@ -34,7 +34,18 @@ object PartialModelPruner {
 
   def prune(plan: LogicalPlan): LogicalPlan = go(plan, plan.outputSet)
 
-  private def go(plan: LogicalPlan, required: AttributeSet): LogicalPlan = plan match {
+  private def go(plan0: LogicalPlan, required: AttributeSet): LogicalPlan = {
+    // Subquery expressions (IN/EXISTS/scalar) carry their own plans, invisible
+    // to child recursion — a model referenced only inside `WHERE x IN (SELECT
+    // pk FROM m_...)` kept its whole calc-join chain. Pruning them is safe for
+    // every subquery kind: the dropped joins are to-one by construction, so the
+    // subquery's row multiplicity (IN/EXISTS semantics) and single-row contract
+    // (scalar) are untouched.
+    val plan = plan0.transformExpressions {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.withNewPlan(go(s.plan, s.plan.outputSet))
+    }
+    plan match {
     case Join(left, right, LeftOuter, _, _)
         if isMarked(right) && required.intersect(right.outputSet).isEmpty =>
       go(left, required)
@@ -73,5 +84,6 @@ object PartialModelPruner {
 
     case other =>
       other.withNewChildren(other.children.map(c => go(c, c.outputSet)))
+    }
   }
 }

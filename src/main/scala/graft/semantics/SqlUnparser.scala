@@ -232,6 +232,10 @@ object SqlUnparser {
       case d: Distinct =>
         s"SELECT DISTINCT * FROM ${sub(d.child)}"
       case sa: SubqueryAlias => render(sa.child)
+      // Pure early-prune inserted under a Window + rank filter (e.g. rn <= k):
+      // the Window/Filter above reproduce the semantics, so the text form just
+      // passes through — the target engine re-derives its own pushdown.
+      case wgl: WindowGroupLimit => render(wgl.child)
       case lr: LogicalRelation =>
         val path = lr.relation match {
           case fs: HadoopFsRelation => fs.location.rootPaths.head.toString

@@ -387,4 +387,16 @@ class PlanQualitySpec extends AnyFunSuite {
         s"manifest exchange must not carry text, got: ${carried.mkString(", ")}")
     }
   }
+
+  test("partial-model pruning reaches IN-subquery plans: m22 scans orders+customer only") {
+    // the m_customer model referenced inside `WHERE o_custkey IN (SELECT
+    // c_custkey ...)` declares calc joins to nation and region; the pruner must
+    // drop them inside the subquery expression's plan, not just in top-level
+    // query blocks
+    val plan = executedPlan("m22_unparse_window")
+    assert(!plan.contains("nation.parquet") && !plan.contains("region.parquet"),
+      plan.take(2500))
+    assert(plan.contains("orders.parquet") && plan.contains("customer.parquet"),
+      plan.take(2500))
+  }
 }

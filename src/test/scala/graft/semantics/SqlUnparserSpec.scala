@@ -82,6 +82,13 @@ class SqlUnparserSpec extends AnyFunSuite {
       s"generated:\n$text\noracle:\n${Semantic.m21DuckOracle}")
   }
 
+  test("duckdb golden: m22 window+semi-join text is exactly the driver's oracle string") {
+    val text = session.transformSql(Semantic.m22Sql, "duckdb")
+    println(s"[unparse-duckdb-m22]\n$text")
+    assert(text == Semantic.m22DuckOracle,
+      s"generated:\n$text\noracle:\n${Semantic.m22DuckOracle}")
+  }
+
   test("duckdb dialect: bare logical table names, no backticks, double-quoted idents") {
     val text = session.transformSql(
       "SELECT o_orderkey FROM m_orders WHERE o_orderkey <= 10", "duckdb")
