@@ -79,7 +79,7 @@ object TypeMapper {
     case "ubigint" | "uint64" => DecimalType(20, 0)
     case "numeric" | "decimal" | "bignumeric" => DecimalType(38, 10) // utils.rs:136-137
     case "varchar" | "char" | "bpchar" | "text" | "string" | "name" => StringType
-    case "float4" | "real" | "float" => FloatType
+    case "float4" | "real" | "float" | "float32" => FloatType
     case "float8" | "double" | "float64" => DoubleType
     // ns timestamps truncate to Spark µs precision (documented divergence, SURVEY §1.2)
     case "timestamp" | "datetime" | "datetime64" | "timestamp_ns" => TimestampNTZType

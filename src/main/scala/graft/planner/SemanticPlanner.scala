@@ -3,7 +3,7 @@ package graft.planner
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column => SCol, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal, WindowExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -241,6 +241,12 @@ final class SemanticPlanner(
     */
   private var deployed: Seq[(String, DataFrame)] = Nil
   private var macroSql: Seq[String] = Nil
+  // Raw source scans captured at deploy, addressable by the model's full physical
+  // tableReference (dotted, lowercase) — `datafusion.public.orders` keeps resolving
+  // to the source even after the model's temp view shadows the bare table name.
+  private val srcCache = mutable.Map[String, DataFrame]()
+  private var rawViews: Map[String, String] = Map.empty
+  private var rawDeployed: Seq[(String, DataFrame)] = Nil
 
   /** Build and register every model and view. Returns registered view names. */
   def deploy(): Seq[String] = {
@@ -254,6 +260,16 @@ final class SemanticPlanner(
     // 2. Eagerly analyze every base DF (captures plans before model views shadow
     //    physical names), then build + register the governed model views.
     manifest.models.foreach(baseDF)
+    // 2.1 Keep the raw sources reachable by their physical names: a query naming a
+    //     model's full tableReference reads the source scan, not the model (the
+    //     reference's LocalRuntime sessions keep the underlying catalog visible —
+    //     sqllogictest model.slt queries `datafusion.public.order_items` directly).
+    rawDeployed = srcCache.toSeq.map { case (dotted, src) =>
+      val vn = "__graft_raw_" + dotted.replaceAll("[^a-zA-Z0-9]", "_")
+      src.createOrReplaceTempView(vn)
+      rawViews += dotted -> vn
+      vn -> src
+    }
     val modelViews = manifest.models.map { m =>
       val df0 = modelDF(m)
       // `cached: true` models persist spill-safely (the reference materializes
@@ -277,8 +293,10 @@ final class SemanticPlanner(
     }
     macroSql.foreach(spark.sql(_))
     // 3. MDL views are plain SQL over models (ViewTable, context.rs:320-327).
+    //    View statements are MDL-dialect SQL: double-quoted identifiers normalize
+    //    to backticks (the reference parses them as ANSI identifiers).
     val viewDFs = manifest.views.map { v =>
-      val df = runSql(v.statement)
+      val df = runSql(normalizeQuotes(v.statement))
       df.createOrReplaceTempView(v.name)
       v.name -> df
     }
@@ -389,6 +407,7 @@ final class SemanticPlanner(
     * overwritten by other work on the session.
     */
   def reregister(): Unit = {
+    rawDeployed.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     deployed.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     macroSql.foreach(spark.sql(_)) // temp functions are session-global: restore ours
   }
@@ -403,6 +422,10 @@ final class SemanticPlanner(
   def withProperties(newProps: Map[String, String]): SemanticPlanner = {
     val p = new SemanticPlanner(spark, manifest, resolver, newProps)
     p.baseCache ++= baseCache
+    // the shared base scans carry the raw-source map with them — without this a
+    // cached baseDF hit would leave srcCache empty and physical-name references
+    // unresolvable in the property session
+    p.srcCache ++= srcCache
     p
   }
 
@@ -439,10 +462,80 @@ final class SemanticPlanner(
     * alias there too; a missing value is an error, not a fall-through).
     */
   def runSql(sql: String): DataFrame = {
-    val stripped = stripNamespace(sql)
-    if (manifest.enums.isEmpty) spark.sql(stripped)
-    else org.apache.spark.sql.graft.Bridge.ofRows(
-      spark, rewriteEnums(spark.sessionState.sqlParser.parsePlan(stripped)))
+    val stripped = stripNamespace(rewriteTypeAliases(sql))
+    val parsed = spark.sessionState.sqlParser.parsePlan(stripped)
+    org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, rewriteEnums(rewriteRelations(parsed)))
+  }
+
+  /** The reference's type system accepts Arrow-style type aliases in casts
+    * (`CAST(x AS int64)`, `CAST(t AS datetime)`) that Spark's parser rejects
+    * (wren-core/core/src/logical_plan/utils.rs:109-203 `map_data_type` — the same
+    * table [[graft.mdl.TypeMapper]] implements for column declarations). Rewrite
+    * `AS <alias>` to the Spark type name before parsing; string literals and
+    * quoted identifiers are left untouched.
+    */
+  private val castAliases: Map[String, String] = Map(
+    "int64" -> "BIGINT", "int32" -> "INT", "int16" -> "SMALLINT",
+    "uint8" -> "SMALLINT", "uint16" -> "INT", "uint32" -> "BIGINT",
+    "uint64" -> "DECIMAL(20,0)", "float64" -> "DOUBLE", "float32" -> "FLOAT",
+    "datetime" -> "TIMESTAMP_NTZ")
+  private val castAliasRe =
+    ("(?i)\\b(AS\\s+)(" + castAliases.keys.mkString("|") + ")\\b").r
+  private val quotedSpans = "'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`(?:[^`]|``)*`".r
+
+  private[planner] def rewriteTypeAliases(sql: String): String = {
+    if (!castAliases.keys.exists(k => sql.toLowerCase.contains(k))) return sql
+    def rw(chunk: String): String = castAliasRe.replaceAllIn(chunk, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + castAliases(m.group(2).toLowerCase)))
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- quotedSpans.findAllMatchIn(sql)) {
+      sb ++= rw(sql.substring(last, m.start))
+      sb ++= m.matched
+      last = m.end
+    }
+    sb ++= rw(sql.substring(last))
+    sb.result()
+  }
+
+  /** Resolve qualified table references the way the reference's catalog does
+    * (LocalRuntime mode, wren-core/core/src/mdl/context.rs — the session exposes
+    * models under `<catalog>.<schema>` AND keeps the physical tables reachable
+    * by their registered names):
+    *   - `catalog.schema.Model` / `schema.Model` → the deployed model/view
+    *     temp view (models live in the session temp-view namespace here);
+    *   - a model's full physical `tableReference` (e.g.
+    *     `datafusion.public.order_items`) → the RAW source scan captured at
+    *     deploy, bypassing the semantic layer exactly like querying the
+    *     underlying table in the reference.
+    */
+  private def rewriteRelations(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    if (rawViews.isEmpty && manifest.models.isEmpty) return plan
+    lazy val deployedNames: Set[String] =
+      (manifest.models.map(_.name) ++ manifest.views.map(_.name) ++
+        manifest.metrics.map(_.name) ++ manifest.cumulativeMetrics.map(_.name))
+        .map(_.toLowerCase).toSet
+    plan.transformDownWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.size >= 2 =>
+        val parts = r.multipartIdentifier
+        val dotted = parts.map(_.toLowerCase).mkString(".")
+        rawViews.get(dotted) match {
+          case Some(vn) => UnresolvedRelation(Seq(vn))
+          case None =>
+            val bare = parts.last
+            val qualifiedModel = deployedNames.contains(bare.toLowerCase) &&
+              (parts.size match {
+                case 2 => parts(0).equalsIgnoreCase(manifest.schema)
+                case 3 => parts(0).equalsIgnoreCase(manifest.catalog) &&
+                  parts(1).equalsIgnoreCase(manifest.schema)
+                case _ => false
+              })
+            if (qualifiedModel) UnresolvedRelation(Seq(bare)) else r
+        }
+    }
   }
 
   /** Enum.Value → string literal, across subqueries too (plain
@@ -475,8 +568,11 @@ final class SemanticPlanner(
   /** Source scan + physical/expression columns, typed per the MDL declaration. */
   def baseDF(model: Model): DataFrame = baseCache.getOrElseUpdate(model.name.toLowerCase, {
     val src: DataFrame = (model.refSql, model.tableReference) match {
-      case (Some(sql), _) => spark.sql(stripNamespace(sql))
-      case (None, Some(ref)) => resolver.resolve(spark, ref, declaredTypes(model))
+      case (Some(sql), _) => spark.sql(stripNamespace(normalizeQuotes(sql)))
+      case (None, Some(ref)) =>
+        val df = resolver.resolve(spark, ref, declaredTypes(model))
+        srcCache.getOrElseUpdate(ref.dotted.toLowerCase, df)
+        df
       case (None, None) =>
         model.baseObject match {
           case Some(b) =>
@@ -703,6 +799,28 @@ final class SemanticPlanner(
     * session's CLAC rules deny (the reference denies the whole query, plan.rs:157-174)
     * — a calculated field must not smuggle out a restricted related column.
     */
+  /** Is the hop `from` → `to` a to-one traversal? The declared direction decides
+    * first; when it says to-many, the join condition gets the last word: an
+    * equality on the TARGET model's primary key means each source row matches at
+    * most one target row, whatever the declaration claims. The reference does not
+    * enforce direction at all — it classifies a calculation by aggregate-ness
+    * alone (plan.rs:447-449), so its own fixtures carry reversed declarations
+    * (sqllogictest test_context.rs: `Orders_order_items` is MANY_TO_ONE from
+    * [Orders, Order_items], yet `Order_items.Customer_state` traverses it
+    * scalar-ly); the pk check accepts exactly the reversed-but-safe cases without
+    * giving up the cardinality guard for genuinely amplifying joins.
+    */
+  private def hopIsToOne(rel: Relationship, from: Model, to: Model): Boolean =
+    rel.isToOneFrom(from.name) || to.primaryKey.exists { pk =>
+      scala.util.Try(parseExpr(rel.condition)).toOption.exists { cond =>
+        cond.collect {
+          case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) => Seq(l, r)
+        }.flatten.exists(a => a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase(to.name) &&
+          a.nameParts.last.equalsIgnoreCase(pk))
+      }
+    }
+
   private def resolvePaths(
       model: Model, baseAlias: String, expression: String): (SCol, List[JoinStep]) = {
     val parsed =
@@ -735,7 +853,7 @@ final class SemanticPlanner(
           val nextAlias = s"__rel_${parts.take(idx + 1).mkString("_")}".replaceAll("\\W", "_")
           val cond = rewriteJoinCondition(rel, curModel.name, curAlias, nextModel.name, nextAlias)
           steps.getOrElseUpdate(nextAlias,
-            JoinStep(nextAlias, nextModel, rel, cond, rel.isToOneFrom(curModel.name)))
+            JoinStep(nextAlias, nextModel, rel, cond, hopIsToOne(rel, curModel, nextModel)))
           curModel = nextModel
           curAlias = nextAlias
           idx += 1
@@ -783,25 +901,7 @@ final class SemanticPlanner(
     * backticked identifier (so a bare `"c_acctbal" * 2` is an identifier reference,
     * never a string literal).
     */
-  private def normalizeQuotes(e: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    var inStr = false
-    while (i < e.length) {
-      val ch = e.charAt(i)
-      if (ch == '\'') { inStr = !inStr; sb += ch }
-      else if (ch == '"' && !inStr) {
-        val end = e.indexOf('"', i + 1)
-        if (end < 0) { sb += ch }
-        else {
-          sb += '`'; sb ++= e.substring(i + 1, end); sb += '`'
-          i = end
-        }
-      } else sb += ch
-      i += 1
-    }
-    sb.result()
-  }
+  private def normalizeQuotes(e: String): String = SemanticPlanner.normalizeQuotes(e)
 
   // ---------------------------------------------------------------- access control
 
@@ -870,5 +970,32 @@ final class SemanticPlanner(
       case ClacOperator.LessThanOrEquals => cmp <= 0
       case other => throw new GraftException(s"unknown CLAC operator $other")
     }
+  }
+}
+
+object SemanticPlanner {
+  /** MDL-dialect identifier quoting → Spark: double-quoted identifiers become
+    * backticked (the reference parses ANSI SQL where `"x"` is an identifier;
+    * Spark's default parser reads it as a string literal). Single-quoted string
+    * literals are left untouched.
+    */
+  def normalizeQuotes(e: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < e.length) {
+      val ch = e.charAt(i)
+      if (ch == '\'') { inStr = !inStr; sb += ch }
+      else if (ch == '"' && !inStr) {
+        val end = e.indexOf('"', i + 1)
+        if (end < 0) { sb += ch }
+        else {
+          sb += '`'; sb ++= e.substring(i + 1, end); sb += '`'
+          i = end
+        }
+      } else sb += ch
+      i += 1
+    }
+    sb.result()
   }
 }
