@@ -310,7 +310,13 @@ final class GraftSession(
     if (dialect == null || dialect.isEmpty || dialect == "plan") transformSql(sql)
     else {
       val qe = query(sql).queryExecution
-      graft.semantics.SqlUnparser.unparse(qe.optimizedPlan,
+      // Optimize the analyzed plan directly, skipping QueryExecution's
+      // cached-data substitution: the emitted text must rebuild from the
+      // SOURCES on whatever engine runs it — an InMemoryRelation swapped in
+      // because some earlier job cached an overlapping scan is local session
+      // state, not part of the query's meaning.
+      val optimized = spark.sessionState.optimizer.execute(qe.analyzed)
+      graft.semantics.SqlUnparser.unparse(optimized,
         qe.analyzed.output.map(_.name),
         graft.semantics.SqlUnparser.dialectFor(dialect))
     }

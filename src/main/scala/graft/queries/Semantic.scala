@@ -165,6 +165,24 @@ object Semantic {
   val m22DuckOracle: String =
     """SELECT "c1" AS "o_orderkey", "c3" AS "rn" FROM (SELECT * FROM (SELECT "c1" AS "c1", CAST("c2" AS BIGINT) AS "c3" FROM (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "c4" ORDER BY "c1" ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "c2" FROM (SELECT "c1" AS "c1", "c4" AS "c4" FROM (SELECT "t1".* FROM (SELECT "c1" AS "c1", "c5" AS "c5", "c4" AS "c4" FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c5", "o_orderstatus" AS "c4", "o_totalprice" AS "c7", "o_orderdate" AS "c8", "o_orderpriority" AS "c9" FROM "orders") "t2") "t1" SEMI JOIN (SELECT "c6" AS "c6" FROM (SELECT * FROM (SELECT "c_custkey" AS "c6", "c_name" AS "c10", "c_nationkey" AS "c11", "c_acctbal" AS "c12", "c_mktsegment" AS "c13" FROM "customer") "t3" WHERE (("c12" IS NOT NULL) AND ("c12" > 5000.0))) "t4") "t5" ON ("c5" = "c6")) "t6") "t7") "t8" WHERE ("c2" <= 3)) "t9") "t10" ORDER BY "c1" ASC NULLS FIRST) "t_out""""
 
+  /** Source SQL for `m23_unparse_scalar_subq`: widens the cross-engine-executed
+    * unparse surface to uncorrelated scalar subqueries (kept as expressions by
+    * the optimizer — rendered as inline `(SELECT …)`) and explicit window
+    * frames (`ROWS BETWEEN n PRECEDING AND CURRENT ROW`). The running sum is
+    * cast to double in the source so both engines agree on the schema.
+    */
+  val m23Sql: String =
+    """SELECT o_orderkey,
+      |  cast(sum(o_price_dec) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double) AS run3
+      |FROM m_orders
+      |WHERE o_totalprice > 2 * (SELECT cast(sum(c_acctbal) as double) / count(*)
+      |                          FROM m_customer)
+      |ORDER BY o_orderkey LIMIT 50""".stripMargin
+
+  val m23DuckOracle: String =
+    """SELECT "c1" AS "o_orderkey", "c3" AS "run3" FROM (SELECT * FROM (SELECT "c1" AS "c1", CAST("c2" AS DOUBLE) AS "c3" FROM (SELECT *, sum("c4") OVER (PARTITION BY "c5" ORDER BY "c1" ASC NULLS FIRST ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS "c2" FROM (SELECT "c1" AS "c1", CAST("c6" AS DECIMAL(18,2)) AS "c4", "c5" AS "c5" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c7", "o_orderstatus" AS "c5", "o_totalprice" AS "c6", "o_orderdate" AS "c8", "o_orderpriority" AS "c9" FROM "orders") "t1" WHERE (("c6" IS NOT NULL) AND ("c6" > (2.0 * (SELECT (sum("c10") / CAST(count(*) AS DOUBLE)) AS "c11" FROM (SELECT "c10" AS "c10" FROM (SELECT "c_custkey" AS "c12", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c10", "c_mktsegment" AS "c15" FROM "customer") "t2") "t3"))))) "t4") "t5") "t6") "t7" ORDER BY "c1" ASC NULLS FIRST LIMIT 50) "t_out""""
+
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(sum("c3") AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
@@ -470,7 +488,8 @@ object Semantic {
     // §2.C parity stretch: the unparse layer (Mode::Unparse / transform_sql) —
     // DuckDB executes the machine-emitted dialect text (see m21DuckOracle).
     "m21_unparse_duckdb" -> ((deployAndRun(m21Sql)(_, _), Some(m21DuckOracle))),
-    "m22_unparse_window" -> ((deployAndRun(m22Sql)(_, _), Some(m22DuckOracle)))
+    "m22_unparse_window" -> ((deployAndRun(m22Sql)(_, _), Some(m22DuckOracle))),
+    "m23_unparse_scalar_subq" -> ((deployAndRun(m23Sql)(_, _), Some(m23DuckOracle)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -86,7 +86,21 @@ object SqlUnparser {
     }
     def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
       s"VALUES ${rows.mkString(", ")} AS ${quote(alias)}(${cols.map(quote).mkString(", ")})"
-    def fallback(e: Expression, rendered: Expression => String): String = e.sql
+    def fallback(e: Expression, rendered: Expression => String): String = {
+      // `.sql` prints internal forms no parser accepts (lambdafunction(...),
+      // struct(...) with re-derived field names, stringsplitsql). When the
+      // subtree contains one, compose `prettyName(args)` and recurse so the
+      // structural renderer handles the internal node; plain subtrees keep
+      // Catalyst's own (more faithful) rendering.
+      val hasInternal = e.exists {
+        case _: LambdaFunction | _: NamedLambdaVariable | _: CreateNamedStruct |
+             _: StringSplitSQL => true
+        case _ => false
+      }
+      if (hasInternal && e.children.nonEmpty)
+        s"${e.prettyName}(${e.children.map(rendered).mkString(", ")})"
+      else e.sql
+    }
     def fnName(prettyName: String): Option[String] = Some(prettyName)
   }
 
@@ -232,13 +246,37 @@ object SqlUnparser {
       case d: Distinct =>
         s"SELECT DISTINCT * FROM ${sub(d.child)}"
       case sa: SubqueryAlias => render(sa.child)
+      // GROUPING SETS / ROLLUP / CUBE lower to Expand: one projection per
+      // grouping set over the same child. UNION ALL of plain SELECTs is the
+      // dialect-neutral exact equivalent (the grouping_id column is just one
+      // more projected literal per branch).
+      case ex: Expand =>
+        ex.projections.map { proj =>
+          val items = proj.zip(ex.output).map { case (e2, attr) =>
+            s"${re(e2)} AS ${q(cname(attr))}"
+          }.mkString(", ")
+          s"SELECT $items FROM ${sub(ex.child)}"
+        }.mkString(" UNION ALL ")
+      // UNNEST / table functions (explode, posexplode, inline, sequence …)
+      case g: Generate =>
+        val gen = dialect.fallback(renameRefs(g.generator), re)
+        val outer = if (g.outer) " OUTER" else ""
+        val cols = g.generatorOutput.map(a => q(cname(a))).mkString(", ")
+        s"SELECT * FROM ${sub(g.child)} LATERAL VIEW$outer $gen " +
+          s"${q(freshAlias())} AS $cols"
       // Pure early-prune inserted under a Window + rank filter (e.g. rn <= k):
       // the Window/Filter above reproduce the semantics, so the text form just
       // passes through — the target engine re-derives its own pushdown.
       case wgl: WindowGroupLimit => render(wgl.child)
       case lr: LogicalRelation =>
         val path = lr.relation match {
-          case fs: HadoopFsRelation => fs.location.rootPaths.head.toString
+          case fs: HadoopFsRelation
+              if fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+            fs.location.rootPaths.head.toString
+          case fs: HadoopFsRelation => throw new UnsupportedOperationException(
+            s"unparse: ${fs.fileFormat.toString} scan carries reader options " +
+              "(schema/header/format conf) that standalone SQL text cannot express")
           case other => throw new UnsupportedOperationException(
             s"unparse: non-file relation ${other.getClass.getSimpleName}")
         }
@@ -280,6 +318,13 @@ object SqlUnparser {
         case m: Min => s"min(${re(m.child)})"
         case m: Max => s"max(${re(m.child)})"
         case a: Average => s"avg($d${re(a.child)})"
+        // `.sql` prints the ordering as a bare third argument; the parseable
+        // form is WITHIN GROUP.
+        case la: ListAgg =>
+          val within =
+            if (la.orderExpressions.isEmpty) ""
+            else s" WITHIN GROUP (ORDER BY ${la.orderExpressions.map(reSort).mkString(", ")})"
+          s"listagg($d${re(la.child)}, ${re(la.delimiter)})$within"
         case other => dialect.fallback(
           renameRefs(if (ae.isDistinct) ae else other), re)
       }
@@ -326,7 +371,44 @@ object SqlUnparser {
       case d: DayOfMonth => extractOr(d, "day")
       case ae: AggregateExpression => reAgg(ae)
       case we: WindowExpression =>
-        s"${reWindowFn(we.windowFunction)} OVER (${reSpec(we.windowSpec)})"
+        // lag/lead carry an internal exact-offset frame that SQL forbids
+        // spelling out; every other function keeps its frame text.
+        val suppressFrame = we.windowFunction.isInstanceOf[OffsetWindowFunction]
+        s"${reWindowFn(we.windowFunction)} OVER (${reSpec(we.windowSpec, suppressFrame)})"
+      // Higher-order functions: Catalyst's `.sql` prints the internal
+      // `lambdafunction(...)` form, which no parser accepts — render the
+      // public arrow syntax instead.
+      case lf: LambdaFunction =>
+        val args = lf.arguments.map(v => q(cnameById(v.exprId)))
+        val head = if (args.size == 1) args.head else args.mkString("(", ", ", ")")
+        s"$head -> ${re(lf.function)}"
+      case v: NamedLambdaVariable => q(cnameById(v.exprId))
+      case hof: HigherOrderFunction =>
+        s"${hof.prettyName}(${hof.children.map(re).mkString(", ")})"
+      // split_part lowers to the internal literal-delimiter StringSplitSQL;
+      // the public `split` takes a regex, so quote the literal.
+      case sp: StringSplitSQL =>
+        sp.delimiter match {
+          case Literal(d, StringType) if d != null =>
+            val quoted = java.util.regex.Pattern.quote(d.toString).replace("'", "''")
+            s"split(${re(sp.str)}, '$quoted')"
+          case other => throw new UnsupportedOperationException(
+            s"unparse: split with non-literal delimiter $other")
+        }
+      // struct literals: `.sql` of CreateNamedStruct collapses to struct(...),
+      // re-deriving field names from the renamed columns — branches of an
+      // array(...) would then disagree on the struct type. named_struct keeps
+      // the declared field names.
+      case cns: CreateNamedStruct =>
+        s"named_struct(${cns.children.map(re).mkString(", ")})"
+      // Uncorrelated scalar subqueries survive optimization as expressions (the
+      // optimizer only decorrelates the correlated ones into joins); render the
+      // subplan inline. A correlated one reaching here cannot be expressed as
+      // standalone text — fail loudly.
+      case s: ScalarSubquery =>
+        if (s.outerAttrs.nonEmpty) throw new UnsupportedOperationException(
+          s"unparse: correlated scalar subquery ${s.sql} was not decorrelated")
+        s"(${render(s.plan)})"
       case other => dialect.fallback(renameRefs(other), re)
     }
 
@@ -344,33 +426,46 @@ object SqlUnparser {
       case other => dialect.fallback(renameRefs(other), re)
     }
 
-    private def reSpec(spec: WindowSpecDefinition): String = {
+    private def reSpec(spec: WindowSpecDefinition, suppressFrame: Boolean = false): String = {
       val parts = if (spec.partitionSpec.isEmpty) ""
         else s"PARTITION BY ${spec.partitionSpec.map(re).mkString(", ")}"
       val order = if (spec.orderSpec.isEmpty) ""
         else s"ORDER BY ${spec.orderSpec.map(reSort).mkString(", ")}"
       val frame = spec.frameSpecification match {
+        case _ if suppressFrame => ""
         case UnspecifiedFrame => ""
-        case f: SpecifiedWindowFrame
-          if f.frameType == RowFrame && f.lower == UnboundedPreceding &&
-            f.upper == CurrentRow =>
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         case f: SpecifiedWindowFrame
           if f.frameType == RangeFrame && f.lower == UnboundedPreceding &&
             f.upper == CurrentRow =>
           "" // both engines' default frame with ORDER BY
-        case other => throw new UnsupportedOperationException(
-          s"unparse: window frame $other")
+        case f: SpecifiedWindowFrame =>
+          val kind = f.frameType match {
+            case RowFrame => "ROWS"
+            case RangeFrame => "RANGE"
+          }
+          // Spark stores offset bounds as signed literals: negative = PRECEDING
+          def bound(e: Expression): String = e match {
+            case UnboundedPreceding => "UNBOUNDED PRECEDING"
+            case UnboundedFollowing => "UNBOUNDED FOLLOWING"
+            case CurrentRow => "CURRENT ROW"
+            case IntegerLiteral(n) if n < 0 => s"${-n} PRECEDING"
+            case IntegerLiteral(n) => s"$n FOLLOWING"
+            case other => throw new UnsupportedOperationException(
+              s"unparse: window frame bound $other")
+          }
+          s"$kind BETWEEN ${bound(f.lower)} AND ${bound(f.upper)}"
       }
       Seq(parts, order, frame).filter(_.nonEmpty).mkString(" ")
     }
 
     /** For dialect fallbacks that render via Catalyst's own `.sql`: rewrite
-      * attribute names to the unparser's unique c<exprId> names first, so the
-      * fallback text binds to the same subquery columns as the structural path.
+      * attribute names to the unparser's unique c<exprId> names first — and
+      * DROP qualifiers (`events`.`c8` would not resolve against the generated
+      * subquery aliases) — so the fallback text binds to the same subquery
+      * columns as the structural path.
       */
     private def renameRefs(e: Expression): Expression = e.transform {
-      case a: AttributeReference => a.withName(cname(a))
+      case a: AttributeReference => a.withName(cname(a)).withQualifier(Seq.empty)
     }
   }
 }

@@ -89,6 +89,16 @@ class SqlUnparserSpec extends AnyFunSuite {
       s"generated:\n$text\noracle:\n${Semantic.m22DuckOracle}")
   }
 
+  test("duckdb golden: m23 scalar-subquery + window-frame text is exactly the oracle") {
+    val text = session.transformSql(Semantic.m23Sql, "duckdb")
+    assert(text == Semantic.m23DuckOracle,
+      s"generated:\n$text\noracle:\n${Semantic.m23DuckOracle}")
+  }
+
+  test("spark round-trip: uncorrelated scalar subquery + explicit ROWS frame") {
+    roundTrip(Semantic.m23Sql)
+  }
+
   test("duckdb dialect: bare logical table names, no backticks, double-quoted idents") {
     val text = session.transformSql(
       "SELECT o_orderkey FROM m_orders WHERE o_orderkey <= 10", "duckdb")
