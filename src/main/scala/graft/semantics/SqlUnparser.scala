@@ -72,7 +72,15 @@ object SqlUnparser {
     def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     def relation(rootPath: String): String = s"parquet.${quote(rootPath)}"
     def typeName(dt: DataType): String = dt.sql
-    def literal(l: Literal): String = l.sql
+    def literal(l: Literal): String = l.dataType match {
+      // Literal.sql prints internal ArrayData (UnsafeArrayData@…) for array
+      // values the optimizer constant-folded (e.g. sequence(...)); rebuild the
+      // array(...) constructor element-wise.
+      case ArrayType(et, _) if l.value != null =>
+        val arr = l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        "array(" + arr.toObjectArray(et).map(v => literal(Literal(v, et))).mkString(", ") + ")"
+      case _ => l.sql
+    }
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -95,6 +103,7 @@ object SqlUnparser {
       val hasInternal = e.exists {
         case _: LambdaFunction | _: NamedLambdaVariable | _: CreateNamedStruct |
              _: StringSplitSQL => true
+        case l: Literal => l.dataType.isInstanceOf[ArrayType] && l.value != null
         case _ => false
       }
       if (hasInternal && e.children.nonEmpty)
@@ -204,6 +213,10 @@ object SqlUnparser {
     def render(plan: LogicalPlan): String = plan match {
       case Project(list, _: OneRowRelation) =>
         s"SELECT ${list.map(selectItem).mkString(", ")}"
+      // column pruning can empty the list entirely (a count(*) subquery needs
+      // only row multiplicity); SQL demands at least one item
+      case Project(Nil, child) =>
+        s"SELECT 1 AS ${q(freshAlias())} FROM ${sub(child)}"
       case Project(list, child) =>
         s"SELECT ${list.map(selectItem).mkString(", ")} FROM ${sub(child)}"
       case Filter(cond, child) =>
@@ -257,9 +270,11 @@ object SqlUnparser {
           }.mkString(", ")
           s"SELECT $items FROM ${sub(ex.child)}"
         }.mkString(" UNION ALL ")
-      // UNNEST / table functions (explode, posexplode, inline, sequence …)
+      // UNNEST / table functions (explode, posexplode, inline, sequence …) —
+      // generators are all function-shaped, so compose prettyName over re()
+      // (falling back to `.sql` would re-break on internal literals)
       case g: Generate =>
-        val gen = dialect.fallback(renameRefs(g.generator), re)
+        val gen = s"${g.generator.prettyName}(${g.generator.children.map(re).mkString(", ")})"
         val outer = if (g.outer) " OUTER" else ""
         val cols = g.generatorOutput.map(a => q(cname(a))).mkString(", ")
         s"SELECT * FROM ${sub(g.child)} LATERAL VIEW$outer $gen " +
