@@ -24,7 +24,9 @@ object GraftEngine {
       properties: Map[String, String] = Map.empty): GraftSession = {
     manifest.validateLayoutVersion()
     val planner = new SemanticPlanner(spark, manifest, resolver, properties)
-    planner.deploy()
+    // deployment writes the shared temp-view namespace: serialize with the
+    // analysis of any concurrently running session on the same SparkSession
+    GraftSession.viewLock(spark).synchronized { planner.deploy() }
     GraftFunctions.register(spark)
     new GraftSession(spark, manifest, planner, properties)
   }
@@ -100,6 +102,18 @@ object GraftSession {
   private val viewOwner =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, AnyRef]
 
+  /** Per-SparkSession lock serializing view-ownership swap + query ANALYSIS.
+    * Two GraftSessions share one temp-view namespace; without atomicity a
+    * thread could swap the views in while another thread's query is mid-
+    * analysis and silently resolve against the WRONG deployment. Execution
+    * stays fully parallel — resolved plans never re-read the catalog — so the
+    * lock costs only the (sub-ms, warm) analysis window.
+    */
+  private val viewLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, AnyRef]
+  private[graft] def viewLock(spark: SparkSession): AnyRef =
+    viewLocks.computeIfAbsent(spark, _ => new Object)
+
   /** Executor for time-bounded query actions (daemon threads — must not block JVM
     * exit; cached — bounded by concurrent timed queries, idle threads reaped).
     */
@@ -126,8 +140,14 @@ final class GraftSession(
 
   GraftSession.viewOwner.put(spark, this)
 
-  private def ensureViews(): Unit =
-    if (GraftSession.viewOwner.put(spark, this) ne this) planner.reregister()
+  /** Run `f` (which must cover every catalog-touching step — view lookup and
+    * plan ANALYSIS) with this deployment's views atomically in place.
+    */
+  private def withViews[T](f: => T): T =
+    GraftSession.viewLock(spark).synchronized {
+      if (GraftSession.viewOwner.put(spark, this) ne this) planner.reregister()
+      f
+    }
 
   /** Sessions derived from this deployment under overridden properties, one per
     * distinct merged property set (bounded; rebuilds are cheap — base scans are
@@ -244,7 +264,6 @@ final class GraftSession(
       spark.conf.get("spark.sql.caseSensitive", "false")
 
   def query(sql: String, limit: Option[Int] = None): DataFrame = {
-    ensureViews()
     val key = (sql, limit, planConfKey)
     val hit = planCache.get(key)
     if (hit != null) return hit.optimized match {
@@ -252,6 +271,7 @@ final class GraftSession(
         org.apache.spark.sql.graft.Bridge.ofRowsPreOptimized(spark, hit.analyzed, opt)
       case None => org.apache.spark.sql.graft.Bridge.ofRows(spark, hit.analyzed)
     }
+    withViews {
     val df =
       try withSessionTimezone(planner.runSql(sql))
       catch {
@@ -291,6 +311,7 @@ final class GraftSession(
       else None
     planCache.put(key, CachedPlan(pruned, optimized))
     out
+    }
   }
 
   /** The planned form of the SQL — the `/dry-plan` analogue. The reference returns
@@ -349,19 +370,19 @@ final class GraftSession(
     query(sql)
   }
 
-  def modelDF(name: String): DataFrame = { ensureViews(); spark.table(name) }
+  def modelDF(name: String): DataFrame = withViews(spark.table(name))
 
   /** Re-register this deployment's temp views (cache-hit path of deployOnDir). */
-  private[graft] def reregister(): Unit = {
-    GraftSession.viewOwner.put(spark, this)
-    planner.reregister()
-  }
+  private[graft] def reregister(): Unit =
+    GraftSession.viewLock(spark).synchronized {
+      GraftSession.viewOwner.put(spark, this)
+      planner.reregister()
+    }
 
   /** Model substitution (A13): run SQL written against *physical* table names by
     * rewriting each relation to its governing model (substitute.py:14-124).
     */
-  def querySubstituted(sql: String): DataFrame = {
-    ensureViews()
+  def querySubstituted(sql: String): DataFrame = withViews {
     // same enum semantics as query(): Enum.Value rewrites before substitution
     org.apache.spark.sql.graft.Bridge.ofRows(spark, planner.rewriteEnums(
       Substitution.substitute(spark, manifest, planner.stripNamespace(sql))))
@@ -471,21 +492,22 @@ final class GraftSession(
     if (manifest.model(cube.name).nonEmpty)
       throw new graft.planner.GraftException(
         s"cube $name would shadow the model view of the same name")
-    ensureViews()
-    val base = spark.table(cube.baseObject)
-    val timeDims = cube.timeDimensions.map { td =>
-      val (c, grain) = td.split(':') match {
-        case Array(c, g) => (c, g)
-        case _ => (td, "day")
+    withViews {
+      val base = spark.table(cube.baseObject)
+      val timeDims = cube.timeDimensions.map { td =>
+        val (c, grain) = td.split(':') match {
+          case Array(c, g) => (c, g)
+          case _ => (td, "day")
+        }
+        date_trunc(grain, col(c)).alias(s"${c}_$grain")
       }
-      date_trunc(grain, col(c)).alias(s"${c}_$grain")
+      val dims = cube.dimensions.map(d => col(d)) ++ timeDims
+      val measures = cube.measures.map(m =>
+        expr(m.expression.replace("\"", "`")).alias(m.name))
+      val df = base.cube(dims: _*).agg(measures.head, measures.tail: _*)
+      df.createOrReplaceTempView(cube.name)
+      df
     }
-    val dims = cube.dimensions.map(d => col(d)) ++ timeDims
-    val measures = cube.measures.map(m =>
-      expr(m.expression.replace("\"", "`")).alias(m.name))
-    val df = base.cube(dims: _*).agg(measures.head, measures.tail: _*)
-    df.createOrReplaceTempView(cube.name)
-    df
   }
 
   /** Function listing for the `/functions` API (A20). */

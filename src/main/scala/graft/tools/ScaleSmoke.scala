@@ -115,21 +115,22 @@ object ScaleSmoke {
       ("d4_ngram_jaccard", skew1, skew10),
       ("d13_containment", skew1, skew10))
 
-    def run(name: String, dir: String): (Double, Long, Long, Long) = {
-      val fn = SparkEntry.queries(name)
+    def runDf(thunk: () => DataFrame): (Double, Long, Long, Long) = {
       var best = Double.MaxValue; var rows = 0L
       var shuffle = 0L; var peak = 0L
       for (_ <- 0 until runs) {
         spark.catalog.clearCache()
         meter.reset()
         val t0 = System.nanoTime()
-        rows = fn(spark, dir).count()
+        rows = thunk().count()
         val dt = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
         if (dt < best) { best = dt; shuffle = meter.total.get; peak = meter.peak.get }
       }
       (best, rows, shuffle, peak)
     }
+    def run(name: String, dir: String): (Double, Long, Long, Long) =
+      runDf(() => SparkEntry.queries(name)(spark, dir))
 
     // Warm codegen/JIT on the small corpus before any timed run.
     suites.foreach { case (n, d1, _) => run(n, d1) }
@@ -158,7 +159,65 @@ object ScaleSmoke {
       row
     }
 
-    val json = results.map(r => r.map { case (k, v) =>
+    // ---- ANN flagships over a 10× embedding corpus -------------------------
+    // Copy k shifts vec_id and ROTATES the 64 dims by k: intra-copy distances
+    // are exactly preserved (neighbor structure replicates per copy), cross-copy
+    // vectors decorrelate, and LSH/IVF bucketing re-spreads per copy. The QUERY
+    // set is pinned to the 1× fixture's (vec_id % 50 = 0 on copy 0), so wall
+    // factors isolate CORPUS growth. Index parameters grow the way a real 10×
+    // deployment's would — LSH planes 12→15 (bucket count ×8 for ×10 data),
+    // IVF nlist 16→48 (≈√N cells) — because pinning them would measure a
+    // misparameterized index (10× fuller buckets), not the operator's scaling.
+    // Top-k output is |queries|·k at both scales: the wall is the measurement.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def rotated(k: Int): DataFrame =
+      if (k == 0) embBase
+      else {
+        val dims = (0 until 64).map(i => s"embedding[${(i + k) % 64}]").mkString(",")
+        embBase.select((col("vec_id") + k * 10000000L).alias("vec_id"),
+          expr(s"array($dims)").alias("embedding"))
+      }
+    def writeEmb(name: String, df: DataFrame): String = {
+      val dir = s"$work/$name"
+      df.repartition(32).write.parquet(dir)
+      dir
+    }
+    val emb1 = writeEmb("emb1", embBase)
+    val emb10 = writeEmb("emb10", (0 until copies).map(rotated).reduce(_ union _))
+    def queriesDf() = spark.read.parquet(emb1).filter(col("vec_id") % 50 === 0)
+    import graft.operators.Similarity
+    val annSuites: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("s2_ann_lsh[planes 12->15]",
+        () => Similarity.lshTopK(queriesDf(), spark.read.parquet(emb1),
+          k = 5, dim = 64, planes = 12),
+        () => Similarity.lshTopK(queriesDf(), spark.read.parquet(emb10),
+          k = 5, dim = 64, planes = 15)),
+      ("s5_ann_ivfpq[nlist 16->48]",
+        () => Similarity.ivfPqTopK(queriesDf(), spark.read.parquet(emb1),
+          k = 5, dim = 64, nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 20),
+        () => Similarity.ivfPqTopK(queriesDf(), spark.read.parquet(emb10),
+          k = 5, dim = 64, nlist = 48, nprobe = 12, m = 8, ksub = 16, rerank = 20)))
+
+    annSuites.foreach { case (_, t1, _) => runDf(t1) } // warm codegen/JIT
+    val annResults = annSuites.map { case (name, th1, th10) =>
+      val (t1, r1, s1, p1) = runDf(th1)
+      val (t10, r10, s10, p10) = runDf(th10)
+      val row = Map(
+        "query" -> name, "t1_sec" -> f"$t1%.2f", "t10_sec" -> f"$t10%.2f",
+        "wall_factor" -> f"${t10 / t1}%.1f",
+        "rows1" -> r1.toString, "rows10" -> r10.toString,
+        "shuffle1_mb" -> mb(s1), "shuffle10_mb" -> mb(s10),
+        "peak_stage1_mb" -> mb(p1), "peak_stage10_mb" -> mb(p10),
+        "shuffle_factor" -> (if (s1 > 0) f"${s10.toDouble / s1}%.1f" else "-"),
+        "dispatch1" -> "-", "dispatch10" -> "-")
+      println(s"[scale] $name 1x=${row("t1_sec")}s 10x=${row("t10_sec")}s " +
+        s"factor=${row("wall_factor")} rows ${r1}->${r10} " +
+        s"shuffle ${row("shuffle1_mb")}->${row("shuffle10_mb")} MB")
+      row
+    }
+
+    val json = (results ++ annResults).map(r => r.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
