@@ -735,12 +735,12 @@ final class SemanticPlanner(
       df = df.join(aggDF.alias(PartialModelPruner.Marker), joinKey, "left_outer").drop(pkCol)
     }
 
-    // --- final projection: visible columns passing CLAC ---
+    // --- final projection: CLAC-passing columns, hidden ones kept for now ---
     val scalarByName = scalarRewritten.map { case (c, ex) => c.name.toLowerCase -> (c, ex) }.toMap
     val aggNames = aggCalcs.map(_.name.toLowerCase).toSet
-    val visible = model.columns.filter(c =>
-      c.relationship.isEmpty && !c.isHidden && clacAllows(model, c))
-    val sel: List[SCol] = visible.map { c =>
+    val projectable = model.columns.filter(c =>
+      c.relationship.isEmpty && clacAllows(model, c))
+    val sel: List[SCol] = projectable.map { c =>
       if (aggNames.contains(c.name.toLowerCase)) col(c.name)
       else scalarByName.get(c.name.toLowerCase) match {
         case Some((cc, ex)) => ex.cast(TypeMapper.toSpark(cc.`type`)).alias(cc.name)
@@ -750,8 +750,15 @@ final class SemanticPlanner(
     var out = df.select(sel: _*)
 
     // --- row-level access control (model_generation.rs:88-129) ---
+    // RLAC runs BEFORE hidden columns are projected away: the reference allows
+    // a rule condition over a hidden column while the column itself stays
+    // unselectable (mod.rs test_ralc_condition_contain_hidden).
     val filters = model.rowLevelAccessControls.map(rlacFilter)
     filters.foreach(f => out = out.filter(f))
+
+    // --- hide isHidden columns from the model's output last ---
+    val hiddenNames = projectable.filter(_.isHidden).map(_.name)
+    if (hiddenNames.nonEmpty) out = out.drop(hiddenNames: _*)
     out
   }
 
