@@ -125,22 +125,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").alias("rk"))
   }
 
-  /** Scored struct per centroid: (similarity, cid). Centroids are unit-normalized in
-    * driver doubles, so `dot(v, ĉ)` orders identically to `cosine(v, c)` (‖v‖ is a
-    * positive constant across centroids) without computing norms per row.
-    */
-  private def centroidScores(v: Column, cents: Seq[(Int, Array[Double])]): Seq[Column] =
-    cents.map { case (cid, u) =>
-      struct(dotNative(v, typedLit(u.toSeq)).alias("sim"), lit(cid).alias("cid"))
-    }
 
-  /** Arg-max cell id for a vector against driver-held centroids: one codegen-friendly
-    * expression per row — no join, no row expansion, no shuffle. Ties break to the
-    * larger cid (struct `greatest` compares (sim, cid) lexicographically).
+  /** Arg-max cell id for a vector against driver-held centroids: a native
+    * looping kernel ([[graft.functions.ArgmaxCell]]) — no join, no row
+    * expansion, no shuffle, and code size INDEPENDENT of nlist (the previous
+    * `greatest(struct(dot, cid) × nlist)` form grew the generated Java with
+    * the cell count and collapsed at √N-grown nlist — measured 0.8 s → ~26 s
+    * going 16 → 48 cells on the 10× smoke corpus). Ties break to the larger
+    * cid, bit-identical to the composed form.
     */
   private[graft] def argmaxCid(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
-    val scored = centroidScores(v, cents)
-    (if (scored.size >= 2) greatest(scored: _*) else scored.head).getField("cid")
+    val sorted = cents.sortBy(_._1)
+    Bridge.column(graft.functions.ArgmaxCell(
+      Bridge.toExpression(org.apache.spark.sql.SparkSession.active, v),
+      sorted.map(_._2).toArray, sorted.map(_._1).toArray))
+  }
+
+  /** Top-`nprobe` cell ids by (dot desc, cid desc) — the probe-side analogue
+    * of [[argmaxCid]], replacing `slice(sort_array(array(struct…)))`.
+    */
+  private[graft] def topCells(v: Column, cents: Seq[(Int, Array[Double])], n: Int): Column = {
+    val sorted = cents.sortBy(_._1)
+    Bridge.column(graft.functions.TopCells(
+      Bridge.toExpression(org.apache.spark.sql.SparkSession.active, v),
+      sorted.map(_._2).toArray, sorted.map(_._1).toArray, n))
   }
 
   /** The IVF coarse quantizer: seed `nlist` unit centroids from an md5-keyed corpus
@@ -210,14 +218,12 @@ object Similarity {
 
     val cells = c.withColumn("cid", argmaxCid(col("cv"), unit))
 
-    // nprobe nearest cells per query: sort the literal score array per row — again a
+    // nprobe nearest cells per query: the native top-cells kernel — again a
     // pure map stage (ties break to larger cid, matching argmaxCid).
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qv"))
-    val probeCells = slice(
-      sort_array(array(centroidScores(col("qv"), unit): _*), asc = false), 1, nprobe)
     val probes = q
-      .withColumn("__p", explode(probeCells))
-      .select(col("query_id"), col("qv"), col("__p.cid").alias("cid"))
+      .withColumn("cid", explode(topCells(col("qv"), unit, nprobe)))
+      .select(col("query_id"), col("qv"), col("cid"))
 
     val scored = probes.join(cells, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -338,24 +344,61 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       rerank: Int = 32, lloydIters: Int = 0, pqLloydIters: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqQuery(
+      buildIvfPq(corpus, dim, nlist, m, ksub, lloydIters, pqLloydIters, idCol, vecCol),
+      queries, k, nprobe, rerank, idCol, vecCol)
+
+  /** A built IVF-PQ index: the driver-held quantizers (coarse centroids + PQ
+    * codebooks — broadcast-dimension-sized by construction) and the encoded
+    * corpus `codes` (cell id, vector id, m one-byte codes, and the original
+    * vector for exact re-ranking). Building pays the O(N·nlist) cell
+    * assignment ONCE; every [[Similarity.ivfPqQuery]] against it is pure
+    * serving cost — the shape a 100 TB deployment runs, with `codes` persisted
+    * via [[Similarity.saveIvfPq]] and mounted by [[Similarity.loadIvfPq]].
+    */
+  final case class IvfPqIndex(
+      dim: Int, nlist: Int, m: Int, ksub: Int,
+      centroids: Seq[(Int, Array[Double])],
+      codebooks: Array[Array[Array[Double]]],
+      codes: DataFrame)
+
+  /** Build the IVF-PQ index for a corpus: quantizer training (md5-seeded, so
+    * reproducible in any engine, + optional Lloyd refinement) and the one-pass
+    * corpus encode (per-row argmax cell + PQ codes — a map stage, no shuffle).
+    */
+  def buildIvfPq(
+      corpus: DataFrame, dim: Int, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      lloydIters: Int = 0, pqLloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
     val unit = buildCentroids(c, nlist, lloydIters)
     val books = buildPqCodebooks(c, dim, m, ksub, pqLloydIters)
-
-    val codesIdx = c.select(
+    val codes = c.select(
       argmaxCid(col("cv"), unit).alias("cid"),
       col("neighbor_id"),
-      pqEncodeCol(col("cv"), books).alias("codes"))
+      pqEncodeCol(col("cv"), books).alias("codes"),
+      col("cv"))
+    IvfPqIndex(dim, nlist, m, ksub, unit, books, codes)
+  }
 
+  /** Serve top-k from a built index: probe `nprobe` cells per query, rank the
+    * probed codes by ADC through the query's lookup table, exact-rerank the
+    * shortlist on the stored vectors. Identical results to [[ivfPqTopK]] with
+    * the same parameters (the one-shot API is build + this).
+    */
+  def ivfPqQuery(
+      index: IvfPqIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
+      rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val m = index.m
+    val ksub = index.ksub
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qv"))
-      .withColumn("qtab", pqTableCol(col("qv"), books))
-    val probeCells = slice(
-      sort_array(array(centroidScores(col("qv"), unit): _*), asc = false), 1, nprobe)
+      .withColumn("qtab", pqTableCol(col("qv"), index.codebooks))
     val probes = broadcast(q
-      .withColumn("__p", explode(probeCells))
-      .select(col("query_id"), col("qv"), col("qtab"), col("__p.cid").alias("cid")))
+      .withColumn("cid", explode(topCells(col("qv"), index.centroids, nprobe)))
+      .select(col("query_id"), col("qv"), col("qtab"), col("cid")))
 
     val adc = (0 until m).map(s =>
       element_at(col("qtab"), lit(s * ksub) + element_at(col("codes"), s + 1)))
@@ -363,20 +406,58 @@ object Similarity {
     // each corpus vector lives in ONE cell and probe cells are distinct, so a
     // candidate appears at most once per query — no dedup exchange needed
     val aw = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
-    val shortList = probes.join(codesIdx, Seq("cid"))
+    val shortList = probes.join(index.codes, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
       .withColumn("ark", row_number().over(aw))
       .filter(col("ark") <= rerank)
-      .select(col("query_id"), col("qv"), col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
 
     val rw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    shortList.join(c, Seq("neighbor_id"))
+    shortList
       .withColumn("cos", cosineNative(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(rw))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).alias("cos"),
         col("rk").cast("int").alias("rk"))
+  }
+
+  /** Persist an index: `codes` as parquet (cid, id, codes, vector), quantizers
+    * as two small parquet tables. Doubles stay parquet-exact — a reloaded
+    * index reproduces the saved one's results bit-for-bit.
+    */
+  def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "centroid")
+      .withColumn("dim", lit(index.dim)).withColumn("nlist", lit(index.nlist))
+      .withColumn("m", lit(index.m)).withColumn("ksub", lit(index.ksub))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for (s <- index.codebooks.indices; i <- index.codebooks(s).indices)
+      yield (s, i, index.codebooks(s)(i).toSeq))
+      .toDF("s", "i", "sub")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val centRows = spark.read.parquet(s"$path/centroids").collect()
+    val head = centRows.head
+    val dim: Int = head.getAs[Int]("dim")
+    val nlist: Int = head.getAs[Int]("nlist")
+    val m: Int = head.getAs[Int]("m")
+    val ksub: Int = head.getAs[Int]("ksub")
+    val centroids = centRows.toSeq
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Seq[Double]]("centroid").toArray))
+      .sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$path/codebooks").collect()
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    bookRows.foreach { r =>
+      books(r.getAs[Int]("s"))(r.getAs[Int]("i")) = r.getAs[Seq[Double]]("sub").toArray
+    }
+    IvfPqIndex(dim, nlist, m, ksub, centroids, books,
+      spark.read.parquet(s"$path/codes"))
   }
 
   /** Exact all-pairs cosine near-duplicates (id_a < id_b, cosine ≥ threshold):

@@ -238,6 +238,82 @@ object Pipeline {
   // wordScore: Spark's when(words === 0, 0.0) is implicit (otherwise(0.5) branch
   // can't hit words=0 because meanWord is null-guarded); mirror exactly above.
 
+  /** DuckDB replay of the IVF-PQ pipeline (md5-seeded centroids, cell
+    * argmax, per-subspace code argmax, ADC shortlist, exact rerank) --
+    * shared by s5_ann_ivfpq (one-shot) and s6_ann_ivfpq_index (persisted
+    * index), which are required to produce identical results.
+    */
+  private lazy val ivfPqDuckOracle: Option[String] = {
+      val (m, ksub, dsub) = (8, 16, 8)
+      val codeCtes = (0 until m).map { sx =>
+        val off = sx * dsub
+        s"""code_$sx AS (
+           |  SELECT vec_id, scid AS c$sx FROM (
+           |    SELECT e.vec_id, c.scid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        (${duckChainDot("e.embedding", "c.embedding", off, dsub)})
+           |        - (${duckChainDot("c.embedding", "c.embedding", off, dsub)}) / 2 DESC,
+           |        c.scid DESC) AS rn
+           |    FROM embeddings e, cent c) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val codesJoin = (1 until m).map(sx => s"JOIN code_$sx USING (vec_id)").mkString(" ")
+      val centJoins = (0 until m).map(sx => s"JOIN cent x$sx ON x$sx.scid = cd.c$sx").mkString(" ")
+      val adc = (0 until m).map(sx =>
+        s"(${duckChainDot("p.qv", s"x$sx.embedding", sx * dsub, dsub)})").mkString(" + ")
+      Some(s"""WITH cent AS (
+              |  SELECT embedding,
+              |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) AS scid
+              |  FROM (SELECT vec_id, embedding FROM embeddings
+              |        ORDER BY md5(cast(vec_id as varchar)) LIMIT $ksub)
+              |),
+              |coarse AS (
+              |  SELECT embedding AS centroid,
+              |    sqrt(${duckChainDot("embedding", "embedding", 0, 64)}) AS nrm,
+              |    scid AS cid
+              |  FROM cent
+              |),
+              |cells AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (${duckChainDotScaled("e.embedding", "c.centroid", "c.nrm", 64)})
+              |          DESC, c.cid DESC) AS crk
+              |    FROM embeddings e, coarse c) WHERE crk = 1
+              |),
+              |$codeCtes,
+              |codes AS (SELECT * FROM code_0 $codesJoin),
+              |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              |      WHERE vec_id % 50 = 0),
+              |probes AS (
+              |  SELECT query_id, qv, cid FROM (
+              |    SELECT q.query_id, q.qv, c.cid,
+              |      row_number() OVER (PARTITION BY q.query_id
+              |        ORDER BY (${duckChainDotScaled("q.qv", "c.centroid", "c.nrm", 64)})
+              |          DESC, c.cid DESC) AS prk
+              |    FROM q, coarse c) WHERE prk <= 4
+              |),
+              |shortlist AS (
+              |  SELECT query_id, qv, neighbor_id FROM (
+              |    SELECT p.query_id, p.qv, cd.vec_id AS neighbor_id,
+              |      row_number() OVER (PARTITION BY p.query_id
+              |        ORDER BY ($adc) DESC, cd.vec_id) AS ark
+              |    FROM probes p
+              |    JOIN cells cl ON cl.cid = p.cid
+              |    JOIN codes cd ON cd.vec_id = cl.vec_id
+              |    $centJoins
+              |    WHERE cd.vec_id != p.query_id
+              |  ) WHERE ark <= 20
+              |)
+              |SELECT query_id, neighbor_id, cast(rk as int) AS rk FROM (
+              |  SELECT sl.query_id, sl.neighbor_id,
+              |    row_number() OVER (PARTITION BY sl.query_id
+              |      ORDER BY list_cosine_similarity(sl.qv, e.embedding) DESC,
+              |        sl.neighbor_id) AS rk
+              |  FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.neighbor_id
+              |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
+  }
+
   val defs: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
 
     // ---------------- dedup ----------------
@@ -458,76 +534,27 @@ object Pipeline {
         nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 20)
         .select(col("query_id"), col("neighbor_id"), col("rk"))
         .orderBy("query_id", "rk")
-    }, {
-      val (m, ksub, dsub) = (8, 16, 8)
-      val codeCtes = (0 until m).map { sx =>
-        val off = sx * dsub
-        s"""code_$sx AS (
-           |  SELECT vec_id, scid AS c$sx FROM (
-           |    SELECT e.vec_id, c.scid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        (${duckChainDot("e.embedding", "c.embedding", off, dsub)})
-           |        - (${duckChainDot("c.embedding", "c.embedding", off, dsub)}) / 2 DESC,
-           |        c.scid DESC) AS rn
-           |    FROM embeddings e, cent c) WHERE rn = 1
-           |)""".stripMargin
-      }.mkString(",\n")
-      val codesJoin = (1 until m).map(sx => s"JOIN code_$sx USING (vec_id)").mkString(" ")
-      val centJoins = (0 until m).map(sx => s"JOIN cent x$sx ON x$sx.scid = cd.c$sx").mkString(" ")
-      val adc = (0 until m).map(sx =>
-        s"(${duckChainDot("p.qv", s"x$sx.embedding", sx * dsub, dsub)})").mkString(" + ")
-      Some(s"""WITH cent AS (
-              |  SELECT embedding,
-              |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) AS scid
-              |  FROM (SELECT vec_id, embedding FROM embeddings
-              |        ORDER BY md5(cast(vec_id as varchar)) LIMIT $ksub)
-              |),
-              |coarse AS (
-              |  SELECT embedding AS centroid,
-              |    sqrt(${duckChainDot("embedding", "embedding", 0, 64)}) AS nrm,
-              |    scid AS cid
-              |  FROM cent
-              |),
-              |cells AS (
-              |  SELECT vec_id, cid FROM (
-              |    SELECT e.vec_id, c.cid,
-              |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY (${duckChainDotScaled("e.embedding", "c.centroid", "c.nrm", 64)})
-              |          DESC, c.cid DESC) AS crk
-              |    FROM embeddings e, coarse c) WHERE crk = 1
-              |),
-              |$codeCtes,
-              |codes AS (SELECT * FROM code_0 $codesJoin),
-              |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-              |      WHERE vec_id % 50 = 0),
-              |probes AS (
-              |  SELECT query_id, qv, cid FROM (
-              |    SELECT q.query_id, q.qv, c.cid,
-              |      row_number() OVER (PARTITION BY q.query_id
-              |        ORDER BY (${duckChainDotScaled("q.qv", "c.centroid", "c.nrm", 64)})
-              |          DESC, c.cid DESC) AS prk
-              |    FROM q, coarse c) WHERE prk <= 4
-              |),
-              |shortlist AS (
-              |  SELECT query_id, qv, neighbor_id FROM (
-              |    SELECT p.query_id, p.qv, cd.vec_id AS neighbor_id,
-              |      row_number() OVER (PARTITION BY p.query_id
-              |        ORDER BY ($adc) DESC, cd.vec_id) AS ark
-              |    FROM probes p
-              |    JOIN cells cl ON cl.cid = p.cid
-              |    JOIN codes cd ON cd.vec_id = cl.vec_id
-              |    $centJoins
-              |    WHERE cd.vec_id != p.query_id
-              |  ) WHERE ark <= 20
-              |)
-              |SELECT query_id, neighbor_id, cast(rk as int) AS rk FROM (
-              |  SELECT sl.query_id, sl.neighbor_id,
-              |    row_number() OVER (PARTITION BY sl.query_id
-              |      ORDER BY list_cosine_similarity(sl.qv, e.embedding) DESC,
-              |        sl.neighbor_id) AS rk
-              |  FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.neighbor_id
-              |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
-    })),
+    }, ivfPqDuckOracle)),
+
+    // The same ANN result served from a PERSISTED index: buildIvfPq ->
+    // saveIvfPq -> parquet -> loadIvfPq -> ivfPqQuery with s5's parameters must
+    // reproduce ivfPqTopK exactly (parquet round-trips the quantizer doubles
+    // and code bytes bit-exactly), so one oracle covers both APIs -- and the
+    // serve path a 100 TB deployment runs (index built once, mounted per job)
+    // is itself driver-checked against DuckDB.
+    "s6_ann_ivfpq_index" -> (((s: SparkSession, dir: String) => {
+      val all = embs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx_").toString
+      val built = Similarity.buildIvfPq(all, dim = 64, nlist = 16, m = 8, ksub = 16)
+      Similarity.saveIvfPq(built, tmp)
+      val loaded = Similarity.loadIvfPq(s, tmp)
+      materializeAndClean(s,
+        Similarity.ivfPqQuery(loaded, all.filter(col("vec_id") % 50 === 0),
+          k = 5, nprobe = 4, rerank = 20)
+          .select(col("query_id"), col("neighbor_id"), col("rk"))
+          .orderBy("query_id", "rk"),
+        tmp)
+    }, ivfPqDuckOracle)),
 
     // ---------------- text analysis ----------------
 

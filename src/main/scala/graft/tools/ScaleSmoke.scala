@@ -193,6 +193,16 @@ object ScaleSmoke {
           k = 5, dim = 64, planes = 12),
         () => Similarity.lshTopK(queriesDf(), spark.read.parquet(emb10),
           k = 5, dim = 64, planes = 15)),
+      // fixed params: pure data growth — the QUERY path (probed fraction
+      // nprobe/nlist constant) plus a 10× one-pass encode
+      ("s5_ann_ivfpq[fixed nlist 16]",
+        () => Similarity.ivfPqTopK(queriesDf(), spark.read.parquet(emb1),
+          k = 5, dim = 64, nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 20),
+        () => Similarity.ivfPqTopK(queriesDf(), spark.read.parquet(emb10),
+          k = 5, dim = 64, nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 20)),
+      // √N-grown nlist: the one-shot API re-pays the O(N·nlist) cell
+      // assignment every call — the N^1.5 IVF BUILD law, amortized in a real
+      // deployment by building the index once and persisting codesIdx
       ("s5_ann_ivfpq[nlist 16->48]",
         () => Similarity.ivfPqTopK(queriesDf(), spark.read.parquet(emb1),
           k = 5, dim = 64, nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 20),
