@@ -168,3 +168,73 @@ case class TopCells(
   override protected def withNewChildInternal(newChild: Expression): TopCells =
     copy(child = newChild)
 }
+
+/** `lsh_bits(vec)` → long of packed hyperplane sign bits. The composed form
+  * (one native dot + `when`/`shiftleft` per plane, OR-folded) grows the single
+  * generated expression linearly with `planes` — the same janino collapse the
+  * cell kernels fix, hit at the plane counts a billion-row corpus needs. One
+  * loop over the precomputed plane matrix; bit-identical accumulation order
+  * and `>= 0` sign test.
+  */
+case class LshBits(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private def nplanes: Int = planes.length
+  private def dim: Int = planes(0).length
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> vector, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var sig = 0L
+    var p = 0
+    while (p < nplanes) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        acc += (if (childIsFloat) v.getFloat(d).toDouble else v.getDouble(d)) *
+          planes(p)(d)
+        d += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $nplanes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    $acc += (double) $v.$get($d) * $planesRef[$p][$d];
+         |  }
+         |  if ($acc >= 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBits =
+    copy(child = newChild)
+}

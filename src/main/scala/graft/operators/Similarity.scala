@@ -78,19 +78,19 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a long. Each plane
-    * is a foldable array LITERAL (constant ArrayData in the generated code, not a
-    * per-row CreateArray) dotted through the native loop expression — compiles in
-    * milliseconds and evaluates inside whole-stage codegen. Accumulation order
-    * matches the HOF fold, so signatures (and every LSH bucket downstream) are
-    * unchanged.
+  /** Random-hyperplane signature: `planes` sign bits packed into a long, via
+    * the native [[graft.functions.LshBits]] kernel — one loop over the
+    * precomputed plane matrix, generated-code size INDEPENDENT of the plane
+    * count (the previous per-plane dot + OR-fold grew the single expression
+    * linearly with `planes`, the same janino collapse [[argmaxCid]] documents,
+    * hit at the 24–32 planes a billion-row corpus needs). Accumulation order
+    * and the `>= 0` sign test are bit-identical, so signatures (and every LSH
+    * bucket downstream) are unchanged.
     */
   def lshSignature(vec: Column, dim: Int, planes: Int = 16): Column = {
-    val bits = (0 until planes).map { p =>
-      val plane = typedLit((0 until dim).map(j => planeComponent(p, j)))
-      when(dotNative(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val mat = Array.tabulate(planes, dim)((p, j) => planeComponent(p, j))
+    Bridge.column(graft.functions.LshBits(
+      Bridge.toExpression(org.apache.spark.sql.SparkSession.active, vec), mat))
   }
 
   /** LSH-bucketed ANN: join query and corpus rows sharing a signature bucket

@@ -60,4 +60,23 @@ class CellExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2)
     assert(r.getSeq[Int](1) == Seq(2, 1))
   }
+
+  test("LshBits matches a scalar replay of the per-plane dot + sign pack") {
+    import spark.implicits._
+    val dim = 16
+    val planes = 20
+    val vecs = (0 until 25).map(i => i -> Array.tabulate(dim)(j => mix(500 + i, j).toFloat))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), Similarity.lshSignature(col("v"), dim, planes).alias("sig"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      var sig = 0L
+      for (p <- 0 until planes) {
+        var acc = 0.0
+        for (j <- 0 until dim) acc += v(j).toDouble * mix(p, j)
+        if (acc >= 0) sig |= (1L << p)
+      }
+      assert(got(id) == sig, s"id=$id")
+    }
+  }
 }
