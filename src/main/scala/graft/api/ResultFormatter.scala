@@ -63,12 +63,44 @@ object ResultFormatter {
     * arrays aligned with `columns`, like the reference's query response
     * (`ibis-server/app/routers/v3/connector.py:70-247`); nulls are explicit.
     */
+  /** Arrow type-name rendering for the `dtypes` map — the reference reports
+    * `str(field.type)` of the pyarrow schema (`ibis-server/app/util.py:124`),
+    * so API clients see `int64`/`timestamp[us]`/`decimal128(18, 2)`, not
+    * Spark's `bigint`/`timestamp`/`decimal(18,2)`.
+    */
+  private def arrowTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => "int8"
+      case ShortType => "int16"
+      case IntegerType => "int32"
+      case LongType => "int64"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case StringType => "string"
+      case BooleanType => "bool"
+      case BinaryType => "binary"
+      case DateType => "date32[day]"
+      case TimestampType => "timestamp[us, tz=UTC]"
+      case TimestampNTZType => "timestamp[us]"
+      case d: DecimalType => s"decimal128(${d.precision}, ${d.scale})"
+      case a: ArrayType => s"list<item: ${arrowTypeName(a.elementType)}>"
+      case s: StructType =>
+        s.fields.map(f => s"${f.name}: ${arrowTypeName(f.dataType)}")
+          .mkString("struct<", ", ", ">")
+      case m: MapType =>
+        s"map<${arrowTypeName(m.keyType)}, ${arrowTypeName(m.valueType)}>"
+      case NullType => "null"
+      case other => other.simpleString
+    }
+  }
+
   def toJsonResponse(df: DataFrame, limit: Int = 1000): String = {
     val fdf = formatted(df.limit(limit))
     val raw = df.schema.fields.map(f => isJsonCol(f.dataType))
     val cols = df.schema.fields.map(f => jsonString(f.name)).mkString("[", ",", "]")
     val dtypes = df.schema.fields
-      .map(f => s"${jsonString(f.name)}:${jsonString(f.dataType.simpleString)}")
+      .map(f => s"${jsonString(f.name)}:${jsonString(arrowTypeName(f.dataType))}")
       .mkString("{", ",", "}")
     val rows = fdf.collect().map { r =>
       (0 until r.length).map(i => jsonScalar(r.get(i), raw(i))).mkString("[", ",", "]")

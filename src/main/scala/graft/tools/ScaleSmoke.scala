@@ -209,6 +209,44 @@ object ScaleSmoke {
         () => Similarity.ivfPqTopK(queriesDf(), spark.read.parquet(emb10),
           k = 5, dim = 64, nlist = 48, nprobe = 12, m = 8, ksub = 16, rerank = 20)))
 
+    // ---- event flagships over a 10× event log --------------------------------
+    // Copy k shifts user_id and event_id (ts untouched): 10× concurrent users
+    // over the same time range, per-user session/window work constant — the
+    // realistic growth axis for an event log. Session counts, as-of matches,
+    // etc. scale exactly 10×.
+    val evBase = spark.read.parquet(s"$sfDir/events.parquet")
+    def evCopy(k: Int): DataFrame =
+      if (k == 0) evBase
+      else evBase
+        .withColumn("user_id", col("user_id") + k * 10000000L)
+        .withColumn("event_id", col("event_id") + k * 1000000000L)
+    val evt1 = s"$work/evt1"
+    val evt10 = s"$work/evt10"
+    evBase.repartition(32).write.parquet(s"$evt1/events.parquet")
+    (0 until copies).map(evCopy).reduce(_ union _)
+      .repartition(32).write.parquet(s"$evt10/events.parquet")
+    val eventSuites = Seq(
+      ("e1_sessionize", evt1, evt10),
+      ("e6_asof_join", evt1, evt10))
+
+    eventSuites.foreach { case (n, d1, _) => run(n, d1) } // warm codegen/JIT
+    val eventResults = eventSuites.map { case (name, d1, d10) =>
+      val (t1, r1, s1, p1) = run(name, d1)
+      val (t10, r10, s10, p10) = run(name, d10)
+      val row = Map(
+        "query" -> name, "t1_sec" -> f"$t1%.2f", "t10_sec" -> f"$t10%.2f",
+        "wall_factor" -> f"${t10 / t1}%.1f",
+        "rows1" -> r1.toString, "rows10" -> r10.toString,
+        "shuffle1_mb" -> mb(s1), "shuffle10_mb" -> mb(s10),
+        "peak_stage1_mb" -> mb(p1), "peak_stage10_mb" -> mb(p10),
+        "shuffle_factor" -> (if (s1 > 0) f"${s10.toDouble / s1}%.1f" else "-"),
+        "dispatch1" -> "-", "dispatch10" -> "-")
+      println(s"[scale] $name 1x=${row("t1_sec")}s 10x=${row("t10_sec")}s " +
+        s"factor=${row("wall_factor")} rows ${r1}->${r10} " +
+        s"shuffle ${row("shuffle1_mb")}->${row("shuffle10_mb")} MB")
+      row
+    }
+
     annSuites.foreach { case (_, t1, _) => runDf(t1) } // warm codegen/JIT
     val annResults = annSuites.map { case (name, th1, th10) =>
       val (t1, r1, s1, p1) = runDf(th1)
@@ -227,7 +265,7 @@ object ScaleSmoke {
       row
     }
 
-    val json = (results ++ annResults).map(r => r.map { case (k, v) =>
+    val json = (results ++ eventResults ++ annResults).map(r => r.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),

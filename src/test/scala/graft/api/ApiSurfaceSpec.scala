@@ -143,7 +143,7 @@ class ApiSurfaceSpec extends AnyFunSuite {
       """SELECT array(1, 2) AS arr, named_struct('a', 1, 'b', 'x') AS st,
         |  map('k', 42) AS mp, 'plain' AS `q"uote`
         |FROM m_orders LIMIT 1""".stripMargin)
-    assert(json.contains(""""arr":"array<int>""""), json)
+    assert(json.contains(""""arr":"list<item: int32>""""), json) // arrow names, util.py:124
     assert(json.contains("[1,2]"), json)
     assert(json.contains("""{"a":1,"b":"x"}"""), json)
     assert(json.contains("""{"k":42}"""), json)
