@@ -264,4 +264,33 @@ object EventStreams {
         col("quality") >= minQuality)
       .drop("__fp")
   }
+  /** Streaming ANN serving: each micro-batch of query vectors is answered
+    * against a PERSISTED IVF-PQ index
+    * ([[graft.operators.Similarity.loadIvfPq]]) and appended to `outDir`. The
+    * quantizers load once at stream start (driver-held, broadcast-sized); the
+    * encoded corpus is a parquet scan re-read per batch, so an index rebuilt
+    * in place is picked up without restarting the stream. Every batch is a
+    * stateless [[graft.operators.Similarity.ivfPqQuery]] — per-batch cost
+    * tracks the batch (queries broadcast over the codes scan), nothing
+    * accumulates.
+    */
+  def annServeStream(
+      queries: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
+      k: Int = 5, nprobe: Int = 4, rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val index = Similarity.loadIvfPq(queries.sparkSession, indexDir)
+    val step = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      if (!batch.isEmpty) {
+        Similarity.ivfPqQuery(index, batch, k, nprobe, rerank, idCol, vecCol)
+          .write.mode("append").parquet(outDir)
+      }
+      ()
+    }
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
 }

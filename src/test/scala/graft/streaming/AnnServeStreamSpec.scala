@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Similarity
+
+/** Streaming ANN serving against a persisted IVF-PQ index: two micro-batches
+  * of query vectors must produce exactly what the batch `ivfPqQuery` returns
+  * for the union of the batches (stateless per batch — nothing accumulates,
+  * nothing is dropped).
+  */
+class AnnServeStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("annServeStream answers micro-batches exactly like the batch query") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def vec(seed: Int): Seq[Float] =
+      (0 until 16).map(j => Similarity.planeComponent(seed, j).toFloat)
+    val corpus = (1 to 120).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+    val work = java.nio.file.Files.createTempDirectory("graft_ann_serve_").toString
+    val index = Similarity.buildIvfPq(corpus, dim = 16, nlist = 8, m = 4, ksub = 8)
+    Similarity.saveIvfPq(index, s"$work/index")
+
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.annServeStream(
+      src.toDF.toDF("vec_id", "embedding"),
+      s"$work/index", s"$work/out", s"$work/ckpt",
+      k = 3, nprobe = 3, rerank = 10)
+    try {
+      src.addData((1001L, vec(201)), (1002L, vec(202)))
+      q.processAllAvailable()
+      src.addData((1003L, vec(203)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$work/out")
+      .orderBy("query_id", "rk").collect().map(_.toString).toSeq
+    val batch = Similarity.ivfPqQuery(
+      Similarity.loadIvfPq(spark, s"$work/index"),
+      Seq((1001L, vec(201)), (1002L, vec(202)), (1003L, vec(203)))
+        .toDF("vec_id", "embedding"),
+      k = 3, nprobe = 3, rerank = 10)
+      .orderBy("query_id", "rk").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 9) // 3 queries × k=3
+
+    try java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+  }
+}
