@@ -183,6 +183,25 @@ object Semantic {
   val m23DuckOracle: String =
     """SELECT "c1" AS "o_orderkey", "c3" AS "run3" FROM (SELECT * FROM (SELECT "c1" AS "c1", CAST("c2" AS DOUBLE) AS "c3" FROM (SELECT *, sum("c4") OVER (PARTITION BY "c5" ORDER BY "c1" ASC NULLS FIRST ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS "c2" FROM (SELECT "c1" AS "c1", CAST("c6" AS DECIMAL(18,2)) AS "c4", "c5" AS "c5" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c7", "o_orderstatus" AS "c5", "o_totalprice" AS "c6", "o_orderdate" AS "c8", "o_orderpriority" AS "c9" FROM "orders") "t1" WHERE (("c6" IS NOT NULL) AND ("c6" > (2.0 * (SELECT (sum("c10") / CAST(count(*) AS DOUBLE)) AS "c11" FROM (SELECT "c10" AS "c10" FROM (SELECT "c_custkey" AS "c12", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c10", "c_mktsegment" AS "c15" FROM "customer") "t2") "t3"))))) "t4") "t5") "t6") "t7" ORDER BY "c1" ASC NULLS FIRST LIMIT 50) "t_out""""
 
+  /** Source SQL for `m24_unparse_datetime`: widens the DuckDB-executed unparse
+    * surface to datetime machinery — date_trunc (cast to DATE in the source:
+    * Spark's returns TIMESTAMP, DuckDB's DATE), extract-from-date (`year()` →
+    * `extract(year FROM …)`), a folded timestamp literal in the filter, and a
+    * post-aggregate cast. yr is cast to bigint because DuckDB's extract is
+    * bigint where Spark's year() is int.
+    */
+  val m24Sql: String =
+    """SELECT cast(date_trunc('month', cast(o_orderdate as date)) as date) AS mon,
+      |  count(*) AS n,
+      |  cast(max(year(o_orderdate)) as bigint) AS yr
+      |FROM m_orders
+      |WHERE cast(o_orderdate as date) >= date '1996-01-01'
+      |GROUP BY cast(date_trunc('month', cast(o_orderdate as date)) as date)
+      |ORDER BY mon""".stripMargin
+
+  val m24DuckOracle: String =
+    """SELECT "c2" AS "mon", "c3" AS "n", "c5" AS "yr" FROM (SELECT * FROM (SELECT "c1" AS "c2", count(*) AS "c3", CAST(max(extract(year FROM "c4")) AS BIGINT) AS "c5" FROM (SELECT "c4" AS "c4", CAST(date_trunc('month', CAST("c4" AS TIMESTAMP)) AS DATE) AS "c1" FROM (SELECT CAST("c6" AS DATE) AS "c4" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c7", "o_custkey" AS "c8", "o_orderstatus" AS "c9", "o_totalprice" AS "c10", "o_orderdate" AS "c6", "o_orderpriority" AS "c11" FROM "orders") "t1" WHERE (("c6" IS NOT NULL) AND ("c6" >= TIMESTAMP '1996-01-01 00:00:00'))) "t2") "t3") "t4" GROUP BY "c1") "t5" ORDER BY "c2" ASC NULLS FIRST) "t_out""""
+
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(sum("c3") AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
@@ -489,7 +508,8 @@ object Semantic {
     // DuckDB executes the machine-emitted dialect text (see m21DuckOracle).
     "m21_unparse_duckdb" -> ((deployAndRun(m21Sql)(_, _), Some(m21DuckOracle))),
     "m22_unparse_window" -> ((deployAndRun(m22Sql)(_, _), Some(m22DuckOracle))),
-    "m23_unparse_scalar_subq" -> ((deployAndRun(m23Sql)(_, _), Some(m23DuckOracle)))
+    "m23_unparse_scalar_subq" -> ((deployAndRun(m23Sql)(_, _), Some(m23DuckOracle))),
+    "m24_unparse_datetime" -> ((deployAndRun(m24Sql)(_, _), Some(m24DuckOracle)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

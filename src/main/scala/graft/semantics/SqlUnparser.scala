@@ -142,9 +142,14 @@ object SqlUnparser {
         "'" + v.toString.replace("'", "''") + "'"
       case (v: Int, DateType) =>
         s"DATE '${java.time.LocalDate.ofEpochDay(v.toLong)}'"
-      case (v: Long, _: TimestampType) =>
+      case (v: Long, _: TimestampType | _: TimestampNTZType) =>
         val i = java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS)
-        s"TIMESTAMP '${java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)}'"
+        val t = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        // explicit 'yyyy-MM-dd HH:mm:ss[.SSSSSS]' — LocalDateTime.toString drops
+        // the seconds when zero and uses the ISO 'T', which not every engine parses
+        val frac = if (t.getNano == 0) "" else f".${t.getNano / 1000}%06d"
+        s"TIMESTAMP '${t.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))}$frac'"
       case (v: Boolean, BooleanType) => if (v) "TRUE" else "FALSE"
       case (v: Decimal, _) => v.toBigDecimal.bigDecimal.toPlainString
       case (v: Double, DoubleType) if !v.isNaN && !v.isInfinite =>
@@ -176,7 +181,10 @@ object SqlUnparser {
     private val direct = Set("upper", "lower", "length", "concat", "abs",
       "round", "floor", "ceil", "ceiling", "trim", "ltrim", "rtrim", "replace",
       "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",
-      "exp", "sign")
+      "exp", "sign",
+      // same name + semantics in both engines (DuckDB scalar function docs)
+      "date_trunc", "md5", "concat_ws", "left", "right", "repeat", "contains",
+      "pow", "power", "mod")
     private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
       "startswith" -> "starts_with", "endswith" -> "ends_with",
       "day" -> "day", "dayofmonth" -> "day")

@@ -99,6 +99,16 @@ class SqlUnparserSpec extends AnyFunSuite {
     roundTrip(Semantic.m23Sql)
   }
 
+  test("duckdb golden: m24 datetime text is exactly the oracle") {
+    val text = session.transformSql(Semantic.m24Sql, "duckdb")
+    assert(text == Semantic.m24DuckOracle,
+      s"generated:\n$text\noracle:\n${Semantic.m24DuckOracle}")
+  }
+
+  test("spark round-trip: date_trunc + extract + timestamp-literal filter") {
+    roundTrip(Semantic.m24Sql)
+  }
+
   test("duckdb dialect: bare logical table names, no backticks, double-quoted idents") {
     val text = session.transformSql(
       "SELECT o_orderkey FROM m_orders WHERE o_orderkey <= 10", "duckdb")
