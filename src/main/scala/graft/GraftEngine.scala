@@ -24,11 +24,16 @@ object GraftEngine {
       properties: Map[String, String] = Map.empty): GraftSession = {
     manifest.validateLayoutVersion()
     val planner = new SemanticPlanner(spark, manifest, resolver, properties)
-    // deployment writes the shared temp-view namespace: serialize with the
-    // analysis of any concurrently running session on the same SparkSession
-    GraftSession.viewLock(spark).synchronized { planner.deploy() }
-    GraftFunctions.register(spark)
-    new GraftSession(spark, manifest, planner, properties)
+    // deployment writes the shared temp-view namespace AND the constructor
+    // claims view ownership — both must happen atomically with any concurrent
+    // session's analysis, or a session swapping its views in between would
+    // leave ownership pointing at THIS deployment while the catalog holds the
+    // other one's views (and this session's first query would skip reregister)
+    GraftSession.viewLock(spark).synchronized {
+      planner.deploy()
+      GraftFunctions.register(spark)
+      new GraftSession(spark, manifest, planner, properties)
+    }
   }
 
   /** Deploy from a JSON (or base64 JSON) manifest string, pruned to the models a given
@@ -170,8 +175,11 @@ final class GraftSession(
       if (cached != null) cached
       else {
         val p = planner.withProperties(merged)
-        p.deploy()
-        val s = new GraftSession(spark, manifest, p, merged)
+        // deploy + ownership claim atomic with concurrent analysis (see deploy())
+        val s = GraftSession.viewLock(spark).synchronized {
+          p.deploy()
+          new GraftSession(spark, manifest, p, merged)
+        }
         propSessions.put(merged, s) // LRU-bounded
         s
       }
@@ -191,8 +199,11 @@ final class GraftSession(
       if (cached != null) cached
       else {
         val p = planner.withProperties(props)
-        p.deploy()
-        val s = new GraftSession(spark, manifest, p, props)
+        // deploy + ownership claim atomic with concurrent analysis (see deploy())
+        val s = GraftSession.viewLock(spark).synchronized {
+          p.deploy()
+          new GraftSession(spark, manifest, p, props)
+        }
         propSessions.put(props, s) // LRU-bounded
         s
       }
@@ -325,7 +336,9 @@ final class GraftSession(
     * (wren_dialect.rs:41-110): the optimized semantic-layer expansion rendered
     * as executable SQL text. `"spark"` emits self-contained Spark SQL over
     * `parquet.`path`` scans; `"duckdb"` emits DuckDB SQL over logical table
-    * names. Any other value falls back to the Catalyst plan dump above.
+    * names; null/empty/`"plan"` return the Catalyst plan dump above; any other
+    * name is rejected with IllegalArgumentException (HTTP 422), like the
+    * reference's unknown-dialect error.
     */
   def transformSql(sql: String, dialect: String): String =
     if (dialect == null || dialect.isEmpty || dialect == "plan") transformSql(sql)

@@ -35,11 +35,16 @@ final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000,
       props: Map[String, String]): Option[DataFrame] = {
     val d = dirFor(keyOf(manifestId, sql, props.toSeq.sorted.mkString(";")))
     val marker = d.resolve("_SUCCESS")
-    if (Files.exists(marker) &&
+    // a tombstoned entry (count-evicted, see sweep) is a miss: handles issued
+    // BEFORE the tombstone get the full grace window to run; issuing new ones
+    // would let a handle race the deletion
+    if (Files.exists(marker) && !Files.exists(d.resolve(Evicted)) &&
       System.currentTimeMillis() - Files.getLastModifiedTime(marker).toMillis < ttlMillis)
       Some(spark.read.parquet(d.toString))
     else None
   }
+
+  private val Evicted = "_EVICTED"
 
   def put(df: DataFrame, manifestId: String, sql: String,
       props: Map[String, String]): DataFrame = {
@@ -59,12 +64,14 @@ final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000,
     * Two safety rules: (1) deletion is best-effort per entry — a concurrent put
     * or sweep racing on the same directory must not fail THIS put after its
     * parquet write already succeeded; (2) nothing is deleted until `graceMillis`
-    * past its eviction point (TTL expiry, or count-based selection), so a lazy
-    * DataFrame handed out by a recent `get()` — which reads the files only at
-    * action time — is not pulled out from under the caller. `get()` stops
-    * serving an entry at exactly `ttlMillis`, so the grace window only protects
-    * readers that already hold a handle; the count bound is soft by at most the
-    * entries written inside one grace window.
+    * past its EVICTION POINT — TTL expiry, or for the count bound the sweep
+    * that SELECTED the entry (recorded by an `_EVICTED` tombstone; a later
+    * sweep deletes once the tombstone ages past the grace) — so a lazy
+    * DataFrame handed out by a recent `get()`, which reads the files only at
+    * action time, is not pulled out from under the caller. `get()` stops
+    * serving at `ttlMillis` and at tombstoning, so the grace window only
+    * protects readers that already hold a handle; the count bound is soft by
+    * at most the entries written inside one grace window.
     */
   private def sweep(keep: java.nio.file.Path): Unit = {
     val r = Paths.get(root)
@@ -87,31 +94,45 @@ final class QueryCache(root: String, ttlMillis: Long = 10 * 60 * 1000,
         buf.toList
       } finally s.close()
     }
-    def rm(d: java.nio.file.Path): Unit =
-      try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Files.deleteIfExists(p); () })
-      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    def rm(d: java.nio.file.Path): Unit = graft.util.Fs.deleteTree(d)
     val (dead, live) = entries.partition { case (_, ts) => now - ts >= ttlMillis }
     dead.collect { case (d, ts) if now - ts >= ttlMillis + graceMillis => rm(d) }
-    // keep the newest maxEntries-1 besides the entry just written; evict the
-    // rest once they age past the grace window
-    live.sortBy(-_._2).drop(math.max(maxEntries - 1, 0))
-      .collect { case (d, ts) if now - ts >= graceMillis => rm(d) }
+    // Count-based eviction is two-phase so the grace window runs from the
+    // EVICTION POINT, not entry creation (an old-but-live entry may have been
+    // served by get() a millisecond ago): selection writes an _EVICTED
+    // tombstone (which also stops get() from issuing new handles); a later
+    // sweep deletes the entry once the tombstone is graceMillis old.
+    val (tombstoned, candidates) = live.partition { case (d, _) =>
+      Files.exists(d.resolve(Evicted))
+    }
+    tombstoned.foreach { case (d, _) =>
+      val evTs =
+        try Files.getLastModifiedTime(d.resolve(Evicted)).toMillis
+        catch { case _: java.io.IOException => now } // vanished mid-sweep
+      if (now - evTs >= graceMillis) rm(d)
+    }
+    // keep the newest maxEntries-1 besides the entry just written; tombstone
+    // the rest (best-effort — a racing sweep may have marked or removed them)
+    candidates.sortBy(-_._2).drop(math.max(maxEntries - 1, 0)).foreach { case (d, _) =>
+      try { Files.createFile(d.resolve(Evicted)); () }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Creation time (epoch ms) of a live cache entry — the `X-Cache-Create-At`
     * header's value (reference: `get_cache_file_timestamp`, query_cache/manager.py).
     */
   def createdAt(manifestId: String, sql: String, props: Map[String, String]): Option[Long] = {
-    val marker = dirFor(keyOf(manifestId, sql, props.toSeq.sorted.mkString(";"))).resolve("_SUCCESS")
-    if (Files.exists(marker)) Some(Files.getLastModifiedTime(marker).toMillis) else None
+    val d = dirFor(keyOf(manifestId, sql, props.toSeq.sorted.mkString(";")))
+    val marker = d.resolve("_SUCCESS")
+    // a tombstoned entry is no longer served (see get), so it has no create-at
+    if (Files.exists(marker) && !Files.exists(d.resolve(Evicted)))
+      Some(Files.getLastModifiedTime(marker).toMillis)
+    else None
   }
 
   def invalidateAll(): Unit = {
     val r = Paths.get(root)
-    if (Files.exists(r)) {
-      Files.walk(r).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Files.deleteIfExists(p); () })
-    }
+    if (Files.exists(r)) graft.util.Fs.deleteTree(r)
   }
 }

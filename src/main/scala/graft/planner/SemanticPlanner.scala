@@ -462,8 +462,19 @@ final class SemanticPlanner(
     * alias there too; a missing value is an error, not a fall-through).
     */
   def runSql(sql: String): DataFrame = {
-    val stripped = stripNamespace(rewriteTypeAliases(sql))
-    val parsed = spark.sessionState.sqlParser.parsePlan(stripped)
+    val stripped = stripNamespace(sql)
+    // Type-alias rewriting only engages when the ORIGINAL text fails to parse:
+    // `CAST(x AS int64)` is a parse error that the rewrite repairs, while a
+    // legitimate column alias like `SELECT ts AS datetime` parses fine and must
+    // keep its name (rewriting unconditionally would silently rename it).
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(stripped)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          val repaired = rewriteTypeAliases(stripped)
+          if (repaired == stripped) throw e
+          spark.sessionState.sqlParser.parsePlan(repaired)
+      }
     org.apache.spark.sql.graft.Bridge.ofRows(
       spark, rewriteEnums(rewriteRelations(parsed)))
   }
@@ -820,11 +831,20 @@ final class SemanticPlanner(
   private def hopIsToOne(rel: Relationship, from: Model, to: Model): Boolean =
     rel.isToOneFrom(from.name) || to.primaryKey.exists { pk =>
       scala.util.Try(parseExpr(rel.condition)).toOption.exists { cond =>
-        cond.collect {
-          case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) => Seq(l, r)
-        }.flatten.exists(a => a.nameParts.length == 2 &&
-          a.nameParts.head.equalsIgnoreCase(to.name) &&
-          a.nameParts.last.equalsIgnoreCase(pk))
+        // only CONJUNCTION-reachable equalities prove at-most-one: a pk
+        // equality inside an OR branch doesn't bound the match count
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        conjuncts(cond).exists {
+          case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+            Seq(l, r).exists(a => a.nameParts.length == 2 &&
+              a.nameParts.head.equalsIgnoreCase(to.name) &&
+              a.nameParts.last.equalsIgnoreCase(pk))
+          case _ => false
+        }
       }
     }
 

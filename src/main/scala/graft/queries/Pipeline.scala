@@ -28,10 +28,7 @@ object Pipeline {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(df.collect(): _*)
     val out = s.createDataFrame(rows, df.schema)
-    try java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    graft.util.Fs.deleteTree(tmp)
     out
   }
   private def embs(s: SparkSession, dir: String): DataFrame =

@@ -280,8 +280,13 @@ object SqlUnparser {
         }.mkString(" UNION ALL ")
       // UNNEST / table functions (explode, posexplode, inline, sequence …) —
       // generators are all function-shaped, so compose prettyName over re()
-      // (falling back to `.sql` would re-break on internal literals)
+      // (falling back to `.sql` would re-break on internal literals).
+      // LATERAL VIEW is Spark syntax: other dialects must refuse loudly rather
+      // than emit text their engine cannot parse.
       case g: Generate =>
+        if (dialect != SparkDialect) throw new UnsupportedOperationException(
+          s"unparse: generator ${g.generator.prettyName} (LATERAL VIEW) is not " +
+            "expressible in this dialect")
         val gen = s"${g.generator.prettyName}(${g.generator.children.map(re).mkString(", ")})"
         val outer = if (g.outer) " OUTER" else ""
         val cols = g.generatorOutput.map(a => q(cname(a))).mkString(", ")

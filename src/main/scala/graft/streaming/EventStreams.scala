@@ -266,13 +266,18 @@ object EventStreams {
   }
   /** Streaming ANN serving: each micro-batch of query vectors is answered
     * against a PERSISTED IVF-PQ index
-    * ([[graft.operators.Similarity.loadIvfPq]]) and appended to `outDir`. The
-    * quantizers load once at stream start (driver-held, broadcast-sized); the
-    * encoded corpus is a parquet scan re-read per batch, so an index rebuilt
-    * in place is picked up without restarting the stream. Every batch is a
-    * stateless [[graft.operators.Similarity.ivfPqQuery]] — per-batch cost
+    * ([[graft.operators.Similarity.loadIvfPq]]). The QUANTIZERS (centroids +
+    * codebooks) load once at stream start and are fixed for the stream's
+    * lifetime — retraining them requires a restart; the ENCODED CORPUS is
+    * re-resolved from `indexDir/codes` on every batch, so a corpus
+    * re-encoded under the same quantizers is picked up live. Every batch is
+    * a stateless [[graft.operators.Similarity.ivfPqQuery]] — per-batch cost
     * tracks the batch (queries broadcast over the codes scan), nothing
-    * accumulates.
+    * accumulates — and results land in a PER-BATCH directory
+    * (`outDir/batch_id=<n>`, overwrite mode), so foreachBatch's
+    * at-least-once replay after a crash rewrites the same directory instead
+    * of appending duplicates. Read the output with
+    * `spark.read.parquet(outDir)` (batch_id appears as a partition column).
     */
   def annServeStream(
       queries: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
@@ -280,11 +285,13 @@ object EventStreams {
       idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    val index = Similarity.loadIvfPq(queries.sparkSession, indexDir)
-    val step = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+    val quantizers = Similarity.loadIvfPq(queries.sparkSession, indexDir)
+    val step = (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) => {
       if (!batch.isEmpty) {
+        val index = quantizers.copy(
+          codes = batch.sparkSession.read.parquet(s"$indexDir/codes"))
         Similarity.ivfPqQuery(index, batch, k, nprobe, rerank, idCol, vecCol)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       ()
     }

@@ -273,10 +273,7 @@ object ScaleSmoke {
     println(json)
 
     // best-effort cleanup of the synthesized corpora
-    try java.nio.file.Files.walk(java.nio.file.Paths.get(work))
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    graft.util.Fs.deleteTree(work)
     spark.stop()
   }
 }

@@ -29,9 +29,11 @@ import graft.planner.{SemanticPlanner, TableResolver}
   *   - tpch (`register_tpch_table`, test_context.rs:324-560): the seven parquet
   *     files under `tests/resources/tpch` and a 1:1 manifest. The reference also
   *     declares a `partsupp` model, but ships no `partsupp.parquet` fixture —
-  *     its own harness cannot register that table either — so the five
-  *     partsupp-dependent query files (q2, q9, q11, q16, q20) are skipped with
-  *     an explicit reason rather than silently.
+  *     its own harness cannot register that table either. q16 (which reads only
+  *     the key columns) RUNS against a partsupp synthesized from the public
+  *     bridge formula; the four files needing the RNG-stream value columns
+  *     (q2, q9, q11, q20) are skipped with an explicit reason rather than
+  *     silently — see [[SltRunner.PartsuppFiles]].
   *
   * Output cells are normalized exactly like the reference's
   * `sqllogictest/src/engine/conversion.rs`: NULL literal, true/false booleans,

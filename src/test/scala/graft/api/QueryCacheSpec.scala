@@ -20,7 +20,7 @@ class QueryCacheSpec extends AnyFunSuite {
   private def tmpRoot(): String =
     Files.createTempDirectory("graft_cache_spec_").toString
 
-  private def liveDirs(root: String): Seq[Path] = {
+  private def allDirs(root: String): Seq[Path] = {
     val s = Files.list(Paths.get(root))
     try {
       val it = s.iterator()
@@ -29,6 +29,15 @@ class QueryCacheSpec extends AnyFunSuite {
       buf.toList
     } finally s.close()
   }
+
+  /** SERVABLE entries: _SUCCESS present and not tombstoned. Count-eviction is
+    * two-phase (tombstone on selection, delete a sweep later once graceMillis
+    * past the tombstone), so a dying directory may linger briefly on disk while
+    * already invisible to get()/createdAt.
+    */
+  private def liveDirs(root: String): Seq[Path] =
+    allDirs(root).filter(d => Files.exists(d.resolve("_SUCCESS")) &&
+      !Files.exists(d.resolve("_EVICTED")))
 
   private def put(cache: QueryCache, sql: String): Unit = {
     val df = spark.range(3).toDF("id")
@@ -49,6 +58,9 @@ class QueryCacheSpec extends AnyFunSuite {
     (2 to 4).foreach { i =>
       assert(cache.createdAt("m", sqls(i), Map.empty).isDefined, s"newest 3 kept: $i")
     }
+    // the next sweep collects tombstoned directories aged past grace (= 0 here)
+    put(cache, sqls(4))
+    assert(allDirs(root).size == 3, "tombstoned dirs are deleted by a later sweep")
     cache.invalidateAll()
   }
 
@@ -62,6 +74,8 @@ class QueryCacheSpec extends AnyFunSuite {
       "just-written entry must survive its own sweep")
     assert(cache.createdAt("m", "SELECT 'a' AS v", Map.empty).isEmpty)
     assert(liveDirs(root).size == 1)
+    put(cache, "SELECT 'b' AS v") // next sweep collects the aged tombstone
+    assert(allDirs(root).size == 1)
     // and the frame the put returned is still readable (reads the kept entry)
     val df = cache.get(spark, "m", "SELECT 'b' AS v", Map.empty)
     assert(df.isDefined && df.get.count() == 3)

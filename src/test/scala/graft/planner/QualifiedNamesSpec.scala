@@ -62,6 +62,12 @@ class QualifiedNamesSpec extends AnyFunSuite {
     assert(row.get(3) == java.time.LocalDateTime.of(2000, 1, 1, 10, 0, 0))
     // a single-quoted string literal containing the alias word is untouched
     assert(s.query("SELECT 'as int64' lit").collect().head.getString(0) == "as int64")
+    // alias rewriting only engages on parse FAILURE: a legitimate column alias
+    // that happens to be a type-alias word keeps its name
+    assert(s.query("SELECT Id AS datetime FROM People LIMIT 1").columns.toSeq ==
+      Seq("datetime"))
+    assert(s.query("SELECT Id AS int64 FROM People LIMIT 1").columns.toSeq ==
+      Seq("int64"))
   }
 
   test("reversed to-many declaration promotes to to-one when the pk is the join key") {
@@ -104,5 +110,12 @@ class QualifiedNamesSpec extends AnyFunSuite {
       if (m.name == "Acct") m.copy(primaryKey = None) else m))
     val e = intercept[GraftException](GraftEngine.deploy(spark, bad, BareNameResolver))
     assert(e.getMessage.contains("to-many"))
+    // a pk equality hidden inside an OR branch proves nothing: one Evt row may
+    // match multiple Acct rows, so the hop must stay to-many and error
+    val orCond = manifest.copy(relationships = List(
+      Relationship("evt_acct", List("Acct", "Evt"), JoinType.ManyToOne,
+        "\"Acct\".\"Id\" = \"Evt\".\"AcctId\" OR \"Acct\".\"Region\" = 'US'")))
+    val e2 = intercept[GraftException](GraftEngine.deploy(spark, orCond, BareNameResolver))
+    assert(e2.getMessage.contains("to-many"))
   }
 }

@@ -116,6 +116,15 @@ class SqlUnparserSpec extends AnyFunSuite {
     assert(!text.contains("`"), text)
   }
 
+  test("duckdb dialect: a generator (LATERAL VIEW) fails loudly, not silently") {
+    val e = intercept[UnsupportedOperationException] {
+      session.transformSql(
+        "SELECT o_orderkey, x FROM m_orders LATERAL VIEW explode(array(1, 2)) g AS x",
+        "duckdb")
+    }
+    assert(e.getMessage.contains("LATERAL VIEW"), e.getMessage)
+  }
+
   test("duckdb dialect: unsupported expression fails loudly, not silently") {
     val e = intercept[UnsupportedOperationException] {
       session.transformSql(

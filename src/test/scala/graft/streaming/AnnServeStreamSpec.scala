@@ -39,7 +39,9 @@ class AnnServeStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.read.parquet(s"$work/out")
+    val outRead = spark.read.parquet(s"$work/out")
+    assert(outRead.columns.contains("batch_id")) // per-batch idempotent layout
+    val streamed = outRead.drop("batch_id")
       .orderBy("query_id", "rk").collect().map(_.toString).toSeq
     val batch = Similarity.ivfPqQuery(
       Similarity.loadIvfPq(spark, s"$work/index"),
@@ -50,9 +52,6 @@ class AnnServeStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.size == 9) // 3 queries × k=3
 
-    try java.nio.file.Files.walk(java.nio.file.Paths.get(work))
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    graft.util.Fs.deleteTree(work)
   }
 }
