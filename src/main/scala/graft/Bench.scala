@@ -13,7 +13,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: each per-query GraftSession re-registers the function
+    // surface, and Spark logs a WARN per replaced function — thousands of stderr
+    // lines that sbt interleaves into the captured output and push the final
+    // summary line out of the driver's 2000-char tail (BENCH_r3–r6 `parsed:
+    // null` all show a tail of SimpleFunctionRegistry WARNs, not the summary).
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (codegen, file listing, shuffle service) outside the timings.
     try {
       spark.sql("select count(*) c from range(1000)").collect()

@@ -125,7 +125,9 @@ object GraftFunctions {
     FnSpec("bpe_count", "scalar", "(words array<string>)", "bigint",
       "Exact BPE token count under the pretrained merge table (greedy merge, codegen'd)"),
     FnSpec("bpe_tokens", "scalar", "(words array<string>)", "string",
-      "Space-joined BPE subword sequence under the pretrained merge table"))
+      "Space-joined BPE subword sequence under the pretrained merge table"),
+    FnSpec("zorder_key", "scalar", "(c1 int, ..., cn int, bits int)", "bigint",
+      "Morton (Z-order) interleave of bucketed ints — data-skipping sort key"))
 
   def listing: Seq[FnSpec] = registered ++ builtinMappings ++ pipelineKernels
 
@@ -284,6 +286,17 @@ object GraftFunctions {
       def dp(x: Column, y: Column): Column =
         br.column(DotProduct(br.toExpression(s, x), br.toExpression(s, y)))
       br.toExpression(s, sqrt(dp(a, a) + dp(b, b) - lit(2.0) * dp(a, b)))
+    })
+    // zorder_key(c1, ..., cn, bits): Morton interleave for data-skipping layouts
+    // (operators.ScaleLayout); last arg is the per-dimension bit width literal.
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "zorder_key", args => {
+      require(args.size >= 2, "zorder_key(col, ..., bits) needs a column and a bit width")
+      val bits = args.last match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"zorder_key: bits must be an integer literal, got $other")
+      }
+      InterleaveBits(args.init, bits)
     })
     val stmts = Seq(
       """CREATE OR REPLACE TEMPORARY FUNCTION to_local_time(t TIMESTAMP)

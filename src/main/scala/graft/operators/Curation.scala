@@ -583,6 +583,58 @@ object Curation {
       new java.util.ArrayList[org.apache.spark.sql.Row](out.asJava), schema)
   }
 
+  // ------------------------------------------------------ leakage-safe splits
+
+  /** Leakage-safe train/val/test split: assign every document a split such that
+    * NEAR-DUPLICATE documents always land in the SAME split. A plain per-document
+    * hash split leaks — a training doc's near-copy in the eval split makes the
+    * eval measure memorization, not generalization (the failure Lee et al. 2022
+    * measured on C4: up to 4.6% of eval examples had a training near-dup). The fix
+    * is to split by DUP-CLUSTER, not by document: collapse the near-dup pair graph
+    * into connected components, then hash the component's canonical id into
+    * weighted split buckets, so an entire cluster moves together.
+    *
+    * `pairs` is any near-dup edge list (e.g. [[Dedup.minHashNearDup]] output);
+    * `weights` are integer bucket weights (default 8/1/1). The hash is the
+    * RNG-free md5-bucket scheme shared with hash sampling (`Dedup.md5Hash60`):
+    * deterministic, engine-reproducible, and stable under corpus growth — a new
+    * document can join an existing cluster but never moves one.
+    *
+    * Returns `(idCol, component, split)` for every document in `docs` (singletons
+    * are their own component).
+    *
+    * Scale shape: connected components is the O(log n) large/small-star loop over
+    * 16-byte edges ([[connectedComponents]]); the join-back to the corpus is one
+    * equi-join on the document id in which the CC side holds only PAIRED docs
+    * (near-dup-cluster-sized, far smaller than the corpus — broadcastable in most
+    * deployments); the bucket assignment is a map stage. No stage shuffles
+    * document text.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      weights: Seq[(String, Int)] = Seq(("train", 8), ("val", 1), ("test", 1))): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty positive integer buckets")
+    val cc = connectedComponents(pairs)
+      .select(col("id").alias(idCol), col("component"))
+    val withComp = docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val total = weights.map(_._2).sum
+    val bucket = pmod(Dedup.md5Hash60(col("component").cast("string")), lit(total))
+    // Chained when over ascending cumulative thresholds; the last split is the
+    // otherwise-arm so every bucket lands somewhere.
+    val cums = weights.init.scanLeft(0) { case (c, (_, w)) => c + w }.tail
+    val splitExpr = weights.init.zip(cums) match {
+      case Seq() => lit(weights.last._1)
+      case ((n0, _), c0) +: rest =>
+        rest.foldLeft(when(bucket < lit(c0), lit(n0))) {
+          case (acc, ((name, _), cum)) => acc.when(bucket < lit(cum), lit(name))
+        }.otherwise(lit(weights.last._1))
+    }
+    withComp.withColumn("split", splitExpr)
+  }
+
   // ------------------------------------------------------ line-level boilerplate
 
   /** CCNet-style line-level dedup: drop every line that appears (identically) in at

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout utilities for the 100 TB path: skew-salted joins and bucketed
@@ -50,4 +50,76 @@ object ScaleLayout {
   def clustered(df: DataFrame, partitions: Int, keys: Seq[String]): DataFrame =
     df.repartition(partitions, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
+
+  // ---------------------------------------------------------------- z-order skipping
+
+  /** Morton (Z-order) sort key over already-bucketed integer columns (each in
+    * `[0, 2^bits)`): one `LongType` key whose sort order clusters rows close in
+    * EVERY dimension — the layout under Delta/Iceberg `OPTIMIZE ZORDER BY`, here a
+    * native codegen'd kernel ([[graft.functions.InterleaveBits]]) with generated
+    * code size independent of `bits`.
+    */
+  def zorderKey(df: DataFrame, cols: Seq[Column], bits: Int = 16): Column = {
+    val br = org.apache.spark.sql.graft.Bridge
+    br.column(graft.functions.InterleaveBits(
+      cols.map(c => br.toExpression(df.sparkSession, c)), bits))
+  }
+
+  /** Lay `df` out in Z-order: range-partition by the interleaved key into `files`
+    * output files and sort within each, so every file covers a compact Z-curve
+    * segment = a small box in every dimension. One shuffle to write; every
+    * multi-dimensional box predicate afterwards prunes at FILE granularity via
+    * [[writeIndexed]]'s min/max index — the scan cost becomes proportional to the
+    * box, not the table.
+    */
+  def zorderLayout(df: DataFrame, cols: Seq[Column], files: Int, bits: Int = 16): DataFrame = {
+    val z = zorderKey(df, cols, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** Write `df` as parquet plus a per-file min/max index of `statCols` (numeric
+    * columns), stored as parquet under `_graft_index` (underscore-prefixed, so
+    * plain `spark.read.parquet(path)` ignores it). The index is built with ONE
+    * distributed pass grouped by `input_file_name` — no driver-side state; its
+    * size is one row per data file (a 100 TB table at 1 GB files is a 10^5-row
+    * index, itself pruned-readable).
+    */
+  def writeIndexed(df: DataFrame, path: String, statCols: Seq[String]): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c).cast("double")).alias(s"min_$c"),
+        max(col(c).cast("double")).alias(s"max_$c"))
+    }
+    spark.read.parquet(path)
+      .groupBy(input_file_name().alias("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index")
+  }
+
+  /** Files kept / total by the last [[readPruned]] call (test/observability hook). */
+  @volatile var lastPrune: (Int, Int) = (0, 0)
+
+  /** Read back a [[writeIndexed]] table, skipping every file whose `[min, max]`
+    * envelope misses any of the requested `ranges` (`col -> (lo, hi)`, inclusive).
+    * Pruning is conservative — a kept file may still hold non-matching rows, so
+    * callers apply their real filter on top; correctness never depends on the
+    * index. The index collect is bounded by the FILE count, not the row count.
+    */
+  def readPruned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Map[String, (Double, Double)]): DataFrame = {
+    val idx = spark.read.parquet(s"$path/_graft_index")
+    val keep = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
+      acc && col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }
+    val total = idx.count().toInt
+    val files = idx.filter(keep).select("file").collect().map(_.getString(0))
+    lastPrune = (files.length, total)
+    if (files.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

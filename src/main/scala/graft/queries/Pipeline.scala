@@ -1915,6 +1915,50 @@ object Pipeline {
               |FROM m JOIN b USING (component) WHERE m.n_words = b.bw
               |GROUP BY m.component ORDER BY component""".stripMargin))),
 
+    // Leakage-safe train/val/test split: near-dup CLUSTERS (d9's components) are
+    // the split unit, so a training doc's near-copy can never land in the eval
+    // split (the Lee et al. 2022 C4 leakage failure). Bucketing is the RNG-free
+    // md5 scheme of t6 applied to the component's canonical id: deterministic,
+    // engine-reproducible, stable under corpus growth. Same LSH-recall assumption
+    // as d9 (pinned by PipelineOracleSpec).
+    "p12_leakage_split" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashNearDup(d, "text", "doc_id",
+        n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
+      Curation.leakageSafeSplit(d, pairs, "doc_id")
+        .orderBy("doc_id")
+    },
+      Some(s"""${duckShingleSets.replaceFirst("WITH", "WITH RECURSIVE")}, p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM g a, g b
+              |  WHERE a.doc_id < b.doc_id
+              |    AND round(len(list_intersect(a.s, b.s)) * 1.0
+              |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7
+              |), e AS (
+              |  SELECT id_a AS u, id_b AS v FROM p
+              |  UNION ALL
+              |  SELECT id_b AS u, id_a AS v FROM p
+              |), reach(u, v) AS (
+              |  SELECT u, v FROM e
+              |  UNION
+              |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+              |), cc AS (
+              |  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+              |), ad AS (
+              |  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+              |  FROM documents d LEFT JOIN cc USING (doc_id)
+              |), bk AS (
+              |  SELECT doc_id, component,
+              |    ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 10
+              |      AS bucket
+              |  FROM ad
+              |)
+              |SELECT doc_id, component,
+              |  CASE WHEN bucket < 8 THEN 'train'
+              |       WHEN bucket < 9 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM bk ORDER BY doc_id""".stripMargin))),
+
     // EXACT BPE token counts under the pretrained merge table — the real greedy
     // merge algorithm (native codegen kernel), not the regex pre-tokenizer of t3.
     // The oracle replays the identical greedy encode in a recursive CTE: each word

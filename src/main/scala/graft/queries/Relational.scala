@@ -522,7 +522,34 @@ object Relational {
       s"""SELECT least(greatest(cast(floor((l_extendedprice - 0.0) / 10000.0)
          |    as bigint) + 1, 1), 11) AS bucket, count(*) AS n
          |FROM lineitem WHERE l_extendedprice IS NOT NULL
-         |GROUP BY 1 ORDER BY bucket""".stripMargin))
+         |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Morton (Z-order) interleave key — the clustering kernel behind
+    // ScaleLayout.zorderLayout's data-skipping file layout, checked bit-for-bit:
+    // the oracle recomputes the 8-bit two-column interleave with explicit shift/
+    // mask arithmetic (16 terms), so any drift in the native kernel's bit
+    // placement fails the hash compare.
+    "q30_zorder" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.ScaleLayout.zorderKey(li,
+            Seq(pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256))),
+            bits = 8).alias("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 256 AS x, l_suppkey % 256 AS y
+         |  FROM lineitem
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |  cast(${terms.mkString(" + ")} as bigint) AS z
+         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

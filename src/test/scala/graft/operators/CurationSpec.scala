@@ -478,4 +478,42 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L)._1 < 0 && !out(2L)._2, s"neg-vocab doc must score negative: $out")
     assert(out(3L)._1 == 0 && !out(3L)._2, s"unseen vocab is all zero votes: $out")
   }
+
+  // ---------------- leakage-safe splits ----------------
+
+  test("leakageSafeSplit keeps every near-dup pair in one split and covers all docs") {
+    // Edges 1~2, 2~6 form cluster {1,2,6}; 3~4 forms {3,4}; 5 and 7 are singletons.
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Curation.leakageSafeSplit(corpus, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L), "every doc gets a split")
+    // Transitive closure: 1 and 6 were never paired directly but share a split.
+    assert(Set(out(1L), out(2L), out(6L)).size == 1, s"cluster {1,2,6} split apart: $out")
+    assert(out(3L) == out(4L), s"cluster {3,4} split apart: $out")
+    assert(out(5L)._1 == 5L && out(7L)._1 == 7L, "singletons are their own component")
+    assert(out.values.forall { case (_, s) => Set("train", "val", "test")(s) })
+  }
+
+  test("leakageSafeSplit buckets match the t6 md5 scheme and respect custom weights") {
+    val corpus = (0L until 400L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Curation.leakageSafeSplit(corpus, noPairs, "doc_id",
+        weights = Seq(("train", 1), ("eval", 1)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // Independent reimplementation of the bucket rule (md5 of the decimal id,
+    // first 15 hex chars, mod total-weight).
+    def bucket(id: Long, total: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % total).toInt
+    }
+    out.foreach { case (id, s) =>
+      val expect = if (bucket(id, 2) < 1) "train" else "eval"
+      assert(s == expect, s"doc $id: got $s, md5 bucket says $expect")
+    }
+    val frac = out.values.count(_ == "train").toDouble / out.size
+    assert(frac > 0.35 && frac < 0.65, s"1:1 weights should split near half, got $frac")
+  }
 }

@@ -38,6 +38,71 @@ class ScaleLayoutSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("zorder key interleaves bit planes exactly (eval and codegen agree)") {
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits; d <- vals.indices)
+        z |= (((vals(d) & ((1L << bits) - 1)) >>> i) & 1L) << (i * vals.size + d)
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val df = rows.toDF("x", "y")
+    val out = df.select(col("x"), col("y"),
+        ScaleLayout.zorderKey(df, Seq(col("x"), col("y")), bits = 16).alias("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (x, y) =>
+      assert(out((x, y)) == ref(Seq(x, y), 16), s"($x,$y)")
+    }
+    // Known fixed points: x contributes even bit positions, y odd ones.
+    val small = Seq((1L, 0L), (0L, 1L), (3L, 3L)).toDF("x", "y")
+    val zs = small.select(ScaleLayout.zorderKey(small, Seq(col("x"), col("y")), 4))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == Seq(1L, 2L, 15L))
+  }
+
+  test("zorder layout + min/max index prunes a box query a 1-D sort cannot") {
+    val events = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    val tsCol = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => (col("ts") / 1000000000L).cast("long")
+      case _ => unix_timestamp(col("ts").cast("timestamp"))
+    }
+    val base = events.select(col("user_id").cast("long").alias("u"), tsCol.alias("t"))
+    val Array(uLo, uHi, tLo, tHi) = base
+      .agg(min("u"), max("u"), min("t"), max("t")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      least(greatest(floor((c - lo) * 64L / (hi - lo + 1)).cast("long"), lit(0L)), lit(63L))
+    val bucketed = base
+      .withColumn("ub", bucket(col("u"), uLo, uHi))
+      .withColumn("tb", bucket(col("t"), tLo, tHi))
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      // Z-order on (user-bucket, time-bucket) vs 1-D sort on time only.
+      ScaleLayout.writeIndexed(
+        ScaleLayout.zorderLayout(bucketed, Seq(col("ub"), col("tb")), files = 32, bits = 6),
+        s"$tmp/z", Seq("ub", "tb"))
+      ScaleLayout.writeIndexed(
+        bucketed.repartitionByRange(32, col("tb")).sortWithinPartitions(col("tb")),
+        s"$tmp/t", Seq("ub", "tb"))
+      // Box: one quarter of each dimension.
+      val box = Map("ub" -> (16.0, 31.0), "tb" -> (16.0, 31.0))
+      val filter = col("ub").between(16, 31) && col("tb").between(16, 31)
+      val expected = bucketed.filter(filter).count()
+      val zPruned = ScaleLayout.readPruned(spark, s"$tmp/z", box)
+      assert(zPruned.filter(filter).count() == expected, "pruned read loses rows")
+      val (zKept, zTotal) = ScaleLayout.lastPrune
+      ScaleLayout.readPruned(spark, s"$tmp/t", box)
+      val (tKept, tTotal) = ScaleLayout.lastPrune
+      // The time-sorted layout prunes the time range (~3/4 of files) but every
+      // kept file spans all users; the z-order layout prunes BOTH dimensions.
+      assert(zKept < tKept,
+        s"z-order must out-prune the 1-D sort: z=$zKept/$zTotal t=$tKept/$tTotal")
+      assert(zKept.toDouble / zTotal <= 0.5,
+        s"box of 1/16 area should prune at least half the z-ordered files ($zKept/$zTotal)")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("clustered layout is sorted within partitions") {
     val df = Seq((3, "c"), (1, "a"), (2, "b"), (1, "z")).toDF("k", "v")
     val out = ScaleLayout.clustered(df, 2, Seq("k"))
