@@ -265,7 +265,70 @@ object ScaleSmoke {
       row
     }
 
-    val json = (results ++ eventResults ++ annResults).map(r => r.map { case (k, v) =>
+    // ---- z-order data-skipping over the event log ---------------------------
+    // The layout claim at scale: for a FIXED box predicate, the file fraction a
+    // z-ordered layout reads tracks the BOX VOLUME, not the table size — 10×
+    // data in 10× files still prunes to ~the same fraction, so per-query scan
+    // cost stays proportional to the result. Buckets normalize over each
+    // corpus's own min/max (what a real layout job does), file count scales
+    // with the data (32 → 320), and the probe is the same quarter-box at both
+    // scales. kept/total files land in the dispatch columns.
+    val zorderResults = {
+      import graft.operators.ScaleLayout
+      def prep(dir: String, files: Int, tag: String): String = {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val tsCol = ev.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => (col("ts") / 1000000000L).cast("long")
+          case _ => unix_timestamp(col("ts").cast("timestamp"))
+        }
+        val base = ev.select(col("user_id").cast("long").alias("u"), tsCol.alias("t"))
+        val Array(uLo, uHi, tLo, tHi) = base.agg(min("u"), max("u"), min("t"), max("t"))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+          least(greatest(floor((c - lo) * 64L / (hi - lo + 1)).cast("long"), lit(0L)), lit(63L))
+        val bucketed = base.withColumn("ub", bucket(col("u"), uLo, uHi))
+          .withColumn("tb", bucket(col("t"), tLo, tHi))
+        val path = s"$work/z_$tag"
+        ScaleLayout.writeIndexed(
+          ScaleLayout.zorderLayout(bucketed, Seq(col("ub"), col("tb")), files = files, bits = 6),
+          path, Seq("ub", "tb"))
+        path
+      }
+      val z1 = prep(evt1, 32, "1")
+      val z10 = prep(evt10, 320, "10")
+      val box = Map("ub" -> (16.0, 31.0), "tb" -> (16.0, 31.0))
+      val filt = col("ub").between(16, 31) && col("tb").between(16, 31)
+      def probe(path: String): (Double, Long, Int, Int) = {
+        var best = Double.MaxValue; var rows = 0L
+        for (_ <- 0 until runs) {
+          val t0 = System.nanoTime()
+          rows = ScaleLayout.readPruned(spark, path, box).filter(filt).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt < best) best = dt
+        }
+        val (k, tot) = ScaleLayout.lastPrune
+        (best, rows, k, tot)
+      }
+      probe(z1) // warm
+      val (t1, r1, k1, tot1) = probe(z1)
+      val (t10, r10, k10, tot10) = probe(z10)
+      val row = Map(
+        "query" -> "zorder_pruned_box_read",
+        "t1_sec" -> f"$t1%.2f", "t10_sec" -> f"$t10%.2f",
+        "wall_factor" -> f"${t10 / t1}%.1f",
+        "rows1" -> r1.toString, "rows10" -> r10.toString,
+        "shuffle1_mb" -> "0.0", "shuffle10_mb" -> "0.0",
+        "peak_stage1_mb" -> "0.0", "peak_stage10_mb" -> "0.0",
+        "shuffle_factor" -> "-",
+        "dispatch1" -> s"kept $k1/$tot1 files",
+        "dispatch10" -> s"kept $k10/$tot10 files")
+      println(s"[scale] zorder_pruned_box_read 1x=${row("t1_sec")}s " +
+        s"10x=${row("t10_sec")}s factor=${row("wall_factor")} rows $r1->$r10 " +
+        s"pruned ${row("dispatch1")} -> ${row("dispatch10")}")
+      Seq(row)
+    }
+
+    val json = (results ++ eventResults ++ annResults ++ zorderResults).map(r => r.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),

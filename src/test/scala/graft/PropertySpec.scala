@@ -240,6 +240,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: leakage-safe split never separates connected docs and covers the corpus") {
+    val genCase = for {
+      edges <- Gen.listOfN(20,
+        Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L))).map(_.filter(e => e._1 != e._2))
+      extra <- Gen.listOfN(10, Gen.choose(26L, 40L)) // docs with no edges at all
+    } yield (edges, extra)
+    forSamples(genCase, 6) { case (edges, extra) =>
+      val ids = (edges.flatMap(e => Seq(e._1, e._2)) ++ extra).distinct
+      if (ids.nonEmpty) {
+        val out = graft.operators.Curation
+          .leakageSafeSplit(ids.toDF("doc_id"), edges.toDF("a", "b"), "doc_id")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+        // total: every doc (paired or not) gets exactly one assignment
+        assert(out.keySet == ids.toSet)
+        // no edge straddles splits, even transitively: same component -> same split
+        edges.foreach { case (a, b) =>
+          assert(out(a)._2 == out(b)._2, s"edge ($a,$b) crosses splits") }
+        out.groupBy(_._2._1).foreach { case (comp, members) =>
+          assert(members.values.map(_._2).toSet.size == 1,
+            s"component $comp spans multiple splits")
+        }
+        // stability: a doc's split depends only on its component, so re-running
+        // with MORE unrelated singleton docs never moves existing assignments
+        val grown = (ids ++ Seq(90L, 91L, 92L)).distinct
+        val again = graft.operators.Curation
+          .leakageSafeSplit(grown.toDF("doc_id"), edges.toDF("a", "b"), "doc_id")
+          .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+        ids.foreach(id => assert(again(id) == out(id)._2, s"doc $id moved on growth"))
+      }
+    }
+  }
+
   test("property: the type mapper is total (never throws, unknown -> StringType)") {
     val genType = Gen.oneOf(
       Gen.oneOf("int", "bigint", "varchar", "double", "decimal(10,2)", "date",
