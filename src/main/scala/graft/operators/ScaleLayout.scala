@@ -100,6 +100,45 @@ object ScaleLayout {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index")
   }
 
+  /** Append a batch to a [[writeIndexed]] table, extending the index with stats
+    * for the NEW files only: the existing file set is read off the index (one
+    * file-count-sized column), and the post-append listing is diffed against it,
+    * so the stats pass scans just the appended data — an append to a 100 TB
+    * table costs the batch, never a table rescan. Existing files are immutable
+    * (parquet append writes new files), so their index rows stay valid.
+    */
+  def appendIndexed(df: DataFrame, path: String, statCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val known = spark.read.parquet(s"$path/_graft_index")
+      .select("file").collect().map(_.getString(0)).toSet
+    df.write.mode(SaveMode.Append).parquet(path)
+    // File-LEVEL diff (a driver listing bounded by the file count, same bound as
+    // readPruned's index collect), so the stats pass reads ONLY the new files —
+    // an anti-join over input_file_name would scan the whole table to drop the
+    // old rows.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Diff on basenames: part-file names embed a UUID (unique per write), and
+    // index rows may carry a different scheme rendering (file:/ vs file:///)
+    // than the Hadoop listing.
+    val knownNames = known.map(f => f.substring(f.lastIndexOf('/') + 1))
+    val newFiles = fs.listStatus(hPath).iterator
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")
+        && !knownNames.contains(p.getName))
+      .map(_.toUri.toString)
+      .toIndexedSeq
+    if (newFiles.isEmpty) return
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c).cast("double")).alias(s"min_$c"),
+        max(col(c).cast("double")).alias(s"max_$c"))
+    }
+    spark.read.parquet(newFiles: _*)
+      .groupBy(input_file_name().alias("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Append).parquet(s"$path/_graft_index")
+  }
+
   /** Files kept / total by the last [[readPruned]] call (test/observability hook). */
   @volatile var lastPrune: (Int, Int) = (0, 0)
 

@@ -48,9 +48,19 @@ class ScaleLayoutSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
     val df = rows.toDF("x", "y")
-    val out = df.select(col("x"), col("y"),
-        ScaleLayout.zorderKey(df, Seq(col("x"), col("y")), bits = 16).alias("z"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // CODEGEN_ONLY forbids the silent interpreted fallback: if the generated
+    // Java failed to compile, this query would throw instead of quietly
+    // agreeing with eval.
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val out = try {
+      df.select(col("x"), col("y"),
+          ScaleLayout.zorderKey(df, Seq(col("x"), col("y")), bits = 16).alias("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.codegen.factoryMode", m)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
     rows.foreach { case (x, y) =>
       assert(out((x, y)) == ref(Seq(x, y), 16), s"($x,$y)")
     }
@@ -100,6 +110,33 @@ class ScaleLayoutSpec extends AnyFunSuite {
         s"z-order must out-prune the 1-D sort: z=$zKept/$zTotal t=$tKept/$tTotal")
       assert(zKept.toDouble / zTotal <= 0.5,
         s"box of 1/16 area should prune at least half the z-ordered files ($zKept/$zTotal)")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("appendIndexed extends the index with new-file stats only; pruning sees both eras") {
+    val tmp = java.nio.file.Files.createTempDirectory("appendidx").toString
+    try {
+      val first = (0L until 1000L).map(i => (i, i % 10)).toDF("v", "g")
+        .repartitionByRange(4, col("v"))
+      ScaleLayout.writeIndexed(first, s"$tmp/t", Seq("v"))
+      val idx1 = spark.read.parquet(s"$tmp/t/_graft_index").collect()
+        .map(r => r.getString(0)).toSet
+      // Append a disjoint value range; only its files may join the index.
+      val second = (5000L until 6000L).map(i => (i, i % 10)).toDF("v", "g")
+        .repartitionByRange(4, col("v"))
+      ScaleLayout.appendIndexed(second, s"$tmp/t", Seq("v"))
+      val idx2 = spark.read.parquet(s"$tmp/t/_graft_index").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(idx2.length > idx1.size, "append must add index rows")
+      val olds = idx2.filter(r => idx1.contains(r._1))
+      assert(olds.length == idx1.size, "existing index rows must survive untouched")
+      assert(olds.forall(_._3 < 1000.0) && idx2.diff(olds).forall(_._2 >= 5000.0),
+        "new rows carry the appended range only")
+      // A query on the old era prunes away every appended file and vice versa.
+      val oldRead = ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (0.0, 999.0)))
+      assert(oldRead.count() == 1000L && ScaleLayout.lastPrune._1 * 2 <= ScaleLayout.lastPrune._2)
+      val newRead = ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (5000.0, 5999.0)))
+      assert(newRead.count() == 1000L && ScaleLayout.lastPrune._1 * 2 <= ScaleLayout.lastPrune._2)
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
