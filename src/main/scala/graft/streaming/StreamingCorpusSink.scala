@@ -91,4 +91,38 @@ object StreamingCorpusSink {
       .foreachBatch((b: Dataset[Row], id: Long) => step(b, id))
       .start()
   }
+
+  /** Streaming ingest into a min/max-indexed parquet table
+    * ([[graft.operators.ScaleLayout.writeIndexed]] semantics maintained per
+    * micro-batch): batch 0 creates table + index, every later batch appends and
+    * extends the index by scanning ONLY its own files
+    * ([[graft.operators.ScaleLayout.appendIndexed]]'s file-level diff). Readers
+    * prune with [[graft.operators.ScaleLayout.readPruned]] at any time — the
+    * index is eventually consistent with the data (a crash between data append
+    * and index append leaves unindexed files; the next batch's diff picks them
+    * up, so the gap heals rather than accumulates). Each batch is range-sorted
+    * on `statCols` so per-file envelopes stay tight — the streaming analogue of
+    * the z-order layout's within-file locality. Data appends are at-least-once
+    * on failure/retry, the same caveat as [[shardSinkStream]].
+    */
+  def indexedSinkStream(
+      rows: DataFrame, dataDir: String, checkpointDir: String,
+      statCols: Seq[String], batchPartitions: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.ScaleLayout
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val ranged = if (batchPartitions > 0)
+          batch.toDF().repartitionByRange(batchPartitions, statCols.map(col): _*)
+        else batch.toDF()
+        val sorted = ranged.sortWithinPartitions(statCols.map(col): _*)
+        if (new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")
+            .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")))
+          ScaleLayout.appendIndexed(sorted, dataDir, statCols)
+        else ScaleLayout.writeIndexed(sorted, dataDir, statCols)
+      }
+      .start()
+  }
 }

@@ -72,4 +72,41 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
       .orderBy("bucket", "pack_ix").collect().toSeq
     assert(after.map(_.toString).sorted == before.map(_.toString).sorted)
   }
+
+  final case class Reading(sensor_id: Long, v: Long)
+
+  test("indexed sink stream maintains the min/max index across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Files.createTempDirectory("streamindexed").toString
+    val src = MemoryStream[Reading]
+    val q = StreamingCorpusSink.indexedSinkStream(
+      src.toDF(), s"$base/t", s"$base/ckpt", Seq("v"), batchPartitions = 2)
+    // two disjoint value eras in two batches
+    src.addData((0L until 500L).map(i => Reading(i, i)): _*)
+    q.processAllAvailable()
+    src.addData((5000L until 5500L).map(i => Reading(i, i)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.read.parquet(s"$base/t").count() == 1000)
+    // era-selective reads prune the other era's files entirely
+    import graft.operators.ScaleLayout
+    val oldEra = ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (0.0, 499.0)))
+    assert(oldEra.count() == 500)
+    val (k1, tot1) = ScaleLayout.lastPrune
+    assert(k1 < tot1, s"old-era read must prune batch-2 files ($k1/$tot1)")
+    val newEra = ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (5000.0, 5499.0)))
+    assert(newEra.count() == 500)
+    val (k2, tot2) = ScaleLayout.lastPrune
+    assert(k2 < tot2, s"new-era read must prune batch-1 files ($k2/$tot2)")
+    // the index covers every data file (eventually-consistent invariant holds
+    // after a clean run)
+    val indexed = spark.read.parquet(s"$base/t/_graft_index").count()
+    val onDisk = new java.io.File(s"$base/t")
+      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
+    assert(indexed == onDisk, s"index rows $indexed vs files $onDisk")
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
+  }
 }
