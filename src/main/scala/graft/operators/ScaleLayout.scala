@@ -80,6 +80,13 @@ object ScaleLayout {
       .drop("__z")
   }
 
+  /** Index rows key files by BASENAME (tables written here are flat — no
+    * partitionBy dirs), so the index survives table relocation/rename: part-file
+    * names embed a write-unique UUID.
+    */
+  private def fileBasename: Column =
+    regexp_extract(input_file_name(), "[^/]+$", 0)
+
   /** Write `df` as parquet plus a per-file min/max index of `statCols` (numeric
     * columns), stored as parquet under `_graft_index` (underscore-prefixed, so
     * plain `spark.read.parquet(path)` ignores it). The index is built with ONE
@@ -95,7 +102,7 @@ object ScaleLayout {
         max(col(c).cast("double")).alias(s"max_$c"))
     }
     spark.read.parquet(path)
-      .groupBy(input_file_name().alias("file"))
+      .groupBy(fileBasename.alias("file"))
       .agg(aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index")
   }
@@ -118,14 +125,12 @@ object ScaleLayout {
     // old rows.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Diff on basenames: part-file names embed a UUID (unique per write), and
-    // index rows may carry a different scheme rendering (file:/ vs file:///)
-    // than the Hadoop listing.
-    val knownNames = known.map(f => f.substring(f.lastIndexOf('/') + 1))
+    // Diff on basenames (the index stores basenames; part-file names embed a
+    // UUID, unique per write).
     val newFiles = fs.listStatus(hPath).iterator
       .map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")
-        && !knownNames.contains(p.getName))
+        && !known.contains(p.getName))
       .map(_.toUri.toString)
       .toIndexedSeq
     if (newFiles.isEmpty) return
@@ -134,9 +139,49 @@ object ScaleLayout {
         max(col(c).cast("double")).alias(s"max_$c"))
     }
     spark.read.parquet(newFiles: _*)
-      .groupBy(input_file_name().alias("file"))
+      .groupBy(fileBasename.alias("file"))
       .agg(aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.Append).parquet(s"$path/_graft_index")
+  }
+
+  /** Re-cluster an indexed table in place: read, Z-order on `cols`, rewrite data
+    * + index (Delta/Iceberg `OPTIMIZE ZORDER BY` for plain parquet). Streaming
+    * appends keep per-BATCH locality ([[graft.streaming.StreamingCorpusSink
+    * .indexedSinkStream]]) but eras interleave across files as batches accumulate;
+    * a periodic optimize restores global clustering so box predicates prune to
+    * the minimum file set again. The rewrite stages into `path + ".tmp"` and
+    * swaps via two renames — readers racing the swap see the old or the new
+    * layout, never a partial mix; at warehouse scale the same two-phase shape
+    * runs per partition. One shuffle of the table, same cost class as any
+    * compaction.
+    */
+  def optimizeZorder(
+      spark: org.apache.spark.sql.SparkSession, path: String, cols: Seq[String],
+      files: Int, bits: Int = 16): Unit = {
+    val df = spark.read.parquet(path)
+    // Bucket each raw column into [0, 2^bits) over its own min/max (one bounded
+    // stats pass), z-order on the BUCKETS, but index the RAW columns — pruning
+    // predicates stay in value space. Bucket placement only affects clustering
+    // quality, never read correctness (the index records true per-file min/max).
+    val n = 1 << bits
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val st = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val zcols = cols.zipWithIndex.map { case (c, i) =>
+      val lo = st.getDouble(2 * i)
+      val span = math.max(st.getDouble(2 * i + 1) - lo, java.lang.Double.MIN_NORMAL)
+      least(greatest(
+        floor((col(c).cast("double") - lit(lo)) * lit(n.toDouble) / lit(span * (1 + 1e-9)))
+          .cast("long"), lit(0L)), lit((n - 1).toLong))
+    }
+    val tmp = s"$path.tmp"
+    writeIndexed(zorderLayout(df, zcols, files, bits), tmp, cols)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    fs.rename(hPath, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+    fs.delete(old, true)
   }
 
   /** Files kept / total by the last [[readPruned]] call (test/observability hook). */
@@ -156,7 +201,8 @@ object ScaleLayout {
       acc && col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }
     val total = idx.count().toInt
-    val files = idx.filter(keep).select("file").collect().map(_.getString(0))
+    val files = idx.filter(keep).select("file").collect()
+      .map(r => s"$path/${r.getString(0)}")
     lastPrune = (files.length, total)
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(files.toIndexedSeq: _*)

@@ -140,6 +140,36 @@ class ScaleLayoutSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("optimizeZorder restores pruning after interleaved appends; data survives exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("optz").toString
+    try {
+      // Four appends whose (a, b) values interleave: every file ends up spanning
+      // most of both dimensions, so a box predicate prunes nothing.
+      val rnd = new scala.util.Random(11)
+      val batches = (0 until 4).map { _ =>
+        Seq.fill(2000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+          .toDF("a", "b").repartition(4)
+      }
+      ScaleLayout.writeIndexed(batches.head, s"$tmp/t", Seq("a", "b"))
+      batches.tail.foreach(b => ScaleLayout.appendIndexed(b, s"$tmp/t", Seq("a", "b")))
+      val box = Map("a" -> (0.0, 249.0), "b" -> (0.0, 249.0))
+      val filt = col("a").between(0, 249) && col("b").between(0, 249)
+      val expected = spark.read.parquet(s"$tmp/t").filter(filt).count()
+      val total = spark.read.parquet(s"$tmp/t").count()
+      ScaleLayout.readPruned(spark, s"$tmp/t", box)
+      val (kBefore, totBefore) = ScaleLayout.lastPrune
+      assert(kBefore == totBefore, "interleaved appends should defeat pruning entirely")
+
+      ScaleLayout.optimizeZorder(spark, s"$tmp/t", Seq("a", "b"), files = 16, bits = 5)
+      assert(spark.read.parquet(s"$tmp/t").count() == total, "optimize must not lose rows")
+      val pruned = ScaleLayout.readPruned(spark, s"$tmp/t", box)
+      assert(pruned.filter(filt).count() == expected, "pruned read must stay exact")
+      val (kAfter, totAfter) = ScaleLayout.lastPrune
+      assert(kAfter * 2 <= totAfter,
+        s"a 1/16-area box should prune at least half the optimized files ($kAfter/$totAfter)")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("clustered layout is sorted within partitions") {
     val df = Seq((3, "c"), (1, "a"), (2, "b"), (1, "z")).toDF("k", "v")
     val out = ScaleLayout.clustered(df, 2, Seq("k"))
