@@ -70,7 +70,10 @@ case class InterleaveBits(children: Seq[Expression], bits: Int) extends Expressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val n = children.size
     val evals = children.map(_.genCode(ctx))
-    val vs = ctx.freshName("vs")
+    // Hoisted to a mutable field: the kernel runs per row in layout jobs, and a
+    // per-row `new long[n]` would be garbage in the tight loop.
+    val vs = ctx.addMutableState("long[]", "zorderVals",
+      v => s"$v = new long[$n];")
     val i = ctx.freshName("i")
     val d = ctx.freshName("d")
     val loads = evals.zipWithIndex.map { case (e, idx) =>
@@ -83,7 +86,6 @@ case class InterleaveBits(children: Seq[Expression], bits: Int) extends Expressi
     ev.copy(code = code"""
       |boolean ${ev.isNull} = false;
       |long ${ev.value} = 0L;
-      |long[] $vs = new long[$n];
       |$loads
       |if (!${ev.isNull}) {
       |  for (int $i = 0; $i < $bits; $i++) {

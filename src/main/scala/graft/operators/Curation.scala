@@ -597,8 +597,15 @@ object Curation {
     * `pairs` is any near-dup edge list (e.g. [[Dedup.minHashNearDup]] output);
     * `weights` are integer bucket weights (default 8/1/1). The hash is the
     * RNG-free md5-bucket scheme shared with hash sampling (`Dedup.md5Hash60`):
-    * deterministic, engine-reproducible, and stable under corpus growth — a new
-    * document can join an existing cluster but never moves one.
+    * deterministic and engine-reproducible. STABILITY CAVEAT: the bucket is
+    * keyed on the component's minimum member id, so an assignment survives
+    * corpus growth only while its cluster's minimum does — a new doc with a
+    * smaller id, or an edge merging two clusters, re-keys the component and can
+    * move previously-assigned docs (and a merge MUST move one side: the merged
+    * cluster needs one split, and the two halves may have held different ones).
+    * Once anything has trained on a split, use [[leakageSafeSplitIncremental]],
+    * which pins prior assignments and flags merge conflicts instead of silently
+    * moving documents.
     *
     * Returns `(idCol, component, split)` for every document in `docs` (singletons
     * are their own component).
@@ -633,6 +640,47 @@ object Curation {
         }.otherwise(lit(weights.last._1))
     }
     withComp.withColumn("split", splitExpr)
+  }
+
+  /** [[leakageSafeSplit]] for a GROWING corpus with training already underway:
+    * documents present in `prior` (`idCol`, `split`) NEVER move — a doc a model
+    * has trained on cannot retroactively become eval — and new documents
+    * joining a cluster that contains prior docs ADOPT the cluster's existing
+    * split (taken from the prior member with the smallest id, deterministic)
+    * rather than re-hashing, even when the newcomer re-keys the component
+    * minimum. Only documents in clusters with no prior members get a fresh
+    * md5-bucket assignment.
+    *
+    * When an edge merges clusters whose prior members hold DIFFERENT splits,
+    * the leak already happened in the data (near-dups straddle train/eval from
+    * the earlier rounds); pinning cannot fix it retroactively, so prior docs
+    * keep their splits and every doc in such a component is flagged
+    * `prior_conflict = true` — the caller's signal to quarantine those eval
+    * docs. Returns `(idCol, component, split, prior_conflict)`.
+    *
+    * Scale shape: adds to [[leakageSafeSplit]] one aggregation of the prior
+    * frame per component (id-and-split columns only) and one equi-join back —
+    * no text moves; `prior` is read once.
+    */
+  def leakageSafeSplitIncremental(
+      docs: DataFrame, pairs: DataFrame, idCol: String, prior: DataFrame,
+      weights: Seq[(String, Int)] = Seq(("train", 8), ("val", 1), ("test", 1))): DataFrame = {
+    val fresh = leakageSafeSplit(docs, pairs, idCol)
+      .withColumnRenamed("split", "__fresh_split")
+    val p = prior.select(col(idCol), col("split").alias("__prior_split"))
+    val withPrior = fresh.join(p, Seq(idCol), "left")
+    // Per component: the anchor split (prior member with the smallest id) and
+    // whether prior members disagree.
+    val anchor = withPrior.filter(col("__prior_split").isNotNull)
+      .groupBy(col("component"))
+      .agg(
+        min_by(col("__prior_split"), col(idCol)).alias("__anchor_split"),
+        (count_distinct(col("__prior_split")) > 1).alias("prior_conflict"))
+    withPrior.join(anchor, Seq("component"), "left")
+      .withColumn("split",
+        coalesce(col("__prior_split"), col("__anchor_split"), col("__fresh_split")))
+      .withColumn("prior_conflict", coalesce(col("prior_conflict"), lit(false)))
+      .select(col(idCol), col("component"), col("split"), col("prior_conflict"))
   }
 
   // ------------------------------------------------------ line-level boilerplate

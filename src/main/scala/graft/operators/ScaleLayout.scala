@@ -144,44 +144,78 @@ object ScaleLayout {
       .write.mode(SaveMode.Append).parquet(s"$path/_graft_index")
   }
 
+  /** Range-bucket a raw numeric column into `[0, buckets)` over a known
+    * `[lo, hi]` envelope — the normalization step before [[zorderKey]]. Double
+    * arithmetic: exact placement is irrelevant (the min/max index records TRUE
+    * per-file envelopes, so read correctness never depends on bucketing), but
+    * keys whose magnitude exceeds 2^53 (e.g. nanosecond epochs) should be
+    * pre-scaled by the caller to keep buckets distinct.
+    */
+  def bucketize(c: Column, lo: Double, hi: Double, buckets: Int): Column = {
+    val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+    least(greatest(
+      floor((c.cast("double") - lit(lo)) * lit(buckets.toDouble) / lit(span * (1 + 1e-9)))
+        .cast("long"), lit(0L)), lit((buckets - 1).toLong))
+  }
+
   /** Re-cluster an indexed table in place: read, Z-order on `cols`, rewrite data
     * + index (Delta/Iceberg `OPTIMIZE ZORDER BY` for plain parquet). Streaming
     * appends keep per-BATCH locality ([[graft.streaming.StreamingCorpusSink
     * .indexedSinkStream]]) but eras interleave across files as batches accumulate;
     * a periodic optimize restores global clustering so box predicates prune to
-    * the minimum file set again. The rewrite stages into `path + ".tmp"` and
-    * swaps via two renames — readers racing the swap see the old or the new
-    * layout, never a partial mix; at warehouse scale the same two-phase shape
-    * runs per partition. One shuffle of the table, same cost class as any
-    * compaction.
+    * the minimum file set again.
+    *
+    * MAINTENANCE OPERATION, single writer, no concurrent readers: plain parquet
+    * has no metadata layer to version the swap, so there is a window between the
+    * two renames where `path` does not exist, and a reader that listed files
+    * before the swap can lose them — schedule it like any compaction downtime,
+    * or put a transactional table format under the same two-phase shape. Every
+    * rename/delete result is CHECKED: a failed swap rolls back to the original
+    * layout and throws instead of proceeding to a delete that could destroy the
+    * only copy. A leftover `path + ".old"` from a crashed run is rejected
+    * loudly (it may hold the only good data — inspect, restore or remove it by
+    * hand). One shuffle of the table, same cost class as any compaction.
     */
   def optimizeZorder(
       spark: org.apache.spark.sql.SparkSession, path: String, cols: Seq[String],
       files: Int, bits: Int = 16): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$path.tmp")
+    require(!fs.exists(old),
+      s"$old exists — a previous optimize crashed mid-swap; it may hold the " +
+        "only good copy of the table. Inspect and restore or remove it first.")
+    if (fs.exists(tmpP)) fs.delete(tmpP, true) // stale staging from a crashed run
     val df = spark.read.parquet(path)
     // Bucket each raw column into [0, 2^bits) over its own min/max (one bounded
     // stats pass), z-order on the BUCKETS, but index the RAW columns — pruning
     // predicates stay in value space. Bucket placement only affects clustering
     // quality, never read correctness (the index records true per-file min/max).
     val n = 1 << bits
-    val aggs = cols.flatMap(c =>
+    val aggs = count(lit(1)) +: cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val st = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (st.getLong(0) == 0L) return // empty table: nothing to re-cluster
     val zcols = cols.zipWithIndex.map { case (c, i) =>
-      val lo = st.getDouble(2 * i)
-      val span = math.max(st.getDouble(2 * i + 1) - lo, java.lang.Double.MIN_NORMAL)
-      least(greatest(
-        floor((col(c).cast("double") - lit(lo)) * lit(n.toDouble) / lit(span * (1 + 1e-9)))
-          .cast("long"), lit(0L)), lit((n - 1).toLong))
+      require(!st.isNullAt(1 + 2 * i) && !st.isNullAt(2 + 2 * i),
+        s"optimizeZorder: column '$c' has no non-null numeric values to bucket on")
+      bucketize(col(c), st.getDouble(1 + 2 * i), st.getDouble(2 + 2 * i), n)
     }
-    val tmp = s"$path.tmp"
-    writeIndexed(zorderLayout(df, zcols, files, bits), tmp, cols)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"$path.old")
-    fs.rename(hPath, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
-    fs.delete(old, true)
+    writeIndexed(zorderLayout(df, zcols, files, bits), tmpP.toString, cols)
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"optimizeZorder: rename $hPath -> $old failed")
+    if (!fs.rename(tmpP, hPath)) {
+      val rolledBack = fs.rename(old, hPath) // restore the original layout
+      throw new java.io.IOException(
+        s"optimizeZorder: rename $tmpP -> $hPath failed; " +
+          (if (rolledBack) s"original layout restored (staging left at $tmpP)"
+           else s"ROLLBACK ALSO FAILED — table data is at $old, staging at $tmpP"))
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(
+        s"optimizeZorder: swap succeeded but deleting $old failed — remove it " +
+          "by hand (the table itself is consistent)")
   }
 
   /** Files kept / total by the last [[readPruned]] call (test/observability hook). */
@@ -196,14 +230,19 @@ object ScaleLayout {
   def readPruned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Map[String, (Double, Double)]): DataFrame = {
-    val idx = spark.read.parquet(s"$path/_graft_index")
+    // One index scan: collect (file, keep) and count locally — the collect is
+    // already bounded by the file count, and a second count() job would reopen
+    // the index on every pruned read.
     val keep = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
       acc && col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }
-    val total = idx.count().toInt
-    val files = idx.filter(keep).select("file").collect()
-      .map(r => s"$path/${r.getString(0)}")
-    lastPrune = (files.length, total)
+    // Null stats mean the file's column is ALL null — no row can satisfy a
+    // range predicate there, so dropping it is still conservative-correct.
+    val entries = spark.read.parquet(s"$path/_graft_index")
+      .select(col("file"), coalesce(keep, lit(false)).alias("keep")).collect()
+    val files = entries.collect { case r if r.getBoolean(1) =>
+      s"$path/${r.getString(0)}" }
+    lastPrune = (files.length, entries.length)
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }

@@ -1959,6 +1959,81 @@ object Pipeline {
               |       ELSE 'test' END AS split
               |FROM bk ORDER BY doc_id""".stripMargin))),
 
+    // The incremental (sticky) split over a GROWING corpus: round 1 assigns the
+    // even-id half, round 2 sees the full corpus — prior docs must keep their
+    // round-1 splits (a trained-on doc can never become eval), odd-id newcomers
+    // joining a prior cluster ADOPT its split via the min-id prior member, and
+    // merges of differently-split prior clusters get flagged instead of silently
+    // moving documents. The oracle replays both rounds: two recursive closures,
+    // two md5-bucket assignments, min_by adoption. Same LSH-recall assumption as
+    // d9/p12.
+    "p13_leakage_split_incremental" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val evens = d.filter(col("doc_id") % 2 === 0)
+      val pairs1 = Dedup.minHashNearDup(evens, "text", "doc_id",
+        n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
+      val prior = Curation.leakageSafeSplit(evens, pairs1, "doc_id")
+        .select(col("doc_id"), col("split"))
+      val pairs2 = Dedup.minHashNearDup(d, "text", "doc_id",
+        n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
+      Curation.leakageSafeSplitIncremental(d, pairs2, "doc_id", prior)
+        .orderBy("doc_id")
+    }, {
+      val bucket = (comp: String) =>
+        s"('0x' || substr(md5(CAST($comp AS VARCHAR)), 1, 15))::BIGINT % 10"
+      val split = (comp: String) =>
+        s"""CASE WHEN ${bucket(comp)} < 8 THEN 'train'
+           |       WHEN ${bucket(comp)} < 9 THEN 'val'
+           |       ELSE 'test' END""".stripMargin
+      Some(s"""${duckShingleSets.replaceFirst("WITH", "WITH RECURSIVE")}, jp AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM g a, g b
+              |  WHERE a.doc_id < b.doc_id
+              |    AND round(len(list_intersect(a.s, b.s)) * 1.0
+              |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7
+              |), e1 AS (
+              |  SELECT id_a AS u, id_b AS v FROM jp WHERE id_a % 2 = 0 AND id_b % 2 = 0
+              |  UNION ALL
+              |  SELECT id_b AS u, id_a AS v FROM jp WHERE id_a % 2 = 0 AND id_b % 2 = 0
+              |), reach1(u, v) AS (
+              |  SELECT u, v FROM e1
+              |  UNION
+              |  SELECT r.u, e.v FROM reach1 r JOIN e1 e ON r.v = e.u
+              |), cc1 AS (
+              |  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach1 GROUP BY u
+              |), prior AS (
+              |  SELECT d.doc_id, ${split("coalesce(c.component, d.doc_id)")} AS prior_split
+              |  FROM documents d LEFT JOIN cc1 c USING (doc_id)
+              |  WHERE d.doc_id % 2 = 0
+              |), e2 AS (
+              |  SELECT id_a AS u, id_b AS v FROM jp
+              |  UNION ALL
+              |  SELECT id_b AS u, id_a AS v FROM jp
+              |), reach2(u, v) AS (
+              |  SELECT u, v FROM e2
+              |  UNION
+              |  SELECT r.u, e.v FROM reach2 r JOIN e2 e ON r.v = e.u
+              |), cc2 AS (
+              |  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach2 GROUP BY u
+              |), fresh AS (
+              |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+              |    ${split("coalesce(c.component, d.doc_id)")} AS fresh_split
+              |  FROM documents d LEFT JOIN cc2 c USING (doc_id)
+              |), anch AS (
+              |  SELECT f.component, min_by(p.prior_split, f.doc_id) AS anchor_split,
+              |    count(DISTINCT p.prior_split) > 1 AS prior_conflict
+              |  FROM fresh f JOIN prior p USING (doc_id)
+              |  GROUP BY f.component
+              |)
+              |SELECT f.doc_id, f.component,
+              |  coalesce(p.prior_split, a.anchor_split, f.fresh_split) AS split,
+              |  coalesce(a.prior_conflict, false) AS prior_conflict
+              |FROM fresh f
+              |LEFT JOIN prior p USING (doc_id)
+              |LEFT JOIN anch a USING (component)
+              |ORDER BY f.doc_id""".stripMargin)
+    })),
+
     // EXACT BPE token counts under the pretrained merge table — the real greedy
     // merge algorithm (native codegen kernel), not the regex pre-tokenizer of t3.
     // The oracle replays the identical greedy encode in a recursive CTE: each word

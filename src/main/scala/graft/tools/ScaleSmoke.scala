@@ -284,10 +284,9 @@ object ScaleSmoke {
         val base = ev.select(col("user_id").cast("long").alias("u"), tsCol.alias("t"))
         val Array(uLo, uHi, tLo, tHi) = base.agg(min("u"), max("u"), min("t"), max("t"))
           .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-        def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-          least(greatest(floor((c - lo) * 64L / (hi - lo + 1)).cast("long"), lit(0L)), lit(63L))
-        val bucketed = base.withColumn("ub", bucket(col("u"), uLo, uHi))
-          .withColumn("tb", bucket(col("t"), tLo, tHi))
+        val bucketed = base
+          .withColumn("ub", ScaleLayout.bucketize(col("u"), uLo.toDouble, uHi.toDouble, 64))
+          .withColumn("tb", ScaleLayout.bucketize(col("t"), tLo.toDouble, tHi.toDouble, 64))
         val path = s"$work/z_$tag"
         ScaleLayout.writeIndexed(
           ScaleLayout.zorderLayout(bucketed, Seq(col("ub"), col("tb")), files = files, bits = 6),
@@ -298,28 +297,24 @@ object ScaleSmoke {
       val z10 = prep(evt10, 320, "10")
       val box = Map("ub" -> (16.0, 31.0), "tb" -> (16.0, 31.0))
       val filt = col("ub").between(16, 31) && col("tb").between(16, 31)
-      def probe(path: String): (Double, Long, Int, Int) = {
-        var best = Double.MaxValue; var rows = 0L
-        for (_ <- 0 until runs) {
-          val t0 = System.nanoTime()
-          rows = ScaleLayout.readPruned(spark, path, box).filter(filt).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (dt < best) best = dt
-        }
+      def probe(path: String): (Double, Long, Long, Long, Int, Int) = {
+        // same ShuffleMeter protocol as every other row — measured, not assumed
+        val (best, rows, shuffle, peak) =
+          runDf(() => ScaleLayout.readPruned(spark, path, box).filter(filt))
         val (k, tot) = ScaleLayout.lastPrune
-        (best, rows, k, tot)
+        (best, rows, shuffle, peak, k, tot)
       }
       probe(z1) // warm
-      val (t1, r1, k1, tot1) = probe(z1)
-      val (t10, r10, k10, tot10) = probe(z10)
+      val (t1, r1, s1, p1, k1, tot1) = probe(z1)
+      val (t10, r10, s10, p10, k10, tot10) = probe(z10)
       val row = Map(
         "query" -> "zorder_pruned_box_read",
         "t1_sec" -> f"$t1%.2f", "t10_sec" -> f"$t10%.2f",
         "wall_factor" -> f"${t10 / t1}%.1f",
         "rows1" -> r1.toString, "rows10" -> r10.toString,
-        "shuffle1_mb" -> "0.0", "shuffle10_mb" -> "0.0",
-        "peak_stage1_mb" -> "0.0", "peak_stage10_mb" -> "0.0",
-        "shuffle_factor" -> "-",
+        "shuffle1_mb" -> mb(s1), "shuffle10_mb" -> mb(s10),
+        "peak_stage1_mb" -> mb(p1), "peak_stage10_mb" -> mb(p10),
+        "shuffle_factor" -> (if (s1 > 0) f"${s10.toDouble / s1}%.1f" else "-"),
         "dispatch1" -> s"kept $k1/$tot1 files",
         "dispatch10" -> s"kept $k10/$tot10 files")
       println(s"[scale] zorder_pruned_box_read 1x=${row("t1_sec")}s " +

@@ -495,6 +495,37 @@ class CurationSpec extends AnyFunSuite {
     assert(out.values.forall { case (_, s) => Set("train", "val", "test")(s) })
   }
 
+  test("leakageSafeSplitIncremental pins prior docs, adopts for newcomers, flags merges") {
+    // Round 1: cluster {10, 12} plus singletons 20, 30.
+    val docs1 = Seq(10L, 12L, 20L, 30L).toDF("doc_id")
+    val pairs1 = Seq((10L, 12L)).toDF("id_a", "id_b")
+    val r1 = Curation.leakageSafeSplit(docs1, pairs1, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val prior = r1.toSeq.toDF("doc_id", "split")
+
+    // Round 2: doc 3 (SMALLER id — re-keys the component minimum) joins {10,12};
+    // doc 99 arrives unrelated; and an edge 20~30 merges two prior singletons.
+    val docs2 = Seq(3L, 10L, 12L, 20L, 30L, 99L).toDF("doc_id")
+    val pairs2 = Seq((10L, 12L), (3L, 10L), (20L, 30L)).toDF("id_a", "id_b")
+    val r2 = Curation.leakageSafeSplitIncremental(docs2, pairs2, "doc_id", prior)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+
+    // Prior docs never move, even though doc 3 re-keyed their component to 3.
+    assert(r2(10L)._1 == r1(10L) && r2(12L)._1 == r1(12L), s"prior docs moved: $r2")
+    // The newcomer adopts the cluster's prior split instead of re-hashing.
+    assert(r2(3L)._1 == r1(10L), s"newcomer must adopt the cluster split: $r2")
+    assert(!r2(3L)._2 && !r2(10L)._2, "a clean adoption is not a conflict")
+    // The merged singletons keep their own prior splits; conflict flagged iff
+    // they disagreed in round 1.
+    assert(r2(20L)._1 == r1(20L) && r2(30L)._1 == r1(30L))
+    assert(r2(20L)._2 == (r1(20L) != r1(30L)) && r2(30L)._2 == r2(20L)._2,
+      s"merge conflict flag wrong: r1=$r1 r2=$r2")
+    // The unrelated newcomer gets the plain (fresh-hash) assignment.
+    val freshOf99 = Curation.leakageSafeSplit(docs2, pairs2, "doc_id")
+      .filter($"doc_id" === 99L).select("split").head.getString(0)
+    assert(r2(99L)._1 == freshOf99 && !r2(99L)._2)
+  }
+
   test("leakageSafeSplit buckets match the t6 md5 scheme and respect custom weights") {
     val corpus = (0L until 400L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -81,11 +81,9 @@ class ScaleLayoutSpec extends AnyFunSuite {
     val Array(uLo, uHi, tLo, tHi) = base
       .agg(min("u"), max("u"), min("t"), max("t")).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-      least(greatest(floor((c - lo) * 64L / (hi - lo + 1)).cast("long"), lit(0L)), lit(63L))
     val bucketed = base
-      .withColumn("ub", bucket(col("u"), uLo, uHi))
-      .withColumn("tb", bucket(col("t"), tLo, tHi))
+      .withColumn("ub", ScaleLayout.bucketize(col("u"), uLo.toDouble, uHi.toDouble, 64))
+      .withColumn("tb", ScaleLayout.bucketize(col("t"), tLo.toDouble, tHi.toDouble, 64))
     val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
     try {
       // Z-order on (user-bucket, time-bucket) vs 1-D sort on time only.
