@@ -30,6 +30,13 @@ case class InterleaveBits(children: Seq[Expression], bits: Int) extends Expressi
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder_key"
 
+  // `bits` is constructor state, not a child: the default Expression.sql would
+  // render `zorder_key(c1, ..., cn)` — text the zorder_key SQL builder (whose
+  // last argument IS the bits literal) cannot re-parse. Keep unparse→re-parse
+  // round-trips total by rendering the bits argument explicitly.
+  override def sql: String =
+    s"$prettyName(${(children.map(_.sql) :+ bits.toString).mkString(", ")})"
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.forall(c =>
       Seq(ByteType, ShortType, IntegerType, LongType).contains(c.dataType)))
