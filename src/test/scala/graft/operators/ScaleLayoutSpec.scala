@@ -69,6 +69,22 @@ class ScaleLayoutSpec extends AnyFunSuite {
     val zs = small.select(ScaleLayout.zorderKey(small, Seq(col("x"), col("y")), 4))
       .collect().map(_.getLong(0)).toSeq
     assert(zs == Seq(1L, 2L, 15L))
+    // Three dimensions: stride-3 bit planes, x at 3i, y at 3i+1, z at 3i+2.
+    val tri = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (7L, 7L, 7L))
+      .toDF("x", "y", "w")
+    val t3 = tri.select(
+        ScaleLayout.zorderKey(tri, Seq(col("x"), col("y"), col("w")), 3))
+      .collect().map(_.getLong(0)).toSeq
+    assert(t3 == Seq(1L, 2L, 4L, 511L))
+    val triRand = rows.take(64).map { case (x, y) => (x & 0xff, y & 0xff, (x ^ y) & 0xff) }
+      .toDF("x", "y", "w")
+    val got3 = triRand.select(col("x"), col("y"), col("w"),
+        ScaleLayout.zorderKey(triRand, Seq(col("x"), col("y"), col("w")), 8).alias("z"))
+      .collect()
+    got3.foreach { r =>
+      val vals = Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == ref(vals, 8), s"3-col $vals")
+    }
   }
 
   test("zorder layout + min/max index prunes a box query a 1-D sort cannot") {
