@@ -441,6 +441,31 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** FAISS-style `add` for a persisted index: encode ONLY the new vectors with
+    * the saved quantizers — per-row argmax cell + PQ codes, a map stage over
+    * the batch, no retraining, no touch of existing code rows — and append to
+    * the codes table. New vectors are searchable by the next [[loadIvfPq]];
+    * results for them are exactly what a full rebuild WITH THE SAME quantizers
+    * would return. The standing caveat of every add-without-retrain index:
+    * under distribution shift the frozen centroids/codebooks drift away from
+    * the data and recall decays — schedule a periodic
+    * [[buildIvfPq]]+[[saveIvfPq]] rebuild, the ANN analogue of
+    * [[ScaleLayout.optimizeZorder]].
+    */
+  def appendIvfPq(
+      spark: org.apache.spark.sql.SparkSession, path: String, newVectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val idx = loadIvfPq(spark, path) // codes stay lazy; only the quantizers are used
+    newVectors
+      .select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
+      .select(
+        argmaxCid(col("cv"), idx.centroids).alias("cid"),
+        col("neighbor_id"),
+        pqEncodeCol(col("cv"), idx.codebooks).alias("codes"),
+        col("cv"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
     val centRows = spark.read.parquet(s"$path/centroids").collect()
     val head = centRows.head

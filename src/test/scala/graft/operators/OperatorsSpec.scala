@@ -547,4 +547,52 @@ class OperatorsSpec extends AnyFunSuite {
       .select("jaccard").head.getDouble(0)
     assert(jac < 0.5, s"the pair must be invisible to symmetric Jaccard, J=$jac")
   }
+
+  test("appendIvfPq adds vectors without retraining: batch-split invariant, old results stable") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 16).map(j => Similarity.planeComponent(seed, j).toFloat)
+    val corpusA = (1 to 100).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val batchB = (201 to 240).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val work = java.nio.file.Files.createTempDirectory("graft_ivfpq_add_").toString
+    try {
+      val index = Similarity.buildIvfPq(corpusA, dim = 16, nlist = 8, m = 4, ksub = 8)
+      Similarity.saveIvfPq(index, s"$work/one")
+      Similarity.saveIvfPq(index, s"$work/two")
+      val queries = (301 to 310).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      val before = Similarity.ivfPqQuery(
+          Similarity.loadIvfPq(spark, s"$work/one"), queries, k = 3, nprobe = 8, rerank = 140)
+        .collect().map(_.toString).sorted.toSeq
+
+      // one-shot append vs the same batch split in two: identical indexes
+      Similarity.appendIvfPq(spark, s"$work/one", batchB)
+      Similarity.appendIvfPq(spark, s"$work/two", batchB.filter($"vec_id" < 221L))
+      Similarity.appendIvfPq(spark, s"$work/two", batchB.filter($"vec_id" >= 221L))
+      def results(p: String) = Similarity.ivfPqQuery(
+          Similarity.loadIvfPq(spark, p), queries, k = 3, nprobe = 8, rerank = 140)
+        .collect().map(_.toString).sorted.toSeq
+      val one = results(s"$work/one")
+      assert(one == results(s"$work/two"), "append must be batch-split invariant")
+
+      // an appended vector is findable: query a near-copy of a B vector
+      val probe = Seq((9001L, vec(230))).toDF("vec_id", "embedding")
+      val top = Similarity.ivfPqQuery(
+          Similarity.loadIvfPq(spark, s"$work/one"), probe, k = 1, nprobe = 8, rerank = 20)
+        .head
+      assert(top.getAs[Long]("neighbor_id") == 230L,
+        s"self-match must surface the appended vector, got $top")
+
+      // probing every cell (nprobe = nlist = 8) makes results depend only on the
+      // exact-rerank shortlist, so old queries change ONLY where an appended
+      // vector genuinely out-ranks an old neighbor — verify against brute force
+      // rerank=140 >= |corpus| makes the shortlist the whole probed set, so the
+      // exact-rerank IS brute force — equality is deterministic, not a recall bet
+      val exact = Similarity.bruteForceTopK(queries, corpusA.union(batchB), k = 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .collect().map(_.toString).sorted.toSeq
+      assert(one == exact,
+        s"full-probe appended index must equal brute force:\n$one\nvs\n$exact")
+      assert(before != one, "sanity: the append did change some neighbor lists")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(work))
+  }
 }
