@@ -37,6 +37,19 @@ object StreamingCorpusSink {
     * lifetime, and re-listing it every trigger would make batch latency grow with
     * stream age. Periodic manifest compaction is a table-format concern, not this
     * sink's.
+    *
+    * EXACTLY-ONCE under crash-restart, not just at-least-once: a replayed batch
+    * (same `batchId`, same rows — Structured Streaming's contract after an
+    * unclean stop) is idempotent end to end. Packing is deterministic given the
+    * recovered offsets, so a retry targets the SAME `(bucket, pack_ix)`
+    * partitions, and the data write uses dynamic partition OVERWRITE — the retry
+    * replaces its own partial output instead of appending duplicates, while
+    * partitions owned by other batches (always disjoint pack ranges) are
+    * untouched. The manifest side: restart recovery first PURGES manifest files
+    * holding rows of batches ≥ the replayed one (each batch writes exactly one
+    * manifest file, so this is a file-level drop of uncommitted leftovers), then
+    * derives offsets from batches strictly below it — the replay sees exactly
+    * the pre-crash state.
     */
   def shardSinkStream(
       docs: DataFrame, dataDir: String, manifestDir: String, checkpointDir: String,
@@ -50,10 +63,24 @@ object StreamingCorpusSink {
       override def apply(batch: Dataset[Row], batchId: Long): Unit = {
         val spark = batch.sparkSession
         val offMap: Map[Long, Long] = nextPack.getOrElse {
-          try spark.read.parquet(manifestDir)
-            .groupBy(col("bucket")).agg((max(col("pack_ix")) + 1).alias("off"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
+          try {
+            // Restart recovery: drop manifest files left by an uncommitted run
+            // of THIS (or a later) batch, so the replay starts from the exact
+            // pre-crash manifest. Per-file min(batch_id) suffices: every batch
+            // writes one single-batch file.
+            val stale = spark.read.parquet(manifestDir)
+              .withColumn("__f", input_file_name())
+              .groupBy(col("__f")).agg(min(col("batch_id")).alias("mn"))
+              .collect().filter(_.getAs[Long]("mn") >= batchId)
+            stale.foreach { r =>
+              val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+            }
+            spark.read.parquet(manifestDir)
+              .filter(col("batch_id") < batchId)
+              .groupBy(col("bucket")).agg((max(col("pack_ix")) + 1).alias("off"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          } catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
         }
         val fresh = CorpusSink.assignShards(
           batch.toDF(), textCol, idCol, budget, buckets)
@@ -67,8 +94,13 @@ object StreamingCorpusSink {
         // the batch-sized frame spill-safely so packing runs once
         val p = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         try {
+          // dynamic overwrite: a batch owns its (bucket, pack_ix) partitions —
+          // a replay replaces them; other batches' packs are disjoint by the
+          // offset arithmetic and never touched
           p.repartition(col("bucket"), col("pack_ix"))
-            .write.mode("append").partitionBy("bucket", "pack_ix").parquet(dataDir)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "pack_ix").parquet(dataDir)
           val manifestDf = CorpusSink.shardManifest(p, idCol)
             .withColumn("batch_id", lit(batchId))
           // |shards-this-batch| rows: tiny — collect once to feed BOTH the manifest

@@ -73,6 +73,51 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
     assert(after.map(_.toString).sorted == before.map(_.toString).sorted)
   }
 
+  test("shard sink replays a crashed batch exactly once (no duplicate data or manifest)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Files.createTempDirectory("streamretry").toString
+    val (dataDir, manifestDir, ckpt) = (s"$base/data", s"$base/manifest", s"$base/ckpt")
+
+    val src = MemoryStream[Doc]
+    val q1 = StreamingCorpusSink.shardSinkStream(
+      src.toDF(), dataDir, manifestDir, ckpt, budget = 48, buckets = 4)
+    src.addData((1 to 40).map(doc): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val committed = spark.read.parquet(dataDir).count()
+    assert(committed == 40)
+
+    // Simulate a crash AFTER the batch's writes but BEFORE the checkpoint
+    // commit: delete the commit marker so a restart replays batch 0 against
+    // output that already exists — the at-least-once trap this sink closes.
+    val commit0 = new java.io.File(s"$ckpt/commits/0")
+    assert(commit0.exists, "test setup: commit marker for batch 0 must exist")
+    assert(commit0.delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete() // local-FS checksum sidecar
+
+    val q2 = StreamingCorpusSink.shardSinkStream(
+      src.toDF(), dataDir, manifestDir, ckpt, budget = 48, buckets = 4)
+    q2.processAllAvailable() // replays batch 0
+    src.addData((41 to 70).map(doc): _*)
+    q2.processAllAvailable() // batch 1 continues numbering
+    q2.stop()
+
+    val back = spark.read.parquet(dataDir)
+    assert(back.count() == 70, "replay must not duplicate data rows")
+    assert(back.select("doc_id").distinct().count() == 70)
+    val manifest = spark.read.parquet(manifestDir)
+    assert(manifest.count() == manifest.distinct().count(),
+      "replay must not duplicate manifest rows")
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) == 70)
+    // manifest still accounts exactly for the shards on disk
+    val diskShards = back.select("bucket", "pack_ix").distinct().count()
+    assert(manifest.select("bucket", "pack_ix").distinct().count() == diskShards)
+    assert(manifest.count() == diskShards)
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
+  }
+
   final case class Reading(sensor_id: Long, v: Long)
 
   test("indexed sink stream maintains the min/max index across micro-batches") {
