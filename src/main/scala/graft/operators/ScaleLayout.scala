@@ -84,7 +84,7 @@ object ScaleLayout {
     * partitionBy dirs), so the index survives table relocation/rename: part-file
     * names embed a write-unique UUID.
     */
-  private def fileBasename: Column =
+  private[graft] def fileBasename: Column =
     regexp_extract(input_file_name(), "[^/]+$", 0)
 
   /** Write `df` as parquet plus a per-file min/max index of `statCols` (numeric
@@ -94,16 +94,24 @@ object ScaleLayout {
     * size is one row per data file (a 100 TB table at 1 GB files is a 10^5-row
     * index, itself pruned-readable).
     */
-  def writeIndexed(df: DataFrame, path: String, statCols: Seq[String]): Unit = {
+  def writeIndexed(df: DataFrame, path: String, statCols: Seq[String]): Unit =
+    writeIndexed(df, path, statCols, Nil)
+
+  /** `indexExtra` appends literal columns to every index row (e.g. a stream's
+    * `batch_id` commit tag); pruning ignores them.
+    */
+  def writeIndexed(df: DataFrame, path: String, statCols: Seq[String],
+      indexExtra: Seq[(String, Column)]): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
     val spark = df.sparkSession
     val aggs = statCols.flatMap { c =>
       Seq(min(col(c).cast("double")).alias(s"min_$c"),
         max(col(c).cast("double")).alias(s"max_$c"))
     }
-    spark.read.parquet(path)
-      .groupBy(fileBasename.alias("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    indexExtra.foldLeft(
+      spark.read.parquet(path)
+        .groupBy(fileBasename.alias("file"))
+        .agg(aggs.head, aggs.tail: _*)) { case (d, (n, c)) => d.withColumn(n, c) }
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index")
   }
 
@@ -114,7 +122,11 @@ object ScaleLayout {
     * table costs the batch, never a table rescan. Existing files are immutable
     * (parquet append writes new files), so their index rows stay valid.
     */
-  def appendIndexed(df: DataFrame, path: String, statCols: Seq[String]): Unit = {
+  def appendIndexed(df: DataFrame, path: String, statCols: Seq[String]): Unit =
+    appendIndexed(df, path, statCols, Nil)
+
+  def appendIndexed(df: DataFrame, path: String, statCols: Seq[String],
+      indexExtra: Seq[(String, Column)]): Unit = {
     val spark = df.sparkSession
     val known = spark.read.parquet(s"$path/_graft_index")
       .select("file").collect().map(_.getString(0)).toSet
@@ -138,9 +150,10 @@ object ScaleLayout {
       Seq(min(col(c).cast("double")).alias(s"min_$c"),
         max(col(c).cast("double")).alias(s"max_$c"))
     }
-    spark.read.parquet(newFiles: _*)
-      .groupBy(fileBasename.alias("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    indexExtra.foldLeft(
+      spark.read.parquet(newFiles: _*)
+        .groupBy(fileBasename.alias("file"))
+        .agg(aggs.head, aggs.tail: _*)) { case (d, (n, c)) => d.withColumn(n, c) }
       .write.mode(SaveMode.Append).parquet(s"$path/_graft_index")
   }
 

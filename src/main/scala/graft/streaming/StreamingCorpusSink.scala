@@ -129,32 +129,79 @@ object StreamingCorpusSink {
     * micro-batch): batch 0 creates table + index, every later batch appends and
     * extends the index by scanning ONLY its own files
     * ([[graft.operators.ScaleLayout.appendIndexed]]'s file-level diff). Readers
-    * prune with [[graft.operators.ScaleLayout.readPruned]] at any time — the
-    * index is eventually consistent with the data (a crash between data append
-    * and index append leaves unindexed files; the next batch's diff picks them
-    * up, so the gap heals rather than accumulates). Each batch is range-sorted
-    * on `statCols` so per-file envelopes stay tight — the streaming analogue of
-    * the z-order layout's within-file locality. Data appends are at-least-once
-    * on failure/retry, the same caveat as [[shardSinkStream]].
+    * prune with [[graft.operators.ScaleLayout.readPruned]] at any time. Each
+    * batch is range-sorted on `statCols` so per-file envelopes stay tight — the
+    * streaming analogue of the z-order layout's within-file locality.
+    *
+    * EXACTLY-ONCE under crash-restart, with the INDEX as the commit point:
+    * every index row carries its `batch_id`, and a restarted query's first
+    * batch recovers before writing — index files holding rows of batches ≥ the
+    * replayed one are purged (uncommitted leftovers; each batch's index append
+    * is its own file set), then any data file absent from the surviving index
+    * is deleted (the crash window between data append and index append). The
+    * replay then re-appends cleanly: no duplicate rows in data or index.
+    * Readers that must never observe an in-flight batch read via the index
+    * (`readPruned`); a plain directory read can see (only) the current batch's
+    * not-yet-committed files.
     */
   def indexedSinkStream(
       rows: DataFrame, dataDir: String, checkpointDir: String,
       statCols: Seq[String], batchPartitions: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.ScaleLayout
-    rows.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+    val step = new ((Dataset[Row], Long) => Unit) with Serializable {
+      private var recovered = false
+
+      private def recover(
+          spark: org.apache.spark.sql.SparkSession, batchId: Long): Unit = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val idxPath = new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")
+        val fs = idxPath.getFileSystem(conf)
+        if (!fs.exists(idxPath)) return
+        // 1. purge index files from batches the checkpoint never committed
+        try spark.read.parquet(idxPath.toString)
+          .withColumn("__f", input_file_name())
+          .groupBy(col("__f")).agg(min(col("batch_id")).alias("mn"))
+          .collect()
+          .filter(_.getAs[Long]("mn") >= batchId)
+          .foreach { r =>
+            val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+            p.getFileSystem(conf).delete(p, false)
+          }
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // empty index dir
+        // 2. delete data files the surviving index does not reference — the
+        // crash window between data append and index append
+        val live =
+          try spark.read.parquet(idxPath.toString)
+            .select("file").collect().map(_.getString(0)).toSet
+          catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
+        val dPath = new org.apache.hadoop.fs.Path(dataDir)
+        dPath.getFileSystem(conf).listStatus(dPath).foreach { st =>
+          val n = st.getPath.getName
+          if (n.endsWith(".parquet") && !n.startsWith("_") && !live.contains(n))
+            st.getPath.getFileSystem(conf).delete(st.getPath, false)
+        }
+        if (live.isEmpty) fs.delete(idxPath, true) // all batches purged: restart fresh
+      }
+
+      override def apply(batch: Dataset[Row], batchId: Long): Unit = {
+        val spark = batch.sparkSession
+        if (!recovered) { recover(spark, batchId); recovered = true }
         val ranged = if (batchPartitions > 0)
           batch.toDF().repartitionByRange(batchPartitions, statCols.map(col): _*)
         else batch.toDF()
         val sorted = ranged.sortWithinPartitions(statCols.map(col): _*)
+        val tag = Seq("batch_id" -> lit(batchId))
         if (new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")
-            .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")))
-          ScaleLayout.appendIndexed(sorted, dataDir, statCols)
-        else ScaleLayout.writeIndexed(sorted, dataDir, statCols)
+          ScaleLayout.appendIndexed(sorted, dataDir, statCols, tag)
+        else ScaleLayout.writeIndexed(sorted, dataDir, statCols, tag)
       }
+    }
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[Row], id: Long) => step(b, id))
       .start()
   }
 }

@@ -146,12 +146,59 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
     assert(newEra.count() == 500)
     val (k2, tot2) = ScaleLayout.lastPrune
     assert(k2 < tot2, s"new-era read must prune batch-1 files ($k2/$tot2)")
-    // the index covers every data file (eventually-consistent invariant holds
-    // after a clean run)
+    // the index covers every data file (the commit-point invariant)
     val indexed = spark.read.parquet(s"$base/t/_graft_index").count()
     val onDisk = new java.io.File(s"$base/t")
       .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
     assert(indexed == onDisk, s"index rows $indexed vs files $onDisk")
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
+  }
+
+  test("indexed sink replays a crashed batch exactly once (index is the commit point)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Files.createTempDirectory("streamidxretry").toString
+    val src = MemoryStream[Reading]
+    val q1 = StreamingCorpusSink.indexedSinkStream(
+      src.toDF(), s"$base/t", s"$base/ckpt", Seq("v"), batchPartitions = 2)
+    src.addData((0L until 500L).map(i => Reading(i, i)): _*)
+    q1.processAllAvailable()
+    src.addData((5000L until 5500L).map(i => Reading(i, i)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(s"$base/t").count() == 1000)
+
+    // Crash after batch 1's writes, before its checkpoint commit; also plant an
+    // orphan data file (the data-written-index-not window) the recovery must drop.
+    assert(new java.io.File(s"$base/ckpt/commits/1").delete())
+    new java.io.File(s"$base/ckpt/commits/.1.crc").delete()
+    val orphanSrc = new java.io.File(s"$base/t")
+      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).head
+    val orphan = new java.io.File(s"$base/t/part-orphan-deadbeef.snappy.parquet")
+    java.nio.file.Files.copy(orphanSrc.toPath, orphan.toPath)
+
+    val q2 = StreamingCorpusSink.indexedSinkStream(
+      src.toDF(), s"$base/t", s"$base/ckpt", Seq("v"), batchPartitions = 2)
+    q2.processAllAvailable() // replays batch 1
+    src.addData((9000L until 9100L).map(i => Reading(i, i)): _*)
+    q2.processAllAvailable() // batch 2
+    q2.stop()
+
+    assert(!orphan.exists, "recovery must drop the unindexed orphan file")
+    assert(spark.read.parquet(s"$base/t").count() == 1100,
+      "replay must not duplicate data rows")
+    val idx = spark.read.parquet(s"$base/t/_graft_index")
+    assert(idx.select("file").distinct().count() == idx.count())
+    val onDisk = new java.io.File(s"$base/t")
+      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
+    assert(idx.count() == onDisk, "index rows must match files after replay")
+    // era pruning still exact across original, replayed, and new batches
+    import graft.operators.ScaleLayout
+    assert(ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (5000.0, 5499.0)))
+      .count() == 500)
+    assert(ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (9000.0, 9099.0)))
+      .count() == 100)
     graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
   }
 }
