@@ -160,9 +160,15 @@ object EventStreams {
     * `indexDir`. Cross-document similarity joins cannot run inside a streaming
     * plan (no watermark bound exists for "similar to anything ever seen"), so the
     * batch operator IS the streaming operator here — `foreachBatch` is Spark's
-    * designated escape hatch for exactly this shape. The parquet appends are
-    * at-least-once on failure/retry; a transactional table format slots in at the
-    * two `write` calls for exactly-once.
+    * designated escape hatch for exactly this shape.
+    *
+    * EXACTLY-ONCE under crash-restart via the [[ExactlyOnce]] protocol: output
+    * and index rows carry their `batch_id`, and a restarted query's first batch
+    * purges the files of uncommitted batches from BOTH directories before
+    * re-running. This matters more here than for a plain append sink: replaying
+    * a batch against an index polluted with the crashed attempt's own rows
+    * would drop every replayed doc as a near-dup of itself — silent data loss,
+    * not just duplication.
     */
   def curateNearDupStream(
       docs: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
@@ -170,21 +176,31 @@ object EventStreams {
       n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Curation
-    val step = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
-      val spark = batch.sparkSession
-      val index =
-        try spark.read.parquet(indexDir)
-        catch { case _: org.apache.spark.sql.AnalysisException =>
-          Curation.emptyNearDupIndex(spark) }
-      val (survivors, indexRows) = Curation.incrementalNearDedup(
-        batch, index, textCol, idCol, n, k, bands, threshold)
-      survivors.write.mode("append").parquet(outDir)
-      indexRows.write.mode("append").parquet(indexDir)
-      ()
+    val step = new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) with Serializable {
+      private var recovered = false
+
+      override def apply(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+        val spark = batch.sparkSession
+        if (!recovered) {
+          ExactlyOnce.purge(spark, outDir, batchId)
+          ExactlyOnce.purge(spark, indexDir, batchId)
+          recovered = true
+        }
+        val index =
+          try spark.read.parquet(indexDir).drop("batch_id")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Curation.emptyNearDupIndex(spark) }
+        val (survivors, indexRows) = Curation.incrementalNearDedup(
+          batch, index, textCol, idCol, n, k, bands, threshold)
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        indexRows.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(indexDir)
+      }
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) => step(b, id))
       .start()
   }
 
@@ -208,25 +224,38 @@ object EventStreams {
       sigFn: DataFrame => DataFrame = graft.operators.Multimodal.perceptualHash(_, "doc_id"),
       maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    val step = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
-      val spark = batch.sparkSession
-      val index =
-        try spark.read.parquet(indexDir)
-        catch { case _: org.apache.spark.sql.AnalysisException =>
-          Dedup.emptyHammingIndex(spark) }
-      val sigs = sigFn(batch)
-      val surviving = Dedup.incrementalHammingDedup(sigs, index, 64, maxHamming)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        batch.join(surviving.select(col("id").alias(idCol)), Seq(idCol), "left_semi")
-          .write.mode("append").parquet(outDir)
-        surviving.write.mode("append").parquet(indexDir)
-      } finally surviving.unpersist()
-      ()
+    val step = new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) with Serializable {
+      private var recovered = false
+
+      override def apply(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+        val spark = batch.sparkSession
+        if (!recovered) {
+          // ExactlyOnce protocol (see curateNearDupStream): replaying against
+          // an index holding the crashed attempt's own signatures would drop
+          // every replayed item as its own near-dup
+          ExactlyOnce.purge(spark, outDir, batchId)
+          ExactlyOnce.purge(spark, indexDir, batchId)
+          recovered = true
+        }
+        val index =
+          try spark.read.parquet(indexDir).drop("batch_id")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Dedup.emptyHammingIndex(spark) }
+        val sigs = sigFn(batch)
+        val surviving = Dedup.incrementalHammingDedup(sigs, index, 64, maxHamming)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          batch.join(surviving.select(col("id").alias(idCol)), Seq(idCol), "left_semi")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          surviving.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(indexDir)
+        } finally surviving.unpersist()
+      }
     }
     media.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(step)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) => step(b, id))
       .start()
   }
 

@@ -88,7 +88,41 @@ class EventStreamsSpec extends AnyFunSuite {
     // the index holds exactly the survivors' band/set rows
     val idx = spark.read.parquet(s"$tmp/index")
     assert(idx.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
-    assert(idx.columns.toSet == Set("id", "bands", "s"))
+    assert(idx.columns.toSet == Set("id", "bands", "s", "batch_id"))
+  }
+
+  test("near-dup curation replays a crashed batch without self-dup data loss") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_retry_").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val fresh = "completely different content about databases and distributed " +
+      "query engines running at massive scale"
+    val src = MemoryStream[Doc]
+    val q1 = EventStreams.curateNearDupStream(src.toDF(),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", threshold = 0.5)
+    src.addData(Doc(1, ts("2024-01-01 10:00:00"), base),
+      Doc(2, ts("2024-01-01 10:01:00"), fresh))
+    q1.processAllAvailable()
+    q1.stop()
+    // Crash after batch 0's out+index appends, before the checkpoint commit.
+    // Without recovery, the replay would find docs 1 and 2 IN THE INDEX and
+    // drop both — zero survivors, silent data loss.
+    assert(new java.io.File(s"$tmp/ckpt/commits/0").delete())
+    new java.io.File(s"$tmp/ckpt/commits/.0.crc").delete()
+    val q2 = EventStreams.curateNearDupStream(src.toDF(),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", threshold = 0.5)
+    q2.processAllAvailable() // replays batch 0 against the purged (empty) index
+    src.addData(Doc(3, ts("2024-01-01 11:00:00"), base.replace("today", "tonight")))
+    q2.processAllAvailable() // near-dups indexed doc 1 -> dropped
+    q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "replay must keep batch 0's survivors exactly once")
+    assert(out.count() == 2, "no duplicate rows after replay")
+    val idx = spark.read.parquet(s"$tmp/index")
+    assert(idx.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
   test("streaming media near-dup: perceptual index accumulates across batches") {
@@ -115,7 +149,7 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 5L), s"got $kept")
     val idx = spark.read.parquet(s"$tmp/index")
     assert(idx.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 5L))
-    assert(idx.columns.toSet == Set("id", "simhash"))
+    assert(idx.columns.toSet == Set("id", "simhash", "batch_id"))
   }
 
   test("hourly rollup closes windows once the watermark passes") {
