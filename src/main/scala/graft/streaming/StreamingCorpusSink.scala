@@ -21,9 +21,9 @@ import graft.sinks.CorpusSink
   *
   * Scale shape: the manifest read collapses to |buckets| offset rows (broadcast);
   * packing is the bucketed cumulative-sum window; the data write is one shuffle
-  * sized by the batch. Parquet appends are at-least-once on failure/retry — same
-  * caveat as [[EventStreams.curateNearDupStream]]; a transactional table format
-  * slots in at the two `write` calls for exactly-once.
+  * sized by the batch. Both sinks here (and the near-dup streams) are
+  * EXACTLY-ONCE under crash-restart via the [[ExactlyOnce]] protocol — see each
+  * method's scaladoc for its commit point.
   */
 object StreamingCorpusSink {
 
@@ -63,24 +63,15 @@ object StreamingCorpusSink {
       override def apply(batch: Dataset[Row], batchId: Long): Unit = {
         val spark = batch.sparkSession
         val offMap: Map[Long, Long] = nextPack.getOrElse {
-          try {
-            // Restart recovery: drop manifest files left by an uncommitted run
-            // of THIS (or a later) batch, so the replay starts from the exact
-            // pre-crash manifest. Per-file min(batch_id) suffices: every batch
-            // writes one single-batch file.
-            val stale = spark.read.parquet(manifestDir)
-              .withColumn("__f", input_file_name())
-              .groupBy(col("__f")).agg(min(col("batch_id")).alias("mn"))
-              .collect().filter(_.getAs[Long]("mn") >= batchId)
-            stale.foreach { r =>
-              val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
-              p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
-            }
-            spark.read.parquet(manifestDir)
-              .filter(col("batch_id") < batchId)
-              .groupBy(col("bucket")).agg((max(col("pack_ix")) + 1).alias("off"))
-              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          } catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
+          // Restart recovery: drop manifest files left by an uncommitted run of
+          // THIS (or a later) batch (ExactlyOnce protocol), so the replay
+          // derives offsets from the exact pre-crash manifest.
+          ExactlyOnce.purge(spark, manifestDir, batchId)
+          try spark.read.parquet(manifestDir)
+            .filter(col("batch_id") < batchId)
+            .groupBy(col("bucket")).agg((max(col("pack_ix")) + 1).alias("off"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
         }
         val fresh = CorpusSink.assignShards(
           batch.toDF(), textCol, idCol, budget, buckets)
@@ -159,16 +150,7 @@ object StreamingCorpusSink {
         val fs = idxPath.getFileSystem(conf)
         if (!fs.exists(idxPath)) return
         // 1. purge index files from batches the checkpoint never committed
-        try spark.read.parquet(idxPath.toString)
-          .withColumn("__f", input_file_name())
-          .groupBy(col("__f")).agg(min(col("batch_id")).alias("mn"))
-          .collect()
-          .filter(_.getAs[Long]("mn") >= batchId)
-          .foreach { r =>
-            val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
-            p.getFileSystem(conf).delete(p, false)
-          }
-        catch { case _: org.apache.spark.sql.AnalysisException => () } // empty index dir
+        ExactlyOnce.purge(spark, idxPath.toString, batchId)
         // 2. delete data files the surviving index does not reference — the
         // crash window between data append and index append
         val live =
