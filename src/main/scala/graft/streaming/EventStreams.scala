@@ -299,7 +299,9 @@ object EventStreams {
     * codebooks) load once at stream start and are fixed for the stream's
     * lifetime — retraining them requires a restart; the ENCODED CORPUS is
     * re-resolved from `indexDir/codes` on every batch, so a corpus
-    * re-encoded under the same quantizers is picked up live. Every batch is
+    * re-encoded under the same quantizers — or grown live with
+    * [[graft.operators.Similarity.appendIvfPq]] — is picked up between
+    * batches without a restart. Every batch is
     * a stateless [[graft.operators.Similarity.ivfPqQuery]] — per-batch cost
     * tracks the batch (queries broadcast over the codes scan), nothing
     * accumulates — and results land in a PER-BATCH directory
