@@ -84,7 +84,7 @@ object ScaleLayout {
     * partitionBy dirs), so the index survives table relocation/rename: part-file
     * names embed a write-unique UUID.
     */
-  private[graft] def fileBasename: Column =
+  private def fileBasename: Column =
     regexp_extract(input_file_name(), "[^/]+$", 0)
 
   /** Write `df` as parquet plus a per-file min/max index of `statCols` (numeric

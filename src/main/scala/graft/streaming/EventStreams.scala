@@ -182,19 +182,21 @@ object EventStreams {
       override def apply(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
         val spark = batch.sparkSession
         if (!recovered) {
-          ExactlyOnce.purge(spark, outDir, batchId)
-          ExactlyOnce.purge(spark, indexDir, batchId)
+          val ckptId = ExactlyOnce.checkpointId(spark, checkpointDir)
+          ExactlyOnce.purge(spark, outDir, ckptId, batchId)
+          ExactlyOnce.purge(spark, indexDir, ckptId, batchId)
           recovered = true
         }
         val index =
-          try spark.read.parquet(indexDir).drop("batch_id")
+          try spark.read.parquet(indexDir).drop("batch_id", "ckpt_id")
           catch { case _: org.apache.spark.sql.AnalysisException =>
             Curation.emptyNearDupIndex(spark) }
         val (survivors, indexRows) = Curation.incrementalNearDedup(
           batch, index, textCol, idCol, n, k, bands, threshold)
-        survivors.withColumn("batch_id", lit(batchId))
+        val ck = ExactlyOnce.checkpointId(spark, checkpointDir)
+        ExactlyOnce.tag(survivors, ck, batchId)
           .write.mode("append").parquet(outDir)
-        indexRows.withColumn("batch_id", lit(batchId))
+        ExactlyOnce.tag(indexRows, ck, batchId)
           .write.mode("append").parquet(indexDir)
       }
     }
@@ -233,22 +235,25 @@ object EventStreams {
           // ExactlyOnce protocol (see curateNearDupStream): replaying against
           // an index holding the crashed attempt's own signatures would drop
           // every replayed item as its own near-dup
-          ExactlyOnce.purge(spark, outDir, batchId)
-          ExactlyOnce.purge(spark, indexDir, batchId)
+          val ckptId = ExactlyOnce.checkpointId(spark, checkpointDir)
+          ExactlyOnce.purge(spark, outDir, ckptId, batchId)
+          ExactlyOnce.purge(spark, indexDir, ckptId, batchId)
           recovered = true
         }
         val index =
-          try spark.read.parquet(indexDir).drop("batch_id")
+          try spark.read.parquet(indexDir).drop("batch_id", "ckpt_id")
           catch { case _: org.apache.spark.sql.AnalysisException =>
             Dedup.emptyHammingIndex(spark) }
         val sigs = sigFn(batch)
         val surviving = Dedup.incrementalHammingDedup(sigs, index, 64, maxHamming)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          batch.join(surviving.select(col("id").alias(idCol)), Seq(idCol), "left_semi")
-            .withColumn("batch_id", lit(batchId))
+          val ck = ExactlyOnce.checkpointId(spark, checkpointDir)
+          ExactlyOnce.tag(
+              batch.join(surviving.select(col("id").alias(idCol)), Seq(idCol), "left_semi"),
+              ck, batchId)
             .write.mode("append").parquet(outDir)
-          surviving.withColumn("batch_id", lit(batchId))
+          ExactlyOnce.tag(surviving, ck, batchId)
             .write.mode("append").parquet(indexDir)
         } finally surviving.unpersist()
       }

@@ -1,41 +1,82 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Crash-replay idempotence for `foreachBatch` parquet appends.
   *
-  * Protocol: every append tags its rows with the writing batch's id; on restart
-  * the query's FIRST batch calls [[purge]] on each appended directory before
-  * writing anything. Files whose rows all belong to batches ≥ the replayed one
-  * are uncommitted leftovers of the crashed attempt (per-file `min(batch_id)`
-  * decides — each batch's append writes whole files) and are deleted, so the
-  * replay sees the exact pre-crash state. This removes both the at-least-once
-  * duplicate rows AND the subtler failure of dedup-against-index operators:
-  * replaying a batch against an index polluted by the crashed attempt's own
-  * rows would drop every replayed row as a "duplicate" — silent data loss, not
-  * just duplication.
+  * Protocol: every append tags its rows with the writing incarnation's
+  * CHECKPOINT ID and the batch id; on restart the query's first batch calls
+  * [[purge]] on each appended directory before writing. A file is an
+  * uncommitted leftover — and deleted — only when BOTH hold: it was written by
+  * THIS checkpoint's incarnation (same `ckpt_id`) and its batch was never
+  * committed (`batch_id >=` the replayed one). Scoping by checkpoint id is what
+  * makes the protocol safe across incarnations: Structured Streaming batch ids
+  * restart at 0 per checkpoint, so a bare `batch_id >= 0` rule would judge an
+  * ENTIRE committed table "uncommitted" the moment a new query with a fresh
+  * checkpoint pointed at it (the continuation pattern every sink here
+  * documents). Files from other incarnations — and pre-protocol files with no
+  * tags at all — never match and are never purged.
+  *
+  * Closing the replay gap matters twice over: it removes at-least-once
+  * duplicate rows, and for dedup-against-index operators it removes the worse
+  * failure of replaying against an index polluted by the crashed attempt's own
+  * rows — which would drop every replayed doc as a "duplicate" (silent data
+  * loss, not duplication).
   */
 private[streaming] object ExactlyOnce {
 
-  /** Delete files under `dir` owned by batches ≥ `batchId`. Tolerates a missing
-    * directory, an empty directory, and rows without a `batch_id` column
-    * (pre-protocol data is never purged). The listing is one Spark job over the
-    * directory; deletions are file-granular.
+  /** The tag columns appended to every protocol write. */
+  def tag(df: DataFrame, ckptId: Option[String], batchId: Long): DataFrame =
+    df.withColumn("batch_id", lit(batchId))
+      .withColumn("ckpt_id", lit(ckptId.orNull).cast(StringType))
+
+  /** The checkpoint's stable query id (`<ckpt>/metadata`, written at first
+    * start — so it exists by the time any foreachBatch body runs). A FRESH
+    * checkpoint gets a fresh id, which is exactly the incarnation boundary the
+    * purge rule needs. None (missing/unreadable metadata) disables purging —
+    * fail safe, never destructive.
     */
-  def purge(spark: SparkSession, dir: String, batchId: Long): Unit = {
+  def checkpointId(spark: SparkSession, checkpointDir: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toString("UTF-8")
+        } finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      }
+    } catch { case _: Exception => None }
+
+  /** Delete files under `dir` owned by uncommitted batches of THIS checkpoint
+    * incarnation. Reads with an EXPLICIT two-column schema, so files lacking
+    * the tag columns (pre-protocol data, foreign writers) surface as nulls and
+    * fail the filter instead of poisoning schema inference into a silent
+    * no-op; the equality+range filter pushes down to parquet row-group stats,
+    * so committed files are skipped on footer metadata alone — recovery cost
+    * tracks the crashed tail, not the table.
+    */
+  def purge(spark: SparkSession, dir: String, ckptId: Option[String], batchId: Long): Unit = {
+    val id = ckptId.getOrElse(return)
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(conf)
-    if (!fs.exists(path)) return
+    if (!path.getFileSystem(conf).exists(path)) return
+    val tagSchema = StructType(Seq(
+      StructField("batch_id", LongType), StructField("ckpt_id", StringType)))
     val stale =
-      try spark.read.parquet(dir)
-        .withColumn("__f", input_file_name())
-        .groupBy(col("__f")).agg(min(col("batch_id")).alias("mn"))
-        .collect().filter(_.getAs[Long]("mn") >= batchId)
-      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[org.apache.spark.sql.Row] }
-    stale.foreach { r =>
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+      try spark.read.schema(tagSchema).parquet(dir)
+        .filter(col("ckpt_id") === lit(id) && col("batch_id") >= lit(batchId))
+        .select(input_file_name().alias("__f")).distinct()
+        .collect().map(_.getString(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[String] }
+    stale.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
       p.getFileSystem(conf).delete(p, false)
     }
   }

@@ -46,10 +46,11 @@ object StreamingCorpusSink {
     * replaces its own partial output instead of appending duplicates, while
     * partitions owned by other batches (always disjoint pack ranges) are
     * untouched. The manifest side: restart recovery first PURGES manifest files
-    * holding rows of batches ≥ the replayed one (each batch writes exactly one
-    * manifest file, so this is a file-level drop of uncommitted leftovers), then
-    * derives offsets from batches strictly below it — the replay sees exactly
-    * the pre-crash state.
+    * of THIS CHECKPOINT INCARNATION's uncommitted batches (checkpoint-scoped
+    * tags — see [[ExactlyOnce]]; a fresh checkpoint continuing an existing
+    * corpus purges nothing), then derives offsets from the whole surviving
+    * manifest — the replay sees exactly the pre-crash state, and a new
+    * incarnation continues numbering after every committed shard.
     */
   def shardSinkStream(
       docs: DataFrame, dataDir: String, manifestDir: String, checkpointDir: String,
@@ -64,11 +65,14 @@ object StreamingCorpusSink {
         val spark = batch.sparkSession
         val offMap: Map[Long, Long] = nextPack.getOrElse {
           // Restart recovery: drop manifest files left by an uncommitted run of
-          // THIS (or a later) batch (ExactlyOnce protocol), so the replay
-          // derives offsets from the exact pre-crash manifest.
-          ExactlyOnce.purge(spark, manifestDir, batchId)
+          // THIS incarnation (ExactlyOnce protocol — checkpoint-scoped, so a
+          // fresh checkpoint continuing an existing corpus purges nothing),
+          // then derive offsets from the WHOLE surviving manifest: rows from
+          // prior incarnations and pre-protocol rows are committed by
+          // definition, which is exactly the continuation pattern.
+          val ckptId = ExactlyOnce.checkpointId(spark, checkpointDir)
+          ExactlyOnce.purge(spark, manifestDir, ckptId, batchId)
           try spark.read.parquet(manifestDir)
-            .filter(col("batch_id") < batchId)
             .groupBy(col("bucket")).agg((max(col("pack_ix")) + 1).alias("off"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
@@ -92,8 +96,8 @@ object StreamingCorpusSink {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket", "pack_ix").parquet(dataDir)
-          val manifestDf = CorpusSink.shardManifest(p, idCol)
-            .withColumn("batch_id", lit(batchId))
+          val manifestDf = ExactlyOnce.tag(CorpusSink.shardManifest(p, idCol),
+            ExactlyOnce.checkpointId(spark, checkpointDir), batchId)
           // |shards-this-batch| rows: tiny — collect once to feed BOTH the manifest
           // append and the forward-carried offsets without a second packing job
           val manifest = manifestDf.collect()
@@ -125,11 +129,13 @@ object StreamingCorpusSink {
     * streaming analogue of the z-order layout's within-file locality.
     *
     * EXACTLY-ONCE under crash-restart, with the INDEX as the commit point:
-    * every index row carries its `batch_id`, and a restarted query's first
-    * batch recovers before writing — index files holding rows of batches ≥ the
-    * replayed one are purged (uncommitted leftovers; each batch's index append
-    * is its own file set), then any data file absent from the surviving index
-    * is deleted (the crash window between data append and index append). The
+    * every index row carries its checkpoint-scoped batch tag ([[ExactlyOnce]]),
+    * and a restarted query's first batch recovers before writing — index files
+    * of THIS incarnation's uncommitted batches are purged (a fresh checkpoint
+    * over an existing table purges nothing), then any data file absent from
+    * the surviving index is deleted (the crash window between data append and
+    * index append; unindexed files were never committed by ANY incarnation,
+    * so dropping them is safe across restarts and takeovers). The
     * replay then re-appends cleanly: no duplicate rows in data or index.
     * Readers that must never observe an in-flight batch read via the index
     * (`readPruned`); a plain directory read can see (only) the current batch's
@@ -149,8 +155,11 @@ object StreamingCorpusSink {
         val idxPath = new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")
         val fs = idxPath.getFileSystem(conf)
         if (!fs.exists(idxPath)) return
-        // 1. purge index files from batches the checkpoint never committed
-        ExactlyOnce.purge(spark, idxPath.toString, batchId)
+        // 1. purge index files from batches THIS incarnation never committed
+        // (checkpoint-scoped: a fresh checkpoint over an existing table purges
+        // nothing, so step 2 sees every committed file as live)
+        ExactlyOnce.purge(spark, idxPath.toString,
+          ExactlyOnce.checkpointId(spark, checkpointDir), batchId)
         // 2. delete data files the surviving index does not reference — the
         // crash window between data append and index append
         val live =
@@ -173,7 +182,9 @@ object StreamingCorpusSink {
           batch.toDF().repartitionByRange(batchPartitions, statCols.map(col): _*)
         else batch.toDF()
         val sorted = ranged.sortWithinPartitions(statCols.map(col): _*)
-        val tag = Seq("batch_id" -> lit(batchId))
+        val tag = Seq("batch_id" -> lit(batchId),
+          "ckpt_id" -> lit(ExactlyOnce.checkpointId(spark, checkpointDir).orNull)
+            .cast("string"))
         if (new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")))

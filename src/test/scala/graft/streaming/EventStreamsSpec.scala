@@ -88,7 +88,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // the index holds exactly the survivors' band/set rows
     val idx = spark.read.parquet(s"$tmp/index")
     assert(idx.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
-    assert(idx.columns.toSet == Set("id", "bands", "s", "batch_id"))
+    assert(idx.columns.toSet == Set("id", "bands", "s", "batch_id", "ckpt_id"))
   }
 
   test("near-dup curation replays a crashed batch without self-dup data loss") {
@@ -149,7 +149,7 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 5L), s"got $kept")
     val idx = spark.read.parquet(s"$tmp/index")
     assert(idx.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 5L))
-    assert(idx.columns.toSet == Set("id", "simhash", "batch_id"))
+    assert(idx.columns.toSet == Set("id", "simhash", "batch_id", "ckpt_id"))
   }
 
   test("hourly rollup closes windows once the watermark passes") {

@@ -118,6 +118,43 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
     graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
   }
 
+  test("a FRESH checkpoint continuing an existing corpus never purges committed data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Files.createTempDirectory("streamtakeover").toString
+    val (dataDir, manifestDir) = (s"$base/data", s"$base/manifest")
+
+    // Incarnation 1: 40 docs, checkpoint A, clean stop.
+    val src1 = MemoryStream[Doc]
+    val q1 = StreamingCorpusSink.shardSinkStream(
+      src1.toDF(), dataDir, manifestDir, s"$base/ckptA", budget = 48, buckets = 4)
+    src1.addData((1 to 40).map(doc): _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // Incarnation 2: NEW MemoryStream + NEW checkpoint over the same dirs —
+    // its batch ids restart at 0, the exact scenario where an unscoped
+    // "batch_id >= 0" purge rule would delete the whole committed corpus.
+    val src2 = MemoryStream[Doc]
+    val q2 = StreamingCorpusSink.shardSinkStream(
+      src2.toDF(), dataDir, manifestDir, s"$base/ckptB", budget = 48, buckets = 4)
+    src2.addData((41 to 70).map(doc): _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val back = spark.read.parquet(dataDir)
+    assert(back.count() == 70, "takeover must preserve incarnation 1's data")
+    assert(back.select("doc_id").distinct().count() == 70)
+    val manifest = spark.read.parquet(manifestDir)
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) == 70)
+    // pack numbering continues across incarnations per bucket (no overlap)
+    val dupPacks = manifest.groupBy("bucket", "pack_ix").count()
+      .filter(col("count") > 1).count()
+    assert(dupPacks == 0, "incarnation 2 must continue, not reuse, pack numbers")
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
+  }
+
   final case class Reading(sensor_id: Long, v: Long)
 
   test("indexed sink stream maintains the min/max index across micro-batches") {
@@ -199,6 +236,39 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
       .count() == 500)
     assert(ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (9000.0, 9099.0)))
       .count() == 100)
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
+  }
+
+  test("indexed sink: a FRESH checkpoint over an existing table preserves every row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Files.createTempDirectory("streamidxtakeover").toString
+    val src1 = MemoryStream[Reading]
+    val q1 = StreamingCorpusSink.indexedSinkStream(
+      src1.toDF(), s"$base/t", s"$base/ckptA", Seq("v"), batchPartitions = 2)
+    src1.addData((0L until 500L).map(i => Reading(i, i)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // New checkpoint, batch ids restart at 0: recovery must treat incarnation
+    // 1's files as committed (different ckpt_id), not as an uncommitted batch 0.
+    val src2 = MemoryStream[Reading]
+    val q2 = StreamingCorpusSink.indexedSinkStream(
+      src2.toDF(), s"$base/t", s"$base/ckptB", Seq("v"), batchPartitions = 2)
+    src2.addData((5000L until 5500L).map(i => Reading(i, i)): _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(spark.read.parquet(s"$base/t").count() == 1000,
+      "takeover must preserve incarnation 1's rows")
+    val idx = spark.read.parquet(s"$base/t/_graft_index")
+    val onDisk = new java.io.File(s"$base/t")
+      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
+    assert(idx.count() == onDisk)
+    import graft.operators.ScaleLayout
+    assert(ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (0.0, 499.0)))
+      .count() == 500)
     graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
   }
 }
