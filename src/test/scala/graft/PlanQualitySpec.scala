@@ -77,6 +77,33 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.contains("partial_count(distinct l_suppkey"), plan.take(2500))
   }
 
+  test("tpch_q18: HAVING subquery is a broadcast semi join into an all-broadcast top-k") {
+    // the suite's slowest TPC-H query — guard the properties that keep it ~1 s:
+    // the large-order filter decorrelates to a LeftSemi against the aggregated
+    // lineitem (never a shuffled join of two fact-sized sides), every join
+    // broadcasts, the sum(l_quantity) aggregate runs two-phase, and the final
+    // ORDER BY ... LIMIT plans as TakeOrderedAndProject, not a global sort
+    val plan = executedPlan("tpch_q18")
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      plan.take(2500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2500))
+    assert("partial_sum\\([^)]*l_quantity".r.findFirstIn(plan).isDefined,
+      plan.take(2500))
+  }
+
+  test("tpch_q21: EXISTS/NOT EXISTS plan as broadcast semi+anti, no shuffled join") {
+    // three lineitem roles (l1, l2, l3) — the semi (other-supplier receipt) and
+    // anti (no other late supplier) joins must broadcast; a SortMergeJoin here
+    // means a fact×fact shuffle and a 10× regression at scale
+    val plan = executedPlan("tpch_q21")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan.take(2500))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(2500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2500))
+  }
+
   test("m10_model_agg: the semantic-layer view adds no unpruned scan") {
     val plan = executedPlan("m10_model_agg")
     // orders side: aggregation needs o_custkey/o_totalprice only — o_orderpriority
