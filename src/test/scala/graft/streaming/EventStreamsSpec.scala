@@ -125,6 +125,35 @@ class EventStreamsSpec extends AnyFunSuite {
     graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("near-dup curation: a fresh checkpoint inherits the index instead of purging it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_takeover_").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val src1 = MemoryStream[Doc]
+    val q1 = EventStreams.curateNearDupStream(src1.toDF(),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckptA", threshold = 0.5)
+    src1.addData(Doc(1, ts("2024-01-01 10:00:00"), base))
+    q1.processAllAvailable()
+    q1.stop()
+    // New checkpoint, batch ids restart at 0 — the inherited index must survive
+    // recovery, so incarnation 2 still dedups against incarnation 1's docs.
+    val src2 = MemoryStream[Doc]
+    val q2 = EventStreams.curateNearDupStream(src2.toDF(),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckptB", threshold = 0.5)
+    src2.addData(
+      Doc(2, ts("2024-01-01 11:00:00"), base.replace("today", "tonight")), // near-dup of 1
+      Doc(3, ts("2024-01-01 11:01:00"), "completely different content about " +
+        "databases and distributed query engines running at massive scale"))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"takeover must keep doc 1, drop its near-dup 2, keep fresh 3 — got $kept")
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("streaming media near-dup: perceptual index accumulates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
