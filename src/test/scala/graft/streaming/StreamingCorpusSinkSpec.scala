@@ -155,6 +155,49 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
     graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
   }
 
+  test("property: shard sink output is exact under crashes injected after random batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rnd = new scala.util.Random(42) // seeded: failures reproduce exactly
+    val base = Files.createTempDirectory("streamcrashlaw").toString
+    val (dataDir, manifestDir, ckpt) = (s"$base/data", s"$base/manifest", s"$base/ckpt")
+    val src = MemoryStream[Doc]
+    var q = StreamingCorpusSink.shardSinkStream(
+      src.toDF(), dataDir, manifestDir, ckpt, budget = 48, buckets = 4)
+    var crashes = 0
+    val batches = Seq(1 to 15, 16 to 33, 34 to 40, 41 to 62, 63 to 75)
+    for ((ids, k) <- batches.zipWithIndex) {
+      src.addData(ids.map(doc): _*)
+      q.processAllAvailable()
+      if (rnd.nextBoolean()) {
+        // crash: the batch's writes landed but its checkpoint commit did not
+        q.stop()
+        assert(new java.io.File(s"$ckpt/commits/$k").delete())
+        new java.io.File(s"$ckpt/commits/.$k.crc").delete()
+        crashes += 1
+        q = StreamingCorpusSink.shardSinkStream(
+          src.toDF(), dataDir, manifestDir, ckpt, budget = 48, buckets = 4)
+        q.processAllAvailable() // replay batch k
+      }
+    }
+    q.stop()
+    assert(crashes > 0, "seed must inject at least one crash for the law to bite")
+
+    val n = batches.map(_.size).sum
+    val back = spark.read.parquet(dataDir)
+    assert(back.count() == n, s"expected $n rows after $crashes crash-replays")
+    assert(back.select("doc_id").distinct().count() == n)
+    val manifest = spark.read.parquet(manifestDir)
+    assert(manifest.count() == manifest.select("bucket", "pack_ix").distinct().count(),
+      "manifest must hold exactly one row per shard")
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) == n)
+    assert(manifest.select("bucket", "pack_ix").distinct().count() ==
+      back.select("bucket", "pack_ix").distinct().count(),
+      "manifest and disk must agree on the shard set")
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
+  }
+
   final case class Reading(sensor_id: Long, v: Long)
 
   test("indexed sink stream maintains the min/max index across micro-batches") {
