@@ -202,6 +202,21 @@ object Semantic {
   val m24DuckOracle: String =
     """SELECT "c2" AS "mon", "c3" AS "n", "c5" AS "yr" FROM (SELECT * FROM (SELECT "c1" AS "c2", count(*) AS "c3", CAST(max(extract(year FROM "c4")) AS BIGINT) AS "c5" FROM (SELECT "c4" AS "c4", CAST(date_trunc('month', CAST("c4" AS TIMESTAMP)) AS DATE) AS "c1" FROM (SELECT CAST("c6" AS DATE) AS "c4" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c7", "o_custkey" AS "c8", "o_orderstatus" AS "c9", "o_totalprice" AS "c10", "o_orderdate" AS "c6", "o_orderpriority" AS "c11" FROM "orders") "t1" WHERE (("c6" IS NOT NULL) AND ("c6" >= TIMESTAMP '1996-01-01 00:00:00'))) "t2") "t3") "t4" GROUP BY "c1") "t5" ORDER BY "c2" ASC NULLS FIRST) "t_out""""
 
+  /** Source SQL for `m25_unparse_zorder`: the Morton data-skipping kernel
+    * (`zorder_key`, a custom native expression with no DuckDB builtin) travels
+    * through the unparse layer as explicit shift/mask arithmetic — proof the
+    * dialect layer covers the engine's own extensions, not just Spark
+    * builtins. The oracle is the generated text, pinned verbatim
+    * (SqlUnparserSpec), executed by DuckDB and hash-compared against Spark
+    * running the native kernel.
+    */
+  val m25Sql: String =
+    """SELECT o_orderkey, zorder_key(o_orderkey % 256, o_custkey % 256, 8) AS z
+      |FROM m_orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
+  val m25DuckOracle: String =
+    """SELECT "c1" AS "o_orderkey", "c3" AS "z" FROM (SELECT * FROM (SELECT "c1" AS "c1", CAST((((((("c1" % 256)) & 255) >> 0) & 1) << 0) + (((((("c1" % 256)) & 255) >> 1) & 1) << 2) + (((((("c1" % 256)) & 255) >> 2) & 1) << 4) + (((((("c1" % 256)) & 255) >> 3) & 1) << 6) + (((((("c1" % 256)) & 255) >> 4) & 1) << 8) + (((((("c1" % 256)) & 255) >> 5) & 1) << 10) + (((((("c1" % 256)) & 255) >> 6) & 1) << 12) + (((((("c1" % 256)) & 255) >> 7) & 1) << 14) + (((((("c2" % 256)) & 255) >> 0) & 1) << 1) + (((((("c2" % 256)) & 255) >> 1) & 1) << 3) + (((((("c2" % 256)) & 255) >> 2) & 1) << 5) + (((((("c2" % 256)) & 255) >> 3) & 1) << 7) + (((((("c2" % 256)) & 255) >> 4) & 1) << 9) + (((((("c2" % 256)) & 255) >> 5) & 1) << 11) + (((((("c2" % 256)) & 255) >> 6) & 1) << 13) + (((((("c2" % 256)) & 255) >> 7) & 1) << 15) AS BIGINT) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c2", "o_orderstatus" AS "c4", "o_totalprice" AS "c5", "o_orderdate" AS "c6", "o_orderpriority" AS "c7" FROM "orders") "t1" WHERE (("c1" IS NOT NULL) AND ("c1" <= 2000))) "t2") "t3" ORDER BY "c1" ASC NULLS FIRST) "t_out""""
+
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(sum("c3") AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
@@ -509,7 +524,8 @@ object Semantic {
     "m21_unparse_duckdb" -> ((deployAndRun(m21Sql)(_, _), Some(m21DuckOracle))),
     "m22_unparse_window" -> ((deployAndRun(m22Sql)(_, _), Some(m22DuckOracle))),
     "m23_unparse_scalar_subq" -> ((deployAndRun(m23Sql)(_, _), Some(m23DuckOracle))),
-    "m24_unparse_datetime" -> ((deployAndRun(m24Sql)(_, _), Some(m24DuckOracle)))
+    "m24_unparse_datetime" -> ((deployAndRun(m24Sql)(_, _), Some(m24DuckOracle))),
+    "m25_unparse_zorder" -> ((deployAndRun(m25Sql)(_, _), Some(m25DuckOracle)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -172,12 +172,24 @@ object SqlUnparser {
     }
     def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
       s"(VALUES ${rows.mkString(", ")}) ${quote(alias)}(${cols.map(quote).mkString(", ")})"
-    def fallback(e: Expression, rendered: Expression => String): String =
-      fnName(e.prettyName) match {
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      // the Morton kernel has no DuckDB builtin: expand to explicit shift/mask
+      // arithmetic (mask first, so arithmetic >> on the masked non-negative
+      // value matches the kernel's logical shift bit-for-bit)
+      case z: graft.functions.InterleaveBits =>
+        val n = z.children.size
+        val mask = (1L << z.bits) - 1
+        val terms = z.children.zipWithIndex.flatMap { case (c, d) =>
+          (0 until z.bits).map(i =>
+            s"((((${rendered(c)}) & $mask) >> $i) & 1) << ${i * n + d}")
+        }
+        s"CAST(${terms.map(t => s"($t)").mkString(" + ")} AS BIGINT)"
+      case _ => fnName(e.prettyName) match {
         case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
         case None => throw new UnsupportedOperationException(
           s"duckdb dialect: unsupported expression ${e.prettyName} in ${e.sql}")
       }
+    }
     private val direct = Set("upper", "lower", "length", "concat", "abs",
       "round", "floor", "ceil", "ceiling", "trim", "ltrim", "rtrim", "replace",
       "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",

@@ -109,6 +109,16 @@ class SqlUnparserSpec extends AnyFunSuite {
     roundTrip(Semantic.m24Sql)
   }
 
+  test("duckdb golden: m25 zorder_key expands to shift/mask arithmetic exactly") {
+    val text = session.transformSql(Semantic.m25Sql, "duckdb")
+    assert(text == Semantic.m25DuckOracle,
+      s"generated:\n$text\noracle:\n${Semantic.m25DuckOracle}")
+  }
+
+  test("spark round-trip: the zorder_key kernel re-parses through its SQL rendering") {
+    roundTrip(Semantic.m25Sql)
+  }
+
   test("duckdb dialect: bare logical table names, no backticks, double-quoted idents") {
     val text = session.transformSql(
       "SELECT o_orderkey FROM m_orders WHERE o_orderkey <= 10", "duckdb")
