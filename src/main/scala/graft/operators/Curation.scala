@@ -665,7 +665,7 @@ object Curation {
   def leakageSafeSplitIncremental(
       docs: DataFrame, pairs: DataFrame, idCol: String, prior: DataFrame,
       weights: Seq[(String, Int)] = Seq(("train", 8), ("val", 1), ("test", 1))): DataFrame = {
-    val fresh = leakageSafeSplit(docs, pairs, idCol)
+    val fresh = leakageSafeSplit(docs, pairs, idCol, weights)
       .withColumnRenamed("split", "__fresh_split")
     val p = prior.select(col(idCol), col("split").alias("__prior_split"))
     val withPrior = fresh.join(p, Seq(idCol), "left")

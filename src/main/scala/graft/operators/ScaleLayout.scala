@@ -73,6 +73,8 @@ object ScaleLayout {
     * box, not the table.
     */
   def zorderLayout(df: DataFrame, cols: Seq[Column], files: Int, bits: Int = 16): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "zorderLayout input must not carry a '__z' column (it is the layout's sort key)")
     val z = zorderKey(df, cols, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
@@ -102,17 +104,27 @@ object ScaleLayout {
     */
   def writeIndexed(df: DataFrame, path: String, statCols: Seq[String],
       indexExtra: Seq[(String, Column)]): Unit = {
+    require(statCols.nonEmpty, "writeIndexed needs at least one stat column")
     df.write.mode(SaveMode.Overwrite).parquet(path)
-    val spark = df.sparkSession
+    buildIndexRows(df.sparkSession.read.parquet(path), statCols, indexExtra)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index")
+  }
+
+  /** One index row per file of `src`: per-file min/max of every stat column
+    * plus any extra literal columns — the single definition both the full
+    * build and the incremental append write.
+    */
+  private def buildIndexRows(
+      src: DataFrame, statCols: Seq[String],
+      indexExtra: Seq[(String, Column)]): DataFrame = {
     val aggs = statCols.flatMap { c =>
       Seq(min(col(c).cast("double")).alias(s"min_$c"),
         max(col(c).cast("double")).alias(s"max_$c"))
     }
     indexExtra.foldLeft(
-      spark.read.parquet(path)
-        .groupBy(fileBasename.alias("file"))
-        .agg(aggs.head, aggs.tail: _*)) { case (d, (n, c)) => d.withColumn(n, c) }
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index")
+      src.groupBy(fileBasename.alias("file")).agg(aggs.head, aggs.tail: _*)) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
   }
 
   /** Append a batch to a [[writeIndexed]] table, extending the index with stats
@@ -127,6 +139,7 @@ object ScaleLayout {
 
   def appendIndexed(df: DataFrame, path: String, statCols: Seq[String],
       indexExtra: Seq[(String, Column)]): Unit = {
+    require(statCols.nonEmpty, "appendIndexed needs at least one stat column")
     val spark = df.sparkSession
     val known = spark.read.parquet(s"$path/_graft_index")
       .select("file").collect().map(_.getString(0)).toSet
@@ -146,14 +159,7 @@ object ScaleLayout {
       .map(_.toUri.toString)
       .toIndexedSeq
     if (newFiles.isEmpty) return
-    val aggs = statCols.flatMap { c =>
-      Seq(min(col(c).cast("double")).alias(s"min_$c"),
-        max(col(c).cast("double")).alias(s"max_$c"))
-    }
-    indexExtra.foldLeft(
-      spark.read.parquet(newFiles: _*)
-        .groupBy(fileBasename.alias("file"))
-        .agg(aggs.head, aggs.tail: _*)) { case (d, (n, c)) => d.withColumn(n, c) }
+    buildIndexRows(spark.read.parquet(newFiles: _*), statCols, indexExtra)
       .write.mode(SaveMode.Append).parquet(s"$path/_graft_index")
   }
 

@@ -178,13 +178,18 @@ object EventStreams {
     import graft.operators.Curation
     val step = new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) with Serializable {
       private var recovered = false
+      private var ckptCache: Option[Option[String]] = None
+      private def ckpt(spark: org.apache.spark.sql.SparkSession): Option[String] = {
+        if (ckptCache.isEmpty)
+          ckptCache = Some(ExactlyOnce.checkpointId(spark, checkpointDir))
+        ckptCache.get
+      }
 
       override def apply(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
         val spark = batch.sparkSession
         if (!recovered) {
-          val ckptId = ExactlyOnce.checkpointId(spark, checkpointDir)
-          ExactlyOnce.purge(spark, outDir, ckptId, batchId)
-          ExactlyOnce.purge(spark, indexDir, ckptId, batchId)
+          ExactlyOnce.purge(spark, outDir, ckpt(spark), batchId)
+          ExactlyOnce.purge(spark, indexDir, ckpt(spark), batchId)
           recovered = true
         }
         val index =
@@ -193,10 +198,9 @@ object EventStreams {
             Curation.emptyNearDupIndex(spark) }
         val (survivors, indexRows) = Curation.incrementalNearDedup(
           batch, index, textCol, idCol, n, k, bands, threshold)
-        val ck = ExactlyOnce.checkpointId(spark, checkpointDir)
-        ExactlyOnce.tag(survivors, ck, batchId)
+        ExactlyOnce.tag(survivors, ckpt(spark), batchId)
           .write.mode("append").parquet(outDir)
-        ExactlyOnce.tag(indexRows, ck, batchId)
+        ExactlyOnce.tag(indexRows, ckpt(spark), batchId)
           .write.mode("append").parquet(indexDir)
       }
     }
@@ -228,6 +232,12 @@ object EventStreams {
     import graft.operators.Dedup
     val step = new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) with Serializable {
       private var recovered = false
+      private var ckptCache: Option[Option[String]] = None
+      private def ckpt(spark: org.apache.spark.sql.SparkSession): Option[String] = {
+        if (ckptCache.isEmpty)
+          ckptCache = Some(ExactlyOnce.checkpointId(spark, checkpointDir))
+        ckptCache.get
+      }
 
       override def apply(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
         val spark = batch.sparkSession
@@ -235,9 +245,8 @@ object EventStreams {
           // ExactlyOnce protocol (see curateNearDupStream): replaying against
           // an index holding the crashed attempt's own signatures would drop
           // every replayed item as its own near-dup
-          val ckptId = ExactlyOnce.checkpointId(spark, checkpointDir)
-          ExactlyOnce.purge(spark, outDir, ckptId, batchId)
-          ExactlyOnce.purge(spark, indexDir, ckptId, batchId)
+          ExactlyOnce.purge(spark, outDir, ckpt(spark), batchId)
+          ExactlyOnce.purge(spark, indexDir, ckpt(spark), batchId)
           recovered = true
         }
         val index =
@@ -248,12 +257,11 @@ object EventStreams {
         val surviving = Dedup.incrementalHammingDedup(sigs, index, 64, maxHamming)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val ck = ExactlyOnce.checkpointId(spark, checkpointDir)
           ExactlyOnce.tag(
               batch.join(surviving.select(col("id").alias(idCol)), Seq(idCol), "left_semi"),
-              ck, batchId)
+              ckpt(spark), batchId)
             .write.mode("append").parquet(outDir)
-          ExactlyOnce.tag(surviving, ck, batchId)
+          ExactlyOnce.tag(surviving, ckpt(spark), batchId)
             .write.mode("append").parquet(indexDir)
         } finally surviving.unpersist()
       }

@@ -27,10 +27,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 private[streaming] object ExactlyOnce {
 
-  /** The tag columns appended to every protocol write. */
-  def tag(df: DataFrame, ckptId: Option[String], batchId: Long): DataFrame =
-    df.withColumn("batch_id", lit(batchId))
-      .withColumn("ckpt_id", lit(ckptId.orNull).cast(StringType))
+  /** The tag columns appended to every protocol write. `batch_id`/`ckpt_id`
+    * are RESERVED on protocol outputs: withColumn would silently overwrite a
+    * user column of the same name (corrupting e.g. an upstream ingestion
+    * batch_id), so collide loudly instead.
+    */
+  def tag(df: DataFrame, ckptId: Option[String], batchId: Long): DataFrame = {
+    Seq("batch_id", "ckpt_id").foreach(c => require(!df.columns.contains(c),
+      s"column '$c' is reserved by the exactly-once sink protocol — rename it " +
+        "upstream before writing through this sink"))
+    tagCols(ckptId, batchId).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+  }
+
+  /** The same tags as (name, column) pairs, for writers that thread extra
+    * columns through another API (e.g. ScaleLayout's `indexExtra`).
+    */
+  def tagCols(ckptId: Option[String], batchId: Long): Seq[(String, org.apache.spark.sql.Column)] =
+    Seq("batch_id" -> lit(batchId),
+      "ckpt_id" -> lit(ckptId.orNull).cast(StringType))
 
   /** The checkpoint's stable query id (`<ckpt>/metadata`, written at first
     * start — so it exists by the time any foreachBatch body runs). A FRESH

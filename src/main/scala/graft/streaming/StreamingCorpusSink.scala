@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -60,6 +60,14 @@ object StreamingCorpusSink {
     val step = new ((Dataset[Row], Long) => Unit) with Serializable {
       // bucket -> next free pack_ix; None until first batch recovers it
       private var nextPack: Option[Map[Long, Long]] = None
+      // the checkpoint id is fixed for the query's lifetime — read it once, not
+      // per trigger (on object stores that is a remote GET per batch)
+      private var ckptCache: Option[Option[String]] = None
+      private def ckpt(spark: SparkSession): Option[String] = {
+        if (ckptCache.isEmpty)
+          ckptCache = Some(ExactlyOnce.checkpointId(spark, checkpointDir))
+        ckptCache.get
+      }
 
       override def apply(batch: Dataset[Row], batchId: Long): Unit = {
         val spark = batch.sparkSession
@@ -70,12 +78,37 @@ object StreamingCorpusSink {
           // then derive offsets from the WHOLE surviving manifest: rows from
           // prior incarnations and pre-protocol rows are committed by
           // definition, which is exactly the continuation pattern.
-          val ckptId = ExactlyOnce.checkpointId(spark, checkpointDir)
-          ExactlyOnce.purge(spark, manifestDir, ckptId, batchId)
+          ExactlyOnce.purge(spark, manifestDir, ckpt(spark), batchId)
           try spark.read.parquet(manifestDir)
             .groupBy(col("bucket")).agg((max(col("pack_ix")) + 1).alias("off"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
+        }
+        // Empty offsets + existing data is legitimate in exactly one state: the
+        // data is THIS incarnation's own uncommitted leftovers (batch-0 crash
+        // window), which the deterministic dynamic overwrite below replaces.
+        // Any OTHER data under empty offsets means the manifest was lost while
+        // committed shards survive — pack numbering would restart at 0 and the
+        // overwrite would destroy them, so refuse loudly. Data rows carry the
+        // protocol tags precisely so this check can tell the two states apart.
+        if (offMap.isEmpty) {
+          val dPath = new org.apache.hadoop.fs.Path(dataDir)
+          val dfs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (dfs.exists(dPath) && dfs.listStatus(dPath).nonEmpty) {
+            val foreign = spark.read
+              .schema(org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("ckpt_id",
+                  org.apache.spark.sql.types.StringType))))
+              .parquet(dataDir)
+              .filter(col("ckpt_id").isNull ||
+                col("ckpt_id") =!= lit(ckpt(spark).orNull))
+              .limit(1).count() > 0
+            require(!foreign,
+              s"shardSinkStream: $dataDir holds data not written by this " +
+                s"incarnation but no pack offsets could be derived from " +
+                s"$manifestDir — restore the manifest before writing, or the " +
+                "restarted numbering would overwrite committed shards")
+          }
         }
         val fresh = CorpusSink.assignShards(
           batch.toDF(), textCol, idCol, budget, buckets)
@@ -91,13 +124,16 @@ object StreamingCorpusSink {
         try {
           // dynamic overwrite: a batch owns its (bucket, pack_ix) partitions —
           // a replay replaces them; other batches' packs are disjoint by the
-          // offset arithmetic and never touched
-          p.repartition(col("bucket"), col("pack_ix"))
+          // offset arithmetic and never touched. Data rows carry the protocol
+          // tags so the empty-offsets guard above can recognize its own
+          // uncommitted leftovers.
+          ExactlyOnce.tag(p.repartition(col("bucket"), col("pack_ix")),
+              ckpt(spark), batchId)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket", "pack_ix").parquet(dataDir)
           val manifestDf = ExactlyOnce.tag(CorpusSink.shardManifest(p, idCol),
-            ExactlyOnce.checkpointId(spark, checkpointDir), batchId)
+            ckpt(spark), batchId)
           // |shards-this-batch| rows: tiny — collect once to feed BOTH the manifest
           // append and the forward-carried offsets without a second packing job
           val manifest = manifestDf.collect()
@@ -148,6 +184,12 @@ object StreamingCorpusSink {
     import graft.operators.ScaleLayout
     val step = new ((Dataset[Row], Long) => Unit) with Serializable {
       private var recovered = false
+      private var ckptCache: Option[Option[String]] = None
+      private def ckpt(spark: SparkSession): Option[String] = {
+        if (ckptCache.isEmpty)
+          ckptCache = Some(ExactlyOnce.checkpointId(spark, checkpointDir))
+        ckptCache.get
+      }
 
       private def recover(
           spark: org.apache.spark.sql.SparkSession, batchId: Long): Unit = {
@@ -158,8 +200,7 @@ object StreamingCorpusSink {
         // 1. purge index files from batches THIS incarnation never committed
         // (checkpoint-scoped: a fresh checkpoint over an existing table purges
         // nothing, so step 2 sees every committed file as live)
-        ExactlyOnce.purge(spark, idxPath.toString,
-          ExactlyOnce.checkpointId(spark, checkpointDir), batchId)
+        ExactlyOnce.purge(spark, idxPath.toString, ckpt(spark), batchId)
         // 2. delete data files the surviving index does not reference — the
         // crash window between data append and index append
         val live =
@@ -182,9 +223,7 @@ object StreamingCorpusSink {
           batch.toDF().repartitionByRange(batchPartitions, statCols.map(col): _*)
         else batch.toDF()
         val sorted = ranged.sortWithinPartitions(statCols.map(col): _*)
-        val tag = Seq("batch_id" -> lit(batchId),
-          "ckpt_id" -> lit(ExactlyOnce.checkpointId(spark, checkpointDir).orNull)
-            .cast("string"))
+        val tag = ExactlyOnce.tagCols(ckpt(spark), batchId)
         if (new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")))

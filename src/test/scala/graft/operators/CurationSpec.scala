@@ -526,6 +526,22 @@ class CurationSpec extends AnyFunSuite {
     assert(r2(99L)._1 == freshOf99 && !r2(99L)._2)
   }
 
+  test("leakageSafeSplitIncremental threads custom weights into fresh assignments") {
+    // docs 100-139 are fresh singletons; with the caller's 1:1 a/b scheme their
+    // labels must come from THAT scheme, not the default train/val/test buckets
+    // (the masked bug: the inner fresh-split call dropped the weights).
+    val corpus = (Seq(1L) ++ (100L until 140L)).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val prior = Seq((1L, "train")).toDF("doc_id", "split")
+    val out = Curation.leakageSafeSplitIncremental(corpus, pairs, "doc_id", prior,
+        weights = Seq(("a", 1), ("b", 1)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "train", "prior doc keeps its prior label verbatim")
+    val freshLabels = (out - 1L).values.toSet
+    assert(freshLabels.subsetOf(Set("a", "b")) && freshLabels.size == 2,
+      s"fresh docs must use the caller's scheme (both sides at n=40): $freshLabels")
+  }
+
   test("leakageSafeSplit buckets match the t6 md5 scheme and respect custom weights") {
     val corpus = (0L until 400L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
