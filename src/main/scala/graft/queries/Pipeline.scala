@@ -2034,6 +2034,41 @@ object Pipeline {
               |ORDER BY f.doc_id""".stripMargin)
     })),
 
+    // Data-skipping read, proven through the driver gate: lay the event log out
+    // in Z-order with a per-file min/max index, read it back through readPruned
+    // with a box predicate, and aggregate — the result must equal DuckDB's
+    // plain filtered aggregate over the raw table (pruning is conservative by
+    // construction, so it can only be wrong by LOSING files; the hash compare
+    // catches exactly that). ScaleLayoutSpec asserts the file-skip ratio; this
+    // entry pins the semantics. Buckets are exact integer arithmetic (% 64) on
+    // both engines, so no float boundary can disagree.
+    "p14_pruned_box_scan" -> (((s: SparkSession, dir: String) => {
+      import graft.operators.ScaleLayout
+      val ev = events(s, dir)
+      val base = ev.select(
+        pmod(col("user_id"), lit(64L)).alias("ub"),
+        pmod(expr("ts div 1000000000"), lit(64L)).alias("tb"),
+        col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_p14_").toString
+      ScaleLayout.writeIndexed(
+        ScaleLayout.zorderLayout(base, Seq(col("ub"), col("tb")), files = 32, bits = 6),
+        s"$tmp/t", Seq("ub", "tb"))
+      val pruned = ScaleLayout
+        .readPruned(s, s"$tmp/t", Map("ub" -> (16.0, 31.0), "tb" -> (16.0, 31.0)))
+        .filter(col("ub").between(16, 31) && col("tb").between(16, 31))
+        .groupBy("event_type")
+        .agg(count(lit(1)).alias("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"))
+        .orderBy("event_type")
+      materializeAndClean(s, pruned, tmp)
+    },
+      Some("""SELECT event_type, count(*) AS n,
+             |  cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+             |FROM events
+             |WHERE (user_id % 64) BETWEEN 16 AND 31
+             |  AND ((epoch_us(ts) // 1000000) % 64) BETWEEN 16 AND 31
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))),
+
     // EXACT BPE token counts under the pretrained merge table — the real greedy
     // merge algorithm (native codegen kernel), not the regex pre-tokenizer of t3.
     // The oracle replays the identical greedy encode in a recursive CTE: each word
