@@ -83,11 +83,16 @@ case class InterleaveBits(children: Seq[Expression], bits: Int) extends Expressi
       v => s"$v = new long[$n];")
     val i = ctx.freshName("i")
     val d = ctx.freshName("d")
+    // Each load is guarded on !isNull so codegen short-circuits on the first
+    // null child exactly like eval() — otherwise a later child that throws
+    // (ANSI division by zero) would raise in codegen but not interpreted mode.
     val loads = evals.zipWithIndex.map { case (e, idx) =>
       s"""
-         |${e.code}
-         |if (${e.isNull}) { ${ev.isNull} = true; }
-         |else { $vs[$idx] = (long) ${e.value}; }
+         |if (!${ev.isNull}) {
+         |  ${e.code}
+         |  if (${e.isNull}) { ${ev.isNull} = true; }
+         |  else { $vs[$idx] = (long) ${e.value}; }
+         |}
        """.stripMargin
     }.mkString("\n")
     ev.copy(code = code"""

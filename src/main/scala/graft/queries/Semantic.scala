@@ -215,7 +215,7 @@ object Semantic {
       |FROM m_orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
   val m25DuckOracle: String =
-    """SELECT "c1" AS "o_orderkey", "c3" AS "z" FROM (SELECT * FROM (SELECT "c1" AS "c1", CAST((((((("c1" % 256)) & 255) >> 0) & 1) << 0) + (((((("c1" % 256)) & 255) >> 1) & 1) << 2) + (((((("c1" % 256)) & 255) >> 2) & 1) << 4) + (((((("c1" % 256)) & 255) >> 3) & 1) << 6) + (((((("c1" % 256)) & 255) >> 4) & 1) << 8) + (((((("c1" % 256)) & 255) >> 5) & 1) << 10) + (((((("c1" % 256)) & 255) >> 6) & 1) << 12) + (((((("c1" % 256)) & 255) >> 7) & 1) << 14) + (((((("c2" % 256)) & 255) >> 0) & 1) << 1) + (((((("c2" % 256)) & 255) >> 1) & 1) << 3) + (((((("c2" % 256)) & 255) >> 2) & 1) << 5) + (((((("c2" % 256)) & 255) >> 3) & 1) << 7) + (((((("c2" % 256)) & 255) >> 4) & 1) << 9) + (((((("c2" % 256)) & 255) >> 5) & 1) << 11) + (((((("c2" % 256)) & 255) >> 6) & 1) << 13) + (((((("c2" % 256)) & 255) >> 7) & 1) << 15) AS BIGINT) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c2", "o_orderstatus" AS "c4", "o_totalprice" AS "c5", "o_orderdate" AS "c6", "o_orderpriority" AS "c7" FROM "orders") "t1" WHERE (("c1" IS NOT NULL) AND ("c1" <= 2000))) "t2") "t3" ORDER BY "c1" ASC NULLS FIRST) "t_out""""
+    """SELECT "c1" AS "o_orderkey", "c3" AS "z" FROM (SELECT * FROM (SELECT "c1" AS "c1", (SELECT CAST(((("zb_d0" >> 0) & 1) << 0) + ((("zb_d0" >> 1) & 1) << 2) + ((("zb_d0" >> 2) & 1) << 4) + ((("zb_d0" >> 3) & 1) << 6) + ((("zb_d0" >> 4) & 1) << 8) + ((("zb_d0" >> 5) & 1) << 10) + ((("zb_d0" >> 6) & 1) << 12) + ((("zb_d0" >> 7) & 1) << 14) + ((("zb_d1" >> 0) & 1) << 1) + ((("zb_d1" >> 1) & 1) << 3) + ((("zb_d1" >> 2) & 1) << 5) + ((("zb_d1" >> 3) & 1) << 7) + ((("zb_d1" >> 4) & 1) << 9) + ((("zb_d1" >> 5) & 1) << 11) + ((("zb_d1" >> 6) & 1) << 13) + ((("zb_d1" >> 7) & 1) << 15) AS BIGINT) FROM (SELECT ((("c1" % 256)) & 255) AS "zb_d0", ((("c2" % 256)) & 255) AS "zb_d1") "zb") AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c2", "o_orderstatus" AS "c4", "o_totalprice" AS "c5", "o_orderdate" AS "c6", "o_orderpriority" AS "c7" FROM "orders") "t1" WHERE (("c1" IS NOT NULL) AND ("c1" <= 2000))) "t2") "t3" ORDER BY "c1" ASC NULLS FIRST) "t_out""""
 
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(sum("c3") AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin

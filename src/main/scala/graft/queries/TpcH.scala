@@ -415,7 +415,42 @@ object TpcH {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap ++ unparseQueries
   def oracles: Map[String, String] =
     defs.map { case (n, (_, o)) => n -> o }.toMap
+
+  /** Cross-engine unparse proof at TPC-H breadth: for each `tpch_qN` a
+    * `_unparse` variant whose Spark side executes the SOURCE query while the
+    * DuckDB oracle is [[graft.semantics.SqlUnparser]]'s duckdb-dialect rendering
+    * of the optimized plan, generated live at Verify time — so the driver's
+    * correctness gate executes the unparser's own output in DuckDB and
+    * hash-compares it against Spark executing the source. This is the breadth
+    * the reference's transpile layer gets from its own TPC-H corpus
+    * (`ibis-server/app/mdl/rewriter.py:51-63`,
+    * `wren-core/sqllogictest/test_files/tpch/q*.slt.part`).
+    */
+  def unparseQueries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => s"${n}_unparse" -> fn }.toMap
+
+  /** Live-generated DuckDB texts for [[unparseQueries]]. The emitted relation
+    * names are path-independent (`basename.parquet` → bare table name), so the
+    * manifest is deployed on the smallest SF purely to plan — the driver binds
+    * the text to whatever SF it verifies at. A query the dialect cannot express
+    * is OMITTED (driver falls back to a rows-only check) and logged — and
+    * SqlUnparserTpchSpec fails, so a coverage regression cannot land silently.
+    */
+  def unparseOracles: Map[String, String] = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val session = GraftEngine.deployOnDir(spark, manifest, "/root/testdata/sf0.001")
+    defs.flatMap { case (n, (_, sql)) =>
+      try Some(s"${n}_unparse" -> session.transformSql(sql, "duckdb"))
+      catch { case e: Exception =>
+        System.err.println(s"[unparse-oracle] $n: ${e.getMessage}"); None }
+    }.toMap
+  }
 }

@@ -175,15 +175,27 @@ object SqlUnparser {
     def fallback(e: Expression, rendered: Expression => String): String = e match {
       // the Morton kernel has no DuckDB builtin: expand to explicit shift/mask
       // arithmetic (mask first, so arithmetic >> on the masked non-negative
-      // value matches the kernel's logical shift bit-for-bit)
+      // value matches the kernel's logical shift bit-for-bit). Each child is
+      // bound ONCE in a correlated scalar-subquery scope and the shift/mask
+      // terms reference the binding — inlining the child into all `bits` terms
+      // would grow the text multiplicatively and re-evaluate it per term on
+      // engines without common-subexpression elimination.
       case z: graft.functions.InterleaveBits =>
         val n = z.children.size
         val mask = (1L << z.bits) - 1
-        val terms = z.children.zipWithIndex.flatMap { case (c, d) =>
+        val binds = z.children.zipWithIndex.map { case (c, d) =>
+          s"((${rendered(c)}) & $mask) AS ${quote(s"zb_d$d")}" }.mkString(", ")
+        val terms = (0 until n).flatMap { d =>
           (0 until z.bits).map(i =>
-            s"((((${rendered(c)}) & $mask) >> $i) & 1) << ${i * n + d}")
+            s"(((${quote(s"zb_d$d")} >> $i) & 1) << ${i * n + d})")
         }
-        s"CAST(${terms.map(t => s"($t)").mkString(" + ")} AS BIGINT)"
+        s"(SELECT CAST(${terms.mkString(" + ")} AS BIGINT) " +
+          s"FROM (SELECT $binds) ${quote("zb")})"
+      // Spark folds `date + interval 'n' day` to date_add(date, n); DuckDB (like
+      // Postgres) has no 2-int-arg date_add but adds days with DATE + INTEGER,
+      // returning DATE — the same type Spark's date_add yields.
+      case da: DateAdd => s"(${rendered(da.startDate)} + ${rendered(da.days)})"
+      case ds: DateSub => s"(${rendered(ds.startDate)} - ${rendered(ds.days)})"
       case _ => fnName(e.prettyName) match {
         case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
         case None => throw new UnsupportedOperationException(

@@ -75,6 +75,18 @@ private[streaming] object ExactlyOnce {
     * no-op; the equality+range filter pushes down to parquet row-group stats,
     * so committed files are skipped on footer metadata alone — recovery cost
     * tracks the crashed tail, not the table.
+    *
+    * File-granular deletion is sound only while every file holds a single
+    * (ckpt_id, batch_id) — true for every protocol writer here, but a
+    * compaction (e.g. ScaleLayout.optimizeZorder) run over a protocol
+    * directory WHILE a batch is uncommitted would merge committed rows into a
+    * file that also carries the stale tag. So each candidate is re-read and a
+    * file that ALSO holds non-stale rows aborts the purge loudly instead of
+    * destroying the committed rows it contains (the verification pass reads
+    * only the candidate files — recovery cost still tracks the crashed tail).
+    * Compact protocol directories only at a quiet point (stream stopped, last
+    * batch committed), or strip the tag columns during compaction so purged
+    * incarnations can never match a compacted file.
     */
   def purge(spark: SparkSession, dir: String, ckptId: Option[String], batchId: Long): Unit = {
     val id = ckptId.getOrElse(return)
@@ -83,12 +95,23 @@ private[streaming] object ExactlyOnce {
     if (!path.getFileSystem(conf).exists(path)) return
     val tagSchema = StructType(Seq(
       StructField("batch_id", LongType), StructField("ckpt_id", StringType)))
+    val staleCond = col("ckpt_id") === lit(id) && col("batch_id") >= lit(batchId)
     val stale =
       try spark.read.schema(tagSchema).parquet(dir)
-        .filter(col("ckpt_id") === lit(id) && col("batch_id") >= lit(batchId))
+        .filter(staleCond)
         .select(input_file_name().alias("__f")).distinct()
         .collect().map(_.getString(0))
       catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[String] }
+    if (stale.isEmpty) return
+    val mixed = spark.read.schema(tagSchema).parquet(stale.toIndexedSeq: _*)
+      .filter(!coalesce(staleCond, lit(false)))
+      .select(input_file_name().alias("__f")).distinct()
+      .collect().map(_.getString(0))
+    require(mixed.isEmpty,
+      s"exactly-once purge: ${mixed.length} file(s) under $dir mix uncommitted " +
+        s"rows of checkpoint $id (batch >= $batchId) with committed/foreign rows " +
+        s"— a compaction ran while a batch was uncommitted. Deleting them would " +
+        s"destroy committed data; split or restore them first. First: ${mixed.head}")
     stale.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
       p.getFileSystem(conf).delete(p, false)

@@ -95,14 +95,23 @@ object StreamingCorpusSink {
           val dPath = new org.apache.hadoop.fs.Path(dataDir)
           val dfs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (dfs.exists(dPath) && dfs.listStatus(dPath).nonEmpty) {
-            val foreign = spark.read
-              .schema(org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("ckpt_id",
-                  org.apache.spark.sql.types.StringType))))
-              .parquet(dataDir)
-              .filter(col("ckpt_id").isNull ||
-                col("ckpt_id") =!= lit(ckpt(spark).orNull))
-              .limit(1).count() > 0
+            // When this incarnation has no readable checkpoint id, NOTHING can
+            // be recognized as its own leftovers — every existing row is
+            // foreign. (With an id, `=!= lit(id)` alone would evaluate to SQL
+            // NULL on rows tagged by a prior incarnation only if compared to a
+            // null literal — hence the explicit isNull arm, and the None case
+            // short-circuits to "all foreign" rather than comparing to NULL.)
+            val foreign = ckpt(spark) match {
+              case Some(id) =>
+                spark.read
+                  .schema(org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("ckpt_id",
+                      org.apache.spark.sql.types.StringType))))
+                  .parquet(dataDir)
+                  .filter(col("ckpt_id").isNull || col("ckpt_id") =!= lit(id))
+                  .limit(1).count() > 0
+              case None => true
+            }
             require(!foreign,
               s"shardSinkStream: $dataDir holds data not written by this " +
                 s"incarnation but no pack offsets could be derived from " +

@@ -30,6 +30,19 @@ class SqlUnparserTpchSpec extends AnyFunSuite {
     } finally { cached.unpersist(); () }
   }
 
+  test("duckdb dialect: every TPC-H query unparses (cross-engine breadth gate)") {
+    // The driver's correctness gate EXECUTES these texts in DuckDB and
+    // hash-compares against Spark running the source (tpch_qN_unparse entries);
+    // this test pins the coverage so a dialect regression fails the build
+    // instead of silently downgrading 22 entries to rows-only checks.
+    val generated = TpcH.unparseOracles
+    val missing = TpcH.oracles.keySet.map(_ + "_unparse") -- generated.keySet
+    assert(missing.isEmpty, s"duckdb unparse lost coverage for: $missing")
+    generated.foreach { case (n, text) =>
+      assert(text.startsWith("SELECT"), s"$n: unexpected text shape:\n$text")
+    }
+  }
+
   for ((name, sql) <- TpcH.oracles.toSeq.sortBy(_._1)) {
     test(s"spark round-trip: $name") {
       val engine = session.query(sql)
