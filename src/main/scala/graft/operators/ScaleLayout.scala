@@ -89,12 +89,80 @@ object ScaleLayout {
   private def fileBasename: Column =
     regexp_extract(input_file_name(), "[^/]+$", 0)
 
+  // ------------------------------------------------------- versioned index commit
+  //
+  // The index is the table's commit manifest: `_graft_index/v<N>/` holds one
+  // parquet row per live data file, and the single small `_graft_commit` file
+  // names the committed version (published by atomic rename). Readers resolve
+  // the live FILE LIST through the committed index, so a rewrite (optimize) can
+  // lay new files alongside the old generation and flip the pointer — a reader
+  // concurrent with maintenance sees the old or the new layout, never a missing
+  // table, and a crash before the pointer flip leaves the old version committed
+  // (the abandoned generation is unreferenced garbage for [[vacuum]]).
+  // Pre-versioning tables (index rows directly under `_graft_index`, no commit
+  // file) stay readable; their first optimize migrates them.
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_commit")
+
+  /** The committed index version, if the table uses the versioned layout. */
+  def committedVersion(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Int] = {
+    val fs = fsFor(spark, path)
+    val cp = commitPath(path)
+    if (!fs.exists(cp)) None
+    else {
+      val in = fs.open(cp)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        out.toString("UTF-8").trim
+      } finally in.close()
+      require(txt.matches("v\\d+"), s"corrupt commit pointer $cp: '$txt'")
+      Some(txt.drop(1).toInt)
+    }
+  }
+
+  /** The directory holding the COMMITTED index rows: `_graft_index/v<N>` for
+    * versioned tables, the flat `_graft_index` for pre-versioning ones, None if
+    * the table has no index at all.
+    */
+  def committedIndexDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[String] =
+    committedVersion(spark, path) match {
+      case Some(v) => Some(s"$path/_graft_index/v$v")
+      case None =>
+        val fs = fsFor(spark, path)
+        val flat = new org.apache.hadoop.fs.Path(s"$path/_graft_index")
+        if (fs.exists(flat)) Some(flat.toString) else None
+    }
+
+  /** Publish `version` as committed: write the pointer to a temp name, then
+    * atomically rename over `_graft_commit` (FileContext rename with OVERWRITE —
+    * atomic on HDFS and POSIX; on object stores the PUT itself is atomic).
+    */
+  private def commitVersion(
+      spark: org.apache.spark.sql.SparkSession, path: String, version: Int): Unit = {
+    val fs = fsFor(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_graft_commit.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v$version".getBytes("UTF-8")) finally out.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+    fc.rename(tmp, commitPath(path), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Write `df` as parquet plus a per-file min/max index of `statCols` (numeric
-    * columns), stored as parquet under `_graft_index` (underscore-prefixed, so
-    * plain `spark.read.parquet(path)` ignores it). The index is built with ONE
-    * distributed pass grouped by `input_file_name` — no driver-side state; its
-    * size is one row per data file (a 100 TB table at 1 GB files is a 10^5-row
-    * index, itself pruned-readable).
+    * columns), stored as parquet under `_graft_index/v1` with a `_graft_commit`
+    * pointer (underscore-prefixed, so plain `spark.read.parquet(path)` ignores
+    * both). The index is built with ONE distributed pass grouped by
+    * `input_file_name` — no driver-side state; its size is one row per data
+    * file (a 100 TB table at 1 GB files is a 10^5-row index, itself
+    * pruned-readable).
     */
   def writeIndexed(df: DataFrame, path: String, statCols: Seq[String]): Unit =
     writeIndexed(df, path, statCols, Nil)
@@ -105,9 +173,16 @@ object ScaleLayout {
   def writeIndexed(df: DataFrame, path: String, statCols: Seq[String],
       indexExtra: Seq[(String, Column)]): Unit = {
     require(statCols.nonEmpty, "writeIndexed needs at least one stat column")
+    val spark = df.sparkSession
     df.write.mode(SaveMode.Overwrite).parquet(path)
-    buildIndexRows(df.sparkSession.read.parquet(path), statCols, indexExtra)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index")
+    // Overwrite left any previous index/commit state behind `path`'s new data;
+    // start the version chain fresh.
+    val fs = fsFor(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_index"), true)
+    fs.delete(commitPath(path), false)
+    buildIndexRows(spark.read.parquet(path), statCols, indexExtra)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index/v1")
+    commitVersion(spark, path, 1)
   }
 
   /** One index row per file of `src`: per-file min/max of every stat column
@@ -127,12 +202,30 @@ object ScaleLayout {
     }
   }
 
-  /** Append a batch to a [[writeIndexed]] table, extending the index with stats
-    * for the NEW files only: the existing file set is read off the index (one
-    * file-count-sized column), and the post-append listing is diffed against it,
-    * so the stats pass scans just the appended data — an append to a 100 TB
-    * table costs the batch, never a table rescan. Existing files are immutable
-    * (parquet append writes new files), so their index rows stay valid.
+  /** List the data-file basenames currently under `path` (a driver listing
+    * bounded by the file count — the same bound as the index collect).
+    */
+  private def listDataFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String): Set[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) Set.empty
+    else fs.listStatus(hPath).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .toSet
+  }
+
+  /** Append a batch to a [[writeIndexed]] table, extending the COMMITTED index
+    * version with stats for the NEW files only: the directory is listed before
+    * and after the batch write, and the diff — exactly the batch's own files,
+    * regardless of any unreferenced garbage a crashed optimize may have left —
+    * feeds the stats pass. An append to a 100 TB table costs the batch, never
+    * a table rescan (both listings are file-count-bounded driver ops). Existing
+    * files are immutable (parquet append writes new files), so their index rows
+    * stay valid; readers resolving mid-append see a prefix of the batch's index
+    * rows at worst — each one's data file is already on disk (data lands before
+    * index rows), so every observed state is consistent.
     */
   def appendIndexed(df: DataFrame, path: String, statCols: Seq[String]): Unit =
     appendIndexed(df, path, statCols, Nil)
@@ -141,26 +234,17 @@ object ScaleLayout {
       indexExtra: Seq[(String, Column)]): Unit = {
     require(statCols.nonEmpty, "appendIndexed needs at least one stat column")
     val spark = df.sparkSession
-    val known = spark.read.parquet(s"$path/_graft_index")
-      .select("file").collect().map(_.getString(0)).toSet
+    val idxDir = committedIndexDir(spark, path).getOrElse(throw new IllegalStateException(
+      s"appendIndexed: $path has no index — create the table with writeIndexed first"))
+    val before = listDataFiles(spark, path)
     df.write.mode(SaveMode.Append).parquet(path)
-    // File-LEVEL diff (a driver listing bounded by the file count, same bound as
-    // readPruned's index collect), so the stats pass reads ONLY the new files —
-    // an anti-join over input_file_name would scan the whole table to drop the
-    // old rows.
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Diff on basenames (the index stores basenames; part-file names embed a
     // UUID, unique per write).
-    val newFiles = fs.listStatus(hPath).iterator
-      .map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")
-        && !known.contains(p.getName))
-      .map(_.toUri.toString)
-      .toIndexedSeq
+    val newFiles = (listDataFiles(spark, path) -- before).toIndexedSeq
+      .map(n => s"$path/$n")
     if (newFiles.isEmpty) return
     buildIndexRows(spark.read.parquet(newFiles: _*), statCols, indexExtra)
-      .write.mode(SaveMode.Append).parquet(s"$path/_graft_index")
+      .write.mode(SaveMode.Append).parquet(idxDir)
   }
 
   /** Range-bucket a raw numeric column into `[0, buckets)` over a known
@@ -177,36 +261,44 @@ object ScaleLayout {
         .cast("long"), lit(0L)), lit((buckets - 1).toLong))
   }
 
-  /** Re-cluster an indexed table in place: read, Z-order on `cols`, rewrite data
-    * + index (Delta/Iceberg `OPTIMIZE ZORDER BY` for plain parquet). Streaming
+  /** Re-cluster an indexed table in place: read the committed snapshot, Z-order
+    * on `cols`, write the NEW generation of data files alongside the old one,
+    * publish a new index version, and atomically flip the `_graft_commit`
+    * pointer (Delta/Iceberg `OPTIMIZE ZORDER BY` for plain parquet). Streaming
     * appends keep per-BATCH locality ([[graft.streaming.StreamingCorpusSink
-    * .indexedSinkStream]]) but eras interleave across files as batches accumulate;
-    * a periodic optimize restores global clustering so box predicates prune to
-    * the minimum file set again.
+    * .indexedSinkStream]]) but eras interleave across files as batches
+    * accumulate; a periodic optimize restores global clustering so box
+    * predicates prune to the minimum file set again.
     *
-    * MAINTENANCE OPERATION, single writer, no concurrent readers: plain parquet
-    * has no metadata layer to version the swap, so there is a window between the
-    * two renames where `path` does not exist, and a reader that listed files
-    * before the swap can lose them — schedule it like any compaction downtime,
-    * or put a transactional table format under the same two-phase shape. Every
-    * rename/delete result is CHECKED: a failed swap rolls back to the original
-    * layout and throws instead of proceeding to a delete that could destroy the
-    * only copy. A leftover `path + ".old"` from a crashed run is rejected
-    * loudly (it may hold the only good data — inspect, restore or remove it by
-    * hand). One shuffle of the table, same cost class as any compaction.
+    * SNAPSHOT-CONSISTENT for index-resolving readers ([[readPruned]] /
+    * [[readCommitted]]): old-generation files are never touched, so a reader
+    * concurrent with optimize sees the old or the new layout — never a missing
+    * table, never a torn mix. A crash at ANY point before the pointer flip
+    * leaves the old version committed and the half-written generation as
+    * unreferenced garbage, reclaimed by [[vacuum]]. Consequently optimize does
+    * NOT delete the old generation itself — run [[vacuum]] once in-flight
+    * readers of the pre-optimize snapshot have drained. Plain directory reads
+    * (`spark.read.parquet(path)`) see BOTH generations between commit and
+    * vacuum; use the index-resolving readers on tables under maintenance.
+    *
+    * Single MAINTAINER (one optimize/vacuum at a time — concurrent appends to
+    * the pre-optimize version would be orphaned by the flip); any number of
+    * concurrent readers. One shuffle of the table, same cost class as any
+    * compaction.
     */
   def optimizeZorder(
       spark: org.apache.spark.sql.SparkSession, path: String, cols: Seq[String],
-      files: Int, bits: Int = 16): Unit = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"$path.old")
-    val tmpP = new org.apache.hadoop.fs.Path(s"$path.tmp")
-    require(!fs.exists(old),
-      s"$old exists — a previous optimize crashed mid-swap; it may hold the " +
-        "only good copy of the table. Inspect and restore or remove it first.")
-    if (fs.exists(tmpP)) fs.delete(tmpP, true) // stale staging from a crashed run
-    val df = spark.read.parquet(path)
+      files: Int, bits: Int = 16): Unit =
+    optimizeZorderInternal(spark, path, cols, files, bits, crashBeforeCommit = false)
+
+  /** Test seam: `crashBeforeCommit` stops after the new generation + index
+    * version are fully written but BEFORE the pointer flip — the exact state a
+    * process crash leaves behind.
+    */
+  private[graft] def optimizeZorderInternal(
+      spark: org.apache.spark.sql.SparkSession, path: String, cols: Seq[String],
+      files: Int, bits: Int, crashBeforeCommit: Boolean): Unit = {
+    val df = readCommitted(spark, path)
     // Bucket each raw column into [0, 2^bits) over its own min/max (one bounded
     // stats pass), z-order on the BUCKETS, but index the RAW columns — pruning
     // predicates stay in value space. Bucket placement only affects clustering
@@ -221,34 +313,83 @@ object ScaleLayout {
         s"optimizeZorder: column '$c' has no non-null numeric values to bucket on")
       bucketize(col(c), st.getDouble(1 + 2 * i), st.getDouble(2 + 2 * i), n)
     }
-    writeIndexed(zorderLayout(df, zcols, files, bits), tmpP.toString, cols)
-    if (!fs.rename(hPath, old))
-      throw new java.io.IOException(s"optimizeZorder: rename $hPath -> $old failed")
-    if (!fs.rename(tmpP, hPath)) {
-      val rolledBack = fs.rename(old, hPath) // restore the original layout
-      throw new java.io.IOException(
-        s"optimizeZorder: rename $tmpP -> $hPath failed; " +
-          (if (rolledBack) s"original layout restored (staging left at $tmpP)"
-           else s"ROLLBACK ALSO FAILED — table data is at $old, staging at $tmpP"))
-    }
-    if (!fs.delete(old, true))
-      throw new java.io.IOException(
-        s"optimizeZorder: swap succeeded but deleting $old failed — remove it " +
-          "by hand (the table itself is consistent)")
+    val nextV = committedVersion(spark, path).getOrElse(0) + 1
+    val before = listDataFiles(spark, path)
+    zorderLayout(df, zcols, files, bits)
+      .write.mode(SaveMode.Append).parquet(path) // new generation beside the old
+    val newFiles = (listDataFiles(spark, path) -- before).toIndexedSeq
+      .map(f => s"$path/$f")
+    // Overwrite the version dir: a crashed prior attempt at the same version
+    // left only unreferenced rows there.
+    buildIndexRows(spark.read.parquet(newFiles: _*), cols, Nil)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index/v$nextV")
+    if (crashBeforeCommit) return
+    commitVersion(spark, path, nextV)
   }
 
-  /** Files kept / total by the last [[readPruned]] call (test/observability hook). */
-  @volatile var lastPrune: (Int, Int) = (0, 0)
+  /** Reclaim everything the committed version does not reference: data files
+    * absent from the committed index (pre-optimize generations, crashed
+    * half-writes) and index version dirs other than the committed one
+    * (including a pre-versioning flat index once a commit pointer exists).
+    * Run it AFTER readers of older snapshots have drained — a reader that
+    * resolved the previous version's file list loses files under it (same
+    * retention contract as Delta's VACUUM). Same single-MAINTAINER rule as
+    * [[optimizeZorder]]. No-op on tables without a versioned commit.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val v = committedVersion(spark, path).getOrElse(return)
+    val fs = fsFor(spark, path)
+    val live = spark.read.parquet(s"$path/_graft_index/v$v")
+      .select("file").collect().map(_.getString(0)).toSet
+    (listDataFiles(spark, path) -- live).foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$f"), false)
+    }
+    val idxRoot = new org.apache.hadoop.fs.Path(s"$path/_graft_index")
+    fs.listStatus(idxRoot).foreach { st =>
+      if (st.getPath.getName != s"v$v") fs.delete(st.getPath, st.isDirectory)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_commit.tmp"), false)
+    ()
+  }
+
+  /** Read the COMMITTED snapshot of an indexed table — the file list resolved
+    * through the committed index version, so concurrent maintenance (optimize,
+    * pre-vacuum garbage) is invisible. Falls back to a plain directory read for
+    * tables without an index.
+    */
+  def readCommitted(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    committedIndexDir(spark, path) match {
+      case None => spark.read.parquet(path)
+      case Some(idx) =>
+        val files = spark.read.parquet(idx)
+          .select("file").collect().map(r => s"$path/${r.getString(0)}")
+        if (files.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(files.toIndexedSeq: _*)
+    }
+
+  /** Files kept / total of the most recent [[readPruned]] on each table path —
+    * a concurrency-safe observability hook (the HTTP server prunes for many
+    * queries at once; a single shared tuple would interleave their stats).
+    */
+  private val pruneStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  def lastPruneFor(path: String): Option[(Int, Int)] =
+    Option(pruneStats.get(path))
 
   /** Read back a [[writeIndexed]] table, skipping every file whose `[min, max]`
     * envelope misses any of the requested `ranges` (`col -> (lo, hi)`, inclusive).
     * Pruning is conservative — a kept file may still hold non-matching rows, so
     * callers apply their real filter on top; correctness never depends on the
     * index. The index collect is bounded by the FILE count, not the row count.
+    * Resolves through the committed index version, so it is snapshot-consistent
+    * under concurrent [[optimizeZorder]].
     */
   def readPruned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Map[String, (Double, Double)]): DataFrame = {
+    val idxDir = committedIndexDir(spark, path).getOrElse(throw new IllegalStateException(
+      s"readPruned: $path has no index — create the table with writeIndexed first"))
     // One index scan: collect (file, keep) and count locally — the collect is
     // already bounded by the file count, and a second count() job would reopen
     // the index on every pruned read.
@@ -257,11 +398,11 @@ object ScaleLayout {
     }
     // Null stats mean the file's column is ALL null — no row can satisfy a
     // range predicate there, so dropping it is still conservative-correct.
-    val entries = spark.read.parquet(s"$path/_graft_index")
+    val entries = spark.read.parquet(idxDir)
       .select(col("file"), coalesce(keep, lit(false)).alias("keep")).collect()
     val files = entries.collect { case r if r.getBoolean(1) =>
       s"$path/${r.getString(0)}" }
-    lastPrune = (files.length, entries.length)
+    pruneStats.put(path, (files.length, entries.length))
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }

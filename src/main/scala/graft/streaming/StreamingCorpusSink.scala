@@ -203,17 +203,20 @@ object StreamingCorpusSink {
       private def recover(
           spark: org.apache.spark.sql.SparkSession, batchId: Long): Unit = {
         val conf = spark.sparkContext.hadoopConfiguration
-        val idxPath = new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")
+        // The COMMITTED index version dir (versioned layout, or the flat legacy
+        // dir) — appendIndexed extends this same dir, so purge targets it too.
+        val idxDir = ScaleLayout.committedIndexDir(spark, dataDir).getOrElse(return)
+        val idxPath = new org.apache.hadoop.fs.Path(idxDir)
         val fs = idxPath.getFileSystem(conf)
         if (!fs.exists(idxPath)) return
         // 1. purge index files from batches THIS incarnation never committed
         // (checkpoint-scoped: a fresh checkpoint over an existing table purges
         // nothing, so step 2 sees every committed file as live)
-        ExactlyOnce.purge(spark, idxPath.toString, ckpt(spark), batchId)
+        ExactlyOnce.purge(spark, idxDir, ckpt(spark), batchId)
         // 2. delete data files the surviving index does not reference — the
         // crash window between data append and index append
         val live =
-          try spark.read.parquet(idxPath.toString)
+          try spark.read.parquet(idxDir)
             .select("file").collect().map(_.getString(0)).toSet
           catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
         val dPath = new org.apache.hadoop.fs.Path(dataDir)
@@ -222,7 +225,11 @@ object StreamingCorpusSink {
           if (n.endsWith(".parquet") && !n.startsWith("_") && !live.contains(n))
             st.getPath.getFileSystem(conf).delete(st.getPath, false)
         }
-        if (live.isEmpty) fs.delete(idxPath, true) // all batches purged: restart fresh
+        if (live.isEmpty) { // all batches purged: restart the table fresh
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dataDir/_graft_commit"), false)
+          ()
+        }
       }
 
       override def apply(batch: Dataset[Row], batchId: Long): Unit = {
@@ -233,9 +240,7 @@ object StreamingCorpusSink {
         else batch.toDF()
         val sorted = ranged.sortWithinPartitions(statCols.map(col): _*)
         val tag = ExactlyOnce.tagCols(ckpt(spark), batchId)
-        if (new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(new org.apache.hadoop.fs.Path(s"$dataDir/_graft_index")))
+        if (ScaleLayout.committedIndexDir(spark, dataDir).isDefined)
           ScaleLayout.appendIndexed(sorted, dataDir, statCols, tag)
         else ScaleLayout.writeIndexed(sorted, dataDir, statCols, tag)
       }

@@ -115,9 +115,9 @@ class ScaleLayoutSpec extends AnyFunSuite {
       val expected = bucketed.filter(filter).count()
       val zPruned = ScaleLayout.readPruned(spark, s"$tmp/z", box)
       assert(zPruned.filter(filter).count() == expected, "pruned read loses rows")
-      val (zKept, zTotal) = ScaleLayout.lastPrune
+      val (zKept, zTotal) = ScaleLayout.lastPruneFor(s"$tmp/z").get
       ScaleLayout.readPruned(spark, s"$tmp/t", box)
-      val (tKept, tTotal) = ScaleLayout.lastPrune
+      val (tKept, tTotal) = ScaleLayout.lastPruneFor(s"$tmp/t").get
       // The time-sorted layout prunes the time range (~3/4 of files) but every
       // kept file spans all users; the z-order layout prunes BOTH dimensions.
       assert(zKept < tKept,
@@ -133,13 +133,14 @@ class ScaleLayoutSpec extends AnyFunSuite {
       val first = (0L until 1000L).map(i => (i, i % 10)).toDF("v", "g")
         .repartitionByRange(4, col("v"))
       ScaleLayout.writeIndexed(first, s"$tmp/t", Seq("v"))
-      val idx1 = spark.read.parquet(s"$tmp/t/_graft_index").collect()
+      val idxDir = ScaleLayout.committedIndexDir(spark, s"$tmp/t").get
+      val idx1 = spark.read.parquet(idxDir).collect()
         .map(r => r.getString(0)).toSet
       // Append a disjoint value range; only its files may join the index.
       val second = (5000L until 6000L).map(i => (i, i % 10)).toDF("v", "g")
         .repartitionByRange(4, col("v"))
       ScaleLayout.appendIndexed(second, s"$tmp/t", Seq("v"))
-      val idx2 = spark.read.parquet(s"$tmp/t/_graft_index").collect()
+      val idx2 = spark.read.parquet(idxDir).collect()
         .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       assert(idx2.length > idx1.size, "append must add index rows")
       val olds = idx2.filter(r => idx1.contains(r._1))
@@ -148,9 +149,11 @@ class ScaleLayoutSpec extends AnyFunSuite {
         "new rows carry the appended range only")
       // A query on the old era prunes away every appended file and vice versa.
       val oldRead = ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (0.0, 999.0)))
-      assert(oldRead.count() == 1000L && ScaleLayout.lastPrune._1 * 2 <= ScaleLayout.lastPrune._2)
+      val po = ScaleLayout.lastPruneFor(s"$tmp/t").get
+      assert(oldRead.count() == 1000L && po._1 * 2 <= po._2)
       val newRead = ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (5000.0, 5999.0)))
-      assert(newRead.count() == 1000L && ScaleLayout.lastPrune._1 * 2 <= ScaleLayout.lastPrune._2)
+      val pn = ScaleLayout.lastPruneFor(s"$tmp/t").get
+      assert(newRead.count() == 1000L && pn._1 * 2 <= pn._2)
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
@@ -171,16 +174,117 @@ class ScaleLayoutSpec extends AnyFunSuite {
       val expected = spark.read.parquet(s"$tmp/t").filter(filt).count()
       val total = spark.read.parquet(s"$tmp/t").count()
       ScaleLayout.readPruned(spark, s"$tmp/t", box)
-      val (kBefore, totBefore) = ScaleLayout.lastPrune
+      val (kBefore, totBefore) = ScaleLayout.lastPruneFor(s"$tmp/t").get
       assert(kBefore == totBefore, "interleaved appends should defeat pruning entirely")
 
       ScaleLayout.optimizeZorder(spark, s"$tmp/t", Seq("a", "b"), files = 16, bits = 5)
-      assert(spark.read.parquet(s"$tmp/t").count() == total, "optimize must not lose rows")
+      // Between commit and vacuum, the old generation is retained for in-flight
+      // readers: snapshot reads are exact, the directory holds both generations.
+      assert(ScaleLayout.readCommitted(spark, s"$tmp/t").count() == total,
+        "optimize must not lose rows")
       val pruned = ScaleLayout.readPruned(spark, s"$tmp/t", box)
       assert(pruned.filter(filt).count() == expected, "pruned read must stay exact")
-      val (kAfter, totAfter) = ScaleLayout.lastPrune
+      val (kAfter, totAfter) = ScaleLayout.lastPruneFor(s"$tmp/t").get
       assert(kAfter * 2 <= totAfter,
         s"a 1/16-area box should prune at least half the optimized files ($kAfter/$totAfter)")
+      // Vacuum reclaims the pre-optimize generation; a plain directory read is
+      // then exact again (no index resolution needed).
+      ScaleLayout.vacuum(spark, s"$tmp/t")
+      assert(spark.read.parquet(s"$tmp/t").count() == total,
+        "vacuum must leave exactly the committed generation on disk")
+      assert(ScaleLayout.readPruned(spark, s"$tmp/t", box).filter(filt).count() == expected)
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("a reader concurrent with optimizeZorder sees the old or new layout, never a missing table") {
+    val tmp = java.nio.file.Files.createTempDirectory("optzconc").toString
+    try {
+      val rnd = new scala.util.Random(23)
+      val df = Seq.fill(4000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+        .toDF("a", "b").repartition(8)
+      ScaleLayout.writeIndexed(df, s"$tmp/t", Seq("a", "b"))
+      val box = Map("a" -> (0.0, 499.0), "b" -> (0.0, 499.0))
+      val filt = col("a").between(0, 499) && col("b").between(0, 499)
+      val expected = ScaleLayout.readPruned(spark, s"$tmp/t", box).filter(filt).count()
+      @volatile var failure: Option[Throwable] = None
+      @volatile var stop = false
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reader = new Thread(() => {
+        // every resolution must see a complete committed snapshot — same count,
+        // no missing-table or missing-file errors at any point during the swap
+        while (!stop && failure.isEmpty) {
+          try {
+            val n = ScaleLayout.readPruned(spark, s"$tmp/t", box).filter(filt).count()
+            if (n != expected)
+              failure = Some(new AssertionError(s"torn read: $n != $expected"))
+            reads.incrementAndGet()
+          } catch { case t: Throwable => failure = Some(t) }
+        }
+      })
+      reader.start()
+      try {
+        (0 until 3).foreach { _ =>
+          ScaleLayout.optimizeZorder(spark, s"$tmp/t", Seq("a", "b"), files = 8, bits = 5)
+        }
+      } finally { stop = true; reader.join(30000) }
+      failure.foreach(throw _)
+      assert(reads.get() > 0, "the reader never completed a read during maintenance")
+      // after the readers drain, vacuum reclaims the three superseded generations
+      ScaleLayout.vacuum(spark, s"$tmp/t")
+      assert(spark.read.parquet(s"$tmp/t").filter(filt).count() == expected)
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("crash before the commit flip leaves the old version committed; vacuum reclaims the garbage") {
+    val tmp = java.nio.file.Files.createTempDirectory("optzcrash").toString
+    try {
+      val df = (0L until 2000L).map(i => (i % 997, (i * 31) % 997)).toDF("a", "b")
+        .repartition(4)
+      ScaleLayout.writeIndexed(df, s"$tmp/t", Seq("a", "b"))
+      val v0 = ScaleLayout.committedVersion(spark, s"$tmp/t").get
+      val filesBefore = new java.io.File(s"$tmp/t").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      ScaleLayout.optimizeZorderInternal(
+        spark, s"$tmp/t", Seq("a", "b"), files = 8, bits = 5, crashBeforeCommit = true)
+      // the pointer never flipped: readers still resolve the original snapshot
+      assert(ScaleLayout.committedVersion(spark, s"$tmp/t").contains(v0))
+      assert(ScaleLayout.readCommitted(spark, s"$tmp/t").count() == 2000L)
+      assert(ScaleLayout.readPruned(spark, s"$tmp/t", Map("a" -> (0.0, 996.0)))
+        .count() == 2000L)
+      // the half-written generation is on disk but unreferenced; vacuum removes it
+      ScaleLayout.vacuum(spark, s"$tmp/t")
+      val filesAfter = new java.io.File(s"$tmp/t").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(filesAfter == filesBefore, s"vacuum must drop the crashed generation " +
+        s"($filesAfter files vs $filesBefore before the crash)")
+      assert(spark.read.parquet(s"$tmp/t").count() == 2000L)
+      // a rerun after the crash succeeds and supersedes the abandoned version dir
+      ScaleLayout.optimizeZorder(spark, s"$tmp/t", Seq("a", "b"), files = 8, bits = 5)
+      assert(ScaleLayout.committedVersion(spark, s"$tmp/t").exists(_ > v0))
+      assert(ScaleLayout.readCommitted(spark, s"$tmp/t").count() == 2000L)
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("concurrent readPruned calls keep independent prune stats (keyed by path)") {
+    val tmp = java.nio.file.Files.createTempDirectory("prunestats").toString
+    try {
+      val a = (0L until 1000L).map(i => Tuple1(i)).toDF("v").repartitionByRange(8, col("v"))
+      val b = (0L until 1000L).map(i => Tuple1(i)).toDF("v").repartitionByRange(4, col("v"))
+      ScaleLayout.writeIndexed(a, s"$tmp/a", Seq("v"))
+      ScaleLayout.writeIndexed(b, s"$tmp/b", Seq("v"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new Runnable {
+          def run(): Unit = (0 until 5).foreach { _ =>
+            ScaleLayout.readPruned(spark, s"$tmp/a", Map("v" -> (0.0, 124.0))).count() } })
+        val fb = pool.submit(new Runnable {
+          def run(): Unit = (0 until 5).foreach { _ =>
+            ScaleLayout.readPruned(spark, s"$tmp/b", Map("v" -> (0.0, 249.0))).count() } })
+        fa.get(); fb.get()
+      } finally pool.shutdown()
+      // both observations survive — a shared tuple would have clobbered one
+      assert(ScaleLayout.lastPruneFor(s"$tmp/a").contains((1, 8)))
+      assert(ScaleLayout.lastPruneFor(s"$tmp/b").contains((1, 4)))
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 

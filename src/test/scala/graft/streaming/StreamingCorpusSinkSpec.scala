@@ -220,14 +220,15 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
     import graft.operators.ScaleLayout
     val oldEra = ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (0.0, 499.0)))
     assert(oldEra.count() == 500)
-    val (k1, tot1) = ScaleLayout.lastPrune
+    val (k1, tot1) = ScaleLayout.lastPruneFor(s"$base/t").get
     assert(k1 < tot1, s"old-era read must prune batch-2 files ($k1/$tot1)")
     val newEra = ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (5000.0, 5499.0)))
     assert(newEra.count() == 500)
-    val (k2, tot2) = ScaleLayout.lastPrune
+    val (k2, tot2) = ScaleLayout.lastPruneFor(s"$base/t").get
     assert(k2 < tot2, s"new-era read must prune batch-1 files ($k2/$tot2)")
     // the index covers every data file (the commit-point invariant)
-    val indexed = spark.read.parquet(s"$base/t/_graft_index").count()
+    val indexed = spark.read
+      .parquet(ScaleLayout.committedIndexDir(spark, s"$base/t").get).count()
     val onDisk = new java.io.File(s"$base/t")
       .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
     assert(indexed == onDisk, s"index rows $indexed vs files $onDisk")
@@ -268,13 +269,13 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
     assert(!orphan.exists, "recovery must drop the unindexed orphan file")
     assert(spark.read.parquet(s"$base/t").count() == 1100,
       "replay must not duplicate data rows")
-    val idx = spark.read.parquet(s"$base/t/_graft_index")
+    import graft.operators.ScaleLayout
+    val idx = spark.read.parquet(ScaleLayout.committedIndexDir(spark, s"$base/t").get)
     assert(idx.select("file").distinct().count() == idx.count())
     val onDisk = new java.io.File(s"$base/t")
       .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
     assert(idx.count() == onDisk, "index rows must match files after replay")
     // era pruning still exact across original, replayed, and new batches
-    import graft.operators.ScaleLayout
     assert(ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (5000.0, 5499.0)))
       .count() == 500)
     assert(ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (9000.0, 9099.0)))
@@ -305,11 +306,11 @@ class StreamingCorpusSinkSpec extends AnyFunSuite {
 
     assert(spark.read.parquet(s"$base/t").count() == 1000,
       "takeover must preserve incarnation 1's rows")
-    val idx = spark.read.parquet(s"$base/t/_graft_index")
+    import graft.operators.ScaleLayout
+    val idx = spark.read.parquet(ScaleLayout.committedIndexDir(spark, s"$base/t").get)
     val onDisk = new java.io.File(s"$base/t")
       .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
     assert(idx.count() == onDisk)
-    import graft.operators.ScaleLayout
     assert(ScaleLayout.readPruned(spark, s"$base/t", Map("v" -> (0.0, 499.0)))
       .count() == 500)
     graft.util.Fs.deleteTree(java.nio.file.Paths.get(base))
