@@ -165,8 +165,13 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => }
+    // The 27 *_unparse cross-engine entries re-run existing source queries; in
+    // the COMPACT line they fold into one family total (22 individual
+    // tpch_qN_unparse entries would push the line past the driver's ~1.8 KB
+    // tail budget — per-query medians stay in bench_full.json).
     def family(name: String): String =
-      if (name.startsWith("tpch_")) "tpch"
+      if (name.endsWith("_unparse") || name.endsWith("_postgres")) "suite_unparse"
+      else if (name.startsWith("tpch_")) "tpch"
       else if (name.startsWith("mm")) "suite_multimodal"
       else name.head match {
         case 'm' => "suite_semantic"   case 'q' => "suite_relational"
@@ -176,9 +181,11 @@ object Bench {
         case _   => "suite_other"
       }
     val tpchEntries = timed.toSeq.collect {
-      case (k, _, med, _) if k.startsWith("tpch_") => s"\"" + k + "\":" + f3(med)
+      case (k, _, med, _) if k.startsWith("tpch_") && !k.endsWith("_unparse") =>
+        s"\"" + k + "\":" + f3(med)
     }.sorted
-    val familyTotals = timed.toSeq.filterNot(_._1.startsWith("tpch_"))
+    val familyTotals = timed.toSeq
+      .filterNot(t => t._1.startsWith("tpch_") && !t._1.endsWith("_unparse"))
       .groupBy(t => family(t._1)).toSeq.sortBy(_._1)
       .map { case (fam, ts) => s"\"" + fam + "\":" + f3(ts.map(_._3).sum) }
     val qsCompact = (tpchEntries ++ familyTotals).mkString("{", ",", "}")

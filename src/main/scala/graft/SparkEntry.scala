@@ -26,5 +26,5 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Semantic.oracles ++ Pipeline.oracles ++ TpcH.oracles ++
-      Functions.oracles ++ TpcH.unparseOracles
+      Functions.oracles ++ TpcH.unparseOracles ++ Semantic.pgUnparseOracles
 }

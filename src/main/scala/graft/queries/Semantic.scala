@@ -529,7 +529,42 @@ object Semantic {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap ++ pgUnparseQueries
   def oracles: Map[String, String] =
     defs.flatMap { case (n, (_, o)) => o.map(n -> _) }.toMap
+
+  private val pgCorpus: Seq[(String, String)] = Seq(
+    "m21_unparse_postgres" -> m21Sql, "m22_unparse_postgres" -> m22Sql,
+    "m23_unparse_postgres" -> m23Sql, "m24_unparse_postgres" -> m24Sql,
+    "m25_unparse_postgres" -> m25Sql)
+
+  /** Postgres-dialect cross-engine entries: the same m21–m25 corpus, oracle =
+    * the POSTGRES rendering (pinned verbatim by SqlUnparserPostgresSpec). The
+    * driver's DuckDB oracle executes it — DuckDB parses the emitted ANSI/PG
+    * subset (DOUBLE PRECISION/NUMERIC spellings, correlated EXISTS semi joins,
+    * DATE + INTEGER arithmetic) — so the postgres dialect's output is executed
+    * and hash-compared on a second engine, not just snapshot-pinned.
+    */
+  def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
+    pgCorpus.map { case (n, sql) =>
+      n -> ((s: SparkSession, dir: String) => deployAndRun(sql)(s, dir)) }.toMap
+
+  /** Live-generated Postgres texts for [[pgUnparseQueries]] (same protocol as
+    * [[TpcH.unparseOracles]] — path-independent table names, planned on the
+    * smallest SF).
+    */
+  def pgUnparseOracles: Map[String, String] = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val session = GraftEngine.deployOnDir(spark, manifest, "/root/testdata/sf0.001")
+    pgCorpus.flatMap { case (n, sql) =>
+      try Some(n -> session.transformSql(sql, "postgres"))
+      catch { case e: Exception =>
+        System.err.println(s"[pg-unparse-oracle] $n: ${e.getMessage}"); None }
+    }.toMap
+  }
 }

@@ -38,8 +38,9 @@ object SqlUnparser {
     name.toLowerCase match {
       case "spark" => SparkDialect
       case "duckdb" => DuckDbDialect
+      case "postgres" | "postgresql" => PostgresDialect
       case other => throw new IllegalArgumentException(
-        s"unknown unparse dialect '$other' (spark|duckdb)")
+        s"unknown unparse dialect '$other' (spark|duckdb|postgres)")
     }
 
   /** Render `plan` as executable SQL with final columns named `outputNames`
@@ -66,6 +67,74 @@ object SqlUnparser {
     def fallback(e: Expression, rendered: Expression => String): String
     /** Scalar function name mapping; None = not expressible. */
     def fnName(prettyName: String): Option[String]
+    /** Engines without SEMI/ANTI JOIN syntax (Postgres) render those join
+      * types as correlated (NOT) EXISTS instead of a join keyword.
+      */
+    def semiAntiAsExists: Boolean = false
+    /** Integer division truncating toward zero (Spark's `div`). Each target
+      * spells it differently — and Spark's `div` keyword parses NOWHERE else,
+      * so emitting the default into another dialect would fail at execution.
+      */
+    def integralDivide(l: String, r: String): String = s"($l div $r)"
+    /** Dialects preferring ANSI `extract(field FROM x)` over Spark's
+      * `year(x)`-style accessors.
+      */
+    def preferExtract: Boolean = false
+    /** Ordered string aggregation; Postgres spells it `string_agg(x, d ORDER
+      * BY ...)` where DuckDB accepts the ANSI `listagg(...) WITHIN GROUP`.
+      */
+    def listAggSql(distinct: String, child: String, delim: String,
+        order: Seq[String]): String = {
+      val within =
+        if (order.isEmpty) "" else s" WITHIN GROUP (ORDER BY ${order.mkString(", ")})"
+      s"listagg($distinct$child, $delim)$within"
+    }
+
+    /** ANSI-flavored literal rendering shared by the executable-SQL dialects
+      * (identical text modulo [[typeName]] spellings in casts).
+      */
+    protected def ansiLiteral(l: Literal): String = (l.value, l.dataType) match {
+      case (null, NullType) => "NULL"
+      case (null, dt) => s"CAST(NULL AS ${typeName(dt)})"
+      case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        "'" + v.toString.replace("'", "''") + "'"
+      case (v: Int, DateType) =>
+        s"DATE '${java.time.LocalDate.ofEpochDay(v.toLong)}'"
+      case (v: Long, _: TimestampType | _: TimestampNTZType) =>
+        val i = java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS)
+        val t = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        // explicit 'yyyy-MM-dd HH:mm:ss[.SSSSSS]' — LocalDateTime.toString drops
+        // the seconds when zero and uses the ISO 'T', which not every engine parses
+        val frac = if (t.getNano == 0) "" else f".${t.getNano / 1000}%06d"
+        s"TIMESTAMP '${t.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))}$frac'"
+      case (v: Boolean, BooleanType) => if (v) "TRUE" else "FALSE"
+      case (v: Decimal, _) => v.toBigDecimal.bigDecimal.toPlainString
+      case (v: Double, DoubleType) if !v.isNaN && !v.isInfinite =>
+        java.math.BigDecimal.valueOf(v).toPlainString
+      case (v, dt) if dt == IntegerType || dt == LongType || dt == ShortType ||
+        dt == ByteType => v.toString
+      case (v, dt) => throw new UnsupportedOperationException(
+        s"${getClass.getSimpleName.stripSuffix("$").toLowerCase}: literal $v: ${dt.sql}")
+    }
+
+    /** The Morton kernel's explicit shift/mask expansion (no engine builtin):
+      * children bound once in a correlated scalar-subquery scope, terms
+      * referencing the bindings — see the DuckDB dialect notes.
+      */
+    protected def mortonExpansion(
+        z: graft.functions.InterleaveBits, rendered: Expression => String): String = {
+      val n = z.children.size
+      val mask = (1L << z.bits) - 1
+      val binds = z.children.zipWithIndex.map { case (c, d) =>
+        s"((${rendered(c)}) & $mask) AS ${quote(s"zb_d$d")}" }.mkString(", ")
+      val terms = (0 until n).flatMap { d =>
+        (0 until z.bits).map(i =>
+          s"(((${quote(s"zb_d$d")} >> $i) & 1) << ${i * n + d})")
+      }
+      s"(SELECT CAST(${terms.mkString(" + ")} AS BIGINT) " +
+        s"FROM (SELECT $binds) ${quote("zb")})"
+    }
   }
 
   object SparkDialect extends Dialect {
@@ -135,30 +204,11 @@ object SqlUnparser {
       case other => throw new UnsupportedOperationException(
         s"duckdb dialect: type ${other.sql}")
     }
-    def literal(l: Literal): String = (l.value, l.dataType) match {
-      case (null, NullType) => "NULL"
-      case (null, dt) => s"CAST(NULL AS ${typeName(dt)})"
-      case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
-        "'" + v.toString.replace("'", "''") + "'"
-      case (v: Int, DateType) =>
-        s"DATE '${java.time.LocalDate.ofEpochDay(v.toLong)}'"
-      case (v: Long, _: TimestampType | _: TimestampNTZType) =>
-        val i = java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS)
-        val t = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
-        // explicit 'yyyy-MM-dd HH:mm:ss[.SSSSSS]' — LocalDateTime.toString drops
-        // the seconds when zero and uses the ISO 'T', which not every engine parses
-        val frac = if (t.getNano == 0) "" else f".${t.getNano / 1000}%06d"
-        s"TIMESTAMP '${t.format(java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss"))}$frac'"
-      case (v: Boolean, BooleanType) => if (v) "TRUE" else "FALSE"
-      case (v: Decimal, _) => v.toBigDecimal.bigDecimal.toPlainString
-      case (v: Double, DoubleType) if !v.isNaN && !v.isInfinite =>
-        java.math.BigDecimal.valueOf(v).toPlainString
-      case (v, dt) if dt == IntegerType || dt == LongType || dt == ShortType ||
-        dt == ByteType => v.toString
-      case (v, dt) => throw new UnsupportedOperationException(
-        s"duckdb dialect: literal $v: ${dt.sql}")
-    }
+    def literal(l: Literal): String = ansiLiteral(l)
+    override def preferExtract: Boolean = true
+    // `//` truncates toward zero like Spark's div (checked: -7 // 2 = -3) and
+    // is exact over the full int64 range (no double rounding)
+    override def integralDivide(l: String, r: String): String = s"($l // $r)"
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -180,17 +230,7 @@ object SqlUnparser {
       // terms reference the binding — inlining the child into all `bits` terms
       // would grow the text multiplicatively and re-evaluate it per term on
       // engines without common-subexpression elimination.
-      case z: graft.functions.InterleaveBits =>
-        val n = z.children.size
-        val mask = (1L << z.bits) - 1
-        val binds = z.children.zipWithIndex.map { case (c, d) =>
-          s"((${rendered(c)}) & $mask) AS ${quote(s"zb_d$d")}" }.mkString(", ")
-        val terms = (0 until n).flatMap { d =>
-          (0 until z.bits).map(i =>
-            s"(((${quote(s"zb_d$d")} >> $i) & 1) << ${i * n + d})")
-        }
-        s"(SELECT CAST(${terms.mkString(" + ")} AS BIGINT) " +
-          s"FROM (SELECT $binds) ${quote("zb")})"
+      case z: graft.functions.InterleaveBits => mortonExpansion(z, rendered)
       // Spark folds `date + interval 'n' day` to date_add(date, n); DuckDB (like
       // Postgres) has no 2-int-arg date_add but adds days with DATE + INTEGER,
       // returning DATE — the same type Spark's date_add yields.
@@ -212,6 +252,98 @@ object SqlUnparser {
     private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
       "startswith" -> "starts_with", "endswith" -> "ends_with",
       "day" -> "day", "dayofmonth" -> "day")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
+  /** Postgres dialect: the reference's per-backend posture
+    * (`wren-core/core/src/mdl/dialect/inner_dialect.rs:110-135` — quoting,
+    * function-spelling, extract-style overrides per backend; the sqlglot layer
+    * `ibis-server/app/mdl/rewriter.py:51-63` does the same server-side).
+    * Differences from DuckDB carried here: `DOUBLE PRECISION`/`NUMERIC` type
+    * spellings, no SEMI/ANTI JOIN syntax (rendered as correlated (NOT)
+    * EXISTS), `string_agg(x, d ORDER BY ...)` for ordered string aggregation,
+    * and no `ends_with`/`contains` builtins (rendered structurally over
+    * `right`/`length`/`strpos`). No Postgres server exists in this sandbox, so
+    * this dialect is proven by pinned-text goldens + generation-coverage gates
+    * (`SqlUnparserPostgresSpec`) — the reference's own snapshot-test posture
+    * for its 20 dialects (`wren-core/core/src/mdl/mod.rs:648+`).
+    */
+  object PostgresDialect extends Dialect {
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"postgres dialect: no parquet table function for directory scan $rootPath " +
+          "— register the table (foreign table / COPY) under its logical name")
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "VARCHAR"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case ByteType => "SMALLINT" // no TINYINT in Postgres
+      case DoubleType => "DOUBLE PRECISION"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"postgres dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = ansiLiteral(l)
+    override def preferExtract: Boolean = true
+    override def semiAntiAsExists: Boolean = true
+    // div(numeric, numeric) is Postgres's truncating integer quotient
+    // (arbitrary precision — no 2^53 double hazard on ns-epoch longs)
+    override def integralDivide(l: String, r: String): String =
+      s"CAST(div($l, $r) AS BIGINT)"
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi | LeftAnti => throw new UnsupportedOperationException(
+        "postgres dialect: semi/anti joins render as EXISTS (semiAntiAsExists)")
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      s"(VALUES ${rows.mkString(", ")}) AS ${quote(alias)}(${cols.map(quote).mkString(", ")})"
+    override def listAggSql(distinct: String, child: String, delim: String,
+        order: Seq[String]): String = {
+      val ord = if (order.isEmpty) "" else s" ORDER BY ${order.mkString(", ")}"
+      s"string_agg($distinct$child, $delim$ord)"
+    }
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case z: graft.functions.InterleaveBits => mortonExpansion(z, rendered)
+      case da: DateAdd => s"(${rendered(da.startDate)} + ${rendered(da.days)})"
+      case ds: DateSub => s"(${rendered(ds.startDate)} - ${rendered(ds.days)})"
+      // no ends_with/contains builtins: structural renderings with the same
+      // three-valued null semantics (any null operand propagates to NULL)
+      case ew: EndsWith =>
+        s"(right(${rendered(ew.left)}, length(${rendered(ew.right)})) = ${rendered(ew.right)})"
+      case ct: Contains =>
+        s"(strpos(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"postgres dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "length", "concat", "abs",
+      "round", "floor", "ceil", "ceiling", "trim", "btrim", "ltrim", "rtrim",
+      "replace", "lpad", "rpad", "reverse", "greatest", "least", "nullif",
+      "sqrt", "ln", "exp", "sign", "initcap",
+      "date_trunc", "md5", "concat_ws", "left", "right", "repeat",
+      "pow", "power", "mod")
+    private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
+      "startswith" -> "starts_with")
     def fnName(prettyName: String): Option[String] = {
       val p = prettyName.toLowerCase
       if (direct(p)) Some(p) else renamed.get(p)
@@ -258,6 +390,17 @@ object SqlUnparser {
           else s" GROUP BY ${a.groupingExpressions.map(re).mkString(", ")}"
         s"SELECT ${a.aggregateExpressions.map(selectItem).mkString(", ")}" +
           s" FROM ${sub(a.child)}$groups"
+      // Engines without SEMI/ANTI JOIN syntax express those join types as
+      // correlated (NOT) EXISTS — sound here because every column name is
+      // globally unique, so the condition's references bind unambiguously to
+      // the outer (left) scope and the subquery's own columns.
+      case j: Join if dialect.semiAntiAsExists &&
+          (j.joinType == LeftSemi || j.joinType == LeftAnti) =>
+        val leftAlias = q(freshAlias())
+        val neg = if (j.joinType == LeftAnti) "NOT " else ""
+        val cond = j.condition.map(re).getOrElse("TRUE")
+        s"SELECT $leftAlias.* FROM (${render(j.left)}) $leftAlias " +
+          s"WHERE ${neg}EXISTS (SELECT 1 FROM ${sub(j.right)} WHERE $cond)"
       case j: Join =>
         val kw = dialect.joinKeyword(j.joinType)
         val leftAlias = q(freshAlias())
@@ -371,12 +514,11 @@ object SqlUnparser {
         case m: Max => s"max(${re(m.child)})"
         case a: Average => s"avg($d${re(a.child)})"
         // `.sql` prints the ordering as a bare third argument; the parseable
-        // form is WITHIN GROUP.
+        // form is WITHIN GROUP (or the dialect's own spelling — string_agg
+        // with inline ORDER BY on Postgres).
         case la: ListAgg =>
-          val within =
-            if (la.orderExpressions.isEmpty) ""
-            else s" WITHIN GROUP (ORDER BY ${la.orderExpressions.map(reSort).mkString(", ")})"
-          s"listagg($d${re(la.child)}, ${re(la.delimiter)})$within"
+          dialect.listAggSql(d, re(la.child), re(la.delimiter),
+            la.orderExpressions.map(reSort))
         case other => dialect.fallback(
           renameRefs(if (ae.isDistinct) ae else other), re)
       }
@@ -392,6 +534,9 @@ object SqlUnparser {
       case k: KnownFloatingPointNormalized => re(k.child)
       case n: org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero =>
         re(n.child)
+      // before the generic BinaryArithmetic case: its symbol is Spark's `div`
+      // keyword, which no other engine parses
+      case id: IntegralDivide => dialect.integralDivide(re(id.left), re(id.right))
       case And(l, r) => s"(${re(l)} AND ${re(r)})"
       case Or(l, r) => s"(${re(l)} OR ${re(r)})"
       case Not(c) => s"(NOT ${re(c)})"
@@ -465,10 +610,8 @@ object SqlUnparser {
     }
 
     private def extractOr(e: UnaryExpression, field: String): String =
-      dialect match {
-        case DuckDbDialect => s"extract($field FROM ${re(e.child)})"
-        case _ => dialect.fallback(renameRefs(e), re)
-      }
+      if (dialect.preferExtract) s"extract($field FROM ${re(e.child)})"
+      else dialect.fallback(renameRefs(e), re)
 
     private def reWindowFn(f: Expression): String = f match {
       case _: RowNumber => "row_number()"

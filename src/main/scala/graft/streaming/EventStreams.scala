@@ -173,7 +173,8 @@ object EventStreams {
   def curateNearDupStream(
       docs: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
       textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7)
+      n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.7,
+      compactIndexAt: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Curation
     val step = new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) with Serializable {
@@ -189,25 +190,79 @@ object EventStreams {
         val spark = batch.sparkSession
         if (!recovered) {
           ExactlyOnce.purge(spark, outDir, ckpt(spark), batchId)
-          ExactlyOnce.purge(spark, indexDir, ckpt(spark), batchId)
+          ExactlyOnce.purge(spark,
+            graft.util.CommitPointer.liveDir(spark, indexDir), ckpt(spark), batchId)
           recovered = true
         }
+        // AFTER the purge (compacting first would launder a crashed attempt's
+        // uncommitted rows into untagged permanence)
+        val live = maintainIndexDir(spark, indexDir, compactIndexAt)
         val index =
-          try spark.read.parquet(indexDir).drop("batch_id", "ckpt_id")
+          try spark.read.parquet(live).drop("batch_id", "ckpt_id")
           catch { case _: org.apache.spark.sql.AnalysisException =>
             Curation.emptyNearDupIndex(spark) }
         val (survivors, indexRows) = Curation.incrementalNearDedup(
           batch, index, textCol, idCol, n, k, bands, threshold)
         ExactlyOnce.tag(survivors, ckpt(spark), batchId)
           .write.mode("append").parquet(outDir)
-        ExactlyOnce.tag(indexRows, ckpt(spark), batchId)
-          .write.mode("append").parquet(indexDir)
+        // one index file per batch (tiny rows): repartition, not coalesce, so
+        // the dedup computation upstream keeps its parallelism
+        ExactlyOnce.tag(indexRows.repartition(1), ckpt(spark), batchId)
+          .write.mode("append").parquet(live)
       }
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) => step(b, id))
       .start()
+  }
+
+  /** Bound the accumulated-index FILE count for the near-dup streams: each
+    * batch appends one small index file, so a months-long stream would pay
+    * O(batches) listing/footer/task overhead per trigger — the per-batch creep
+    * the streaming scale smoke measures. When the live index dir reaches
+    * `threshold` files, rewrite it as one generation under
+    * `indexDir/_versions/v<N>` and flip the [[graft.util.CommitPointer]]
+    * atomically; the superseded generation is dropped after the flip (the
+    * stream is the dir's only reader, and never mid-read between batches).
+    * Compacted rows get their protocol tags STRIPPED — they are committed by
+    * construction (the restart purge ran before any compaction), and untagged
+    * rows are exactly what [[ExactlyOnce.purge]] never deletes, so a
+    * compacted file can never be judged "uncommitted" by a later recovery
+    * (the multi-batch-file hazard purge refuses loudly). A crash before the
+    * pointer flip leaves the old generation live and the staging dir as
+    * garbage removed by the next compaction. Amortized cost: one index
+    * rewrite per `threshold` batches — O(|index| / threshold) per batch.
+    */
+  private def maintainIndexDir(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      threshold: Int): String = {
+    import graft.util.CommitPointer
+    val live = CommitPointer.liveDir(spark, indexDir)
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (threshold <= 0 || !fs.exists(livePath)) return live
+    val files = fs.listStatus(livePath).count(st =>
+      st.getPath.getName.endsWith(".parquet") && !st.getPath.getName.startsWith("_"))
+    if (files < threshold) return live
+    CommitPointer.dropStaleVersions(spark, indexDir) // crashed stagings
+    val next = CommitPointer.committedVersion(spark, indexDir).getOrElse(0) + 1
+    val idx = spark.read.parquet(live)
+    val rows = idx.count()
+    val outFiles = math.max(1, math.ceil(rows / 4e6).toInt) // ~4M tiny rows/file
+    idx.withColumn("batch_id", org.apache.spark.sql.functions.lit(null).cast("long"))
+      .withColumn("ckpt_id", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .repartition(outFiles)
+      .write.mode("overwrite").parquet(CommitPointer.versionDir(indexDir, next))
+    CommitPointer.commit(spark, indexDir, next)
+    // drop the superseded generation: the flat root keeps only _versions/_commit
+    if (live == indexDir)
+      fs.listStatus(livePath).foreach { st =>
+        val n0 = st.getPath.getName
+        if (!n0.startsWith("_")) fs.delete(st.getPath, st.isDirectory)
+      }
+    else fs.delete(livePath, true)
+    CommitPointer.versionDir(indexDir, next)
   }
 
   /** Streaming perceptual near-dup for MEDIA payloads — `curateNearDupStream`'s
@@ -228,7 +283,8 @@ object EventStreams {
       media: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
       idCol: String = "doc_id",
       sigFn: DataFrame => DataFrame = graft.operators.Multimodal.perceptualHash(_, "doc_id"),
-      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxHamming: Int = 3, compactIndexAt: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val step = new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) with Serializable {
       private var recovered = false
@@ -246,11 +302,13 @@ object EventStreams {
           // an index holding the crashed attempt's own signatures would drop
           // every replayed item as its own near-dup
           ExactlyOnce.purge(spark, outDir, ckpt(spark), batchId)
-          ExactlyOnce.purge(spark, indexDir, ckpt(spark), batchId)
+          ExactlyOnce.purge(spark,
+            graft.util.CommitPointer.liveDir(spark, indexDir), ckpt(spark), batchId)
           recovered = true
         }
+        val live = maintainIndexDir(spark, indexDir, compactIndexAt)
         val index =
-          try spark.read.parquet(indexDir).drop("batch_id", "ckpt_id")
+          try spark.read.parquet(live).drop("batch_id", "ckpt_id")
           catch { case _: org.apache.spark.sql.AnalysisException =>
             Dedup.emptyHammingIndex(spark) }
         val sigs = sigFn(batch)
@@ -261,8 +319,8 @@ object EventStreams {
               batch.join(surviving.select(col("id").alias(idCol)), Seq(idCol), "left_semi"),
               ckpt(spark), batchId)
             .write.mode("append").parquet(outDir)
-          ExactlyOnce.tag(surviving, ckpt(spark), batchId)
-            .write.mode("append").parquet(indexDir)
+          ExactlyOnce.tag(surviving.repartition(1), ckpt(spark), batchId)
+            .write.mode("append").parquet(live)
         } finally surviving.unpersist()
       }
     }

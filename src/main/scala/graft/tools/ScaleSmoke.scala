@@ -95,9 +95,9 @@ object ScaleSmoke {
       df.withColumn("text", when(pmod(col("doc_id"), lit(3)) === 0,
         concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
 
-    def writeCorpus(name: String, df: DataFrame): String = {
+    def writeCorpus(name: String, df: DataFrame, parts: Int = 32): String = {
       val dir = s"$work/$name"
-      df.repartition(32).write.parquet(s"$dir/documents.parquet")
+      df.repartition(parts).write.parquet(s"$dir/documents.parquet")
       dir
     }
     val x10 = (0 until copies).map(salted).reduce(_ union _)
@@ -157,6 +157,44 @@ object ScaleSmoke {
         s"shuffle ${row("shuffle1_mb")}->${row("shuffle10_mb")} MB " +
         s"dispatch ${row("dispatch1")}->${row("dispatch10")}")
       row
+    }
+
+    // ---- 30× skew decade for the df-dispatch family -------------------------
+    // One more decade of the unsalted-boilerplate corpus (~50k boilerplate docs,
+    // shingle df ~50k) to confirm the prefix path's trend where a capped
+    // inverted index would go quadratic. The partition count scales with the
+    // rows (32 at 10× → 96 at 30×), holding rows-per-partition constant — the
+    // claim under test is that PEAK-STAGE BYTES PER PARTITION stays ~flat
+    // (within ~2× of the 10× figure), i.e. executor memory pressure is set by
+    // the slice size, not the corpus size.
+    val skewResults30 = {
+      val skew30 = writeCorpus("skew30",
+        skewed((0 until 3 * copies).map(salted).reduce(_ union _)), parts = 96)
+      Seq("d4_ngram_jaccard", "d13_containment").map { name =>
+        val key = if (name == "d13_containment") "containment" else "jaccard"
+        val (t10, r10, s10, p10) = run(name, skew10) // 10× at 32 partitions
+        val d10 = Option(Dedup.lastDispatch.get(key)).getOrElse("-")
+        spark.conf.set("spark.sql.shuffle.partitions", "96")
+        val (t30, r30, s30, p30) =
+          try run(name, skew30)
+          finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val d30 = Option(Dedup.lastDispatch.get(key)).getOrElse("-")
+        val row = Map(
+          "query" -> s"$name[10x/32p -> 30x/96p]",
+          "t1_sec" -> f"$t10%.2f", "t10_sec" -> f"$t30%.2f",
+          "wall_factor" -> f"${t30 / t10}%.1f",
+          "rows1" -> r10.toString, "rows10" -> r30.toString,
+          "shuffle1_mb" -> mb(s10), "shuffle10_mb" -> mb(s30),
+          "peak_stage1_mb" -> mb(p10), "peak_stage10_mb" -> mb(p30),
+          "peak_per_part1_mb" -> mb(p10 / 32), "peak_per_part10_mb" -> mb(p30 / 96),
+          "shuffle_factor" -> (if (s10 > 0) f"${s30.toDouble / s10}%.1f" else "-"),
+          "dispatch1" -> d10, "dispatch10" -> d30)
+        println(s"[scale] ${row("query")} 10x=${row("t1_sec")}s 30x=${row("t10_sec")}s " +
+          s"factor=${row("wall_factor")} rows ${r10}->${r30} " +
+          s"peak/part ${row("peak_per_part1_mb")}->${row("peak_per_part10_mb")} MB " +
+          s"dispatch ${d10}->${d30}")
+        row
+      }
     }
 
     // ---- ANN flagships over a 10× embedding corpus -------------------------
@@ -301,7 +339,7 @@ object ScaleSmoke {
         // same ShuffleMeter protocol as every other row — measured, not assumed
         val (best, rows, shuffle, peak) =
           runDf(() => ScaleLayout.readPruned(spark, path, box).filter(filt))
-        val (k, tot) = ScaleLayout.lastPrune
+        val (k, tot) = ScaleLayout.lastPruneFor(path).get
         (best, rows, shuffle, peak, k, tot)
       }
       probe(z1) // warm
@@ -323,7 +361,7 @@ object ScaleSmoke {
       Seq(row)
     }
 
-    val json = (results ++ eventResults ++ annResults ++ zorderResults).map(r => r.map { case (k, v) =>
+    val json = (results ++ skewResults30 ++ eventResults ++ annResults ++ zorderResults).map(r => r.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),

@@ -12,16 +12,12 @@ import graft.TestSpark
   * fixed oracle corpora (SqlUnparser*Spec) pin known shapes, this spec guards
   * the combinatorial space between them.
   */
-class SqlUnparserPropertySpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
-
-  private def load(): Unit =
-    Seq("orders", "customer", "nation").foreach { t =>
-      spark.read.parquet(s"${TestSpark.sfDir}/$t.parquet").createOrReplaceTempView(t)
-    }
-
+/** The generation grammar, shared with [[SqlUnparserPostgresSpec]]'s
+  * dual-dialect generation sweep.
+  */
+class SqlUnparserPropertyGrammar {
   /** One deterministic random query per seed. */
-  private def genQuery(seed: Int): String = {
+  def genQuery(seed: Int): String = {
     val rnd = new scala.util.Random(seed)
     def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
 
@@ -79,11 +75,22 @@ class SqlUnparserPropertySpec extends AnyFunSuite {
       } else withUnion
     ordered
   }
+}
+
+class SqlUnparserPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def load(): Unit =
+    Seq("orders", "customer", "nation").foreach { t =>
+      spark.read.parquet(s"${TestSpark.sfDir}/$t.parquet").createOrReplaceTempView(t)
+    }
+
+  private val grammar = new SqlUnparserPropertyGrammar
 
   test("generated queries round-trip through the spark dialect (40 seeds)") {
     load()
     for (seed <- 0 until 40) {
-      val sql = genQuery(seed)
+      val sql = grammar.genQuery(seed)
       try {
         val df = spark.sql(sql)
         val qe = df.queryExecution

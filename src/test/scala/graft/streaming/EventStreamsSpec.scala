@@ -125,6 +125,57 @@ class EventStreamsSpec extends AnyFunSuite {
     graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("near-dup curation: index compaction bounds files, stays exact, survives crash-replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_compact_").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val fresh = Seq(
+      "completely different content about databases and distributed query engines",
+      "a travel journal describing mountain villages and ancient stone bridges",
+      "recipes for winter soups with roasted vegetables and fresh garden herbs",
+      "notes on orchestral composition harmony counterpoint and baroque style")
+    val src = MemoryStream[Doc]
+    val q1 = EventStreams.curateNearDupStream(src.toDF(),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", threshold = 0.5, compactIndexAt = 4)
+    // four singleton batches: four index files accumulate in the flat dir
+    src.addData(Doc(1, ts("2024-01-01 10:00:00"), base)); q1.processAllAvailable()
+    (0 until 3).foreach { i =>
+      src.addData(Doc(2 + i, ts(s"2024-01-01 10:0${i + 1}:00"), fresh(i)))
+      q1.processAllAvailable()
+    }
+    // batch 4 hits the threshold: compaction flips the pointer, then the batch
+    // probes the COMPACTED index — doc 5 near-dups doc 1 and must still drop
+    src.addData(
+      Doc(5, ts("2024-01-01 11:00:00"), base.replace("today", "tonight")),
+      Doc(6, ts("2024-01-01 11:01:00"), fresh(3)))
+    q1.processAllAvailable()
+    q1.stop()
+    val live = graft.util.CommitPointer.liveDir(spark, s"$tmp/index")
+    assert(live != s"$tmp/index", "the pointer must have flipped to a compacted generation")
+    val liveFiles = new java.io.File(live)
+      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
+    assert(liveFiles <= 2, s"compaction must bound the file count, got $liveFiles")
+    assert(spark.read.parquet(s"$tmp/out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 6L))
+    // crash-replay AFTER compaction: the compacted rows are untagged (committed
+    // by construction) so the purge must keep them, while batch 4's own tagged
+    // appends purge and replay exactly once
+    assert(new java.io.File(s"$tmp/ckpt/commits/4").delete())
+    new java.io.File(s"$tmp/ckpt/commits/.4.crc").delete()
+    val q2 = EventStreams.curateNearDupStream(src.toDF(),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", threshold = 0.5, compactIndexAt = 4)
+    q2.processAllAvailable() // replays batch 4
+    q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L, 6L), "replay after compaction must keep survivors exactly")
+    assert(out.count() == 5, "no duplicate rows after replay")
+    val idx = spark.read.parquet(graft.util.CommitPointer.liveDir(spark, s"$tmp/index"))
+    assert(idx.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 6L))
+    graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("near-dup curation: a fresh checkpoint inherits the index instead of purging it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
