@@ -327,6 +327,45 @@ object ScaleLayout {
     commitVersion(spark, path, nextV)
   }
 
+  /** Rewrite the committed index as a new compact version (data files
+    * untouched): a streaming table gains a few small index files per batch
+    * ([[graft.streaming.StreamingCorpusSink.indexedSinkStream]]), and
+    * [[readPruned]]'s per-read collect pays per-file listing/footer overhead —
+    * after months of batches, the index read costs O(batches), not O(files
+    * worth of stats). Same commit discipline as [[optimizeZorder]]: the
+    * compacted rows land in `_graft_index/v<N+1>` and the pointer flips
+    * atomically, so concurrent readers resolve the old or the new index —
+    * both describing the SAME data files. Streaming protocol tags are
+    * STRIPPED (a compacted index row is committed by construction; untagged
+    * rows are exactly what the exactly-once purge never deletes). Call it
+    * between batches / from a maintenance schedule; single maintainer.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val idxDir = committedIndexDir(spark, path).getOrElse(return)
+    val nextV = committedVersion(spark, path).getOrElse(0) + 1
+    val idx = spark.read.parquet(idxDir)
+    val dropTags = idx.columns.filter(c => c == "batch_id" || c == "ckpt_id")
+    val rows = idx.count()
+    val files = math.max(1, math.ceil(rows / 4e6).toInt) // ~4M one-row-per-file stats
+    dropTags.foldLeft(idx) { (d, c) =>
+      d.withColumn(c, lit(null).cast(d.schema(c).dataType)) }
+      .repartition(files)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index/v$nextV")
+    commitVersion(spark, path, nextV)
+    // the superseded version holds no unique information (same data files) —
+    // safe to drop once the pointer is flipped; a reader mid-collect on a
+    // local/HDFS fs keeps its open handles, and vacuum covers stragglers.
+    // A pre-versioning FLAT index lives at `_graft_index` itself, which now
+    // CONTAINS the new version dir — delete only its flat files, never the dir.
+    val fs = fsFor(spark, path)
+    if (idxDir == s"$path/_graft_index")
+      fs.listStatus(new org.apache.hadoop.fs.Path(idxDir)).foreach { st =>
+        if (st.isFile) fs.delete(st.getPath, false)
+      }
+    else fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+    ()
+  }
+
   /** Reclaim everything the committed version does not reference: data files
     * absent from the committed index (pre-optimize generations, crashed
     * half-writes) and index version dirs other than the committed one

@@ -265,6 +265,62 @@ class ScaleLayoutSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("compactIndex merges index files under a new committed version; reads stay exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("idxcompact").toString
+    try {
+      val mk = (lo: Long) => (lo until lo + 1000L).map(i => Tuple1(i)).toDF("v")
+        .repartitionByRange(4, col("v"))
+      ScaleLayout.writeIndexed(mk(0), s"$tmp/t", Seq("v"))
+      (1 to 5).foreach(b => ScaleLayout.appendIndexed(mk(b * 1000L), s"$tmp/t", Seq("v")))
+      val v0 = ScaleLayout.committedVersion(spark, s"$tmp/t").get
+      val before = new java.io.File(ScaleLayout.committedIndexDir(spark, s"$tmp/t").get)
+        .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
+      assert(before >= 6, s"appends should have accumulated index files, got $before")
+      ScaleLayout.compactIndex(spark, s"$tmp/t")
+      assert(ScaleLayout.committedVersion(spark, s"$tmp/t").contains(v0 + 1))
+      val dir = ScaleLayout.committedIndexDir(spark, s"$tmp/t").get
+      val after = new java.io.File(dir)
+        .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
+      assert(after == 1, s"compacted index should be one file, got $after")
+      // same index ROWS (one per data file), so pruning is unchanged and exact
+      val era = ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (2000.0, 2999.0)))
+      assert(era.count() == 1000L)
+      val (k, tot) = ScaleLayout.lastPruneFor(s"$tmp/t").get
+      assert(tot == 24 && k <= 8, s"prune stats after compaction: $k/$tot")
+      // appends continue into the compacted version
+      ScaleLayout.appendIndexed(mk(6000L), s"$tmp/t", Seq("v"))
+      assert(ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (6000.0, 6999.0)))
+        .count() == 1000L)
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("compactIndex migrates a pre-versioning flat index without losing it") {
+    val tmp = java.nio.file.Files.createTempDirectory("idxlegacy").toString
+    try {
+      val df = (0L until 1000L).map(i => Tuple1(i)).toDF("v").repartitionByRange(4, col("v"))
+      ScaleLayout.writeIndexed(df, s"$tmp/t", Seq("v"))
+      // reconstruct the pre-versioning layout: index rows directly under
+      // _graft_index, no commit pointer
+      val idx = spark.read.parquet(s"$tmp/t/_graft_index/v1").collect()
+      val schema = spark.read.parquet(s"$tmp/t/_graft_index/v1").schema
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(s"$tmp/t/_graft_index"))
+      assert(new java.io.File(s"$tmp/t/_graft_commit").delete())
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(idx.toIndexedSeq, 2), schema)
+        .write.parquet(s"$tmp/t/_graft_index")
+      assert(ScaleLayout.committedVersion(spark, s"$tmp/t").isEmpty)
+      ScaleLayout.compactIndex(spark, s"$tmp/t")
+      assert(ScaleLayout.committedVersion(spark, s"$tmp/t").contains(1))
+      assert(ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (0.0, 249.0)))
+        .count() == 250L)
+      // the flat files are gone, the versioned dir + data survived intact
+      val flat = new java.io.File(s"$tmp/t/_graft_index")
+        .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).length
+      assert(flat == 0)
+      assert(spark.read.parquet(s"$tmp/t").count() == 1000L)
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("concurrent readPruned calls keep independent prune stats (keyed by path)") {
     val tmp = java.nio.file.Files.createTempDirectory("prunestats").toString
     try {
