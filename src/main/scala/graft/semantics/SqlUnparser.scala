@@ -39,8 +39,9 @@ object SqlUnparser {
       case "spark" => SparkDialect
       case "duckdb" => DuckDbDialect
       case "postgres" | "postgresql" => PostgresDialect
+      case "mysql" => MySqlDialect
       case other => throw new IllegalArgumentException(
-        s"unknown unparse dialect '$other' (spark|duckdb|postgres)")
+        s"unknown unparse dialect '$other' (spark|duckdb|postgres|mysql)")
     }
 
   /** Render `plan` as executable SQL with final columns named `outputNames`
@@ -80,6 +81,14 @@ object SqlUnparser {
       * `year(x)`-style accessors.
       */
     def preferExtract: Boolean = false
+    /** One ORDER BY item (possibly several sort keys: engines without NULLS
+      * FIRST/LAST syntax emulate the non-native placement with an `IS NULL`
+      * prefix key).
+      */
+    def sortItem(child: String, dir: String, nullsFirst: Boolean): Seq[String] = {
+      val n = if (nullsFirst) "NULLS FIRST" else "NULLS LAST"
+      Seq(s"$child $dir $n")
+    }
     /** Ordered string aggregation; Postgres spells it `string_agg(x, d ORDER
       * BY ...)` where DuckDB accepts the ANSI `listagg(...) WITHIN GROUP`.
       */
@@ -350,6 +359,112 @@ object SqlUnparser {
     }
   }
 
+  /** MySQL dialect — the reference's MySQLDialect posture
+    * (`inner_dialect.rs:117-135`: `btrim`→`trim`, extract-style date fields)
+    * plus the grammar gaps MySQL itself imposes: backtick quoting, no FULL
+    * JOIN (loud error), no SEMI/ANTI JOIN (correlated EXISTS), no NULLS
+    * FIRST/LAST in ORDER BY (non-native placements emulated with an `IS NULL`
+    * prefix sort key; native ones — ASC/nulls-first, DESC/nulls-last — emit
+    * bare), `char_length` for character length (`length()` is BYTES in
+    * MySQL), `GROUP_CONCAT(x ORDER BY ... SEPARATOR d)` for ordered string
+    * aggregation, `a DIV b` integer division, and DATE + INTERVAL n DAY
+    * arithmetic. No `date_trunc` and no reliable outer-reference scoping for
+    * the Morton expansion's derived table — both fail loudly (curated-subset
+    * posture). No MySQL server in this sandbox: proven by pinned goldens +
+    * generation gates + the property sweep (`SqlUnparserPostgresSpec`'s
+    * sibling tests), the reference's snapshot-test posture.
+    */
+  object MySqlDialect extends Dialect {
+    def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"mysql dialect: no parquet table function for directory scan $rootPath " +
+          "— register the table under its logical name")
+    }
+    // MySQL CAST target types are their own sublanguage (SIGNED/CHAR/...),
+    // not column types
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "CHAR"
+      case IntegerType | LongType | ShortType | ByteType | BooleanType => "SIGNED"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case DateType => "DATE"
+      case _: TimestampType => "DATETIME"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"mysql dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = ansiLiteral(l)
+    override def preferExtract: Boolean = true
+    override def semiAntiAsExists: Boolean = true
+    // `DIV` truncates toward zero over exact integers (MySQL reference manual)
+    override def integralDivide(l: String, r: String): String = s"($l DIV $r)"
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => throw new UnsupportedOperationException(
+        "mysql dialect: MySQL has no FULL JOIN — rewrite as LEFT JOIN UNION " +
+          "ALL anti-filtered RIGHT JOIN upstream")
+      case LeftSemi | LeftAnti => throw new UnsupportedOperationException(
+        "mysql dialect: semi/anti joins render as EXISTS (semiAntiAsExists)")
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      s"(VALUES ${rows.mkString(", ")}) AS ${quote(alias)}(${cols.map(quote).mkString(", ")})"
+    override def sortItem(child: String, dir: String, nullsFirst: Boolean): Seq[String] = {
+      val native = (dir == "ASC" && nullsFirst) || (dir == "DESC" && !nullsFirst)
+      if (native) Seq(s"$child $dir")
+      // non-native placement: a boolean prefix key — `(x IS NULL) DESC` puts
+      // nulls first, `ASC` puts them last — then the value key
+      else Seq(s"($child IS NULL) ${if (nullsFirst) "DESC" else "ASC"}", s"$child $dir")
+    }
+    override def listAggSql(distinct: String, child: String, delim: String,
+        order: Seq[String]): String = {
+      val ord = if (order.isEmpty) "" else s" ORDER BY ${order.mkString(", ")}"
+      s"GROUP_CONCAT($distinct$child$ord SEPARATOR $delim)"
+    }
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case _: graft.functions.InterleaveBits => throw new UnsupportedOperationException(
+        "mysql dialect: zorder_key's bound-once expansion needs outer references " +
+          "inside a derived table, which MySQL's scoping rules reject — " +
+          "compute the Morton key engine-side")
+      case da: DateAdd =>
+        s"(${rendered(da.startDate)} + INTERVAL ${rendered(da.days)} DAY)"
+      case ds: DateSub =>
+        s"(${rendered(ds.startDate)} - INTERVAL ${rendered(ds.days)} DAY)"
+      case sw: StartsWith =>
+        s"(left(${rendered(sw.left)}, char_length(${rendered(sw.right)})) = ${rendered(sw.right)})"
+      case ew: EndsWith =>
+        s"(right(${rendered(ew.left)}, char_length(${rendered(ew.right)})) = ${rendered(ew.right)})"
+      case ct: Contains =>
+        s"(instr(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"mysql dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "concat", "abs",
+      "round", "floor", "ceil", "ceiling", "trim", "ltrim", "rtrim", "replace",
+      "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",
+      "exp", "sign", "md5", "concat_ws", "left", "right", "repeat", "instr",
+      "pow", "power", "mod")
+    private val renamed = Map(
+      "substring" -> "substr",
+      // MySQL length() counts BYTES; char_length matches Spark's semantics
+      "length" -> "char_length",
+      "btrim" -> "trim")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
   private final class Generator(dialect: Dialect) {
     private var counter = 0
     private def freshAlias(): String = { counter += 1; s"t$counter" }
@@ -411,7 +526,7 @@ object SqlUnparser {
         val on = j.condition.map(c => s" ON ${re(c)}").getOrElse("")
         s"SELECT $projection FROM (${render(j.left)}) $leftAlias $kw ${sub(j.right)}$on"
       case s: Sort =>
-        s"SELECT * FROM ${sub(s.child)} ORDER BY ${s.order.map(reSort).mkString(", ")}"
+        s"SELECT * FROM ${sub(s.child)} ORDER BY ${s.order.flatMap(reSort).mkString(", ")}"
       case GlobalLimit(IntegerLiteral(n), child) =>
         val inner = child match {
           case LocalLimit(IntegerLiteral(_), grandchild) => grandchild
@@ -423,7 +538,7 @@ object SqlUnparser {
         inner match {
           case s: Sort =>
             s"SELECT * FROM ${sub(s.child)} ORDER BY " +
-              s"${s.order.map(reSort).mkString(", ")} LIMIT $n"
+              s"${s.order.flatMap(reSort).mkString(", ")} LIMIT $n"
           case other => s"SELECT * FROM ${sub(other)} LIMIT $n"
         }
       case w: Window =>
@@ -496,12 +611,10 @@ object SqlUnparser {
         s"unparse: plan node ${other.getClass.getSimpleName} is not SQL-expressible here")
     }
 
-    private def reSort(so: SortOrder): String = {
+    private def reSort(so: SortOrder): Seq[String] = {
       val dir = so.direction match {
         case Ascending => "ASC"; case Descending => "DESC" }
-      val nulls = so.nullOrdering match {
-        case NullsFirst => "NULLS FIRST"; case NullsLast => "NULLS LAST" }
-      s"${re(so.child)} $dir $nulls"
+      dialect.sortItem(re(so.child), dir, so.nullOrdering == NullsFirst)
     }
 
     private def reAgg(ae: AggregateExpression): String = {
@@ -518,7 +631,7 @@ object SqlUnparser {
         // with inline ORDER BY on Postgres).
         case la: ListAgg =>
           dialect.listAggSql(d, re(la.child), re(la.delimiter),
-            la.orderExpressions.map(reSort))
+            la.orderExpressions.flatMap(reSort))
         case other => dialect.fallback(
           renameRefs(if (ae.isDistinct) ae else other), re)
       }
@@ -625,7 +738,7 @@ object SqlUnparser {
       val parts = if (spec.partitionSpec.isEmpty) ""
         else s"PARTITION BY ${spec.partitionSpec.map(re).mkString(", ")}"
       val order = if (spec.orderSpec.isEmpty) ""
-        else s"ORDER BY ${spec.orderSpec.map(reSort).mkString(", ")}"
+        else s"ORDER BY ${spec.orderSpec.flatMap(reSort).mkString(", ")}"
       val frame = spec.frameSpecification match {
         case _ if suppressFrame => ""
         case UnspecifiedFrame => ""

@@ -97,6 +97,22 @@ class HttpServerSpec extends AnyFunSuite {
     assert(r.body().contains("Relation") || r.body().contains("Project"), r.body().take(200))
   }
 
+  test("dry-plan with a dialect body field returns unparsed SQL in that dialect") {
+    def withDialect(d: String): java.net.http.HttpResponse[String] =
+      post("/v3/connector/spark/dry-plan",
+        org.json4s.jackson.JsonMethods.compact(org.json4s.JObject(
+          "sql" -> org.json4s.JString("SELECT o_orderkey FROM w_orders WHERE o_totalprice > 100"),
+          "manifestStr" -> org.json4s.JString(manifestStr),
+          "dialect" -> org.json4s.JString(d))),
+        Map("x-wren-variable-session_status" -> "F"))
+    val duck = withDialect("duckdb")
+    assert(duck.statusCode() == 200 && duck.body().contains("\"orders\""), duck.body().take(200))
+    val my = withDialect("mysql")
+    assert(my.statusCode() == 200 && my.body().contains("`orders`"), my.body().take(200))
+    val pg = withDialect("postgres")
+    assert(pg.statusCode() == 200 && pg.body().startsWith("SELECT"), pg.body().take(200))
+  }
+
   test("validate routes: 204 on pass, 422 with rule name on fail") {
     val hdrs = Map("x-wren-variable-session_status" -> "F")
     assert(post("/v3/connector/spark/validate/column_is_valid",
