@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.semantics.{SqlUnparser, SqlUnparserPropertyGrammar}
+
+/** Dump the 40-seed property grammar as (spark result, duckdb text, postgres
+  * text) triples for `tools/unparse_sweep.py`, which executes BOTH dialect
+  * texts in DuckDB and value-compares them against Spark executing the source
+  * — upgrading the dialect property sweep from "generates" to
+  * "executes-and-matches" over the combinatorial space between the pinned
+  * goldens. Run: `sbt "Test/runMain graft.tools.UnparseSweepDump <sfDir> <outDir>"`.
+  */
+object UnparseSweepDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/unparse_sweep"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    Seq("orders", "customer", "nation").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val grammar = new SqlUnparserPropertyGrammar
+    for (seed <- 0 until 40) {
+      val sql = grammar.genQuery(seed)
+      val df = spark.sql(sql)
+      val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/seed_$seed")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/seed_$seed.source.sql"), sql)
+      for ((dname, d) <- Seq("duckdb" -> SqlUnparser.DuckDbDialect,
+          "postgres" -> SqlUnparser.PostgresDialect)) {
+        val text = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, d)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/seed_$seed.$dname.sql"), text)
+      }
+    }
+    println(s"[sweep-dump] 40 seeds -> $outDir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Cross-engine execution gate for the unparse property sweep: DuckDB executes
+the duckdb-dialect AND postgres-dialect texts the 40-seed grammar generated
+(DuckDB parses the emitted ANSI/PG subset), and values are compared against
+Spark executing the source query (parquet dumps from UnparseSweepDump).
+
+Comparison: exact for non-float columns; floats compare at 1e-9 relative
+tolerance — the grammar sums `c_acctbal` doubles, and a cross-engine
+accumulation order difference in a SUM of doubles is not a dialect bug.
+Writes UNPARSE_SWEEP.json next to the repo root."""
+import glob, json, math, os, sys
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/unparse_sweep"
+
+con = duckdb.connect()
+for t in ["orders", "customer", "nation"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None and not (
+                isinstance(v, float) and math.isnan(v)) else None)
+    return df.sort_values(by=list(df.columns), kind="mergesort",
+                          na_position="last").reset_index(drop=True)
+
+
+def compare(sdf, ddf):
+    if list(sdf.columns) != list(ddf.columns):
+        return f"columns spark={list(sdf.columns)} duck={list(ddf.columns)}"
+    if len(sdf) != len(ddf):
+        return f"rows spark={len(sdf)} duck={len(ddf)}"
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+            af, bf = a.astype(float), b.astype(float)
+            bad = ~((af.isna() & bf.isna()) |
+                    ((af - bf).abs() <= 1e-9 * (af.abs() + bf.abs() + 1.0)))
+            if bad.any():
+                i = bad[bad].index[0]
+                return f"col {c} row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r}"
+        else:
+            if not a.astype(str).fillna("\0").equals(b.astype(str).fillna("\0")):
+                mism = a.astype(str) != b.astype(str)
+                i = mism[mism].index[0]
+                return f"col {c} row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r}"
+    return None
+
+
+results = {"duckdb": {"pass": 0, "fail": 0}, "postgres": {"pass": 0, "fail": 0}}
+failures = []
+for seed in range(40):
+    files = glob.glob(f"{OUT_DIR}/seed_{seed}/*.parquet")
+    sdf = norm(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
+    for dialect in ("duckdb", "postgres"):
+        sql = open(f"{OUT_DIR}/seed_{seed}.{dialect}.sql").read()
+        try:
+            ddf = norm(con.sql(sql).df())
+            bad = compare(sdf, ddf)
+        except Exception as e:
+            bad = f"execution error: {str(e)[:160]}"
+        if bad:
+            results[dialect]["fail"] += 1
+            failures.append(f"seed {seed} [{dialect}]: {bad}")
+            print(f"FAIL seed {seed} [{dialect}]: {bad}")
+        else:
+            results[dialect]["pass"] += 1
+
+summary = {"sf": SF_DIR, "seeds": 40, "results": results, "failures": failures}
+print(json.dumps(summary))
+with open("UNPARSE_SWEEP.json", "w") as f:
+    json.dump(summary, f, indent=1)
+sys.exit(1 if failures else 0)
