@@ -23,7 +23,8 @@ class SqlUnparserPropertyGrammar {
 
     val joined = rnd.nextBoolean()
     val from =
-      if (joined) "orders JOIN customer ON o_custkey = c_custkey"
+      if (joined)
+        s"orders ${pick(Seq("JOIN", "LEFT JOIN"))} customer ON o_custkey = c_custkey"
       else "orders"
     val numCols = Seq("o_orderkey", "o_custkey") ++
       (if (joined) Seq("c_custkey", "c_acctbal") else Nil)
@@ -52,7 +53,7 @@ class SqlUnparserPropertyGrammar {
     val where = if (rnd.nextBoolean()) s" WHERE ${pred()}" +
       (if (rnd.nextBoolean()) s" AND ${pred()}" else "") else ""
 
-    val agg = rnd.nextInt(3) // 0: plain select, 1: group-by, 2: distinct
+    val agg = rnd.nextInt(4) // 0: plain, 1: group-by, 2: distinct, 3: window
     val sql = agg match {
       case 1 =>
         val g = strExpr()
@@ -61,6 +62,14 @@ class SqlUnparserPropertyGrammar {
           (if (rnd.nextBoolean()) " HAVING count(*) > 1" else "")
       case 2 =>
         s"SELECT DISTINCT ${strExpr()} AS a, ${numExpr()} % 7 AS b FROM $from$where"
+      case 3 =>
+        // rn cast to bigint in the SOURCE: Spark's row_number is int, the
+        // target engines' bigint — the cast travels through the unparse
+        val k = 1 + rnd.nextInt(4)
+        s"SELECT a, b, rn FROM (SELECT ${strExpr()} AS a, o_orderkey AS b, " +
+          s"cast(row_number() OVER (PARTITION BY ${pick(strCols)} " +
+          s"ORDER BY o_orderkey) as bigint) AS rn FROM $from$where) w " +
+          s"WHERE rn <= $k"
       case _ =>
         s"SELECT ${numExpr()} AS a, ${strExpr()} AS b, ${numExpr()} AS c FROM $from$where"
     }
@@ -69,7 +78,8 @@ class SqlUnparserPropertyGrammar {
     val ordered =
       if (rnd.nextBoolean()) {
         val cols = if (agg == 1) "grp, n, s, mx"
-          else if (agg == 2) "a, b" else "a, b, c"
+          else if (agg == 2) "a, b"
+          else if (agg == 3) "a, b, rn" else "a, b, c"
         s"$withUnion ORDER BY $cols" +
           (if (rnd.nextBoolean()) s" LIMIT ${5 + rnd.nextInt(50)}" else "")
       } else withUnion
