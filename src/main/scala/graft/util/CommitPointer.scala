@@ -60,7 +60,9 @@ object CommitPointer {
 
   /** Delete version dirs other than the committed one (crashed stagings,
     * superseded generations) — call only when no reader can hold the previous
-    * generation (a single-writer stream between batches).
+    * generation (a single-writer stream between batches). With no commit at
+    * all, EVERY version dir is uncommitted staging — the flat dir is the live
+    * data — so all of them are dropped (the crashed-first-compaction case).
     */
   def dropStaleVersions(spark: SparkSession, dir: String): Unit = {
     val fs = fsFor(spark, dir)

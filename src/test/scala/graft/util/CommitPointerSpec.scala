@@ -1,0 +1,57 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CommitPointerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("liveDir is the flat dir until a first commit, then the committed version") {
+    val tmp = java.nio.file.Files.createTempDirectory("cp").toString
+    try {
+      assert(CommitPointer.committedVersion(spark, tmp).isEmpty)
+      assert(CommitPointer.liveDir(spark, tmp) == tmp)
+      new java.io.File(CommitPointer.versionDir(tmp, 1)).mkdirs()
+      CommitPointer.commit(spark, tmp, 1)
+      assert(CommitPointer.committedVersion(spark, tmp).contains(1))
+      assert(CommitPointer.liveDir(spark, tmp) == s"$tmp/_versions/v1")
+      // re-commit OVERWRITES the pointer atomically (rename over existing)
+      new java.io.File(CommitPointer.versionDir(tmp, 2)).mkdirs()
+      CommitPointer.commit(spark, tmp, 2)
+      assert(CommitPointer.committedVersion(spark, tmp).contains(2))
+      assert(!new java.io.File(s"$tmp/_commit.tmp").exists(),
+        "the staging pointer file must not survive a commit")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("dropStaleVersions keeps exactly the committed generation") {
+    val tmp = java.nio.file.Files.createTempDirectory("cp2").toString
+    try {
+      Seq(1, 2, 3).foreach(v => new java.io.File(CommitPointer.versionDir(tmp, v)).mkdirs())
+      CommitPointer.commit(spark, tmp, 2)
+      CommitPointer.dropStaleVersions(spark, tmp)
+      val left = new java.io.File(s"$tmp/_versions").listFiles().map(_.getName).toSet
+      assert(left == Set("v2"), s"got $left")
+      // with no commit at all, EVERY version dir is uncommitted staging (the
+      // flat dir is live) — a crashed first compaction's leftovers get dropped
+      val tmp2 = java.nio.file.Files.createTempDirectory("cp3").toString
+      try {
+        new java.io.File(CommitPointer.versionDir(tmp2, 1)).mkdirs()
+        CommitPointer.dropStaleVersions(spark, tmp2)
+        assert(!new java.io.File(CommitPointer.versionDir(tmp2, 1)).exists())
+      } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp2))
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("a corrupt pointer is rejected loudly, not silently treated as flat") {
+    val tmp = java.nio.file.Files.createTempDirectory("cp4").toString
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/_commit"), "banana")
+      val e = intercept[IllegalArgumentException] {
+        CommitPointer.committedVersion(spark, tmp)
+      }
+      assert(e.getMessage.contains("corrupt commit pointer"))
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+}
