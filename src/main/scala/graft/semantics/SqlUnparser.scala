@@ -257,7 +257,10 @@ object SqlUnparser {
       "exp", "sign",
       // same name + semantics in both engines (DuckDB scalar function docs)
       "date_trunc", "md5", "concat_ws", "left", "right", "repeat", "contains",
-      "pow", "power", "mod")
+      "pow", "power", "mod",
+      // statistical aggregates: identical names + ANSI semantics in DuckDB
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
+      "covar_samp", "covar_pop", "median")
     private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
       "startswith" -> "starts_with", "endswith" -> "ends_with",
       "day" -> "day", "dayofmonth" -> "day")
@@ -350,7 +353,11 @@ object SqlUnparser {
       "replace", "lpad", "rpad", "reverse", "greatest", "least", "nullif",
       "sqrt", "ln", "exp", "sign", "initcap",
       "date_trunc", "md5", "concat_ws", "left", "right", "repeat",
-      "pow", "power", "mod")
+      "pow", "power", "mod",
+      // ANSI statistical aggregates (Postgres aggregate docs; no median —
+      // Postgres spells that percentile_cont, out of the curated subset)
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
+      "covar_samp", "covar_pop")
     private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
       "startswith" -> "starts_with")
     def fnName(prettyName: String): Option[String] = {
@@ -453,7 +460,9 @@ object SqlUnparser {
       "round", "floor", "ceil", "ceiling", "trim", "ltrim", "rtrim", "replace",
       "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",
       "exp", "sign", "md5", "concat_ws", "left", "right", "repeat", "instr",
-      "pow", "power", "mod")
+      "pow", "power", "mod",
+      // MySQL 8 statistical aggregates (no corr/covar in MySQL)
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop")
     private val renamed = Map(
       "substring" -> "substr",
       // MySQL length() counts BYTES; char_length matches Spark's semantics

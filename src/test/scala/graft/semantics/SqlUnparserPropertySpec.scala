@@ -57,8 +57,11 @@ class SqlUnparserPropertyGrammar {
     val sql = agg match {
       case 1 =>
         val g = strExpr()
+        // stddev_samp: shared spelling across all curated dialects (MySQL has
+        // no corr/covar, so the grammar stays inside the common subset)
         s"SELECT $g AS grp, count(*) AS n, sum(${numExpr()}) AS s, " +
-          s"max(${numExpr()}) AS mx FROM $from$where GROUP BY $g" +
+          s"max(${numExpr()}) AS mx, stddev_samp(${pick(numCols)}) AS sd " +
+          s"FROM $from$where GROUP BY $g" +
           (if (rnd.nextBoolean()) " HAVING count(*) > 1" else "")
       case 2 =>
         s"SELECT DISTINCT ${strExpr()} AS a, ${numExpr()} % 7 AS b FROM $from$where"
@@ -77,7 +80,7 @@ class SqlUnparserPropertyGrammar {
       if (agg == 2 && rnd.nextBoolean()) s"$sql UNION ALL $sql" else sql
     val ordered =
       if (rnd.nextBoolean()) {
-        val cols = if (agg == 1) "grp, n, s, mx"
+        val cols = if (agg == 1) "grp, n, s, mx, sd"
           else if (agg == 2) "a, b"
           else if (agg == 3) "a, b, rn" else "a, b, c"
         s"$withUnion ORDER BY $cols" +
