@@ -48,7 +48,11 @@ class SqlUnparserPropertyGrammar {
       s"${pick(numCols)} > ${rnd.nextInt(1000)}",
       s"${pick(strCols)} LIKE '${('A' + rnd.nextInt(5)).toChar}%'",
       s"${pick(strCols)} IN ('BUILDING', 'MACHINERY', 'O', 'F')",
-      s"${pick(numCols)} IS NOT NULL"))
+      s"${pick(numCols)} IS NOT NULL",
+      // decorrelates to a semi/anti join — SEMI/ANTI JOIN keywords on DuckDB,
+      // correlated (NOT) EXISTS on Postgres/MySQL; both executed by the sweep
+      s"o_custkey ${pick(Seq("IN", "NOT IN"))} " +
+        s"(SELECT c_custkey FROM customer WHERE c_acctbal > ${rnd.nextInt(8000)})"))
 
     val where = if (rnd.nextBoolean()) s" WHERE ${pred()}" +
       (if (rnd.nextBoolean()) s" AND ${pred()}" else "") else ""
