@@ -40,8 +40,9 @@ object SqlUnparser {
       case "duckdb" => DuckDbDialect
       case "postgres" | "postgresql" => PostgresDialect
       case "mysql" => MySqlDialect
+      case "bigquery" => BigQueryDialect
       case other => throw new IllegalArgumentException(
-        s"unknown unparse dialect '$other' (spark|duckdb|postgres|mysql)")
+        s"unknown unparse dialect '$other' (spark|duckdb|postgres|mysql|bigquery)")
     }
 
   /** Render `plan` as executable SQL with final columns named `outputNames`
@@ -51,7 +52,8 @@ object SqlUnparser {
     val g = new Generator(dialect)
     val inner = g.render(plan)
     val outer = plan.output.zip(outputNames).map { case (a, n) =>
-      s"${dialect.quote(g.cname(a))} AS ${dialect.quote(n)}" }.mkString(", ")
+      s"${dialect.quote(g.cname(a))} AS ${dialect.quote(dialect.outputAlias(n))}" }
+      .mkString(", ")
     s"SELECT $outer FROM ($inner) ${dialect.quote("t_out")}"
   }
 
@@ -72,6 +74,10 @@ object SqlUnparser {
       * types as correlated (NOT) EXISTS instead of a join keyword.
       */
     def semiAntiAsExists: Boolean = false
+    /** Rewrite a user-visible output column name the target cannot accept
+      * verbatim (BigQuery's flexible-column-name restrictions).
+      */
+    def outputAlias(name: String): String = name
     /** Integer division truncating toward zero (Spark's `div`). Each target
       * spells it differently — and Spark's `div` keyword parses NOWHERE else,
       * so emitting the default into another dialect would fail at execution.
@@ -467,6 +473,160 @@ object SqlUnparser {
       "substring" -> "substr",
       // MySQL length() counts BYTES; char_length matches Spark's semantics
       "length" -> "char_length",
+      "btrim" -> "trim")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
+  /** BigQuery dialect — the reference ships a DEDICATED BigQueryDialect
+    * (`inner_dialect.rs:137-384`: its own function registries, `col_alias`
+    * special-character encoding, datetime-diff transforms, unnest-as-table
+    * posture). Carried here: backtick quoting, the reference's exact
+    * `_<codepoint>` encoding for output aliases BigQuery column names cannot
+    * hold, STRING/INT64/FLOAT64/NUMERIC CAST targets (BIGNUMERIC past
+    * NUMERIC's 9-digit scale), EXISTS-rendered semi/anti joins,
+    * `DIV(a, b)` truncating division, `DATE_ADD/SUB(d, INTERVAL n DAY)`,
+    * `STRING_AGG(x, d ORDER BY ...)`, `TO_HEX(MD5(x))` (BigQuery's MD5
+    * returns BYTES where Spark's returns hex text), `TIMESTAMP_TRUNC(ts,
+    * UNIT)` (argument order reversed, unit a keyword), and UNION-ALL-rendered
+    * inline VALUES (no VALUES table constructor in BigQuery). The Morton
+    * expansion fails loudly (correlated references inside a derived table are
+    * outside BigQuery's decorrelation). No BigQuery in this sandbox: pinned
+    * goldens + generation gates + the property sweep, the reference's own
+    * snapshot posture.
+    */
+  object BigQueryDialect extends Dialect {
+    def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    // the reference's flexible-column-name encoding (inner_dialect.rs:157-178)
+    private val aliasSpecial: Set[Char] = Set(
+      '!', '"', '$', '(', ')', '*', ',', '.', '/', ';', '?', '@', '[', '\\',
+      ']', '^', '`', '{', '}', '~')
+    override def outputAlias(name: String): String =
+      if (!name.exists(aliasSpecial)) name
+      else name.flatMap(c => if (aliasSpecial(c)) s"_${c.toInt}" else c.toString)
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"bigquery dialect: no parquet table function for directory scan $rootPath " +
+          "— register an external table under the logical name")
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "STRING"
+      case IntegerType | LongType | ShortType | ByteType => "INT64"
+      case DoubleType | FloatType => "FLOAT64"
+      case BooleanType => "BOOL"
+      case DateType => "DATE"
+      case TimestampNTZType => "DATETIME"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType =>
+        if (d.scale <= 9 && d.precision <= 38) s"NUMERIC(${d.precision},${d.scale})"
+        else s"BIGNUMERIC(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"bigquery dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = ansiLiteral(l)
+    override def preferExtract: Boolean = true
+    override def semiAntiAsExists: Boolean = true
+    override def integralDivide(l: String, r: String): String = s"DIV($l, $r)"
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi | LeftAnti => throw new UnsupportedOperationException(
+        "bigquery dialect: semi/anti joins render as EXISTS (semiAntiAsExists)")
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    // no VALUES table constructor in BigQuery: a UNION ALL of aliased SELECTs
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String = {
+      val selects = rows.map { row =>
+        val vals = row.stripPrefix("(").stripSuffix(")")
+        // re-split is unsafe on nested commas; rows here are literal tuples
+        // rendered by this dialect, whose only commas separate fields
+        val items = splitTop(vals).zip(cols).map { case (v, c) => s"$v AS ${quote(c)}" }
+        s"SELECT ${items.mkString(", ")}"
+      }
+      s"(${selects.mkString(" UNION ALL ")}) ${quote(alias)}"
+    }
+    /** Split a rendered literal tuple on top-level commas (string literals may
+      * contain commas; parens may nest inside e.g. CAST(NULL AS ...)).
+      */
+    private def splitTop(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var inStr = false; var start = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => out += s.substring(start, i).trim; start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      out += s.substring(start).trim
+      out.toSeq
+    }
+    override def listAggSql(distinct: String, child: String, delim: String,
+        order: Seq[String]): String = {
+      val ord = if (order.isEmpty) "" else s" ORDER BY ${order.mkString(", ")}"
+      s"STRING_AGG($distinct$child, $delim$ord)"
+    }
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case _: graft.functions.InterleaveBits => throw new UnsupportedOperationException(
+        "bigquery dialect: zorder_key's bound-once expansion needs outer " +
+          "references inside a derived table, outside BigQuery's decorrelation " +
+          "— compute the Morton key engine-side")
+      case da: DateAdd =>
+        s"DATE_ADD(${rendered(da.startDate)}, INTERVAL ${rendered(da.days)} DAY)"
+      case ds: DateSub =>
+        s"DATE_SUB(${rendered(ds.startDate)}, INTERVAL ${rendered(ds.days)} DAY)"
+      // BigQuery's MD5 returns BYTES; Spark's returns lowercase hex STRING.
+      // Spark also wraps the argument in a STRING→BINARY cast that BigQuery
+      // neither needs (MD5 accepts STRING) nor can spell — strip it.
+      case m: Md5 =>
+        val arg = m.child match {
+          case c: Cast if c.dataType == BinaryType &&
+            c.child.dataType == StringType => c.child
+          case other => other
+        }
+        s"TO_HEX(MD5(${rendered(arg)}))"
+      // argument order reversed and the unit is a KEYWORD, not a string
+      case t: TruncTimestamp => t.format match {
+        case Literal(f, StringType) if f != null &&
+            Set("year", "quarter", "month", "week", "day", "hour", "minute",
+              "second")(f.toString.toLowerCase) =>
+          s"TIMESTAMP_TRUNC(${rendered(t.timestamp)}, ${f.toString.toUpperCase})"
+        case other => throw new UnsupportedOperationException(
+          s"bigquery dialect: date_trunc with unit $other")
+      }
+      case ct: Contains =>
+        s"(STRPOS(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"bigquery dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "length", "concat", "abs",
+      "round", "floor", "trim", "ltrim", "rtrim", "replace",
+      "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",
+      "exp", "sign", "left", "right", "repeat", "mod",
+      "starts_with", "ends_with",
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
+      "covar_samp", "covar_pop")
+    private val renamed = Map(
+      "substring" -> "substr", "instr" -> "strpos",
+      "startswith" -> "starts_with", "endswith" -> "ends_with",
+      "ceil" -> "ceil", "ceiling" -> "ceil",
+      "pow" -> "pow", "power" -> "pow",
       "btrim" -> "trim")
     def fnName(prettyName: String): Option[String] = {
       val p = prettyName.toLowerCase
