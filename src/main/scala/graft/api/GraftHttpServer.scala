@@ -310,7 +310,8 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
           case "dry-plan" :: Nil =>
             val sql = jstr(body \ "sql")
               .getOrElse(throw new IllegalArgumentException("sql is required"))
-            // optional dialect: spark|duckdb|postgres|mysql|bigquery → unparsed SQL
+            // optional dialect: spark|duckdb|postgres|mysql|bigquery|clickhouse
+            // → unparsed SQL
             // text (the reference's Mode::Unparse); absent → Catalyst plan dump
             val dialect = jstr(body \ "dialect").getOrElse("plan")
             respond(ex, 200, session(manifestStr, props).transformSql(sql, dialect),

@@ -41,8 +41,10 @@ object SqlUnparser {
       case "postgres" | "postgresql" => PostgresDialect
       case "mysql" => MySqlDialect
       case "bigquery" => BigQueryDialect
+      case "clickhouse" => ClickHouseDialect
       case other => throw new IllegalArgumentException(
-        s"unknown unparse dialect '$other' (spark|duckdb|postgres|mysql|bigquery)")
+        s"unknown unparse dialect '$other' " +
+          "(spark|duckdb|postgres|mysql|bigquery|clickhouse)")
     }
 
   /** Render `plan` as executable SQL with final columns named `outputNames`
@@ -87,6 +89,12 @@ object SqlUnparser {
       * `year(x)`-style accessors.
       */
     def preferExtract: Boolean = false
+    /** Rendering for date-field accessors (year/month/day); None = generic
+      * fallback. ClickHouse overrides with its native toYear/toMonth family
+      * (the reference's ClickHouseDialect mapping, inner_dialect.rs:470-540).
+      */
+    def dateField(field: String, child: String): Option[String] =
+      if (preferExtract) Some(s"extract($field FROM $child)") else None
     /** One ORDER BY item (possibly several sort keys: engines without NULLS
       * FIRST/LAST syntax emulate the non-native placement with an `IS NULL`
       * prefix key).
@@ -131,6 +139,40 @@ object SqlUnparser {
         dt == ByteType => v.toString
       case (v, dt) => throw new UnsupportedOperationException(
         s"${getClass.getSimpleName.stripSuffix("$").toLowerCase}: literal $v: ${dt.sql}")
+    }
+
+    /** UNION-ALL rendering for inline VALUES, for engines without a VALUES
+      * table constructor (BigQuery, ClickHouse).
+      */
+    protected def unionAllValues(rows: Seq[String], alias: String,
+        cols: Seq[String]): String = {
+      val selects = rows.map { row =>
+        val vals = row.stripPrefix("(").stripSuffix(")")
+        val items = splitTop(vals).zip(cols).map { case (v, c) => s"$v AS ${quote(c)}" }
+        s"SELECT ${items.mkString(", ")}"
+      }
+      s"(${selects.mkString(" UNION ALL ")}) ${quote(alias)}"
+    }
+    /** Split a rendered literal tuple on top-level commas (string literals may
+      * contain commas; parens nest inside e.g. CAST(NULL AS ...)).
+      */
+    private def splitTop(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var inStr = false; var start = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => out += s.substring(start, i).trim; start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      out += s.substring(start).trim
+      out.toSeq
     }
 
     /** The Morton kernel's explicit shift/mask expansion (no engine builtin):
@@ -543,37 +585,8 @@ object SqlUnparser {
         s"unparse: join type $other")
     }
     // no VALUES table constructor in BigQuery: a UNION ALL of aliased SELECTs
-    def values(rows: Seq[String], alias: String, cols: Seq[String]): String = {
-      val selects = rows.map { row =>
-        val vals = row.stripPrefix("(").stripSuffix(")")
-        // re-split is unsafe on nested commas; rows here are literal tuples
-        // rendered by this dialect, whose only commas separate fields
-        val items = splitTop(vals).zip(cols).map { case (v, c) => s"$v AS ${quote(c)}" }
-        s"SELECT ${items.mkString(", ")}"
-      }
-      s"(${selects.mkString(" UNION ALL ")}) ${quote(alias)}"
-    }
-    /** Split a rendered literal tuple on top-level commas (string literals may
-      * contain commas; parens may nest inside e.g. CAST(NULL AS ...)).
-      */
-    private def splitTop(s: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var depth = 0; var inStr = false; var start = 0; var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
-        else c match {
-          case '\'' => inStr = true
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case ',' if depth == 0 => out += s.substring(start, i).trim; start = i + 1
-          case _ =>
-        }
-        i += 1
-      }
-      out += s.substring(start).trim
-      out.toSeq
-    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      unionAllValues(rows, alias, cols)
     override def listAggSql(distinct: String, child: String, delim: String,
         order: Seq[String]): String = {
       val ord = if (order.isEmpty) "" else s" ORDER BY ${order.mkString(", ")}"
@@ -628,6 +641,145 @@ object SqlUnparser {
       "ceil" -> "ceil", "ceiling" -> "ceil",
       "pow" -> "pow", "power" -> "pow",
       "btrim" -> "trim")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
+  /** ClickHouse dialect — the reference's ClickHouseDialect maps standard
+    * date_part fields to ClickHouse's native camelCase functions, including
+    * the day-of-week modulo adjustment (`inner_dialect.rs:452-540`); carried
+    * here over the curated renderer plus ClickHouse's own grammar facts:
+    * NATIVE `LEFT SEMI JOIN`/`LEFT ANTI JOIN` keywords (no EXISTS rewrite
+    * needed), `intDiv(a, b)`, camelCase function spellings (case-SENSITIVE in
+    * ClickHouse: nullIf, startsWith, stddevSamp, ...), `lengthUTF8`/
+    * `reverseUTF8` for character semantics (the byte-wise `length`/`reverse`
+    * would diverge from Spark on non-ASCII), `replaceAll`, `position`,
+    * `lower(hex(MD5(x)))`, `CAST(NULL AS Nullable(T))` null literals, and
+    * UNION-ALL-rendered inline VALUES. Ordered string aggregation and the
+    * Morton expansion fail loudly. No ClickHouse in this sandbox: pinned
+    * goldens + generation gates + the property sweep.
+    */
+  object ClickHouseDialect extends Dialect {
+    def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"clickhouse dialect: no parquet table function for directory scan $rootPath " +
+          "— register a table under the logical name (or use the file() engine)")
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "String"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case ShortType => "Int16"
+      case ByteType => "Int8"
+      case DoubleType => "Float64"
+      case FloatType => "Float32"
+      case BooleanType => "Bool"
+      case DateType => "Date32"
+      case _: TimestampType => "DateTime64(6)"
+      case d: DecimalType => s"Decimal(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"clickhouse dialect: type ${other.sql}")
+    }
+    // ClickHouse types are non-nullable by default (a bare CAST(NULL AS T)
+    // fails — the target must be Nullable(T)), and the ANSI DATE '...' /
+    // TIMESTAMP '...' literal introducers are not part of its grammar — use
+    // the native toDate32/toDateTime64 constructors instead.
+    def literal(l: Literal): String = (l.value, l.dataType) match {
+      case (null, NullType) => "NULL"
+      case (null, dt) => s"CAST(NULL AS Nullable(${typeName(dt)}))"
+      case (v: Int, DateType) =>
+        s"toDate32('${java.time.LocalDate.ofEpochDay(v.toLong)}')"
+      case (v: Long, _: TimestampType | _: TimestampNTZType) =>
+        val i = java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS)
+        val t = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        val frac = if (t.getNano == 0) "" else f".${t.getNano / 1000}%06d"
+        s"toDateTime64('${t.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))}$frac', 6)"
+      case _ => ansiLiteral(l)
+    }
+    // extract() exists in ClickHouse but the reference maps to the native
+    // functions, including the dow modulo trick — mirror it
+    override def dateField(field: String, child: String): Option[String] =
+      field.toLowerCase match {
+        case "year" => Some(s"toYear($child)")
+        case "quarter" => Some(s"toQuarter($child)")
+        case "month" => Some(s"toMonth($child)")
+        case "week" => Some(s"toISOWeek($child)")
+        case "day" => Some(s"toDayOfMonth($child)")
+        case "hour" => Some(s"toHour($child)")
+        case "minute" => Some(s"toMinute($child)")
+        case "second" => Some(s"toSecond($child)")
+        case _ => None
+      }
+    override def integralDivide(l: String, r: String): String = s"intDiv($l, $r)"
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      // native semi/anti join kinds — ClickHouse JOIN docs
+      case LeftSemi => "LEFT SEMI JOIN"
+      case LeftAnti => "LEFT ANTI JOIN"
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      unionAllValues(rows, alias, cols)
+    override def listAggSql(distinct: String, child: String, delim: String,
+        order: Seq[String]): String =
+      throw new UnsupportedOperationException(
+        "clickhouse dialect: ordered string aggregation (listagg) — ClickHouse's " +
+          "groupArray carries no deterministic ORDER BY; aggregate engine-side")
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case _: graft.functions.InterleaveBits => throw new UnsupportedOperationException(
+        "clickhouse dialect: zorder_key's bound-once expansion needs outer " +
+          "references inside a derived table — compute the Morton key engine-side")
+      case da: DateAdd => s"(${rendered(da.startDate)} + ${rendered(da.days)})"
+      case ds: DateSub => s"(${rendered(ds.startDate)} - ${rendered(ds.days)})"
+      // Spark dayofweek is 1-7 Sunday-first; toDayOfWeek is 1-7 Monday-first —
+      // the reference's modulo adjustment, shifted to Spark's 1-based frame
+      case dw: DayOfWeek => s"((toDayOfWeek(${rendered(dw.child)}) % 7) + 1)"
+      // ClickHouse MD5 returns FixedString(16) bytes; Spark yields lowercase hex
+      case m: Md5 =>
+        val arg = m.child match {
+          case c: Cast if c.dataType == BinaryType &&
+            c.child.dataType == StringType => c.child
+          case other => other
+        }
+        s"lower(hex(MD5(${rendered(arg)})))"
+      case ct: Contains =>
+        s"(position(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"clickhouse dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "concat", "abs", "round",
+      "floor", "ceil", "sqrt", "exp", "sign", "greatest", "least",
+      "trim", "ltrim", "rtrim", "lpad", "rpad", "repeat", "left", "right",
+      "concat_ws", "date_trunc", "ln", "corr")
+    private val renamed = Map(
+      "ceiling" -> "ceil",
+      "length" -> "lengthUTF8",   // byte-wise `length` diverges on non-ASCII
+      "reverse" -> "reverseUTF8",
+      "replace" -> "replaceAll",
+      "nullif" -> "nullIf",
+      "substring" -> "substring",
+      "startswith" -> "startsWith",
+      "endswith" -> "endsWith",
+      "instr" -> "position",
+      "pow" -> "pow", "power" -> "pow", "mod" -> "modulo",
+      "stddev_samp" -> "stddevSamp", "stddev_pop" -> "stddevPop",
+      "var_samp" -> "varSamp", "var_pop" -> "varPop",
+      "covar_samp" -> "covarSamp", "covar_pop" -> "covarPop",
+      "median" -> "median")
     def fnName(prettyName: String): Option[String] = {
       val p = prettyName.toLowerCase
       if (direct(p)) Some(p) else renamed.get(p)
@@ -892,8 +1044,8 @@ object SqlUnparser {
     }
 
     private def extractOr(e: UnaryExpression, field: String): String =
-      if (dialect.preferExtract) s"extract($field FROM ${re(e.child)})"
-      else dialect.fallback(renameRefs(e), re)
+      dialect.dateField(field, re(e.child))
+        .getOrElse(dialect.fallback(renameRefs(e), re))
 
     private def reWindowFn(f: Expression): String = f match {
       case _: RowNumber => "row_number()"
