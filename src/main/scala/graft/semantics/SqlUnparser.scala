@@ -42,9 +42,10 @@ object SqlUnparser {
       case "mysql" => MySqlDialect
       case "bigquery" => BigQueryDialect
       case "clickhouse" => ClickHouseDialect
+      case "snowflake" => SnowflakeDialect
       case other => throw new IllegalArgumentException(
         s"unknown unparse dialect '$other' " +
-          "(spark|duckdb|postgres|mysql|bigquery|clickhouse)")
+          "(spark|duckdb|postgres|mysql|bigquery|clickhouse|snowflake)")
     }
 
   /** Render `plan` as executable SQL with final columns named `outputNames`
@@ -139,6 +140,15 @@ object SqlUnparser {
         dt == ByteType => v.toString
       case (v, dt) => throw new UnsupportedOperationException(
         s"${getClass.getSimpleName.stripSuffix("$").toLowerCase}: literal $v: ${dt.sql}")
+    }
+
+    /** Spark wraps md5's argument in a STRING→BINARY cast; engines whose MD5
+      * takes text directly (BigQuery, ClickHouse, Snowflake) strip it.
+      */
+    protected def md5Arg(m: Md5): Expression = m.child match {
+      case c: Cast if c.dataType == BinaryType &&
+        c.child.dataType == StringType => c.child
+      case other => other
     }
 
     /** UNION-ALL rendering for inline VALUES, for engines without a VALUES
@@ -601,16 +611,8 @@ object SqlUnparser {
         s"DATE_ADD(${rendered(da.startDate)}, INTERVAL ${rendered(da.days)} DAY)"
       case ds: DateSub =>
         s"DATE_SUB(${rendered(ds.startDate)}, INTERVAL ${rendered(ds.days)} DAY)"
-      // BigQuery's MD5 returns BYTES; Spark's returns lowercase hex STRING.
-      // Spark also wraps the argument in a STRING→BINARY cast that BigQuery
-      // neither needs (MD5 accepts STRING) nor can spell — strip it.
-      case m: Md5 =>
-        val arg = m.child match {
-          case c: Cast if c.dataType == BinaryType &&
-            c.child.dataType == StringType => c.child
-          case other => other
-        }
-        s"TO_HEX(MD5(${rendered(arg)}))"
+      // BigQuery's MD5 returns BYTES; Spark's returns lowercase hex STRING
+      case m: Md5 => s"TO_HEX(MD5(${rendered(md5Arg(m))}))"
       // argument order reversed and the unit is a KEYWORD, not a string
       case t: TruncTimestamp => t.format match {
         case Literal(f, StringType) if f != null &&
@@ -746,13 +748,7 @@ object SqlUnparser {
       // the reference's modulo adjustment, shifted to Spark's 1-based frame
       case dw: DayOfWeek => s"((toDayOfWeek(${rendered(dw.child)}) % 7) + 1)"
       // ClickHouse MD5 returns FixedString(16) bytes; Spark yields lowercase hex
-      case m: Md5 =>
-        val arg = m.child match {
-          case c: Cast if c.dataType == BinaryType &&
-            c.child.dataType == StringType => c.child
-          case other => other
-        }
-        s"lower(hex(MD5(${rendered(arg)})))"
+      case m: Md5 => s"lower(hex(MD5(${rendered(md5Arg(m))})))"
       case ct: Contains =>
         s"(position(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
       case _ => fnName(e.prettyName) match {
@@ -780,6 +776,97 @@ object SqlUnparser {
       "var_samp" -> "varSamp", "var_pop" -> "varPop",
       "covar_samp" -> "covarSamp", "covar_pop" -> "covarPop",
       "median" -> "median")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
+  /** Snowflake dialect (`inner_dialect.rs:421-427` — the reference treats it
+    * as near-ANSI with an unnest-posture override; ours carries the real
+    * spelling differences): double-quoted identifiers, NUMBER(p,s)/FLOAT/
+    * TIMESTAMP_NTZ CAST targets, EXISTS-rendered semi/anti joins,
+    * `DATEADD(day, n, d)` date arithmetic, `CAST(TRUNC(l / r) AS BIGINT)`
+    * integer division (Snowflake `/` is exact NUMBER division — no 2^53
+    * double hazard — and TRUNC matches Spark's toward-zero semantics),
+    * `LISTAGG(x, d) WITHIN GROUP (ORDER BY ...)` (the ANSI default),
+    * native STARTSWITH/ENDSWITH/CONTAINS, MD5 returning hex text like
+    * Spark's. The Morton expansion fails loudly (correlated derived-table
+    * scoping is outside Snowflake's documented decorrelation). No Snowflake
+    * in this sandbox: pinned goldens + generation gates + the sweep.
+    */
+  object SnowflakeDialect extends Dialect {
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"snowflake dialect: no parquet table function for directory scan $rootPath " +
+          "— register an external table under the logical name")
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "VARCHAR"
+      case IntegerType | LongType | ShortType | ByteType => "NUMBER(38,0)"
+      case DoubleType | FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP_NTZ"
+      case _: TimestampType => "TIMESTAMP_NTZ" // session-TZ-free rendering
+      case d: DecimalType => s"NUMBER(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"snowflake dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = ansiLiteral(l)
+    override def preferExtract: Boolean = true
+    override def semiAntiAsExists: Boolean = true
+    // Snowflake / on NUMBER is exact decimal division; TRUNC is toward zero,
+    // matching Spark's div over the full int64 range
+    override def integralDivide(l: String, r: String): String =
+      s"CAST(TRUNC($l / $r) AS BIGINT)"
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi | LeftAnti => throw new UnsupportedOperationException(
+        "snowflake dialect: semi/anti joins render as EXISTS (semiAntiAsExists)")
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      s"(VALUES ${rows.mkString(", ")}) AS ${quote(alias)}(${cols.map(quote).mkString(", ")})"
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case _: graft.functions.InterleaveBits => throw new UnsupportedOperationException(
+        "snowflake dialect: zorder_key's bound-once expansion needs outer " +
+          "references inside a derived table, outside Snowflake's documented " +
+          "decorrelation — compute the Morton key engine-side")
+      case da: DateAdd =>
+        s"DATEADD(day, ${rendered(da.days)}, ${rendered(da.startDate)})"
+      case ds: DateSub =>
+        s"DATEADD(day, -(${rendered(ds.days)}), ${rendered(ds.startDate)})"
+      // Snowflake MD5 takes VARCHAR and yields hex text like Spark's
+      case m: Md5 => s"md5(${rendered(md5Arg(m))})"
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"snowflake dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "length", "concat", "abs",
+      "round", "floor", "ceil", "trim", "ltrim", "rtrim", "replace",
+      "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",
+      "exp", "sign", "left", "right", "repeat", "mod",
+      // MD5 returns hex VARCHAR in Snowflake, same as Spark
+      "md5", "date_trunc", "concat_ws",
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
+      "covar_samp", "covar_pop", "median")
+    private val renamed = Map(
+      "substring" -> "substr", "instr" -> "position",
+      "startswith" -> "STARTSWITH", "endswith" -> "ENDSWITH",
+      "contains" -> "CONTAINS",
+      "ceiling" -> "ceil", "pow" -> "pow", "power" -> "pow",
+      "btrim" -> "trim")
     def fnName(prettyName: String): Option[String] = {
       val p = prettyName.toLowerCase
       if (direct(p)) Some(p) else renamed.get(p)
