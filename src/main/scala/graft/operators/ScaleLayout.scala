@@ -92,8 +92,8 @@ object ScaleLayout {
   // ------------------------------------------------------- versioned index commit
   //
   // The index is the table's commit manifest: `_graft_index/v<N>/` holds one
-  // parquet row per live data file, and the single small `_graft_commit` file
-  // names the committed version (published by atomic rename). Readers resolve
+  // parquet row per live data file, and an immutable `_commit_v<N>` marker
+  // names the committed version (resolution = max marker). Readers resolve
   // the live FILE LIST through the committed index, so a rewrite (optimize) can
   // lay new files alongside the old generation and flip the pointer — a reader
   // concurrent with maintenance sees the old or the new layout, never a missing
@@ -109,21 +109,42 @@ object ScaleLayout {
   private def commitPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_graft_commit")
 
-  /** The committed index version, if the table uses the versioned layout. */
+  private val markerRe = "_commit_v(\\d+)".r
+
+  /** The committed index version, if the table uses the versioned layout.
+    *
+    * Commits are IMMUTABLE marker files `_graft_index/_commit_v<N>` and the
+    * committed version is the largest N present. A single mutable pointer
+    * file replaced by rename is NOT atomic everywhere (Hadoop's local-FS
+    * rename-with-OVERWRITE deletes the destination first, and the
+    * concurrent-reader spec caught a reader in that pointerless instant);
+    * markers have no such window — the new one exists before any old one is
+    * removed, and max() ignores stragglers. A legacy single `_graft_commit`
+    * pointer file is still honored for tables written before this scheme.
+    */
   def committedVersion(
       spark: org.apache.spark.sql.SparkSession, path: String): Option[Int] = {
     val fs = fsFor(spark, path)
-    val cp = commitPath(path)
-    if (!fs.exists(cp)) None
+    val idxRoot = new org.apache.hadoop.fs.Path(s"$path/_graft_index")
+    val markers =
+      if (!fs.exists(idxRoot)) Nil
+      else fs.listStatus(idxRoot).toSeq.map(_.getPath.getName).collect {
+        case markerRe(n) => n.toInt
+      }
+    if (markers.nonEmpty) Some(markers.max)
     else {
-      val in = fs.open(cp)
-      val txt = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        out.toString("UTF-8").trim
-      } finally in.close()
-      require(txt.matches("v\\d+"), s"corrupt commit pointer $cp: '$txt'")
-      Some(txt.drop(1).toInt)
+      val cp = commitPath(path)
+      if (!fs.exists(cp)) None
+      else {
+        val in = fs.open(cp)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toString("UTF-8").trim
+        } finally in.close()
+        require(txt.matches("v\\d+"), s"corrupt commit pointer $cp: '$txt'")
+        Some(txt.drop(1).toInt)
+      }
     }
   }
 
@@ -141,19 +162,24 @@ object ScaleLayout {
         if (fs.exists(flat)) Some(flat.toString) else None
     }
 
-  /** Publish `version` as committed: write the pointer to a temp name, then
-    * atomically rename over `_graft_commit` (FileContext rename with OVERWRITE —
-    * atomic on HDFS and POSIX; on object stores the PUT itself is atomic).
+  /** Publish `version` as committed: atomically CREATE the immutable marker
+    * `_graft_index/_commit_v<version>`, then lazily drop older markers (and
+    * any legacy pointer file) — at every instant at least one committed
+    * marker exists and resolution takes the max.
     */
   private def commitVersion(
       spark: org.apache.spark.sql.SparkSession, path: String, version: Int): Unit = {
     val fs = fsFor(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_graft_commit.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"v$version".getBytes("UTF-8")) finally out.close()
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
-    fc.rename(tmp, commitPath(path), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_graft_index/_commit_v$version"), true).close()
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/_graft_index")).foreach { st =>
+      st.getPath.getName match {
+        case markerRe(n) if n.toInt < version => fs.delete(st.getPath, false)
+        case _ =>
+      }
+    }
+    fs.delete(commitPath(path), false)
+    ()
   }
 
   /** Write `df` as parquet plus a per-file min/max index of `statCols` (numeric
@@ -360,7 +386,9 @@ object ScaleLayout {
     val fs = fsFor(spark, path)
     if (idxDir == s"$path/_graft_index")
       fs.listStatus(new org.apache.hadoop.fs.Path(idxDir)).foreach { st =>
-        if (st.isFile) fs.delete(st.getPath, false)
+        // keep the commit markers (and any _SUCCESS) — only flat index DATA goes
+        if (st.isFile && !st.getPath.getName.startsWith("_"))
+          fs.delete(st.getPath, false)
       }
     else fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
     ()
@@ -385,9 +413,11 @@ object ScaleLayout {
     }
     val idxRoot = new org.apache.hadoop.fs.Path(s"$path/_graft_index")
     fs.listStatus(idxRoot).foreach { st =>
-      if (st.getPath.getName != s"v$v") fs.delete(st.getPath, st.isDirectory)
+      val n = st.getPath.getName
+      if (n != s"v$v" && n != s"_commit_v$v") fs.delete(st.getPath, st.isDirectory)
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_commit.tmp"), false)
+    fs.delete(commitPath(path), false) // legacy pointer, superseded by markers
     ()
   }
 

@@ -43,9 +43,11 @@ object SqlUnparser {
       case "bigquery" => BigQueryDialect
       case "clickhouse" => ClickHouseDialect
       case "snowflake" => SnowflakeDialect
+      case "mssql" | "sqlserver" => MsSqlDialect
+      case "oracle" => OracleDialect
       case other => throw new IllegalArgumentException(
         s"unknown unparse dialect '$other' " +
-          "(spark|duckdb|postgres|mysql|bigquery|clickhouse|snowflake)")
+          "(spark|duckdb|postgres|mysql|bigquery|clickhouse|snowflake|mssql|oracle)")
     }
 
   /** Render `plan` as executable SQL with final columns named `outputNames`
@@ -81,11 +83,24 @@ object SqlUnparser {
       * verbatim (BigQuery's flexible-column-name restrictions).
       */
     def outputAlias(name: String): String = name
+    /** Row-limit suffix. Engines without LIMIT spell it OFFSET/FETCH (SQL
+      * Server additionally requires an ORDER BY for OFFSET, hence the flag)
+      * or FETCH FIRST (Oracle).
+      */
+    def limitSuffix(n: Int, hasOrderBy: Boolean): String = s" LIMIT $n"
+    /** Wrap a FROM-less SELECT for engines that require a source (Oracle's
+      * dual table).
+      */
+    def fromless(select: String): String = select
     /** Integer division truncating toward zero (Spark's `div`). Each target
       * spells it differently — and Spark's `div` keyword parses NOWHERE else,
       * so emitting the default into another dialect would fail at execution.
       */
     def integralDivide(l: String, r: String): String = s"($l div $r)"
+    /** Remainder: `%` everywhere except Oracle, whose grammar has no modulo
+      * operator — `MOD(a, b)`.
+      */
+    def remainder(l: String, r: String): String = s"($l % $r)"
     /** Dialects preferring ANSI `extract(field FROM x)` over Spark's
       * `year(x)`-style accessors.
       */
@@ -159,7 +174,7 @@ object SqlUnparser {
       val selects = rows.map { row =>
         val vals = row.stripPrefix("(").stripSuffix(")")
         val items = splitTop(vals).zip(cols).map { case (v, c) => s"$v AS ${quote(c)}" }
-        s"SELECT ${items.mkString(", ")}"
+        fromless(s"SELECT ${items.mkString(", ")}")
       }
       s"(${selects.mkString(" UNION ALL ")}) ${quote(alias)}"
     }
@@ -873,6 +888,258 @@ object SqlUnparser {
     }
   }
 
+  /** SQL Server dialect (reference `MsSqlDialect`, `inner_dialect.rs:405-418`
+    * — btrim→trim; the real grammar differences live here): no LIMIT —
+    * `OFFSET 0 ROWS FETCH NEXT n ROWS ONLY`, which REQUIRES an ORDER BY, so a
+    * bare limit gets the standard `ORDER BY (SELECT NULL)` stub; no NULLS
+    * FIRST/LAST — non-native placements emulate with a `CASE WHEN x IS NULL`
+    * prefix key (T-SQL has no boolean-valued sort expressions, so the MySQL
+    * dialect's bare `(x IS NULL)` form would not parse); `DATEPART(field, x)`
+    * date accessors; `CHARINDEX(needle, haystack)` with REVERSED argument
+    * order vs Spark's instr; `CAST((l / r) AS BIGINT)` integer division
+    * (T-SQL `/` on integers already truncates; the cast covers decimal
+    * operands); `LOWER(CONVERT(VARCHAR(32), HASHBYTES('MD5', x), 2))`;
+    * `STRING_AGG(x, d) WITHIN GROUP (ORDER BY ...)`; STDEV/STDEVP/VAR/VARP
+    * spellings; `LEN` for length (documented T-SQL trailing-space caveat);
+    * NVARCHAR(MAX)/DATETIME2(6)/BIT CAST targets (a bare `CAST(x AS VARCHAR)`
+    * silently truncates to 30 chars — never emitted). lpad/rpad and the
+    * Morton expansion fail loudly. Snapshot posture (no SQL Server here).
+    */
+  object MsSqlDialect extends Dialect {
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"mssql dialect: no parquet table function for directory scan $rootPath " +
+          "— register the table under its logical name")
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "NVARCHAR(MAX)"
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "FLOAT"
+      case FloatType => "REAL"
+      case BooleanType => "BIT"
+      case DateType => "DATE"
+      case _: TimestampType => "DATETIME2(6)"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"mssql dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = l.dataType match {
+      // no TRUE/FALSE keywords in T-SQL, and no DATE/TIMESTAMP introducers —
+      // typed literals go through explicit CASTs of their text form
+      case BooleanType if l.value != null =>
+        if (l.value.asInstanceOf[Boolean]) "CAST(1 AS BIT)" else "CAST(0 AS BIT)"
+      case DateType if l.value != null =>
+        s"CAST('${java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)}' AS DATE)"
+      case _: TimestampType | _: TimestampNTZType if l.value != null =>
+        val i = java.time.Instant.EPOCH.plus(
+          l.value.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS)
+        val t = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        val frac = if (t.getNano == 0) "" else f".${t.getNano / 1000}%06d"
+        s"CAST('${t.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))}$frac' AS DATETIME2(6))"
+      case _ => ansiLiteral(l)
+    }
+    override def dateField(field: String, child: String): Option[String] =
+      Some(s"DATEPART($field, $child)")
+    override def semiAntiAsExists: Boolean = true
+    override def integralDivide(l: String, r: String): String =
+      s"CAST(($l / $r) AS BIGINT)"
+    override def limitSuffix(n: Int, hasOrderBy: Boolean): String =
+      if (hasOrderBy) s" OFFSET 0 ROWS FETCH NEXT $n ROWS ONLY"
+      else s" ORDER BY (SELECT NULL) OFFSET 0 ROWS FETCH NEXT $n ROWS ONLY"
+    override def sortItem(child: String, dir: String, nullsFirst: Boolean): Seq[String] = {
+      val native = (dir == "ASC" && nullsFirst) || (dir == "DESC" && !nullsFirst)
+      if (native) Seq(s"$child $dir")
+      else Seq(s"(CASE WHEN $child IS NULL THEN 1 ELSE 0 END) " +
+        s"${if (nullsFirst) "DESC" else "ASC"}", s"$child $dir")
+    }
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi | LeftAnti => throw new UnsupportedOperationException(
+        "mssql dialect: semi/anti joins render as EXISTS (semiAntiAsExists)")
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      s"(VALUES ${rows.mkString(", ")}) AS ${quote(alias)}(${cols.map(quote).mkString(", ")})"
+    override def listAggSql(distinct: String, child: String, delim: String,
+        order: Seq[String]): String = {
+      val within =
+        if (order.isEmpty) "" else s" WITHIN GROUP (ORDER BY ${order.mkString(", ")})"
+      s"STRING_AGG($distinct$child, $delim)$within"
+    }
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case _: graft.functions.InterleaveBits => throw new UnsupportedOperationException(
+        "mssql dialect: zorder_key's bound-once expansion needs outer references " +
+          "inside a derived table (T-SQL requires APPLY for lateral correlation) " +
+          "— compute the Morton key engine-side")
+      case da: DateAdd =>
+        s"DATEADD(day, ${rendered(da.days)}, ${rendered(da.startDate)})"
+      case ds: DateSub =>
+        s"DATEADD(day, -(${rendered(ds.days)}), ${rendered(ds.startDate)})"
+      // SQL Server 2022's DATETRUNC takes a keyword unit, like BigQuery
+      case t: TruncTimestamp => t.format match {
+        case Literal(f, StringType) if f != null &&
+            Set("year", "quarter", "month", "week", "day", "hour", "minute",
+              "second")(f.toString.toLowerCase) =>
+          s"DATETRUNC(${f.toString.toLowerCase}, ${rendered(t.timestamp)})"
+        case other => throw new UnsupportedOperationException(
+          s"mssql dialect: date_trunc with unit $other")
+      }
+      // CHARINDEX takes (needle, haystack) — Spark's instr is (haystack, needle)
+      case si: StringInstr =>
+        s"CHARINDEX(${rendered(si.substr)}, ${rendered(si.str)})"
+      case sw: StartsWith =>
+        s"(LEFT(${rendered(sw.left)}, LEN(${rendered(sw.right)})) = ${rendered(sw.right)})"
+      case ew: EndsWith =>
+        s"(RIGHT(${rendered(ew.left)}, LEN(${rendered(ew.right)})) = ${rendered(ew.right)})"
+      case ct: Contains =>
+        s"(CHARINDEX(${rendered(ct.right)}, ${rendered(ct.left)}) > 0)"
+      case m: Md5 =>
+        s"LOWER(CONVERT(VARCHAR(32), HASHBYTES('MD5', ${rendered(md5Arg(m))}), 2))"
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"mssql dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "concat", "abs", "round",
+      "floor", "sqrt", "exp", "sign", "trim", "ltrim", "rtrim", "replace",
+      "reverse", "greatest", "least", "nullif", "left", "right", "concat_ws")
+    private val renamed = Map(
+      // LEN ignores trailing spaces (documented T-SQL quirk)
+      "length" -> "LEN",
+      "ceil" -> "CEILING", "ceiling" -> "CEILING",
+      "ln" -> "LOG", "pow" -> "POWER", "power" -> "POWER",
+      "repeat" -> "REPLICATE", "substring" -> "SUBSTRING",
+      "btrim" -> "trim",
+      "stddev_samp" -> "STDEV", "stddev_pop" -> "STDEVP",
+      "var_samp" -> "VAR", "var_pop" -> "VARP")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
+  /** Oracle dialect (reference `OracleDialect`, `inner_dialect.rs:383-398` —
+    * uppercase-default identifier quoting; the grammar differences live
+    * here): every FROM-less SELECT gains `FROM dual`; LIMIT renders as ANSI
+    * `FETCH FIRST n ROWS ONLY` (12c+); `%` does not exist — `MOD(a, b)`; the
+    * n-ary `concat` folds to the `||` operator (Oracle's CONCAT is strictly
+    * binary); `CAST(TRUNC(l / r) AS NUMBER(19,0))` integer division over
+    * exact NUMBER arithmetic; `LOWER(RAWTOHEX(STANDARD_HASH(x, 'MD5')))`;
+    * VARCHAR2/NUMBER/BINARY_DOUBLE CAST targets (BOOLEAN per 23ai). Inline
+    * VALUES render as UNION ALL over dual; reverse/concat_ws and the Morton
+    * expansion fail loudly. Snapshot posture (no Oracle here).
+    */
+  object OracleDialect extends Dialect {
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"oracle dialect: no parquet table function for directory scan $rootPath " +
+          "— register the table (external table) under its logical name")
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "VARCHAR2(4000)"
+      case IntegerType => "NUMBER(10,0)"
+      case LongType => "NUMBER(19,0)"
+      case ShortType => "NUMBER(5,0)"
+      case ByteType => "NUMBER(3,0)"
+      case DoubleType => "BINARY_DOUBLE"
+      case FloatType => "BINARY_FLOAT"
+      case BooleanType => "BOOLEAN" // 23ai; earlier servers have no SQL boolean
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"NUMBER(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"oracle dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = ansiLiteral(l)
+    override def preferExtract: Boolean = true
+    override def semiAntiAsExists: Boolean = true
+    override def integralDivide(l: String, r: String): String =
+      s"CAST(TRUNC($l / $r) AS NUMBER(19,0))"
+    override def remainder(l: String, r: String): String = s"MOD($l, $r)"
+    override def limitSuffix(n: Int, hasOrderBy: Boolean): String =
+      s" FETCH FIRST $n ROWS ONLY"
+    override def fromless(select: String): String = s"$select FROM dual"
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi | LeftAnti => throw new UnsupportedOperationException(
+        "oracle dialect: semi/anti joins render as EXISTS (semiAntiAsExists)")
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      unionAllValues(rows, alias, cols) // pre-23 Oracle has no VALUES clause
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case _: graft.functions.InterleaveBits => throw new UnsupportedOperationException(
+        "oracle dialect: zorder_key's bound-once expansion needs outer references " +
+          "inside a derived table (Oracle requires LATERAL) — compute the " +
+          "Morton key engine-side")
+      case da: DateAdd => s"(${rendered(da.startDate)} + ${rendered(da.days)})"
+      case ds: DateSub => s"(${rendered(ds.startDate)} - ${rendered(ds.days)})"
+      // TRUNC(ts, fmt) with Oracle's format-model spellings for the unit
+      case t: TruncTimestamp => t.format match {
+        case Literal(f, StringType) if f != null &&
+            Map("year" -> "YYYY", "quarter" -> "Q", "month" -> "MM",
+              "week" -> "IW", "day" -> "DD", "hour" -> "HH24",
+              "minute" -> "MI").contains(f.toString.toLowerCase) =>
+          val fmt = Map("year" -> "YYYY", "quarter" -> "Q", "month" -> "MM",
+            "week" -> "IW", "day" -> "DD", "hour" -> "HH24",
+            "minute" -> "MI")(f.toString.toLowerCase)
+          s"TRUNC(${rendered(t.timestamp)}, '$fmt')"
+        case other => throw new UnsupportedOperationException(
+          s"oracle dialect: date_trunc with unit $other")
+      }
+      // Oracle CONCAT is strictly binary; fold n-ary concat into ||
+      case c: Concat if c.children.size >= 2 =>
+        c.children.map(rendered).mkString("(", " || ", ")")
+      case sw: StartsWith =>
+        s"(SUBSTR(${rendered(sw.left)}, 1, LENGTH(${rendered(sw.right)})) = ${rendered(sw.right)})"
+      case ew: EndsWith =>
+        s"(SUBSTR(${rendered(ew.left)}, -LENGTH(${rendered(ew.right)})) = ${rendered(ew.right)})"
+      case ct: Contains =>
+        s"(INSTR(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      case m: Md5 =>
+        s"LOWER(RAWTOHEX(STANDARD_HASH(${rendered(md5Arg(m))}, 'MD5')))"
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"oracle dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "length", "abs", "round",
+      "floor", "ceil", "sqrt", "exp", "ln", "sign", "trim", "ltrim", "rtrim",
+      "replace", "lpad", "rpad", "greatest", "least", "nullif", "instr",
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
+      "covar_samp", "covar_pop", "median")
+    private val renamed = Map(
+      "substring" -> "SUBSTR", "ceiling" -> "ceil",
+      "pow" -> "POWER", "power" -> "POWER", "mod" -> "MOD",
+      "btrim" -> "trim")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
   private final class Generator(dialect: Dialect) {
     private var counter = 0
     private def freshAlias(): String = { counter += 1; s"t$counter" }
@@ -899,7 +1166,7 @@ object SqlUnparser {
 
     def render(plan: LogicalPlan): String = plan match {
       case Project(list, _: OneRowRelation) =>
-        s"SELECT ${list.map(selectItem).mkString(", ")}"
+        dialect.fromless(s"SELECT ${list.map(selectItem).mkString(", ")}")
       // column pruning can empty the list entirely (a count(*) subquery needs
       // only row multiplicity); SQL demands at least one item
       case Project(Nil, child) =>
@@ -946,8 +1213,10 @@ object SqlUnparser {
         inner match {
           case s: Sort =>
             s"SELECT * FROM ${sub(s.child)} ORDER BY " +
-              s"${s.order.flatMap(reSort).mkString(", ")} LIMIT $n"
-          case other => s"SELECT * FROM ${sub(other)} LIMIT $n"
+              s"${s.order.flatMap(reSort).mkString(", ")}" +
+              dialect.limitSuffix(n, hasOrderBy = true)
+          case other =>
+            s"SELECT * FROM ${sub(other)}" + dialect.limitSuffix(n, hasOrderBy = false)
         }
       case w: Window =>
         val extra = w.windowExpressions.map(selectItem)
@@ -1005,7 +1274,7 @@ object SqlUnparser {
         if (lr.data.isEmpty) {
           val nulls = lr.output.map(a =>
             s"CAST(NULL AS ${dialect.typeName(a.dataType)}) AS ${q(cname(a))}")
-          s"SELECT ${nulls.mkString(", ")} WHERE 1 = 0"
+          dialect.fromless(s"SELECT ${nulls.mkString(", ")}") + " WHERE 1 = 0"
         } else {
           val rows = lr.data.map { row =>
             lr.output.zipWithIndex.map { case (a, i) =>
@@ -1014,7 +1283,7 @@ object SqlUnparser {
           }
           s"SELECT * FROM ${dialect.values(rows, freshAlias(), cols)}"
         }
-      case _: OneRowRelation => "SELECT 1"
+      case _: OneRowRelation => dialect.fromless("SELECT 1")
       case other => throw new UnsupportedOperationException(
         s"unparse: plan node ${other.getClass.getSimpleName} is not SQL-expressible here")
     }
@@ -1058,6 +1327,7 @@ object SqlUnparser {
       // before the generic BinaryArithmetic case: its symbol is Spark's `div`
       // keyword, which no other engine parses
       case id: IntegralDivide => dialect.integralDivide(re(id.left), re(id.right))
+      case r0: Remainder => dialect.remainder(re(r0.left), re(r0.right))
       case And(l, r) => s"(${re(l)} AND ${re(r)})"
       case Or(l, r) => s"(${re(l)} OR ${re(r)})"
       case Not(c) => s"(NOT ${re(c)})"

@@ -20,19 +20,37 @@ object CommitPointer {
 
   def versionDir(dir: String, v: Int): String = s"$dir/_versions/v$v"
 
+  private val markerRe = "_commit_v(\\d+)".r
+
+  /** Commits are IMMUTABLE `_versions/_commit_v<N>` marker files and the
+    * committed version is the largest N present: a single mutable pointer
+    * replaced by rename is not atomic on every filesystem (Hadoop's local-FS
+    * rename-with-OVERWRITE deletes the destination first, leaving a
+    * pointerless instant a concurrent reader can observe). A legacy `_commit`
+    * pointer file is still honored for directories written before markers.
+    */
   def committedVersion(spark: SparkSession, dir: String): Option[Int] = {
     val fs = fsFor(spark, dir)
-    val cp = new org.apache.hadoop.fs.Path(s"$dir/_commit")
-    if (!fs.exists(cp)) None
+    val root = new org.apache.hadoop.fs.Path(s"$dir/_versions")
+    val markers =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+        case markerRe(n) => n.toInt
+      }
+    if (markers.nonEmpty) Some(markers.max)
     else {
-      val in = fs.open(cp)
-      val txt = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        out.toString("UTF-8").trim
-      } finally in.close()
-      require(txt.matches("v\\d+"), s"corrupt commit pointer $cp: '$txt'")
-      Some(txt.drop(1).toInt)
+      val cp = new org.apache.hadoop.fs.Path(s"$dir/_commit")
+      if (!fs.exists(cp)) None
+      else {
+        val in = fs.open(cp)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toString("UTF-8").trim
+        } finally in.close()
+        require(txt.matches("v\\d+"), s"corrupt commit pointer $cp: '$txt'")
+        Some(txt.drop(1).toInt)
+      }
     }
   }
 
@@ -43,19 +61,24 @@ object CommitPointer {
       case None => dir
     }
 
-  /** Publish `version` as live. The version dir must be fully written first; a
-    * crash before this call leaves the previous generation live and the new
-    * one as unreferenced staging.
+  /** Publish `version` as live: atomically CREATE the immutable marker, then
+    * lazily drop older markers and any legacy pointer — at every instant at
+    * least one committed marker exists and resolution takes the max. The
+    * version dir must be fully written first; a crash before this call leaves
+    * the previous generation live and the new one as unreferenced staging.
     */
   def commit(spark: SparkSession, dir: String, version: Int): Unit = {
     val fs = fsFor(spark, dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_commit.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"v$version".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/_commit"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_versions/_commit_v$version"), true).close()
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_versions")).foreach { st =>
+      st.getPath.getName match {
+        case markerRe(n) if n.toInt < version => fs.delete(st.getPath, false)
+        case _ =>
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commit"), false)
+    ()
   }
 
   /** Delete version dirs other than the committed one (crashed stagings,
@@ -68,7 +91,8 @@ object CommitPointer {
     val fs = fsFor(spark, dir)
     val root = new org.apache.hadoop.fs.Path(s"$dir/_versions")
     if (!fs.exists(root)) return
-    val keep = committedVersion(spark, dir).map(v => s"v$v")
+    val keep = committedVersion(spark, dir)
+      .map(v => Set(s"v$v", s"_commit_v$v")).getOrElse(Set.empty[String])
     fs.listStatus(root).foreach { st =>
       if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
     }

@@ -20,8 +20,10 @@ class CommitPointerSpec extends AnyFunSuite {
       new java.io.File(CommitPointer.versionDir(tmp, 2)).mkdirs()
       CommitPointer.commit(spark, tmp, 2)
       assert(CommitPointer.committedVersion(spark, tmp).contains(2))
-      assert(!new java.io.File(s"$tmp/_commit.tmp").exists(),
-        "the staging pointer file must not survive a commit")
+      // immutable markers: the new one exists, the old one is lazily dropped,
+      // and no moment between them lacks a committed marker
+      assert(new java.io.File(s"$tmp/_versions/_commit_v2").exists())
+      assert(!new java.io.File(s"$tmp/_versions/_commit_v1").exists())
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
@@ -31,8 +33,9 @@ class CommitPointerSpec extends AnyFunSuite {
       Seq(1, 2, 3).foreach(v => new java.io.File(CommitPointer.versionDir(tmp, v)).mkdirs())
       CommitPointer.commit(spark, tmp, 2)
       CommitPointer.dropStaleVersions(spark, tmp)
-      val left = new java.io.File(s"$tmp/_versions").listFiles().map(_.getName).toSet
-      assert(left == Set("v2"), s"got $left")
+      val left = new java.io.File(s"$tmp/_versions").listFiles().map(_.getName)
+        .filterNot(_.startsWith(".")).toSet // drop local-FS .crc shadows
+      assert(left == Set("v2", "_commit_v2"), s"got $left")
       // with no commit at all, EVERY version dir is uncommitted staging (the
       // flat dir is live) — a crashed first compaction's leftovers get dropped
       val tmp2 = java.nio.file.Files.createTempDirectory("cp3").toString
