@@ -39,7 +39,8 @@ object SqlUnparser {
       case "spark" => SparkDialect
       case "duckdb" => DuckDbDialect
       case "postgres" | "postgresql" => PostgresDialect
-      case "mysql" => MySqlDialect
+      // the reference routes Doris through its MySQLDialect (inner_dialect.rs:99)
+      case "mysql" | "doris" => MySqlDialect
       case "bigquery" => BigQueryDialect
       case "clickhouse" => ClickHouseDialect
       case "snowflake" => SnowflakeDialect

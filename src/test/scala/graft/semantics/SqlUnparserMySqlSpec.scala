@@ -40,6 +40,11 @@ class SqlUnparserMySqlSpec extends AnyFunSuite {
     }
   }
 
+  test("doris routes through the mysql dialect (the reference's mapping)") {
+    assert(session.transformSql(Semantic.m21Sql, "doris") ==
+      session.transformSql(Semantic.m21Sql, "mysql"))
+  }
+
   test("mysql dialect: backtick quoting, EXISTS semi joins, no NULLS keywords") {
     assert(m22My.contains("`orders`") && !m22My.contains("\"orders\""))
     assert(m22My.contains("WHERE EXISTS (SELECT 1 FROM"))
