@@ -36,7 +36,9 @@ object SqlUnparser {
 
   def dialectFor(name: String): Dialect =
     name.toLowerCase match {
-      case "spark" => SparkDialect
+      // Databricks SQL is Spark SQL (the reference ships both as distinct
+      // sqlglot targets, data_source.py:86-87; one dialect serves both here)
+      case "spark" | "databricks" => SparkDialect
       case "duckdb" => DuckDbDialect
       case "postgres" | "postgresql" => PostgresDialect
       // the reference routes Doris through its MySQLDialect (inner_dialect.rs:99)
@@ -46,9 +48,14 @@ object SqlUnparser {
       case "snowflake" => SnowflakeDialect
       case "mssql" | "sqlserver" => MsSqlDialect
       case "oracle" => OracleDialect
+      // the reference writes Trino for canner (rewriter.py:93-94); Athena's
+      // engine is Trino-based and sqlglot's athena target is Trino-derived
+      case "trino" | "presto" | "athena" | "canner" => TrinoDialect
+      case "redshift" => RedshiftDialect
       case other => throw new IllegalArgumentException(
         s"unknown unparse dialect '$other' " +
-          "(spark|duckdb|postgres|mysql|bigquery|clickhouse|snowflake|mssql|oracle)")
+          "(spark|duckdb|postgres|mysql|bigquery|clickhouse|snowflake|mssql" +
+          "|oracle|trino|redshift + databricks/doris/athena/canner aliases)")
     }
 
   /** Render `plan` as executable SQL with final columns named `outputNames`
@@ -410,6 +417,9 @@ object SqlUnparser {
       case z: graft.functions.InterleaveBits => mortonExpansion(z, rendered)
       case da: DateAdd => s"(${rendered(da.startDate)} + ${rendered(da.days)})"
       case ds: DateSub => s"(${rendered(ds.startDate)} - ${rendered(ds.days)})"
+      // Postgres md5(text) yields hex text like Spark's (the Spark-inserted
+      // STRING→BINARY cast is stripped — bytea md5 would need decode())
+      case m: Md5 => s"md5(${rendered(md5Arg(m))})"
       // no ends_with/contains builtins: structural renderings with the same
       // three-valued null semantics (any null operand propagates to NULL)
       case ew: EndsWith =>
@@ -426,7 +436,7 @@ object SqlUnparser {
       "round", "floor", "ceil", "ceiling", "trim", "btrim", "ltrim", "rtrim",
       "replace", "lpad", "rpad", "reverse", "greatest", "least", "nullif",
       "sqrt", "ln", "exp", "sign", "initcap",
-      "date_trunc", "md5", "concat_ws", "left", "right", "repeat",
+      "date_trunc", "concat_ws", "left", "right", "repeat",
       "pow", "power", "mod",
       // ANSI statistical aggregates (Postgres aggregate docs; no median —
       // Postgres spells that percentile_cont, out of the curated subset)
@@ -1135,6 +1145,219 @@ object SqlUnparser {
       "substring" -> "SUBSTR", "ceiling" -> "ceil",
       "pow" -> "POWER", "power" -> "POWER", "mod" -> "MOD",
       "btrim" -> "trim")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
+  /** Trino dialect — the reference's lingua franca: its ibis server PARSES
+    * every planned SQL as Trino (`ibis-server/app/mdl/rewriter.py:89`
+    * `_get_read_dialect` returns `"trino"`) and WRITES Trino for the trino,
+    * athena, and canner data sources (`rewriter.py:93-94`,
+    * `app/model/data_source.py:69-87`). Near-ANSI with Trino's own edges:
+    * no SEMI/ANTI syntax (EXISTS), `strpos`/`starts_with` but NO string
+    * `left`/`right`/`repeat` (Trino's `repeat` builds an ARRAY — never
+    * emitted for strings) and no `ends_with` (structural rendering over
+    * substr/length), MD5 over VARBINARY (`lower(to_hex(md5(to_utf8(x))))`),
+    * `date_add('day', n, d)` unit-string form, LISTAGG that REQUIRES a
+    * WITHIN GROUP clause (unordered listagg renders as
+    * `array_join(array_agg(x), d)`), and exact toward-zero integer division
+    * via the remainder identity `(l - l % r) / r` (Trino `%` keeps the
+    * dividend's sign, so the quotient matches Spark's `div` over the full
+    * int64 range — no double rounding). Correlated outer references inside
+    * a derived table are outside Trino's documented decorrelation support,
+    * so the Morton expansion fails loudly. No Trino server in this sandbox:
+    * pinned goldens + generation gates, plus the grammar sweep's Trino texts
+    * EXECUTED in DuckDB (shared ANSI core) by `tools/unparse_sweep.py`.
+    */
+  object TrinoDialect extends Dialect {
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"trino dialect: no parquet table function for directory scan $rootPath " +
+          "— register the table (hive/iceberg catalog) under its logical name")
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "VARCHAR"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"trino dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = ansiLiteral(l)
+    override def preferExtract: Boolean = true
+    override def semiAntiAsExists: Boolean = true
+    // (l - l % r) / r: exact toward-zero quotient with no double detour —
+    // bigint `/` would already truncate, but this form is also exact for
+    // DECIMAL operands (the subtraction leaves an exactly divisible value)
+    override def integralDivide(l: String, r: String): String =
+      s"CAST((($l - ($l % $r)) / $r) AS BIGINT)"
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi | LeftAnti => throw new UnsupportedOperationException(
+        "trino dialect: semi/anti joins render as EXISTS (semiAntiAsExists)")
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      s"(VALUES ${rows.mkString(", ")}) AS ${quote(alias)}(${cols.map(quote).mkString(", ")})"
+    // Trino's LISTAGG grammar REQUIRES WITHIN GROUP; the unordered form
+    // renders as array_join(array_agg(x), d) instead of invalid SQL
+    override def listAggSql(distinct: String, child: String, delim: String,
+        order: Seq[String]): String =
+      if (order.isEmpty) s"array_join(array_agg($distinct$child), $delim)"
+      else s"listagg($distinct$child, $delim) WITHIN GROUP (ORDER BY ${order.mkString(", ")})"
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case _: graft.functions.InterleaveBits => throw new UnsupportedOperationException(
+        "trino dialect: zorder_key's bound-once expansion needs outer " +
+          "references inside a derived table, outside Trino's documented " +
+          "decorrelation support — compute the Morton key engine-side")
+      case da: DateAdd =>
+        s"date_add('day', ${rendered(da.days)}, ${rendered(da.startDate)})"
+      case ds: DateSub =>
+        s"date_add('day', -(${rendered(ds.days)}), ${rendered(ds.startDate)})"
+      // Trino MD5 is VARBINARY→VARBINARY; Spark's STRING→BINARY cast maps to
+      // to_utf8, to_hex yields uppercase where Spark emits lowercase
+      case m: Md5 => s"lower(to_hex(md5(to_utf8(${rendered(md5Arg(m))}))))"
+      // no ends_with builtin: structural rendering with Spark's null/empty
+      // semantics (s='' → true via substr past the end returning '')
+      case ew: EndsWith =>
+        val (x, s) = (rendered(ew.left), rendered(ew.right))
+        s"((length($x) >= length($s)) AND (substr($x, length($x) - length($s) + 1) = $s))"
+      // Trino's contains(array, elem) is ARRAY containment, not substring
+      case ct: Contains =>
+        s"(strpos(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"trino dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "length", "concat", "abs",
+      "round", "floor", "ceil", "ceiling", "trim", "ltrim", "rtrim", "replace",
+      "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",
+      "exp", "sign", "date_trunc", "concat_ws", "pow", "power", "mod",
+      // ANSI statistical aggregates (Trino aggregate docs; no bare median —
+      // Trino spells that approx_percentile, out of the curated subset)
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
+      "covar_samp", "covar_pop")
+    private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
+      "startswith" -> "starts_with", "btrim" -> "trim")
+    def fnName(prettyName: String): Option[String] = {
+      val p = prettyName.toLowerCase
+      if (direct(p)) Some(p) else renamed.get(p)
+    }
+  }
+
+  /** Redshift dialect — the reference transpiles to sqlglot's `redshift`
+    * (`app/model/data_source.py:78`, `rewriter.py:96-100` default branch), a
+    * Postgres-family target whose REAL divergences from the Postgres dialect
+    * are carried here: no `div()` function (integer `/` already truncates
+    * toward zero in Redshift's PG-8 lineage; decimal operands go through
+    * `TRUNC`), no `starts_with` builtin (structural `left`/`length`
+    * rendering), LISTAGG WITHIN GROUP instead of `string_agg(... ORDER BY)`,
+    * and NO VALUES table constructor (inline rows render as UNION ALL —
+    * Redshift only accepts VALUES in INSERT). The Morton expansion fails
+    * loudly: Redshift's correlated-subquery decorrelation rejects outer
+    * references inside derived tables. Snapshot posture (no server here);
+    * the grammar sweep's Redshift texts are DuckDB-executed like Postgres's.
+    */
+  object RedshiftDialect extends Dialect {
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def relation(rootPath: String): String = {
+      val base = rootPath.stripSuffix("/").split('/').last
+      if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))
+      else throw new UnsupportedOperationException(
+        s"redshift dialect: no parquet table function for directory scan $rootPath " +
+          "— register the table (Spectrum external table) under its logical name")
+    }
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "VARCHAR(MAX)"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case ByteType => "SMALLINT" // no TINYINT in Redshift
+      case DoubleType => "DOUBLE PRECISION"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"redshift dialect: type ${other.sql}")
+    }
+    def literal(l: Literal): String = ansiLiteral(l)
+    override def preferExtract: Boolean = true
+    override def semiAntiAsExists: Boolean = true
+    // no div() in Redshift; integer `/` truncates toward zero already and
+    // TRUNC covers decimal operands (exact NUMERIC arithmetic, no doubles)
+    override def integralDivide(l: String, r: String): String =
+      s"CAST(TRUNC($l / $r) AS BIGINT)"
+    def joinKeyword(jt: JoinType): String = jt match {
+      case Inner => "JOIN"
+      case Cross => "CROSS JOIN"
+      case LeftOuter => "LEFT JOIN"
+      case RightOuter => "RIGHT JOIN"
+      case FullOuter => "FULL JOIN"
+      case LeftSemi | LeftAnti => throw new UnsupportedOperationException(
+        "redshift dialect: semi/anti joins render as EXISTS (semiAntiAsExists)")
+      case other => throw new UnsupportedOperationException(
+        s"unparse: join type $other")
+    }
+    def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
+      unionAllValues(rows, alias, cols) // Redshift: VALUES only in INSERT
+    // ANSI LISTAGG WITHIN GROUP (Redshift has no string_agg) = trait default
+    def fallback(e: Expression, rendered: Expression => String): String = e match {
+      case _: graft.functions.InterleaveBits => throw new UnsupportedOperationException(
+        "redshift dialect: zorder_key's bound-once expansion needs outer " +
+          "references inside a derived table, outside Redshift's documented " +
+          "correlated-subquery patterns — compute the Morton key engine-side")
+      case da: DateAdd => s"(${rendered(da.startDate)} + ${rendered(da.days)})"
+      case ds: DateSub => s"(${rendered(ds.startDate)} - ${rendered(ds.days)})"
+      // Redshift MD5 takes VARCHAR and yields hex text like Spark's (the
+      // Spark-inserted STRING→BINARY cast is stripped)
+      case m: Md5 => s"md5(${rendered(md5Arg(m))})"
+      // no starts_with/ends_with/contains builtins (Postgres-family posture)
+      case sw: StartsWith =>
+        s"(left(${rendered(sw.left)}, length(${rendered(sw.right)})) = ${rendered(sw.right)})"
+      case ew: EndsWith =>
+        s"(right(${rendered(ew.left)}, length(${rendered(ew.right)})) = ${rendered(ew.right)})"
+      case ct: Contains =>
+        s"(strpos(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      // Redshift CONCAT is strictly binary; fold n-ary concat into ||
+      case c: Concat if c.children.size >= 2 =>
+        c.children.map(rendered).mkString("(", " || ", ")")
+      case _ => fnName(e.prettyName) match {
+        case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
+        case None => throw new UnsupportedOperationException(
+          s"redshift dialect: unsupported expression ${e.prettyName} in ${e.sql}")
+      }
+    }
+    private val direct = Set("upper", "lower", "length", "abs",
+      "round", "floor", "ceil", "ceiling", "trim", "btrim", "ltrim", "rtrim",
+      "replace", "lpad", "rpad", "reverse", "greatest", "least", "nullif",
+      "sqrt", "ln", "exp", "sign", "initcap",
+      "date_trunc", "left", "right", "repeat", "mod",
+      // Redshift aggregate docs: stddev/var families + MEDIAN exist;
+      // corr/covar do not — they fail loudly
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "median")
+    private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
+      "pow" -> "POWER", "power" -> "POWER")
     def fnName(prettyName: String): Option[String] = {
       val p = prettyName.toLowerCase
       if (direct(p)) Some(p) else renamed.get(p)

@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 import graft.semantics.{SqlUnparser, SqlUnparserPropertyGrammar}
 
-/** Dump the 40-seed property grammar as (spark result, duckdb text, postgres
-  * text) triples for `tools/unparse_sweep.py`, which executes BOTH dialect
-  * texts in DuckDB and value-compares them against Spark executing the source
+/** Dump the 40-seed property grammar as (spark result, duckdb / postgres /
+  * trino / redshift text) tuples for `tools/unparse_sweep.py`, which executes
+  * ALL dialect texts in DuckDB and value-compares them against Spark
   * — upgrading the dialect property sweep from "generates" to
   * "executes-and-matches" over the combinatorial space between the pinned
   * goldens. Run: `sbt "Test/runMain graft.tools.UnparseSweepDump <sfDir> <outDir>"`.
@@ -35,7 +35,9 @@ object UnparseSweepDump {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/seed_$seed.source.sql"), sql)
       for ((dname, d) <- Seq("duckdb" -> SqlUnparser.DuckDbDialect,
-          "postgres" -> SqlUnparser.PostgresDialect)) {
+          "postgres" -> SqlUnparser.PostgresDialect,
+          "trino" -> SqlUnparser.TrinoDialect,
+          "redshift" -> SqlUnparser.RedshiftDialect)) {
         val text = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, d)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/seed_$seed.$dname.sql"), text)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Cross-engine execution gate for the unparse property sweep: DuckDB executes
-the duckdb-dialect AND postgres-dialect texts the 40-seed grammar generated
-(DuckDB parses the emitted ANSI/PG subset), and values are compared against
+the duckdb / postgres / trino / redshift dialect texts the 40-seed grammar
+generated (all four stay inside DuckDB's ANSI surface), value-compared against
 Spark executing the source query (parquet dumps from UnparseSweepDump).
 
 Comparison: exact for non-float columns; floats compare at 1e-9 relative
@@ -53,12 +53,13 @@ def compare(sdf, ddf):
     return None
 
 
-results = {"duckdb": {"pass": 0, "fail": 0}, "postgres": {"pass": 0, "fail": 0}}
+DIALECTS = ("duckdb", "postgres", "trino", "redshift")
+results = {d: {"pass": 0, "fail": 0} for d in DIALECTS}
 failures = []
 for seed in range(40):
     files = glob.glob(f"{OUT_DIR}/seed_{seed}/*.parquet")
     sdf = norm(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
-    for dialect in ("duckdb", "postgres"):
+    for dialect in DIALECTS:
         sql = open(f"{OUT_DIR}/seed_{seed}.{dialect}.sql").read()
         try:
             ddf = norm(con.sql(sql).df())
