@@ -172,9 +172,13 @@ object ScaleLayout {
     val fs = fsFor(spark, path)
     fs.create(new org.apache.hadoop.fs.Path(
       s"$path/_graft_index/_commit_v$version"), true).close()
+    // retain the PREVIOUS version's marker (drop only < version - 1): a
+    // stale object-store listing that misses the just-created marker must
+    // resolve the previous COMMITTED version, never fall through to the flat
+    // legacy dir. vacuum — gated on "no readers" — reclaims it with its dir.
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/_graft_index")).foreach { st =>
       st.getPath.getName match {
-        case markerRe(n) if n.toInt < version => fs.delete(st.getPath, false)
+        case markerRe(n) if n.toInt < version - 1 => fs.delete(st.getPath, false)
         case _ =>
       }
     }
@@ -378,19 +382,25 @@ object ScaleLayout {
       .repartition(files)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_index/v$nextV")
     commitVersion(spark, path, nextV)
-    // the superseded version holds no unique information (same data files) —
-    // safe to drop once the pointer is flipped; a reader mid-collect on a
-    // local/HDFS fs keeps its open handles, and vacuum covers stragglers.
     // A pre-versioning FLAT index lives at `_graft_index` itself, which now
-    // CONTAINS the new version dir — delete only its flat files, never the dir.
+    // CONTAINS the new version dir — delete only its flat files, never the
+    // dir. A superseded VERSIONED generation is NOT deleted here: its marker
+    // is retained by commitVersion so a stale listing that misses the new
+    // marker resolves the previous committed version, which must then still
+    // be readable — vacuum (gated on "no readers") reclaims dir + marker.
+    // Compare NORMALIZED paths: committedIndexDir returns Hadoop's Path
+    // rendering (trailing slashes collapsed), so raw string interpolation
+    // over a slash-variant `path` would mis-classify the flat dir (a prior
+    // round's else branch recursively deleted _graft_index — new version,
+    // markers and all).
     val fs = fsFor(spark, path)
-    if (idxDir == s"$path/_graft_index")
-      fs.listStatus(new org.apache.hadoop.fs.Path(idxDir)).foreach { st =>
+    val flatDir = new org.apache.hadoop.fs.Path(s"$path/_graft_index")
+    if (new org.apache.hadoop.fs.Path(idxDir) == flatDir)
+      fs.listStatus(flatDir).foreach { st =>
         // keep the commit markers (and any _SUCCESS) — only flat index DATA goes
         if (st.isFile && !st.getPath.getName.startsWith("_"))
           fs.delete(st.getPath, false)
       }
-    else fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
     ()
   }
 

@@ -181,7 +181,7 @@ object Semantic {
       |ORDER BY o_orderkey LIMIT 50""".stripMargin
 
   val m23DuckOracle: String =
-    """SELECT "c1" AS "o_orderkey", "c3" AS "run3" FROM (SELECT * FROM (SELECT "c1" AS "c1", CAST("c2" AS DOUBLE) AS "c3" FROM (SELECT *, sum("c4") OVER (PARTITION BY "c5" ORDER BY "c1" ASC NULLS FIRST ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS "c2" FROM (SELECT "c1" AS "c1", CAST("c6" AS DECIMAL(18,2)) AS "c4", "c5" AS "c5" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c7", "o_orderstatus" AS "c5", "o_totalprice" AS "c6", "o_orderdate" AS "c8", "o_orderpriority" AS "c9" FROM "orders") "t1" WHERE (("c6" IS NOT NULL) AND ("c6" > (2.0 * (SELECT (sum("c10") / CAST(count(*) AS DOUBLE)) AS "c11" FROM (SELECT "c10" AS "c10" FROM (SELECT "c_custkey" AS "c12", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c10", "c_mktsegment" AS "c15" FROM "customer") "t2") "t3"))))) "t4") "t5") "t6") "t7" ORDER BY "c1" ASC NULLS FIRST LIMIT 50) "t_out""""
+    """SELECT "c1" AS "o_orderkey", "c3" AS "run3" FROM (SELECT * FROM (SELECT "c1" AS "c1", CAST("c2" AS DOUBLE) AS "c3" FROM (SELECT *, CAST(sum("c4") OVER (PARTITION BY "c5" ORDER BY "c1" ASC NULLS FIRST ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS "c2" FROM (SELECT "c1" AS "c1", CAST("c6" AS DECIMAL(18,2)) AS "c4", "c5" AS "c5" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c7", "o_orderstatus" AS "c5", "o_totalprice" AS "c6", "o_orderdate" AS "c8", "o_orderpriority" AS "c9" FROM "orders") "t1" WHERE (("c6" IS NOT NULL) AND ("c6" > (2.0 * (SELECT (sum("c10") / CAST(count(*) AS DOUBLE)) AS "c11" FROM (SELECT "c10" AS "c10" FROM (SELECT "c_custkey" AS "c12", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c10", "c_mktsegment" AS "c15" FROM "customer") "t2") "t3"))))) "t4") "t5") "t6") "t7" ORDER BY "c1" ASC NULLS FIRST LIMIT 50) "t_out""""
 
   /** Source SQL for `m24_unparse_datetime`: widens the DuckDB-executed unparse
     * surface to datetime machinery — date_trunc (cast to DATE in the source:
@@ -218,7 +218,7 @@ object Semantic {
     """SELECT "c1" AS "o_orderkey", "c3" AS "z" FROM (SELECT * FROM (SELECT "c1" AS "c1", (SELECT CAST(((("zb_d0" >> 0) & 1) << 0) + ((("zb_d0" >> 1) & 1) << 2) + ((("zb_d0" >> 2) & 1) << 4) + ((("zb_d0" >> 3) & 1) << 6) + ((("zb_d0" >> 4) & 1) << 8) + ((("zb_d0" >> 5) & 1) << 10) + ((("zb_d0" >> 6) & 1) << 12) + ((("zb_d0" >> 7) & 1) << 14) + ((("zb_d1" >> 0) & 1) << 1) + ((("zb_d1" >> 1) & 1) << 3) + ((("zb_d1" >> 2) & 1) << 5) + ((("zb_d1" >> 3) & 1) << 7) + ((("zb_d1" >> 4) & 1) << 9) + ((("zb_d1" >> 5) & 1) << 11) + ((("zb_d1" >> 6) & 1) << 13) + ((("zb_d1" >> 7) & 1) << 15) AS BIGINT) FROM (SELECT ((("c1" % 256)) & 255) AS "zb_d0", ((("c2" % 256)) & 255) AS "zb_d1") "zb") AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c2", "o_orderstatus" AS "c4", "o_totalprice" AS "c5", "o_orderdate" AS "c6", "o_orderpriority" AS "c7" FROM "orders") "t1" WHERE (("c1" IS NOT NULL) AND ("c1" <= 2000))) "t2") "t3" ORDER BY "c1" ASC NULLS FIRST) "t_out""""
 
   val m21DuckOracle: String =
-    """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(sum("c3") AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
+    """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(CAST(sum("c3") AS DECIMAL(28,2)) AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
   /** RLAC/CLAC manifest (FIXTURES.md §3 shape). */
   def aclManifest: Manifest = Manifest(
@@ -533,23 +533,27 @@ object Semantic {
   def oracles: Map[String, String] =
     defs.flatMap { case (n, (_, o)) => o.map(n -> _) }.toMap
 
-  private val pgCorpus: Seq[(String, String)] = Seq(
-    "m21_unparse_postgres" -> m21Sql, "m22_unparse_postgres" -> m22Sql,
-    "m23_unparse_postgres" -> m23Sql, "m24_unparse_postgres" -> m24Sql,
-    "m25_unparse_postgres" -> m25Sql)
-
-  /** Postgres-dialect cross-engine entries: the same m21–m25 corpus, oracle =
-    * the POSTGRES rendering (pinned verbatim by SqlUnparserPostgresSpec). The
-    * driver's DuckDB oracle executes it — DuckDB parses the emitted ANSI/PG
-    * subset (DOUBLE PRECISION/NUMERIC spellings, correlated EXISTS semi joins,
-    * DATE + INTEGER arithmetic) — so the postgres dialect's output is executed
+  /** Cross-engine-EXECUTED dialect corpus: postgres/trino/redshift renderings
+    * of m21–m24 (+ m25 for postgres; trino/redshift refuse the Morton
+    * expansion by design) become driver entries whose oracle is the LIVE
+    * dialect text. The driver's DuckDB oracle executes each — DuckDB parses
+    * all three dialects' emitted ANSI subset (DOUBLE PRECISION/NUMERIC
+    * spellings, correlated EXISTS semi joins, DATE + INTEGER arithmetic,
+    * type-fidelity aggregate casts) — so those dialects' output is executed
     * and hash-compared on a second engine, not just snapshot-pinned.
     */
+  private val crossCorpus: Seq[(String, String, String)] =
+    (for (d <- Seq("postgres", "trino", "redshift");
+          (m, sql) <- Seq("m21" -> m21Sql, "m22" -> m22Sql,
+            "m23" -> m23Sql, "m24" -> m24Sql))
+      yield (s"${m}_unparse_$d", d, sql)) :+
+      (("m25_unparse_postgres", "postgres", m25Sql))
+
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
-    pgCorpus.map { case (n, sql) =>
+    crossCorpus.map { case (n, _, sql) =>
       n -> ((s: SparkSession, dir: String) => deployAndRun(sql)(s, dir)) }.toMap
 
-  /** Live-generated Postgres texts for [[pgUnparseQueries]] (same protocol as
+  /** Live-generated dialect texts for [[pgUnparseQueries]] (same protocol as
     * [[TpcH.unparseOracles]] — path-independent table names, planned on the
     * smallest SF).
     */
@@ -561,10 +565,10 @@ object Semantic {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     val session = GraftEngine.deployOnDir(spark, manifest, "/root/testdata/sf0.001")
-    pgCorpus.flatMap { case (n, sql) =>
-      try Some(n -> session.transformSql(sql, "postgres"))
+    crossCorpus.flatMap { case (n, d, sql) =>
+      try Some(n -> session.transformSql(sql, d))
       catch { case e: Exception =>
-        System.err.println(s"[pg-unparse-oracle] $n: ${e.getMessage}"); None }
+        System.err.println(s"[cross-unparse-oracle] $n: ${e.getMessage}"); None }
     }.toMap
   }
 }

@@ -52,10 +52,16 @@ object SqlUnparser {
       // engine is Trino-based and sqlglot's athena target is Trino-derived
       case "trino" | "presto" | "athena" | "canner" => TrinoDialect
       case "redshift" => RedshiftDialect
+      // the reference routes its file sources through DuckDB
+      // (ibis-server/app/mdl/rewriter.py:94-101), and datafusion SQL's ANSI
+      // surface matches the duckdb dialect's emitted subset
+      case "local_file" | "s3_file" | "minio_file" | "gcs_file" |
+           "datafusion" => DuckDbDialect
       case other => throw new IllegalArgumentException(
         s"unknown unparse dialect '$other' " +
           "(spark|duckdb|postgres|mysql|bigquery|clickhouse|snowflake|mssql" +
-          "|oracle|trino|redshift + databricks/doris/athena/canner aliases)")
+          "|oracle|trino|redshift + databricks/doris/athena/canner/" +
+          "local_file/s3_file/minio_file/gcs_file/datafusion aliases)")
     }
 
   /** Render `plan` as executable SQL with final columns named `outputNames`
@@ -109,6 +115,70 @@ object SqlUnparser {
       * operator — `MOD(a, b)`.
       */
     def remainder(l: String, r: String): String = s"($l % $r)"
+    /** Bitwise machinery (grouping() lowers to `shiftright(gid, n) & 1` over
+      * the Expand-emitted grouping id): infix on the Postgres family, named
+      * functions on Trino/Snowflake/ClickHouse, arithmetic identities on
+      * engines without any bit syntax (Oracle). Shift counts here are always
+      * small non-negative literals over non-negative ids.
+      */
+    def shiftRight(l: String, r: String): String = s"($l >> $r)"
+    def shiftLeft(l: String, r: String): String = s"($l << $r)"
+    def bitAnd(l: String, r: String): String = s"($l & $r)"
+    def bitOr(l: String, r: String): String = s"($l | $r)"
+    /** Aggregate result-type fidelity (the reference's unparser renders
+      * type-aware, `wren-core/core/src/mdl/dialect/wren_dialect.rs:141-235`).
+      * Spark types integral SUM as BIGINT and AVG/the stat family as DOUBLE;
+      * engines that widen (DuckDB's HUGEINT, Postgres/MySQL/Oracle NUMERIC)
+      * return a different type for the same call, so an executed result stops
+      * matching Spark's schema even when every value agrees. Some(dt) wraps
+      * the rendered call in `CAST(.. AS dt)` — a no-op on engines that already
+      * agree, a type repair on those that widen.
+      */
+    def aggResultCast(fn: AggregateFunction): Option[DataType] = None
+    /** Cast applied to the aggregate's ARGUMENT, for engines whose native
+      * typing loses the VALUE, not just the type: SQL Server's int-typed SUM
+      * overflows and its int AVG truncates; MySQL/Snowflake/Redshift integer
+      * AVG rounds at a fixed fractional scale. Casting the child to Spark's
+      * accumulation type makes the engine compute what Spark computes.
+      */
+    def aggChildCast(fn: AggregateFunction): Option[DataType] = None
+    protected def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    /** stddev/variance names whose Spark result is DOUBLE but whose result on
+      * exact-numeric engines (Postgres, Oracle) is NUMERIC for exact inputs.
+      */
+    protected val statDoubleFns: Set[String] = Set(
+      "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance")
+    /** The drift pattern shared by the ANSI engines: integral SUM widens
+      * (DuckDB HUGEINT, Postgres sum(bigint)→NUMERIC, Snowflake/Oracle
+      * NUMBER), decimal SUM/AVG widen to the engine's maximum precision, REAL
+      * sums stay REAL where Spark widens float→double, and integer AVG /
+      * stddev return exact NUMERIC on some engines where Spark says DOUBLE.
+      * Casting back to Spark's result type is a no-op wherever the engine
+      * already agrees, so the shared pattern prefers a redundant cast over
+      * tracking each engine's full typing matrix.
+      */
+    protected def ansiAggResultCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case s: Sum => s.dataType match {
+          case dt if isIntegral(dt) => Some(LongType)
+          case d: DecimalType => Some(d)
+          case DoubleType if s.child.dataType == FloatType => Some(DoubleType)
+          case _ => None
+        }
+        case a: Average => a.dataType match {
+          case d: DecimalType => Some(d)
+          case DoubleType if a.child.dataType != DoubleType => Some(DoubleType)
+          case _ => None
+        }
+        case f if statDoubleFns(f.prettyName.toLowerCase) &&
+          f.dataType == DoubleType &&
+          f.children.headOption.exists(_.dataType != DoubleType) =>
+          Some(DoubleType)
+        case _ => None
+      }
     /** Dialects preferring ANSI `extract(field FROM x)` over Spark's
       * `year(x)`-style accessors.
       */
@@ -299,6 +369,18 @@ object SqlUnparser {
     // `//` truncates toward zero like Spark's div (checked: -7 // 2 = -3) and
     // is exact over the full int64 range (no double rounding)
     override def integralDivide(l: String, r: String): String = s"($l // $r)"
+    // DuckDB widens integral SUM to HUGEINT (the driver-caught tpch_q12
+    // drift: 254 → 254.0 through pandas) and decimal SUM to DECIMAL(38,s);
+    // the shared repair casts back to Spark's result type
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      ansiAggResultCast(fn)
+    // DuckDB's listagg is a plain string_agg alias — it does NOT parse the
+    // ANSI WITHIN GROUP clause (checked on 1.0.0); ordering goes inline
+    override def listAggSql(distinct: String, child: String, delim: String,
+        order: Seq[String]): String = {
+      val ord = if (order.isEmpty) "" else s" ORDER BY ${order.mkString(", ")}"
+      s"string_agg($distinct$child, $delim$ord)"
+    }
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -395,6 +477,10 @@ object SqlUnparser {
     // (arbitrary precision — no 2^53 double hazard on ns-epoch longs)
     override def integralDivide(l: String, r: String): String =
       s"CAST(div($l, $r) AS BIGINT)"
+    // Postgres §9.21: sum(bigint)→NUMERIC, sum(real)→REAL, avg/stddev of
+    // exact types→NUMERIC — all drift from Spark's BIGINT/DOUBLE results
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      ansiAggResultCast(fn)
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -492,6 +578,17 @@ object SqlUnparser {
     override def semiAntiAsExists: Boolean = true
     // `DIV` truncates toward zero over exact integers (MySQL reference manual)
     override def integralDivide(l: String, r: String): String = s"($l DIV $r)"
+    // MySQL types integral SUM as DECIMAL; CAST AS SIGNED restores BIGINT
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      ansiAggResultCast(fn)
+    // MySQL's integer AVG returns DECIMAL at a fixed 4-digit scale — rounded
+    // VALUES, not just a drifted type; averaging the double-cast child makes
+    // the engine compute Spark's double result (CAST AS DOUBLE, 8.0.17+)
+    override def aggChildCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case a: Average if isIntegral(a.child.dataType) => Some(DoubleType)
+        case _ => None
+      }
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -505,8 +602,11 @@ object SqlUnparser {
       case other => throw new UnsupportedOperationException(
         s"unparse: join type $other")
     }
+    // MySQL's VALUES table constructor requires ROW() constructors and has no
+    // derived-table column list `AS t(c1, c2)` — render UNION ALL of aliased
+    // SELECTs instead (same path BigQuery/ClickHouse take)
     def values(rows: Seq[String], alias: String, cols: Seq[String]): String =
-      s"(VALUES ${rows.mkString(", ")}) AS ${quote(alias)}(${cols.map(quote).mkString(", ")})"
+      unionAllValues(rows, alias, cols)
     override def sortItem(child: String, dir: String, nullsFirst: Boolean): Seq[String] = {
       val native = (dir == "ASC" && nullsFirst) || (dir == "DESC" && !nullsFirst)
       if (native) Seq(s"$child $dir")
@@ -534,6 +634,25 @@ object SqlUnparser {
         s"(right(${rendered(ew.left)}, char_length(${rendered(ew.right)})) = ${rendered(ew.right)})"
       case ct: Contains =>
         s"(instr(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      // MySQL has no date_trunc: literal-unit truncation renders through
+      // DATE_FORMAT (the reference's sqlglot MySQL target emits the same
+      // shape); a non-literal or sub-supported unit still refuses loudly
+      case tt: TruncTimestamp => tt.format match {
+        case Literal(u, StringType) if u != null =>
+          val fmt = u.toString.toLowerCase match {
+            case "year" | "yyyy" | "yy" => "%Y-01-01 00:00:00"
+            case "month" | "mon" | "mm" => "%Y-%m-01 00:00:00"
+            case "day" | "dd" => "%Y-%m-%d 00:00:00"
+            case "hour" => "%Y-%m-%d %H:00:00"
+            case "minute" => "%Y-%m-%d %H:%i:00"
+            case "second" => "%Y-%m-%d %H:%i:%s"
+            case other => throw new UnsupportedOperationException(
+              s"mysql dialect: date_trunc unit '$other' has no DATE_FORMAT model")
+          }
+          s"CAST(DATE_FORMAT(${rendered(tt.timestamp)}, '$fmt') AS DATETIME)"
+        case _ => throw new UnsupportedOperationException(
+          "mysql dialect: date_trunc needs a literal unit to render as DATE_FORMAT")
+      }
       case _ => fnName(e.prettyName) match {
         case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
         case None => throw new UnsupportedOperationException(
@@ -609,6 +728,12 @@ object SqlUnparser {
     override def preferExtract: Boolean = true
     override def semiAntiAsExists: Boolean = true
     override def integralDivide(l: String, r: String): String = s"DIV($l, $r)"
+    // GoogleSQL has no `%` operator — remainder is the MOD function
+    override def remainder(l: String, r: String): String = s"MOD($l, $r)"
+    // GoogleSQL sums NUMERIC at fixed (38,9) and averages it to NUMERIC —
+    // both drift from Spark's widened decimal result; INT64 sum/avg agree
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      ansiAggResultCast(fn)
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -745,6 +870,18 @@ object SqlUnparser {
         case _ => None
       }
     override def integralDivide(l: String, r: String): String = s"intDiv($l, $r)"
+    // ClickHouse bit machinery is function-spelled (no &/>> operators)
+    override def shiftRight(l: String, r: String): String = s"bitShiftRight($l, $r)"
+    override def shiftLeft(l: String, r: String): String = s"bitShiftLeft($l, $r)"
+    override def bitAnd(l: String, r: String): String = s"bitAnd($l, $r)"
+    override def bitOr(l: String, r: String): String = s"bitOr($l, $r)"
+    // ClickHouse count() is UInt64 (Spark: signed BIGINT); sums of Int32
+    // widen to Int64 as Spark does, decimals widen precision differently
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case _: Count => Some(LongType)
+        case other => ansiAggResultCast(other)
+      }
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -849,6 +986,21 @@ object SqlUnparser {
     // matching Spark's div over the full int64 range
     override def integralDivide(l: String, r: String): String =
       s"CAST(TRUNC($l / $r) AS BIGINT)"
+    // Snowflake types integral SUM as NUMBER(38,0) (≡ its BIGINT — cast is
+    // documentation-grade) and rounds integer AVG at NUMBER scale — averaging
+    // the FLOAT-cast child computes Spark's double values
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      ansiAggResultCast(fn)
+    // Snowflake bit machinery is function-spelled (BITAND/BITSHIFTRIGHT)
+    override def shiftRight(l: String, r: String): String = s"BITSHIFTRIGHT($l, $r)"
+    override def shiftLeft(l: String, r: String): String = s"BITSHIFTLEFT($l, $r)"
+    override def bitAnd(l: String, r: String): String = s"BITAND($l, $r)"
+    override def bitOr(l: String, r: String): String = s"BITOR($l, $r)"
+    override def aggChildCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case a: Average if isIntegral(a.child.dataType) => Some(DoubleType)
+        case _ => None
+      }
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -873,6 +1025,11 @@ object SqlUnparser {
         s"DATEADD(day, -(${rendered(ds.days)}), ${rendered(ds.startDate)})"
       // Snowflake MD5 takes VARCHAR and yields hex text like Spark's
       case m: Md5 => s"md5(${rendered(md5Arg(m))})"
+      // Snowflake POSITION(needle, haystack) takes the needle FIRST —
+      // Spark's instr is (haystack, needle), so the generic child-order
+      // fallback would search with the arguments swapped
+      case si: StringInstr =>
+        s"position(${rendered(si.substr)}, ${rendered(si.str)})"
       case _ => fnName(e.prettyName) match {
         case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
         case None => throw new UnsupportedOperationException(
@@ -888,7 +1045,7 @@ object SqlUnparser {
       "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
       "covar_samp", "covar_pop", "median")
     private val renamed = Map(
-      "substring" -> "substr", "instr" -> "position",
+      "substring" -> "substr",
       "startswith" -> "STARTSWITH", "endswith" -> "ENDSWITH",
       "contains" -> "CONTAINS",
       "ceiling" -> "ceil", "pow" -> "pow", "power" -> "pow",
@@ -961,6 +1118,31 @@ object SqlUnparser {
     override def semiAntiAsExists: Boolean = true
     override def integralDivide(l: String, r: String): String =
       s"CAST(($l / $r) AS BIGINT)"
+    // SQL Server keeps the ARGUMENT type: COUNT is INT, SUM(int) is INT
+    // (overflows where Spark's BIGINT doesn't), AVG(int) is INT (truncated
+    // values), decimal AVG preserves the input scale — so int sums accumulate
+    // as BIGINT, int averages as FLOAT, and decimal averages over the child
+    // pre-cast to Spark's result type
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case _: Count => Some(LongType)
+        case other => ansiAggResultCast(other)
+      }
+    override def aggChildCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case s: Sum if isIntegral(s.child.dataType) &&
+          s.child.dataType != LongType => Some(LongType)
+        case a: Average if isIntegral(a.child.dataType) => Some(DoubleType)
+        case a: Average => a.dataType match {
+          case d: DecimalType => Some(d)
+          case _ => None
+        }
+        case _ => None
+      }
+    // T-SQL has & and | but no shift operators; RIGHT_SHIFT/LEFT_SHIFT are
+    // SQL Server 2022+ (the reference's sqlglot target emits the same)
+    override def shiftRight(l: String, r: String): String = s"RIGHT_SHIFT($l, $r)"
+    override def shiftLeft(l: String, r: String): String = s"LEFT_SHIFT($l, $r)"
     override def limitSuffix(n: Int, hasOrderBy: Boolean): String =
       if (hasOrderBy) s" OFFSET 0 ROWS FETCH NEXT $n ROWS ONLY"
       else s" ORDER BY (SELECT NULL) OFFSET 0 ROWS FETCH NEXT $n ROWS ONLY"
@@ -1082,6 +1264,23 @@ object SqlUnparser {
     override def semiAntiAsExists: Boolean = true
     override def integralDivide(l: String, r: String): String =
       s"CAST(TRUNC($l / $r) AS NUMBER(19,0))"
+    // Oracle types every aggregate as NUMBER — count/sum/avg/stddev all
+    // need the CAST back to Spark's BIGINT/DOUBLE/decimal result
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case _: Count => Some(LongType)
+        case a: Average if a.dataType == DoubleType => Some(DoubleType)
+        case other => ansiAggResultCast(other)
+      }
+    // Oracle SQL has no shift operators and only BITAND: shifts render as
+    // exact power-of-two arithmetic (counts are small literals over
+    // non-negative grouping ids), OR via the inclusion-exclusion identity
+    override def shiftRight(l: String, r: String): String =
+      s"TRUNC($l / POWER(2, $r))"
+    override def shiftLeft(l: String, r: String): String = s"($l * POWER(2, $r))"
+    override def bitAnd(l: String, r: String): String = s"BITAND($l, $r)"
+    override def bitOr(l: String, r: String): String =
+      s"($l + $r - BITAND($l, $r))"
     override def remainder(l: String, r: String): String = s"MOD($l, $r)"
     override def limitSuffix(n: Int, hasOrderBy: Boolean): String =
       s" FETCH FIRST $n ROWS ONLY"
@@ -1203,6 +1402,28 @@ object SqlUnparser {
     // DECIMAL operands (the subtraction leaves an exactly divisible value)
     override def integralDivide(l: String, r: String): String =
       s"CAST((($l - ($l % $r)) / $r) AS BIGINT)"
+    // Trino sums decimals at (38,s) and its decimal AVG PRESERVES the input
+    // scale (rounded values vs Spark's s+4) — averaging the child pre-cast to
+    // Spark's result type makes Trino keep Spark's scale. Integral-SUM casts
+    // are no-ops on Trino (already BIGINT) and keep the sandbox's DuckDB
+    // execution of these texts type-exact (DuckDB sums integrals as HUGEINT)
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      ansiAggResultCast(fn)
+    // Trino bit machinery is function-spelled (bitwise_and/bitwise_right_shift)
+    override def shiftRight(l: String, r: String): String =
+      s"bitwise_right_shift($l, $r)"
+    override def shiftLeft(l: String, r: String): String =
+      s"bitwise_left_shift($l, $r)"
+    override def bitAnd(l: String, r: String): String = s"bitwise_and($l, $r)"
+    override def bitOr(l: String, r: String): String = s"bitwise_or($l, $r)"
+    override def aggChildCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case a: Average => a.dataType match {
+          case d: DecimalType => Some(d)
+          case _ => None
+        }
+        case _ => None
+      }
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -1287,7 +1508,9 @@ object SqlUnparser {
           "— register the table (Spectrum external table) under its logical name")
     }
     def typeName(dt: DataType): String = dt match {
-      case StringType => "VARCHAR(MAX)"
+      // Redshift's widest varchar is the explicit 65535 — it has no
+      // SQL-Server-style VARCHAR(MAX) (caught by the DuckDB-executed sweep)
+      case StringType => "VARCHAR(65535)"
       case IntegerType => "INTEGER"
       case LongType => "BIGINT"
       case ShortType => "SMALLINT"
@@ -1308,6 +1531,17 @@ object SqlUnparser {
     // TRUNC covers decimal operands (exact NUMERIC arithmetic, no doubles)
     override def integralDivide(l: String, r: String): String =
       s"CAST(TRUNC($l / $r) AS BIGINT)"
+    // Redshift sums decimals at (38,s); its integer AVG returns an INTEGER
+    // TYPE — truncated VALUES — so the child is averaged as DOUBLE PRECISION.
+    // The integral-SUM cast is a no-op on Redshift (already BIGINT) and keeps
+    // the sandbox's DuckDB execution of these texts type-exact (HUGEINT sums)
+    override def aggResultCast(fn: AggregateFunction): Option[DataType] =
+      ansiAggResultCast(fn)
+    override def aggChildCast(fn: AggregateFunction): Option[DataType] =
+      fn match {
+        case a: Average if isIntegral(a.child.dataType) => Some(DoubleType)
+        case _ => None
+      }
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -1518,15 +1752,26 @@ object SqlUnparser {
       dialect.sortItem(re(so.child), dir, so.nullOrdering == NullsFirst)
     }
 
-    private def reAgg(ae: AggregateExpression): String = {
+    /** Render an aggregate call. `applyResultCast = false` for window usage,
+      * where the fidelity CAST must wrap the whole `fn OVER (spec)` text (the
+      * WindowExpression case applies it) — `CAST(sum(x) AS ..) OVER (..)`
+      * parses nowhere.
+      */
+    private def reAgg(ae: AggregateExpression,
+        applyResultCast: Boolean = true): String = {
       val d = if (ae.isDistinct) "DISTINCT " else ""
-      ae.aggregateFunction match {
+      def arg(c: Expression): String =
+        dialect.aggChildCast(ae.aggregateFunction) match {
+          case Some(dt) => s"CAST(${re(c)} AS ${dialect.typeName(dt)})"
+          case None => re(c)
+        }
+      val call = ae.aggregateFunction match {
         case Count(Seq(Literal(1, _))) if !ae.isDistinct => "count(*)"
         case c: Count => s"count($d${c.children.map(re).mkString(", ")})"
-        case s: Sum => s"sum($d${re(s.child)})"
+        case s: Sum => s"sum($d${arg(s.child)})"
         case m: Min => s"min(${re(m.child)})"
         case m: Max => s"max(${re(m.child)})"
-        case a: Average => s"avg($d${re(a.child)})"
+        case a: Average => s"avg($d${arg(a.child)})"
         // `.sql` prints the ordering as a bare third argument; the parseable
         // form is WITHIN GROUP (or the dialect's own spelling — string_agg
         // with inline ORDER BY on Postgres).
@@ -1535,6 +1780,11 @@ object SqlUnparser {
             la.orderExpressions.flatMap(reSort))
         case other => dialect.fallback(
           renameRefs(if (ae.isDistinct) ae else other), re)
+      }
+      dialect.aggResultCast(ae.aggregateFunction) match {
+        case Some(dt) if applyResultCast =>
+          s"CAST($call AS ${dialect.typeName(dt)})"
+        case _ => call
       }
     }
 
@@ -1552,6 +1802,12 @@ object SqlUnparser {
       // keyword, which no other engine parses
       case id: IntegralDivide => dialect.integralDivide(re(id.left), re(id.right))
       case r0: Remainder => dialect.remainder(re(r0.left), re(r0.right))
+      // bitwise forms (grouping() over Expand, bit flags): operator spellings
+      // differ per engine, so each routes through its dialect hook
+      case ba: BitwiseAnd => dialect.bitAnd(re(ba.left), re(ba.right))
+      case bo: BitwiseOr => dialect.bitOr(re(bo.left), re(bo.right))
+      case sr: ShiftRight => dialect.shiftRight(re(sr.left), re(sr.right))
+      case sl: ShiftLeft => dialect.shiftLeft(re(sl.left), re(sl.right))
       case And(l, r) => s"(${re(l)} AND ${re(r)})"
       case Or(l, r) => s"(${re(l)} OR ${re(r)})"
       case Not(c) => s"(NOT ${re(c)})"
@@ -1586,7 +1842,17 @@ object SqlUnparser {
         // lag/lead carry an internal exact-offset frame that SQL forbids
         // spelling out; every other function keeps its frame text.
         val suppressFrame = we.windowFunction.isInstanceOf[OffsetWindowFunction]
-        s"${reWindowFn(we.windowFunction)} OVER (${reSpec(we.windowSpec, suppressFrame)})"
+        val call =
+          s"${reWindowFn(we.windowFunction)} OVER (${reSpec(we.windowSpec, suppressFrame)})"
+        // aggregate-over-window keeps the same engine result-type drift as the
+        // grouped form; the fidelity CAST wraps the whole OVER text
+        we.windowFunction match {
+          case ae: AggregateExpression =>
+            dialect.aggResultCast(ae.aggregateFunction)
+              .map(dt => s"CAST($call AS ${dialect.typeName(dt)})")
+              .getOrElse(call)
+          case _ => call
+        }
       // Higher-order functions: Catalyst's `.sql` prints the internal
       // `lambdafunction(...)` form, which no parser accepts — render the
       // public arrow syntax instead.
@@ -1632,7 +1898,7 @@ object SqlUnparser {
       case _: RowNumber => "row_number()"
       case _: Rank => "rank()"
       case _: DenseRank => "dense_rank()"
-      case ae: AggregateExpression => reAgg(ae)
+      case ae: AggregateExpression => reAgg(ae, applyResultCast = false)
       case other => dialect.fallback(renameRefs(other), re)
     }
 

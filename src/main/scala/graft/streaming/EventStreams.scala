@@ -255,13 +255,17 @@ object EventStreams {
       .repartition(outFiles)
       .write.mode("overwrite").parquet(CommitPointer.versionDir(indexDir, next))
     CommitPointer.commit(spark, indexDir, next)
-    // drop the superseded generation: the flat root keeps only _versions/_commit
+    // The flat legacy root keeps only _versions/_commit (one-time migration);
+    // a superseded VERSIONED generation is NOT deleted here — its marker is
+    // retained by commit() so a stale object-store listing that misses the
+    // new marker resolves the previous committed version, and the previous
+    // version must then still be readable. The next maintenance cycle's
+    // dropStaleVersions (above) reclaims dir + marker together.
     if (live == indexDir)
       fs.listStatus(livePath).foreach { st =>
         val n0 = st.getPath.getName
         if (!n0.startsWith("_")) fs.delete(st.getPath, st.isDirectory)
       }
-    else fs.delete(livePath, true)
     CommitPointer.versionDir(indexDir, next)
   }
 

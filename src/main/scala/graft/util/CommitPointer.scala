@@ -66,6 +66,15 @@ object CommitPointer {
     * least one committed marker exists and resolution takes the max. The
     * version dir must be fully written first; a crash before this call leaves
     * the previous generation live and the new one as unreferenced staging.
+    *
+    * The PREVIOUS version's marker is retained (only markers `< version - 1`
+    * are dropped): object-store listings are not read-after-write consistent
+    * with a concurrent lister, so a reader whose listing misses the
+    * just-created marker must still resolve the previous COMMITTED version —
+    * never fall through to the flat legacy dir. Staleness spanning two
+    * commits is outside the model (commits are maintenance-rate, listings
+    * converge in seconds). [[dropStaleVersions]] — gated on "no readers" —
+    * is where the N-1 marker and dir are finally reclaimed.
     */
   def commit(spark: SparkSession, dir: String, version: Int): Unit = {
     val fs = fsFor(spark, dir)
@@ -73,7 +82,7 @@ object CommitPointer {
       s"$dir/_versions/_commit_v$version"), true).close()
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_versions")).foreach { st =>
       st.getPath.getName match {
-        case markerRe(n) if n.toInt < version => fs.delete(st.getPath, false)
+        case markerRe(n) if n.toInt < version - 1 => fs.delete(st.getPath, false)
         case _ =>
       }
     }

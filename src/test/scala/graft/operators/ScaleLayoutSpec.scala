@@ -321,6 +321,50 @@ class ScaleLayoutSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("stale listing missing the newest marker resolves the PREVIOUS committed " +
+      "index version — never the flat dir, and its dir is still readable") {
+    val tmp = java.nio.file.Files.createTempDirectory("idxstale").toString
+    try {
+      val mk = (lo: Long) => (lo until lo + 500L).map(i => Tuple1(i)).toDF("v")
+        .repartitionByRange(2, col("v"))
+      ScaleLayout.writeIndexed(mk(0), s"$tmp/t", Seq("v"))
+      (1 to 3).foreach(b => ScaleLayout.appendIndexed(mk(b * 500L), s"$tmp/t", Seq("v")))
+      ScaleLayout.compactIndex(spark, s"$tmp/t") // v1 -> v2
+      val v = ScaleLayout.committedVersion(spark, s"$tmp/t").get
+      assert(new java.io.File(s"$tmp/t/_graft_index/_commit_v${v - 1}").exists(),
+        "commitVersion must retain the previous marker for the stale-listing fallback")
+      // simulate a lister whose view predates the new marker: delete it
+      new java.io.File(s"$tmp/t/_graft_index/_commit_v$v").delete()
+      assert(ScaleLayout.committedVersion(spark, s"$tmp/t").contains(v - 1))
+      // the previous generation's DIR was retained too (vacuum reclaims it
+      // later), so a read through the stale resolution still works
+      assert(ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (0.0, 499.0)))
+        .count() == 500L)
+      // vacuum (gated on no-readers) reclaims the stale dir + marker together
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("compactIndex on a trailing-slash path still classifies the flat index " +
+      "correctly (normalized Path comparison)") {
+    val tmp = java.nio.file.Files.createTempDirectory("idxslash").toString
+    try {
+      val df = (0L until 500L).map(i => Tuple1(i)).toDF("v").repartitionByRange(2, col("v"))
+      ScaleLayout.writeIndexed(df, s"$tmp/t", Seq("v"))
+      // pre-versioning flat layout, then compact through a slash-variant path
+      val idx = spark.read.parquet(s"$tmp/t/_graft_index/v1").collect()
+      val schema = spark.read.parquet(s"$tmp/t/_graft_index/v1").schema
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(s"$tmp/t/_graft_index"))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(idx.toIndexedSeq, 2), schema)
+        .write.parquet(s"$tmp/t/_graft_index")
+      ScaleLayout.compactIndex(spark, s"$tmp/t/") // note the trailing slash
+      assert(ScaleLayout.committedVersion(spark, s"$tmp/t").contains(1))
+      assert(spark.read.parquet(s"$tmp/t/_graft_index/v1").count() == idx.length.toLong)
+      assert(ScaleLayout.readPruned(spark, s"$tmp/t", Map("v" -> (0.0, 249.0)))
+        .count() == 250L)
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("concurrent readPruned calls keep independent prune stats (keyed by path)") {
     val tmp = java.nio.file.Files.createTempDirectory("prunestats").toString
     try {

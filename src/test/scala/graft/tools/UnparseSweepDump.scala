@@ -27,7 +27,7 @@ object UnparseSweepDump {
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
     val grammar = new SqlUnparserPropertyGrammar
-    for (seed <- 0 until 40) {
+    for (seed <- 0 until SqlUnparserPropertyGrammar.Seeds) {
       val sql = grammar.genQuery(seed)
       val df = spark.sql(sql)
       val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
@@ -43,7 +43,7 @@ object UnparseSweepDump {
           java.nio.file.Paths.get(s"$outDir/seed_$seed.$dname.sql"), text)
       }
     }
-    println(s"[sweep-dump] 40 seeds -> $outDir")
+    println(s"[sweep-dump] ${graft.semantics.SqlUnparserPropertyGrammar.Seeds} seeds -> $outDir")
     spark.stop()
   }
 }

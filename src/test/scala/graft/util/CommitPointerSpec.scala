@@ -20,10 +20,38 @@ class CommitPointerSpec extends AnyFunSuite {
       new java.io.File(CommitPointer.versionDir(tmp, 2)).mkdirs()
       CommitPointer.commit(spark, tmp, 2)
       assert(CommitPointer.committedVersion(spark, tmp).contains(2))
-      // immutable markers: the new one exists, the old one is lazily dropped,
-      // and no moment between them lacks a committed marker
+      // immutable markers: the new one exists, the PREVIOUS one is retained
+      // (stale-listing fallback), anything older is lazily dropped
+      assert(new java.io.File(s"$tmp/_versions/_commit_v2").exists())
+      assert(new java.io.File(s"$tmp/_versions/_commit_v1").exists())
+      new java.io.File(CommitPointer.versionDir(tmp, 3)).mkdirs()
+      CommitPointer.commit(spark, tmp, 3)
+      assert(new java.io.File(s"$tmp/_versions/_commit_v3").exists())
       assert(new java.io.File(s"$tmp/_versions/_commit_v2").exists())
       assert(!new java.io.File(s"$tmp/_versions/_commit_v1").exists())
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("stale listing that misses the newest marker resolves the PREVIOUS " +
+      "committed version — never the flat dir (object-store chaos case)") {
+    val tmp = java.nio.file.Files.createTempDirectory("cp5").toString
+    try {
+      new java.io.File(CommitPointer.versionDir(tmp, 1)).mkdirs()
+      CommitPointer.commit(spark, tmp, 1)
+      new java.io.File(CommitPointer.versionDir(tmp, 2)).mkdirs()
+      CommitPointer.commit(spark, tmp, 2)
+      // simulate a lister whose view predates commit(2) completing: the v2
+      // marker is absent from its listing. Deleting the marker file IS that
+      // view — resolution must land on v1 (whose dir commit() also retained),
+      // not fall through to the flat legacy dir.
+      assert(new java.io.File(s"$tmp/_versions/_commit_v1").exists(),
+        "commit must retain the previous marker for exactly this fallback")
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$tmp/_versions/_commit_v2"))
+      assert(CommitPointer.committedVersion(spark, tmp).contains(1))
+      assert(CommitPointer.liveDir(spark, tmp) == CommitPointer.versionDir(tmp, 1))
+      assert(new java.io.File(CommitPointer.versionDir(tmp, 1)).exists(),
+        "the previous generation dir must still be readable")
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 

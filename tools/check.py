@@ -2,7 +2,7 @@
 """Local approximation of the driver's correctness gate: run each oracle SQL in
 DuckDB over the same sf dir and compare to the Verify parquet dumps (sorted columns,
 sorted rows, exact values)."""
-import glob, json, math, os, sys
+import datetime, glob, json, math, os, sys
 
 import duckdb
 import pandas as pd
@@ -27,7 +27,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]") if df[c].dt.tz is None else df[c].dt.tz_localize(None).astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None and not (isinstance(v, float) and math.isnan(v)) else None)
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(
+                    isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+                    for v in nonnull.head(20)):
+                # Spark parquet DATE loads as object(datetime.date); DuckDB's
+                # .df() yields datetime64 — same logical type, one dtype group
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].map(lambda v: str(v) if v is not None and not (isinstance(v, float) and math.isnan(v)) else None)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
     return df
 
@@ -47,7 +55,18 @@ for name in sorted(oracle):
     if len(sdf) != len(ddf):
         print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}"); n_fail += 1; continue
     bad = None
-    for c in sdf.columns:
+    # dtype GROUPS must agree before values are compared: the driver hashes
+    # TYPED values, so an int64 Spark column vs a float64 DuckDB column
+    # (e.g. an uncast HUGEINT sum) is a driver failure even when 254 == 254.0.
+    KIND_GROUP = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                  "M": "datetime", "m": "timedelta"}
+    for c in (sdf.columns if len(sdf) else []):  # empty: no dtype to infer
+        ka = KIND_GROUP.get(sdf[c].dtype.kind, "object")
+        kb = KIND_GROUP.get(ddf[c].dtype.kind, "object")
+        if ka != kb:
+            bad = f"col {c}: dtype group spark={sdf[c].dtype} duck={ddf[c].dtype}"
+            break
+    for c in (sdf.columns if bad is None else []):
         a, b = sdf[c], ddf[c]
         try:
             if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):

@@ -8,7 +8,7 @@ Comparison: exact for non-float columns; floats compare at 1e-9 relative
 tolerance — the grammar sums `c_acctbal` doubles, and a cross-engine
 accumulation order difference in a SUM of doubles is not a dialect bug.
 Writes UNPARSE_SWEEP.json next to the repo root."""
-import glob, json, math, os, sys
+import datetime, glob, json, math, os, sys
 
 import duckdb
 import pandas as pd
@@ -25,10 +25,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            # Spark parquet DATE loads as object(datetime.date); DuckDB's .df()
+            # yields datetime64 — same logical type, one canonical dtype
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(
+                    isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+                    for v in nonnull.head(20)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+                continue
             df[c] = df[c].map(lambda v: str(v) if v is not None and not (
                 isinstance(v, float) and math.isnan(v)) else None)
     return df.sort_values(by=list(df.columns), kind="mergesort",
                           na_position="last").reset_index(drop=True)
+
+
+KIND_GROUP = {"i": "int", "u": "int", "f": "float", "b": "bool",
+              "M": "datetime", "m": "timedelta"}
 
 
 def compare(sdf, ddf):
@@ -36,6 +48,14 @@ def compare(sdf, ddf):
         return f"columns spark={list(sdf.columns)} duck={list(ddf.columns)}"
     if len(sdf) != len(ddf):
         return f"rows spark={len(sdf)} duck={len(ddf)}"
+    # dtype GROUPS must agree (type fidelity): an int64 Spark column vs a
+    # float64 DuckDB one (uncast HUGEINT sum) is a dialect bug even when
+    # every value compares equal
+    for c in (sdf.columns if len(sdf) else []):  # empty: no dtype to infer
+        ka = KIND_GROUP.get(sdf[c].dtype.kind, "object")
+        kb = KIND_GROUP.get(ddf[c].dtype.kind, "object")
+        if ka != kb:
+            return f"col {c}: dtype group spark={sdf[c].dtype} duck={ddf[c].dtype}"
     for c in sdf.columns:
         a, b = sdf[c], ddf[c]
         if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
@@ -54,13 +74,24 @@ def compare(sdf, ddf):
 
 
 DIALECTS = ("duckdb", "postgres", "trino", "redshift")
-results = {d: {"pass": 0, "fail": 0} for d in DIALECTS}
+results = {d: {"pass": 0, "fail": 0, "not_duckdb_expressible": 0} for d in DIALECTS}
 failures = []
-for seed in range(40):
+SEEDS = len(glob.glob(f"{OUT_DIR}/seed_*.source.sql"))
+for seed in range(SEEDS):
     files = glob.glob(f"{OUT_DIR}/seed_{seed}/*.parquet")
     sdf = norm(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
     for dialect in DIALECTS:
         sql = open(f"{OUT_DIR}/seed_{seed}.{dialect}.sql").read()
+        # Trino/Redshift spell ordered string aggregation as the ANSI
+        # LISTAGG ... WITHIN GROUP, and Trino spells bit machinery as
+        # bitwise_* functions -- correct THERE but outside DuckDB's parser;
+        # recorded EXPLICITLY, never silently passed.
+        if dialect in ("trino", "redshift") and "WITHIN GROUP" in sql:
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
+        if dialect == "trino" and "bitwise_" in sql:
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
         try:
             ddf = norm(con.sql(sql).df())
             bad = compare(sdf, ddf)
@@ -73,7 +104,7 @@ for seed in range(40):
         else:
             results[dialect]["pass"] += 1
 
-summary = {"sf": SF_DIR, "seeds": 40, "results": results, "failures": failures}
+summary = {"sf": SF_DIR, "seeds": SEEDS, "results": results, "failures": failures}
 print(json.dumps(summary))
 with open("UNPARSE_SWEEP.json", "w") as f:
     json.dump(summary, f, indent=1)
