@@ -142,6 +142,12 @@ object Bench {
     // first, median of the same warm-run count.
     val tpchIsolatedTotal: Double = if (only.isEmpty) {
       spark.catalog.clearCache()
+      // settle the JVM before the comparator phase: the suite leaves the heap
+      // full of old-gen garbage and a first-touch measurement would pay the
+      // collection (first cut measured 2x the fresh-JVM values from exactly
+      // this; the co-scheduled medians were unaffected)
+      System.gc()
+      Thread.sleep(2000)
       val tq = SparkEntry.queries.toSeq
         .filter { case (k, _) => k.startsWith("tpch_") && !k.contains("_unparse") }
         .sortBy(_._1)

@@ -50,7 +50,7 @@ object GoldenGen {
         System.err.println(s"[golden-gen] $d/$name: ${e.getMessage}") }
     val tpch = GraftEngine.deployOnDir(spark, TpcH.manifest, "/root/testdata/sf0.001")
     for ((name, sql) <- TpcH.oracles.toSeq.sortBy(_._1);
-         d <- Seq("duckdb", "trino", "redshift"))
+         d <- Seq("duckdb", "postgres", "trino", "redshift"))
       try write(d, name, tpch.transformSql(sql, d))
       catch { case e: Exception =>
         System.err.println(s"[golden-gen] $d/$name: ${e.getMessage}") }

@@ -43,6 +43,20 @@ class SqlUnparserTpchSpec extends AnyFunSuite {
     }
   }
 
+  test("duckdb/postgres/trino/redshift TPC-H texts match their pinned resource goldens") {
+    // full-breadth snapshot pins (regenerate: `sbt "runMain graft.tools
+    // .GoldenGen"`): a rendering change at TPC-H scale shows up as a reviewed
+    // golden diff, not a silent driver-gate surprise. These four dialects'
+    // texts are additionally EXECUTED in DuckDB by tools/tpch_cross_check.py,
+    // which requires each to compute the duckdb text's exact typed results
+    // (and the duckdb text is driver-hash-matched against Spark) —
+    // TPCH_CROSS.json
+    for ((name, sql) <- TpcH.oracles.toSeq.sortBy(_._1);
+         d <- Seq("duckdb", "postgres", "trino", "redshift")) {
+      Goldens.assertGolden(d, name, session.transformSql(sql, d))
+    }
+  }
+
   for ((name, sql) <- TpcH.oracles.toSeq.sortBy(_._1)) {
     test(s"spark round-trip: $name") {
       val engine = session.query(sql)
