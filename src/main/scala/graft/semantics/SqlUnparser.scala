@@ -135,6 +135,13 @@ object SqlUnparser {
       * agree, a type repair on those that widen.
       */
     def aggResultCast(fn: AggregateFunction): Option[DataType] = None
+    /** Ranking window functions (`row_number`/`rank`/`dense_rank`/`ntile`)
+      * are INT in Spark but BIGINT on most ANSI engines; engines with a
+      * 32-bit integer type cast the whole `fn OVER (spec)` back. None =
+      * either the engine agrees or it has no 32-bit type to cast to
+      * (BigQuery INT64, Snowflake/Oracle NUMBER, MySQL's CAST sublanguage).
+      */
+    def rankResultCast: Option[DataType] = None
     /** Cast applied to the aggregate's ARGUMENT, for engines whose native
       * typing loses the VALUE, not just the type: SQL Server's int-typed SUM
       * overflows and its int AVG truncates; MySQL/Snowflake/Redshift integer
@@ -381,6 +388,8 @@ object SqlUnparser {
       val ord = if (order.isEmpty) "" else s" ORDER BY ${order.mkString(", ")}"
       s"string_agg($distinct$child, $delim$ord)"
     }
+    // DuckDB ranks in BIGINT where Spark's row_number/rank family is INT
+    override def rankResultCast: Option[DataType] = Some(IntegerType)
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -481,6 +490,7 @@ object SqlUnparser {
     // exact types→NUMERIC — all drift from Spark's BIGINT/DOUBLE results
     override def aggResultCast(fn: AggregateFunction): Option[DataType] =
       ansiAggResultCast(fn)
+    override def rankResultCast: Option[DataType] = Some(IntegerType)
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -882,6 +892,8 @@ object SqlUnparser {
         case _: Count => Some(LongType)
         case other => ansiAggResultCast(other)
       }
+    // ClickHouse row_number/rank are UInt64; Spark's are INT
+    override def rankResultCast: Option[DataType] = Some(IntegerType)
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -1139,6 +1151,8 @@ object SqlUnparser {
         }
         case _ => None
       }
+    // T-SQL's ROW_NUMBER/RANK return bigint; Spark's are INT
+    override def rankResultCast: Option[DataType] = Some(IntegerType)
     // T-SQL has & and | but no shift operators; RIGHT_SHIFT/LEFT_SHIFT are
     // SQL Server 2022+ (the reference's sqlglot target emits the same)
     override def shiftRight(l: String, r: String): String = s"RIGHT_SHIFT($l, $r)"
@@ -1409,6 +1423,7 @@ object SqlUnparser {
     // execution of these texts type-exact (DuckDB sums integrals as HUGEINT)
     override def aggResultCast(fn: AggregateFunction): Option[DataType] =
       ansiAggResultCast(fn)
+    override def rankResultCast: Option[DataType] = Some(IntegerType)
     // Trino bit machinery is function-spelled (bitwise_and/bitwise_right_shift)
     override def shiftRight(l: String, r: String): String =
       s"bitwise_right_shift($l, $r)"
@@ -1533,6 +1548,8 @@ object SqlUnparser {
       s"CAST(TRUNC($l / $r) AS BIGINT)"
     // Redshift sums decimals at (38,s); its integer AVG returns an INTEGER
     // TYPE — truncated VALUES — so the child is averaged as DOUBLE PRECISION.
+    // Redshift's ranking functions return BIGINT; Spark's are INT
+    override def rankResultCast: Option[DataType] = Some(IntegerType)
     // The integral-SUM cast is a no-op on Redshift (already BIGINT) and keeps
     // the sandbox's DuckDB execution of these texts type-exact (HUGEINT sums)
     override def aggResultCast(fn: AggregateFunction): Option[DataType] =
@@ -1845,10 +1862,15 @@ object SqlUnparser {
         val call =
           s"${reWindowFn(we.windowFunction)} OVER (${reSpec(we.windowSpec, suppressFrame)})"
         // aggregate-over-window keeps the same engine result-type drift as the
-        // grouped form; the fidelity CAST wraps the whole OVER text
+        // grouped form, and ranking functions drift INT→BIGINT on most
+        // engines; either fidelity CAST wraps the whole OVER text
         we.windowFunction match {
           case ae: AggregateExpression =>
             dialect.aggResultCast(ae.aggregateFunction)
+              .map(dt => s"CAST($call AS ${dialect.typeName(dt)})")
+              .getOrElse(call)
+          case _: RowNumber | _: Rank | _: DenseRank | _: NTile =>
+            dialect.rankResultCast
               .map(dt => s"CAST($call AS ${dialect.typeName(dt)})")
               .getOrElse(call)
           case _ => call

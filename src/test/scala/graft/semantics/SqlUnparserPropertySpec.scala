@@ -130,13 +130,16 @@ class SqlUnparserPropertyGrammar {
       case 2 =>
         s"SELECT DISTINCT ${strExpr()} AS a, ${numExpr()} % 7 AS b FROM $from$where"
       case 3 =>
-        // rn cast to bigint in the SOURCE: Spark's row_number is int, the
-        // target engines' bigint — the cast travels through the unparse
+        // half the seeds carry a user bigint cast on rn; the other half keep
+        // Spark's NATIVE INT row_number — the dialects' automatic ranking
+        // repair (rankResultCast: engines type it BIGINT) must make the
+        // executed engines match Spark's int32 exactly
         val k = 1 + rnd.nextInt(4)
+        val rnRaw = s"row_number() OVER (PARTITION BY ${pick(strCols)} " +
+          "ORDER BY o_orderkey)"
+        val rn = if (rnd.nextBoolean()) s"cast($rnRaw as bigint)" else rnRaw
         s"SELECT a, b, rn FROM (SELECT ${strExpr()} AS a, o_orderkey AS b, " +
-          s"cast(row_number() OVER (PARTITION BY ${pick(strCols)} " +
-          s"ORDER BY o_orderkey) as bigint) AS rn FROM $from$where) w " +
-          s"WHERE rn <= $k"
+          s"$rn AS rn FROM $from$where) w WHERE rn <= $k"
       case 4 =>
         // multi-set aggregation lowers to Expand; the unparser renders one
         // plain SELECT per grouping set UNION ALL'd — executable everywhere

@@ -107,6 +107,26 @@ class SqlUnparserTypeFidelitySpec extends AnyFunSuite {
     assert(r.contains("avg(CAST(") && r.contains(" AS DOUBLE PRECISION))"), r)
   }
 
+  test("ranking functions repair INT (Spark) vs BIGINT (engines) outside OVER") {
+    val df = lineitem.selectExpr("l_orderkey", "l_linenumber").limit(100)
+      .selectExpr("l_orderkey",
+        "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn")
+    // engines with a 32-bit integer type cast back to Spark's INT
+    for ((d, ty) <- Seq("duckdb" -> "INTEGER", "postgres" -> "INTEGER",
+        "trino" -> "INTEGER", "redshift" -> "INTEGER",
+        "clickhouse" -> "Int32", "mssql" -> "INT")) {
+      val t = render(df, d)
+      assert(t.contains(s"CAST(row_number() OVER (") && t.contains(s") AS $ty)"),
+        s"$d:\n$t")
+    }
+    // engines with no 32-bit type keep the bare call (documented: BigQuery
+    // INT64, Snowflake/Oracle NUMBER, MySQL's CAST sublanguage)
+    for (d <- Seq("bigquery", "snowflake", "oracle", "mysql")) {
+      val t = render(df, d)
+      assert(!t.contains("CAST(row_number"), s"$d:\n$t")
+    }
+  }
+
   test("window aggregates carry the repair OUTSIDE the OVER clause") {
     val df = lineitem.selectExpr("l_orderkey", "l_linenumber").limit(100)
       .selectExpr("l_orderkey",
