@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftEngine
+import graft.queries.Semantic
+import graft.semantics.SemanticUnparseGrammar
+
+/** Dump the semantic-layer property grammar as (spark result, duckdb /
+  * postgres / trino / redshift text) tuples for `tools/semantic_sweep.py`,
+  * which executes every dialect text in DuckDB against the PHYSICAL parquet
+  * tables and value-compares with Spark executing the semantic query through
+  * the deployed MDL — executed cross-engine proof of the model-expansion ×
+  * dialect product (the reference's Mode::Unparse output actually run, not
+  * just snapshot-pinned). Run:
+  * `sbt "Test/runMain graft.tools.SemanticSweepDump <sfDir> <outDir>"`.
+  */
+object SemanticSweepDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/semantic_sweep"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    val session = GraftEngine.deployOnDir(spark, Semantic.manifest, sfDir)
+    for (seed <- 0 until SemanticUnparseGrammar.Seeds) {
+      val sql = SemanticUnparseGrammar.genQuery(seed)
+      val df = session.query(sql)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/seed_$seed")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/seed_$seed.source.sql"), sql)
+      for (d <- Seq("duckdb", "postgres", "trino", "redshift")) {
+        val text = session.transformSql(sql, d)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/seed_$seed.$d.sql"), text)
+      }
+    }
+    println(s"[semantic-sweep-dump] ${SemanticUnparseGrammar.Seeds} seeds -> $outDir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Cross-engine execution gate for the SEMANTIC-LAYER unparse sweep: DuckDB
+executes the duckdb / postgres / trino / redshift texts `transformSql`
+rendered for the MDL property grammar (model expansions: expression columns,
+to-one/nested/to-many calculated fields, views, relationship joins) against
+the PHYSICAL parquet tables, value-compared against Spark executing the
+semantic query through the deployed manifest (parquet dumps from
+SemanticSweepDump).
+
+Comparison matches tools/unparse_sweep.py: dtype-group-strict, exact for
+non-floats, 1e-9 relative tolerance for floats (decimal accumulation with a
+double surface keeps cross-engine sums exact; the tolerance absorbs binary
+double formatting only). Writes SEMANTIC_SWEEP.json next to the repo root."""
+import datetime, glob, json, math, os, sys
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/semantic_sweep"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "orders", "lineitem"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(
+                    isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+                    for v in nonnull.head(20)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+                continue
+            df[c] = df[c].map(lambda v: str(v) if v is not None and not (
+                isinstance(v, float) and math.isnan(v)) else None)
+    return df.sort_values(by=list(df.columns), kind="mergesort",
+                          na_position="last").reset_index(drop=True)
+
+
+KIND_GROUP = {"i": "int", "u": "int", "f": "float", "b": "bool",
+              "M": "datetime", "m": "timedelta"}
+
+
+def compare(sdf, ddf):
+    if list(sdf.columns) != list(ddf.columns):
+        return f"columns spark={list(sdf.columns)} duck={list(ddf.columns)}"
+    if len(sdf) != len(ddf):
+        return f"rows spark={len(sdf)} duck={len(ddf)}"
+    for c in (sdf.columns if len(sdf) else []):
+        ka = KIND_GROUP.get(sdf[c].dtype.kind, "object")
+        kb = KIND_GROUP.get(ddf[c].dtype.kind, "object")
+        if ka != kb:
+            return f"col {c}: dtype group spark={sdf[c].dtype} duck={ddf[c].dtype}"
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+            af, bf = a.astype(float), b.astype(float)
+            bad = ~((af.isna() & bf.isna()) |
+                    ((af - bf).abs() <= 1e-9 * (af.abs() + bf.abs() + 1.0)))
+            if bad.any():
+                i = bad[bad].index[0]
+                return f"col {c} row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r}"
+        else:
+            if not a.astype(str).fillna("\0").equals(b.astype(str).fillna("\0")):
+                mism = a.astype(str) != b.astype(str)
+                i = mism[mism].index[0]
+                return f"col {c} row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r}"
+    return None
+
+
+DIALECTS = ("duckdb", "postgres", "trino", "redshift")
+results = {d: {"pass": 0, "fail": 0, "not_duckdb_expressible": 0} for d in DIALECTS}
+failures = []
+SEEDS = len(glob.glob(f"{OUT_DIR}/seed_*.source.sql"))
+for seed in range(SEEDS):
+    files = glob.glob(f"{OUT_DIR}/seed_{seed}/*.parquet")
+    sdf = norm(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
+    for dialect in DIALECTS:
+        sql = open(f"{OUT_DIR}/seed_{seed}.{dialect}.sql").read()
+        # Valid-for-dialect-but-outside-DuckDB's-parser forms are recorded
+        # EXPLICITLY, never silently passed (same posture as unparse_sweep.py).
+        if dialect in ("trino", "redshift") and "WITHIN GROUP" in sql:
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
+        if dialect == "trino" and ("bitwise_" in sql or "date_add('" in sql):
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
+        try:
+            ddf = norm(con.sql(sql).df())
+            bad = compare(sdf, ddf)
+        except Exception as e:
+            bad = f"execution error: {str(e)[:160]}"
+        if bad:
+            results[dialect]["fail"] += 1
+            failures.append(f"seed {seed} [{dialect}]: {bad}")
+            print(f"FAIL seed {seed} [{dialect}]: {bad}")
+        else:
+            results[dialect]["pass"] += 1
+
+summary = {"sf": SF_DIR, "seeds": SEEDS, "results": results, "failures": failures}
+print(json.dumps(summary))
+with open("SEMANTIC_SWEEP.json", "w") as f:
+    json.dump(summary, f, indent=1)
+sys.exit(1 if failures else 0)
