@@ -217,6 +217,18 @@ object Semantic {
   val m25DuckOracle: String =
     """SELECT "c1" AS "o_orderkey", "c3" AS "z" FROM (SELECT * FROM (SELECT "c1" AS "c1", (SELECT CAST(((("zb_d0" >> 0) & 1) << 0) + ((("zb_d0" >> 1) & 1) << 2) + ((("zb_d0" >> 2) & 1) << 4) + ((("zb_d0" >> 3) & 1) << 6) + ((("zb_d0" >> 4) & 1) << 8) + ((("zb_d0" >> 5) & 1) << 10) + ((("zb_d0" >> 6) & 1) << 12) + ((("zb_d0" >> 7) & 1) << 14) + ((("zb_d1" >> 0) & 1) << 1) + ((("zb_d1" >> 1) & 1) << 3) + ((("zb_d1" >> 2) & 1) << 5) + ((("zb_d1" >> 3) & 1) << 7) + ((("zb_d1" >> 4) & 1) << 9) + ((("zb_d1" >> 5) & 1) << 11) + ((("zb_d1" >> 6) & 1) << 13) + ((("zb_d1" >> 7) & 1) << 15) AS BIGINT) FROM (SELECT ((("c1" % 256)) & 255) AS "zb_d0", ((("c2" % 256)) & 255) AS "zb_d1") "zb") AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c1", "o_custkey" AS "c2", "o_orderstatus" AS "c4", "o_totalprice" AS "c5", "o_orderdate" AS "c6", "o_orderpriority" AS "c7" FROM "orders") "t1" WHERE (("c1" IS NOT NULL) AND ("c1" <= 2000))) "t2") "t3" ORDER BY "c1" ASC NULLS FIRST) "t_out""""
 
+  /** Source SQL for the `m26_unparse_spine` cross-corpus entries: the
+    * cumulative-metric expansion carries a date SPINE — `explode(sequence(
+    * start, end, interval))` constant-folded by Catalyst into a literal
+    * timestamp array — through the unparse layer, where it renders as the
+    * dialect's inline-VALUES table (the reference's DataFusion unparser
+    * renders its spines engine-side too, `plan.rs` date_spine). Executed by
+    * the driver's DuckDB oracle for all four live-text dialects.
+    */
+  val m26Sql: String =
+    """SELECT cast(mon as date) AS mon, cast(cum_revenue as double) AS cum_rev
+      |FROM cum_monthly_revenue ORDER BY mon""".stripMargin
+
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(CAST(sum("c3") AS DECIMAL(28,2)) AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
@@ -546,8 +558,12 @@ object Semantic {
     (for (d <- Seq("postgres", "trino", "redshift");
           (m, sql) <- Seq("m21" -> m21Sql, "m22" -> m22Sql,
             "m23" -> m23Sql, "m24" -> m24Sql))
-      yield (s"${m}_unparse_$d", d, sql)) :+
-      (("m25_unparse_postgres", "postgres", m25Sql))
+      yield (s"${m}_unparse_$d", d, sql)) ++
+      Seq(("m25_unparse_postgres", "postgres", m25Sql)) ++
+      // the cumulative-metric date spine (explode of a folded literal array →
+      // inline VALUES) — all four live-text dialects, duckdb included
+      Seq("duckdb", "postgres", "trino", "redshift").map(d =>
+        (s"m26_unparse_spine_$d", d, m26Sql))
 
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
     crossCorpus.map { case (n, _, sql) =>

@@ -149,6 +149,34 @@ object SqlUnparser {
       * accumulation type makes the engine compute what Spark computes.
       */
     def aggChildCast(fn: AggregateFunction): Option[DataType] = None
+    /** FROM-positioned series table function for Generate(explode(sequence)):
+      * `generate_series(start, stop, step)` placed in the FROM clause and
+      * column-aliased (Postgres, DuckDB — the identical spelling is what
+      * keeps the Postgres text inside DuckDB's executed corpus). None =
+      * the engine has no FROM-positioned series; Generate falls back to
+      * [[sequenceFn]] + [[explodeCall]]/[[unnestJoin]], then refuses loudly.
+      */
+    def seriesFrom(start: String, stop: String, step: Option[String]): Option[String] = None
+    /** ARRAY-valued rendering of Spark's `sequence(start, stop, step)`
+      * (Trino `sequence`, DuckDB `generate_series`, Spark itself). None =
+      * no array-series builder — any OTHER use of the expression refuses
+      * loudly rather than emitting a call the engine cannot parse.
+      */
+    def sequenceFn(start: String, stop: String, step: Option[String]): Option[String] = None
+    /** Set-returning "explode this array" call legal in a SELECT list
+      * (DuckDB `unnest`, ClickHouse `arrayJoin`). */
+    def explodeCall(arr: String): Option[String] = None
+    /** FROM-positioned UNNEST join clause (Trino `CROSS JOIN UNNEST(a) AS
+      * t(c)`, BigQuery `CROSS JOIN UNNEST(a) AS c` — no wrapping alias). */
+    def unnestJoin(arr: String, alias: String, col: String): Option[String] = None
+    /** ANSI interval literal halves (year-month months XOR day-time
+      * microseconds; Spark's CalendarInterval folds days into micros).
+      * Engines spell these too differently for one default — each opts in;
+      * the default refuses loudly like any other unsupported literal.
+      */
+    def intervalLiteral(months: Long, micros: Long): String =
+      throw new UnsupportedOperationException(
+        s"${getClass.getSimpleName.stripSuffix("$").toLowerCase}: INTERVAL literal")
     protected def isIntegral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -233,6 +261,12 @@ object SqlUnparser {
         s"TIMESTAMP '${t.format(java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss"))}$frac'"
       case (v: Boolean, BooleanType) => if (v) "TRUE" else "FALSE"
+      // ANSI interval halves route through the dialect's spelling hook
+      // (CalendarInterval folds its days into the micros half)
+      case (v: Int, _: YearMonthIntervalType) => intervalLiteral(v.toLong, 0L)
+      case (v: Long, _: DayTimeIntervalType) => intervalLiteral(0L, v)
+      case (v: org.apache.spark.unsafe.types.CalendarInterval, CalendarIntervalType) =>
+        intervalLiteral(v.months.toLong, v.days * 86400000000L + v.microseconds)
       case (v: Decimal, _) => v.toBigDecimal.bigDecimal.toPlainString
       case (v: Double, DoubleType) if !v.isNaN && !v.isInfinite =>
         java.math.BigDecimal.valueOf(v).toPlainString
@@ -317,6 +351,8 @@ object SqlUnparser {
         "array(" + arr.toObjectArray(et).map(v => literal(Literal(v, et))).mkString(", ") + ")"
       case _ => l.sql
     }
+    override def sequenceFn(start: String, stop: String, step: Option[String]): Option[String] =
+      Some(s"sequence($start, $stop${step.map(", " + _).getOrElse("")})")
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -390,6 +426,18 @@ object SqlUnparser {
     }
     // DuckDB ranks in BIGINT where Spark's row_number/rank family is INT
     override def rankResultCast: Option[DataType] = Some(IntegerType)
+    // date-spine machinery: generate_series is both a FROM-positioned table
+    // function and (scalar context) LIST-valued, and intervals take the
+    // quoted-unit-string form
+    override def seriesFrom(start: String, stop: String, step: Option[String]): Option[String] =
+      Some(s"generate_series($start, $stop${step.map(", " + _).getOrElse("")})")
+    override def sequenceFn(start: String, stop: String, step: Option[String]): Option[String] =
+      Some(s"generate_series($start, $stop${step.map(", " + _).getOrElse("")})")
+    override def explodeCall(arr: String): Option[String] = Some(s"unnest($arr)")
+    override def intervalLiteral(months: Long, micros: Long): String =
+      if (micros == 0) s"INTERVAL '$months months'"
+      else if (months == 0) s"INTERVAL '$micros microseconds'"
+      else s"(INTERVAL '$months months' + INTERVAL '$micros microseconds')"
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -491,6 +539,16 @@ object SqlUnparser {
     override def aggResultCast(fn: AggregateFunction): Option[DataType] =
       ansiAggResultCast(fn)
     override def rankResultCast: Option[DataType] = Some(IntegerType)
+    // generate_series in the FROM clause is the Postgres set-returning form;
+    // the identical spelling parses in DuckDB (table function), which keeps
+    // the Postgres texts inside the DuckDB-EXECUTED corpus
+    override def seriesFrom(start: String, stop: String, step: Option[String]): Option[String] =
+      Some(s"generate_series($start, $stop${step.map(", " + _).getOrElse("")})")
+    override def explodeCall(arr: String): Option[String] = Some(s"unnest($arr)")
+    override def intervalLiteral(months: Long, micros: Long): String =
+      if (micros == 0) s"INTERVAL '$months months'"
+      else if (months == 0) s"INTERVAL '$micros microseconds'"
+      else s"(INTERVAL '$months months' + INTERVAL '$micros microseconds')"
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -706,6 +764,12 @@ object SqlUnparser {
     */
   object BigQueryDialect extends Dialect {
     def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    // GoogleSQL expands arrays with a FROM-positioned UNNEST whose alias IS
+    // the element column (no wrapping table alias); there is no
+    // interval-stepped timestamp series in sequence() form, so
+    // explode(sequence(...)) refuses rather than emit a call BigQuery lacks
+    override def unnestJoin(arr: String, alias: String, col: String): Option[String] =
+      Some(s"CROSS JOIN UNNEST($arr) AS $col")
     // the reference's flexible-column-name encoding (inner_dialect.rs:157-178)
     private val aliasSpecial: Set[Char] = Set(
       '!', '"', '$', '(', ')', '*', ',', '.', '/', ';', '?', '@', '[', '\\',
@@ -894,6 +958,9 @@ object SqlUnparser {
       }
     // ClickHouse row_number/rank are UInt64; Spark's are INT
     override def rankResultCast: Option[DataType] = Some(IntegerType)
+    // arrayJoin is ClickHouse's SELECT-positioned row expander; no
+    // timestamp-stepped series builder, so explode(sequence(...)) refuses
+    override def explodeCall(arr: String): Option[String] = Some(s"arrayJoin($arr)")
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
       case Cross => "CROSS JOIN"
@@ -1424,6 +1491,25 @@ object SqlUnparser {
     override def aggResultCast(fn: AggregateFunction): Option[DataType] =
       ansiAggResultCast(fn)
     override def rankResultCast: Option[DataType] = Some(IntegerType)
+    // Trino's series builder is the ARRAY-valued sequence(), expanded with a
+    // FROM-positioned UNNEST; interval literals are single-unit quoted-value
+    override def sequenceFn(start: String, stop: String, step: Option[String]): Option[String] =
+      Some(s"sequence($start, $stop${step.map(", " + _).getOrElse("")})")
+    override def unnestJoin(arr: String, alias: String, col: String): Option[String] =
+      Some(s"CROSS JOIN UNNEST($arr) AS $alias($col)")
+    override def intervalLiteral(months: Long, micros: Long): String =
+      if (micros == 0) {
+        if (months % 12 == 0) s"INTERVAL '${months / 12}' YEAR"
+        else s"INTERVAL '$months' MONTH"
+      } else if (months == 0) {
+        Seq("DAY" -> 86400000000L, "HOUR" -> 3600000000L,
+            "MINUTE" -> 60000000L, "SECOND" -> 1000000L)
+          .collectFirst { case (u, f) if micros % f == 0 =>
+            s"INTERVAL '${micros / f}' $u" }
+          .getOrElse(throw new UnsupportedOperationException(
+            "trino: sub-second INTERVAL literal"))
+      } else throw new UnsupportedOperationException(
+        "trino: mixed year-month + day-time INTERVAL literal")
     // Trino bit machinery is function-spelled (bitwise_and/bitwise_right_shift)
     override def shiftRight(l: String, r: String): String =
       s"bitwise_right_shift($l, $r)"
@@ -1717,15 +1803,84 @@ object SqlUnparser {
       // (falling back to `.sql` would re-break on internal literals).
       // LATERAL VIEW is Spark syntax: other dialects must refuse loudly rather
       // than emit text their engine cannot parse.
-      case g: Generate =>
-        if (dialect != SparkDialect) throw new UnsupportedOperationException(
-          s"unparse: generator ${g.generator.prettyName} (LATERAL VIEW) is not " +
-            "expressible in this dialect")
+      case g: Generate if dialect == SparkDialect =>
         val gen = s"${g.generator.prettyName}(${g.generator.children.map(re).mkString(", ")})"
         val outer = if (g.outer) " OUTER" else ""
         val cols = g.generatorOutput.map(a => q(cname(a))).mkString(", ")
         s"SELECT * FROM ${sub(g.child)} LATERAL VIEW$outer $gen " +
           s"${q(freshAlias())} AS $cols"
+      // Non-Spark engines have no LATERAL VIEW; a single-column non-outer
+      // explode renders in the engine's own row-expansion idiom, preferring
+      // (a) a FROM-positioned series table function for explode(sequence(..))
+      // — the date-spine shape cumulative metrics emit — then (b) a
+      // SELECT-positioned set-returning call (DuckDB unnest, ClickHouse
+      // arrayJoin), then (c) CROSS JOIN UNNEST (Trino, BigQuery). Engines
+      // providing none of these refuse loudly, as does any other generator.
+      case g: Generate =>
+        def refuse(): Nothing = throw new UnsupportedOperationException(
+          s"unparse: generator ${g.generator.prettyName} (LATERAL VIEW) is not " +
+            "expressible in this dialect")
+        g.generator match {
+          case e: Explode if !g.outer && g.generatorOutput.size == 1 =>
+            val col = q(cname(g.generatorOutput.head))
+            val childCols = g.requiredChildOutput.map(a => q(cname(a)))
+            val oneRow = g.child.output.isEmpty
+            e.child match {
+              // constant-folded array (the optimizer folds
+              // sequence(lit, lit, lit) — the cumulative-metric date spine —
+              // into a literal): explode(literal) IS an inline table, and
+              // every dialect already has a pinned VALUES / UNION-ALL
+              // spelling, so ALL engines get this shape
+              case lit0: Literal
+                  if lit0.value != null && lit0.dataType.isInstanceOf[ArrayType] =>
+                val et = lit0.dataType.asInstanceOf[ArrayType].elementType
+                val elems = lit0.value
+                  .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                  .toObjectArray(et)
+                if (elems.isEmpty)
+                  dialect.fromless(
+                    s"SELECT CAST(NULL AS ${dialect.typeName(et)}) AS $col") +
+                    " WHERE 1 = 0"
+                else {
+                  val rows = elems.toSeq.map(v =>
+                    "(" + dialect.literal(Literal(v, et)) + ")")
+                  val rel = dialect.values(rows, freshAlias(),
+                    Seq(cname(g.generatorOutput.head)))
+                  if (oneRow) s"SELECT $col FROM $rel"
+                  else s"SELECT ${(childCols :+ col).mkString(", ")} " +
+                    s"FROM ${sub(g.child)} CROSS JOIN $rel"
+                }
+              // non-foldable series (column-dependent bounds): the engine's
+              // FROM-positioned series table function, if it has one
+              case s: Sequence
+                  if dialect.seriesFrom(re(s.start), re(s.stop),
+                    s.stepOpt.map(re)).isDefined =>
+                val fn = dialect.seriesFrom(re(s.start), re(s.stop),
+                  s.stepOpt.map(re)).get
+                val rel = s"$fn ${q(freshAlias())}($col)"
+                if (oneRow) s"SELECT $col FROM $rel"
+                else s"SELECT ${(childCols :+ col).mkString(", ")} " +
+                  s"FROM ${sub(g.child)} CROSS JOIN $rel"
+              case arrExpr =>
+                dialect.explodeCall(re(arrExpr)) match {
+                  case Some(call) =>
+                    val items = (childCols :+ s"$call AS $col").mkString(", ")
+                    if (oneRow) dialect.fromless(s"SELECT $items")
+                    else s"SELECT $items FROM ${sub(g.child)}"
+                  case None =>
+                    dialect.unnestJoin(re(arrExpr), q(freshAlias()), col) match {
+                      case Some(join) =>
+                        val items = (childCols :+ col).mkString(", ")
+                        val from =
+                          if (oneRow) s"(${dialect.fromless("SELECT 1")}) ${q(freshAlias())}"
+                          else sub(g.child)
+                        s"SELECT $items FROM $from $join"
+                      case None => refuse()
+                    }
+                }
+            }
+          case _ => refuse()
+        }
       // Pure early-prune inserted under a Window + rank filter (e.g. rn <= k):
       // the Window/Filter above reproduce the semantics, so the text form just
       // passes through — the target engine re-derives its own pushdown.
@@ -1851,6 +2006,15 @@ object SqlUnparser {
       case s: Substring =>
         val fn = dialect.fnName("substring").getOrElse("substring")
         s"$fn(${re(s.str)}, ${re(s.pos)}, ${re(s.len)})"
+      // array series builder: spellings differ per engine (Trino sequence,
+      // DuckDB generate_series) and most engines have NONE — the generic
+      // prettyName fallback would emit `sequence(...)` text those engines
+      // cannot parse, so this refuses loudly instead
+      case s: Sequence =>
+        dialect.sequenceFn(re(s.start), re(s.stop), s.stepOpt.map(re))
+          .getOrElse(throw new UnsupportedOperationException(
+            s"unparse: sequence(...) has no ${dialect.getClass.getSimpleName
+              .stripSuffix("$").toLowerCase} spelling"))
       case y: Year => extractOr(y, "year")
       case m: Month => extractOr(m, "month")
       case d: DayOfMonth => extractOr(d, "day")

@@ -23,9 +23,9 @@ import graft.queries.Semantic
   */
 object SemanticUnparseGrammar {
   /** Seed count for all consumers (generation gates, spark round-trip, the
-    * DuckDB-executed sweep: 60 seeds × 4 executed dialects = 240 slots).
+    * DuckDB-executed sweep: 80 seeds × 4 executed dialects = 320 slots).
     */
-  val Seeds: Int = 60
+  val Seeds: Int = 80
 
   /** One deterministic semantic query per seed, written against model names.
     * Aggregates stay engine-deterministic (decimal accumulation, double only
@@ -39,7 +39,7 @@ object SemanticUnparseGrammar {
     val k = 1000 + rnd.nextInt(4000)
     val bal = 1000 + rnd.nextInt(8000)
     val ostatus = pick(Seq("'O'", "'F'", "'P'"))
-    rnd.nextInt(10) match {
+    rnd.nextInt(13) match {
       case 0 =>
         // expression column + to-one calc + nested calc in one projection
         s"SELECT o_orderkey, order_cust, cust_segment, cust_nation " +
@@ -88,6 +88,21 @@ object SemanticUnparseGrammar {
         s"SELECT cust_segment, order_status, count(*) AS n FROM m_lineitem " +
           s"WHERE l_orderkey <= $k GROUP BY cust_segment, order_status " +
           s"ORDER BY cust_segment, order_status"
+      case 10 =>
+        // v2 metric view + metric-on-metric folded in as a scalar subquery
+        s"SELECT o_orderstatus AS st, n_orders, revenue, " +
+          s"(SELECT total FROM total_revenue) AS grand FROM status_revenue " +
+          s"WHERE n_orders >= ${1 + rnd.nextInt(3)} ORDER BY st"
+      case 11 =>
+        // time-grain rollup view generated from the metric's timeGrain
+        s"SELECT cast(odate as date) AS mon, o_orderstatus AS st, n_orders " +
+          s"FROM status_revenue_odate_month WHERE n_orders > ${rnd.nextInt(3)} " +
+          s"ORDER BY mon, st"
+      case 12 =>
+        // cumulative metric over the monthly date spine (Generate/sequence)
+        s"SELECT cast(mon as date) AS mon, cast(cum_revenue as double) AS cum " +
+          s"FROM cum_monthly_revenue ORDER BY mon" +
+          (if (rnd.nextBoolean()) s" LIMIT ${4 + rnd.nextInt(20)}" else "")
       case _ =>
         // date machinery through an expression-backed DATE column
         s"SELECT cast(year(o_orderdate) as bigint) AS y, count(*) AS n, " +
@@ -126,7 +141,7 @@ class SemanticUnparsePropertySpec extends AnyFunSuite {
     }
   }
 
-  test("spark-dialect semantic text replays to the semantic result (60 seeds)") {
+  test("spark-dialect semantic text replays to the semantic result (80 seeds)") {
     for (seed <- 0 until SemanticUnparseGrammar.Seeds) {
       val sql = SemanticUnparseGrammar.genQuery(seed)
       try {

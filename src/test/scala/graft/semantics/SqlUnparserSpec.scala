@@ -126,10 +126,22 @@ class SqlUnparserSpec extends AnyFunSuite {
     assert(!text.contains("`"), text)
   }
 
-  test("duckdb dialect: a generator (LATERAL VIEW) fails loudly, not silently") {
+  test("duckdb dialect: explode of a folded literal array renders as inline VALUES") {
+    // Catalyst constant-folds array(1, 2) to a literal; the LATERAL VIEW
+    // becomes the engine-neutral inline-table shape every dialect can run
+    val text = session.transformSql(
+      "SELECT o_orderkey, x FROM m_orders LATERAL VIEW explode(array(1, 2)) g AS x",
+      "duckdb")
+    assert(text.contains("VALUES"), text)
+    assert(!text.contains("LATERAL VIEW"), text)
+  }
+
+  test("duckdb dialect: a generator with no engine idiom still fails loudly") {
+    // posexplode has no single-column rendering; the refusal must stay LOUD
     val e = intercept[UnsupportedOperationException] {
       session.transformSql(
-        "SELECT o_orderkey, x FROM m_orders LATERAL VIEW explode(array(1, 2)) g AS x",
+        "SELECT o_orderkey, p, x FROM m_orders " +
+          "LATERAL VIEW posexplode(array(1, 2)) g AS p, x",
         "duckdb")
     }
     assert(e.getMessage.contains("LATERAL VIEW"), e.getMessage)

@@ -35,9 +35,19 @@ object SemanticSweepDump {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/seed_$seed.source.sql"), sql)
       for (d <- Seq("duckdb", "postgres", "trino", "redshift")) {
-        val text = session.transformSql(sql, d)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$outDir/seed_$seed.$d.sql"), text)
+        // a LOUD dialect refusal (documented grammar gap, e.g. Redshift has
+        // no timestamp series for the cumulative-metric date spine) is
+        // recorded as a marker file the sweep counts explicitly
+        try {
+          val text = session.transformSql(sql, d)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/seed_$seed.$d.sql"), text)
+        } catch {
+          case e: UnsupportedOperationException =>
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/seed_$seed.$d.refused"),
+              e.getMessage)
+        }
       }
     }
     println(s"[semantic-sweep-dump] ${SemanticUnparseGrammar.Seeds} seeds -> $outDir")

@@ -72,13 +72,19 @@ def compare(sdf, ddf):
 
 
 DIALECTS = ("duckdb", "postgres", "trino", "redshift")
-results = {d: {"pass": 0, "fail": 0, "not_duckdb_expressible": 0} for d in DIALECTS}
+results = {d: {"pass": 0, "fail": 0, "not_duckdb_expressible": 0,
+               "refused": 0} for d in DIALECTS}
 failures = []
 SEEDS = len(glob.glob(f"{OUT_DIR}/seed_*.source.sql"))
 for seed in range(SEEDS):
     files = glob.glob(f"{OUT_DIR}/seed_{seed}/*.parquet")
     sdf = norm(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
     for dialect in DIALECTS:
+        # a .refused marker records a LOUD dialect refusal (documented gap,
+        # e.g. Redshift has no timestamp series) — counted, never silent
+        if os.path.exists(f"{OUT_DIR}/seed_{seed}.{dialect}.refused"):
+            results[dialect]["refused"] += 1
+            continue
         sql = open(f"{OUT_DIR}/seed_{seed}.{dialect}.sql").read()
         # Valid-for-dialect-but-outside-DuckDB's-parser forms are recorded
         # EXPLICITLY, never silently passed (same posture as unparse_sweep.py).
