@@ -229,6 +229,23 @@ object Semantic {
     """SELECT cast(mon as date) AS mon, cast(cum_revenue as double) AS cum_rev
       |FROM cum_monthly_revenue ORDER BY mon""".stripMargin
 
+  /** Source SQL for `m27_unparse_spine_lateral`: a CORRELATED date spine —
+    * `explode(sequence(col, date_add(col, 2), interval 1 day))` whose bounds
+    * reference the host row, so Catalyst cannot fold it and the unparser must
+    * emit the engine's lateral row-expansion idiom: DuckDB's scalar
+    * `unnest(generate_series(...))` (its FROM-positioned table function
+    * rejects lateral parameters), Postgres's implicitly-LATERAL
+    * `CROSS JOIN generate_series(...)`, Trino's
+    * `CROSS JOIN UNNEST(sequence(...))`. The DuckDB text is driver-executed;
+    * the engines' series yield TIMESTAMPs where Spark yields DATEs, so the
+    * rendering carries a CAST-to-DATE repair.
+    */
+  val m27Sql: String =
+    """SELECT o_orderkey, cast(d as date) AS d FROM m_orders
+      |LATERAL VIEW explode(sequence(o_orderdate, date_add(o_orderdate, 2),
+      |                              interval 1 day)) g AS d
+      |WHERE o_orderkey <= 200 ORDER BY o_orderkey, d""".stripMargin
+
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(CAST(sum("c3") AS DECIMAL(28,2)) AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_orderstatus" AS "c10", "o_totalprice" AS "c8", "o_orderdate" AS "c11", "o_orderpriority" AS "c12" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_name" AS "c13", "c_nationkey" AS "c14", "c_acctbal" AS "c15", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
@@ -563,7 +580,11 @@ object Semantic {
       // the cumulative-metric date spine (explode of a folded literal array →
       // inline VALUES) — all four live-text dialects, duckdb included
       Seq("duckdb", "postgres", "trino", "redshift").map(d =>
-        (s"m26_unparse_spine_$d", d, m26Sql))
+        (s"m26_unparse_spine_$d", d, m26Sql)) ++
+      // the CORRELATED spine executes only for duckdb (the postgres/trino
+      // lateral forms are valid for their engines but outside DuckDB's
+      // parser — golden-pinned instead)
+      Seq(("m27_unparse_spine_lateral", "duckdb", m27Sql))
 
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
     crossCorpus.map { case (n, _, sql) =>

@@ -181,6 +181,19 @@ object SqlUnparser {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    /** Spark's `split(str, regex)` splits on a REGEX; engines whose split
+      * takes a literal delimiter (BigQuery SPLIT, ClickHouse splitByString)
+      * can only express the metachar-free unlimited case — extract that
+      * delimiter, or None (→ refuse loudly).
+      */
+    protected def literalDelim(sp: StringSplit): Option[String] =
+      (sp.regex, sp.limit) match {
+        case (Literal(r, StringType), Literal(-1, IntegerType))
+            if r != null && r.toString.nonEmpty &&
+              !r.toString.exists("\\^$.|?*+()[]{}".contains(_)) =>
+          Some(r.toString.replace("'", "''"))
+        case _ => None
+      }
     /** stddev/variance names whose Spark result is DOUBLE but whose result on
       * exact-numeric engines (Postgres, Oracle) is NUMERIC for exact inputs.
       */
@@ -849,6 +862,10 @@ object SqlUnparser {
       }
       case ct: Contains =>
         s"(STRPOS(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      // GoogleSQL SPLIT takes a LITERAL delimiter, Spark's split a regex —
+      // only the metachar-free unlimited form translates
+      case sp: StringSplit if literalDelim(sp).isDefined =>
+        s"SPLIT(${rendered(sp.str)}, '${literalDelim(sp).get}')"
       case _ => fnName(e.prettyName) match {
         case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
         case None => throw new UnsupportedOperationException(
@@ -993,6 +1010,10 @@ object SqlUnparser {
       case m: Md5 => s"lower(hex(MD5(${rendered(md5Arg(m))})))"
       case ct: Contains =>
         s"(position(${rendered(ct.left)}, ${rendered(ct.right)}) > 0)"
+      // splitByString takes (delimiter, str) — REVERSED from Spark — and a
+      // literal delimiter; only the metachar-free unlimited split translates
+      case sp: StringSplit if literalDelim(sp).isDefined =>
+        s"splitByString('${literalDelim(sp).get}', ${rendered(sp.str)})"
       case _ => fnName(e.prettyName) match {
         case Some(n) => s"$n(${e.children.map(rendered).mkString(", ")})"
         case None => throw new UnsupportedOperationException(
@@ -1824,7 +1845,27 @@ object SqlUnparser {
           case e: Explode if !g.outer && g.generatorOutput.size == 1 =>
             val col = q(cname(g.generatorOutput.head))
             val childCols = g.requiredChildOutput.map(a => q(cname(a)))
-            val oneRow = g.child.output.isEmpty
+            // ONLY a genuine one-row child may be elided: column pruning
+            // empties a real table's projection too (Project(Nil, scan)),
+            // and its row MULTIPLICITY still multiplies the exploded rows —
+            // those render through sub(child)'s `SELECT 1 AS ..` shape
+            val oneRow = g.child match {
+              case _: OneRowRelation => true
+              case Project(_, _: OneRowRelation) => true
+              case _ => false
+            }
+            // Spark's sequence over DATEs yields DATEs, but every engine's
+            // series builder that takes an interval step yields TIMESTAMPs
+            // (DuckDB generate_series, Postgres's timestamp overload) — a
+            // CAST back to DATE repairs the drift (a no-op on Trino, whose
+            // sequence(date, date, interval) already yields dates)
+            val needsDateRepair = e.child.isInstanceOf[Sequence] &&
+              (e.child.dataType match {
+                case ArrayType(DateType, _) => true
+                case _ => false
+              })
+            def repair(x: String): String =
+              if (needsDateRepair) s"CAST($x AS DATE)" else x
             e.child match {
               // constant-folded array (the optimizer folds
               // sequence(lit, lit, lit) — the cumulative-metric date spine —
@@ -1850,27 +1891,41 @@ object SqlUnparser {
                   else s"SELECT ${(childCols :+ col).mkString(", ")} " +
                     s"FROM ${sub(g.child)} CROSS JOIN $rel"
                 }
-              // non-foldable series (column-dependent bounds): the engine's
-              // FROM-positioned series table function, if it has one
+              // non-foldable series: the engine's FROM-positioned series
+              // table function — but only when the bounds carry no lateral
+              // column references OR the dialect has no SELECT-positioned
+              // alternative. DuckDB rejects lateral parameters to table
+              // functions ("does not support lateral join column
+              // parameters") while its scalar unnest(generate_series(..))
+              // correlates fine, so correlated spines there ride the generic
+              // explodeCall path below; Postgres, whose set-returning
+              // generate_series IS implicitly LATERAL in FROM, keeps this
+              // branch for both shapes.
               case s: Sequence
                   if dialect.seriesFrom(re(s.start), re(s.stop),
-                    s.stepOpt.map(re)).isDefined =>
+                      s.stepOpt.map(re)).isDefined &&
+                    (s.references.isEmpty ||
+                      dialect.sequenceFn("0", "1", None).isEmpty ||
+                      dialect.explodeCall("x").isEmpty) =>
                 val fn = dialect.seriesFrom(re(s.start), re(s.stop),
                   s.stepOpt.map(re)).get
                 val rel = s"$fn ${q(freshAlias())}($col)"
-                if (oneRow) s"SELECT $col FROM $rel"
-                else s"SELECT ${(childCols :+ col).mkString(", ")} " +
+                val colItem = if (needsDateRepair) s"${repair(col)} AS $col" else col
+                if (oneRow) s"SELECT $colItem FROM $rel"
+                else s"SELECT ${(childCols :+ colItem).mkString(", ")} " +
                   s"FROM ${sub(g.child)} CROSS JOIN $rel"
               case arrExpr =>
                 dialect.explodeCall(re(arrExpr)) match {
                   case Some(call) =>
-                    val items = (childCols :+ s"$call AS $col").mkString(", ")
+                    val items = (childCols :+ s"${repair(call)} AS $col").mkString(", ")
                     if (oneRow) dialect.fromless(s"SELECT $items")
                     else s"SELECT $items FROM ${sub(g.child)}"
                   case None =>
                     dialect.unnestJoin(re(arrExpr), q(freshAlias()), col) match {
                       case Some(join) =>
-                        val items = (childCols :+ col).mkString(", ")
+                        val colItem =
+                          if (needsDateRepair) s"${repair(col)} AS $col" else col
+                        val items = (childCols :+ colItem).mkString(", ")
                         val from =
                           if (oneRow) s"(${dialect.fromless("SELECT 1")}) ${q(freshAlias())}"
                           else sub(g.child)

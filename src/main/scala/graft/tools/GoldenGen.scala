@@ -24,7 +24,8 @@ object GoldenGen {
   val corpus: Seq[(String, String)] = Seq(
     "m21" -> Semantic.m21Sql, "m22" -> Semantic.m22Sql,
     "m23" -> Semantic.m23Sql, "m24" -> Semantic.m24Sql,
-    "m25" -> Semantic.m25Sql, "m26" -> Semantic.m26Sql)
+    "m25" -> Semantic.m25Sql, "m26" -> Semantic.m26Sql,
+    "m27" -> Semantic.m27Sql)
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("src/test/resources/goldens")

@@ -136,6 +136,63 @@ class SqlUnparserSpec extends AnyFunSuite {
     assert(!text.contains("LATERAL VIEW"), text)
   }
 
+  test("correlated date spine: each engine gets its own LATERAL idiom") {
+    // DuckDB's FROM-positioned generate_series rejects lateral column
+    // parameters — the correlated spine must ride the scalar
+    // unnest(generate_series(..)) form instead; Postgres's set-returning
+    // generate_series IS implicitly lateral in FROM; Trino correlates
+    // through CROSS JOIN UNNEST(sequence(..)). All three carry the
+    // CAST-to-DATE repair (their series yield timestamps, Spark dates).
+    val duck = session.transformSql(Semantic.m27Sql, "duckdb")
+    assert(duck.contains("unnest(generate_series("), duck)
+    assert(!duck.contains("CROSS JOIN generate_series"), duck)
+    val pg = session.transformSql(Semantic.m27Sql, "postgres")
+    assert(pg.contains("CROSS JOIN generate_series("), pg)
+    val trino = session.transformSql(Semantic.m27Sql, "trino")
+    assert(trino.contains("CROSS JOIN UNNEST(sequence("), trino)
+    for (t <- Seq(duck, pg, trino)) assert(t.contains(" AS DATE)"), t)
+  }
+
+  test("uncorrelated non-folded series keeps the FROM-positioned table function") {
+    // a scalar subquery blocks constant folding without referencing the
+    // host row: no lateral parameters, so DuckDB's FROM-positioned
+    // generate_series table function stays legal
+    val duck = session.transformSql(
+      "SELECT x FROM m_orders " +
+        "LATERAL VIEW explode(sequence(1, (SELECT count(*) FROM m_region))) g AS x " +
+        "WHERE o_orderkey = 1", "duckdb")
+    assert(duck.contains("CROSS JOIN generate_series("), duck)
+  }
+
+  test("spark round-trip: the correlated date spine replays through LATERAL VIEW") {
+    roundTrip(Semantic.m27Sql)
+  }
+
+  test("explode of a non-series array: BigQuery UNNESTs, ClickHouse arrayJoins") {
+    // the two SELECT-positioned/FROM-positioned hooks that no sequence-based
+    // corpus reaches (both dialects refuse interval literals): a split()
+    // array exercises them directly
+    val src = "SELECT o_orderkey, part FROM m_orders " +
+      "LATERAL VIEW explode(split(o_orderstatus, '-')) g AS part " +
+      "WHERE o_orderkey <= 10"
+    val bq = session.transformSql(src, "bigquery")
+    assert(bq.contains("CROSS JOIN UNNEST("), bq)
+    assert(!bq.contains("LATERAL VIEW"), bq)
+    val ch = session.transformSql(src, "clickhouse")
+    assert(ch.contains("arrayJoin("), ch)
+    assert(!ch.contains("LATERAL VIEW"), ch)
+  }
+
+  test("explode over a column-pruned child keeps the child's row multiplicity") {
+    // projecting ONLY the exploded column prunes m_region to Project(Nil, scan);
+    // the render must still CROSS JOIN the 5-row region scan (5 × 2 rows), not
+    // collapse it to a one-row relation (2 rows)
+    val duck = session.transformSql(
+      "SELECT x FROM m_region LATERAL VIEW explode(array(1, 2)) g AS x", "duckdb")
+    assert(duck.contains("region"), duck)
+    assert(duck.contains("CROSS JOIN"), duck)
+  }
+
   test("duckdb dialect: a generator with no engine idiom still fails loudly") {
     // posexplode has no single-column rendering; the refusal must stay LOUD
     val e = intercept[UnsupportedOperationException] {
