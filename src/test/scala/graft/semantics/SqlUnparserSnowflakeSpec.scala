@@ -45,6 +45,16 @@ class SqlUnparserSnowflakeSpec extends AnyFunSuite {
     assert(sf.contains("listagg(") && sf.contains("WITHIN GROUP"), sf)
   }
 
+  test("snowflake dialect: instr reverses into POSITION(needle, haystack)") {
+    // Snowflake's POSITION takes the needle FIRST; the generic child-order
+    // fallback would emit position(haystack, needle) and search swapped
+    val sf = session.transformSql(
+      "SELECT instr(o_orderstatus, 'O') AS p FROM m_orders WHERE o_orderkey <= 5",
+      "snowflake")
+    assert(sf.contains("position('O',"), sf)
+    assert(!sf.contains("position(\"c"), sf)
+  }
+
   test("snowflake dialect: DATEADD date arithmetic and TRUNC-based integer division") {
     import org.apache.spark.sql.functions._
     val tpch = GraftEngine.deployOnDir(spark, TpcH.manifest, TestSpark.sfDir)
