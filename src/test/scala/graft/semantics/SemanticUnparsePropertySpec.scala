@@ -39,7 +39,7 @@ object SemanticUnparseGrammar {
     val k = 1000 + rnd.nextInt(4000)
     val bal = 1000 + rnd.nextInt(8000)
     val ostatus = pick(Seq("'O'", "'F'", "'P'"))
-    rnd.nextInt(13) match {
+    rnd.nextInt(14) match {
       case 0 =>
         // expression column + to-one calc + nested calc in one projection
         s"SELECT o_orderkey, order_cust, cust_segment, cust_nation " +
@@ -103,6 +103,16 @@ object SemanticUnparseGrammar {
         s"SELECT cast(mon as date) AS mon, cast(cum_revenue as double) AS cum " +
           s"FROM cum_monthly_revenue ORDER BY mon" +
           (if (rnd.nextBoolean()) s" LIMIT ${4 + rnd.nextInt(20)}" else "")
+      case 13 =>
+        // CORRELATED date spine: bounds reference the host row, so the
+        // unparse must emit the engine's lateral idiom (DuckDB scalar
+        // unnest(generate_series) — executed; Postgres implicit-LATERAL /
+        // Trino UNNEST(sequence) — valid but outside DuckDB's parser;
+        // Redshift refuses, counted as `refused`)
+        s"SELECT o_orderkey, cast(d as date) AS d FROM m_orders " +
+          s"LATERAL VIEW explode(sequence(o_orderdate, " +
+          s"date_add(o_orderdate, ${1 + rnd.nextInt(3)}), interval 1 day)) g AS d " +
+          s"WHERE o_orderkey <= $k ORDER BY o_orderkey, d"
       case _ =>
         // date machinery through an expression-backed DATE column
         s"SELECT cast(year(o_orderdate) as bigint) AS y, count(*) AS n, " +

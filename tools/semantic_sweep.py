@@ -91,7 +91,14 @@ for seed in range(SEEDS):
         if dialect in ("trino", "redshift") and "WITHIN GROUP" in sql:
             results[dialect]["not_duckdb_expressible"] += 1
             continue
-        if dialect == "trino" and ("bitwise_" in sql or "date_add('" in sql):
+        if dialect == "trino" and ("bitwise_" in sql or "date_add('" in sql
+                                   or "UNNEST(sequence(" in sql):
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
+        # the correlated-spine lateral: valid Postgres (set-returning FROM
+        # functions are implicitly LATERAL there) but DuckDB's table function
+        # rejects lateral column parameters
+        if dialect == "postgres" and "CROSS JOIN generate_series(" in sql:
             results[dialect]["not_duckdb_expressible"] += 1
             continue
         try:
