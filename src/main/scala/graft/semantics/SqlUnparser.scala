@@ -68,12 +68,46 @@ object SqlUnparser {
     * (positionally aligned with `plan.output`).
     */
   def unparse(plan: LogicalPlan, outputNames: Seq[String], dialect: Dialect): String = {
-    val g = new Generator(dialect)
+    val g = new Generator(dialect, referencedIds(plan))
     val inner = g.render(plan)
     val outer = plan.output.zip(outputNames).map { case (a, n) =>
       s"${dialect.quote(g.cname(a))} AS ${dialect.quote(dialect.outputAlias(n))}" }
       .mkString(", ")
     s"SELECT $outer FROM ($inner) ${dialect.quote("t_out")}"
+  }
+
+  /** Every ExprId the rendered text can name: expression-referenced
+    * attributes (recursing into subquery plans), the root output, and the
+    * outputs POSITIONAL consumers need whole — UNION ALL branches and
+    * DISTINCT's child. Base scans render only these columns, so the emitted
+    * SQL never reads a column the query doesn't use — narrower texts, and a
+    * CLAC-hidden or grant-revoked column stays out of the remote engine's
+    * select list entirely.
+    */
+  private def referencedIds(root: LogicalPlan): Set[ExprId] = {
+    val ids = scala.collection.mutable.Set.empty[ExprId]
+    def addExpr(e: Expression): Unit = e.foreach {
+      case a: Attribute => ids += a.exprId
+      case s: SubqueryExpression => addPlan(s.plan)
+      case _ => ()
+    }
+    def addPlan(p: LogicalPlan): Unit = {
+      ids ++= p.output.map(_.exprId)
+      p.foreach {
+        case u: Union => u.children.foreach(c => ids ++= c.output.map(_.exprId))
+        case d: Distinct => ids ++= d.child.output.map(_.exprId)
+        case g: Generate => ids ++= g.requiredChildOutput.map(_.exprId)
+        case _ => ()
+      }
+      // relations are excluded: TreeNode.expressions harvests a relation's
+      // own `output` field, which would self-mark every scan column as used
+      p.foreach {
+        case _: LogicalRelation | _: LocalRelation => ()
+        case node => node.expressions.foreach(addExpr)
+      }
+    }
+    addPlan(root)
+    ids.toSet
   }
 
   sealed trait Dialect {
@@ -1722,7 +1756,7 @@ object SqlUnparser {
     }
   }
 
-  private final class Generator(dialect: Dialect) {
+  private final class Generator(dialect: Dialect, referenced: Set[ExprId]) {
     private var counter = 0
     private def freshAlias(): String = { counter += 1; s"t$counter" }
 
@@ -1952,7 +1986,14 @@ object SqlUnparser {
           case other => throw new UnsupportedOperationException(
             s"unparse: non-file relation ${other.getClass.getSimpleName}")
         }
-        val cols = lr.output.map(a => s"${q(a.name)} AS ${q(cname(a))}")
+        // scan only what the plan above names (referencedIds): narrower text,
+        // and a column the query never uses — CLAC-hidden, grant-revoked —
+        // never reaches the remote engine's select list. A scan consumed
+        // purely for row multiplicity (count(*)) keeps a constant instead.
+        val kept = lr.output.filter(a => referenced(a.exprId))
+        val cols =
+          if (kept.nonEmpty) kept.map(a => s"${q(a.name)} AS ${q(cname(a))}")
+          else Seq(s"1 AS ${q(freshAlias())}")
         s"SELECT ${cols.mkString(", ")} FROM ${dialect.relation(path)}"
       case lr: LocalRelation =>
         val cols = lr.output.map(cname)

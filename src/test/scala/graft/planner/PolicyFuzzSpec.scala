@@ -84,6 +84,19 @@ class PolicyFuzzSpec extends AnyFunSuite {
       assert(colsNow.contains("c_name") == (lvl >= 1),
         s"CLAC gate wrong at lvl=$lvl (seed $seed)")
 
+      // the DIALECT TEXT shipped to a remote engine must embed the policy:
+      // the substituted RLAC literal is in the WHERE, and a CLAC-hidden
+      // column never appears (the inner scan lists physical column names)
+      for (d <- Seq("duckdb", "postgres")) {
+        val text = sess.transformSql(s"SELECT * FROM pz${seed}_customer", d)
+        if (shape != 1) assert(text.contains(s"'$seg'"),
+          s"RLAC segment literal missing from $d text:\n$text")
+        if (shape != 0) assert(text.contains(minbal.toString),
+          s"RLAC threshold missing from $d text:\n$text")
+        assert(text.contains("c_name") == (lvl >= 1),
+          s"CLAC leak/over-drop in $d text at lvl=$lvl:\n$text")
+      }
+
       // a missing REQUIRED property must refuse the deployment loudly
       val e = intercept[Exception] {
         GraftEngine.deployOnDir(spark, manifest(seed, cond, props, None), dir, Map.empty)
