@@ -192,11 +192,14 @@ object SqlUnparser {
       */
     def seriesFrom(start: String, stop: String, step: Option[String]): Option[String] = None
     /** ARRAY-valued rendering of Spark's `sequence(start, stop, step)`
-      * (Trino `sequence`, DuckDB `generate_series`, Spark itself). None =
-      * no array-series builder — any OTHER use of the expression refuses
-      * loudly rather than emitting a call the engine cannot parse.
+      * (Trino `sequence`, DuckDB `generate_series`, BigQuery's
+      * element-typed GENERATE_{,DATE_,TIMESTAMP_}ARRAY family — hence the
+      * `et` element type, which most engines ignore). None = no array-series
+      * builder for that element type — any OTHER use of the expression
+      * refuses loudly rather than emitting a call the engine cannot parse.
       */
-    def sequenceFn(start: String, stop: String, step: Option[String]): Option[String] = None
+    def sequenceFn(start: String, stop: String, step: Option[String],
+        et: DataType): Option[String] = None
     /** Set-returning "explode this array" call legal in a SELECT list
       * (DuckDB `unnest`, ClickHouse `arrayJoin`). */
     def explodeCall(arr: String): Option[String] = None
@@ -210,7 +213,8 @@ object SqlUnparser {
       */
     def intervalLiteral(months: Long, micros: Long): String =
       throw new UnsupportedOperationException(
-        s"${getClass.getSimpleName.stripSuffix("$").toLowerCase}: INTERVAL literal")
+        s"${getClass.getSimpleName.stripSuffix("Dialect$").toLowerCase} " +
+          "dialect: INTERVAL literal")
     protected def isIntegral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -398,7 +402,8 @@ object SqlUnparser {
         "array(" + arr.toObjectArray(et).map(v => literal(Literal(v, et))).mkString(", ") + ")"
       case _ => l.sql
     }
-    override def sequenceFn(start: String, stop: String, step: Option[String]): Option[String] =
+    override def sequenceFn(start: String, stop: String, step: Option[String],
+        et: DataType): Option[String] =
       Some(s"sequence($start, $stop${step.map(", " + _).getOrElse("")})")
     def joinKeyword(jt: JoinType): String = jt match {
       case Inner => "JOIN"
@@ -478,7 +483,8 @@ object SqlUnparser {
     // quoted-unit-string form
     override def seriesFrom(start: String, stop: String, step: Option[String]): Option[String] =
       Some(s"generate_series($start, $stop${step.map(", " + _).getOrElse("")})")
-    override def sequenceFn(start: String, stop: String, step: Option[String]): Option[String] =
+    override def sequenceFn(start: String, stop: String, step: Option[String],
+        et: DataType): Option[String] =
       Some(s"generate_series($start, $stop${step.map(", " + _).getOrElse("")})")
     override def explodeCall(arr: String): Option[String] = Some(s"unnest($arr)")
     override def intervalLiteral(months: Long, micros: Long): String =
@@ -812,11 +818,35 @@ object SqlUnparser {
   object BigQueryDialect extends Dialect {
     def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     // GoogleSQL expands arrays with a FROM-positioned UNNEST whose alias IS
-    // the element column (no wrapping table alias); there is no
-    // interval-stepped timestamp series in sequence() form, so
-    // explode(sequence(...)) refuses rather than emit a call BigQuery lacks
+    // the element column (no wrapping table alias); its series builders are
+    // ELEMENT-TYPED — GENERATE_ARRAY / GENERATE_DATE_ARRAY /
+    // GENERATE_TIMESTAMP_ARRAY — and interval literals are unquoted
+    // single-unit `INTERVAL n UNIT`
     override def unnestJoin(arr: String, alias: String, col: String): Option[String] =
       Some(s"CROSS JOIN UNNEST($arr) AS $col")
+    override def sequenceFn(start: String, stop: String, step: Option[String],
+        et: DataType): Option[String] = {
+      val tail = step.map(", " + _).getOrElse("")
+      et match {
+        case DateType => Some(s"GENERATE_DATE_ARRAY($start, $stop$tail)")
+        case _: TimestampType => Some(s"GENERATE_TIMESTAMP_ARRAY($start, $stop$tail)")
+        case dt if isIntegral(dt) => Some(s"GENERATE_ARRAY($start, $stop$tail)")
+        case _ => None
+      }
+    }
+    override def intervalLiteral(months: Long, micros: Long): String =
+      if (micros == 0) {
+        if (months % 12 == 0) s"INTERVAL ${months / 12} YEAR"
+        else s"INTERVAL $months MONTH"
+      } else if (months == 0) {
+        Seq("DAY" -> 86400000000L, "HOUR" -> 3600000000L,
+            "MINUTE" -> 60000000L, "SECOND" -> 1000000L)
+          .collectFirst { case (u, f) if micros % f == 0 =>
+            s"INTERVAL ${micros / f} $u" }
+          .getOrElse(throw new UnsupportedOperationException(
+            "bigquery dialect: sub-second INTERVAL literal"))
+      } else throw new UnsupportedOperationException(
+        "bigquery dialect: mixed year-month + day-time INTERVAL literal")
     // the reference's flexible-column-name encoding (inner_dialect.rs:157-178)
     private val aliasSpecial: Set[Char] = Set(
       '!', '"', '$', '(', ')', '*', ',', '.', '/', ';', '?', '@', '[', '\\',
@@ -1548,7 +1578,8 @@ object SqlUnparser {
     override def rankResultCast: Option[DataType] = Some(IntegerType)
     // Trino's series builder is the ARRAY-valued sequence(), expanded with a
     // FROM-positioned UNNEST; interval literals are single-unit quoted-value
-    override def sequenceFn(start: String, stop: String, step: Option[String]): Option[String] =
+    override def sequenceFn(start: String, stop: String, step: Option[String],
+        et: DataType): Option[String] =
       Some(s"sequence($start, $stop${step.map(", " + _).getOrElse("")})")
     override def unnestJoin(arr: String, alias: String, col: String): Option[String] =
       Some(s"CROSS JOIN UNNEST($arr) AS $alias($col)")
@@ -1939,7 +1970,7 @@ object SqlUnparser {
                   if dialect.seriesFrom(re(s.start), re(s.stop),
                       s.stepOpt.map(re)).isDefined &&
                     (s.references.isEmpty ||
-                      dialect.sequenceFn("0", "1", None).isEmpty ||
+                      dialect.sequenceFn("0", "1", None, IntegerType).isEmpty ||
                       dialect.explodeCall("x").isEmpty) =>
                 val fn = dialect.seriesFrom(re(s.start), re(s.stop),
                   s.stepOpt.map(re)).get
@@ -2107,7 +2138,8 @@ object SqlUnparser {
       // prettyName fallback would emit `sequence(...)` text those engines
       // cannot parse, so this refuses loudly instead
       case s: Sequence =>
-        dialect.sequenceFn(re(s.start), re(s.stop), s.stepOpt.map(re))
+        dialect.sequenceFn(re(s.start), re(s.stop), s.stepOpt.map(re),
+            s.dataType match { case ArrayType(e, _) => e; case other => other })
           .getOrElse(throw new UnsupportedOperationException(
             s"unparse: sequence(...) has no ${dialect.getClass.getSimpleName
               .stripSuffix("$").toLowerCase} spelling"))

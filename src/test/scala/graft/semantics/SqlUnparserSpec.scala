@@ -168,6 +168,14 @@ class SqlUnparserSpec extends AnyFunSuite {
     roundTrip(Semantic.m27Sql)
   }
 
+  test("BigQuery renders the correlated date spine via GENERATE_DATE_ARRAY") {
+    // GoogleSQL's element-typed series builder + unquoted interval literal;
+    // correlated UNNEST is native there
+    val bq = session.transformSql(Semantic.m27Sql, "bigquery")
+    assert(bq.contains("CROSS JOIN UNNEST(GENERATE_DATE_ARRAY("), bq)
+    assert(bq.contains("INTERVAL 1 DAY"), bq)
+  }
+
   test("explode of a non-series array: BigQuery UNNESTs, ClickHouse arrayJoins") {
     // the two SELECT-positioned/FROM-positioned hooks that no sequence-based
     // corpus reaches (both dialects refuse interval literals): a split()
