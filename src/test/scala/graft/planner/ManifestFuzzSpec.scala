@@ -48,20 +48,25 @@ class ManifestFuzzSpec extends AnyFunSuite {
       List("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
         "l_suppkey" -> "bigint", "l_linenumber" -> "int",
         "l_quantity" -> "double", "l_extendedprice" -> "double",
-        "l_discount" -> "double", "l_returnflag" -> "varchar")))
+        "l_discount" -> "double", "l_returnflag" -> "varchar")),
+    "supplier" -> Phys("supplier", "s_suppkey",
+      List("s_suppkey" -> "bigint", "s_name" -> "varchar",
+        "s_nationkey" -> "int", "s_acctbal" -> "double")))
 
   /** To-one edges: (child, parent, childFk, parentKey). Chains compose. */
   private val edges = List(
     ("nation", "region", "n_regionkey", "r_regionkey"),
     ("customer", "nation", "c_nationkey", "n_nationkey"),
     ("orders", "customer", "o_custkey", "c_custkey"),
-    ("lineitem", "orders", "l_orderkey", "o_orderkey"))
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"))
 
   /** Two-hop chains (child, mid, top) over consecutive edges. */
   private val chains = List(
     ("customer", "nation", "region"),
     ("orders", "customer", "nation"),
-    ("lineitem", "orders", "customer"))
+    ("lineitem", "orders", "customer"),
+    ("supplier", "nation", "region"))
 
   /** Per-table expression-column pool: (name, mdlType, sparkSqlExpr). The
     * oracle replays the identical expression via selectExpr — a different
@@ -73,7 +78,8 @@ class ManifestFuzzSpec extends AnyFunSuite {
       "concat(cast(o_orderkey as string), '_', cast(o_custkey as string))"),
     "customer" -> ("x_bal", "double", "round(c_acctbal, 0)"),
     "nation" -> ("x_nm", "varchar", "upper(n_name)"),
-    "region" -> ("x_nm", "varchar", "upper(r_name)"))
+    "region" -> ("x_nm", "varchar", "upper(r_name)"),
+    "supplier" -> ("x_nm", "varchar", "upper(s_name)"))
 
   /** String/varchar columns usable as a to-one lookup target, per table. */
   private val lookupPool = Map(
@@ -85,6 +91,7 @@ class ManifestFuzzSpec extends AnyFunSuite {
   /** Numeric child columns usable under a to-many aggregate, per table. */
   private val aggPool = Map(
     "nation" -> List("n_nationkey"),
+    "supplier" -> List("s_acctbal"),
     "customer" -> List("c_acctbal"),
     "orders" -> List("o_totalprice"),
     "lineitem" -> List("l_quantity", "l_extendedprice"))
