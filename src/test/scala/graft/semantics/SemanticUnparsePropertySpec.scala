@@ -140,6 +140,7 @@ class SemanticUnparsePropertySpec extends AnyFunSuite {
         try {
           val text = session.transformSql(sql, d)
           assert(text.startsWith("SELECT"), s"dialect=$d seed=$seed\n$sql")
+          DialectLint.lint(d, s"seed=$seed", text)
         } catch {
           case _: UnsupportedOperationException => refused += 1
           case e: Exception =>
