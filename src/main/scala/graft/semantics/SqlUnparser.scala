@@ -149,6 +149,23 @@ object SqlUnparser {
       * operator — `MOD(a, b)`.
       */
     def remainder(l: String, r: String): String = s"($l % $r)"
+    /** Whether boolean is a first-class VALUE type (select items, aggregate
+      * arguments, sort/group keys). True everywhere except T-SQL — whose
+      * comparisons are predicates, not values (only BIT stores truth) — and
+      * Oracle, which had no SQL boolean before 23ai. When false the generator
+      * renders predicate-shaped booleans in value position via [[boolToValue]]
+      * and compares value-shaped booleans with `= 1` in predicate position;
+      * the reference's sqlglot targets perform the same rewrite for these
+      * engines (tsql/oracle generator boolean handling).
+      */
+    def booleanAsValue: Boolean = true
+    /** Value rendering of a predicate; consulted only when !booleanAsValue. */
+    def boolToValue(pred: String): String = s"(CASE WHEN $pred THEN 1 ELSE 0 END)"
+    /** Whether `SELECT *, extra` must qualify the star with the FROM alias
+      * (`t.*, extra`). Oracle rejects the unqualified combination outright
+      * (ORA-00936); every other engine accepts both forms.
+      */
+    def qualifiedStarWithItems: Boolean = false
     /** Bitwise machinery (grouping() lowers to `shiftright(gid, n) & 1` over
       * the Expand-emitted grouping id): infix on the Postgres family, named
       * functions on Trino/Snowflake/ClickHouse, arithmetic identities on
@@ -1280,6 +1297,11 @@ object SqlUnparser {
     override def dateField(field: String, child: String): Option[String] =
       Some(s"DATEPART($field, $child)")
     override def semiAntiAsExists: Boolean = true
+    // T-SQL booleans are predicates, never values: a comparison cannot be
+    // selected, aggregated, or sorted. The trait's CASE WHEN 1/0 (INT, not
+    // BIT) is the right value form — BIT would break min/max/sum, whose T-SQL
+    // operand rules reject the bit type.
+    override def booleanAsValue: Boolean = false
     override def integralDivide(l: String, r: String): String =
       s"CAST(($l / $r) AS BIGINT)"
     // SQL Server keeps the ARGUMENT type: COUNT is INT, SUM(int) is INT
@@ -1425,9 +1447,20 @@ object SqlUnparser {
       case other => throw new UnsupportedOperationException(
         s"oracle dialect: type ${other.sql}")
     }
-    def literal(l: Literal): String = ansiLiteral(l)
+    def literal(l: Literal): String = l.dataType match {
+      // pre-23ai Oracle has no TRUE/FALSE keywords; booleans travel as 0/1
+      // (booleanAsValue=false keeps every boolean context numeric)
+      case BooleanType if l.value != null =>
+        if (l.value.asInstanceOf[Boolean]) "1" else "0"
+      case _ => ansiLiteral(l)
+    }
     override def preferExtract: Boolean = true
     override def semiAntiAsExists: Boolean = true
+    // no SQL boolean before 23ai: predicates in value position become
+    // CASE WHEN 1/0, value-shaped booleans in predicate position compare = 1
+    override def booleanAsValue: Boolean = false
+    // `SELECT *, extra` is ORA-00936 — the star must qualify as `t.*`
+    override def qualifiedStarWithItems: Boolean = true
     override def integralDivide(l: String, r: String): String =
       s"CAST(TRUNC($l / $r) AS NUMBER(19,0))"
     // Oracle types every aggregate as NUMBER — count/sum/avg/stddev all
@@ -1805,11 +1838,41 @@ object SqlUnparser {
       s"(${render(plan)}) ${q(freshAlias())}"
 
     private def selectItem(ne: NamedExpression): String = ne match {
-      case al: Alias => s"${re(al.child)} AS ${q(cnameById(al.exprId))}"
+      case al: Alias => s"${rv(al.child)} AS ${q(cnameById(al.exprId))}"
       case a: Attribute => s"${q(cname(a))} AS ${q(cname(a))}"
       case other => throw new UnsupportedOperationException(
         s"unparse: named expression $other")
     }
+
+    /** Boolean value/predicate bridging for dialects without first-class
+      * boolean values ([[Dialect.booleanAsValue]] = false — T-SQL, Oracle):
+      * those grammars split booleans into PREDICATES (WHERE/ON/CASE WHEN) and
+      * VALUES (select items, aggregate args, sort keys) with no implicit
+      * coercion either way. [[rv]] renders an expression in value position — a
+      * predicate-shaped boolean wraps into the dialect's CASE WHEN 1/0 form;
+      * [[rp]] renders in predicate position — a value-shaped boolean (column,
+      * literal, CASE result) compares `= 1`, with NULL propagating identically
+      * (NULL = 1 is NULL, as the NULL boolean was). Every other dialect: both
+      * are exactly [[re]].
+      */
+    private def valueShaped(e: Expression): Boolean = e match {
+      case al: Alias => valueShaped(al.child)
+      // aggregates and windows over booleans convert their CHILD (reAgg
+      // renders via rv), so the call itself already yields a 0/1 value —
+      // wrapping it again would put a value where CASE WHEN needs a predicate
+      case _: Attribute | _: Literal | _: Cast | _: CaseWhen | _: If |
+           _: Coalesce | _: ScalarSubquery | _: AggregateExpression |
+           _: WindowExpression => true
+      case _ => false
+    }
+    def rv(e: Expression): String =
+      if (!dialect.booleanAsValue && e.dataType == BooleanType && !valueShaped(e))
+        dialect.boolToValue(re(e))
+      else re(e)
+    def rp(e: Expression): String =
+      if (!dialect.booleanAsValue && e.dataType == BooleanType && valueShaped(e))
+        s"(${re(e)} = 1)"
+      else re(e)
 
     def render(plan: LogicalPlan): String = plan match {
       case Project(list, _: OneRowRelation) =>
@@ -1821,10 +1884,10 @@ object SqlUnparser {
       case Project(list, child) =>
         s"SELECT ${list.map(selectItem).mkString(", ")} FROM ${sub(child)}"
       case Filter(cond, child) =>
-        s"SELECT * FROM ${sub(child)} WHERE ${re(cond)}"
+        s"SELECT * FROM ${sub(child)} WHERE ${rp(cond)}"
       case a: Aggregate =>
         val groups = if (a.groupingExpressions.isEmpty) ""
-          else s" GROUP BY ${a.groupingExpressions.map(re).mkString(", ")}"
+          else s" GROUP BY ${a.groupingExpressions.map(rv).mkString(", ")}"
         s"SELECT ${a.aggregateExpressions.map(selectItem).mkString(", ")}" +
           s" FROM ${sub(a.child)}$groups"
       // Engines without SEMI/ANTI JOIN syntax express those join types as
@@ -1835,7 +1898,7 @@ object SqlUnparser {
           (j.joinType == LeftSemi || j.joinType == LeftAnti) =>
         val leftAlias = q(freshAlias())
         val neg = if (j.joinType == LeftAnti) "NOT " else ""
-        val cond = j.condition.map(re).getOrElse("TRUE")
+        val cond = j.condition.map(rp).getOrElse("TRUE")
         s"SELECT $leftAlias.* FROM (${render(j.left)}) $leftAlias " +
           s"WHERE ${neg}EXISTS (SELECT 1 FROM ${sub(j.right)} WHERE $cond)"
       case j: Join =>
@@ -1845,7 +1908,7 @@ object SqlUnparser {
           case LeftSemi | LeftAnti => s"$leftAlias.*"
           case _ => "*"
         }
-        val on = j.condition.map(c => s" ON ${re(c)}").getOrElse("")
+        val on = j.condition.map(c => s" ON ${rp(c)}").getOrElse("")
         s"SELECT $projection FROM (${render(j.left)}) $leftAlias $kw ${sub(j.right)}$on"
       case s: Sort =>
         s"SELECT * FROM ${sub(s.child)} ORDER BY ${s.order.flatMap(reSort).mkString(", ")}"
@@ -1867,7 +1930,14 @@ object SqlUnparser {
         }
       case w: Window =>
         val extra = w.windowExpressions.map(selectItem)
-        s"SELECT ${("*" +: extra).mkString(", ")} FROM ${sub(w.child)}"
+        // Oracle rejects `SELECT *, extra` — a star combined with other select
+        // items must be alias-qualified (`t.*`). Inlined sub() so the alias is
+        // allocated AFTER the child renders (freshAlias numbering is
+        // visit-order-stable for the goldens) and can qualify the star.
+        val childSql = render(w.child)
+        val alias = q(freshAlias())
+        val star = if (dialect.qualifiedStarWithItems) s"$alias.*" else "*"
+        s"SELECT ${(star +: extra).mkString(", ")} FROM ($childSql) $alias"
       case u: Union =>
         u.children.map(c => s"(${render(c)})").mkString(" UNION ALL ")
       case d: Distinct =>
@@ -1880,7 +1950,7 @@ object SqlUnparser {
       case ex: Expand =>
         ex.projections.map { proj =>
           val items = proj.zip(ex.output).map { case (e2, attr) =>
-            s"${re(e2)} AS ${q(cname(attr))}"
+            s"${rv(e2)} AS ${q(cname(attr))}"
           }.mkString(", ")
           s"SELECT $items FROM ${sub(ex.child)}"
         }.mkString(" UNION ALL ")
@@ -2048,7 +2118,7 @@ object SqlUnparser {
     private def reSort(so: SortOrder): Seq[String] = {
       val dir = so.direction match {
         case Ascending => "ASC"; case Descending => "DESC" }
-      dialect.sortItem(re(so.child), dir, so.nullOrdering == NullsFirst)
+      dialect.sortItem(rv(so.child), dir, so.nullOrdering == NullsFirst)
     }
 
     /** Render an aggregate call. `applyResultCast = false` for window usage,
@@ -2061,15 +2131,15 @@ object SqlUnparser {
       val d = if (ae.isDistinct) "DISTINCT " else ""
       def arg(c: Expression): String =
         dialect.aggChildCast(ae.aggregateFunction) match {
-          case Some(dt) => s"CAST(${re(c)} AS ${dialect.typeName(dt)})"
-          case None => re(c)
+          case Some(dt) => s"CAST(${rv(c)} AS ${dialect.typeName(dt)})"
+          case None => rv(c)
         }
       val call = ae.aggregateFunction match {
         case Count(Seq(Literal(1, _))) if !ae.isDistinct => "count(*)"
-        case c: Count => s"count($d${c.children.map(re).mkString(", ")})"
+        case c: Count => s"count($d${c.children.map(rv).mkString(", ")})"
         case s: Sum => s"sum($d${arg(s.child)})"
-        case m: Min => s"min(${re(m.child)})"
-        case m: Max => s"max(${re(m.child)})"
+        case m: Min => s"min(${rv(m.child)})"
+        case m: Max => s"max(${rv(m.child)})"
         case a: Average => s"avg($d${arg(a.child)})"
         // `.sql` prints the ordering as a bare third argument; the parseable
         // form is WITHIN GROUP (or the dialect's own spelling — string_agg
@@ -2107,17 +2177,17 @@ object SqlUnparser {
       case bo: BitwiseOr => dialect.bitOr(re(bo.left), re(bo.right))
       case sr: ShiftRight => dialect.shiftRight(re(sr.left), re(sr.right))
       case sl: ShiftLeft => dialect.shiftLeft(re(sl.left), re(sl.right))
-      case And(l, r) => s"(${re(l)} AND ${re(r)})"
-      case Or(l, r) => s"(${re(l)} OR ${re(r)})"
-      case Not(c) => s"(NOT ${re(c)})"
+      case And(l, r) => s"(${rp(l)} AND ${rp(r)})"
+      case Or(l, r) => s"(${rp(l)} OR ${rp(r)})"
+      case Not(c) => s"(NOT ${rp(c)})"
       case IsNull(c) => s"(${re(c)} IS NULL)"
       case IsNotNull(c) => s"(${re(c)} IS NOT NULL)"
       case e: EqualNullSafe =>
-        s"(${re(e.left)} IS NOT DISTINCT FROM ${re(e.right)})"
-      case b: BinaryComparison => s"(${re(b.left)} ${b.symbol} ${re(b.right)})"
+        s"(${rv(e.left)} IS NOT DISTINCT FROM ${rv(e.right)})"
+      case b: BinaryComparison => s"(${rv(b.left)} ${b.symbol} ${rv(b.right)})"
       case b: BinaryArithmetic => s"(${re(b.left)} ${b.symbol} ${re(b.right)})"
       case u: UnaryMinus => s"(- ${re(u.child)})"
-      case i: In => s"(${re(i.value)} IN (${i.list.map(re).mkString(", ")}))"
+      case i: In => s"(${rv(i.value)} IN (${i.list.map(rv).mkString(", ")}))"
       case i: InSet =>
         val items = i.hset.toSeq.map(v =>
           dialect.literal(Literal(v, i.child.dataType))).sorted
@@ -2125,11 +2195,11 @@ object SqlUnparser {
       case l: Like => s"(${re(l.left)} LIKE ${re(l.right)})"
       case cw: CaseWhen =>
         val branches = cw.branches.map { case (p, v) =>
-          s"WHEN ${re(p)} THEN ${re(v)}" }.mkString(" ")
-        val els = cw.elseValue.map(v => s" ELSE ${re(v)}").getOrElse("")
+          s"WHEN ${rp(p)} THEN ${rv(v)}" }.mkString(" ")
+        val els = cw.elseValue.map(v => s" ELSE ${rv(v)}").getOrElse("")
         s"(CASE $branches$els END)"
-      case If(p, t, f) => s"(CASE WHEN ${re(p)} THEN ${re(t)} ELSE ${re(f)} END)"
-      case c: Coalesce => s"coalesce(${c.children.map(re).mkString(", ")})"
+      case If(p, t, f) => s"(CASE WHEN ${rp(p)} THEN ${rv(t)} ELSE ${rv(f)} END)"
+      case c: Coalesce => s"coalesce(${c.children.map(rv).mkString(", ")})"
       case s: Substring =>
         val fn = dialect.fnName("substring").getOrElse("substring")
         s"$fn(${re(s.str)}, ${re(s.pos)}, ${re(s.len)})"
@@ -2201,24 +2271,24 @@ object SqlUnparser {
         if (s.outerAttrs.nonEmpty) throw new UnsupportedOperationException(
           s"unparse: correlated scalar subquery ${s.sql} was not decorrelated")
         s"(${render(s.plan)})"
-      case other => dialect.fallback(renameRefs(other), re)
+      case other => dialect.fallback(renameRefs(other), rv)
     }
 
     private def extractOr(e: UnaryExpression, field: String): String =
       dialect.dateField(field, re(e.child))
-        .getOrElse(dialect.fallback(renameRefs(e), re))
+        .getOrElse(dialect.fallback(renameRefs(e), rv))
 
     private def reWindowFn(f: Expression): String = f match {
       case _: RowNumber => "row_number()"
       case _: Rank => "rank()"
       case _: DenseRank => "dense_rank()"
       case ae: AggregateExpression => reAgg(ae, applyResultCast = false)
-      case other => dialect.fallback(renameRefs(other), re)
+      case other => dialect.fallback(renameRefs(other), rv)
     }
 
     private def reSpec(spec: WindowSpecDefinition, suppressFrame: Boolean = false): String = {
       val parts = if (spec.partitionSpec.isEmpty) ""
-        else s"PARTITION BY ${spec.partitionSpec.map(re).mkString(", ")}"
+        else s"PARTITION BY ${spec.partitionSpec.map(rv).mkString(", ")}"
       val order = if (spec.orderSpec.isEmpty) ""
         else s"ORDER BY ${spec.orderSpec.flatMap(reSort).mkString(", ")}"
       val frame = spec.frameSpecification match {

@@ -67,6 +67,7 @@ object DialectLint {
       "NULLS FIRST/LAST (no such T-SQL syntax)" -> raw"NULLS\s+(FIRST|LAST)".r),
     "oracle" -> Seq(
       "LIMIT (Oracle uses FETCH FIRST)" -> raw"\bLIMIT\b".r,
+      "unqualified star with other select items (ORA-00936)" -> raw"SELECT \*,".r,
       "AS before a table alias (Oracle rejects it)" -> raw"\) AS \"t(\d+|_out)\"".r,
       "backtick identifier" -> "`".r,
       "% operator (Oracle has MOD() only)" -> raw"%".r,

@@ -101,6 +101,27 @@ class SqlUnparserMssqlOracleSpec extends AnyFunSuite {
   }
 
   for (d <- Seq("mssql", "oracle")) {
+    test(s"$d dialect: booleans bridge between value and predicate position") {
+      import org.apache.spark.sql.functions._
+      val dialect = SqlUnparser.dialectFor(d)
+      // a projected comparison is not a T-SQL/pre-23ai-Oracle value: it must
+      // render CASE WHEN 1/0, and an aggregate over it converts the CHILD
+      // (max over the raw predicate parses on neither engine)
+      val df = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+        .groupBy("n_regionkey").agg(max(col("n_nationkey") > 10).as("anybig"))
+        .filter(col("anybig"))
+        .orderBy(col("anybig"))
+      val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
+      val text = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, dialect)
+      assert(text.contains("max((CASE WHEN (") && text.contains("THEN 1 ELSE 0 END))"),
+        text)
+      // the 0/1 column used as a predicate compares = 1 (NULL propagates the
+      // same three-valued way the boolean did)
+      assert(text.contains("= 1)"), text)
+      // no bare boolean leaks into any value or predicate slot
+      assert(!text.contains("max((\""), text)
+    }
+
     test(s"$d dialect: every TPC-H query unparses (breadth parity)") {
       val tpch = GraftEngine.deployOnDir(spark, TpcH.manifest, TestSpark.sfDir)
       val failures = TpcH.oracles.flatMap { case (n, sql) =>
