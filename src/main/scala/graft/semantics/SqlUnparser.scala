@@ -166,6 +166,27 @@ object SqlUnparser {
       * (ORA-00936); every other engine accepts both forms.
       */
     def qualifiedStarWithItems: Boolean = false
+    /** NULL-safe equality (Spark's `<=>`, emitted by decorrelation and
+      * null-aware join conditions). ANSI `IS NOT DISTINCT FROM` where the
+      * engine parses it; MySQL spells it `<=>`; ClickHouse and Oracle have
+      * neither and emulate with a composition that is never NULL — exact
+      * even under NOT, since `NULL AND FALSE` is FALSE in 3-valued logic.
+      */
+    def nullSafeEq(l: String, r: String): String =
+      s"($l IS NOT DISTINCT FROM $r)"
+    /** The never-NULL emulation for engines with no null-safe-equality
+      * syntax at all.
+      */
+    protected def nullSafeEqEmulated(l: String, r: String): String =
+      s"((($l = $r) AND ($l IS NOT NULL) AND ($r IS NOT NULL)) " +
+        s"OR (($l IS NULL) AND ($r IS NULL)))"
+    /** Appended after an ORDER BY that carries no limit. T-SQL rejects
+      * ORDER BY in views/derived tables/subqueries unless TOP, OFFSET or
+      * FOR XML accompanies it (error 1033) — and the unparse shape nests
+      * every Sort inside the output-renaming wrapper — so its dialect
+      * appends `OFFSET 0 ROWS`, a no-op that legalizes the clause.
+      */
+    def bareOrderBySuffix: String = ""
     /** Bitwise machinery (grouping() lowers to `shiftright(gid, n) & 1` over
       * the Expand-emitted grouping id): infix on the Postgres family, named
       * functions on Trino/Snowflake/ClickHouse, arithmetic identities on
@@ -716,6 +737,8 @@ object SqlUnparser {
     override def semiAntiAsExists: Boolean = true
     // `DIV` truncates toward zero over exact integers (MySQL reference manual)
     override def integralDivide(l: String, r: String): String = s"($l DIV $r)"
+    // MySQL spells null-safe equality <=> (no IS NOT DISTINCT FROM)
+    override def nullSafeEq(l: String, r: String): String = s"($l <=> $r)"
     // MySQL types integral SUM as DECIMAL; CAST AS SIGNED restores BIGINT
     override def aggResultCast(fn: AggregateFunction): Option[DataType] =
       ansiAggResultCast(fn)
@@ -1042,6 +1065,8 @@ object SqlUnparser {
         case _ => None
       }
     override def integralDivide(l: String, r: String): String = s"intDiv($l, $r)"
+    // no IS NOT DISTINCT FROM in ClickHouse's grammar
+    override def nullSafeEq(l: String, r: String): String = nullSafeEqEmulated(l, r)
     // ClickHouse bit machinery is function-spelled (no &/>> operators)
     override def shiftRight(l: String, r: String): String = s"bitShiftRight($l, $r)"
     override def shiftLeft(l: String, r: String): String = s"bitShiftLeft($l, $r)"
@@ -1302,6 +1327,8 @@ object SqlUnparser {
     // BIT) is the right value form — BIT would break min/max/sum, whose T-SQL
     // operand rules reject the bit type.
     override def booleanAsValue: Boolean = false
+    // error 1033: ORDER BY in a derived table needs TOP/OFFSET/FOR XML
+    override def bareOrderBySuffix: String = " OFFSET 0 ROWS"
     override def integralDivide(l: String, r: String): String =
       s"CAST(($l / $r) AS BIGINT)"
     // SQL Server keeps the ARGUMENT type: COUNT is INT, SUM(int) is INT
@@ -1461,6 +1488,8 @@ object SqlUnparser {
     override def booleanAsValue: Boolean = false
     // `SELECT *, extra` is ORA-00936 — the star must qualify as `t.*`
     override def qualifiedStarWithItems: Boolean = true
+    // no IS NOT DISTINCT FROM in Oracle's grammar (any version)
+    override def nullSafeEq(l: String, r: String): String = nullSafeEqEmulated(l, r)
     override def integralDivide(l: String, r: String): String =
       s"CAST(TRUNC($l / $r) AS NUMBER(19,0))"
     // Oracle types every aggregate as NUMBER — count/sum/avg/stddev all
@@ -1911,7 +1940,8 @@ object SqlUnparser {
         val on = j.condition.map(c => s" ON ${rp(c)}").getOrElse("")
         s"SELECT $projection FROM (${render(j.left)}) $leftAlias $kw ${sub(j.right)}$on"
       case s: Sort =>
-        s"SELECT * FROM ${sub(s.child)} ORDER BY ${s.order.flatMap(reSort).mkString(", ")}"
+        s"SELECT * FROM ${sub(s.child)} ORDER BY " +
+          s.order.flatMap(reSort).mkString(", ") + dialect.bareOrderBySuffix
       case GlobalLimit(IntegerLiteral(n), child) =>
         val inner = child match {
           case LocalLimit(IntegerLiteral(_), grandchild) => grandchild
@@ -2183,7 +2213,7 @@ object SqlUnparser {
       case IsNull(c) => s"(${re(c)} IS NULL)"
       case IsNotNull(c) => s"(${re(c)} IS NOT NULL)"
       case e: EqualNullSafe =>
-        s"(${rv(e.left)} IS NOT DISTINCT FROM ${rv(e.right)})"
+        dialect.nullSafeEq(rv(e.left), rv(e.right))
       case b: BinaryComparison => s"(${rv(b.left)} ${b.symbol} ${rv(b.right)})"
       case b: BinaryArithmetic => s"(${re(b.left)} ${b.symbol} ${re(b.right)})"
       case u: UnaryMinus => s"(- ${re(u.child)})"

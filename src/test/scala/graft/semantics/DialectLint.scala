@@ -48,14 +48,16 @@ object DialectLint {
       ":: cast operator (Postgres-only)" -> raw"::".r,
       "NULLS FIRST/LAST (no such MySQL syntax)" -> raw"NULLS\s+(FIRST|LAST)".r,
       "date_trunc (no native MySQL function)" -> raw"\bdate_trunc\s*\(".r,
-      "FULL JOIN (MySQL has no full outer join)" -> raw"FULL\s+(OUTER\s+)?JOIN".r),
+      "FULL JOIN (MySQL has no full outer join)" -> raw"FULL\s+(OUTER\s+)?JOIN".r,
+      "IS NOT DISTINCT FROM (MySQL spells it <=>)" -> raw"DISTINCT FROM".r),
     "bigquery" -> Seq(
       "% operator (GoogleSQL has MOD() only)" -> raw"%".r,
       "double-quoted identifier (GoogleSQL quotes with `)" -> "\"".r,
       ":: cast operator" -> raw"::".r,
       "ILIKE (not a GoogleSQL operator)" -> raw"\bILIKE\b".r),
     "clickhouse" -> Seq(
-      "FETCH FIRST/NEXT (ClickHouse has LIMIT only)" -> raw"FETCH\s+(FIRST|NEXT)".r),
+      "FETCH FIRST/NEXT (ClickHouse has LIMIT only)" -> raw"FETCH\s+(FIRST|NEXT)".r,
+      "IS NOT DISTINCT FROM (not in ClickHouse's grammar)" -> raw"DISTINCT FROM".r),
     "snowflake" -> Seq(
       "backtick identifier (Snowflake quotes with \")" -> "`".r),
     "mssql" -> Seq(
@@ -64,7 +66,9 @@ object DialectLint {
       "backtick identifier" -> "`".r,
       "ILIKE (not a T-SQL operator)" -> raw"\bILIKE\b".r,
       ":: cast operator" -> raw"::".r,
-      "NULLS FIRST/LAST (no such T-SQL syntax)" -> raw"NULLS\s+(FIRST|LAST)".r),
+      "NULLS FIRST/LAST (no such T-SQL syntax)" -> raw"NULLS\s+(FIRST|LAST)".r,
+      "ORDER BY closing a derived table without OFFSET/TOP (error 1033)" ->
+        raw"""(ASC|DESC)\) """".r),
     "oracle" -> Seq(
       "LIMIT (Oracle uses FETCH FIRST)" -> raw"\bLIMIT\b".r,
       "unqualified star with other select items (ORA-00936)" -> raw"SELECT \*,".r,
@@ -73,7 +77,8 @@ object DialectLint {
       "% operator (Oracle has MOD() only)" -> raw"%".r,
       ":: cast operator" -> raw"::".r,
       "ILIKE (not an Oracle operator)" -> raw"\bILIKE\b".r,
-      "substring() (Oracle spells it SUBSTR)" -> raw"\bsubstring\s*\(".r),
+      "substring() (Oracle spells it SUBSTR)" -> raw"\bsubstring\s*\(".r,
+      "IS NOT DISTINCT FROM (not in Oracle's grammar)" -> raw"DISTINCT FROM".r),
     "trino" -> Seq(
       ":: cast operator (Trino requires CAST)" -> raw"::".r,
       "backtick identifier (Trino quotes with \")" -> "`".r),

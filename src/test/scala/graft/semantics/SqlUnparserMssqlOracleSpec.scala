@@ -42,6 +42,14 @@ class SqlUnparserMssqlOracleSpec extends AnyFunSuite {
     val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
     val ms = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, SqlUnparser.MsSqlDialect)
     assert(ms.contains("ORDER BY (SELECT NULL) OFFSET 0 ROWS FETCH NEXT 3 ROWS ONLY"), ms)
+    // a LIMIT-less Sort nests inside the output wrapper, where T-SQL rejects
+    // bare ORDER BY (error 1033) — the dialect legalizes it with OFFSET 0 ROWS
+    val sorted = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .select("n_name").orderBy("n_name")
+    val optSorted = spark.sessionState.optimizer.execute(sorted.queryExecution.analyzed)
+    val msSorted =
+      SqlUnparser.unparse(optSorted, sorted.columns.toIndexedSeq, SqlUnparser.MsSqlDialect)
+    assert(msSorted.contains("ASC OFFSET 0 ROWS)"), msSorted)
   }
 
   test("mssql dialect: DATEPART accessors, CHARINDEX reversed args, typed literals") {
@@ -135,5 +143,23 @@ class SqlUnparserMssqlOracleSpec extends AnyFunSuite {
       SqlUnparserPropertyGrammar.generationGate(
         spark, SqlUnparser.dialectFor(d), TestSpark.sfDir)
     }
+  }
+
+  test("oracle/clickhouse: null-safe equality emulates never-NULL (no IS NOT " +
+      "DISTINCT FROM in either grammar); mssql keeps the ANSI form (2022+)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .filter(col("n_nationkey") <=> col("n_regionkey")).select("n_name")
+    val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
+    for (d <- Seq("oracle", "clickhouse")) {
+      val text = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq,
+        SqlUnparser.dialectFor(d))
+      // the emulation is exact even under NOT: NULL AND FALSE is FALSE, so
+      // the composed predicate never yields NULL
+      assert(text.contains("IS NOT NULL)") && text.contains("IS NULL) AND") &&
+        !text.contains("DISTINCT FROM"), text)
+    }
+    val ms = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, SqlUnparser.MsSqlDialect)
+    assert(ms.contains("IS NOT DISTINCT FROM"), ms)
   }
 }

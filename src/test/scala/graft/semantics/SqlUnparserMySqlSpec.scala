@@ -113,4 +113,15 @@ class SqlUnparserMySqlSpec extends AnyFunSuite {
     SqlUnparserPropertyGrammar.generationGate(
       spark, SqlUnparser.MySqlDialect, TestSpark.sfDir)
   }
+
+  test("mysql dialect: null-safe equality spells <=> (no IS NOT DISTINCT FROM)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .filter(col("n_nationkey") <=> col("n_regionkey")).select("n_name")
+    val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
+    val my = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, SqlUnparser.MySqlDialect)
+    assert(my.contains("<=>") && !my.contains("DISTINCT FROM"), my)
+    val duck = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, SqlUnparser.DuckDbDialect)
+    assert(duck.contains("IS NOT DISTINCT FROM"), duck)
+  }
 }
