@@ -187,6 +187,29 @@ object SqlUnparser {
       * appends `OFFSET 0 ROWS`, a no-op that legalizes the clause.
       */
     def bareOrderBySuffix: String = ""
+    /** Whether the engine's LIKE already treats backslash as its escape with
+      * no clause (Spark's semantics) AND the clause should therefore be
+      * omitted — true only where the grammar has no ESCAPE clause to give
+      * (GoogleSQL, ClickHouse) or the text replays on Spark itself. Standard
+      * engines (DuckDB, Trino, Snowflake, Oracle, T-SQL) treat a bare
+      * pattern backslash as a literal character, so omitting the clause
+      * silently changes meaning (measured on DuckDB: `'a_b' LIKE 'a\_b'` is
+      * FALSE bare, TRUE with the clause); on the backslash-default engines
+      * (Postgres, Redshift, MySQL) the explicit clause is a no-op — emitting
+      * it everywhere keeps one exact text shape that every clause-bearing
+      * grammar accepts.
+      */
+    def likeBackslashIsDefaultEscape: Boolean = false
+    /** The ESCAPE clause for a given escape character; None = the grammar has
+      * no such clause (GoogleSQL, ClickHouse) and a non-default escape must
+      * refuse loudly.
+      */
+    def likeEscapeClause(esc: Char): Option[String] =
+      Some(s" ESCAPE ${literal(Literal(esc.toString))}")
+    /** Literal LIKE-pattern rewrite hook: T-SQL additionally treats `[...]`
+      * as a character class, so a literal `[` must neutralize to `[[]`.
+      */
+    def likePattern(p: String): String = p
     /** Bitwise machinery (grouping() lowers to `shiftright(gid, n) & 1` over
       * the Expand-emitted grouping id): infix on the Postgres family, named
       * functions on Trino/Snowflake/ClickHouse, arithmetic identities on
@@ -334,6 +357,17 @@ object SqlUnparser {
     /** ANSI-flavored literal rendering shared by the executable-SQL dialects
       * (identical text modulo [[typeName]] spellings in casts).
       */
+    /** [[ansiLiteral]] with backslash doubling in string values, for engines
+      * whose string parser treats backslash as an escape introducer (MySQL,
+      * GoogleSQL, ClickHouse, Snowflake): a raw backslash would corrupt the
+      * parsed value — or error outright on GoogleSQL's strict escape set.
+      */
+    protected def backslashLiteral(l: Literal): String = (l.value, l.dataType) match {
+      case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        "'" + v.toString.replace("\\", "\\\\").replace("'", "''") + "'"
+      case _ => ansiLiteral(l)
+    }
+
     protected def ansiLiteral(l: Literal): String = (l.value, l.dataType) match {
       case (null, NullType) => "NULL"
       case (null, dt) => s"CAST(NULL AS ${typeName(dt)})"
@@ -428,6 +462,8 @@ object SqlUnparser {
   }
 
   object SparkDialect extends Dialect {
+    // backslash is already this engine's LIKE escape — no clause needed
+    override def likeBackslashIsDefaultEscape: Boolean = true
     def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     def relation(rootPath: String): String = s"parquet.${quote(rootPath)}"
     def typeName(dt: DataType): String = dt.sql
@@ -732,7 +768,7 @@ object SqlUnparser {
       case other => throw new UnsupportedOperationException(
         s"mysql dialect: type ${other.sql}")
     }
-    def literal(l: Literal): String = ansiLiteral(l)
+    def literal(l: Literal): String = backslashLiteral(l)
     override def preferExtract: Boolean = true
     override def semiAntiAsExists: Boolean = true
     // `DIV` truncates toward zero over exact integers (MySQL reference manual)
@@ -856,6 +892,11 @@ object SqlUnparser {
     * snapshot posture.
     */
   object BigQueryDialect extends Dialect {
+    // backslash is already this engine's LIKE escape — no clause needed
+    override def likeBackslashIsDefaultEscape: Boolean = true
+    // no ESCAPE clause in this grammar; backslash is already the
+    // engine's LIKE escape, so only a CUSTOM escape must refuse
+    override def likeEscapeClause(esc: Char): Option[String] = None
     def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     // GoogleSQL expands arrays with a FROM-positioned UNNEST whose alias IS
     // the element column (no wrapping table alias); its series builders are
@@ -915,7 +956,7 @@ object SqlUnparser {
       case other => throw new UnsupportedOperationException(
         s"bigquery dialect: type ${other.sql}")
     }
-    def literal(l: Literal): String = ansiLiteral(l)
+    def literal(l: Literal): String = backslashLiteral(l)
     override def preferExtract: Boolean = true
     override def semiAntiAsExists: Boolean = true
     override def integralDivide(l: String, r: String): String = s"DIV($l, $r)"
@@ -1010,6 +1051,11 @@ object SqlUnparser {
     * goldens + generation gates + the property sweep.
     */
   object ClickHouseDialect extends Dialect {
+    // backslash is already this engine's LIKE escape — no clause needed
+    override def likeBackslashIsDefaultEscape: Boolean = true
+    // no ESCAPE clause in this grammar; backslash is already the
+    // engine's LIKE escape, so only a CUSTOM escape must refuse
+    override def likeEscapeClause(esc: Char): Option[String] = None
     def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -1048,7 +1094,7 @@ object SqlUnparser {
         val frac = if (t.getNano == 0) "" else f".${t.getNano / 1000}%06d"
         s"toDateTime64('${t.format(java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss"))}$frac', 6)"
-      case _ => ansiLiteral(l)
+      case _ => backslashLiteral(l)
     }
     // extract() exists in ClickHouse but the reference maps to the native
     // functions, including the dow modulo trick — mirror it
@@ -1185,7 +1231,7 @@ object SqlUnparser {
       case other => throw new UnsupportedOperationException(
         s"snowflake dialect: type ${other.sql}")
     }
-    def literal(l: Literal): String = ansiLiteral(l)
+    def literal(l: Literal): String = backslashLiteral(l)
     override def preferExtract: Boolean = true
     override def semiAntiAsExists: Boolean = true
     // Snowflake / on NUMBER is exact decimal division; TRUNC is toward zero,
@@ -1280,6 +1326,8 @@ object SqlUnparser {
     * Morton expansion fail loudly. Snapshot posture (no SQL Server here).
     */
   object MsSqlDialect extends Dialect {
+    // T-SQL LIKE additionally treats [...] as a character class
+    override def likePattern(p: String): String = p.replace("[", "[[]")
     def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -2222,7 +2270,27 @@ object SqlUnparser {
         val items = i.hset.toSeq.map(v =>
           dialect.literal(Literal(v, i.child.dataType))).sorted
         s"(${re(i.child)} IN (${items.mkString(", ")}))"
-      case l: Like => s"(${re(l.left)} LIKE ${re(l.right)})"
+      case l: Like =>
+        // Spark's LIKE escapes with backslash (or an explicit ESCAPE char);
+        // standard-conforming engines treat a bare pattern's backslash as a
+        // literal, so the clause must travel with the text (see
+        // Dialect.likeBackslashIsDefaultEscape). Literal patterns also route
+        // through likePattern (T-SQL bracket-class neutralization).
+        val pat = l.right match {
+          case Literal(p, StringType) if p != null =>
+            dialect.literal(Literal(dialect.likePattern(p.toString)))
+          case other => rv(other)
+        }
+        val clause =
+          if (l.escapeChar != '\\')
+            dialect.likeEscapeClause(l.escapeChar).getOrElse(
+              throw new UnsupportedOperationException(
+                s"unparse: LIKE ESCAPE '${l.escapeChar}' has no spelling in " +
+                  "this dialect"))
+          else if (!dialect.likeBackslashIsDefaultEscape)
+            dialect.likeEscapeClause('\\').getOrElse("")
+          else ""
+        s"(${rv(l.left)} LIKE $pat$clause)"
       case cw: CaseWhen =>
         val branches = cw.branches.map { case (p, v) =>
           s"WHEN ${rp(p)} THEN ${rv(v)}" }.mkString(" ")

@@ -145,6 +145,54 @@ class SqlUnparserMssqlOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("LIKE escape semantics travel with the text per engine") {
+    import org.apache.spark.sql.functions._
+    // pattern value contains a backslash-escaped underscore (Spark semantics:
+    // matches a literal underscore)
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .filter(col("n_name").like("%\\_x%")).select("n_name")
+    val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
+    def text(d: String): String =
+      SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, SqlUnparser.dialectFor(d))
+    // every clause-bearing grammar gets the explicit ESCAPE '\' — required on
+    // the standard engines (bare backslash is a literal there), a no-op on
+    // the backslash-default ones (Postgres, Redshift, MySQL)
+    for (d <- Seq("duckdb", "postgres", "redshift", "trino", "snowflake",
+        "oracle", "mssql", "mysql"))
+      assert(text(d).contains(raw"ESCAPE '\'") || text(d).contains(raw"ESCAPE '\\'"),
+        s"$d: ${text(d)}")
+    // clause-less grammars (GoogleSQL, ClickHouse): backslash is already the
+    // engine's escape, but their escape-introducer STRING parsers need the
+    // backslash doubled to carry the pattern value through
+    for (d <- Seq("bigquery", "clickhouse"))
+      assert(text(d).contains(raw"%\\_x%") && !text(d).contains("ESCAPE"),
+        s"$d: ${text(d)}")
+    // T-SQL's bracket character class neutralizes in literal patterns (the
+    // multi-wildcard shape survives LikeSimplification; the single-infix
+    // `%[x]%` shape becomes Contains → CHARINDEX, which is already literal)
+    val br = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .filter(col("n_name").like("%[x]%y%")).select("n_name")
+    val optBr = spark.sessionState.optimizer.execute(br.queryExecution.analyzed)
+    val ms = SqlUnparser.unparse(optBr, br.columns.toIndexedSeq, SqlUnparser.MsSqlDialect)
+    assert(ms.contains("%[[]x]%y%"), ms)
+    // a custom ESCAPE char refuses loudly where the grammar has no clause
+    val custom = spark.sql(
+      s"SELECT n_name FROM parquet.`${TestSpark.sfDir}/nation.parquet` " +
+        "WHERE n_name LIKE '%!_%' ESCAPE '!'")
+    val optCustom = spark.sessionState.optimizer.execute(custom.queryExecution.analyzed)
+    for (d <- Seq("bigquery", "clickhouse")) {
+      val e = intercept[UnsupportedOperationException] {
+        SqlUnparser.unparse(optCustom, custom.columns.toIndexedSeq,
+          SqlUnparser.dialectFor(d))
+      }
+      assert(e.getMessage.contains("ESCAPE"), e.getMessage)
+    }
+    // ... and renders where it does
+    val tr = SqlUnparser.unparse(optCustom, custom.columns.toIndexedSeq,
+      SqlUnparser.TrinoDialect)
+    assert(tr.contains("ESCAPE '!'"), tr)
+  }
+
   test("oracle/clickhouse: null-safe equality emulates never-NULL (no IS NOT " +
       "DISTINCT FROM in either grammar); mssql keeps the ANSI form (2022+)") {
     import org.apache.spark.sql.functions._

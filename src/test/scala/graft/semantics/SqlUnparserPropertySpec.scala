@@ -99,6 +99,12 @@ class SqlUnparserPropertyGrammar {
       s"${pick(numCols)} % ${2 + rnd.nextInt(5)} = ${rnd.nextInt(2)}",
       s"${pick(numCols)} > ${rnd.nextInt(1000)}",
       s"${pick(strCols)} LIKE '${('A' + rnd.nextInt(5)).toChar}%'",
+      // Spark's backslash-escaped wildcard: engines without a default
+      // backslash escape need the dialect-appended ESCAPE clause or the
+      // pattern silently changes meaning. The concat guarantees every row
+      // ends with a literal '_x', so the DuckDB-executed sweep DISCRIMINATES:
+      // correct rendering matches all rows, a clause-less misreading zero
+      raw"concat(${pick(strCols)}, '_x') LIKE '%\\_x'",
       s"${pick(strCols)} IN ('BUILDING', 'MACHINERY', 'O', 'F')",
       s"${pick(numCols)} IS NOT NULL",
       // decorrelates to a semi/anti join — SEMI/ANTI JOIN keywords on DuckDB,
