@@ -210,6 +210,17 @@ object SqlUnparser {
       * as a character class, so a literal `[` must neutralize to `[[]`.
       */
     def likePattern(p: String): String = p
+    /** Regex spellings: match PREDICATE, replace-ALL, group extract. None =
+      * the engine cannot express it (T-SQL has no regex at all; group
+      * extraction where the engine's functions cannot reach the index) and
+      * the renderer refuses loudly. Regex FLAVOR (Spark's Java syntax vs
+      * RE2 on DuckDB/Trino/BigQuery/ClickHouse vs POSIX ARE on Postgres/
+      * Oracle) is name-mapped, not translated — the reference's sqlglot
+      * posture; the common class/anchor/quantifier subset agrees.
+      */
+    def regexpMatch(s: String, p: String): Option[String] = None
+    def regexpReplaceAll(s: String, p: String, r: String): Option[String] = None
+    def regexpExtract(s: String, p: String, idx: Int): Option[String] = None
     /** Bitwise machinery (grouping() lowers to `shiftright(gid, n) & 1` over
       * the Expand-emitted grouping id): infix on the Postgres family, named
       * functions on Trino/Snowflake/ClickHouse, arithmetic identities on
@@ -512,6 +523,14 @@ object SqlUnparser {
   }
 
   object DuckDbDialect extends Dialect {
+    // RE2 regex family; regexp_extract is ''-on-miss like Spark, replace
+    // needs the explicit 'g' for every-match semantics
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"regexp_matches($s, $p)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"regexp_replace($s, $p, $r, 'g')")
+    override def regexpExtract(s: String, p: String, idx: Int): Option[String] =
+      Some(s"regexp_extract($s, $p, $idx)")
     def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -631,6 +650,18 @@ object SqlUnparser {
     * for its 20 dialects (`wren-core/core/src/mdl/mod.rs:648+`).
     */
   object PostgresDialect extends Dialect {
+    // `~` is Postgres's partial-match operator (DuckDB's same-spelled
+    // operator is FULL-match — the sweep records these texts as
+    // valid-but-not-DuckDB-executable); regexp_match returns a 1-based
+    // group array, so index 0 (whole match) is unreachable and refuses
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"($s ~ $p)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"regexp_replace($s, $p, $r, 'g')")
+    override def regexpExtract(s: String, p: String, idx: Int): Option[String] =
+      if (idx < 1) None
+      else Some(s"(CASE WHEN ($s IS NULL) OR ($p IS NULL) THEN NULL " +
+        s"ELSE coalesce((regexp_match($s, $p))[$idx], '') END)")
     def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -747,6 +778,12 @@ object SqlUnparser {
     * sibling tests), the reference's snapshot-test posture.
     */
   object MySqlDialect extends Dialect {
+    // REGEXP is MySQL's partial-match operator; 8.0 REGEXP_REPLACE is
+    // global by default; REGEXP_SUBSTR has no group access — extract refuses
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"($s REGEXP $p)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"REGEXP_REPLACE($s, $p, $r)")
     def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -892,6 +929,13 @@ object SqlUnparser {
     * snapshot posture.
     */
   object BigQueryDialect extends Dialect {
+    // RE2 family: REGEXP_CONTAINS is the partial-match predicate,
+    // REGEXP_REPLACE is global; REGEXP_EXTRACT's group selection is
+    // pattern-driven, not index-driven — extract refuses
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"REGEXP_CONTAINS($s, $p)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"REGEXP_REPLACE($s, $p, $r)")
     // backslash is already this engine's LIKE escape — no clause needed
     override def likeBackslashIsDefaultEscape: Boolean = true
     // no ESCAPE clause in this grammar; backslash is already the
@@ -1051,6 +1095,13 @@ object SqlUnparser {
     * goldens + generation gates + the property sweep.
     */
   object ClickHouseDialect extends Dialect {
+    // match() is the RE2 partial-match predicate; replaceRegexpAll is the
+    // every-occurrence form; extract()'s group choice is positional-first,
+    // not indexed — extract refuses
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"match($s, $p)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"replaceRegexpAll($s, $p, $r)")
     // backslash is already this engine's LIKE escape — no clause needed
     override def likeBackslashIsDefaultEscape: Boolean = true
     // no ESCAPE clause in this grammar; backslash is already the
@@ -1211,6 +1262,13 @@ object SqlUnparser {
     * in this sandbox: pinned goldens + generation gates + the sweep.
     */
   object SnowflakeDialect extends Dialect {
+    // Snowflake's REGEXP_LIKE / REGEXP operator are FULL-match (unlike
+    // Oracle's partial REGEXP_LIKE) — the partial-match predicate is
+    // position-based; NULL inputs propagate through the comparison
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"(REGEXP_INSTR($s, $p) > 0)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"REGEXP_REPLACE($s, $p, $r)")
     def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -1499,6 +1557,15 @@ object SqlUnparser {
     * expansion fail loudly. Snapshot posture (no Oracle here).
     */
   object OracleDialect extends Dialect {
+    // Oracle's REGEXP_LIKE is a partial-match CONDITION (predicate
+    // position only — consistent with booleanAsValue=false);
+    // REGEXP_REPLACE replaces every occurrence by default; REGEXP_SUBSTR's
+    // miss semantics (NULL, and '' IS NULL in Oracle) cannot express
+    // Spark's ''-on-miss — extract refuses
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"REGEXP_LIKE($s, $p)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"REGEXP_REPLACE($s, $p, $r)")
     def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -1647,6 +1714,16 @@ object SqlUnparser {
     * EXECUTED in DuckDB (shared ANSI core) by `tools/unparse_sweep.py`.
     */
   object TrinoDialect extends Dialect {
+    // regexp_like is Trino's partial-match predicate; replace is global by
+    // default; extract is NULL-on-miss where Spark is '' (NULL inputs stay
+    // NULL through the guard)
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"regexp_like($s, $p)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"regexp_replace($s, $p, $r)")
+    override def regexpExtract(s: String, p: String, idx: Int): Option[String] =
+      Some(s"(CASE WHEN ($s IS NULL) OR ($p IS NULL) THEN NULL " +
+        s"ELSE coalesce(regexp_extract($s, $p, $idx), '') END)")
     def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -1796,6 +1873,13 @@ object SqlUnparser {
     * the grammar sweep's Redshift texts are DuckDB-executed like Postgres's.
     */
   object RedshiftDialect extends Dialect {
+    // Postgres-heritage `~` partial match; REGEXP_REPLACE replaces every
+    // occurrence by default; REGEXP_SUBSTR cannot reach Spark's group/miss
+    // semantics, so extract refuses
+    override def regexpMatch(s: String, p: String): Option[String] =
+      Some(s"($s ~ $p)")
+    override def regexpReplaceAll(s: String, p: String, r: String): Option[String] =
+      Some(s"REGEXP_REPLACE($s, $p, $r)")
     def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
@@ -2291,6 +2375,36 @@ object SqlUnparser {
             dialect.likeEscapeClause('\\').getOrElse("")
           else ""
         s"(${rv(l.left)} LIKE $pat$clause)"
+      // Regex family: route through the dialect's spellings; a None hook or
+      // an inexpressible shape (non-literal/flavor-specific replacement,
+      // non-default start position, unreachable group index) falls back —
+      // i.e. renders on Spark, refuses loudly everywhere else.
+      case r0: RLike =>
+        dialect.regexpMatch(rv(r0.left), rv(r0.right))
+          .getOrElse(dialect.fallback(renameRefs(r0), rv))
+      case rr: RegExpReplace =>
+        // Spark replaces EVERY match from position 1; a replacement carrying
+        // `$n`/`\n` group references is flavor-specific (Java `$1` vs RE2/
+        // POSIX `\1`), so only plain-text replacements translate
+        val globalFromStart = rr.pos match {
+          case IntegerLiteral(1) => true
+          case _ => false
+        }
+        val plainReplacement = rr.rep match {
+          case Literal(v, StringType) if v != null =>
+            !v.toString.contains('$') && !v.toString.contains('\\')
+          case _ => false
+        }
+        (if (globalFromStart && plainReplacement)
+          dialect.regexpReplaceAll(rv(rr.subject), rv(rr.regexp), rv(rr.rep))
+        else None)
+          .getOrElse(dialect.fallback(renameRefs(rr), rv))
+      case re0: RegExpExtract =>
+        (re0.idx match {
+          case IntegerLiteral(i) =>
+            dialect.regexpExtract(rv(re0.subject), rv(re0.regexp), i)
+          case _ => None
+        }).getOrElse(dialect.fallback(renameRefs(re0), rv))
       case cw: CaseWhen =>
         val branches = cw.branches.map { case (p, v) =>
           s"WHEN ${rp(p)} THEN ${rv(v)}" }.mkString(" ")

@@ -94,6 +94,10 @@ class SqlUnparserPropertyGrammar {
       s"upper(${pick(strCols)})",
       s"substring(${pick(strCols)}, 1, ${1 + rnd.nextInt(3)})",
       s"concat(${pick(strCols)}, '_x')",
+      // regex replace-all: the duckdb/postgres texts carry the explicit 'g'
+      // and EXECUTE in the sweep; trino/redshift's global-by-default 3-arg
+      // form would misread as first-match in DuckDB — classified explicitly
+      s"regexp_replace(${pick(strCols)}, '[AEIOU]+', '.')",
       s"CASE WHEN ${pick(numCols)} % 2 = 0 THEN ${pick(strCols)} ELSE 'other' END"))
     def pred(): String = pick(Seq(
       s"${pick(numCols)} % ${2 + rnd.nextInt(5)} = ${rnd.nextInt(2)}",
@@ -105,6 +109,10 @@ class SqlUnparserPropertyGrammar {
       // ends with a literal '_x', so the DuckDB-executed sweep DISCRIMINATES:
       // correct rendering matches all rows, a clause-less misreading zero
       raw"concat(${pick(strCols)}, '_x') LIKE '%\\_x'",
+      // regex partial-match predicate: duckdb's regexp_matches executes;
+      // postgres/redshift `~` (partial THERE, full-match in DuckDB) and
+      // trino regexp_like are valid-for-engine, classified explicitly
+      s"${pick(strCols)} RLIKE '^[A-P]'",
       s"${pick(strCols)} IN ('BUILDING', 'MACHINERY', 'O', 'F')",
       s"${pick(numCols)} IS NOT NULL",
       // decorrelates to a semi/anti join — SEMI/ANTI JOIN keywords on DuckDB,

@@ -92,6 +92,20 @@ for seed in range(SEEDS):
         if dialect == "trino" and "bitwise_" in sql:
             results[dialect]["not_duckdb_expressible"] += 1
             continue
+        # Regex spellings that are correct for their engine but would MISREAD
+        # in DuckDB: postgres/redshift `~` is partial-match there, full-match
+        # here; trino regexp_like doesn't exist here; trino/redshift 3-arg
+        # regexp_replace is global there, first-match here. Recorded
+        # explicitly, never silently passed.
+        if dialect in ("postgres", "redshift") and " ~ " in sql:
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
+        if dialect == "trino" and "regexp_like(" in sql:
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
+        if dialect in ("trino", "redshift") and "regexp_replace(" in sql.lower():
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
         try:
             ddf = norm(con.sql(sql).df())
             bad = compare(sdf, ddf)
