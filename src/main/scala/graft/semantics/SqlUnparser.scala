@@ -221,6 +221,12 @@ object SqlUnparser {
     def regexpMatch(s: String, p: String): Option[String] = None
     def regexpReplaceAll(s: String, p: String, r: String): Option[String] = None
     def regexpExtract(s: String, p: String, idx: Int): Option[String] = None
+    /** split_part(s, delim, n): 1-based literal-delimiter field access with
+      * Spark's ''-on-overflow (Spark lowers it to element_at over an internal
+      * split). None = no engine spelling with those semantics; negative
+      * (from-the-end) indexes always refuse.
+      */
+    def splitPart(s: String, delim: String, n: Int): Option[String] = None
     /** Bitwise machinery (grouping() lowers to `shiftright(gid, n) & 1` over
       * the Expand-emitted grouping id): infix on the Postgres family, named
       * functions on Trino/Snowflake/ClickHouse, arithmetic identities on
@@ -523,6 +529,9 @@ object SqlUnparser {
   }
 
   object DuckDbDialect extends Dialect {
+    // native 1-based split_part with Spark's ''-on-overflow
+    override def splitPart(s: String, delim: String, n: Int): Option[String] =
+      Some(s"split_part($s, $delim, $n)")
     // RE2 regex family; regexp_extract is ''-on-miss like Spark, replace
     // needs the explicit 'g' for every-match semantics
     override def regexpMatch(s: String, p: String): Option[String] =
@@ -626,7 +635,11 @@ object SqlUnparser {
       "pow", "power", "mod",
       // statistical aggregates: identical names + ANSI semantics in DuckDB
       "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
-      "covar_samp", "covar_pop", "median")
+      "covar_samp", "covar_pop", "median",
+      // math + string family, live-checked on DuckDB 1.0 (no sinh/cosh/tanh
+      // or initcap there yet)
+      "log10", "log2", "log", "degrees", "radians", "cot", "cbrt",
+      "translate", "levenshtein")
     private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
       "startswith" -> "starts_with", "endswith" -> "ends_with",
       "day" -> "day", "dayofmonth" -> "day")
@@ -650,6 +663,9 @@ object SqlUnparser {
     * for its 20 dialects (`wren-core/core/src/mdl/mod.rs:648+`).
     */
   object PostgresDialect extends Dialect {
+    // native 1-based split_part with Spark's ''-on-overflow
+    override def splitPart(s: String, delim: String, n: Int): Option[String] =
+      Some(s"split_part($s, $delim, $n)")
     // `~` is Postgres's partial-match operator (DuckDB's same-spelled
     // operator is FULL-match — the sweep records these texts as
     // valid-but-not-DuckDB-executable); regexp_match returns a 1-based
@@ -753,7 +769,11 @@ object SqlUnparser {
       // ANSI statistical aggregates (Postgres aggregate docs; no median —
       // Postgres spells that percentile_cont, out of the curated subset)
       "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
-      "covar_samp", "covar_pop")
+      "covar_samp", "covar_pop",
+      // math + string family (hyperbolics are PG12+; 2-arg log is
+      // numeric-only in Postgres and stays refused)
+      "log10", "degrees", "radians", "cot", "cbrt", "sinh", "cosh", "tanh",
+      "translate")
     private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
       "startswith" -> "starts_with")
     def fnName(prettyName: String): Option[String] = {
@@ -899,7 +919,9 @@ object SqlUnparser {
       "exp", "sign", "md5", "concat_ws", "left", "right", "repeat", "instr",
       "pow", "power", "mod",
       // MySQL 8 statistical aggregates (no corr/covar in MySQL)
-      "stddev_samp", "stddev_pop", "var_samp", "var_pop")
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+      // math family: LOG(B,X) is base-first like Spark's 2-arg log
+      "log10", "log2", "log", "degrees", "radians", "cot")
     private val renamed = Map(
       "substring" -> "substr",
       // MySQL length() counts BYTES; char_length matches Spark's semantics
@@ -1065,10 +1087,11 @@ object SqlUnparser {
       "round", "floor", "trim", "ltrim", "rtrim", "replace",
       "lpad", "rpad", "reverse", "greatest", "least", "nullif", "sqrt", "ln",
       "exp", "sign", "left", "right", "repeat", "mod",
-      "starts_with", "ends_with",
+      "starts_with", "ends_with", "initcap", "translate", "cot",
       "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
       "covar_samp", "covar_pop")
     private val renamed = Map(
+      "levenshtein" -> "EDIT_DISTANCE",
       "substring" -> "substr", "instr" -> "strpos",
       "startswith" -> "starts_with", "endswith" -> "ends_with",
       "ceil" -> "ceil", "ceiling" -> "ceil",
@@ -1226,8 +1249,11 @@ object SqlUnparser {
     private val direct = Set("upper", "lower", "concat", "abs", "round",
       "floor", "ceil", "sqrt", "exp", "sign", "greatest", "least",
       "trim", "ltrim", "rtrim", "lpad", "rpad", "repeat", "left", "right",
-      "concat_ws", "date_trunc", "ln", "corr")
+      "concat_ws", "date_trunc", "ln", "corr",
+      "log10", "log2", "degrees", "radians", "sinh", "cosh", "tanh",
+      "translate")
     private val renamed = Map(
+      "levenshtein" -> "editDistance",
       "ceiling" -> "ceil",
       "length" -> "lengthUTF8",   // byte-wise `length` diverges on non-ASCII
       "reverse" -> "reverseUTF8",
@@ -1262,6 +1288,9 @@ object SqlUnparser {
     * in this sandbox: pinned goldens + generation gates + the sweep.
     */
   object SnowflakeDialect extends Dialect {
+    // native 1-based split_part with Spark's ''-on-overflow
+    override def splitPart(s: String, delim: String, n: Int): Option[String] =
+      Some(s"split_part($s, $delim, $n)")
     // Snowflake's REGEXP_LIKE / REGEXP operator are FULL-match (unlike
     // Oracle's partial REGEXP_LIKE) — the partial-match predicate is
     // position-based; NULL inputs propagate through the comparison
@@ -1353,8 +1382,12 @@ object SqlUnparser {
       // MD5 returns hex VARCHAR in Snowflake, same as Spark
       "md5", "date_trunc", "concat_ws",
       "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
-      "covar_samp", "covar_pop", "median")
+      "covar_samp", "covar_pop", "median",
+      // LOG(base, expr) is base-first like Spark's 2-arg log
+      "degrees", "radians", "cot", "sinh", "cosh", "tanh", "cbrt",
+      "translate", "initcap", "log")
     private val renamed = Map(
+      "levenshtein" -> "EDITDISTANCE",
       "substring" -> "substr",
       "startswith" -> "STARTSWITH", "endswith" -> "ENDSWITH",
       "contains" -> "CONTAINS",
@@ -1529,7 +1562,9 @@ object SqlUnparser {
     }
     private val direct = Set("upper", "lower", "concat", "abs", "round",
       "floor", "sqrt", "exp", "sign", "trim", "ltrim", "rtrim", "replace",
-      "reverse", "greatest", "least", "nullif", "left", "right", "concat_ws")
+      "reverse", "greatest", "least", "nullif", "left", "right", "concat_ws",
+      // 2-arg LOG is argument-REVERSED in T-SQL (LOG(x, base)) and refuses
+      "log10", "degrees", "radians", "cot", "translate")
     private val renamed = Map(
       // LEN ignores trailing spaces (documented T-SQL quirk)
       "length" -> "LEN",
@@ -1682,7 +1717,10 @@ object SqlUnparser {
       "floor", "ceil", "sqrt", "exp", "ln", "sign", "trim", "ltrim", "rtrim",
       "replace", "lpad", "rpad", "greatest", "least", "nullif", "instr",
       "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
-      "covar_samp", "covar_pop", "median")
+      "covar_samp", "covar_pop", "median",
+      // LOG(base, expr) is base-first like Spark's; no degrees/radians/cot/
+      // cbrt/log10 in Oracle's function set
+      "sinh", "cosh", "tanh", "translate", "initcap", "log")
     private val renamed = Map(
       "substring" -> "SUBSTR", "ceiling" -> "ceil",
       "pow" -> "POWER", "power" -> "POWER", "mod" -> "MOD",
@@ -1714,6 +1752,11 @@ object SqlUnparser {
     * EXECUTED in DuckDB (shared ANSI core) by `tools/unparse_sweep.py`.
     */
   object TrinoDialect extends Dialect {
+    // Trino's split_part is NULL-on-overflow where Spark is '' — the
+    // guard keeps NULL inputs NULL
+    override def splitPart(s: String, delim: String, n: Int): Option[String] =
+      Some(s"(CASE WHEN ($s IS NULL) OR ($delim IS NULL) THEN NULL " +
+        s"ELSE coalesce(split_part($s, $delim, $n), '') END)")
     // regexp_like is Trino's partial-match predicate; replace is global by
     // default; extract is NULL-on-miss where Spark is '' (NULL inputs stay
     // NULL through the guard)
@@ -1850,8 +1893,12 @@ object SqlUnparser {
       // ANSI statistical aggregates (Trino aggregate docs; no bare median —
       // Trino spells that approx_percentile, out of the curated subset)
       "stddev_samp", "stddev_pop", "var_samp", "var_pop", "corr",
-      "covar_samp", "covar_pop")
+      "covar_samp", "covar_pop",
+      // math family (log(b,x) is base-first like Spark); no cot in Trino
+      "log10", "log2", "log", "degrees", "radians", "sinh", "cosh", "tanh",
+      "cbrt", "translate")
     private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
+      "levenshtein" -> "levenshtein_distance",
       "startswith" -> "starts_with", "btrim" -> "trim")
     def fnName(prettyName: String): Option[String] = {
       val p = prettyName.toLowerCase
@@ -1873,6 +1920,9 @@ object SqlUnparser {
     * the grammar sweep's Redshift texts are DuckDB-executed like Postgres's.
     */
   object RedshiftDialect extends Dialect {
+    // native 1-based split_part with Spark's ''-on-overflow
+    override def splitPart(s: String, delim: String, n: Int): Option[String] =
+      Some(s"split_part($s, $delim, $n)")
     // Postgres-heritage `~` partial match; REGEXP_REPLACE replaces every
     // occurrence by default; REGEXP_SUBSTR cannot reach Spark's group/miss
     // semantics, so extract refuses
@@ -1972,8 +2022,12 @@ object SqlUnparser {
       "date_trunc", "left", "right", "repeat", "mod",
       // Redshift aggregate docs: stddev/var families + MEDIAN exist;
       // corr/covar do not — they fail loudly
-      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "median")
+      "stddev_samp", "stddev_pop", "var_samp", "var_pop", "median",
+      // math + string family (no hyperbolics in Redshift)
+      "degrees", "radians", "cot", "cbrt", "translate")
     private val renamed = Map("substring" -> "substr", "instr" -> "strpos",
+      // Redshift's single-argument LOG is base-10
+      "log10" -> "LOG",
       "pow" -> "POWER", "power" -> "POWER")
     def fnName(prettyName: String): Option[String] = {
       val p = prettyName.toLowerCase
@@ -2375,6 +2429,23 @@ object SqlUnparser {
             dialect.likeEscapeClause('\\').getOrElse("")
           else ""
         s"(${rv(l.left)} LIKE $pat$clause)"
+      // locate(sub, str) from position 1 IS instr(str, sub) — reusing each
+      // dialect's audited instr mapping (strpos / POSITION / CHARINDEX with
+      // their per-engine argument orders) instead of a second spelling table
+      case sl: StringLocate if sl.start == Literal(1) =>
+        re(StringInstr(sl.str, sl.substr))
+      // split_part: Spark lowers it to element_at over an internal split;
+      // engines with a native split_part(s, d, n) of the same 1-based
+      // ''-on-overflow semantics render it directly (checked on DuckDB)
+      case ea: ElementAt => (ea.left, ea.right) match {
+        case (sp: StringSplitSQL, IntegerLiteral(n)) if n >= 1 =>
+          (sp.delimiter match {
+            case Literal(d, StringType) if d != null =>
+              dialect.splitPart(rv(sp.str), dialect.literal(Literal(d.toString)), n)
+            case _ => None
+          }).getOrElse(dialect.fallback(renameRefs(ea), rv))
+        case _ => dialect.fallback(renameRefs(ea), rv)
+      }
       // Regex family: route through the dialect's spellings; a None hook or
       // an inexpressible shape (non-literal/flavor-specific replacement,
       // non-default start position, unreachable group index) falls back —
