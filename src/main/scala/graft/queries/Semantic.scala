@@ -246,6 +246,26 @@ object Semantic {
       |                              interval 1 day)) g AS d
       |WHERE o_orderkey <= 200 ORDER BY o_orderkey, d""".stripMargin
 
+  /** Source SQL for the `m28_unparse_fns_*` cross-corpus entries: the
+    * round-10 function-surface mappings (split_part, locate→instr→strpos,
+    * translate, log10, cbrt) over a model column, driver-EXECUTED for all
+    * four live-text dialects (DuckDB's one-arg `log` is base-10 like
+    * Redshift's, measured — so even the redshift rename executes
+    * faithfully). Explicit casts pin the cross-engine result types
+    * (strpos is int4 on Postgres, int8 on DuckDB; Spark locate is int), and
+    * the math columns round to 6 decimals — cbrt/log10 differ from Java in
+    * the last ULP on other engines (measured: DuckDB cbrt(2) ends ...34
+    * where Java ends ...32), the repo's never-hash-raw-doubles rule.
+    */
+  val m28Sql: String =
+    """SELECT o_orderkey,
+      |  split_part(cust_segment, 'I', 1) AS p1,
+      |  cast(locate('I', cust_segment) as bigint) AS pos,
+      |  translate(cust_segment, 'AEIOU', '.....') AS tr,
+      |  cast(round(log10(o_orderkey + 1), 6) as double) AS lg,
+      |  cast(round(cbrt(o_orderkey), 6) as double) AS cb
+      |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(CAST(sum("c3") AS DECIMAL(28,2)) AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_totalprice" AS "c8" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
@@ -584,7 +604,11 @@ object Semantic {
       // the CORRELATED spine executes only for duckdb (the postgres/trino
       // lateral forms are valid for their engines but outside DuckDB's
       // parser — golden-pinned instead)
-      Seq(("m27_unparse_spine_lateral", "duckdb", m27Sql))
+      Seq(("m27_unparse_spine_lateral", "duckdb", m27Sql)) ++
+      // the round-10 function-surface mappings, executed on every live-text
+      // dialect (each rendering is DuckDB-parseable AND DuckDB-faithful)
+      Seq("duckdb", "postgres", "trino", "redshift").map(d =>
+        (s"m28_unparse_fns_$d", d, m28Sql))
 
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
     crossCorpus.map { case (n, _, sql) =>

@@ -491,6 +491,11 @@ object SqlUnparser {
       case ArrayType(et, _) if l.value != null =>
         val arr = l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         "array(" + arr.toObjectArray(et).map(v => literal(Literal(v, et))).mkString(", ") + ")"
+      // Spark's string parser treats backslash as an escape introducer, but
+      // Literal.sql prints the value RAW — a value containing backslashes
+      // (regex \Q..\E quoting, LIKE escapes) would parse back corrupted
+      case StringType if l.value != null =>
+        "'" + l.value.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
       case _ => l.sql
     }
     override def sequenceFn(start: String, stop: String, step: Option[String],
@@ -2535,8 +2540,10 @@ object SqlUnparser {
       case sp: StringSplitSQL =>
         sp.delimiter match {
           case Literal(d, StringType) if d != null =>
-            val quoted = java.util.regex.Pattern.quote(d.toString).replace("'", "''")
-            s"split(${re(sp.str)}, '$quoted')"
+            // route through dialect.literal so escape-introducer string
+            // parsers (Spark's own included) carry \Q..\E's backslashes
+            val quoted = java.util.regex.Pattern.quote(d.toString)
+            s"split(${re(sp.str)}, ${dialect.literal(Literal(quoted))})"
           case other => throw new UnsupportedOperationException(
             s"unparse: split with non-literal delimiter $other")
         }

@@ -25,7 +25,7 @@ object GoldenGen {
     "m21" -> Semantic.m21Sql, "m22" -> Semantic.m22Sql,
     "m23" -> Semantic.m23Sql, "m24" -> Semantic.m24Sql,
     "m25" -> Semantic.m25Sql, "m26" -> Semantic.m26Sql,
-    "m27" -> Semantic.m27Sql)
+    "m27" -> Semantic.m27Sql, "m28" -> Semantic.m28Sql)
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("src/test/resources/goldens")
