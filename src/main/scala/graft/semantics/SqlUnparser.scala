@@ -159,8 +159,14 @@ object SqlUnparser {
       * engines (tsql/oracle generator boolean handling).
       */
     def booleanAsValue: Boolean = true
-    /** Value rendering of a predicate; consulted only when !booleanAsValue. */
-    def boolToValue(pred: String): String = s"(CASE WHEN $pred THEN 1 ELSE 0 END)"
+    /** Value rendering of a predicate; consulted only when !booleanAsValue.
+      * Three-valued: UNKNOWN must stay NULL — collapsing it to 0 would let
+      * count() count NULL rows, merge NULL group keys into the FALSE group,
+      * and show 0 where Spark shows NULL. `WHEN NOT (pred)` is FALSE exactly
+      * when pred is UNKNOWN (NOT NULL = NULL), so the ELSE arm yields NULL.
+      */
+    def boolToValue(pred: String): String =
+      s"(CASE WHEN $pred THEN 1 WHEN NOT ($pred) THEN 0 ELSE NULL END)"
     /** Whether `SELECT *, extra` must qualify the star with the FROM alias
       * (`t.*, extra`). Oracle rejects the unqualified combination outright
       * (ORA-00936); every other engine accepts both forms.
@@ -1027,7 +1033,15 @@ object SqlUnparser {
       case other => throw new UnsupportedOperationException(
         s"bigquery dialect: type ${other.sql}")
     }
-    def literal(l: Literal): String = backslashLiteral(l)
+    // GoogleSQL's quote escape is \' — it does NOT treat '' inside a
+    // single-quoted string as an escaped quote (backslashLiteral inherits
+    // ansiLiteral's '' doubling, which misparses there), so quote AND
+    // backslash both escape with the backslash introducer
+    def literal(l: Literal): String = (l.value, l.dataType) match {
+      case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        "'" + v.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      case _ => backslashLiteral(l)
+    }
     override def preferExtract: Boolean = true
     override def semiAntiAsExists: Boolean = true
     override def integralDivide(l: String, r: String): String = s"DIV($l, $r)"
@@ -2234,10 +2248,17 @@ object SqlUnparser {
                 val elems = lit0.value
                   .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
                   .toObjectArray(et)
-                if (elems.isEmpty)
-                  dialect.fromless(
-                    s"SELECT CAST(NULL AS ${dialect.typeName(et)}) AS $col") +
+                if (elems.isEmpty) {
+                  // the zero-row shape must still carry the child's columns:
+                  // upstream operators reference them by name even though no
+                  // row can flow (typed NULLs keep every engine's inference
+                  // consistent with the non-empty CROSS JOIN shape)
+                  val nulls = g.requiredChildOutput.map(a =>
+                    s"CAST(NULL AS ${dialect.typeName(a.dataType)}) AS ${q(cname(a))}") :+
+                    s"CAST(NULL AS ${dialect.typeName(et)}) AS $col"
+                  dialect.fromless(s"SELECT ${nulls.mkString(", ")}") +
                     " WHERE 1 = 0"
+                }
                 else {
                   val rows = elems.toSeq.map(v =>
                     "(" + dialect.literal(Literal(v, et)) + ")")
@@ -2257,9 +2278,14 @@ object SqlUnparser {
               // explodeCall path below; Postgres, whose set-returning
               // generate_series IS implicitly LATERAL in FROM, keeps this
               // branch for both shapes.
+              // guard probes with CONSTANT placeholders (as sequenceFn /
+              // explodeCall already do): re(bound) in a guard would advance
+              // the freshAlias counter on a discarded render when a bound
+              // holds a scalar subquery, making alias numbering depend on
+              // guard evaluation — the real bounds render exactly once below
               case s: Sequence
-                  if dialect.seriesFrom(re(s.start), re(s.stop),
-                      s.stepOpt.map(re)).isDefined &&
+                  if dialect.seriesFrom("0", "1",
+                      s.stepOpt.map(_ => "1")).isDefined &&
                     (s.references.isEmpty ||
                       dialect.sequenceFn("0", "1", None, IntegerType).isEmpty ||
                       dialect.explodeCall("x").isEmpty) =>

@@ -27,9 +27,15 @@ object DialectLint {
     case SqlUnparser.RedshiftDialect   => "redshift"
   }
 
-  /** Blank out single-quoted literals (with `''` escapes). */
-  def stripLiterals(s: String): String =
-    s.replaceAll("'(?:[^']|'')*'", "''")
+  /** Blank out single-quoted literals (with `''` escapes). GoogleSQL escapes
+    * the quote as `\'` instead — its literals strip with the backslash rule,
+    * and a stray `''`-doubled quote inside a GoogleSQL literal would leak
+    * residue into the stripped text (that leak IS the lint for the round-11
+    * quote-escaping fix: residue trips the `%`/quote rules downstream).
+    */
+  def stripLiterals(s: String, dialect: String = "ansi"): String =
+    if (dialect == "bigquery") s.replaceAll("""'(?:[^'\\]|\\.)*'""", "''")
+    else s.replaceAll("'(?:[^']|'')*'", "''")
 
   /** (label, pattern) pairs the stripped text must NOT match, per dialect.
     * Each label names a real grammar gap of the target engine — round 9's two
@@ -86,7 +92,7 @@ object DialectLint {
       "backtick identifier (Redshift quotes with \")" -> "`".r))
 
   def lint(dialect: String, name: String, text: String): Unit = {
-    val t = stripLiterals(text)
+    val t = stripLiterals(text, dialect)
     assert(text.startsWith("SELECT"), s"$dialect/$name: text must start with SELECT")
     assert(t.count(_ == '(') == t.count(_ == ')'),
       s"$dialect/$name: unbalanced parentheses")

@@ -73,6 +73,20 @@ class SqlUnparserBigQuerySpec extends AnyFunSuite {
     assert(bq.contains("UNION ALL SELECT") && bq.contains("'b,c'"), bq)
   }
 
+  test("bigquery dialect: string literals escape quotes as \\' (GoogleSQL has no '' doubling)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .select(concat(col("n_name"), lit("it's \\a")).as("c"))
+    val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
+    val bq = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, SqlUnparser.BigQueryDialect)
+    // GoogleSQL: \' escapes the quote, \\ the backslash; '' inside a string
+    // is NOT an escaped quote there (it closes + reopens — misparse)
+    assert(bq.contains("'it\\'s \\\\a'"), bq)
+    // the ANSI dialects keep '' doubling for the same literal
+    val duck = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, SqlUnparser.DuckDbDialect)
+    assert(duck.contains("'it''s \\a'"), duck)
+  }
+
   test("bigquery dialect: DIV(a, b) and TO_HEX(MD5(x))") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")

@@ -121,7 +121,10 @@ class SqlUnparserMssqlOracleSpec extends AnyFunSuite {
         .orderBy(col("anybig"))
       val optimized = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
       val text = SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, dialect)
-      assert(text.contains("max((CASE WHEN (") && text.contains("THEN 1 ELSE 0 END))"),
+      // three-valued: UNKNOWN must stay NULL (count/min/max skip it exactly
+      // as Spark does) — `WHEN NOT (pred) THEN 0 ELSE NULL` keeps the NULL arm
+      assert(text.contains("max((CASE WHEN (") &&
+        text.contains("THEN 1 WHEN NOT (") && text.contains("THEN 0 ELSE NULL END))"),
         text)
       // the 0/1 column used as a predicate compares = 1 (NULL propagates the
       // same three-valued way the boolean did)
