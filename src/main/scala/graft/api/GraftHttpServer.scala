@@ -61,6 +61,44 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
   private lazy val queryCache = new QueryCache(
     java.nio.file.Files.createTempDirectory("graft_http_cache_").toString)
 
+  /** Server-scoped schema/query memory behind the /v1/memory routes. */
+  private lazy val memoryStore = new graft.memory.MemoryStore(
+    spark, java.nio.file.Files.createTempDirectory("graft_http_memory_").toString)
+
+  private def parseBody(ex: HttpExchange): JValue =
+    try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(s"malformed JSON body: ${e.getOriginalMessage}")
+    }
+
+  private def jint(j: JValue): Option[Int] = j match {
+    case JInt(i) => Some(i.toInt)
+    case JString(s) if s.nonEmpty && s.forall(_.isDigit) => Some(s.toInt)
+    case _ => None
+  }
+
+  private def memoryManifest(body: JValue): graft.mdl.Manifest = {
+    val manifestStr = (body \ "manifestStr") match {
+      case JString(s) if s.nonEmpty => s
+      case _ => throw new IllegalArgumentException("manifestStr is required")
+    }
+    if (manifestStr.trim.startsWith("{")) graft.mdl.ManifestJson.parse(manifestStr)
+    else graft.mdl.ManifestJson.parseBase64(manifestStr)
+  }
+
+  private def memRowJson(m: Map[String, Any]): JValue = JObject(m.toList.map {
+    case (k, v) => k -> (v match {
+      case null => JNull
+      case d: Double => JDouble(d)
+      case l: Long => JInt(BigInt(l))
+      case i: Int => JInt(BigInt(i))
+      case b: Boolean => JBool(b)
+      case ts: java.sql.Timestamp => JString(ts.toInstant.toString)
+      case other => JString(other.toString)
+    })
+  })
+
   def start(): Int = {
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null) // single-threaded: Spark driver work serializes anyway
@@ -214,6 +252,61 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
       // topic instructions, correction rule). `{ds}` selects the dialect note.
       case ("GET", ("v2" | "v3") :: "connector" :: ds :: "knowledge" :: Nil) =>
         respond(ex, 200, JsonMethods.compact(SqlKnowledge.forDataSource(ds)))
+
+      // Schema/query memory (the reference's `wren memory` surface,
+      // wren/src/wren/memory/cli.py, served over HTTP for agent consumers):
+      // index the manifest, fetch context for a question, store/recall
+      // NL-SQL pairs, status/reset. Body carries manifestStr (json-or-base64)
+      // where a manifest is needed.
+      case ("POST", "v1" :: "memory" :: "index" :: Nil) =>
+        val body = parseBody(ex)
+        val m = memoryManifest(body)
+        val (schemaCount, seedCount) = memoryStore.indexSchema(
+          m, seedQueries = (body \ "noSeed") != JBool(true))
+        respond(ex, 200, JsonMethods.compact(JObject(
+          "schema_items" -> JInt(schemaCount), "seed_queries" -> JInt(seedCount))))
+      case ("POST", "v1" :: "memory" :: "context" :: Nil) =>
+        val body = parseBody(ex)
+        val query = jstr(body \ "query")
+          .getOrElse(throw new IllegalArgumentException("query is required"))
+        val ctx = memoryStore.getContext(
+          memoryManifest(body), query,
+          limit = jint(body \ "limit").getOrElse(5),
+          itemType = jstr(body \ "itemType"), modelName = jstr(body \ "modelName"),
+          threshold = jint(body \ "threshold")
+            .getOrElse(graft.memory.SchemaIndexer.SchemaDescribeThreshold))
+        val out = ctx match {
+          case graft.memory.FullContext(schema) =>
+            JObject("strategy" -> JString("full"), "schema" -> JString(schema))
+          case graft.memory.SearchContext(results) =>
+            JObject("strategy" -> JString("search"),
+              "results" -> JArray(results.toList.map(memRowJson)))
+        }
+        respond(ex, 200, JsonMethods.compact(out))
+      case ("POST", "v1" :: "memory" :: "query" :: Nil) =>
+        val body = parseBody(ex)
+        memoryStore.storeQuery(
+          jstr(body \ "nl").getOrElse(throw new IllegalArgumentException("nl is required")),
+          jstr(body \ "sql").getOrElse(throw new IllegalArgumentException("sql is required")),
+          datasource = jstr(body \ "datasource"), tags = jstr(body \ "tags"))
+        respond(ex, 200, """{"stored":true}""")
+      case ("POST", "v1" :: "memory" :: "recall" :: Nil) =>
+        val body = parseBody(ex)
+        val results = memoryStore.recallQueries(
+          jstr(body \ "query").getOrElse(throw new IllegalArgumentException("query is required")),
+          limit = jint(body \ "limit").getOrElse(3),
+          datasource = jstr(body \ "datasource"))
+        respond(ex, 200, JsonMethods.compact(JArray(results.toList.map(memRowJson))))
+      case ("GET", "v1" :: "memory" :: "status" :: Nil) =>
+        val (p, tables) = memoryStore.status()
+        respond(ex, 200, JsonMethods.compact(JObject(
+          "path" -> JString(p),
+          "tables" -> JObject(tables.toList.sortBy(_._1).map {
+            case (n, c) => n -> (JInt(c): JValue)
+          }))))
+      case ("POST", "v1" :: "memory" :: "reset" :: Nil) =>
+        memoryStore.reset()
+        respond(ex, 204, "")
 
       // Decision-point SQL analysis (legacy v2 surface the UI consumes:
       // routers/v2/analysis.py → DecisionPointAnalyzer). Stateless — only parses.

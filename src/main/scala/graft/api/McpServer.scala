@@ -24,10 +24,14 @@ import graft.planner.PathResolver
   * Like the reference, the server is stateful: one deployed manifest at a time
   * (`deploy_manifest` replaces it), and query tools error until one is deployed.
   */
-final class McpServer(spark: SparkSession, dataDir: String) {
+final class McpServer(
+    spark: SparkSession, dataDir: String,
+    memoryDir: String = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_mcp_memory").toString) {
 
   @volatile private var session: Option[GraftSession] = None
   @volatile private var manifestJson: Option[String] = None
+  private lazy val memory = new graft.memory.MemoryStore(spark, memoryDir)
 
   private case class Tool(name: String, description: String, params: Seq[(String, String)])
 
@@ -57,7 +61,19 @@ final class McpServer(spark: SparkSession, dataDir: String) {
     Tool("get_available_functions", "The engine's function listing", Nil),
     Tool("get_current_data_source_type", "The deployed manifest's dataSource (engine executes on Spark)", Nil),
     Tool("get_wren_guide", "Short usage guide for this engine's MCP surface", Nil),
-    Tool("health_check", "Liveness probe", Nil))
+    Tool("health_check", "Liveness probe", Nil),
+    // schema/query memory (the reference's `wren memory` surface,
+    // wren/src/wren/memory/cli.py — index/fetch/store/recall/status/reset)
+    Tool("memory_index", "Index the deployed manifest's schema into memory (+ seed NL-SQL pairs)", Nil),
+    Tool("memory_describe", "The deployed schema as structured plain text", Nil),
+    Tool("memory_get_context", "Schema context for a question: full text for small schemas, embedding search for large",
+      Seq("query" -> "the natural-language question")),
+    Tool("memory_store_query", "Store an NL-SQL pair for future few-shot retrieval",
+      Seq("nl" -> "natural language query", "sql" -> "corresponding SQL")),
+    Tool("memory_recall_queries", "Search past NL-SQL pairs by similarity",
+      Seq("query" -> "search query")),
+    Tool("memory_status", "Memory index statistics", Nil),
+    Tool("memory_reset", "Drop all memory tables", Nil))
 
   // ---- JSON helpers --------------------------------------------------------
 
@@ -178,8 +194,69 @@ final class McpServer(spark: SparkSession, dataDir: String) {
           JObject("name" -> js(f.name), "type" -> js(f.kind),
             "description" -> js(f.description))).toList)))
     case "health_check" => textResult("ok")
+    case "memory_index" =>
+      val (schemaCount, seedCount) = memory.indexSchema(deployed.manifest)
+      textResult(JsonMethods.compact(JObject(
+        "schema_items" -> JInt(schemaCount), "seed_queries" -> JInt(seedCount))))
+    case "memory_describe" =>
+      textResult(graft.memory.SchemaIndexer.describeSchema(deployed.manifest))
+    case "memory_get_context" =>
+      val limit = args \ "limit" match {
+        case JInt(i) => i.toInt
+        case JString(s) if s.forall(_.isDigit) && s.nonEmpty => s.toInt
+        case _ => 5
+      }
+      deployed.manifest // require a deployment, like the query tools
+      val ctx = memory.getContext(deployed.manifest, argStr(args, "query"),
+        limit = limit,
+        itemType = (args \ "item_type") match { case JString(s) => Some(s); case _ => None },
+        modelName = (args \ "model_name") match { case JString(s) => Some(s); case _ => None })
+      ctx match {
+        case graft.memory.FullContext(schema) =>
+          textResult(JsonMethods.compact(JObject(
+            "strategy" -> js("full"), "schema" -> js(schema))))
+        case graft.memory.SearchContext(results) =>
+          textResult(JsonMethods.compact(JObject(
+            "strategy" -> js("search"),
+            "results" -> JArray(results.toList.map(mapToJson)))))
+      }
+    case "memory_store_query" =>
+      memory.storeQuery(argStr(args, "nl"), argStr(args, "sql"),
+        datasource = (args \ "datasource") match { case JString(s) => Some(s); case _ => None },
+        tags = (args \ "tags") match { case JString(s) => Some(s); case _ => None })
+      textResult("stored")
+    case "memory_recall_queries" =>
+      val limit = args \ "limit" match {
+        case JInt(i) => i.toInt
+        case _ => 3
+      }
+      textResult(JsonMethods.compact(JArray(
+        memory.recallQueries(argStr(args, "query"), limit = limit,
+          datasource = (args \ "datasource") match { case JString(s) => Some(s); case _ => None })
+          .toList.map(mapToJson))))
+    case "memory_status" =>
+      val (p, tables) = memory.status()
+      textResult(JsonMethods.compact(JObject(
+        "path" -> js(p),
+        "tables" -> JObject(tables.toList.sortBy(_._1).map {
+          case (n, c) => n -> (JInt(c): JValue)
+        }))))
+    case "memory_reset" =>
+      memory.reset(); textResult("reset")
     case other => textResult(s"unknown tool: $other", isError = true)
   }
+
+  private def mapToJson(m: Map[String, Any]): JValue = JObject(m.toList.map {
+    case (k, v) => k -> (v match {
+      case null => JNull
+      case d: Double => JDouble(d)
+      case l: Long => JInt(BigInt(l))
+      case i: Int => JInt(BigInt(i))
+      case b: Boolean => JBool(b)
+      case ts: java.sql.Timestamp => JString(ts.toInstant.toString)
+      case other => JString(other.toString)
+    })
+  })
 
   // ---- JSON-RPC loop -------------------------------------------------------
 

@@ -63,7 +63,13 @@ final case class Model(
     cached: Boolean = false,
     refreshTime: Option[String] = None,
     rowLevelAccessControls: List[RowLevelAccessControl] = Nil,
-    dialect: Option[String] = None) {
+    dialect: Option[String] = None,
+    properties: Map[String, String] = Map.empty) {
+  /** Free-text description from `properties` (manifest.rs properties map —
+    * the reference's schema-memory indexer reads `properties.description`,
+    * `wren/src/wren/memory/schema_indexer.py:263-268`).
+    */
+  def description: Option[String] = properties.get("description").filter(_.nonEmpty)
   require(
     refSql.isEmpty || tableReference.isEmpty,
     s"model $name: refSql and tableReference are mutually exclusive")
@@ -84,7 +90,10 @@ final case class Column(
     notNull: Boolean = false,
     expression: Option[String] = None,
     isHidden: Boolean = false,
-    columnLevelAccessControl: Option[ColumnLevelAccessControl] = None)
+    columnLevelAccessControl: Option[ColumnLevelAccessControl] = None,
+    properties: Map[String, String] = Map.empty) {
+  def description: Option[String] = properties.get("description").filter(_.nonEmpty)
+}
 
 object JoinType {
   val OneToOne = "ONE_TO_ONE"
@@ -331,7 +340,16 @@ object ManifestJson {
     refreshTime = str(j \ "refreshTime"),
     rowLevelAccessControls =
       arr(j \ "rowLevelAccessControls").map(rlac),
-    dialect = str(j \ "dialect").filter(_.nonEmpty))
+    dialect = str(j \ "dialect").filter(_.nonEmpty),
+    properties = props(j \ "properties"))
+
+  /** `properties` is a loose string map in the manifest (descriptions, display
+    * names); non-string JSON values stringify like the reference's dict.
+    */
+  private def props(j: JValue): Map[String, String] = j match {
+    case JObject(fields) => fields.flatMap { case JField(k, v) => str(v).map(k -> _) }.toMap
+    case _ => Map.empty
+  }
 
   /** Accepts `{catalog, schema, table}` or a dotted string `"cat.sch.tbl"`. */
   private def tableReference(j: JValue): Option[TableReference] = j match {
@@ -360,7 +378,8 @@ object ManifestJson {
     columnLevelAccessControl = (j \ "columnLevelAccessControl") match {
       case o: JObject => Some(clac(o))
       case _ => None
-    })
+    },
+    properties = props(j \ "properties"))
 
   private def relationship(j: JValue): Relationship = Relationship(
     name = str(j \ "name").getOrElse(sys.error("relationship requires a name")),
@@ -418,6 +437,138 @@ object ManifestJson {
         end = str(w \ "end").getOrElse(sys.error("window requires end")))
     },
     cached = bool(j \ "cached"))
+
+  // ---------------------------------------------------------- serialization
+
+  /** Canonical JValue rendering of a Manifest — key-sorted by construction
+    * (every JObject below lists fields alphabetically), defaults omitted, so
+    * `compact(toJValue(parse(json)))` is a stable fingerprint input however
+    * the source JSON was ordered or padded. Used by the schema-memory's
+    * manifest hash (the reference hashes the sorted-keys dict the same way,
+    * `wren/src/wren/memory/schema_indexer.py:13-22`).
+    */
+  def toJValue(m: Manifest): JValue = {
+    def s(v: String): JValue = JString(v)
+    def opt(name: String, v: Option[String]): List[JField] =
+      v.map(x => JField(name, JString(x))).toList
+    def flag(name: String, v: Boolean): List[JField] =
+      if (v) List(JField(name, JBool(true))) else Nil
+    def propsOf(p: Map[String, String]): List[JField] =
+      if (p.isEmpty) Nil
+      else List(JField("properties", JObject(p.toList.sortBy(_._1).map {
+        case (k, v) => JField(k, JString(v))
+      })))
+    def sessProps(ps: List[SessionProperty]): JValue = JArray(ps.map(p => JObject(
+      opt("defaultExpr", p.defaultExpr) ++
+        List(JField("name", s(p.name))) ++ flag("required", p.required))))
+    def col(c: Column): JValue = JObject(
+      (c.columnLevelAccessControl.map(cl => JField("columnLevelAccessControl", JObject(
+        List(JField("name", s(cl.name)), JField("operator", s(cl.operator))) ++
+          (if (cl.requiredProperties.isEmpty) Nil
+           else List(JField("requiredProperties", sessProps(cl.requiredProperties)))) ++
+          List(JField("threshold", s(cl.threshold)))))).toList ++
+        opt("expression", c.expression) ++
+        flag("isCalculated", c.isCalculated) ++ flag("isHidden", c.isHidden) ++
+        List(JField("name", s(c.name))) ++ flag("notNull", c.notNull) ++
+        propsOf(c.properties) ++ opt("relationship", c.relationship) :+
+        JField("type", s(c.`type`))))
+    def model(md: Model): JValue = JObject(
+      opt("baseObject", md.baseObject) ++ flag("cached", md.cached) ++
+        List(JField("columns", JArray(md.columns.map(col)))) ++
+        opt("dialect", md.dialect) ++
+        List(JField("name", s(md.name))) ++
+        opt("primaryKey", md.primaryKey) ++ propsOf(md.properties) ++
+        opt("refSql", md.refSql) ++ opt("refreshTime", md.refreshTime) ++
+        (if (md.rowLevelAccessControls.isEmpty) Nil
+         else List(JField("rowLevelAccessControls", JArray(md.rowLevelAccessControls.map(r =>
+           JObject(List(JField("condition", s(r.condition)), JField("name", s(r.name))) ++
+             (if (r.requiredProperties.isEmpty) Nil
+              else List(JField("requiredProperties", sessProps(r.requiredProperties)))))))))) ++
+        md.tableReference.map(tr => JField("tableReference", JObject(
+          tr.catalog.map(c => JField("catalog", s(c))).toList ++
+            tr.schema.map(sc => JField("schema", s(sc))).toList :+
+            JField("table", s(tr.table))))).toList)
+    def cube(cb: Cube): JValue = {
+      val dims =
+        if (cb.dimensions.isEmpty) Nil
+        else List(JField("dimensions", JArray(cb.dimensions.map(s))))
+      val hiers =
+        if (cb.hierarchies.isEmpty) Nil
+        else List(JField("hierarchies", JObject(cb.hierarchies.map {
+          case (n, path) => JField(n, JArray(path.map(s)))
+        })))
+      val measures =
+        if (cb.measures.isEmpty) Nil
+        else List(JField("measures", JArray(cb.measures.map(ms => JObject(
+          JField("expression", s(ms.expression)), JField("name", s(ms.name)))))))
+      val timeDims =
+        if (cb.timeDimensions.isEmpty) Nil
+        else List(JField("timeDimensions", JArray(cb.timeDimensions.map(s))))
+      JObject(JField("baseObject", s(cb.baseObject)) ::
+        (dims ++ hiers ++ measures ++ List(JField("name", s(cb.name))) ++ timeDims))
+    }
+    def metric(mt: Metric): JValue = {
+      val dim =
+        if (mt.dimension.isEmpty) Nil
+        else List(JField("dimension", JArray(mt.dimension.map(col))))
+      val grains =
+        if (mt.timeGrain.isEmpty) Nil
+        else List(JField("timeGrain", JArray(mt.timeGrain.map(tg => JObject(
+          JField("dateParts", JArray(tg.dateParts.map(s))),
+          JField("name", s(tg.name)),
+          JField("refColumn", s(tg.refColumn)))))))
+      JObject(JField("baseObject", s(mt.baseObject)) ::
+        (dim ++ List(
+          JField("measure", JArray(mt.measure.map(col))),
+          JField("name", s(mt.name))) ++ grains))
+    }
+    def cumulative(cm: CumulativeMetric): JValue = JObject(
+      JField("baseObject", s(cm.baseObject)),
+      JField("measure", JObject(
+        JField("name", s(cm.measure.name)), JField("operator", s(cm.measure.operator)),
+        JField("refColumn", s(cm.measure.refColumn)), JField("type", s(cm.measure.`type`)))),
+      JField("name", s(cm.name)),
+      JField("window", JObject(
+        JField("end", s(cm.window.end)), JField("name", s(cm.window.name)),
+        JField("refColumn", s(cm.window.refColumn)), JField("start", s(cm.window.start)),
+        JField("timeUnit", s(cm.window.timeUnit)))))
+    def enumDef(e: EnumDefinition): JValue = JObject(
+      JField("name", s(e.name)),
+      JField("values", JArray(e.values.map(v => JObject(
+        JField("name", s(v.name)) :: v.value.map(x => JField("value", s(x))).toList)))))
+    def view(v: View): JValue = JObject(
+      v.dialect.map(d => JField("dialect", s(d))).toList ++
+        List(JField("name", s(v.name)), JField("statement", s(v.statement))))
+
+    def section[A](name: String, xs: List[A], f: A => JValue): List[JField] =
+      if (xs.isEmpty) Nil else List(JField(name, JArray(xs.map(f))))
+
+    JObject(
+      List(JField("catalog", s(m.catalog))) ++
+        section("cubes", m.cubes, cube) ++
+        section("cumulativeMetrics", m.cumulativeMetrics, cumulative) ++
+        m.dataSource.map(ds => JField("dataSource", s(ds))).toList ++
+        (if (m.dateSpine == DateSpine()) Nil
+         else List(JField("dateSpine", JObject(
+           JField("end", s(m.dateSpine.end)), JField("start", s(m.dateSpine.start)),
+           JField("unit", s(m.dateSpine.unit)))))) ++
+        section("enumDefinitions", m.enums, enumDef) ++
+        section("macros", m.macros, (mc: Macro) =>
+          JObject(JField("definition", s(mc.definition)), JField("name", s(mc.name)))) ++
+        section("metrics", m.metrics, metric) ++
+        List(
+          JField("models", JArray(m.models.map(model))),
+          JField("relationships", JArray(m.relationships.map(r => JObject(
+            JField("condition", s(r.condition)),
+            JField("joinType", s(r.joinType)),
+            JField("models", JArray(r.models.map(s))),
+            JField("name", s(r.name)))))),
+          JField("schema", s(m.schema))) ++
+        section("views", m.views, view))
+  }
+
+  /** Compact canonical JSON text of a manifest (see [[toJValue]]). */
+  def canonical(m: Manifest): String = JsonMethods.compact(JsonMethods.render(toJValue(m)))
 
   private def sessionProperty(j: JValue): SessionProperty = SessionProperty(
     name = str(j \ "name").getOrElse(""),

@@ -1,0 +1,367 @@
+package graft.memory
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.mdl.Manifest
+import graft.util.Fs
+
+/** Retrieval result of [[MemoryStore.getContext]] — the reference returns
+  * `{"strategy": "full", "schema": text}` for small schemas and
+  * `{"strategy": "search", "results": [...]}` for large ones
+  * (`wren/src/wren/memory/store.py:211-242`).
+  */
+sealed trait MemoryContext { def strategy: String }
+final case class FullContext(schema: String) extends MemoryContext {
+  val strategy = "full"
+}
+final case class SearchContext(results: Seq[Map[String, Any]]) extends MemoryContext {
+  val strategy = "search"
+}
+
+/** Parquet-backed schema/query memory — the reference's LanceDB MemoryStore
+  * (`wren/src/wren/memory/store.py:73-538`) re-expressed on the engine's own
+  * storage + retrieval stack: tables are parquet directories, embeddings are
+  * the deterministic hashed feature map ([[HashedEmbedding]]) instead of a
+  * sentence-transformers download, and similarity search is the relational
+  * bucket-join scoring every engine can replay. The store itself is
+  * METADATA-scale (schema items + query history, like the reference's
+  * `~/.wren/memory/`), so management ops (list/forget/load) materialize the
+  * table driver-side exactly as the reference's `to_pandas()` does; the
+  * retrieval path ([[HashedEmbedding.scoreAgainst]]) stays a broadcast-join
+  * aggregation that would survive a million-item history unchanged.
+  */
+final class MemoryStore(
+    spark: SparkSession, path: String, dim: Int = HashedEmbedding.DefaultDim) {
+
+  Files.createDirectories(Paths.get(path))
+
+  private val SchemaTable = "schema_items"
+  private val QueryTable = "query_history"
+
+  private def tablePath(name: String): String =
+    Paths.get(path).resolve(name).toString
+
+  private def tableExists(name: String): Boolean = {
+    val p = Paths.get(tablePath(name))
+    Files.isDirectory(p) && {
+      val s = Files.list(p)
+      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+  }
+
+  private def readTable(name: String): Option[DataFrame] =
+    if (tableExists(name)) Some(spark.read.parquet(tablePath(name))) else None
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+
+  // ── Schema indexing (index_schema, store.py:107-160) ─────────────────────
+
+  /** Extract, embed and store the manifest's schema items; with `seedQueries`
+    * also (re)generates canonical NL→SQL pairs tagged `source:seed`,
+    * preserving user-stored history. Returns (schemaItems, seedQueries).
+    */
+  def indexSchema(
+      manifest: Manifest, replace: Boolean = true,
+      seedQueries: Boolean = true): (Int, Int) = {
+    val items = SchemaIndexer.extractSchemaItems(manifest)
+    val schemaCount =
+      if (items.isEmpty) {
+        if (replace) Fs.deleteTree(tablePath(SchemaTable))
+        0
+      } else {
+        import spark.implicits._
+        val ts = now()
+        val df = items.toDF()
+          .select(
+            col("text"),
+            HashedEmbedding.embedCol(col("text"), dim).alias("vector"),
+            col("itemType").alias("item_type"),
+            col("modelName").alias("model_name"),
+            col("itemName").alias("item_name"),
+            col("dataType").alias("data_type"),
+            col("expression"),
+            col("isCalculated").alias("is_calculated"),
+            col("mdlHash").alias("mdl_hash"),
+            lit(ts).alias("indexed_at"))
+        val mode = if (replace || !tableExists(SchemaTable)) SaveMode.Overwrite
+          else SaveMode.Append
+        df.repartition(1).write.mode(mode).parquet(tablePath(SchemaTable))
+        items.size
+      }
+    val seedCount = if (seedQueries) upsertSeedQueries(manifest) else 0
+    (schemaCount, seedCount)
+  }
+
+  /** Replace `source:seed` entries, keep everything else (store.py:162-186). */
+  private def upsertSeedQueries(manifest: Manifest): Int = {
+    forgetWhere(r => r.getAs[String]("tags") == SeedQueries.SeedTag)
+    val pairs = SeedQueries.generateSeedQueries(manifest)
+    if (pairs.isEmpty) 0
+    else {
+      appendQueries(pairs.map(p =>
+        (p.nl, p.sql, "", SeedQueries.SeedTag)))
+      pairs.size
+    }
+  }
+
+  /** True only when every indexed row carries the manifest's current hash
+    * (stale rows from an older manifest flip it false, store.py:188-202).
+    */
+  def schemaIsCurrent(manifest: Manifest): Boolean = readTable(SchemaTable) match {
+    case None => false
+    case Some(df) =>
+      val h = SchemaIndexer.manifestHash(manifest)
+      val total = df.count()
+      total > 0 && df.filter(col("mdl_hash") === h).count() == total
+  }
+
+  // ── Context retrieval (get_context, store.py:211-275) ────────────────────
+
+  def describeSchema(manifest: Manifest): String =
+    SchemaIndexer.describeSchema(manifest)
+
+  /** Full plain text below `threshold` chars, embedding search above. */
+  def getContext(
+      manifest: Manifest, query: String, limit: Int = 5,
+      itemType: Option[String] = None, modelName: Option[String] = None,
+      threshold: Int = SchemaIndexer.SchemaDescribeThreshold): MemoryContext = {
+    val text = SchemaIndexer.describeSchema(manifest)
+    if (text.length <= threshold) FullContext(text)
+    else SearchContext(searchSchema(
+      query, limit, itemType, modelName,
+      mdlHash = Some(SchemaIndexer.manifestHash(manifest))))
+  }
+
+  /** Hashed-embedding search over indexed schema items; vector omitted from
+    * the results like the reference (store.py:244-275). Deterministic
+    * ordering: exact score desc, then item identity.
+    */
+  def searchSchema(
+      query: String, limit: Int = 5, itemType: Option[String] = None,
+      modelName: Option[String] = None,
+      mdlHash: Option[String] = None): Seq[Map[String, Any]] =
+    readTable(SchemaTable) match {
+      case None => Nil
+      case Some(df0) =>
+        var df = df0
+        mdlHash.foreach(h => df = df.filter(col("mdl_hash") === h))
+        itemType.foreach(t => df = df.filter(col("item_type") === t))
+        modelName.foreach(m => df = df.filter(col("model_name") === m))
+        val keys = Seq("item_type", "model_name", "item_name")
+        val scored = HashedEmbedding.scoreAgainst(
+            df.select((keys :+ "text").map(col): _*), "text", keys :+ "text", query, dim)
+          .orderBy(col("score").desc, col("item_type"), col("model_name"), col("item_name"))
+          .limit(limit)
+        scored.collect().toSeq.map(r => Map[String, Any](
+          "text" -> r.getAs[String]("text"),
+          "item_type" -> r.getAs[String]("item_type"),
+          "model_name" -> r.getAs[String]("model_name"),
+          "item_name" -> r.getAs[String]("item_name"),
+          "score" -> r.getAs[Double]("score")))
+    }
+
+  // ── Query history (store_query / recall_queries, store.py:279-333) ──────
+
+  private def querySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("nl_query", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("sql_query", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("datasource", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("created_at", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("tags", org.apache.spark.sql.types.StringType)))
+
+  private def maxSeq(): Long = readTable(QueryTable)
+    .map(_.agg(coalesce(max(col("seq")), lit(-1L))).head.getLong(0))
+    .getOrElse(-1L)
+
+  /** Append (nl, sql, datasource, tags) rows; `seq` is the stable row id the
+    * reference models with pandas' positional index (store.py:337-368).
+    */
+  private def appendQueries(rows: Seq[(String, String, String, String)]): Unit = {
+    if (rows.isEmpty) return
+    val base = maxSeq() + 1
+    val ts = now()
+    val data = rows.zipWithIndex.map { case ((nl, sql, ds, tags), i) =>
+      Row(base + i, nl, nl, sql, ds, ts, tags)
+    }
+    spark.createDataFrame(data.asJava, querySchema)
+      .withColumn("vector", HashedEmbedding.embedCol(col("text"), dim))
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(tablePath(QueryTable))
+  }
+
+  def storeQuery(
+      nlQuery: String, sqlQuery: String,
+      datasource: Option[String] = None, tags: Option[String] = None): Unit =
+    appendQueries(Seq((nlQuery, sqlQuery, datasource.getOrElse(""), tags.getOrElse(""))))
+
+  def recallQueries(
+      query: String, limit: Int = 3,
+      datasource: Option[String] = None): Seq[Map[String, Any]] =
+    readTable(QueryTable) match {
+      case None => Nil
+      case Some(df0) =>
+        var df = df0
+        datasource.foreach(d => df = df.filter(col("datasource") === d))
+        val keys = Seq("seq", "nl_query", "sql_query", "datasource", "tags")
+        val scored = HashedEmbedding.scoreAgainst(
+            df.select((keys :+ "text").map(col): _*), "text", keys, query, dim)
+          .orderBy(col("score").desc, col("seq"))
+          .limit(limit)
+        scored.collect().toSeq.map(r => Map[String, Any](
+          "nl_query" -> r.getAs[String]("nl_query"),
+          "sql_query" -> r.getAs[String]("sql_query"),
+          "datasource" -> r.getAs[String]("datasource"),
+          "tags" -> r.getAs[String]("tags"),
+          "score" -> r.getAs[Double]("score"),
+          "_row_id" -> r.getAs[Long]("seq")))
+    }
+
+  // ── Listing & management (store.py:337-408) ──────────────────────────────
+
+  /** (rows, totalAfterFilter): newest first, `_row_id` = the stable seq. */
+  def listQueries(
+      source: Option[String] = None, limit: Int = 20,
+      offset: Int = 0): (Seq[Map[String, Any]], Long) =
+    readTable(QueryTable) match {
+      case None => (Nil, 0L)
+      case Some(df0) =>
+        val df = source.fold(df0)(s => df0.filter(col("tags") === s"source:$s"))
+        val total = df.count()
+        val rows = df.orderBy(col("created_at").desc, col("seq").desc)
+          .limit(offset + limit).collect().toSeq.drop(offset)
+        (rows.map(r => Map[String, Any](
+          "nl_query" -> r.getAs[String]("nl_query"),
+          "sql_query" -> r.getAs[String]("sql_query"),
+          "datasource" -> r.getAs[String]("datasource"),
+          "tags" -> r.getAs[String]("tags"),
+          "created_at" -> r.getAs[Timestamp]("created_at"),
+          "_row_id" -> r.getAs[Long]("seq"))), total)
+    }
+
+  def countQueriesBySource(source: String): Long =
+    readTable(QueryTable)
+      .map(_.filter(col("tags") === s"source:$source").count()).getOrElse(0L)
+
+  private def forgetWhere(drop: Row => Boolean): Int =
+    readTable(QueryTable) match {
+      case None => 0
+      case Some(df) =>
+        val all = df.drop("vector").collect().toSeq
+        val keep = all.filterNot(drop)
+        val dropped = all.size - keep.size
+        if (dropped > 0) {
+          if (keep.isEmpty) Fs.deleteTree(tablePath(QueryTable))
+          else {
+            val reordered = keep.map(r => Row(
+              r.getAs[Long]("seq"), r.getAs[String]("text"), r.getAs[String]("nl_query"),
+              r.getAs[String]("sql_query"), r.getAs[String]("datasource"),
+              r.getAs[Timestamp]("created_at"), r.getAs[String]("tags")))
+            spark.createDataFrame(reordered.asJava, querySchema)
+              .withColumn("vector", HashedEmbedding.embedCol(col("text"), dim))
+              .repartition(1)
+              .write.mode(SaveMode.Overwrite).parquet(tablePath(QueryTable) + ".tmp")
+            // two-step move: Spark can't overwrite the dir it reads
+            Fs.deleteTree(tablePath(QueryTable))
+            Files.move(Paths.get(tablePath(QueryTable) + ".tmp"),
+              Paths.get(tablePath(QueryTable)))
+          }
+        }
+        dropped
+    }
+
+  def forgetQueriesByIds(rowIds: Seq[Long]): Int = {
+    val ids = rowIds.toSet
+    forgetWhere(r => ids.contains(r.getAs[Long]("seq")))
+  }
+
+  def forgetQueriesBySource(source: String): Int =
+    forgetWhere(r => r.getAs[String]("tags") == s"source:$source")
+
+  // ── Dump / Load (store.py:412-522) ───────────────────────────────────────
+
+  /** All pairs oldest-first, without the vector column. */
+  def dumpQueries(source: Option[String] = None): Seq[Map[String, Any]] =
+    readTable(QueryTable) match {
+      case None => Nil
+      case Some(df0) =>
+        val df = source.fold(df0)(s => df0.filter(col("tags") === s"source:$s"))
+        df.orderBy(col("created_at"), col("seq")).collect().toSeq.map(r => Map[String, Any](
+          "nl_query" -> r.getAs[String]("nl_query"),
+          "sql_query" -> r.getAs[String]("sql_query"),
+          "datasource" -> r.getAs[String]("datasource"),
+          "tags" -> r.getAs[String]("tags"),
+          "created_at" -> r.getAs[Timestamp]("created_at")))
+    }
+
+  /** Batch-import pairs. Default skips exact (nl, sql) duplicates; `upsert`
+    * replaces rows sharing the nl text (last input occurrence wins);
+    * `overwrite` clears each incoming source tag first (store.py:449-522).
+    */
+  def loadQueries(
+      pairs: Seq[MemoryPair], overwrite: Boolean = false,
+      upsert: Boolean = false): LoadResult = {
+    require(!(overwrite && upsert), "--upsert and --overwrite cannot be used together")
+    if (overwrite) {
+      pairs.map(_.source).distinct.foreach(forgetQueriesBySource)
+      appendQueries(pairs.map(p => (p.nl, p.sql, p.datasource.getOrElse(""), s"source:${p.source}")))
+      LoadResult(pairs.size, 0, 0)
+    } else {
+      val existing = readTable(QueryTable).map(_.select("seq", "nl_query", "sql_query")
+        .collect().toSeq).getOrElse(Nil)
+      val exactSet = scala.collection.mutable.Set[(String, String)](
+        existing.map(r => (r.getString(1), r.getString(2))): _*)
+      if (upsert) {
+        // last occurrence per nl wins, like the reference's dict overwrite
+        val deduped = pairs.foldLeft(Vector.empty[MemoryPair]) { (acc, p) =>
+          acc.filterNot(_.nl == p.nl) :+ p
+        }
+        val nlToIds = existing.groupBy(_.getString(1)).map { case (nl, rs) =>
+          nl -> rs.map(_.getLong(0))
+        }
+        val updated = deduped.count(p => nlToIds.contains(p.nl))
+        val idsToDelete = deduped.flatMap(p => nlToIds.getOrElse(p.nl, Nil))
+        if (idsToDelete.nonEmpty) forgetQueriesByIds(idsToDelete)
+        appendQueries(deduped.map(p =>
+          (p.nl, p.sql, p.datasource.getOrElse(""), s"source:${p.source}")))
+        LoadResult(deduped.size - updated, 0, updated)
+      } else {
+        var loaded = 0
+        var skipped = 0
+        val fresh = pairs.filter { p =>
+          if (exactSet.contains((p.nl, p.sql))) { skipped += 1; false }
+          else { exactSet += ((p.nl, p.sql)); loaded += 1; true }
+        }
+        appendQueries(fresh.map(p =>
+          (p.nl, p.sql, p.datasource.getOrElse(""), s"source:${p.source}")))
+        LoadResult(loaded, skipped, 0)
+      }
+    }
+  }
+
+  // ── Housekeeping (store.py:526-538) ──────────────────────────────────────
+
+  def status(): (String, Map[String, Long]) = {
+    val tables = Seq(SchemaTable, QueryTable).flatMap(n =>
+      readTable(n).map(df => n -> df.count()))
+    (path, tables.toMap)
+  }
+
+  def reset(): Unit =
+    Seq(SchemaTable, QueryTable).foreach(n => Fs.deleteTree(tablePath(n)))
+}
+
+/** One NL→SQL pair in the dump/load exchange format (`queries.yml`). */
+final case class MemoryPair(
+    nl: String, sql: String, source: String = "user",
+    datasource: Option[String] = None, createdAt: Option[String] = None)
+
+final case class LoadResult(loaded: Int, skipped: Int, updated: Int)
