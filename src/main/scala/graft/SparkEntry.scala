@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Functions, Pipeline, Relational, Semantic, TpcH}
+import graft.queries.{Functions, Memory, Pipeline, Relational, Semantic, TpcH}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +22,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Semantic.queries ++ Pipeline.queries ++ TpcH.queries ++
-      Functions.queries
+      Functions.queries ++ Memory.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Semantic.oracles ++ Pipeline.oracles ++ TpcH.oracles ++
-      Functions.oracles ++ TpcH.unparseOracles ++ Semantic.pgUnparseOracles
+      Functions.oracles ++ Memory.oracles ++ TpcH.unparseOracles ++
+      Semantic.pgUnparseOracles
 }

@@ -48,6 +48,19 @@ object Cli {
     }
   }
 
+  /** The reference's post-query memory hint (`wren/src/wren/cli.py:269-286`):
+    * after a non-exploratory query, suggest storing the NL→SQL pair; trivial
+    * peeks ([[graft.memory.SqlClassify.isExploratory]]) stay tip-free. The
+    * SQL's single quotes escape shell-style (`'` → `'\''`), like the
+    * reference's `_print_store_tip`. `main` prints this to stderr so the
+    * data output stays pipeable.
+    */
+  def storeTip(sql: String): Option[String] =
+    if (graft.memory.SqlClassify.isExploratory(sql)) None
+    else Some(
+      "\n# To save this query:\n# graft memory store --nl '<natural language question>' " +
+        s"--sql '${sql.replace("'", "'\\''")}'")
+
   // Dataset.showString is private[sql]; format compactly ourselves.
   private def format(df: org.apache.spark.sql.DataFrame, numRows: Int): String = {
     val rows = df.limit(numRows).collect()
@@ -63,8 +76,11 @@ object Cli {
         val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap
     val pos = positional.filterNot(a => a == "-P" || propPairs.exists { case (k, v) => a == s"$k=$v" })
-    require(pos.length >= 3, "usage: Cli <dataDir> <manifest.json> <sql> [--json|--plan|--dry-run] [-P k=v]")
-    val mode = flags.headOption.map(_.stripPrefix("--")).getOrElse("table")
+    require(pos.length >= 3,
+      "usage: Cli <dataDir> <manifest.json> <sql> [--json|--plan|--dry-run] [--quiet] [-P k=v]")
+    val quiet = flags.contains("--quiet")
+    val mode = flags.filterNot(_ == "--quiet")
+      .headOption.map(_.stripPrefix("--")).getOrElse("table")
     val spark = SparkSession.builder()
       .appName("graft-cli").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -73,6 +89,10 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println(run(spark, pos(0), pos(1), pos(2), mode, propPairs))
+    // the store-tip follows executed queries only (not plan/dry-run), and
+    // --quiet suppresses it — reference `wren --sql ... [--quiet]` behavior
+    if (!quiet && (mode == "table" || mode == "json"))
+      storeTip(pos(2)).foreach(System.err.println)
     spark.stop()
   }
 }

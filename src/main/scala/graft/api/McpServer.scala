@@ -26,8 +26,11 @@ import graft.planner.PathResolver
   */
 final class McpServer(
     spark: SparkSession, dataDir: String,
+    // per-user default like the reference's ~/.wren/memory — a shared
+    // java.io.tmpdir path would make concurrent servers (or different users
+    // on one host) contend on one store
     memoryDir: String = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_mcp_memory").toString) {
+      System.getProperty("user.home"), ".graft", "memory").toString) {
 
   @volatile private var session: Option[GraftSession] = None
   @volatile private var manifestJson: Option[String] = None

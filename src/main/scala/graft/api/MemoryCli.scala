@@ -27,6 +27,12 @@ import graft.memory._
   */
 object MemoryCli {
 
+  /** Flags that take NO value — their following token is a positional, so
+    * `load --upsert queries.yml` parses the same as `load queries.yml --upsert`.
+    */
+  private val BooleanFlags =
+    Set("no-seed", "force", "dry-run", "upsert", "overwrite")
+
   private final class Args(argv: Seq[String]) {
     def flag(name: String): Boolean = argv.contains(s"--$name")
     def opt(name: String): Option[String] = {
@@ -39,8 +45,9 @@ object MemoryCli {
       }
     def positional: Seq[String] = {
       val optNames = argv.zipWithIndex.collect {
-        case (a, i) if a.startsWith("--") && i + 1 < argv.length &&
-          !argv(i + 1).startsWith("--") => i + 1
+        case (a, i) if a.startsWith("--") &&
+          !BooleanFlags.contains(a.stripPrefix("--")) &&
+          i + 1 < argv.length && !argv(i + 1).startsWith("--") => i + 1
       }.toSet
       argv.zipWithIndex.collect {
         case (a, i) if !a.startsWith("--") && !optNames.contains(i) => a
@@ -60,6 +67,10 @@ object MemoryCli {
   }
 
   private def renderRows(rows: Seq[Map[String, Any]], output: String): String = {
+    // validate the format even for empty results, like a Typer choice option
+    if (!Set("json", "table").contains(output.toLowerCase))
+      throw new IllegalArgumentException(
+        s"unsupported output format '${output.toLowerCase}'. Use json or table.")
     if (rows.isEmpty) return "No results found."
     output.toLowerCase match {
       case "json" =>
@@ -93,8 +104,9 @@ object MemoryCli {
     require(argv.nonEmpty, "usage: MemoryCli <cmd> [options]")
     val cmd = argv.head
     val a = new Args(argv.tail)
+    // per-user default, like the reference's ~/.wren/memory (memory/cli.py)
     val path = a.opt("path").getOrElse(
-      Paths.get(System.getProperty("java.io.tmpdir"), "graft_memory").toString)
+      Paths.get(System.getProperty("user.home"), ".graft", "memory").toString)
     def store = new MemoryStore(spark, path)
     val output = a.opt("output").getOrElse("table")
 

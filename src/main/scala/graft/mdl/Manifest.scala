@@ -518,12 +518,13 @@ object ManifestJson {
           JField("name", s(tg.name)),
           JField("refColumn", s(tg.refColumn)))))))
       JObject(JField("baseObject", s(mt.baseObject)) ::
-        (dim ++ List(
+        (flag("cached", mt.cached) ++ dim ++ List(
           JField("measure", JArray(mt.measure.map(col))),
           JField("name", s(mt.name))) ++ grains))
     }
     def cumulative(cm: CumulativeMetric): JValue = JObject(
-      JField("baseObject", s(cm.baseObject)),
+      JField("baseObject", s(cm.baseObject)) ::
+      flag("cached", cm.cached) ++ List(
       JField("measure", JObject(
         JField("name", s(cm.measure.name)), JField("operator", s(cm.measure.operator)),
         JField("refColumn", s(cm.measure.refColumn)), JField("type", s(cm.measure.`type`)))),
@@ -531,7 +532,7 @@ object ManifestJson {
       JField("window", JObject(
         JField("end", s(cm.window.end)), JField("name", s(cm.window.name)),
         JField("refColumn", s(cm.window.refColumn)), JField("start", s(cm.window.start)),
-        JField("timeUnit", s(cm.window.timeUnit)))))
+        JField("timeUnit", s(cm.window.timeUnit))))))
     def enumDef(e: EnumDefinition): JValue = JObject(
       JField("name", s(e.name)),
       JField("values", JArray(e.values.map(v => JObject(
@@ -553,6 +554,8 @@ object ManifestJson {
            JField("end", s(m.dateSpine.end)), JField("start", s(m.dateSpine.start)),
            JField("unit", s(m.dateSpine.unit)))))) ++
         section("enumDefinitions", m.enums, enumDef) ++
+        (if (m.layoutVersion == Manifest.DefaultLayoutVersion) Nil
+         else List(JField("layoutVersion", JInt(m.layoutVersion)))) ++
         section("macros", m.macros, (mc: Macro) =>
           JObject(JField("definition", s(mc.definition)), JField("name", s(mc.name)))) ++
         section("metrics", m.metrics, metric) ++

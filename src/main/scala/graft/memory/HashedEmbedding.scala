@@ -14,7 +14,8 @@ import graft.operators.Dedup
   * feature map (token → md5-derived bucket, vector = bucket counts) is the
   * classic "hashing trick" — RNG-free and bit-identical on ANY engine that
   * has md5, so retrieval rankings are cross-engine REPLAYABLE (the DuckDB
-  * oracle re-derives them from the raw texts; see `m29_memory_context`).
+  * oracle re-derives them from the raw texts; see the `m29_memory_context` /
+  * `m30_memory_recall` driver entries in [[graft.queries.Memory]]).
   *
   * Both representations below are the SAME embedding:
   *  - [[embedCol]] materializes the dense `array<double>` count vector
@@ -88,7 +89,12 @@ object HashedEmbedding {
     * product and squared norm per key — `score = dot² / (norm2 · qnorm2)`
     * is monotone in cosine (counts are non-negative) and every term is an
     * exact long, so downstream ordering is engine-independent. Rows sharing
-    * no bucket with the query are absent (dot would be 0). The query-side
+    * no bucket with the query are ABSENT (dot would be 0) — a deliberate
+    * divergence from the reference's dense vector search, which always
+    * returns the k nearest even at zero lexical overlap
+    * (`wren/src/wren/memory/store.py:258-273`); for a lexical embedding a
+    * zero-overlap neighbor is noise, not context (MemoryStoreSpec pins the
+    * empty-result behavior). The query-side
     * weights broadcast; the corpus side aggregates once — the
     * [[graft.operators.Curation.seedAffinityScores]] shape.
     */

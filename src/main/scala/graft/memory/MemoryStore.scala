@@ -139,6 +139,34 @@ final class MemoryStore(
       mdlHash = Some(SchemaIndexer.manifestHash(manifest))))
   }
 
+  /** Relational half of [[searchSchema]]: the ranked top-`limit` schema items
+    * as a DataFrame carrying the exact integer `dot`/`norm2` terms alongside
+    * the double `score` — the form the cross-engine driver entry
+    * (`m29_memory_context`) hash-compares against DuckDB re-deriving the same
+    * ranking from the raw texts. NOTE a retrieval-semantics divergence from
+    * the reference (`store.py:258-273`): items sharing NO hash bucket with
+    * the query are ABSENT (the scoring join is inner on `__bucket`), so a
+    * question with zero lexical overlap returns an empty result where the
+    * reference's dense vector search always returns the k nearest. That is
+    * deliberate for a lexical embedding — a zero-overlap "nearest" item is
+    * noise, not context — and pinned by MemoryStoreSpec.
+    */
+  private[graft] def searchSchemaScored(
+      query: String, limit: Int = 5, itemType: Option[String] = None,
+      modelName: Option[String] = None,
+      mdlHash: Option[String] = None): Option[DataFrame] =
+    readTable(SchemaTable).map { df0 =>
+      var df = df0
+      mdlHash.foreach(h => df = df.filter(col("mdl_hash") === h))
+      itemType.foreach(t => df = df.filter(col("item_type") === t))
+      modelName.foreach(m => df = df.filter(col("model_name") === m))
+      val keys = Seq("item_type", "model_name", "item_name")
+      HashedEmbedding.scoreAgainst(
+          df.select((keys :+ "text").map(col): _*), "text", keys :+ "text", query, dim)
+        .orderBy(col("score").desc, col("item_type"), col("model_name"), col("item_name"))
+        .limit(limit)
+    }
+
   /** Hashed-embedding search over indexed schema items; vector omitted from
     * the results like the reference (store.py:244-275). Deterministic
     * ordering: exact score desc, then item identity.
@@ -147,18 +175,9 @@ final class MemoryStore(
       query: String, limit: Int = 5, itemType: Option[String] = None,
       modelName: Option[String] = None,
       mdlHash: Option[String] = None): Seq[Map[String, Any]] =
-    readTable(SchemaTable) match {
+    searchSchemaScored(query, limit, itemType, modelName, mdlHash) match {
       case None => Nil
-      case Some(df0) =>
-        var df = df0
-        mdlHash.foreach(h => df = df.filter(col("mdl_hash") === h))
-        itemType.foreach(t => df = df.filter(col("item_type") === t))
-        modelName.foreach(m => df = df.filter(col("model_name") === m))
-        val keys = Seq("item_type", "model_name", "item_name")
-        val scored = HashedEmbedding.scoreAgainst(
-            df.select((keys :+ "text").map(col): _*), "text", keys :+ "text", query, dim)
-          .orderBy(col("score").desc, col("item_type"), col("model_name"), col("item_name"))
-          .limit(limit)
+      case Some(scored) =>
         scored.collect().toSeq.map(r => Map[String, Any](
           "text" -> r.getAs[String]("text"),
           "item_type" -> r.getAs[String]("item_type"),
@@ -203,19 +222,30 @@ final class MemoryStore(
       datasource: Option[String] = None, tags: Option[String] = None): Unit =
     appendQueries(Seq((nlQuery, sqlQuery, datasource.getOrElse(""), tags.getOrElse(""))))
 
+  /** Relational half of [[recallQueries]] — ranked pairs with the exact
+    * `dot`/`norm2` integers kept, for the `m30_memory_recall` driver replay
+    * (same bucket-join arithmetic and absence semantics as
+    * [[searchSchemaScored]]).
+    */
+  private[graft] def recallQueriesScored(
+      query: String, limit: Int = 3,
+      datasource: Option[String] = None): Option[DataFrame] =
+    readTable(QueryTable).map { df0 =>
+      var df = df0
+      datasource.foreach(d => df = df.filter(col("datasource") === d))
+      val keys = Seq("seq", "nl_query", "sql_query", "datasource", "tags")
+      HashedEmbedding.scoreAgainst(
+          df.select((keys :+ "text").map(col): _*), "text", keys, query, dim)
+        .orderBy(col("score").desc, col("seq"))
+        .limit(limit)
+    }
+
   def recallQueries(
       query: String, limit: Int = 3,
       datasource: Option[String] = None): Seq[Map[String, Any]] =
-    readTable(QueryTable) match {
+    recallQueriesScored(query, limit, datasource) match {
       case None => Nil
-      case Some(df0) =>
-        var df = df0
-        datasource.foreach(d => df = df.filter(col("datasource") === d))
-        val keys = Seq("seq", "nl_query", "sql_query", "datasource", "tags")
-        val scored = HashedEmbedding.scoreAgainst(
-            df.select((keys :+ "text").map(col): _*), "text", keys, query, dim)
-          .orderBy(col("score").desc, col("seq"))
-          .limit(limit)
+      case Some(scored) =>
         scored.collect().toSeq.map(r => Map[String, Any](
           "nl_query" -> r.getAs[String]("nl_query"),
           "sql_query" -> r.getAs[String]("sql_query"),
@@ -269,10 +299,16 @@ final class MemoryStore(
               .withColumn("vector", HashedEmbedding.embedCol(col("text"), dim))
               .repartition(1)
               .write.mode(SaveMode.Overwrite).parquet(tablePath(QueryTable) + ".tmp")
-            // two-step move: Spark can't overwrite the dir it reads
-            Fs.deleteTree(tablePath(QueryTable))
-            Files.move(Paths.get(tablePath(QueryTable) + ".tmp"),
-              Paths.get(tablePath(QueryTable)))
+            // crash-safe swap: the fully-written replacement exists on disk
+            // before the live dir ever disappears (rename old aside → rename
+            // new into place → drop the old), so a crash in the window leaves
+            // either the old or the new table, never nothing
+            val live = Paths.get(tablePath(QueryTable))
+            val old = Paths.get(tablePath(QueryTable) + ".old")
+            Fs.deleteTree(old.toString)
+            Files.move(live, old)
+            Files.move(Paths.get(tablePath(QueryTable) + ".tmp"), live)
+            Fs.deleteTree(old.toString)
           }
         }
         dropped

@@ -139,4 +139,63 @@ class ManifestJsonSpec extends AnyFunSuite {
     val res = graft.semantics.Validator.cubeHierarchyIsValid(bad)
     assert(!res.valid && res.message.contains("galaxy"))
   }
+
+  test("canonical JSON is a lossless fixed point over every manifest section") {
+    // exercises every serialized field at a NON-default value, so any field
+    // toJValue forgot (layoutVersion and metric `cached` were once dropped)
+    // breaks the fixed-point assertion instead of hiding in a default
+    val full = ManifestJson.parse(
+      """{"catalog":"c","schema":"s","dataSource":"duckdb","layoutVersion":2,
+        |"models":[
+        |  {"name":"orders","tableReference":{"catalog":"g","schema":"main","table":"orders"},
+        |   "primaryKey":"o_orderkey","cached":true,"refreshTime":"1h","dialect":"ansi",
+        |   "properties":{"description":"the orders"},
+        |   "columns":[
+        |     {"name":"o_orderkey","type":"int8","notNull":true},
+        |     {"name":"o_total","type":"double","expression":"o_totalprice + 0",
+        |      "isHidden":true,"properties":{"description":"price"}},
+        |     {"name":"customer","type":"customer","relationship":"oc"},
+        |     {"name":"cn","type":"varchar","isCalculated":true,
+        |      "expression":"\"customer\".\"c_name\""},
+        |     {"name":"gated","type":"varchar",
+        |      "columnLevelAccessControl":{"name":"clac1","operator":"EQUALS","threshold":"1",
+        |        "requiredProperties":[{"name":"lvl","required":true,"defaultExpr":"0"}]}}],
+        |   "rowLevelAccessControls":[
+        |     {"name":"rls1","condition":"o_orderkey > @min_key",
+        |      "requiredProperties":[{"name":"min_key","required":true}]}]},
+        |  {"name":"cust_sql","refSql":"SELECT 1 AS c_custkey",
+        |   "columns":[{"name":"c_custkey","type":"int8"}]}],
+        |"relationships":[{"name":"oc","models":["orders","cust_sql"],
+        |  "joinType":"MANY_TO_ONE","condition":"a = b"}],
+        |"views":[{"name":"v1","statement":"select 1","dialect":"duckdb"}],
+        |"cubes":[{"name":"cb","baseObject":"orders","dimensions":["d1","d2"],
+        |  "hierarchies":{"h":["d1","d2"]},
+        |  "measures":[{"name":"n","expression":"count(*)"}],"timeDimensions":["d2"]}],
+        |"metrics":[{"name":"mt","baseObject":"orders","cached":true,
+        |  "dimension":[{"name":"d","type":"varchar"}],
+        |  "measure":[{"name":"n","type":"bigint","expression":"count(*)"}],
+        |  "timeGrain":[{"name":"tg","refColumn":"d2","dateParts":["month","year"]}]}],
+        |"cumulativeMetrics":[{"name":"cm","baseObject":"orders","cached":true,
+        |  "measure":{"name":"cr","type":"double","operator":"sum","refColumn":"o_total"},
+        |  "window":{"name":"w","refColumn":"d2","timeUnit":"month",
+        |    "start":"2024-01-01","end":"2024-12-01"}}],
+        |"macros":[{"name":"mc","definition":"(x: double) => x + 1"}],
+        |"enumDefinitions":[{"name":"E","values":[{"name":"A","value":"a"},{"name":"B"}]}],
+        |"dateSpine":{"unit":"day","start":"2024-01-01","end":"2024-12-31"}}""".stripMargin)
+    assert(full.layoutVersion == 2 && full.models.head.cached)
+    assert(full.metrics.head.cached && full.cumulativeMetrics.head.cached)
+    val canon = ManifestJson.canonical(full)
+    val reparsed = ManifestJson.parse(canon)
+    assert(reparsed.layoutVersion == 2, "layoutVersion must survive serialization")
+    assert(reparsed.metrics.head.cached && reparsed.cumulativeMetrics.head.cached,
+      "metric cached flags must survive serialization")
+    assert(reparsed == full, "parse(canonical(m)) must be lossless")
+    assert(ManifestJson.canonical(reparsed) == canon, "canonical is a fixed point")
+    // the hash is blind to NOTHING it parses: flipping each once-dropped
+    // field changes the fingerprint
+    import graft.memory.SchemaIndexer.manifestHash
+    assert(manifestHash(full.copy(layoutVersion = 1)) != manifestHash(full))
+    assert(manifestHash(full.copy(metrics = full.metrics.map(_.copy(cached = false))))
+      != manifestHash(full))
+  }
 }
