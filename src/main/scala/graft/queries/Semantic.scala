@@ -266,6 +266,53 @@ object Semantic {
       |  cast(round(cbrt(o_orderkey), 6) as double) AS cb
       |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
 
+  /** Source SQL for the `m31_unparse_regex_*` cross-corpus entries: the regex
+    * family's global-replace and partial-match semantics, driver-EXECUTED
+    * where the emitted text is DuckDB-faithful — duckdb (regexp_replace 'g',
+    * regexp_matches) and postgres (regexp_replace 'g'; `~` is partial-match
+    * in PG but FULL-match in DuckDB, so the pattern is anchored `^…*`-whole —
+    * the two readings agree on every row). The replace pattern hits multiple
+    * vowels per segment, so a first-match (wrong) reading changes every row.
+    * trino/redshift renderings are valid for their engines but NOT
+    * DuckDB-faithful (their regexp_replace is global where DuckDB's 3-arg
+    * form is first-match) — golden-pinned + DialectLint instead, the m25
+    * exclusion protocol.
+    */
+  val m31Sql: String =
+    """SELECT o_orderkey,
+      |  regexp_replace(cust_segment, '[AEIOU]', '.') AS rep,
+      |  cust_segment rlike '^B.*' AS is_b
+      |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
+  /** Source SQL for the `m32_unparse_regex_extract_*` entries: group extract
+    * with both a hit and a guaranteed miss — Spark/DuckDB answer '' on miss
+    * where trino/postgres answer NULL, so the trino rendering's
+    * `coalesce(…, '')` repair is DISCRIMINATING (the unrepaired reading
+    * hash-mismatches every non-matching row). Executed for duckdb + trino;
+    * postgres renders via `regexp_match(...)[i]` (valid PG, outside DuckDB's
+    * parser) and redshift refuses extract (REGEXP_SUBSTR can't reach group
+    * semantics) — both golden-pinned.
+    */
+  val m32Sql: String =
+    """SELECT o_orderkey,
+      |  regexp_extract(cust_segment, '^([A-Z]+)[AEIOU]', 1) AS head,
+      |  regexp_extract(cust_segment, '(Q+)X', 1) AS miss
+      |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
+  /** Source SQL for the `m33_unparse_datetime_*` cross-corpus entries: the
+    * datetime accessor/arithmetic family beyond m24's trunc/extract-year —
+    * month/day accessors (ANSI `extract(… FROM …)` on the live dialects,
+    * bigint-cast in the source because engines' extract is int8 where
+    * Spark's is int) and day-granularity date arithmetic (`date ± n`).
+    */
+  val m33Sql: String =
+    """SELECT o_orderkey,
+      |  cast(month(o_orderdate) as bigint) AS mm,
+      |  cast(day(o_orderdate) as bigint) AS dd,
+      |  date_add(o_orderdate, 30) AS plus30,
+      |  date_sub(o_orderdate, 7) AS minus7
+      |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(CAST(sum("c3") AS DECIMAL(28,2)) AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_totalprice" AS "c8" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
@@ -608,7 +655,20 @@ object Semantic {
       // the round-10 function-surface mappings, executed on every live-text
       // dialect (each rendering is DuckDB-parseable AND DuckDB-faithful)
       Seq("duckdb", "postgres", "trino", "redshift").map(d =>
-        (s"m28_unparse_fns_$d", d, m28Sql))
+        (s"m28_unparse_fns_$d", d, m28Sql)) ++
+      // regex family (round-11 ask #3): executed only where the emitted text
+      // is DuckDB-FAITHFUL — trino/redshift render 3-arg regexp_replace
+      // (global on their engines, first-match in DuckDB) and trino's
+      // regexp_like / postgres's regexp_match[] are outside DuckDB's
+      // surface; those stay golden-pinned + DialectLint'd (see m31Sql/m32Sql
+      // docstrings)
+      Seq("duckdb", "postgres").map(d => (s"m31_unparse_regex_$d", d, m31Sql)) ++
+      Seq("duckdb", "trino").map(d => (s"m32_unparse_regex_extract_$d", d, m32Sql)) ++
+      // datetime accessor/arithmetic family: trino's date_add('day', n, d)
+      // spelling is valid Trino but not DuckDB (golden-pinned); the other
+      // three render extract + date±int, which DuckDB executes faithfully
+      Seq("duckdb", "postgres", "redshift").map(d =>
+        (s"m33_unparse_datetime_$d", d, m33Sql))
 
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
     crossCorpus.map { case (n, _, sql) =>

@@ -25,7 +25,9 @@ object GoldenGen {
     "m21" -> Semantic.m21Sql, "m22" -> Semantic.m22Sql,
     "m23" -> Semantic.m23Sql, "m24" -> Semantic.m24Sql,
     "m25" -> Semantic.m25Sql, "m26" -> Semantic.m26Sql,
-    "m27" -> Semantic.m27Sql, "m28" -> Semantic.m28Sql)
+    "m27" -> Semantic.m27Sql, "m28" -> Semantic.m28Sql,
+    "m31" -> Semantic.m31Sql, "m32" -> Semantic.m32Sql,
+    "m33" -> Semantic.m33Sql)
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("src/test/resources/goldens")
