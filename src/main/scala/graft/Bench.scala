@@ -134,13 +134,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e6 / sqls.size
     } catch { case _: Throwable => -1.0 }
     val planningStr = "%.2f".formatLocal(java.util.Locale.ROOT, planningMs)
-    // Isolated TPC-H sub-bench (round-9 verdict #3): the co-scheduled warm
-    // median moves with SUITE SIZE (r8→r9: q21 0.66→1.34 s with an unchanged,
-    // plan-guarded plan, purely from 27 added entries sharing one JVM's
-    // GC/cache) — so round-over-round TPC-H comparison needs a number taken
-    // with nothing else co-scheduled: q1–q22 alone, sequential, cache cleared
-    // first, median of the same warm-run count.
-    val tpchIsolatedTotal: Double = if (only.isEmpty) {
+    // Isolated sub-benches (round-9 verdict #3, widened per round-11 #4): the
+    // co-scheduled warm median moves with SUITE SIZE (r8→r9: q21 0.66→1.34 s
+    // with an unchanged, plan-guarded plan, purely from 27 added entries
+    // sharing one JVM's GC/cache; r10→r11 the same ±30% swing rotated through
+    // suite_pipeline → suite_dedup/multimodal) — so round-over-round
+    // comparison of the heavy suites needs numbers taken with nothing else
+    // co-scheduled: the suite alone, sequential, cache cleared and the JVM
+    // GC-settled first, median of the same warm-run count. Per-query isolated
+    // medians land in bench_full.json (`isolated_queries`) so a single hot
+    // entry (r11: d11_incremental_neardup, 7.0 s co-scheduled) can be
+    // adjudicated without a judge re-derivation.
+    val isolatedQueryMeds = scala.collection.mutable.Map.empty[String, Double]
+    def isolatedTotal(pick: String => Boolean): Double = {
       spark.catalog.clearCache()
       // settle the JVM before the comparator phase: the suite leaves the heap
       // full of old-gen garbage and a first-touch measurement would pay the
@@ -148,16 +154,28 @@ object Bench {
       // this; the co-scheduled medians were unaffected)
       System.gc()
       Thread.sleep(2000)
-      val tq = SparkEntry.queries.toSeq
-        .filter { case (k, _) => k.startsWith("tpch_") && !k.contains("_unparse") }
-        .sortBy(_._1)
+      val tq = SparkEntry.queries.toSeq.filter(t => pick(t._1)).sortBy(_._1)
       tq.foreach { case (_, fn) => once(fn) } // warm pass outside the timing
-      val meds = tq.map { case (_, fn) =>
+      tq.map { case (n, fn) =>
         val ws = Seq.fill(warmRuns)(once(fn)).collect { case Right(w) => w }
-        if (ws.isEmpty) 0.0 else ws.sorted.apply(ws.size / 2)
-      }
-      meds.sum
-    } else -1.0
+        val med = if (ws.isEmpty) 0.0 else ws.sorted.apply(ws.size / 2)
+        isolatedQueryMeds(n) = med
+        med
+      }.sum
+    }
+    val tpchIsolatedTotal: Double = if (only.isEmpty)
+      isolatedTotal(k => k.startsWith("tpch_") && !k.contains("_unparse"))
+    else -1.0
+    // the three suites whose co-scheduled totals have swung ±30% between
+    // rounds without a code change — one isolated comparator each
+    val isolatedSuites: Seq[(String, Double)] = if (only.isEmpty) Seq(
+      "dedup" -> isolatedTotal(k => k.head == 'd' && !k.startsWith("tpch")),
+      "pipeline" -> isolatedTotal(_.head == 'p'),
+      "multimodal" -> isolatedTotal(_.startsWith("mm")))
+    else Nil
+    val isolatedSuitesJson = isolatedSuites.map { case (k, v) =>
+      s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     val tpchIsoStr = "%.3f".formatLocal(java.util.Locale.ROOT, tpchIsolatedTotal)
     def f3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -191,7 +209,9 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
-      s""""tpch_isolated_total":$tpchIsoStr,""" +
+      s""""tpch_isolated_total":$tpchIsoStr,"isolated_suites":$isolatedSuitesJson,""" +
+      s""""isolated_queries":${isolatedQueryMeds.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")},""" +
       s""""warm_total_sec":$total,"cold_total_sec":$coldTotal,""" +
       s""""queries_cold_sec":${timed.collect { case (k, Some(c), _, _) => s"\"" + k + "\":" + f3(c) }.mkString("{", ",", "}")},""" +
       s""""queries_spread_sec":$spreads,"noisy_isolated_rerun":$noisyJson,""" +
@@ -227,7 +247,7 @@ object Bench {
     val qsCompact = (tpchEntries ++ familyTotals).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
-      s""""tpch_isolated_total":$tpchIsoStr,""" +
+      s""""tpch_isolated_total":$tpchIsoStr,"isolated_suites":$isolatedSuitesJson,""" +
       s""""warm_total_sec":${f3(total)},"cold_total_sec":${f3(coldTotal)},""" +
       s""""detail":"bench_full.json","errors":$errorNamesJson,"noisy":$noisyJson,""" +
       s""""streaming_harness":$harnessJson,""" +

@@ -253,6 +253,18 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
       case ("GET", ("v2" | "v3") :: "connector" :: ds :: "knowledge" :: Nil) =>
         respond(ex, 200, JsonMethods.compact(SqlKnowledge.forDataSource(ds)))
 
+      // Connection-info reference docs (the reference's `wren docs
+      // connection-info` CLI, wren/src/wren/docs.py, served over HTTP):
+      // ?datasource= filters, ?format=json-schema switches to the envelope
+      // JSON; unknown sources answer the reference's ValueError message as 4xx
+      case ("GET", "v1" :: "docs" :: "connection-info" :: Nil) =>
+        val params = queryParams(ex)
+        val ds = params.get("datasource")
+        if (params.get("format").contains("json-schema"))
+          respond(ex, 200, graft.planner.ConnectionDocs.jsonSchemaEnvelope(ds))
+        else respond(ex, 200, graft.planner.ConnectionDocs.markdown(ds),
+          cType = "text/markdown; charset=utf-8")
+
       // Schema/query memory (the reference's `wren memory` surface,
       // wren/src/wren/memory/cli.py, served over HTTP for agent consumers):
       // index the manifest, fetch context for a question, store/recall

@@ -473,6 +473,13 @@ object Curation {
     * `localSolveMax = 0` to force the distributed path; the default (1M edges ≈
     * 16 MB of longs) is far below any driver's collect ceiling.
     */
+  /** Which path the last [[connectedComponents]] call took (key "cc"):
+    * `local(<n> edges)` or `distributed(<rounds> rounds)` — observable for the
+    * scale smoke's dispatch-crossover report, like [[Dedup.lastDispatch]].
+    */
+  private[graft] val lastDispatch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 50, reliable: Boolean = false,
       localSolveMax: Long = 1000000L): DataFrame = {
@@ -491,8 +498,10 @@ object Curation {
       // graph never collects more than the threshold
       val probe = deduped.limit(
         (math.min(localSolveMax, Int.MaxValue - 1L) + 1).toInt).collect()
-      if (probe.length <= localSolveMax)
+      if (probe.length <= localSolveMax) {
+        lastDispatch.put("cc", s"local(${probe.length} edges)")
         return localComponents(pairs.sparkSession, probe, deduped.schema.head.dataType)
+      }
     }
     var edges = snap(deduped)
 
@@ -543,6 +552,7 @@ object Curation {
       prev = cur
       it += 1
     }
+    lastDispatch.put("cc", s"distributed($it rounds)")
     // At the fixed point every component is a star rooted at its minimum id and
     // small-star left edges oriented member→root.
     edges.select(col("u").alias("id"), col("v").alias("component"))

@@ -197,6 +197,53 @@ object ScaleSmoke {
       }
     }
 
+    // ---- leakage-safe split decade (round-11 ask #5) -------------------------
+    // The operator a pretraining run bets eval integrity on: MinHash-LSH band
+    // pairs → connected components → per-cluster split hash. On the plain
+    // corpora the near-dup pair structure is exactly 10× the 1× corpus's, so
+    // both phases scale interpretably. Reported per scale: wall, rows,
+    // total/peak-stage shuffle (the band shuffle dominates), PEAK-STAGE BYTES
+    // PER PARTITION (the executor-memory bound — partitions fixed at 32, so
+    // the claim under test is peak/partition growing ~linearly with the data,
+    // not super-linearly), and the CC dispatch. The pair graph is corpus-tiny
+    // (pairs, not documents), so both scales take the driver union-find fast
+    // path; the third row forces `localSolveMax = 0` on the 10× pair set to
+    // measure the DISTRIBUTED star-contraction branch — the path a >1M-pair
+    // (100 TB) corpus would cross over to — under the same meter.
+    val leakageResults = {
+      import graft.operators.Curation
+      def pairsOf(dir: String): DataFrame = {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        Dedup.minHashNearDup(d, "text", "doc_id",
+          n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
+      }
+      run("p12_leakage_split", plain1) // warm
+      def probe(name: String, dir: String, forceDistributed: Boolean) = {
+        val (t, r, s, p) =
+          if (!forceDistributed) run("p12_leakage_split", dir)
+          else runDf(() =>
+            Curation.connectedComponents(pairsOf(dir), localSolveMax = 0))
+        val cc = Option(Curation.lastDispatch.get("cc")).getOrElse("-")
+        Map(
+          "query" -> name, "t1_sec" -> f"$t%.2f", "t10_sec" -> "-",
+          "wall_factor" -> "-", "rows1" -> r.toString, "rows10" -> "-",
+          "shuffle1_mb" -> mb(s), "shuffle10_mb" -> "-",
+          "peak_stage1_mb" -> mb(p), "peak_stage10_mb" -> "-",
+          "peak_per_part1_mb" -> mb(p / 32), "shuffle_factor" -> "-",
+          "dispatch1" -> cc, "dispatch10" -> "-")
+      }
+      val r1 = probe("p12_leakage_split[1x]", plain1, forceDistributed = false)
+      val r10 = probe("p12_leakage_split[10x]", plain10, forceDistributed = false)
+      val rDist = probe("p12_cc_distributed[10x, localSolveMax=0]", plain10,
+        forceDistributed = true)
+      Seq(r1, r10, rDist).foreach(r =>
+        println(s"[scale] ${r("query")} t=${r("t1_sec")}s rows=${r("rows1")} " +
+          s"shuffle=${r("shuffle1_mb")} MB peak/part=${r("peak_per_part1_mb")} MB " +
+          s"cc=${r("dispatch1")}"))
+      Seq(r1, r10, rDist)
+    }
+
     // ---- ANN flagships over a 10× embedding corpus -------------------------
     // Copy k shifts vec_id and ROTATES the 64 dims by k: intra-copy distances
     // are exactly preserved (neighbor structure replicates per copy), cross-copy
@@ -361,7 +408,7 @@ object ScaleSmoke {
       Seq(row)
     }
 
-    val json = (results ++ skewResults30 ++ eventResults ++ annResults ++ zorderResults).map(r => r.map { case (k, v) =>
+    val json = (results ++ skewResults30 ++ leakageResults ++ eventResults ++ annResults ++ zorderResults).map(r => r.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),

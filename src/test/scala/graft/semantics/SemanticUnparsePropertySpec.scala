@@ -121,6 +121,61 @@ object SemanticUnparseGrammar {
           s"GROUP BY year(o_orderdate) ORDER BY y"
     }
   }
+
+  /** Governed productions (round-11 ask #7): queries against the RLAC/CLAC
+    * fixture model ([[graft.queries.Semantic.aclManifest]]'s `sec_customer`)
+    * with per-seed session properties — the @property-substituted row filter
+    * and the level-gated `c_name` column BAKE INTO the optimized plan before
+    * unparse, so every emitted dialect text must carry the governance with
+    * it. Occupy sweep indices [Seeds, Seeds + GovernedSeeds) so
+    * `tools/semantic_sweep.py`'s contiguous numbering executes them
+    * unchanged.
+    */
+  val GovernedSeeds: Int = 30
+
+  private val Segments =
+    Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "FURNITURE", "HOUSEHOLD")
+
+  /** (sql, session properties) for governed seed i in [0, GovernedSeeds). */
+  def genGoverned(seed: Int): (String, Map[String, String]) = {
+    val rnd = new scala.util.Random(0x5eed + seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val segment = pick(Segments)
+    val level = seed % 2 // alternate CLAC allow/deny so both schemas render
+    val props = Map("Session_segment" -> segment, "Session_level" -> level.toString)
+    val k = 500 + rnd.nextInt(2500)
+    val bal = 500 + rnd.nextInt(9000)
+    val sql = rnd.nextInt(6) match {
+      case 0 =>
+        // RLAC filter baked into a plain projection
+        s"SELECT c_custkey, c_mktsegment FROM sec_customer " +
+          s"WHERE c_custkey <= $k ORDER BY c_custkey"
+      case 1 =>
+        // CLAC schema gate: star expansion includes c_name iff level = 1
+        s"SELECT * FROM sec_customer ORDER BY c_custkey LIMIT ${10 + rnd.nextInt(40)}"
+      case 2 =>
+        // governed aggregate (decimal-exact accumulation, double surface)
+        s"SELECT count(*) AS n, " +
+          s"cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS bal " +
+          s"FROM sec_customer WHERE c_custkey <= ${k * 2}"
+      case 3 =>
+        // governed grouping
+        s"SELECT c_nationkey, count(*) AS n FROM sec_customer " +
+          s"WHERE c_acctbal > $bal GROUP BY c_nationkey ORDER BY c_nationkey"
+      case 4 =>
+        // ranking window over the governed rows (INT/BIGINT rank repair)
+        s"SELECT c_custkey, rn FROM (SELECT c_custkey, cast(row_number() OVER (" +
+          s"ORDER BY c_custkey) as bigint) AS rn FROM sec_customer " +
+          s"WHERE c_custkey <= $k) w WHERE rn <= ${5 + rnd.nextInt(20)} " +
+          s"ORDER BY c_custkey"
+      case _ =>
+        // governed scalar subquery (both occurrences carry the RLAC filter)
+        s"SELECT c_custkey, c_acctbal FROM sec_customer " +
+          s"WHERE c_acctbal > (SELECT cast(max(c_acctbal) as double) / 2 " +
+          s"FROM sec_customer) ORDER BY c_custkey"
+    }
+    (sql, props)
+  }
 }
 
 class SemanticUnparsePropertySpec extends AnyFunSuite {
@@ -149,6 +204,58 @@ class SemanticUnparsePropertySpec extends AnyFunSuite {
       }
       assert(refused <= SemanticUnparseGrammar.Seeds / 5,
         s"$d refused $refused/${SemanticUnparseGrammar.Seeds} semantic seeds")
+    }
+  }
+
+  test("every dialect renders (or refuses loudly) every GOVERNED seed") {
+    val acl = GraftEngine.deployOnDir(spark, Semantic.aclManifest, TestSpark.sfDir,
+      Map("Session_segment" -> "BUILDING", "Session_level" -> "1"))
+    for (d <- dialects) {
+      var refused = 0
+      for (seed <- 0 until SemanticUnparseGrammar.GovernedSeeds) {
+        val (sql, props) = SemanticUnparseGrammar.genGoverned(seed)
+        try {
+          val text = acl.withProperties(props).transformSql(sql, d)
+          assert(text.startsWith("SELECT"), s"dialect=$d gseed=$seed\n$sql")
+          DialectLint.lint(d, s"gseed=$seed", text)
+          // the RLAC predicate must have survived into the text: the
+          // substituted segment literal appears (plain SELECTs keep it as a
+          // filter; aggregates may fold it into the scan filter — either way
+          // the literal is in the emitted SQL)
+          assert(text.contains(props("Session_segment")),
+            s"dialect=$d gseed=$seed: governed text lost the RLAC literal\n$text")
+        } catch {
+          case _: UnsupportedOperationException => refused += 1
+          case e: Exception =>
+            throw new AssertionError(s"dialect=$d gseed=$seed failed\n$sql", e)
+        }
+      }
+      assert(refused <= SemanticUnparseGrammar.GovernedSeeds / 5,
+        s"$d refused $refused/${SemanticUnparseGrammar.GovernedSeeds} governed seeds")
+    }
+  }
+
+  test("spark-dialect GOVERNED text replays to the governed result") {
+    val acl = GraftEngine.deployOnDir(spark, Semantic.aclManifest, TestSpark.sfDir,
+      Map("Session_segment" -> "BUILDING", "Session_level" -> "1"))
+    for (seed <- 0 until SemanticUnparseGrammar.GovernedSeeds) {
+      val (sql, props) = SemanticUnparseGrammar.genGoverned(seed)
+      val sess = acl.withProperties(props)
+      val df = sess.query(sql)
+      val text = sess.transformSql(sql, "spark")
+      val replayed = spark.sql(text)
+      assert(replayed.columns.toSeq == df.columns.toSeq, s"gseed=$seed\n$sql\n$text")
+      // CLAC: level 0 must have dropped c_name from any star expansion
+      if (props("Session_level") == "0")
+        assert(!replayed.columns.contains("c_name"), s"gseed=$seed leaked c_name")
+      val rows = replayed.collect()
+      assert(rows.map(_.toString).sorted.toSeq ==
+        df.collect().map(_.toString).sorted.toSeq, s"gseed=$seed\n$sql\n$text")
+      // RLAC: a replay on a BARE session (no deployment, no props) returns
+      // only the governed segment's rows
+      if (replayed.columns.contains("c_mktsegment"))
+        assert(rows.forall(_.getAs[String]("c_mktsegment") == props("Session_segment")),
+          s"gseed=$seed: replayed text returned ungoverned rows")
     }
   }
 

@@ -50,7 +50,34 @@ object SemanticSweepDump {
         }
       }
     }
-    println(s"[semantic-sweep-dump] ${SemanticUnparseGrammar.Seeds} seeds -> $outDir")
+    // governed productions (RLAC/CLAC baked into the texts) occupy the next
+    // contiguous indices so semantic_sweep.py executes them unchanged
+    val acl = GraftEngine.deployOnDir(spark, Semantic.aclManifest, sfDir,
+      Map("Session_segment" -> "BUILDING", "Session_level" -> "1"))
+    for (g <- 0 until SemanticUnparseGrammar.GovernedSeeds) {
+      val seed = SemanticUnparseGrammar.Seeds + g
+      val (sql, props) = SemanticUnparseGrammar.genGoverned(g)
+      val sess = acl.withProperties(props)
+      val df = sess.query(sql)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/seed_$seed")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/seed_$seed.source.sql"),
+        s"-- governed: $props\n$sql")
+      for (d <- Seq("duckdb", "postgres", "trino", "redshift")) {
+        try {
+          val text = sess.transformSql(sql, d)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/seed_$seed.$d.sql"), text)
+        } catch {
+          case e: UnsupportedOperationException =>
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/seed_$seed.$d.refused"),
+              e.getMessage)
+        }
+      }
+    }
+    println(s"[semantic-sweep-dump] ${SemanticUnparseGrammar.Seeds} base + " +
+      s"${SemanticUnparseGrammar.GovernedSeeds} governed seeds -> $outDir")
     spark.stop()
   }
 }
