@@ -1149,7 +1149,12 @@ object SqlUnparser {
     // no ESCAPE clause in this grammar; backslash is already the
     // engine's LIKE escape, so only a CUSTOM escape must refuse
     override def likeEscapeClause(esc: Char): Option[String] = None
-    def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    // ClickHouse accepts BOTH backticks and ANSI double quotes for
+    // identifiers under default settings; the double-quote spelling keeps
+    // the texts inside the ANSI surface, so the subset free of
+    // ClickHouse-only functions is executable by the DuckDB sweep (the
+    // backtick form parked EVERY text outside any second parser's grammar)
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
     def relation(rootPath: String): String = {
       val base = rootPath.stripSuffix("/").split('/').last
       if (base.endsWith(".parquet")) quote(base.stripSuffix(".parquet"))

@@ -80,6 +80,28 @@ class SqlUnparserClickHouseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zorder_key"))
   }
 
+  test("clickhouse ANSI-expressible subset is vacuous — recorded falsifiably") {
+    // Identifiers now quote ANSI-style (ClickHouse accepts both `x` and "x"),
+    // so the only thing keeping ClickHouse texts out of the DuckDB-executed
+    // sweep is CH-native SPELLINGS — types (Float64/Date32/DateTime64/
+    // String/Nullable), camelCase functions, native SEMI JOIN. Probed
+    // 2026-08-15: every corpus text carries at least one. This test IS that
+    // record: if a future corpus entry renders fully-ANSI ClickHouse, the
+    // assertion fires and the entry should be PROMOTED to a driver-executed
+    // `*_unparse_clickhouse` entry instead of staying golden-only.
+    val native = Seq("Float64", "Float32", "Date32", "DateTime64", "Int64",
+      "Int32", "Nullable(", "AS String", "toYear(", "toMonth(",
+      "toDayOfMonth(", "toDayOfWeek(", "toDate(", "LEFT SEMI JOIN",
+      "replaceRegexpAll(", "match(", "intDiv(", "lengthUTF8(")
+    for ((name, sql) <- graft.tools.GoldenGen.corpus) {
+      try {
+        val text = session.transformSql(sql, "clickhouse")
+        assert(native.exists(text.contains),
+          s"$name renders fully-ANSI ClickHouse — promote it to the executed sweep")
+      } catch { case _: UnsupportedOperationException => () /* refusal: fine */ }
+    }
+  }
+
   test("clickhouse dialect: every TPC-H query unparses (breadth parity)") {
     val tpch = GraftEngine.deployOnDir(spark, TpcH.manifest, TestSpark.sfDir)
     val failures = TpcH.oracles.flatMap { case (n, sql) =>
