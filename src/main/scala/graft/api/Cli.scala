@@ -40,6 +40,12 @@ object Cli {
           else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         GraftEngine.deployJson(spark, manifestStr, new PathResolver(dataDir), props)
       }
+    // ~/.graft/config.json gates every CLI query, like the reference's
+    // WrenConfig (engine.py:175-187): strict mode rejects non-model tables,
+    // denied functions are forbidden anywhere in the query
+    val config = GraftConfig.load(Profiles.defaultHome)
+    if (config.enforces)
+      session.validatePolicy(sql, config.strictMode, config.deniedFunctions)
     mode match {
       case "json" => session.queryJson(sql)
       case "plan" => session.transformSql(sql)
