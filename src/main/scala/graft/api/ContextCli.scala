@@ -1,0 +1,207 @@
+package graft.api
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.mdl.{ProjectConvert, YamlProject}
+
+/** `graft context` CLI — the reference's Typer sub-app
+  * (`wren/src/wren/context_cli.py:27-604`) as one-shot subcommands:
+  *
+  * {{{
+  * runMain graft.api.ContextCli <cmd> [--path dir] [opts]
+  *   init   [--from-mdl m.json] [--force] [--empty]   scaffold / import
+  *   validate                                         structure checks
+  *   build                                            compile target/mdl.json
+  *   show   [--output summary|json|yaml]              project overview
+  *   instructions                                     print instructions.md
+  *   upgrade [--to N] [--dry-run]                     bump schema_version
+  * }}}
+  */
+object ContextCli {
+
+  /** Project discovery (context.py:337-369): explicit flag →
+    * GRAFT_PROJECT_HOME → walk up from cwd to the first `wren_project.yml`
+    * (stopping at home/root) → actionable error.
+    */
+  def discoverProjectPath(
+      explicit: Option[String],
+      cwd: Path = Paths.get(".").toAbsolutePath.normalize()): Path = {
+    explicit.foreach(p => return Paths.get(p))
+    sys.env.get("GRAFT_PROJECT_HOME").foreach(p => return Paths.get(p))
+    val home = Paths.get(System.getProperty("user.home"))
+    var p: Path = cwd
+    while (p != null) {
+      if (Files.exists(p.resolve("wren_project.yml"))) return p
+      if (p == home || p.getParent == null) p = null else p = p.getParent
+    }
+    throw new IllegalArgumentException(
+      "Error: no project found. Run `graft context init` or pass --path.")
+  }
+
+  private val ScaffoldProjectYml =
+    """schema_version: 3
+      |name: my_project
+      |version: "1.0"
+      |
+      |# Engine namespace (NOT your database's catalog/schema).
+      |catalog: wren
+      |schema: public
+      |""".stripMargin
+
+  private val ScaffoldQueriesYml =
+    """version: 1
+      |pairs: []
+      |""".stripMargin
+
+  private val ExampleModel =
+    """name: example
+      |table_reference:
+      |  table: example
+      |columns:
+      |  - name: id
+      |    type: bigint
+      |  - name: created_at
+      |    type: timestamp
+      |primary_key: id
+      |""".stripMargin
+
+  /** Testable core: returns what main prints. */
+  def run(argv: Seq[String]): String = {
+    require(argv.nonEmpty,
+      "usage: ContextCli <init|validate|build|show|instructions|upgrade> [options]")
+    val cmd = argv.head
+    val rest = argv.tail
+    def opt(name: String): Option[String] = {
+      val i = rest.indexOf(s"--$name")
+      if (i >= 0 && i + 1 < rest.length) Some(rest(i + 1)) else None
+    }
+    def flag(name: String): Boolean = rest.contains(s"--$name")
+
+    cmd match {
+      case "init" =>
+        val projectPath = Paths.get(opt("path").getOrElse("."))
+        opt("from-mdl") match {
+          case Some(mdlFile) =>
+            val p = Paths.get(mdlFile)
+            if (!Files.exists(p))
+              throw new IllegalArgumentException(s"Error: $p not found.")
+            val mdlJson = new String(Files.readAllBytes(p), "UTF-8")
+            val files = ProjectConvert.convertMdlToProject(mdlJson)
+            ProjectConvert.writeProjectFiles(files, projectPath, force = flag("force"))
+            val j = org.json4s.jackson.JsonMethods.parse(mdlJson)
+            def n(k: String) = (j \ k) match {
+              case org.json4s.JArray(xs) => xs.size; case _ => 0 }
+            s"Imported MDL to YAML project at $projectPath/\n" +
+              s"  ${n("models")} models, ${n("views")} views, ${n("relationships")} relationships\n" +
+              s"\nNext steps:\n  graft context validate --path $projectPath\n" +
+              s"  graft context build --path $projectPath"
+          case None =>
+            val conflicts = Seq("wren_project.yml", "AGENTS.md", "queries.yml")
+              .filter(f => Files.exists(projectPath.resolve(f)))
+            if (conflicts.nonEmpty && !flag("force"))
+              throw new IllegalStateException("Error: " +
+                conflicts.map(c => s"'$c'").mkString(", ") +
+                " already exists. Use --force to overwrite.")
+            Files.createDirectories(projectPath.resolve("models"))
+            Files.createDirectories(projectPath.resolve("views"))
+            def write(rel: String, content: String): Unit =
+              Files.write(projectPath.resolve(rel), content.getBytes("UTF-8"))
+            write("wren_project.yml", ScaffoldProjectYml)
+            write("AGENTS.md", ProjectConvert.AgentsMd)
+            write("queries.yml", ScaffoldQueriesYml)
+            if (!flag("empty")) {
+              Files.createDirectories(projectPath.resolve("models/example"))
+              write("models/example/metadata.yml", ExampleModel)
+            }
+            s"Initialized project at $projectPath/\n\nNext: edit models/, then " +
+              "`graft context validate`"
+        }
+
+      case "validate" =>
+        val projectPath = discoverProjectPath(opt("path"))
+        val issues = YamlProject.validate(projectPath)
+        if (issues.isEmpty) "Project is valid."
+        else issues.mkString("\n")
+
+      case "build" =>
+        val projectPath = discoverProjectPath(opt("path"))
+        val issues = YamlProject.validate(projectPath)
+        if (issues.nonEmpty)
+          throw new IllegalStateException(
+            s"Error: project has issues:\n${issues.mkString("\n")}")
+        val json = YamlProject.buildManifestJson(projectPath)
+        val target = projectPath.resolve("target")
+        Files.createDirectories(target)
+        Files.write(target.resolve("mdl.json"), json.getBytes("UTF-8"))
+        s"Built ${target.resolve("mdl.json")} (${json.length} bytes)"
+
+      case "show" =>
+        val projectPath = discoverProjectPath(opt("path"))
+        opt("output").getOrElse("summary") match {
+          case "json" =>
+            org.json4s.jackson.JsonMethods.pretty(
+              org.json4s.jackson.JsonMethods.parse(
+                YamlProject.buildManifestJson(projectPath)))
+          case "summary" | _ =>
+            val m = YamlProject.buildManifest(projectPath)
+            val lines = scala.collection.mutable.ListBuffer.empty[String]
+            lines += s"Project: ${m.catalog}.${m.schema}"
+            lines += s"Path: $projectPath"
+            lines += ""
+            if (m.models.nonEmpty) {
+              lines += s"Models (${m.models.size}):"
+              m.models.foreach { md =>
+                val source = if (md.refSql.isDefined) "ref_sql" else "table"
+                lines += s"  ${md.name}  ($source, ${md.columns.size} columns, " +
+                  s"pk=${md.primaryKey.getOrElse("—")})"
+              }
+            }
+            if (m.views.nonEmpty) {
+              lines += ""
+              lines += s"Views (${m.views.size}):"
+              m.views.foreach(v => lines += s"  ${v.name}")
+            }
+            if (m.relationships.nonEmpty) {
+              lines += ""
+              lines += s"Relationships (${m.relationships.size}):"
+              m.relationships.foreach(r =>
+                lines += s"  ${r.name}  (${r.models.mkString(" ↔ ")}, ${r.joinType})")
+            }
+            if (m.models.isEmpty && m.views.isEmpty)
+              lines += "Empty project. Run `graft context init` to get started."
+            lines.mkString("\n")
+        }
+
+      case "instructions" =>
+        val projectPath = discoverProjectPath(opt("path"))
+        val f = projectPath.resolve("instructions.md")
+        if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8") else ""
+
+      case "upgrade" =>
+        val projectPath = discoverProjectPath(opt("path"))
+        val current = ProjectConvert.getSchemaVersion(projectPath)
+        val result = ProjectConvert.planUpgrade(projectPath, opt("to").map(_.toInt))
+        if (result.fromVersion == result.toVersion ||
+          (result.filesCreated.isEmpty && result.filesDeleted.isEmpty &&
+            result.filesModified.isEmpty))
+          s"Already at schema_version $current. Nothing to do."
+        else if (flag("dry-run")) {
+          val out = scala.collection.mutable.ListBuffer(
+            "Dry run — no files will be changed.", "")
+          if (result.filesCreated.nonEmpty)
+            out += ("Would create:" +: result.filesCreated.map("  " + _)).mkString("\n")
+          if (result.filesDeleted.nonEmpty)
+            out += ("Would delete:" +: result.filesDeleted.map("  " + _)).mkString("\n")
+          out += s"Would update schema_version ${result.fromVersion} → ${result.toVersion}."
+          out.mkString("\n")
+        } else {
+          ProjectConvert.applyUpgrade(projectPath, result)
+          s"Upgraded schema_version ${result.fromVersion} → ${result.toVersion}."
+        }
+
+      case other => throw new IllegalArgumentException(s"unknown command: $other")
+    }
+  }
+
+  def main(args: Array[String]): Unit = println(run(args.toSeq))
+}

@@ -204,7 +204,7 @@ object Profiles {
     case other => other.getClass.getSimpleName
   }
 
-  private[api] def toJava(v: Any): Any = v match {
+  private[graft] def toJava(v: Any): Any = v match {
     case m: Map[_, _] =>
       val out = new java.util.LinkedHashMap[String, Any]()
       m.foreach { case (k, x) => out.put(k.toString, toJava(x)) }

@@ -155,7 +155,7 @@ object YamlProject {
       } else meta
     }
 
-  private def loadFlatDir(dir: Path): List[Map[String, Any]] =
+  private[mdl] def loadFlatDir(dir: Path): List[Map[String, Any]] =
     if (!Files.isDirectory(dir)) Nil
     else Files.list(dir).iterator().asScala.toList
       .filter(_.getFileName.toString.endsWith(".yml")).sortBy(_.getFileName.toString)
@@ -170,7 +170,7 @@ object YamlProject {
         if (Files.exists(meta)) Some(d -> loadYamlMap(meta)) else None
       }
 
-  private def loadListFile(file: Path, key: String): List[Map[String, Any]] =
+  private[mdl] def loadListFile(file: Path, key: String): List[Map[String, Any]] =
     loadYamlMap(file).get(key) match {
       case Some(l: java.util.List[_]) => l.asScala.toList.collect {
         case m: java.util.Map[_, _] =>
@@ -179,7 +179,7 @@ object YamlProject {
       case _ => Nil
     }
 
-  private def loadYamlMap(file: Path): Map[String, Any] =
+  private[mdl] def loadYamlMap(file: Path): Map[String, Any] =
     if (!Files.exists(file)) Map.empty
     else new org.yaml.snakeyaml.Yaml()
       .load[Any](new String(Files.readAllBytes(file), "UTF-8")) match {
@@ -190,7 +190,7 @@ object YamlProject {
 
   // --------------------------------------------------------------- conversion
 
-  private def toInt(v: Any): Int = v match {
+  private[mdl] def toInt(v: Any): Int = v match {
     case i: java.lang.Integer => i.intValue()
     case l: java.lang.Long => l.intValue()
     case s => s.toString.trim.toInt
