@@ -50,10 +50,15 @@ import graft.planner.PathResolver
   * Deployments are cached per (manifest, properties) via the engine's own deploy
   * cache semantics so repeated calls with the same manifest don't re-plan.
   */
-final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
+final class GraftHttpServer(
+    spark: SparkSession, dataDir: String, port: Int = 0,
+    profilesHome: java.nio.file.Path = Profiles.defaultHome) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val sessions = new ConcurrentHashMap[String, graft.GraftSession]
+
+  /** Profile store behind the /v1/profile browser-form routes. */
+  private lazy val profiles = new Profiles(profilesHome)
 
   /** Server-wide result cache for `?cacheEnable=true` queries (the reference's
     * query_cache_manager; hit/create/override surfaced as X-Cache-* headers).
@@ -252,6 +257,28 @@ final class GraftHttpServer(spark: SparkSession, dataDir: String, port: Int = 0)
       // topic instructions, correction rule). `{ds}` selects the dialect note.
       case ("GET", ("v2" | "v3") :: "connector" :: ds :: "knowledge" :: Nil) =>
         respond(ex, 200, JsonMethods.compact(SqlKnowledge.forDataSource(ds)))
+
+      // Browser profile-creation form (the reference's `wren profile add
+      // --web` uvicorn app, wren/src/wren/profile_web.py:40-160, over the
+      // same three routes): the form page, the per-datasource fields
+      // fragment, and the save handler (form-encoded or a `_json` blob).
+      case ("GET", "v1" :: "profile" :: "form" :: Nil) =>
+        val name = queryParams(ex).getOrElse("name", "default")
+        respond(ex, 200, ProfileWeb.formPage(name), cType = "text/html; charset=utf-8")
+      case ("GET", "v1" :: "profile" :: "fields" :: Nil) =>
+        val params = queryParams(ex)
+        respond(ex, 200,
+          ProfileWeb.fieldsFragment(
+            params.getOrElse("datasource", ""), params.get("_variant")),
+          cType = "text/html; charset=utf-8")
+      case ("POST", "v1" :: "profile" :: "save" :: Nil) =>
+        val form = ProfileWeb.parseForm(
+          new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        ProfileWeb.save(profiles, form) match {
+          case Right(msg) => respond(ex, 200, msg, cType = "text/html; charset=utf-8")
+          case Left((code, msg)) =>
+            respond(ex, code, msg, cType = "text/html; charset=utf-8")
+        }
 
       // Connection-info reference docs (the reference's `wren docs
       // connection-info` CLI, wren/src/wren/docs.py, served over HTTP):
