@@ -313,6 +313,43 @@ object Semantic {
       |  date_sub(o_orderdate, 7) AS minus7
       |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
 
+  /** Source SQL for the `m34_unparse_strings_*` entries: the padding/slicing
+    * string family (lpad/rpad with explicit pads, left/right, reverse) —
+    * spellings shared by ALL four live dialects and DuckDB-faithful.
+    */
+  val m34Sql: String =
+    """SELECT o_orderkey,
+      |  lpad(cust_segment, 12, '.') AS lp,
+      |  rpad(cust_segment, 12, '.') AS rp,
+      |  left(cust_segment, 2) AS l2,
+      |  right(cust_segment, 3) AS r3,
+      |  reverse(cust_segment) AS rev
+      |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
+  /** Source SQL for the `m36_unparse_concat_*` entries: repeat + concat_ws —
+    * duckdb/postgres spellings (trino has no string repeat, redshift no
+    * concat_ws; both refuse loudly and stay golden-pinned).
+    */
+  val m36Sql: String =
+    """SELECT o_orderkey,
+      |  repeat(left(cust_segment, 2), 3) AS rep3,
+      |  concat_ws('-', cust_segment, o_orderstatus) AS cw
+      |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
+  /** Source SQL for the `m35_unparse_conditional_*` entries: NULL-producing
+    * conditionals (nullif — discriminating: rows where the branch fires go
+    * NULL) + n-ary greatest/least + the sqrt/ln/exp math family under the
+    * round-6 cross-engine double rule.
+    */
+  val m35Sql: String =
+    """SELECT o_orderkey,
+      |  nullif(o_orderstatus, 'O') AS maybe_status,
+      |  greatest(o_orderkey % 7, o_orderkey % 5, cast(3 as bigint)) AS g,
+      |  least(o_orderkey % 7, o_orderkey % 5, cast(3 as bigint)) AS l,
+      |  cast(round(sqrt(o_orderkey), 6) as double) AS sq,
+      |  cast(round(ln(o_orderkey + 1), 6) as double) AS lnx
+      |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
   val m21DuckOracle: String =
     """SELECT "c1" AS "cust_segment", "c2" AS "n", "c4" AS "rev" FROM (SELECT * FROM (SELECT "c1" AS "c1", count(*) AS "c2", CAST(CAST(sum("c3") AS DECIMAL(28,2)) AS DOUBLE) AS "c4" FROM (SELECT "c3" AS "c3", "c5" AS "c1" FROM (SELECT * FROM (SELECT "c6" AS "c6", CAST("c8" AS DECIMAL(18,2)) AS "c3" FROM (SELECT * FROM (SELECT "o_orderkey" AS "c9", "o_custkey" AS "c6", "o_totalprice" AS "c8" FROM "orders") "t2" WHERE (("c9" IS NOT NULL) AND ("c9" <= 5000))) "t3") "t1" LEFT JOIN (SELECT "c7" AS "c7", "c5" AS "c5" FROM (SELECT * FROM (SELECT "c_custkey" AS "c7", "c_mktsegment" AS "c5" FROM "customer") "t4" WHERE ("c7" IS NOT NULL)) "t5") "t6" ON ("c6" = "c7")) "t7") "t8" GROUP BY "c1") "t9" ORDER BY "c1" ASC NULLS FIRST) "t_out"""".stripMargin
 
@@ -668,7 +705,21 @@ object Semantic {
       // spelling is valid Trino but not DuckDB (golden-pinned); the other
       // three render extract + date±int, which DuckDB executes faithfully
       Seq("duckdb", "postgres", "redshift").map(d =>
-        (s"m33_unparse_datetime_$d", d, m33Sql))
+        (s"m33_unparse_datetime_$d", d, m33Sql)) ++
+      // padding/slicing strings and the conditional/math family — spellings
+      // shared by all four live dialects
+      Seq("duckdb", "postgres", "trino", "redshift").map(d =>
+        (s"m34_unparse_strings_$d", d, m34Sql)) ++
+      Seq("duckdb", "postgres", "trino", "redshift").map(d =>
+        (s"m35_unparse_conditional_$d", d, m35Sql)) ++
+      // repeat/concat_ws exist on duckdb/postgres AND — the ClickHouse
+      // vacuous-subset guard fired for exactly this entry — on clickhouse,
+      // whose rendering is fully-ANSI under the new double-quote identifier
+      // style (repeat/concat_ws/substring are shared spellings): the FIRST
+      // driver-EXECUTED clickhouse text. trino has no string repeat,
+      // redshift no concat_ws — loud refusals, golden-pinned absent.
+      Seq("duckdb", "postgres", "clickhouse").map(d =>
+        (s"m36_unparse_concat_$d", d, m36Sql))
 
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
     crossCorpus.map { case (n, _, sql) =>

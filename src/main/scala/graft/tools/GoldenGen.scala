@@ -27,7 +27,8 @@ object GoldenGen {
     "m25" -> Semantic.m25Sql, "m26" -> Semantic.m26Sql,
     "m27" -> Semantic.m27Sql, "m28" -> Semantic.m28Sql,
     "m31" -> Semantic.m31Sql, "m32" -> Semantic.m32Sql,
-    "m33" -> Semantic.m33Sql)
+    "m33" -> Semantic.m33Sql, "m34" -> Semantic.m34Sql,
+    "m35" -> Semantic.m35Sql, "m36" -> Semantic.m36Sql)
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("src/test/resources/goldens")

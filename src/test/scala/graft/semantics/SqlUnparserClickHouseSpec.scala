@@ -80,15 +80,17 @@ class SqlUnparserClickHouseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zorder_key"))
   }
 
-  test("clickhouse ANSI-expressible subset is vacuous — recorded falsifiably") {
+  test("clickhouse ANSI-expressible subset is exactly the promoted set — falsifiably") {
     // Identifiers now quote ANSI-style (ClickHouse accepts both `x` and "x"),
     // so the only thing keeping ClickHouse texts out of the DuckDB-executed
     // sweep is CH-native SPELLINGS — types (Float64/Date32/DateTime64/
-    // String/Nullable), camelCase functions, native SEMI JOIN. Probed
-    // 2026-08-15: every corpus text carries at least one. This test IS that
-    // record: if a future corpus entry renders fully-ANSI ClickHouse, the
-    // assertion fires and the entry should be PROMOTED to a driver-executed
-    // `*_unparse_clickhouse` entry instead of staying golden-only.
+    // String/Nullable), camelCase functions, native SEMI JOIN. This test IS
+    // the record: every corpus entry must either carry a native spelling OR
+    // be in the PROMOTED set (a driver-executed `*_unparse_clickhouse`
+    // entry). The guard fired once already — m36's repeat/concat_ws text is
+    // fully-ANSI and is now executed by the driver's DuckDB gate, the first
+    // live-executed ClickHouse text.
+    val promoted = Set("m36")
     val native = Seq("Float64", "Float32", "Date32", "DateTime64", "Int64",
       "Int32", "Nullable(", "AS String", "toYear(", "toMonth(",
       "toDayOfMonth(", "toDayOfWeek(", "toDate(", "LEFT SEMI JOIN",
@@ -96,7 +98,10 @@ class SqlUnparserClickHouseSpec extends AnyFunSuite {
     for ((name, sql) <- graft.tools.GoldenGen.corpus) {
       try {
         val text = session.transformSql(sql, "clickhouse")
-        assert(native.exists(text.contains),
+        if (promoted(name))
+          assert(!native.exists(text.contains),
+            s"$name is promoted (driver-executed) but renders CH-native spellings")
+        else assert(native.exists(text.contains),
           s"$name renders fully-ANSI ClickHouse — promote it to the executed sweep")
       } catch { case _: UnsupportedOperationException => () /* refusal: fine */ }
     }
