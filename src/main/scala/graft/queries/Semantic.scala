@@ -719,7 +719,20 @@ object Semantic {
       // driver-EXECUTED clickhouse text. trino has no string repeat,
       // redshift no concat_ws — loud refusals, golden-pinned absent.
       Seq("duckdb", "postgres", "clickhouse").map(d =>
-        (s"m36_unparse_concat_$d", d, m36Sql))
+        (s"m36_unparse_concat_$d", d, m36Sql)) ++
+      // snowflake's string/conditional renderings are ANSI (it quotes with
+      // double quotes and these families carry no NUMBER/TIMESTAMP_NTZ
+      // types) — its first driver-EXECUTED texts; greatest/least NULL
+      // semantics differ from DuckDB only on NULL inputs, which these
+      // columns never produce (probed 2026-08-15)
+      Seq("m34" -> m34Sql, "m35" -> m35Sql, "m36" -> m36Sql).map { case (m, sql) =>
+        (s"${m}_unparse_snowflake", "snowflake", sql) } ++
+      // T-SQL's m21–m23 renderings execute in DuckDB too (the OFFSET 0 ROWS
+      // bare-ORDER-BY suffix and boolean-as-1/0 hooks are inside DuckDB's
+      // grammar; every division in them is explicitly double-cast, so
+      // T-SQL's integer `/` trap cannot fire) — mssql's first executed texts
+      Seq("m21" -> m21Sql, "m22" -> m22Sql, "m23" -> m23Sql).map { case (m, sql) =>
+        (s"${m}_unparse_mssql", "mssql", sql) }
 
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
     crossCorpus.map { case (n, _, sql) =>

@@ -1457,7 +1457,10 @@ object SqlUnparser {
       case LongType => "BIGINT"
       case ShortType => "SMALLINT"
       case ByteType => "TINYINT"
-      case DoubleType => "FLOAT"
+      // FLOAT(53) IS T-SQL's double (bare FLOAT defaults to it) — the
+      // explicit precision keeps the text faithful on engines where bare
+      // FLOAT is float32 (DuckDB reads float(p>=25) as float64, measured)
+      case DoubleType => "FLOAT(53)"
       case FloatType => "REAL"
       case BooleanType => "BIT"
       case DateType => "DATE"

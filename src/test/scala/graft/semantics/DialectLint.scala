@@ -74,7 +74,12 @@ object DialectLint {
       ":: cast operator" -> raw"::".r,
       "NULLS FIRST/LAST (no such T-SQL syntax)" -> raw"NULLS\s+(FIRST|LAST)".r,
       "ORDER BY closing a derived table without OFFSET/TOP (error 1033)" ->
-        raw"""(ASC|DESC)\) """".r),
+        raw"""(ASC|DESC)\) """".r,
+      // bare FLOAT is T-SQL double but float32 on other parsers — the
+      // faithful spelling is the explicit FLOAT(53) (what lets m21-m23's
+      // mssql texts execute in the DuckDB gate)
+      "bare FLOAT cast (emit FLOAT(53): bare FLOAT is float32 elsewhere)" ->
+        raw"AS FLOAT\)".r),
     "oracle" -> Seq(
       "LIMIT (Oracle uses FETCH FIRST)" -> raw"\bLIMIT\b".r,
       "unqualified star with other select items (ORA-00936)" -> raw"SELECT \*,".r,
