@@ -82,10 +82,13 @@ class SqlUnparserTypeFidelitySpec extends AnyFunSuite {
     assert(t.contains("avg(CAST(") && t.contains(" AS DOUBLE))"), t)
   }
 
-  test("mssql: int SUM accumulates as BIGINT, int AVG as FLOAT, COUNT cast from INT") {
+  test("mssql: int SUM accumulates as BIGINT, int AVG as FLOAT(53), COUNT cast from INT") {
     val t = render(aggs, "mssql")
     assert(t.contains("sum(CAST(") && t.contains(" AS BIGINT))"), t)
-    assert(t.contains("avg(CAST(") && t.contains(" AS FLOAT))"), t)
+    // the explicit FLOAT(53) spelling (T-SQL's own default width) — bare
+    // FLOAT is float32 on other parsers, which broke the DuckDB-executed
+    // m21/m23 gate on the 8th significant digit
+    assert(t.contains("avg(CAST(") && t.contains(" AS FLOAT(53)))"), t)
     assert(t.contains("CAST(count(*) AS BIGINT)"), t)
   }
 
