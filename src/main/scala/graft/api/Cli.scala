@@ -28,17 +28,34 @@ object Cli {
       spark: SparkSession, dataDir: String, manifest: String, sql: String,
       mode: String = "table", props: Map[String, String] = Map.empty): String = {
     val path = java.nio.file.Paths.get(if (manifest.trim.startsWith("{")) "." else manifest)
+    // `@profile[:name]` as the data-dir resolves the connection from the
+    // profile store instead of a path — the reference CLI's no-flags flow
+    // (active profile) and `--profile name` (profile.py:247-267)
+    val resolver: graft.planner.TableResolver =
+      if (dataDir.startsWith("@profile")) {
+        val store = new Profiles()
+        val named = dataDir.stripPrefix("@profile").stripPrefix(":").trim
+        val profile =
+          if (named.nonEmpty) store.listProfiles().getOrElse(named,
+            throw new IllegalArgumentException(s"Error: profile '$named' not found."))
+          else {
+            val (_, p) = store.activeProfile()
+            require(p.nonEmpty, "no active profile — run `graft profile add` first")
+            p
+          }
+        graft.planner.Connections.fromProfile(store.expandSecrets(profile))
+      } else new PathResolver(dataDir)
     val session =
       if (!manifest.trim.startsWith("{") && java.nio.file.Files.isDirectory(path)) {
         val issues = graft.mdl.YamlProject.validate(path)
         require(issues.isEmpty, s"invalid project:\n${issues.mkString("\n")}")
         GraftEngine.deploy(spark, graft.mdl.YamlProject.buildManifest(path),
-          new PathResolver(dataDir), props)
+          resolver, props)
       } else {
         val manifestStr =
           if (manifest.trim.startsWith("{")) manifest
           else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-        GraftEngine.deployJson(spark, manifestStr, new PathResolver(dataDir), props)
+        GraftEngine.deployJson(spark, manifestStr, resolver, props)
       }
     // ~/.graft/config.json gates every CLI query, like the reference's
     // WrenConfig (engine.py:175-187): strict mode rejects non-model tables,

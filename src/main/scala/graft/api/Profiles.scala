@@ -191,7 +191,11 @@ final class Profiles(home: Path = Profiles.defaultHome) {
 
 object Profiles {
 
-  def defaultHome: Path = sys.env.get("GRAFT_HOME").map(Paths.get(_))
+  /** `-Dgraft.home` (tests/embedding) > `GRAFT_HOME` > `~/.graft` — the
+    * reference's WREN_HOME precedence (profile.py:20).
+    */
+  def defaultHome: Path = sys.props.get("graft.home").map(Paths.get(_))
+    .orElse(sys.env.get("GRAFT_HOME").map(Paths.get(_)))
     .getOrElse(Paths.get(System.getProperty("user.home"), ".graft"))
 
   private[api] def typeName(v: Any): String = v match {

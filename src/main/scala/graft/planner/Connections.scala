@@ -205,3 +205,117 @@ final case class UrlConnection(
     extends ConnectionInfo {
   override def shape: ReadShape = JdbcShape(connectionUrl, kwargs)
 }
+
+/** Profile dict → engine connection — the reference's
+  * `get_connection(connection_info)` dispatch (`wren/src/wren/connector/
+  * factory.py` over the pydantic models): the flat `{datasource, field…}`
+  * map a [[graft.api.Profiles]] store holds (secrets already expanded)
+  * resolves to either a [[TableResolver]] directly (`local_file`) or a typed
+  * [[ConnectionInfo]] whose [[ConnectionInfo.resolver]] plugs into
+  * `GraftEngine.deploy`. Unknown datasources and missing required fields
+  * answer the reference's message shapes.
+  */
+object Connections {
+
+  private def str(p: Map[String, Any], k: String): Option[String] =
+    p.get(k).filter(_ != null).map(_.toString).filter(_.nonEmpty)
+
+  private def need(p: Map[String, Any], ds: String, k: String): String =
+    str(p, k).getOrElse(throw new IllegalArgumentException(
+      s"$ds connection requires '$k'"))
+
+  private def kwargs(p: Map[String, Any]): Map[String, String] =
+    p.get("kwargs") match {
+      case Some(m: Map[_, _]) =>
+        m.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+      case _ => Map.empty
+    }
+
+  /** The typed shape for a non-file profile; `bigquery_type`/`databricks_type`
+    * pick the union variant (the web form's `<ds>_type` key; defaulting to
+    * the first variant like the reference's discriminated unions).
+    */
+  def connectionInfo(profile: Map[String, Any]): ConnectionInfo = {
+    val ds = str(profile, "datasource").getOrElse(
+      throw new IllegalArgumentException("profile has no 'datasource'")).toLowerCase
+    ds match {
+      case "bigquery" =>
+        if (str(profile, "bigquery_type").contains("BigQueryProjectConnection") ||
+          (str(profile, "region").isDefined && str(profile, "datasetId").isEmpty))
+          BigQueryProjectConnection(
+            region = need(profile, ds, "region"),
+            billingProjectId = need(profile, ds, "billingProjectId"),
+            credentialsBase64 = need(profile, ds, "credentialsBase64"))
+        else BigQueryDatasetConnection(
+          projectId = need(profile, ds, "projectId"),
+          datasetId = need(profile, ds, "datasetId"),
+          credentialsBase64 = need(profile, ds, "credentialsBase64"),
+          jobTimeoutMs = str(profile, "jobTimeoutMs").map(_.toLong))
+      case "snowflake" => SnowflakeConnection(
+        account = need(profile, ds, "account"),
+        user = need(profile, ds, "user"),
+        database = need(profile, ds, "database"),
+        schema = need(profile, ds, "schema"),
+        warehouse = str(profile, "warehouse"),
+        password = str(profile, "password"),
+        privateKeyPem = str(profile, "privateKeyPem"),
+        kwargs = kwargs(profile))
+      case "databricks" =>
+        if (str(profile, "databricks_type").contains("DatabricksServicePrincipalConnection") ||
+          str(profile, "clientId").isDefined)
+          DatabricksServicePrincipalConnection(
+            serverHostname = need(profile, ds, "serverHostname"),
+            httpPath = need(profile, ds, "httpPath"),
+            clientId = need(profile, ds, "clientId"),
+            clientSecret = need(profile, ds, "clientSecret"),
+            azureTenantId = str(profile, "azureTenantId"))
+        else DatabricksTokenConnection(
+          serverHostname = need(profile, ds, "serverHostname"),
+          httpPath = need(profile, ds, "httpPath"),
+          accessToken = need(profile, ds, "accessToken"))
+      case "athena" => AthenaConnection(
+        s3StagingDir = need(profile, ds, "s3StagingDir"),
+        regionName = need(profile, ds, "regionName"),
+        schemaName = str(profile, "schemaName").getOrElse("default"),
+        awsAccessKeyId = str(profile, "awsAccessKeyId"),
+        awsSecretAccessKey = str(profile, "awsSecretAccessKey"),
+        awsSessionToken = str(profile, "awsSessionToken"),
+        webIdentityToken = str(profile, "webIdentityToken"),
+        roleArn = str(profile, "roleArn"))
+      case "redshift" => RedshiftIamConnection(
+        clusterIdentifier = need(profile, ds, "clusterIdentifier"),
+        region = need(profile, ds, "region"),
+        database = need(profile, ds, "database"),
+        dbUser = need(profile, ds, "dbUser"),
+        awsAccessKeyId = str(profile, "awsAccessKeyId"),
+        awsSecretAccessKey = str(profile, "awsSecretAccessKey"))
+      case "trino" => TrinoConnection(
+        host = need(profile, ds, "host"),
+        port = str(profile, "port").map(_.toInt).getOrElse(8080),
+        catalog = need(profile, ds, "catalog"),
+        schema = need(profile, ds, "schema"),
+        user = str(profile, "user"),
+        password = str(profile, "password"))
+      case "url" => UrlConnection(
+        connectionUrl = need(profile, ds, "connectionUrl"),
+        kwargs = kwargs(profile))
+      case other =>
+        val available = graft.planner.ConnectionDocs.registry.map(_._1)
+          .sorted.mkString(", ")
+        throw new IllegalArgumentException(
+          s"Unknown data source: $other\nAvailable: $available")
+    }
+  }
+
+  /** Profile → resolver: `local_file` short-circuits to the path resolver
+    * (the shape every test deployment uses); everything else goes through
+    * the typed shape's JDBC/DSv2 compilation.
+    */
+  def fromProfile(profile: Map[String, Any]): TableResolver =
+    str(profile, "datasource").map(_.toLowerCase) match {
+      case Some("local_file") => new PathResolver(
+        need(profile, "local_file", "url"),
+        format = str(profile, "format").getOrElse("parquet"))
+      case _ => connectionInfo(profile).resolver()
+    }
+}
