@@ -142,7 +142,14 @@ object ContextCli {
             org.json4s.jackson.JsonMethods.pretty(
               org.json4s.jackson.JsonMethods.parse(
                 YamlProject.buildManifestJson(projectPath)))
-          case "summary" | _ =>
+          case "yaml" =>
+            // snake_case YAML, the project files' native form (context_cli
+            // show --output yaml)
+            ProjectConvert.manifestYaml(YamlProject.buildManifestJson(projectPath))
+          case other if other != "summary" =>
+            throw new IllegalArgumentException(
+              s"unsupported output format '$other'. Use summary, json or yaml.")
+          case _ =>
             val m = YamlProject.buildManifest(projectPath)
             val lines = scala.collection.mutable.ListBuffer.empty[String]
             lines += s"Project: ${m.catalog}.${m.schema}"

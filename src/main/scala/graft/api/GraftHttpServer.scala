@@ -152,7 +152,12 @@ final class GraftHttpServer(
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split('&').filter(_.contains("="))
-      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        // percent-decode: a ?name=my%20profile must round-trip as
+        // "my profile", not re-encode into my%2520profile on form submit
+        java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
 
   /** x-wren-variable-* headers → session properties; x-wren-timezone → timezone. */
   private def headerProperties(ex: HttpExchange): Map[String, String] = {

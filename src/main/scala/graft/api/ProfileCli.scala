@@ -27,13 +27,17 @@ object ProfileCli {
     * `{datasource, properties:{…}}`; reject other nested envelopes with the
     * reference's message (profile_cli.py:173-214).
     */
-  private[api] def flattenEnvelope(raw: Map[String, Any]): Map[String, Any] = {
+  private[graft] def flattenEnvelope(raw: Map[String, Any]): Map[String, Any] = {
     val flat = raw.get("properties") match {
       case Some(m: Map[_, _]) =>
         m.asInstanceOf[Map[String, Any]] ++ (raw - "properties")
       case _ =>
+        // kwargs/settings (driver options) and cloud (the documented
+        // local_file object-store credential block) are the legitimate
+        // nested shapes; anything else is a guessed envelope
         val unknownNested = raw.collect {
-          case (k, _: Map[_, _]) if k != "kwargs" && k != "settings" => k
+          case (k, _: Map[_, _]) if k != "kwargs" && k != "settings" &&
+            k != "cloud" => k
         }.toList
         if (unknownNested.nonEmpty)
           throw new IllegalArgumentException(
@@ -78,8 +82,8 @@ object ProfileCli {
         !(i > 0 && rest(i - 1).startsWith("--") &&
           valueOpts(rest(i - 1).stripPrefix("--"))) => a
     }
-    val store = new Profiles(
-      opt("home").map(Paths.get(_)).getOrElse(Profiles.defaultHome))
+    val home = opt("home").map(Paths.get(_)).getOrElse(Profiles.defaultHome)
+    val store = new Profiles(home)
 
     cmd match {
       case "list" =>
@@ -111,7 +115,7 @@ object ProfileCli {
         store.add(name, profile, activate = flag("activate"))
         val hint = if (minimal)
           s"Created minimal profile '$name' with datasource=${profile("datasource")}. " +
-            s"Edit ${Profiles.defaultHome}/profiles.yml to add connection fields.\n"
+            s"Edit $home/profiles.yml to add connection fields.\n"
         else ""
         hint + s"Profile '$name' added.\n\nNext: graft context init"
 

@@ -99,8 +99,10 @@ object ProfileWeb {
       return Left((400, "<small>✗ Invalid variant.</small>"))
 
     val internal = Set("datasource", "_profile_name", "_variant", "_json")
+    // the variant key persists ONLY for genuine unions (a client-supplied
+    // _variant on a single-model source is unvalidated noise, never stored)
     val base: Map[String, Any] = Map("datasource" -> ds) ++
-      variantKey.map(v => s"${ds}_type" -> (v: Any))
+      (if (vs.nonEmpty) variantKey.map(v => s"${ds}_type" -> (v: Any)) else None)
     val profile: Map[String, Any] = form.get("_json").map(_.trim).filter(_.nonEmpty) match {
       case Some(raw) =>
         try {

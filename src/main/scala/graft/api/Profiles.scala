@@ -18,9 +18,11 @@ final class MissingSecretError(msg: String) extends IllegalArgumentException(msg
   * YAML keeps the placeholders, so `profile debug` never prints a secret.
   *
   * Faithful behaviors:
-  *  - `${VAR}` names are UPPER_SNAKE_CASE only (a literal `${foo}` in a real
-  *    password or URL is left alone) and `$$` escapes to `$`
-  *    (profile.py:29-34's restricted Template idpattern);
+  *  - `${VAR}` names are UPPER_SNAKE_CASE only; `$$` escapes to `$`, and ANY
+  *    other `$`-sequence (lowercase `${foo}`, `$1`, a stray `$`) raises a
+  *    malformed-reference error — string.Template's exact behavior, pinned
+  *    by the reference's tests (a literal `$` in a password must be written
+  *    `$$`);
   *  - `.env` discovery layers under the real environment, never over it:
   *    `$CWD/.env` → the project root's (`wren_project.yml` walk-up) → the
   *    home dir's, first match per key wins (profile.py:43-91);
@@ -71,7 +73,11 @@ final class Profiles(home: Path = Profiles.defaultHome) {
     data.get("profiles").collect { case m: java.util.Map[_, _] =>
       m.asInstanceOf[java.util.Map[String, Any]].asScala.foreach {
         case (k, v: java.util.Map[_, _]) =>
-          out(k) = v.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+          // DEEP conversion: snakeyaml yields nested java collections, and
+          // everything downstream (expandSecrets' ${VAR} walk,
+          // Connections.kwargs) pattern-matches on SCALA maps/seqs — a
+          // shallow toMap left nested kwargs unexpanded and silently dropped
+          out(k) = Profiles.fromJava(v).asInstanceOf[Raw]
         case (k, _) => out(k) = Map.empty
       }
     }
@@ -214,6 +220,18 @@ object Profiles {
       m.foreach { case (k, x) => out.put(k.toString, toJava(x)) }
       out
     case s: Seq[_] => s.map(toJava).asJava
+    case other => other
+  }
+
+  /** Deep java→scala collection conversion (inverse of [[toJava]]) — what
+    * every snakeyaml-loaded structure passes through before the scala-side
+    * pattern matches see it.
+    */
+  private[graft] def fromJava(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+        .map { case (k, x) => k -> fromJava(x) }
+    case l: java.util.List[_] => l.asScala.toList.map(fromJava)
     case other => other
   }
 

@@ -51,6 +51,12 @@ object ProjectConvert {
     new org.yaml.snakeyaml.Yaml(opts).dump(v)
   }
 
+  /** Whole-manifest snake_case YAML (the `context show --output yaml`
+    * rendering — the project files' native key form).
+    */
+  def manifestYaml(mdlJson: String): String =
+    yamlDump(toSnakeYamlish(org.json4s.jackson.JsonMethods.parse(mdlJson)))
+
   /** The scaffold/import guide dropped into every generated project —
     * the reference's `_AGENTS_MD_TEMPLATE` (context.py:20-46) with this
     * engine's command spellings.

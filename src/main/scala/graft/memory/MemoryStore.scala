@@ -48,12 +48,24 @@ final class MemoryStore(
     Paths.get(path).resolve(name).toString
 
   private def tableExists(name: String): Boolean = {
+    recoverInterruptedSwap(name)
     val p = Paths.get(tablePath(name))
     Files.isDirectory(p) && {
       val s = Files.list(p)
       try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     }
+  }
+
+  /** Crash recovery for [[forgetWhere]]'s swap: if the live dir is missing
+    * but a `.old` survivor exists, the crash happened between the two moves —
+    * restore the old table (the rewrite is re-runnable; losing it is not).
+    */
+  private def recoverInterruptedSwap(name: String): Unit = {
+    val live = Paths.get(tablePath(name))
+    val old = Paths.get(tablePath(name) + ".old")
+    if (!Files.exists(live) && Files.isDirectory(old))
+      Files.move(old, live)
   }
 
   private def readTable(name: String): Option[DataFrame] =
@@ -301,8 +313,10 @@ final class MemoryStore(
               .write.mode(SaveMode.Overwrite).parquet(tablePath(QueryTable) + ".tmp")
             // crash-safe swap: the fully-written replacement exists on disk
             // before the live dir ever disappears (rename old aside → rename
-            // new into place → drop the old), so a crash in the window leaves
-            // either the old or the new table, never nothing
+            // new into place → drop the old). A crash between the two moves
+            // leaves the data in `.old`; the next read's
+            // recoverInterruptedSwap restores it, so no window loses the
+            // table (MemoryStoreSpec pins the recovery)
             val live = Paths.get(tablePath(QueryTable))
             val old = Paths.get(tablePath(QueryTable) + ".old")
             Fs.deleteTree(old.toString)

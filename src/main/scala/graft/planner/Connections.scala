@@ -308,14 +308,27 @@ object Connections {
   }
 
   /** Profile → resolver: `local_file` short-circuits to the path resolver
-    * (the shape every test deployment uses); everything else goes through
-    * the typed shape's JDBC/DSv2 compilation.
+    * (the shape every test deployment uses), its optional nested `cloud`
+    * map carrying the documented object-store credentials; everything else
+    * goes through the typed shape's JDBC/DSv2 compilation.
     */
   def fromProfile(profile: Map[String, Any]): TableResolver =
     str(profile, "datasource").map(_.toLowerCase) match {
-      case Some("local_file") => new PathResolver(
-        need(profile, "local_file", "url"),
-        format = str(profile, "format").getOrElse("parquet"))
+      case Some("local_file") =>
+        val cloud = profile.get("cloud").collect { case m: Map[_, _] =>
+          val c = m.asInstanceOf[Map[String, Any]]
+          CloudConnection(
+            accessKey = str(c, "accessKey"),
+            secretKey = str(c, "secretKey"),
+            endpoint = str(c, "endpoint"),
+            region = str(c, "region"),
+            pathStyleAccess = c.get("pathStyleAccess").exists(v =>
+              v == true || v.toString.equalsIgnoreCase("true")))
+        }
+        new PathResolver(
+          need(profile, "local_file", "url"),
+          format = str(profile, "format").getOrElse("parquet"),
+          cloud = cloud)
       case _ => connectionInfo(profile).resolver()
     }
 }

@@ -81,6 +81,15 @@ class ProfileWebSpec extends AnyFunSuite {
     assert(new Profiles(home).listProfiles()("web3")("connectionUrl")
       == "jdbc:postgresql://h/db")
 
+    // a _variant on a NON-union source never persists (unvalidated noise)
+    post("/v1/profile/save", "_profile_name=web4&datasource=trino&host=h&" +
+      "catalog=c&schema=s&_variant=Zzz")
+    assert(!new Profiles(home).listProfiles()("web4").contains("trino_type"))
+
+    // percent-encoded names round-trip through the form page correctly
+    val form = get("/v1/profile/form?name=my%20profile").body()
+    assert(form.contains("value=\"my profile\""), form)
+
     assert(post("/v1/profile/save", "_profile_name=x&datasource=").statusCode() == 400)
     val unsupported = post("/v1/profile/save", "_profile_name=x&datasource=oracle9i")
     assert(unsupported.statusCode() == 400 &&

@@ -101,6 +101,27 @@ class ProfilesSpec extends AnyFunSuite {
     assert(parsed == Map("A" -> "1", "B" -> "two words", "C" -> "x"))
   }
 
+  test("nested kwargs survive the DISK round-trip: loaded profiles expand and dispatch") {
+    // regression: snakeyaml yields java collections; a shallow conversion
+    // left nested kwargs unexpanded and Connections.kwargs dropped them
+    val home = newHome
+    val store = new Profiles(home)
+    Files.write(home.resolve(".env"), "SF_PW=hunter2\n".getBytes("UTF-8"))
+    store.add("sf", Map[String, Any](
+      "datasource" -> "snowflake", "account" -> "a", "user" -> "u",
+      "database" -> "d", "schema" -> "s", "password" -> "x",
+      "kwargs" -> Map("sfRole" -> "${SF_PW}", "tags" -> Seq("t1", "t2"))))
+    // a FRESH store re-reads from disk (java collections from snakeyaml)
+    val loaded = new Profiles(home).listProfiles()("sf")
+    val expanded = new Profiles(home).expandSecrets(loaded, cwd = home)
+    val kw = expanded("kwargs").asInstanceOf[Map[String, Any]]
+    assert(kw("sfRole") == "hunter2", "nested ${VAR} must expand after a disk load")
+    assert(kw("tags") == List("t1", "t2"))
+    val conn = graft.planner.Connections.connectionInfo(expanded)
+    val graft.planner.Dsv2Shape(_, opts, _) = conn.shape: @unchecked
+    assert(opts("sfRole") == "hunter2", "kwargs must reach the connector options")
+  }
+
   test("debug masks sensitive fields and never resolves references") {
     val store = new Profiles(newHome)
     store.add("p", Map("datasource" -> "snowflake", "user" -> "analyst",

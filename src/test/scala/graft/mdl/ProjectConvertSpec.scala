@@ -157,6 +157,12 @@ class ProjectConvertSpec extends AnyFunSuite {
       summary.contains("daily  (ref_sql, 1 columns, pk=—)"))
     assert(ContextCli.run(Seq("show", "--path", dir, "--output", "json"))
       .contains("\"catalog\" : \"pc\""))
+    // yaml output is the project files' native snake_case form
+    val yaml = ContextCli.run(Seq("show", "--path", dir, "--output", "yaml"))
+    assert(yaml.contains("catalog: pc") && yaml.contains("table_reference:"), yaml)
+    assert(intercept[IllegalArgumentException] {
+      ContextCli.run(Seq("show", "--path", dir, "--output", "xml"))
+    }.getMessage.contains("unsupported output format 'xml'"))
     assert(ContextCli.run(Seq("upgrade", "--path", dir))
       .contains("Already at schema_version 3."))
     assert(ContextCli.run(Seq("instructions", "--path", dir)) == "")

@@ -169,6 +169,22 @@ class MemoryStoreSpec extends AnyFunSuite {
     assert(err.getMessage.contains("cannot be used together"))
   }
 
+  test("an interrupted forget swap recovers the .old survivor on the next read") {
+    val home = Files.createTempDirectory("graft_store_spec_")
+    val store = new MemoryStore(spark, home.toString)
+    store.storeQuery("keep me", "SELECT 1")
+    store.storeQuery("and me", "SELECT 2")
+    // simulate a crash between the two moves: live renamed aside, the
+    // replacement never moved into place
+    val live = home.resolve("query_history")
+    Files.move(live, home.resolve("query_history.old"))
+    assert(!Files.exists(live))
+    val (rows, total) = store.listQueries()
+    assert(total == 2 && rows.map(_("nl_query")).toSet == Set("keep me", "and me"),
+      "the .old survivor must be restored, not treated as an empty store")
+    assert(Files.exists(live) && !Files.exists(home.resolve("query_history.old")))
+  }
+
   test("status and reset") {
     val store = freshStore()
     assert(store.status()._2.isEmpty)

@@ -45,6 +45,18 @@ class ConnectionsFromProfileSpec extends AnyFunSuite {
       "datasource" -> "databricks", "serverHostname" -> "h", "httpPath" -> "/p",
       "accessToken" -> "t")).isInstanceOf[DatabricksTokenConnection])
 
+    // local_file's documented cloud block wires into the path resolver
+    // (construction-level: configure() only fires on s3a:// urls) and the
+    // profile CLI's envelope flattener accepts it as a legitimate nested key
+    val withCloud = Connections.fromProfile(Map(
+      "datasource" -> "local_file", "url" -> "/data",
+      "cloud" -> Map("accessKey" -> "ak", "secretKey" -> "sk",
+        "endpoint" -> "http://minio:9000", "pathStyleAccess" -> true)))
+    assert(withCloud.isInstanceOf[PathResolver])
+    assert(graft.api.ProfileCli.flattenEnvelope(Map(
+      "datasource" -> "local_file", "url" -> "/d",
+      "cloud" -> Map("accessKey" -> "a"))).contains("cloud"))
+
     // the reference's error shapes
     assert(intercept[IllegalArgumentException] {
       Connections.connectionInfo(Map("datasource" -> "trino", "host" -> "h"))
