@@ -78,7 +78,8 @@ final class Profiles(home: Path = Profiles.defaultHome) {
           // Connections.kwargs) pattern-matches on SCALA maps/seqs — a
           // shallow toMap left nested kwargs unexpanded and silently dropped
           out(k) = Profiles.fromJava(v).asInstanceOf[Raw]
-        case (k, _) => out(k) = Map.empty
+        case (k, other) => bad(
+          s"profiles.yml: profile '$k' must be a mapping; got ${Profiles.typeName(other)}.")
       }
     }
     out

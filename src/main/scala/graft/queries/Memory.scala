@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.memory.{HashedEmbedding, MemoryStore, SchemaIndexer, SeedQueries}
+import graft.memory.{HashedEmbedding, MemoryStore}
 
 /** Cross-engine driver entries for the schema/query memory
   * (`wren/src/wren/memory/store.py` ported as [[graft.memory.MemoryStore]]).
@@ -115,20 +115,177 @@ object Memory {
        |FROM top t JOIN items i USING ($keyList)""".stripMargin
   }
 
+  /** The fixture manifest's 53 schema items, pinned as LITERALS so the m29
+    * oracle text is built from strings only — no call into
+    * [[SchemaIndexer.extractSchemaItems]] at oracle-build time, which would
+    * make extraction bugs invisible to the driver gate. The pins are the
+    * hand-audited truth; MemoryStoreSpec asserts pinned == extracted so any
+    * drift (manifest edit or extractor bug) fails a test instead of silently
+    * re-deriving the oracle. Regenerate with
+    * `sbt "runMain graft.tools.MemoryPinGen"` and audit the diff.
+    */
+  private[graft] val pinnedSchemaItems: Seq[(String, String, String, String)] = Seq(
+    ("model", "m_region", "m_region",
+      "Model 'm_region'. Columns: r_regionkey (int), r_name (varchar). Primary key: r_regionkey."),
+    ("column", "m_region", "r_regionkey",
+      "Column 'r_regionkey' (int) in model 'm_region'."),
+    ("column", "m_region", "r_name",
+      "Column 'r_name' (varchar) in model 'm_region'."),
+    ("model", "m_nation", "m_nation",
+      "Model 'm_nation'. Columns: n_nationkey (int), n_name (varchar), n_regionkey (int), region (m_region), region_name (varchar). Primary key: n_nationkey."),
+    ("column", "m_nation", "n_nationkey",
+      "Column 'n_nationkey' (int) in model 'm_nation'."),
+    ("column", "m_nation", "n_name",
+      "Column 'n_name' (varchar) in model 'm_nation'."),
+    ("column", "m_nation", "n_regionkey",
+      "Column 'n_regionkey' (int) in model 'm_nation'."),
+    ("column", "m_nation", "region",
+      "Column 'region' (m_region) in model 'm_nation'. Relationship: nation_region."),
+    ("column", "m_nation", "region_name",
+      "Column 'region_name' (varchar) in model 'm_nation'. Calculated: \"region\".\"r_name\"."),
+    ("model", "m_customer", "m_customer",
+      "Model 'm_customer'. Columns: c_custkey (bigint), c_name (varchar), c_nationkey (int), c_acctbal (double), c_mktsegment (varchar), nation (m_nation), orders (m_orders), nation_name (varchar), region_name (varchar), total_spent (decimal(18,2)), order_count (bigint). Primary key: c_custkey."),
+    ("column", "m_customer", "c_custkey",
+      "Column 'c_custkey' (bigint) in model 'm_customer'."),
+    ("column", "m_customer", "c_name",
+      "Column 'c_name' (varchar) in model 'm_customer'."),
+    ("column", "m_customer", "c_nationkey",
+      "Column 'c_nationkey' (int) in model 'm_customer'."),
+    ("column", "m_customer", "c_acctbal",
+      "Column 'c_acctbal' (double) in model 'm_customer'."),
+    ("column", "m_customer", "c_mktsegment",
+      "Column 'c_mktsegment' (varchar) in model 'm_customer'."),
+    ("column", "m_customer", "nation",
+      "Column 'nation' (m_nation) in model 'm_customer'. Relationship: customer_nation."),
+    ("column", "m_customer", "orders",
+      "Column 'orders' (m_orders) in model 'm_customer'. Relationship: orders_customer."),
+    ("column", "m_customer", "nation_name",
+      "Column 'nation_name' (varchar) in model 'm_customer'. Calculated: \"nation\".\"n_name\"."),
+    ("column", "m_customer", "region_name",
+      "Column 'region_name' (varchar) in model 'm_customer'. Calculated: \"nation\".\"region\".\"r_name\"."),
+    ("column", "m_customer", "total_spent",
+      "Column 'total_spent' (decimal(18,2)) in model 'm_customer'. Calculated: sum(cast(\"orders\".\"o_totalprice\" as decimal(18,2)))."),
+    ("column", "m_customer", "order_count",
+      "Column 'order_count' (bigint) in model 'm_customer'. Calculated: count(\"orders\".\"o_orderkey\")."),
+    ("model", "m_orders", "m_orders",
+      "Model 'm_orders'. Columns: o_orderkey (bigint), o_custkey (bigint), o_orderstatus (varchar), o_totalprice (double), o_price_dec (decimal(18,2)), o_orderdate (date), o_orderpriority (varchar), order_cust (varchar), customer (m_customer), cust_segment (varchar), cust_nation (varchar). Primary key: o_orderkey."),
+    ("column", "m_orders", "o_orderkey",
+      "Column 'o_orderkey' (bigint) in model 'm_orders'."),
+    ("column", "m_orders", "o_custkey",
+      "Column 'o_custkey' (bigint) in model 'm_orders'."),
+    ("column", "m_orders", "o_orderstatus",
+      "Column 'o_orderstatus' (varchar) in model 'm_orders'."),
+    ("column", "m_orders", "o_totalprice",
+      "Column 'o_totalprice' (double) in model 'm_orders'."),
+    ("column", "m_orders", "o_price_dec",
+      "Column 'o_price_dec' (decimal(18,2)) in model 'm_orders'."),
+    ("column", "m_orders", "o_orderdate",
+      "Column 'o_orderdate' (date) in model 'm_orders'."),
+    ("column", "m_orders", "o_orderpriority",
+      "Column 'o_orderpriority' (varchar) in model 'm_orders'."),
+    ("column", "m_orders", "order_cust",
+      "Column 'order_cust' (varchar) in model 'm_orders'."),
+    ("column", "m_orders", "customer",
+      "Column 'customer' (m_customer) in model 'm_orders'. Relationship: orders_customer."),
+    ("column", "m_orders", "cust_segment",
+      "Column 'cust_segment' (varchar) in model 'm_orders'. Calculated: \"customer\".\"c_mktsegment\"."),
+    ("column", "m_orders", "cust_nation",
+      "Column 'cust_nation' (varchar) in model 'm_orders'. Calculated: \"customer\".\"nation_name\"."),
+    ("model", "m_lineitem", "m_lineitem",
+      "Model 'm_lineitem'. Columns: l_orderkey (bigint), l_partkey (bigint), l_suppkey (bigint), l_linenumber (int), l_quantity (double), l_extendedprice (double), l_discount (double), l_returnflag (varchar), l_linestatus (varchar), l_shipdate (date), revenue (double), order_ (m_orders), order_status (varchar), cust_segment (varchar). Primary key: l_orderkey."),
+    ("column", "m_lineitem", "l_orderkey",
+      "Column 'l_orderkey' (bigint) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_partkey",
+      "Column 'l_partkey' (bigint) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_suppkey",
+      "Column 'l_suppkey' (bigint) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_linenumber",
+      "Column 'l_linenumber' (int) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_quantity",
+      "Column 'l_quantity' (double) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_extendedprice",
+      "Column 'l_extendedprice' (double) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_discount",
+      "Column 'l_discount' (double) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_returnflag",
+      "Column 'l_returnflag' (varchar) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_linestatus",
+      "Column 'l_linestatus' (varchar) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "l_shipdate",
+      "Column 'l_shipdate' (date) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "revenue",
+      "Column 'revenue' (double) in model 'm_lineitem'."),
+    ("column", "m_lineitem", "order_",
+      "Column 'order_' (m_orders) in model 'm_lineitem'. Relationship: lineitem_orders."),
+    ("column", "m_lineitem", "order_status",
+      "Column 'order_status' (varchar) in model 'm_lineitem'. Calculated: \"order_\".\"o_orderstatus\"."),
+    ("column", "m_lineitem", "cust_segment",
+      "Column 'cust_segment' (varchar) in model 'm_lineitem'. Calculated: \"order_\".\"customer\".\"c_mktsegment\"."),
+    ("relationship", "m_nation", "nation_region",
+      "Relationship 'nation_region': m_nation → m_region (MANY_TO_ONE). Condition: \"m_nation\".\"n_regionkey\" = \"m_region\".\"r_regionkey\"."),
+    ("relationship", "m_customer", "customer_nation",
+      "Relationship 'customer_nation': m_customer → m_nation (MANY_TO_ONE). Condition: \"m_customer\".\"c_nationkey\" = \"m_nation\".\"n_nationkey\"."),
+    ("relationship", "m_orders", "orders_customer",
+      "Relationship 'orders_customer': m_orders → m_customer (MANY_TO_ONE). Condition: \"m_orders\".\"o_custkey\" = \"m_customer\".\"c_custkey\"."),
+    ("relationship", "m_lineitem", "lineitem_orders",
+      "Relationship 'lineitem_orders': m_lineitem → m_orders (MANY_TO_ONE). Condition: \"m_lineitem\".\"l_orderkey\" = \"m_orders\".\"o_orderkey\"."),
+    ("view", "", "v_big_orders",
+      "View 'v_big_orders'. SQL: SELECT o_orderkey, o_custkey, o_totalprice FROM graft.amalgam.m_orders WHERE o_totalprice > 300000"))
+
+  /** The manifest's 17 seed NL-SQL pairs, same pin protocol as
+    * [[pinnedSchemaItems]]; tag is the literal the store assigns
+    * (`SeedQueries.SeedTag`), pinned here as a string.
+    */
+  private[graft] val pinnedSeedPairs: Seq[(String, String)] = Seq(
+    ("List all m_region",
+      "SELECT * FROM m_region LIMIT 100"),
+    ("List all m_nation",
+      "SELECT * FROM m_nation LIMIT 100"),
+    ("Total n_regionkey in m_nation",
+      "SELECT SUM(n_regionkey) FROM m_nation"),
+    ("n_regionkey by n_name in m_nation",
+      "SELECT n_name, SUM(n_regionkey) FROM m_nation GROUP BY 1"),
+    ("List all m_customer",
+      "SELECT * FROM m_customer LIMIT 100"),
+    ("Total c_nationkey in m_customer",
+      "SELECT SUM(c_nationkey) FROM m_customer"),
+    ("c_nationkey by c_name in m_customer",
+      "SELECT c_name, SUM(c_nationkey) FROM m_customer GROUP BY 1"),
+    ("List all m_orders",
+      "SELECT * FROM m_orders LIMIT 100"),
+    ("Total o_custkey in m_orders",
+      "SELECT SUM(o_custkey) FROM m_orders"),
+    ("o_custkey by o_orderstatus in m_orders",
+      "SELECT o_orderstatus, SUM(o_custkey) FROM m_orders GROUP BY 1"),
+    ("List all m_lineitem",
+      "SELECT * FROM m_lineitem LIMIT 100"),
+    ("Total l_partkey in m_lineitem",
+      "SELECT SUM(l_partkey) FROM m_lineitem"),
+    ("l_partkey by l_returnflag in m_lineitem",
+      "SELECT l_returnflag, SUM(l_partkey) FROM m_lineitem GROUP BY 1"),
+    ("m_nation with m_region details",
+      "SELECT * FROM m_nation JOIN m_region ON \"m_nation\".\"n_regionkey\" = \"m_region\".\"r_regionkey\" LIMIT 100"),
+    ("m_customer with m_nation details",
+      "SELECT * FROM m_customer JOIN m_nation ON \"m_customer\".\"c_nationkey\" = \"m_nation\".\"n_nationkey\" LIMIT 100"),
+    ("m_orders with m_customer details",
+      "SELECT * FROM m_orders JOIN m_customer ON \"m_orders\".\"o_custkey\" = \"m_customer\".\"c_custkey\" LIMIT 100"),
+    ("m_lineitem with m_orders details",
+      "SELECT * FROM m_lineitem JOIN m_orders ON \"m_lineitem\".\"l_orderkey\" = \"m_orders\".\"o_orderkey\" LIMIT 100"))
+
+  private[graft] val pinnedSeedTag = "source:seed"
+
   private def contextOracle: String = {
-    val items = SchemaIndexer.extractSchemaItems(Semantic.manifest)
     rankingOracle(
       keyCols = Seq("item_type", "model_name", "item_name"),
-      values = items.map(i => Seq(
-        sqlLit(i.itemType), sqlLit(i.modelName), sqlLit(i.itemName), sqlLit(i.text))),
+      values = pinnedSchemaItems.map { case (t, m, n, text) =>
+        Seq(sqlLit(t), sqlLit(m), sqlLit(n), sqlLit(text)) },
       query = contextQuery,
       tieBreak = Seq("item_type", "model_name", "item_name"),
       limit = 5, emitText = true)
   }
 
   private def recallOracle: String = {
-    val seeds = SeedQueries.generateSeedQueries(Semantic.manifest)
-    val pairs = seeds.map(p => (p.nl, p.sql, SeedQueries.SeedTag)) :+
+    val pairs = pinnedSeedPairs.map { case (nl, sql) => (nl, sql, pinnedSeedTag) } :+
       (userPair._1, userPair._2, "")
     // seq is assignment order: seeds 0..n-1 in one batch, then the user pair;
     // the embedded text is the NL question (MemoryStore.appendQueries)

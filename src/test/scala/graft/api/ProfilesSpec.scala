@@ -46,6 +46,17 @@ class ProfilesSpec extends AnyFunSuite {
     Files.write(home.resolve("profiles.yml"), "profiles: nope\n".getBytes("UTF-8"))
     val e3 = intercept[IllegalArgumentException] { new Profiles(home).listProfiles() }
     assert(e3.getMessage.contains("'profiles' must be a mapping; got str"))
+    // a non-mapping profile BODY raises too — it must not silently coerce to
+    // an empty profile that fails later as a missing datasource
+    Files.write(home.resolve("profiles.yml"),
+      "active: dev\nprofiles:\n  dev: just-a-string\n".getBytes("UTF-8"))
+    val e4 = intercept[IllegalArgumentException] { new Profiles(home).listProfiles() }
+    assert(e4.getMessage.contains("profile 'dev' must be a mapping; got str"))
+    assert(e4.getMessage.contains("Fix or remove"))
+    Files.write(home.resolve("profiles.yml"),
+      "profiles:\n  dev:\n    - a\n    - b\n".getBytes("UTF-8"))
+    val e5 = intercept[IllegalArgumentException] { new Profiles(home).listProfiles() }
+    assert(e5.getMessage.contains("profile 'dev' must be a mapping; got list"))
     // empty file → empty structure, not an error
     Files.write(home.resolve("profiles.yml"), "".getBytes("UTF-8"))
     assert(new Profiles(home).listProfiles().isEmpty)

@@ -35,6 +35,20 @@ class MemoryStoreSpec extends AnyFunSuite {
   private def freshStore(): MemoryStore =
     new MemoryStore(spark, Files.createTempDirectory("graft_store_spec_").toString)
 
+  test("m29/m30 oracle pins match the live extractor (pin-is-truth protocol)") {
+    // The driver oracles in queries/Memory.scala are built from LITERAL
+    // strings so they cannot inherit extraction bugs; this cross-check makes
+    // drift (fixture-manifest edit or SchemaIndexer/SeedQueries change) a
+    // test failure. Regenerate with `sbt "runMain graft.tools.MemoryPinGen"`.
+    val extracted = SchemaIndexer.extractSchemaItems(graft.queries.Semantic.manifest)
+      .map(i => (i.itemType, i.modelName, i.itemName, i.text))
+    assert(graft.queries.Memory.pinnedSchemaItems == extracted)
+    val seeds = SeedQueries.generateSeedQueries(graft.queries.Semantic.manifest)
+      .map(p => (p.nl, p.sql))
+    assert(graft.queries.Memory.pinnedSeedPairs == seeds)
+    assert(graft.queries.Memory.pinnedSeedTag == SeedQueries.SeedTag)
+  }
+
   test("indexSchema counts, schemaIsCurrent staleness, and re-index") {
     val store = freshStore()
     assert(!store.schemaIsCurrent(manifest), "empty store is never current")
