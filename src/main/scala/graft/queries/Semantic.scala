@@ -336,6 +336,21 @@ object Semantic {
       |  concat_ws('-', cust_segment, o_orderstatus) AS cw
       |FROM m_orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
 
+  /** Source SQL for `m37_translit_oracle`: designed so the Oracle rendering
+    * exercises the FULL adjudicated transliteration set
+    * ([[graft.semantics.Transliterate]]) — an inline VALUES join (→ Oracle's
+    * `UNION ALL … FROM dual` expansion) plus a varchar cast (→ VARCHAR2(4000))
+    * on top of the count/NUMBER spellings, so the dual-strip and VARCHAR2
+    * rewrites are executed, not just defined.
+    */
+  val m37Sql: String =
+    """SELECT v.lbl AS status_lbl, count(*) AS n,
+      |  cast(min(o_orderkey) as string) AS first_key
+      |FROM m_orders JOIN (VALUES ('F', 'final'), ('O', 'open')) AS v(st, lbl)
+      |  ON o_orderstatus = v.st
+      |WHERE o_orderkey <= 2000
+      |GROUP BY v.lbl ORDER BY v.lbl""".stripMargin
+
   /** Source SQL for the `m35_unparse_conditional_*` entries: NULL-producing
     * conditionals (nullif — discriminating: rows where the branch fires go
     * NULL) + n-ary greatest/least + the sqrt/ln/exp math family under the
@@ -734,8 +749,24 @@ object Semantic {
       Seq("m21" -> m21Sql, "m22" -> m22Sql, "m23" -> m23Sql).map { case (m, sql) =>
         (s"${m}_unparse_mssql", "mssql", sql) }
 
+  /** Fidelity-lossy STRUCTURAL probes for the golden-only trio
+    * (mysql/bigquery/oracle): the oracle text is the live rendering passed
+    * through [[graft.semantics.Transliterate]] — a mechanical, lint-pinned
+    * spelling rewrite (backtick→ANSI quote, GoogleSQL/Oracle type names→ANSI,
+    * dual strip) so DuckDB executes the join/subquery/predicate STRUCTURE of
+    * those renderers even though their native spellings never can be. Type
+    * fidelity stays with the goldens; structure is now gate-falsifiable.
+    * m37 (oracle only) adds a VALUES→UNION-ALL-over-dual expansion and a
+    * VARCHAR2 cast so every rewrite in the adjudicated set executes.
+    */
+  private[graft] val translitCorpus: Seq[(String, String, String)] =
+    (for ((m, sql) <- Seq("m21" -> m21Sql, "m22" -> m22Sql, "m23" -> m23Sql);
+          d <- Seq("mysql", "bigquery", "oracle"))
+      yield (s"${m}_translit_$d", d, sql)) :+
+      (("m37_translit_oracle", "oracle", m37Sql))
+
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
-    crossCorpus.map { case (n, _, sql) =>
+    (crossCorpus ++ translitCorpus).map { case (n, _, sql) =>
       n -> ((s: SparkSession, dir: String) => deployAndRun(sql)(s, dir)) }.toMap
 
   /** Live-generated dialect texts for [[pgUnparseQueries]] (same protocol as
@@ -750,10 +781,16 @@ object Semantic {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     val session = GraftEngine.deployOnDir(spark, manifest, "/root/testdata/sf0.001")
-    crossCorpus.flatMap { case (n, d, sql) =>
+    val live = crossCorpus.flatMap { case (n, d, sql) =>
       try Some(n -> session.transformSql(sql, d))
       catch { case e: Exception =>
         System.err.println(s"[cross-unparse-oracle] $n: ${e.getMessage}"); None }
     }.toMap
+    val translit = translitCorpus.flatMap { case (n, d, sql) =>
+      try Some(n -> graft.semantics.Transliterate(d, session.transformSql(sql, d)))
+      catch { case e: Exception =>
+        System.err.println(s"[translit-oracle] $n: ${e.getMessage}"); None }
+    }.toMap
+    live ++ translit
   }
 }
