@@ -408,7 +408,145 @@ object ScaleSmoke {
       Seq(row)
     }
 
-    val json = (results ++ skewResults30 ++ leakageResults ++ eventResults ++ annResults ++ zorderResults).map(r => r.map { case (k, v) =>
+    // ---- multimodal decade (round-12 ask #2) ---------------------------------
+    // mm6's banded-hamming image near-dup and mm8's accumulated-signature-index
+    // serve path at 10× media items, fixed 32 partitions — the last flagship
+    // family without a measured decade.
+    //
+    // Corpus synthesis: the textured payload generator keys each image's base
+    // texture on `doc_id % groupMod` — groupMod is the number of DISTINCT
+    // underlying images in the corpus, a data property. A real 10× media
+    // corpus has ~10× distinct images, not 10× copies of the same 101, so the
+    // decade grows groupMod with the data (101 → 1010, the ANN-parameter
+    // precedent): texture classes keep their ~500-doc membership and the
+    // near-dup pair structure scales ~10×, making the wall factor
+    // interpretable. Payload encode/decode (real PNG bytes through ImageIO)
+    // is part of the measured wall at both scales — it is the decode cost a
+    // 100 TB media pipeline pays map-side.
+    val mmResults = {
+      import graft.operators.Multimodal
+      def mediaIds(dir: String): DataFrame =
+        spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      def neardup(dir: String, groupMod: Int): () => DataFrame = () =>
+        Dedup.hammingNearDup(Multimodal.perceptualHash(
+          Multimodal.attachTexturedImagePayload(mediaIds(dir), "doc_id",
+            groupMod = groupMod)), bits = 64, maxHamming = 3)
+      runDf(neardup(plain1, 101)) // warm
+      val (t1, r1, s1, p1) = runDf(neardup(plain1, 101))
+      val (t10, r10, s10, p10) = runDf(neardup(plain10, 1010))
+      val mm6Row = Map(
+        "query" -> "mm6_image_neardup[groupMod 101->1010]",
+        "t1_sec" -> f"$t1%.2f", "t10_sec" -> f"$t10%.2f",
+        "wall_factor" -> f"${t10 / t1}%.1f",
+        "rows1" -> r1.toString, "rows10" -> r10.toString,
+        "shuffle1_mb" -> mb(s1), "shuffle10_mb" -> mb(s10),
+        "peak_stage1_mb" -> mb(p1), "peak_stage10_mb" -> mb(p10),
+        "peak_per_part1_mb" -> mb(p1 / 32), "peak_per_part10_mb" -> mb(p10 / 32),
+        "shuffle_factor" -> (if (s1 > 0) f"${s10.toDouble / s1}%.1f" else "-"),
+        "dispatch1" -> "-", "dispatch10" -> "-")
+      println(s"[scale] ${mm6Row("query")} 1x=${mm6Row("t1_sec")}s " +
+        s"10x=${mm6Row("t10_sec")}s factor=${mm6Row("wall_factor")} " +
+        s"rows $r1->$r10 peak/part ${mm6Row("peak_per_part1_mb")}->" +
+        s"${mm6Row("peak_per_part10_mb")} MB")
+
+      // mm8's serve path: a FIXED 5k-item batch deduped against the
+      // accumulated signature index (what mediaNearDupStream does per
+      // trigger) while the index grows 10×. Classes keep ~500 members at
+      // both scales (50k/101 ≈ 500k/1010), so posting lists per band bucket
+      // stay constant and only the bucket COUNT grows — per-batch cost must
+      // track the batch, not the index.
+      def sigsOf(dir: String, groupMod: Int): DataFrame =
+        Multimodal.perceptualHash(Multimodal.attachTexturedImagePayload(
+          mediaIds(dir), "doc_id", groupMod = groupMod))
+      val idx1 = s"$work/mmidx1"
+      val idx10 = s"$work/mmidx10"
+      sigsOf(plain1, 101).repartition(32).write.parquet(idx1)
+      sigsOf(plain10, 1010).repartition(32).write.parquet(idx10)
+      val idx1Rows = spark.read.parquet(idx1).count()
+      val idx10Rows = spark.read.parquet(idx10).count()
+      def batchSigs(groupMod: Int): DataFrame = {
+        import spark.implicits._
+        Multimodal.perceptualHash(Multimodal.attachTexturedImagePayload(
+          (0 until 5000).map(i => 90000000L + i).toDF("doc_id"), "doc_id",
+          groupMod = groupMod))
+      }
+      def serve(idx: String, groupMod: Int): () => DataFrame = () =>
+        Dedup.incrementalHammingDedup(
+          batchSigs(groupMod), spark.read.parquet(idx), 64, 3)
+      runDf(serve(idx1, 101)) // warm
+      val (st1, sr1, ss1, sp1) = runDf(serve(idx1, 101))
+      val (st10, sr10, ss10, sp10) = runDf(serve(idx10, 1010))
+      val mm8Row = Map(
+        "query" -> "mm8_index_serve[5k batch, index 50k->500k]",
+        "t1_sec" -> f"$st1%.2f", "t10_sec" -> f"$st10%.2f",
+        "wall_factor" -> f"${st10 / st1}%.1f",
+        "rows1" -> s"$sr1 (idx $idx1Rows)", "rows10" -> s"$sr10 (idx $idx10Rows)",
+        "shuffle1_mb" -> mb(ss1), "shuffle10_mb" -> mb(ss10),
+        "peak_stage1_mb" -> mb(sp1), "peak_stage10_mb" -> mb(sp10),
+        "peak_per_part1_mb" -> mb(sp1 / 32), "peak_per_part10_mb" -> mb(sp10 / 32),
+        "shuffle_factor" -> (if (ss1 > 0) f"${ss10.toDouble / ss1}%.1f" else "-"),
+        "dispatch1" -> "-", "dispatch10" -> "-")
+      println(s"[scale] ${mm8Row("query")} 1x=${mm8Row("t1_sec")}s " +
+        s"10x=${mm8Row("t10_sec")}s factor=${mm8Row("wall_factor")} " +
+        s"survivors $sr1->$sr10 peak/part ${mm8Row("peak_per_part1_mb")}->" +
+        s"${mm8Row("peak_per_part10_mb")} MB")
+      Seq(mm6Row, mm8Row)
+    }
+
+    // ---- ANN index BUILD decade (round-12 ask #7) ----------------------------
+    // s5/s6's serve side holds flat at 10× (rows above); this measures the
+    // build-once/serve-many side the persisted index exists for: quantizer
+    // TRAIN (k-means centroids, 3 Lloyd iters + PQ codebooks, 2 iters — the
+    // driver-side collect phases), the O(N·nlist) ENCODE+WRITE (saveIvfPq),
+    // and APPEND of a FIXED 5k-vector batch to the saved index (the FAISS-add
+    // path — must track the batch, not the corpus). nlist grows √N (16→48)
+    // as a real deployment's would.
+    val annBuildResults = {
+      import graft.operators.Similarity
+      def probe(dir: String, nlist: Int, tag: String) = {
+        val corpus = spark.read.parquet(dir)
+        val t0 = System.nanoTime()
+        val idx = Similarity.buildIvfPq(corpus, dim = 64, nlist = nlist,
+          m = 8, ksub = 16, lloydIters = 3, pqLloydIters = 2)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val path = s"$work/annidx_$tag"
+        meter.reset()
+        val t1 = System.nanoTime()
+        Similarity.saveIvfPq(idx, path)
+        val tEncode = (System.nanoTime() - t1) / 1e9
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+        val encodePeak = meter.peak.get
+        val appendBatch = rotated(11).limit(5000)
+        val t2 = System.nanoTime()
+        Similarity.appendIvfPq(spark, path, appendBatch)
+        val tAppend = (System.nanoTime() - t2) / 1e9
+        val rows = spark.read.parquet(s"$path/codes").count()
+        (tTrain, tEncode, tAppend, encodePeak, rows)
+      }
+      probe(emb1, 16, "warm") // warm codegen/JIT
+      val (tr1, te1, ta1, pk1, rows1) = probe(emb1, 16, "1")
+      val (tr10, te10, ta10, pk10, rows10) = probe(emb10, 48, "10")
+      val row = Map(
+        "query" -> "s6_ivfpq_build[nlist 16->48, lloyd 3+2]",
+        "t1_sec" -> f"${tr1 + te1}%.2f", "t10_sec" -> f"${tr10 + te10}%.2f",
+        "wall_factor" -> f"${(tr10 + te10) / (tr1 + te1)}%.1f",
+        "train1_sec" -> f"$tr1%.2f", "train10_sec" -> f"$tr10%.2f",
+        "encode1_sec" -> f"$te1%.2f", "encode10_sec" -> f"$te10%.2f",
+        "append1_sec" -> f"$ta1%.2f", "append10_sec" -> f"$ta10%.2f",
+        "rows1" -> rows1.toString, "rows10" -> rows10.toString,
+        "shuffle1_mb" -> "-", "shuffle10_mb" -> "-",
+        "peak_stage1_mb" -> mb(pk1), "peak_stage10_mb" -> mb(pk10),
+        "shuffle_factor" -> "-", "dispatch1" -> "-", "dispatch10" -> "-")
+      println(s"[scale] ${row("query")} build 1x=${row("t1_sec")}s " +
+        s"10x=${row("t10_sec")}s factor=${row("wall_factor")} " +
+        s"(train ${row("train1_sec")}->${row("train10_sec")}, " +
+        s"encode ${row("encode1_sec")}->${row("encode10_sec")}) " +
+        s"append 5k ${row("append1_sec")}->${row("append10_sec")}s " +
+        s"rows $rows1->$rows10")
+      Seq(row)
+    }
+
+    val json = (results ++ skewResults30 ++ leakageResults ++ eventResults ++ annResults ++ zorderResults ++ mmResults ++ annBuildResults).map(r => r.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),

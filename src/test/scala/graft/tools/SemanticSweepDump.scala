@@ -27,6 +27,25 @@ object SemanticSweepDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+
+    // golden-only trio: fidelity-lossy transliterated copies alongside the
+    // live-text four — widens structural execution of model expansion ×
+    // governance to mysql/bigquery/oracle (residual proof: TransliterateSpec)
+    def dumpTranslit(sess: graft.GraftSession, seed: Int, sql: String): Unit =
+      for (d <- Seq("mysql", "bigquery", "oracle")) {
+        try {
+          val text = sess.transformSql(sql, d)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/seed_$seed.${d}_translit.sql"),
+            graft.semantics.Transliterate(d, text))
+        } catch {
+          case e: UnsupportedOperationException =>
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/seed_$seed.${d}_translit.refused"),
+              e.getMessage)
+        }
+      }
+
     val session = GraftEngine.deployOnDir(spark, Semantic.manifest, sfDir)
     for (seed <- 0 until SemanticUnparseGrammar.Seeds) {
       val sql = SemanticUnparseGrammar.genQuery(seed)
@@ -49,6 +68,7 @@ object SemanticSweepDump {
               e.getMessage)
         }
       }
+      dumpTranslit(session, seed, sql)
     }
     // governed productions (RLAC/CLAC baked into the texts) occupy the next
     // contiguous indices so semantic_sweep.py executes them unchanged
@@ -75,6 +95,7 @@ object SemanticSweepDump {
               e.getMessage)
         }
       }
+      dumpTranslit(sess, seed, sql)
     }
     println(s"[semantic-sweep-dump] ${SemanticUnparseGrammar.Seeds} base + " +
       s"${SemanticUnparseGrammar.GovernedSeeds} governed seeds -> $outDir")

@@ -42,6 +42,23 @@ object UnparseSweepDump {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/seed_$seed.$dname.sql"), text)
       }
+      // the golden-only trio, as fidelity-lossy TRANSLITERATED copies (the
+      // residual proof lives in TransliterateSpec; here the copies widen the
+      // structural execution from 10 corpus probes to the whole grammar —
+      // dialect spellings the map doesn't cover stay in the text and are
+      // classified explicitly by tools/unparse_sweep.py, never silently)
+      for ((dname, d) <- Seq("mysql" -> SqlUnparser.MySqlDialect,
+          "bigquery" -> SqlUnparser.BigQueryDialect,
+          "oracle" -> SqlUnparser.OracleDialect)) {
+        val rendered =
+          try Some(SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, d))
+          catch { case _: Exception => None } // loud refusals stay refusals
+        rendered.foreach { text =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/seed_$seed.${dname}_translit.sql"),
+            graft.semantics.Transliterate(dname, text))
+        }
+      }
     }
     println(s"[sweep-dump] ${graft.semantics.SqlUnparserPropertyGrammar.Seeds} seeds -> $outDir")
     spark.stop()

@@ -73,15 +73,40 @@ def compare(sdf, ddf):
     return None
 
 
-DIALECTS = ("duckdb", "postgres", "trino", "redshift")
-results = {d: {"pass": 0, "fail": 0, "not_duckdb_expressible": 0} for d in DIALECTS}
+DIALECTS = ("duckdb", "postgres", "trino", "redshift",
+            "mysql_translit", "bigquery_translit", "oracle_translit")
+results = {d: {"pass": 0, "fail": 0, "not_duckdb_expressible": 0,
+               "refused": 0} for d in DIALECTS}
 failures = []
 SEEDS = len(glob.glob(f"{OUT_DIR}/seed_*.source.sql"))
 for seed in range(SEEDS):
     files = glob.glob(f"{OUT_DIR}/seed_{seed}/*.parquet")
     sdf = norm(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
     for dialect in DIALECTS:
-        sql = open(f"{OUT_DIR}/seed_{seed}.{dialect}.sql").read()
+        path = f"{OUT_DIR}/seed_{seed}.{dialect}.sql"
+        if dialect.endswith("_translit") and not os.path.exists(path):
+            # the dialect REFUSED the seed (curated-subset contract: loud
+            # refusal, golden/refusal-matrix pinned) — recorded, not hidden
+            results[dialect]["refused"] += 1
+            continue
+        sql = open(path).read()
+        # Trio spellings the fidelity-lossy map deliberately does NOT touch
+        # (function grammar, not type/quote spellings): correct for their
+        # engines, outside DuckDB's parser. Recorded explicitly, never
+        # silently passed.
+        if dialect == "mysql_translit" and any(t in sql for t in (
+                "DATE_FORMAT(", "GROUP_CONCAT(", " DIV ", "DATETIME)")):
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
+        if dialect == "bigquery_translit" and any(t in sql for t in (
+                "DATETIME_TRUNC(", "TIMESTAMP_TRUNC(", "FORMAT_DATE(",
+                "STRING_AGG(", "MOD(")):
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
+        if dialect == "oracle_translit" and any(t in sql for t in (
+                "TRUNC(", "TO_CHAR(", "LISTAGG(", "SUBSTR(", " MOD(", "(MOD(")):
+            results[dialect]["not_duckdb_expressible"] += 1
+            continue
         # Trino/Redshift spell ordered string aggregation as the ANSI
         # LISTAGG ... WITHIN GROUP, and Trino spells bit machinery as
         # bitwise_* functions -- correct THERE but outside DuckDB's parser;
