@@ -103,21 +103,28 @@ for seed in range(SEEDS):
             results[dialect]["not_duckdb_expressible"] += 1
             continue
         # Trio transliterated copies: the fidelity-lossy map rewrites ONLY
-        # type/quote spellings; function-grammar spellings that remain are
-        # correct for their engines but outside DuckDB — explicit, not silent.
-        if dialect == "mysql_translit" and any(t in sql for t in (
-                "DATE_FORMAT(", "GROUP_CONCAT(", " DIV ", "DATETIME)")):
-            results[dialect]["not_duckdb_expressible"] += 1
-            continue
-        if dialect == "bigquery_translit" and any(t in sql for t in (
-                "DATETIME_TRUNC(", "TIMESTAMP_TRUNC(", "FORMAT_DATE(",
-                "GENERATE_TIMESTAMP_ARRAY(", "MOD(")):
-            results[dialect]["not_duckdb_expressible"] += 1
-            continue
-        if dialect == "oracle_translit" and any(t in sql for t in (
-                "TRUNC(", "TO_CHAR(", "LISTAGG(", "MOD(")):
-            results[dialect]["not_duckdb_expressible"] += 1
-            continue
+        # type/quote spellings; function-grammar spellings and literal-escape
+        # conventions that remain are correct/faithful for their engines but
+        # outside DuckDB's parser or MISREAD by it — explicit, not silent
+        # (same taxonomy as tools/unparse_sweep.py).
+        if dialect.endswith("_translit"):
+            import re as _re
+            low = sql.lower()
+            TRIO_SKIP = {
+                "mysql_translit": (r"\bdate_format\(", r"\bgroup_concat\(",
+                    r" div ", r" regexp ", r"\bchar_length\(", r"<=>",
+                    r"escape '\\\\'", r"\bregexp_replace\(", r"as datetime\)"),
+                "bigquery_translit": (r"\bdatetime_trunc\(", r"\btimestamp_trunc\(",
+                    r"\bformat_date\(", r"\bstring_agg\(", r"\bmod\(",
+                    r"\bregexp_contains\(", r"\bregexp_replace\(",
+                    r"\bgenerate_timestamp_array\(", r"\bgenerate_date_array\(", r"\\\\"),
+                "oracle_translit": (r"\btrunc\(", r"\bto_char\(", r"\blistagg\(",
+                    r"\bsubstr\(", r"\bmod\(", r"\bregexp_like\(",
+                    r"\bregexp_replace\("),
+            }
+            if any(_re.search(p, low) for p in TRIO_SKIP[dialect]):
+                results[dialect]["not_duckdb_expressible"] += 1
+                continue
         try:
             ddf = norm(con.sql(sql).df())
             bad = compare(sdf, ddf)

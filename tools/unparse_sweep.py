@@ -91,22 +91,30 @@ for seed in range(SEEDS):
             continue
         sql = open(path).read()
         # Trio spellings the fidelity-lossy map deliberately does NOT touch
-        # (function grammar, not type/quote spellings): correct for their
-        # engines, outside DuckDB's parser. Recorded explicitly, never
-        # silently passed.
-        if dialect == "mysql_translit" and any(t in sql for t in (
-                "DATE_FORMAT(", "GROUP_CONCAT(", " DIV ", "DATETIME)")):
-            results[dialect]["not_duckdb_expressible"] += 1
-            continue
-        if dialect == "bigquery_translit" and any(t in sql for t in (
-                "DATETIME_TRUNC(", "TIMESTAMP_TRUNC(", "FORMAT_DATE(",
-                "STRING_AGG(", "MOD(")):
-            results[dialect]["not_duckdb_expressible"] += 1
-            continue
-        if dialect == "oracle_translit" and any(t in sql for t in (
-                "TRUNC(", "TO_CHAR(", "LISTAGG(", "SUBSTR(", " MOD(", "(MOD(")):
-            results[dialect]["not_duckdb_expressible"] += 1
-            continue
+        # (function grammar + literal escaping, not type/quote spellings):
+        # correct or faithful for their engines, outside DuckDB's parser or
+        # MISREAD by it. Recorded explicitly, never silently passed. The
+        # misread classes mirror the live-dialect ones below: 3-arg
+        # regexp_replace is global on mysql/bigquery/oracle but first-match
+        # in DuckDB; doubled string-literal backslashes (their parsers eat
+        # one) read as two chars here; MySQL's ESCAPE '\\' likewise.
+        if dialect.endswith("_translit"):
+            import re as _re
+            low = sql.lower()
+            TRIO_SKIP = {
+                "mysql_translit": (r"\bdate_format\(", r"\bgroup_concat\(",
+                    r" div ", r" regexp ", r"\bchar_length\(", r"<=>",
+                    r"escape '\\\\'", r"\bregexp_replace\(", r"as datetime\)"),
+                "bigquery_translit": (r"\bdatetime_trunc\(", r"\btimestamp_trunc\(",
+                    r"\bformat_date\(", r"\bstring_agg\(", r"\bmod\(",
+                    r"\bregexp_contains\(", r"\bregexp_replace\(", r"\bgenerate_date_array\(", r"\\\\"),
+                "oracle_translit": (r"\btrunc\(", r"\bto_char\(", r"\blistagg\(",
+                    r"\bsubstr\(", r"\bmod\(", r"\bregexp_like\(",
+                    r"\bregexp_replace\("),
+            }
+            if any(_re.search(p, low) for p in TRIO_SKIP[dialect]):
+                results[dialect]["not_duckdb_expressible"] += 1
+                continue
         # Trino/Redshift spell ordered string aggregation as the ANSI
         # LISTAGG ... WITHIN GROUP, and Trino spells bit machinery as
         # bitwise_* functions -- correct THERE but outside DuckDB's parser;
