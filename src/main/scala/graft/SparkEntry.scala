@@ -22,10 +22,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Semantic.queries ++ Pipeline.queries ++ TpcH.queries ++
-      Functions.queries ++ Memory.queries
+      Functions.queries ++ Memory.queries ++ TpcH.translitQueries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Semantic.oracles ++ Pipeline.oracles ++ TpcH.oracles ++
       Functions.oracles ++ Memory.oracles ++ TpcH.unparseOracles ++
-      Semantic.pgUnparseOracles
+      Semantic.pgUnparseOracles ++ TpcH.translitOracles
 }

@@ -453,4 +453,44 @@ object TpcH {
         System.err.println(s"[unparse-oracle] $n: ${e.getMessage}"); None }
     }.toMap
   }
+
+  /** The one TPC-H × trio combo whose transliterated copy is outside DuckDB:
+    * MySQL renders q20's length() as char_length — valid MySQL, no DuckDB
+    * spelling (pre-flighted 2026-08-15; stays golden-posture). Everything
+    * else — 65 combos — executes and hash-matches.
+    */
+  val translitSkip: Set[(String, String)] = Set(("tpch_q20", "mysql"))
+
+  private val translitDialects = Seq("mysql", "bigquery", "oracle")
+
+  /** TPC-H breadth for the golden-only trio (round-12 ask #1, widened): the
+    * Spark side runs the SOURCE query; the oracle is the trio rendering
+    * passed through [[graft.semantics.Transliterate]] — the fidelity-lossy,
+    * lint-pinned spelling rewrite — executed by the driver's DuckDB gate.
+    * Join shape, correlated EXISTS/NOT-EXISTS (q4/q21/q22), scalar subqueries
+    * (q2/q11/q15/q17/q22), and the NULLS/limit machinery of all three
+    * renderers are hash-falsifiable at TPC-H breadth.
+    */
+  def translitQueries: Map[String, (SparkSession, String) => DataFrame] =
+    (for ((n, (fn, _)) <- defs; d <- translitDialects
+          if !translitSkip((n, d)))
+      yield s"${n}_translit_$d" -> fn).toMap
+
+  def translitOracles: Map[String, String] = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val session = GraftEngine.deployOnDir(spark, manifest, "/root/testdata/sf0.001")
+    (for ((n, (_, sql)) <- defs; d <- translitDialects
+          if !translitSkip((n, d)))
+      yield
+        try Some(s"${n}_translit_$d" ->
+          graft.semantics.Transliterate(d, session.transformSql(sql, d)))
+        catch { case e: Exception =>
+          System.err.println(s"[translit-oracle] ${n}_$d: ${e.getMessage}"); None }
+    ).flatten.toMap
+  }
 }

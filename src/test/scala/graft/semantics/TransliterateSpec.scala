@@ -103,6 +103,31 @@ class TransliterateSpec extends AnyFunSuite {
       "m37 no longer renders a VARCHAR2 cast — the varchar2 rewrite would go unexercised")
   }
 
+  test("tpch translit breadth pin: 65 combos entried, each renders clean") {
+    import graft.queries.TpcH
+    val keys = TpcH.translitQueries.keySet
+    assert(keys.size == 65, s"expected 65 tpch translit entries, got ${keys.size}")
+    assert(!keys.contains("tpch_q20_translit_mysql"),
+      "q20/mysql is the documented char_length skip")
+    assert(TpcH.translitSkip == Set(("tpch_q20", "mysql")),
+      "skip set drifted — re-run the TpchTranslitDump pre-flight before widening it")
+    // every entried combo must render, transliterate, and survive the
+    // DuckDB-clean lint (a rendering change that leaks a trio spelling the
+    // map doesn't cover fails HERE, before the driver gate sees it)
+    val tpchSession =
+      graft.GraftEngine.deployOnDir(spark, TpcH.manifest, TestSpark.sfDir)
+    for ((n, (_, sql)) <- TpcH.defs; d <- Seq("mysql", "bigquery", "oracle")
+         if !TpcH.translitSkip((n, d))) {
+      val copy = Transliterate(d, tpchSession.transformSql(sql, d))
+      val t = DialectLint.stripLiterals(copy)
+      for ((label, re) <- duckForbidden; m <- re.findFirstMatchIn(t))
+        fail(s"${n}_translit_$d: copy carries $label at …${t.slice(
+          math.max(0, m.start - 30), m.end + 30)}…")
+    }
+    // redeploy the semantic fixture so suites sharing the session are unaffected
+    graft.GraftEngine.deployOnDir(spark, Semantic.manifest, TestSpark.sfDir)
+  }
+
   test("unsupported dialects are refused, not silently passed through") {
     assert(!Transliterate.supports("postgres") && !Transliterate.supports("duckdb"))
     intercept[NoSuchElementException] { Transliterate("postgres", "SELECT 1") }
