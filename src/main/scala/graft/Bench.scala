@@ -53,7 +53,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
-      case None => SparkEntry.queries
+      // the tpch_qN_translit_<dialect> entries are correctness probes whose
+      // Spark side is byte-identical to tpch_qN's (already timed as tpch_qN
+      // AND tpch_qN_unparse) — timing the same plan a third and fourth time
+      // adds wall with zero information, so the full suite skips them
+      case None => SparkEntry.queries.filter(!_._1.contains("_translit"))
     }
     val qseq = selected.toSeq
     // Cold pass first (codegen + file-listing + deploy costs), then warm runs
@@ -164,7 +168,8 @@ object Bench {
       }.sum
     }
     val tpchIsolatedTotal: Double = if (only.isEmpty)
-      isolatedTotal(k => k.startsWith("tpch_") && !k.contains("_unparse"))
+      isolatedTotal(k => k.startsWith("tpch_") && !k.contains("_unparse") &&
+        !k.contains("_translit"))
     else -1.0
     // the three suites whose co-scheduled totals have swung ±30% between
     // rounds without a code change — one isolated comparator each
@@ -226,7 +231,8 @@ object Bench {
     // tail budget — per-query medians stay in bench_full.json).
     def family(name: String): String =
       if (name.endsWith("_unparse") || name.endsWith("_postgres") ||
-        name.endsWith("_trino") || name.endsWith("_redshift")) "suite_unparse"
+        name.endsWith("_trino") || name.endsWith("_redshift") ||
+        name.contains("_translit")) "suite_unparse"
       else if (name.startsWith("tpch_")) "tpch"
       else if (name.startsWith("mm")) "suite_multimodal"
       else name.head match {
@@ -237,11 +243,13 @@ object Bench {
         case _   => "suite_other"
       }
     val tpchEntries = timed.toSeq.collect {
-      case (k, _, med, _) if k.startsWith("tpch_") && !k.endsWith("_unparse") =>
+      case (k, _, med, _) if k.startsWith("tpch_") && !k.endsWith("_unparse") &&
+          !k.contains("_translit") =>
         s"\"" + k + "\":" + f3(med)
     }.sorted
     val familyTotals = timed.toSeq
-      .filterNot(t => t._1.startsWith("tpch_") && !t._1.endsWith("_unparse"))
+      .filterNot(t => t._1.startsWith("tpch_") && !t._1.endsWith("_unparse") &&
+        !t._1.contains("_translit"))
       .groupBy(t => family(t._1)).toSeq.sortBy(_._1)
       .map { case (fam, ts) => s"\"" + fam + "\":" + f3(ts.map(_._3).sum) }
     val qsCompact = (tpchEntries ++ familyTotals).mkString("{", ",", "}")
