@@ -28,7 +28,8 @@ object GoldenGen {
     "m27" -> Semantic.m27Sql, "m28" -> Semantic.m28Sql,
     "m31" -> Semantic.m31Sql, "m32" -> Semantic.m32Sql,
     "m33" -> Semantic.m33Sql, "m34" -> Semantic.m34Sql,
-    "m35" -> Semantic.m35Sql, "m36" -> Semantic.m36Sql)
+    "m35" -> Semantic.m35Sql, "m36" -> Semantic.m36Sql,
+    "m37" -> Semantic.m37Sql)
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("src/test/resources/goldens")
