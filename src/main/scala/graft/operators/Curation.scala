@@ -274,6 +274,73 @@ object Curation {
     }
   }
 
+  // ------------------------------------------------------- embedding-space curation
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural scaling laws:
+    * beating power law scaling via data pruning", arXiv:2206.14486): cluster the
+    * embedding space with the deterministic IVF quantizer
+    * ([[Similarity.buildCentroids]] — md5-sampled seeds, optional Lloyd refinement),
+    * score every vector by cosine similarity to its cell centroid (its
+    * PROTOTYPICALITY — how central/"easy" the example is), and DROP the most
+    * prototypical `fraction` of every cell, keeping the informative tail. The
+    * paper's finding: in the abundant-data regime, pruning EASY examples beats
+    * random pruning — the complement of [[semanticDedup]], which removes
+    * redundancy rather than centrality.
+    *
+    * Scale shape: the centroid table broadcasts (nlist rows); assignment and
+    * scoring are map-only; the only wide operation is one rank window per cell —
+    * pick `nlist` so cells fit a partition (√N, the IVF guidance; a skewed
+    * quantizer degrades one task's sort, never correctness). With `lloydIters = 0`
+    * the scoring centroids are the RAW md5-sampled corpus vectors, so an external
+    * engine replays clustering, scoring, and rank relationally (the p15 oracle);
+    * `fraction` should be exactly binary-representable (0.5, 0.25) when
+    * cross-engine replay matters. Returns kept rows as (id, cid, rk, n): rank 1 =
+    * most prototypical in its cell, n = cell size.
+    */
+  def prototypicalityPrune(
+      corpus: DataFrame, fraction: Double, nlist: Int = 16, lloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(fraction >= 0.0 && fraction < 1.0, s"fraction must be in [0,1): $fraction")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).alias("id"), col(vecCol).alias("v"))
+    val unit = Similarity.buildCentroids(c, nlist, lloydIters)
+    // Assignment ranks by dot against UNIT centroids (== cosine ranking); the score
+    // itself is computed against the raw seed when no Lloyd step moved it, so the
+    // oracle's list_cosine_similarity sees the very same operand vectors.
+    val scoreCents =
+      if (lloydIters <= 0) Similarity.seedCentroids(c, nlist) else unit
+    val centDf = spark.createDataFrame(scoreCents).toDF("cid", "centroid")
+    val assigned = c.withColumn("cid", Similarity.argmaxCid(col("v"), unit))
+      .join(broadcast(centDf), "cid")
+      .withColumn("proto", Similarity.cosineNative(col("v"), col("centroid")))
+    val rank = Window.partitionBy("cid").orderBy(col("proto").desc, col("id"))
+    assigned
+      .withColumn("rk", row_number().over(rank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cid")))
+      .filter(col("rk") > floor(col("n") * fraction))
+      .select(col("id"), col("cid"), col("rk"), col("n"))
+  }
+
+  /** Cluster-balanced sampling (the DataComp/DCLM diversity shape): quantize the
+    * embedding space and keep at most `perCluster` members of every cell, chosen
+    * in deterministic md5(id) order — a topic-balanced subsample where
+    * over-represented regions (boilerplate clusters) are capped and rare regions
+    * survive whole. Same deterministic quantizer as [[prototypicalityPrune]];
+    * selection reuses [[topKPerKey]], so a degenerate quantizer (one hot cell)
+    * costs a salted two-phase top-K, never a single-task sort. Returns (id, cid).
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame, perCluster: Int, nlist: Int = 16, lloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    val c = corpus.select(col(idCol).alias("id"), col(vecCol).alias("v"))
+    val unit = Similarity.buildCentroids(c, nlist, lloydIters)
+    val assigned = c.withColumn("cid", Similarity.argmaxCid(col("v"), unit))
+    topKPerKey(assigned, "cid",
+        Seq(md5(col("id").cast("string")), col("id")), perCluster)
+      .select(col("id"), col("cid"))
+  }
+
   // ---------------------------------------------------------------- incremental dedup
 
   /** Dedup a NEW snapshot against an already-curated corpus without re-reading the

@@ -756,7 +756,49 @@ object Dedup {
   def hammingNearDup(sig: DataFrame, bits: Int = 64, maxHamming: Int = 3): DataFrame =
     bandPairs(sig, bits, maxHamming)
 
-  private def bandPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+  private def bandPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame =
+    bandCandidates(sig, bits, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").alias("hamming"))
+
+  /** Video near-duplicates by FRAME-set containment: two videos are near-dups when
+    * the matched fraction of EITHER side's distinct frame hashes reaches
+    * `minMatchFrac` — a frame hash matches when some frame of the other video is
+    * within `maxHamming` bits. The max-of-both-containments shape catches CLIPS
+    * (a short excerpt's frames are fully contained in its source, while the
+    * source's fraction stays low) as well as re-encodes and single-frame edits —
+    * the video analogue of [[containmentNearDup]]'s excerpt asymmetry.
+    *
+    * `frameHashes` is [[Multimodal.videoFrameHashes]] output (id, frame_no,
+    * simhash). Scale shape: the corpus is already collapsed to 8 bytes per frame;
+    * candidate generation is the same one-shuffle 4-band bucket expansion as
+    * [[hammingNearDup]] at FRAME granularity (recall exact for `maxHamming` ≤ 3 by
+    * pigeonhole), and the per-pair aggregation carries only matched-hash counts.
+    * Returns (id_a, id_b, m_a, m_b, n_a, n_b): matched / total distinct frame
+    * hashes per side — the fractions are left to the caller's filter so audits see
+    * the evidence, and the exported counts stay integers (engine-exact).
+    */
+  def videoNearDup(frameHashes: DataFrame, bits: Int = 64, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    val fh = frameHashes.select(col("id"), col("simhash")).distinct()
+    val sizes = fh.groupBy("id").agg(count(lit(1)).alias("n"))
+    val matched = bandCandidates(fh, bits, maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(col("sh_a")).alias("m_a"),
+        countDistinct(col("sh_b")).alias("m_b"))
+    matched
+      .join(sizes.select(col("id").alias("id_a"), col("n").alias("n_a")), "id_a")
+      .join(sizes.select(col("id").alias("id_b"), col("n").alias("n_b")), "id_b")
+      .filter(col("m_a") / col("n_a") >= minMatchFrac ||
+        col("m_b") / col("n_b") >= minMatchFrac)
+      .select(col("id_a"), col("id_b"), col("m_a"), col("m_b"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** [[bandPairs]] keeping both sides' signatures: (id_a, id_b, sh_a, sh_b,
+    * hamming) for every ≤-`maxHamming` pair — the frame-granular form
+    * [[videoNearDup]] aggregates over.
+    */
+  private[graft] def bandCandidates(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     require(bits % 4 == 0, "simHashNearDup bands the signature into 4 equal chunks")
     val cw = bits / 4
     val chunks = (0 until 4).map(i =>
@@ -781,7 +823,6 @@ object Dedup {
     pairs
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming").cast("int").alias("hamming"))
   }
 
   /** Exact substring-duplication spans (the Lee et al. 2022 "Deduplicating Training

@@ -174,28 +174,36 @@ object Multimodal {
           val img =
             try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
             catch { case _: java.io.IOException => None }
-          img.collect { case im if im.getWidth >= 9 && im.getHeight >= 8 =>
-            val raster = im.getRaster
-            val iw = im.getWidth
-            val ih = im.getHeight
-            var hash = 0L
-            var y = 0
-            while (y < 8) {
-              val sy = y * ih / 8
-              var x = 0
-              while (x < 8) {
-                val a = raster.getSample(x * iw / 9, sy, 0)
-                val b = raster.getSample((x + 1) * iw / 9, sy, 0)
-                if (b > a) hash |= 1L << (y * 8 + x)
-                x += 1
-              }
-              y += 1
-            }
-            (id, hash)
-          }
+          img.flatMap(dHashOf).map(hash => (id, hash))
         }
       }
       .toDF("id", "simhash")
+  }
+
+  /** The dHash kernel over one decoded raster — shared by [[perceptualHash]] and
+    * [[videoFrameHashes]]. None when the image is too small for the 9×8 lattice.
+    */
+  private[graft] def dHashOf(im: java.awt.image.BufferedImage): Option[Long] = {
+    if (im.getWidth < 9 || im.getHeight < 8) None
+    else {
+      val raster = im.getRaster
+      val iw = im.getWidth
+      val ih = im.getHeight
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = y * ih / 8
+        var x = 0
+        while (x < 8) {
+          val a = raster.getSample(x * iw / 9, sy, 0)
+          val b = raster.getSample((x + 1) * iw / 9, sy, 0)
+          if (b > a) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(hash)
+    }
   }
 
   /** Deterministic REAL textured audio payloads for fingerprint dedup: fixed-length
@@ -254,6 +262,86 @@ object Multimodal {
         }
       }
       .toDF("id", "simhash")
+  }
+
+  /** Deterministic REAL textured VIDEO payloads for frame-level perceptual dedup:
+    * Motion-PNG AVIs whose frame `f` pixel (x,y) is the md5-60 of
+    * `"<id % groupMod>_<f>_<x>_<y>"` mod 256 — ids in the same group render the
+    * SAME frame sequence. Odd ids additionally perturb ONE pixel of ONE frame
+    * (+64 — a single-frame edit, the near-dup case); ids divisible by 5 carry only
+    * the first `frames / 2` frames (a CLIP of the group's video — the subset case
+    * frame-level matching exists to catch). PNG frames are lossless and the pixel
+    * function md5-replayable, so an external oracle rebuilds every frame raster —
+    * and therefore every frame dHash — arithmetically (the mm9 oracle).
+    */
+  def attachTexturedVideoPayload(df: DataFrame, idCol: String = "doc_id",
+      frames: Int = 4, w: Int = 16, h: Int = 12, groupMod: Int = 101,
+      fps: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = java.lang.Math.floorMod(id, groupMod.toLong)
+          val nf = if (java.lang.Math.floorMod(id, 5L) == 0L) frames / 2 else frames
+          val odd = java.lang.Math.floorMod(id, 2L) == 1L
+          val fo = java.lang.Math.floorMod(id, nf.toLong).toInt
+          val nx = java.lang.Math.floorMod(id, w.toLong).toInt
+          val ny = java.lang.Math.floorMod(id, h.toLong).toInt
+          val fbs = (0 until nf).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = md5Mod(s"${g}_${f}_${x}_${y}", 256)
+                val v = if (odd && f == fo && x == nx && y == ny) (base + 64) % 256 else base
+                raster.setSample(x, y, 0, v)
+                x += 1
+              }
+              y += 1
+            }
+            val out = new ByteArrayOutputStream()
+            ImageIO.write(img, "png", out)
+            out.toByteArray
+          }
+          (id, "avi", encodeAviFrames(fbs, w, h, fps))
+        }
+      }
+      .toDF("doc_id", "media_format", "payload")
+      .withColumn("media_meta", struct(
+        col("media_format").alias("format"),
+        length(col("payload")).alias("n_bytes")))
+  }
+
+  /** Per-FRAME perceptual hashes over REAL decoded video payloads: RIFF-walk each
+    * AVI, image-decode every frame chunk, dHash each frame — one (id, frame_no,
+    * simhash) row per decodable frame. Pure map stage, partition-wise decode: at
+    * 100 TB each video collapses to 8 bytes per frame right at the scan, and the
+    * frame-level near-dup join downstream ([[Dedup.videoNearDup]]) never touches
+    * payload bytes again. Corrupt containers and undecodable/too-small frames
+    * contribute zero rows.
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").alias("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeAviFrames(bytes).toSeq.flatMap { case (_, fbs) =>
+            fbs.zipWithIndex.flatMap { case (fb, i) =>
+              val img =
+                try Option(ImageIO.read(new ByteArrayInputStream(fb)))
+                catch { case _: java.io.IOException => None }
+              img.flatMap(dHashOf).map(hash => (id, i, hash))
+            }
+          }
+        }
+      }
+      .toDF("id", "frame_no", "simhash")
   }
 
   /** Minimal canonical WAV writer: RIFF / fmt(PCM, mono, 8-bit) / data. */

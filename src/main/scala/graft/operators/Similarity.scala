@@ -163,14 +163,28 @@ object Similarity {
     */
   private[graft] def buildCentroids(
       c: DataFrame, nlist: Int, lloydIters: Int): Seq[(Int, Array[Double])] = {
-    val idC = col(c.columns(0))
     val vecC = col(c.columns(1))
-    // Seed centroids: nlist rows to the driver (index build, not a hot path); cid is
-    // the 1-based position in md5-hash order.
+    val seeds = seedCentroids(c, nlist)
+    buildFromSeeds(c, vecC, seeds, lloydIters)
+  }
+
+  /** The quantizer's seed vectors BEFORE unit normalization: `nlist` corpus rows in
+    * md5(id) order, cid = 1-based position — actual corpus vectors, which is what
+    * makes `lloydIters = 0` quantizers externally replayable (the d7/p15 oracles
+    * re-pick the same rows with the same md5 ordering). nlist rows to the driver
+    * (index build, not a hot path).
+    */
+  private[graft] def seedCentroids(c: DataFrame, nlist: Int): Seq[(Int, Array[Double])] = {
+    val idC = col(c.columns(0))
     val seedRows = c.orderBy(md5(idC.cast("string"))).limit(nlist).collect()
-    val seeds: Seq[(Int, Array[Double])] = seedRows.toSeq.zipWithIndex.map { case (r, i) =>
+    seedRows.toSeq.zipWithIndex.map { case (r, i) =>
       (i + 1, r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
     }
+  }
+
+  private def buildFromSeeds(
+      c: DataFrame, vecC: Column,
+      seeds: Seq[(Int, Array[Double])], lloydIters: Int): Seq[(Int, Array[Double])] = {
     val refined = (1 to math.max(lloydIters, 0)).foldLeft(seeds) { (cents, _) =>
       val unit = unitNormalized(cents)
       val means = c.withColumn("cid", argmaxCid(vecC, unit))

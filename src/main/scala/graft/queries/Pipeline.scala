@@ -908,6 +908,68 @@ object Pipeline {
              |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
              |ORDER BY id_a, id_b""".stripMargin))),
 
+    // Prototypicality pruning (Sorscher et al. 2022, arXiv:2206.14486): drop the
+    // most-prototypical HALF of every quantizer cell, keeping the informative tail.
+    // lloydIters=0 keeps centroids as raw md5-sampled corpus vectors (d7's
+    // construction), so the oracle re-derives cells, the cosine-to-centroid score,
+    // and the within-cell rank relationally; fraction=0.5 is binary-exact so
+    // floor(n * 0.5) agrees in both engines.
+    "p15_prototype_prune" -> (((s: SparkSession, dir: String) =>
+      Curation.prototypicalityPrune(embs(s, dir), fraction = 0.5, nlist = 16,
+        lloydIters = 0)
+        .select(col("id").alias("vec_id"), col("cid"), col("rk"), col("n"))
+        .orderBy("vec_id"),
+      Some("""WITH cent AS (
+             |  SELECT embedding AS centroid,
+             |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) AS cid
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY md5(cast(vec_id as varchar)) LIMIT 16)
+             |), cells AS (
+             |  SELECT vec_id, embedding, cid, centroid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid, c.centroid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cid DESC) AS crk
+             |    FROM embeddings e, cent c) WHERE crk = 1
+             |), ranked AS (
+             |  SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY cid
+             |      ORDER BY list_cosine_similarity(embedding, centroid) DESC, vec_id) AS rk,
+             |    count(*) OVER (PARTITION BY cid) AS n
+             |  FROM cells
+             |)
+             |SELECT vec_id, cast(cid as int) AS cid, cast(rk as int) AS rk, n
+             |FROM ranked WHERE rk > floor(n * 0.5)
+             |ORDER BY vec_id""".stripMargin))),
+
+    // Cluster-balanced sampling (DataComp/DCLM diversity shape): cap every
+    // quantizer cell at 40 members chosen in md5(id) order — over-represented
+    // embedding regions are capped, rare ones survive whole. Same deterministic
+    // quantizer as d7/p15; the md5 schedule is the t6/p4 sampling scheme.
+    "p16_cluster_balance" -> (((s: SparkSession, dir: String) =>
+      Curation.clusterBalancedSample(embs(s, dir), perCluster = 40, nlist = 16,
+        lloydIters = 0)
+        .select(col("id").alias("vec_id"), col("cid"))
+        .orderBy("vec_id"),
+      Some("""WITH cent AS (
+             |  SELECT embedding AS centroid,
+             |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) AS cid
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY md5(cast(vec_id as varchar)) LIMIT 16)
+             |), cells AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cid DESC) AS crk
+             |    FROM embeddings e, cent c) WHERE crk = 1
+             |), r AS (
+             |  SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY cid
+             |      ORDER BY md5(cast(vec_id as varchar)), vec_id) AS rk
+             |  FROM cells
+             |)
+             |SELECT vec_id, cast(cid as int) AS cid FROM r WHERE rk <= 40
+             |ORDER BY vec_id""".stripMargin))),
+
     // Incremental snapshot dedup: the "new batch" is every 3rd doc plus planted
     // copies (id+100000) of every 40th; the existing-corpus index is the OTHER docs'
     // fingerprints. Planted copies whose original sits in the existing corpus are
@@ -1614,6 +1676,66 @@ object Pipeline {
              |  cast(bit_count(xor(a.fp, b.fp)) as int) AS hamming
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin))),
+
+    // Video near-dup by frame-set containment: REAL textured Motion-PNG AVIs
+    // (frame f pixel = md5-60 of "<id%101>_<f>_<sx>_<sy>" mod 256; odd ids get a
+    // one-pixel edit in ONE frame, ids % 5 == 0 carry only half the frames — a
+    // CLIP), decoded back frame-by-frame through the RIFF walk + ImageIO, dHashed
+    // per frame, and paired when either side's matched-frame fraction reaches 0.5.
+    // The oracle rebuilds every frame raster arithmetically, replays the dHash
+    // lattice per (doc, frame), and computes the same containment counts over an
+    // exact all-pairs frame scan — banding recall is exact for hamming ≤ 3 by
+    // pigeonhole, so candidate generation cannot diverge. Capped at doc_id < 600
+    // (like mm8) to keep the oracle's frame-pair join oracle-scale.
+    "mm9_video_neardup" -> (((s: SparkSession, dir: String) => {
+      val vids = Multimodal.attachTexturedVideoPayload(
+        docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 600), "doc_id")
+      Dedup.videoNearDup(Multimodal.videoFrameHashes(vids),
+          bits = 64, maxHamming = 3, minMatchFrac = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+      Some("""WITH xs AS (
+             |  SELECT * FROM (VALUES (0,0),(1,1),(2,3),(3,5),(4,7),(5,8),(6,10),(7,12),(8,14)) t(x, sx)
+             |), ys AS (
+             |  SELECT * FROM (VALUES (0,0),(1,1),(2,3),(3,4),(4,6),(5,7),(6,9),(7,10)) t(y, sy)
+             |), vids AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 4 END AS nf
+             |  FROM documents WHERE doc_id < 600
+             |), fr AS (
+             |  SELECT v.doc_id, v.nf, t.f
+             |  FROM vids v, (VALUES (0),(1),(2),(3)) t(f) WHERE t.f < v.nf
+             |), px AS (
+             |  SELECT fr.doc_id, fr.f, xs.x, ys.y,
+             |    (('0x' || substr(md5((fr.doc_id % 101)::VARCHAR || '_' || fr.f::VARCHAR || '_' ||
+             |        xs.sx::VARCHAR || '_' || ys.sy::VARCHAR), 1, 15))::BIGINT % 256
+             |      + CASE WHEN fr.doc_id % 2 = 1 AND fr.f = fr.doc_id % fr.nf
+             |             AND xs.sx = fr.doc_id % 16 AND ys.sy = fr.doc_id % 12 THEN 64 ELSE 0 END) % 256 AS v
+             |  FROM fr, xs, ys
+             |), sig AS (
+             |  SELECT p1.doc_id, p1.f,
+             |    sum(CASE WHEN p2.v <= p1.v THEN 0::BIGINT
+             |        WHEN p1.y * 8 + p1.x = 63 THEN -9223372036854775807 - 1
+             |        ELSE (1::BIGINT << (p1.y * 8 + p1.x)) END)::BIGINT AS dhash
+             |  FROM px p1 JOIN px p2
+             |    ON p2.doc_id = p1.doc_id AND p2.f = p1.f AND p2.y = p1.y AND p2.x = p1.x + 1
+             |  WHERE p1.x < 8
+             |  GROUP BY p1.doc_id, p1.f
+             |), hs AS (
+             |  SELECT DISTINCT doc_id, dhash FROM sig
+             |), nn AS (
+             |  SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id
+             |), cand AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.dhash AS ha, b.dhash AS hb
+             |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+             |), m AS (
+             |  SELECT id_a, id_b, count(DISTINCT ha) AS m_a, count(DISTINCT hb) AS m_b
+             |  FROM cand GROUP BY id_a, id_b
+             |)
+             |SELECT m.id_a, m.id_b, m.m_a, m.m_b, na.n AS n_a, nb.n AS n_b
+             |FROM m JOIN nn na ON na.doc_id = m.id_a JOIN nn nb ON nb.doc_id = m.id_b
+             |WHERE m.m_a * 1.0 / na.n >= 0.5 OR m.m_b * 1.0 / nb.n >= 0.5
              |ORDER BY id_a, id_b""".stripMargin))),
 
     // ---------------- event analytics ----------------

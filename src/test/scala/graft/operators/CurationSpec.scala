@@ -563,4 +563,85 @@ class CurationSpec extends AnyFunSuite {
     val frac = out.values.count(_ == "train").toDouble / out.size
     assert(frac > 0.35 && frac < 0.65, s"1:1 weights should split near half, got $frac")
   }
+
+  // ---------------- embedding-space curation ----------------
+
+  /** Plain-Scala replica of the deterministic quantizer: md5(id)-ordered seeds,
+    * argmax by (cosine desc, cid desc) — the independent model both new
+    * embedding-curation tests compare against.
+    */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i); bb += b(i).toDouble * b(i)
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  private lazy val protoVecs: Seq[(Long, Array[Float])] = (1L to 40L).map { i =>
+    val rnd = new scala.util.Random(i * 7919)
+    (i, Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** (id → (cid, cosine-to-centroid)) under the plain-Scala quantizer. */
+  private def expectedCells(nlist: Int): Map[Long, (Int, Double)] = {
+    val seeds = protoVecs.sortBy(v => md5Hex(v._1.toString)).take(nlist)
+      .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+    protoVecs.map { case (id, v) =>
+      val best = seeds.map { case (cid, c) => (cosine(v, c), cid) }.max
+      id -> (best._2, best._1)
+    }.toMap
+  }
+
+  test("prototypicalityPrune keeps exactly the per-cell least-prototypical tail") {
+    val df = protoVecs.toDF("vec_id", "embedding")
+    val kept = Curation.prototypicalityPrune(df, fraction = 0.5, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val cells = expectedCells(4)
+    val expect = cells.toSeq.groupBy(_._2._1).flatMap { case (cid, members) =>
+      val ranked = members.sortBy { case (id, (_, cos)) => (-cos, id) }
+      val n = ranked.size
+      ranked.zipWithIndex.drop(math.floor(n * 0.5).toInt)
+        .map { case ((id, _), ix) => (id, cid, ix + 1, n.toLong) }
+    }.toSet
+    assert(kept.toSet == expect,
+      s"kept rows must equal the independent recompute;\n got ${kept.sortBy(_._1).mkString(",")}\n exp ${expect.toSeq.sortBy(_._1).mkString(",")}")
+    // law: every cell keeps n - floor(n/2) rows
+    val byCell = kept.groupBy(_._2)
+    byCell.foreach { case (cid, rows) =>
+      val n = rows.head._4
+      assert(rows.size == n - n / 2, s"cell $cid: ${rows.size} kept of $n")
+    }
+  }
+
+  test("prototypicalityPrune at fraction 0 keeps everything, rejects fraction 1") {
+    val df = protoVecs.toDF("vec_id", "embedding")
+    assert(Curation.prototypicalityPrune(df, fraction = 0.0, nlist = 4).count() == 40)
+    intercept[IllegalArgumentException] {
+      Curation.prototypicalityPrune(df, fraction = 1.0, nlist = 4)
+    }
+  }
+
+  test("clusterBalancedSample caps every cell at k, picking the md5-first members") {
+    val df = protoVecs.toDF("vec_id", "embedding")
+    val kept = Curation.clusterBalancedSample(df, perCluster = 3, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val cells = expectedCells(4)
+    val expect = cells.toSeq.groupBy(_._2._1).flatMap { case (cid, members) =>
+      members.map(_._1).sortBy(id => (md5Hex(id.toString), id)).take(3)
+        .map(id => (id, cid))
+    }.toSet
+    assert(kept.toSet == expect,
+      s"capped sample must equal the independent md5-order recompute: got ${kept.sortBy(_._1).mkString(",")}")
+    // determinism: a second run returns the identical set
+    val again = Curation.clusterBalancedSample(df, perCluster = 3, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == kept.toSet)
+  }
 }

@@ -529,6 +529,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 2), s"one-sample edit flips at most two bits: $pairs")
   }
 
+  test("videoNearDup pairs full copies, single-frame edits, clips — not unrelated videos") {
+    // group 2 mod 101: ids 2 and 204 render identical 4-frame videos; 103 is the
+    // same sequence with one pixel edited in ONE frame (odd id); 810 ≡ 2 (mod 101)
+    // and ≡ 0 (mod 5) — a 2-frame CLIP of the same group; 3 is an unrelated group.
+    val ids = Seq(2L, 204L, 103L, 810L, 3L).toDF("doc_id")
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.attachTexturedVideoPayload(ids, "doc_id"))
+    val counts = fh.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(2L -> 4L, 204L -> 4L, 103L -> 4L, 810L -> 2L, 3L -> 4L),
+      s"every frame must decode to a hash: $counts")
+    val rows = Dedup.videoNearDup(fh, bits = 64, maxHamming = 3, minMatchFrac = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val pairs = rows.map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((2L, 103L), (2L, 204L), (2L, 810L),
+        (103L, 204L), (103L, 810L), (204L, 810L)),
+      s"group-2 family must fully pair, unrelated id 3 must not: ${rows.mkString(",")}")
+    // identical copies: all 4 frames match both ways
+    val full = rows.find(p => p._1 == 2L && p._2 == 204L).get
+    assert((full._3, full._4, full._5, full._6) == ((4L, 4L, 4L, 4L)))
+    // the clip: containment is total on the clip side, half on the source side
+    val clip = rows.find(p => p._1 == 2L && p._2 == 810L).get
+    assert((clip._3, clip._4, clip._5, clip._6) == ((2L, 2L, 4L, 2L)),
+      s"clip containment must be 2/2 vs 2/4: $clip")
+  }
+
   test("containmentNearDup flags excerpt-in-document pairs that Jaccard misses") {
     val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq(
