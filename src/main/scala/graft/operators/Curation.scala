@@ -508,6 +508,52 @@ object Curation {
     weightedMix(df, keyCol, idCol, rates)
   }
 
+  /** Token-budget mixing with epoch upsampling — the "mixture weights → actual
+    * training set" step (the static-weight shape of DoReMi, arXiv:2305.10429,
+    * and the published Dolma/Pile mixing tables): given a per-domain weight
+    * table and a TOTAL token budget, each domain `d` is allotted
+    * `T_d = budget · w_d / Σw` tokens, i.e. a repetition rate
+    * `rate_d = min(maxEpochs, T_d / tokens_d)`. Unlike [[weightedMix]] /
+    * [[temperatureMix]] (which only sample DOWN), a rate above 1 REPEATS the
+    * under-weighted domain: every row is emitted with `epoch` 0..⌊rate⌋−1
+    * unconditionally, plus epoch ⌊rate⌋ with probability frac(rate) via the
+    * corpus-standard md5 unit hash over `id:epoch` (deterministic,
+    * oracle-reproducible, decorrelated from the plain-`id` samplers p4/p5
+    * share). `maxEpochs` caps tiny-domain repetition — unbounded epoching of
+    * a small domain degrades models faster than under-weighting it.
+    *
+    * Scale shape: one partial-combining count aggregation collapsing to
+    * |domains| rows, a broadcast join of that rate table, then a pure map-side
+    * explode whose fan-out is ≤ maxEpochs — no corpus-sized shuffle anywhere,
+    * so the operator is safe at any corpus size the scan itself survives.
+    */
+  def tokenBudgetMix(
+      df: DataFrame, keyCol: String, idCol: String, tokensCol: String,
+      weights: DataFrame, budget: Long, maxEpochs: Double = 8.0): DataFrame = {
+    val Array(wk, wv) = weights.columns.take(2)
+    val w = weights.select(col(wk).alias(keyCol), col(wv).cast("double").alias("__w"))
+    // domain-count-bounded collect: the weight table is configuration, not data
+    val totW = w.agg(sum(col("__w"))).first().getDouble(0)
+    require(totW > 0, s"tokenBudgetMix: weights must sum > 0, got $totW")
+    val rates = df.groupBy(col(keyCol))
+      .agg(sum(col(tokensCol).cast("long")).alias("__n"))
+      .join(w, Seq(keyCol))
+      .select(col(keyCol),
+        least(lit(maxEpochs),
+          (lit(budget.toDouble) * col("__w") / lit(totW)) / col("__n").cast("double"))
+          .alias("__rate"))
+    val u = (Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"),
+      col("__fe").cast("string"))) % 1000000L).cast("double") / 1000000.0
+    df.join(broadcast(rates), Seq(keyCol))
+      .withColumn("__fe", floor(col("__rate")).cast("int"))
+      .withColumn("epoch", explode(concat(
+        when(col("__fe") > 0, sequence(lit(0), col("__fe") - 1))
+          .otherwise(array().cast("array<int>")),
+        when(u < col("__rate") - col("__fe"), array(col("__fe")))
+          .otherwise(array().cast("array<int>")))))
+      .drop("__rate", "__fe")
+  }
+
   // ------------------------------------------------------ dup-cluster components
 
   /** Connected components over a pair table — the step every near-dup pipeline needs

@@ -2565,7 +2565,52 @@ object Pipeline {
              |WHERE (('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
              |        % 1000000)::DOUBLE / 1000000.0
              |  < least(1.0, 5.0 / sqrt(n::DOUBLE))
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Token-budget mixing with epoch upsampling (DoReMi-static / Dolma mixing
+    // table shape): weight w_d = 1 + (src# % 4) per domain, 40k-token budget →
+    // per-domain rate (budget·w_d/Σw)/tokens_d; rates above 1 REPEAT the domain
+    // (epochs 0..⌊rate⌋−1 + an md5(id:epoch)-thresholded fractional epoch), the
+    // upsampling half that p5/p10 (sample-down only) don't cover. Weights are
+    // integer-valued doubles, so Σw and every rate are exact in both engines;
+    // the fixture's rates span ~0.6–2.4 so all three branches (fractional-only,
+    // 1+frac, 2+frac) are exercised.
+    "p17_token_budget_mix" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).alias("toks"))
+      val weights = d.select(col("source")).distinct()
+        .withColumn("w",
+          (lit(1) + substring(col("source"), 4, 10).cast("int") % 4).cast("double"))
+      Curation.tokenBudgetMix(d, "source", "doc_id", "toks",
+          weights, budget = 40000L)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source, cast($duckTok as bigint) AS toks
+              |  FROM documents
+              |), w AS (
+              |  SELECT source, (1 + cast(substr(source, 4, 10) as int) % 4)::DOUBLE AS w
+              |  FROM (SELECT DISTINCT source FROM documents)
+              |), tot AS (SELECT sum(w) AS tw FROM w
+              |), r AS (
+              |  SELECT d.source,
+              |    least(8.0, ((40000.0 * any_value(w.w)) / any_value(tot.tw))
+              |               / sum(d.toks)::DOUBLE) AS rate
+              |  FROM d JOIN w USING (source), tot
+              |  GROUP BY d.source
+              |), ep AS (
+              |  SELECT d.doc_id, d.source, r.rate, cast(floor(r.rate) as int) AS fe
+              |  FROM d JOIN r ON d.source = r.source
+              |)
+              |SELECT doc_id, source, epoch FROM (
+              |  SELECT doc_id, source, cast(unnest(range(0, fe)) as int) AS epoch FROM ep
+              |  UNION ALL
+              |  SELECT doc_id, source, fe AS epoch FROM ep
+              |  WHERE (('0x' || substr(md5(cast(doc_id as varchar) || ':'
+              |           || cast(fe as varchar)), 1, 15))::BIGINT
+              |         % 1000000)::DOUBLE / 1000000.0 < rate - fe
+              |) ORDER BY doc_id, epoch""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

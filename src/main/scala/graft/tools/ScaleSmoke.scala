@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,20 +44,6 @@ import graft.operators.Dedup
   */
 object ScaleSmoke {
 
-  /** Stage-granular shuffle meter: total bytes written across stages and the
-    * single largest stage — the peak is what bounds executor/disk pressure.
-    */
-  private final class ShuffleMeter extends SparkListener {
-    val total = new java.util.concurrent.atomic.AtomicLong(0)
-    val peak = new java.util.concurrent.atomic.AtomicLong(0)
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
-      total.addAndGet(w)
-      peak.getAndAccumulate(w, (a, b) => math.max(a, b))
-    }
-    def reset(): Unit = { total.set(0); peak.set(0) }
-  }
-
   private val boiler = "subscribe to our newsletter for updates terms of " +
     "service apply all rights reserved contact us today"
 
@@ -76,7 +61,7 @@ object ScaleSmoke {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val meter = new ShuffleMeter
+    val meter = new SmokeMeter
     spark.sparkContext.addSparkListener(meter)
 
     val work = java.nio.file.Files.createTempDirectory("graft_scale_").toString

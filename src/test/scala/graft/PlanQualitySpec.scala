@@ -237,6 +237,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2500))
   }
 
+  test("p17_token_budget_mix: rate table broadcasts, epoch fan-out stays map-side") {
+    // the corpus-sized side must never shuffle: the only exchange below the
+    // broadcast join is the |domains|-row rate aggregation, and the epoch
+    // replication is a Generate (explode) with no exchange above it
+    val plan = executedPlan("p17_token_budget_mix")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(2500))
+    assert(plan.contains("Generate explode"), plan.take(2500))
+  }
+
   test("d9_dup_clusters: star-round exchanges carry only id pairs, never text") {
     val df = SparkEntry.queries("d9_dup_clusters")(spark, dir)
     // the final component frame descends from localCheckpointed edges; its own plan

@@ -272,6 +272,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: tokenBudgetMix multiplicity equals the per-domain rate law exactly") {
+    import graft.operators.Curation
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def md5Unit(s: String): Double =
+      (java.lang.Long.parseLong(md5Hex(s).take(15), 16) % 1000000L).toDouble / 1e6
+    val genCase = for {
+      nDom <- Gen.choose(1, 4)
+      docs <- Gen.listOfN(12, Gen.zip(Gen.choose(0, nDom - 1), Gen.choose(1L, 500L)))
+      ws <- Gen.listOfN(nDom, Gen.choose(1, 5)) // integer weights: Σw exact
+      budget <- Gen.choose(1000L, 50000L)
+    } yield (nDom, docs, ws, budget)
+    forSamples(genCase, 10) { case (nDom, docRows, ws, budget) =>
+      val df = docRows.zipWithIndex
+        .map { case ((d, t), i) => (i.toLong, s"dom$d", t) }
+        .toDF("doc_id", "domain", "toks")
+      val weights = ws.zipWithIndex.map { case (w, d) => (s"dom$d", w.toDouble) }
+        .toDF("domain", "w")
+      val maxE = 6.0
+      val out = Curation.tokenBudgetMix(df, "domain", "doc_id", "toks",
+          weights, budget, maxEpochs = maxE)
+        .select("doc_id", "epoch")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      // Σw sums the whole weight TABLE (domains without docs still dilute the
+      // budget — a declared-but-empty domain is configuration, not data)
+      val totW = ws.sum.toDouble
+      val domToks = docRows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      docRows.zipWithIndex.foreach { case ((d, _), i) =>
+        val rate = math.min(maxE,
+          budget.toDouble * ws(d) / totW / domToks(d).toDouble)
+        val fe = math.floor(rate).toInt
+        val expect = (0 until fe) ++
+          (if (md5Unit(s"$i:$fe") < rate - fe) Seq(fe) else Nil)
+        assert(out.getOrElse(i.toLong, Nil) == expect,
+          s"doc $i dom$d rate=$rate: got ${out.getOrElse(i.toLong, Nil)}, want $expect")
+      }
+    }
+  }
+
   test("property: the type mapper is total (never throws, unknown -> StringType)") {
     val genType = Gen.oneOf(
       Gen.oneOf("int", "bigint", "varchar", "double", "decimal(10,2)", "date",

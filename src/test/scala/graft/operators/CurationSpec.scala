@@ -644,4 +644,55 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(again == kept.toSet)
   }
+
+  // ---------------- token-budget mixing ----------------
+
+  /** Replica of the corpus md5 unit hash (Dedup.md5Hash60 % 1e6 / 1e6). */
+  private def md5Unit(s: String): Double =
+    (java.lang.Long.parseLong(md5Hex(s).take(15), 16) % 1000000L).toDouble / 1000000.0
+
+  test("tokenBudgetMix: every doc appears floor(rate) times plus the md5-gated fractional epoch") {
+    // domain a: 4 docs x 100 tokens (w=3) -> T_a = 2400*3/4 = 1800, rate 4.5
+    // domain b: 10 docs x 100 tokens (w=1) -> T_b = 600, rate 0.6
+    val rows = (1L to 4L).map(i => (i, "a", 100L)) ++
+      (11L to 20L).map(i => (i, "b", 100L))
+    val df = rows.toDF("doc_id", "domain", "toks")
+    val weights = Seq(("a", 3.0), ("b", 1.0)).toDF("domain", "w")
+    val out = Curation.tokenBudgetMix(df, "domain", "doc_id", "toks",
+        weights, budget = 2400L)
+      .select("doc_id", "domain", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    rows.foreach { case (id, dom, _) =>
+      val rate = if (dom == "a") 4.5 else 0.6
+      val fe = math.floor(rate).toInt
+      val expectEpochs =
+        (0 until fe) ++ (if (md5Unit(s"$id:$fe") < rate - fe) Seq(fe) else Nil)
+      assert(byId.getOrElse(id, Nil) == expectEpochs,
+        s"doc $id ($dom): got ${byId.getOrElse(id, Nil)}, want $expectEpochs")
+    }
+    // the upsampled domain really repeats: every a-doc has at least epochs 0..3
+    assert((1L to 4L).forall(id => byId(id).take(4) == (0 until 4)))
+  }
+
+  test("tokenBudgetMix: maxEpochs caps repetition at an exact integer rate (no fractional epoch)") {
+    val df = (1L to 4L).map(i => (i, "a", 100L)).toDF("doc_id", "domain", "toks")
+    val weights = Seq(("a", 1.0)).toDF("domain", "w")
+    // uncapped rate would be 10000/400 = 25; cap 2.0 -> exactly 2 epochs per doc
+    val out = Curation.tokenBudgetMix(df, "domain", "doc_id", "toks",
+        weights, budget = 10000L, maxEpochs = 2.0)
+      .select("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.length == 8 && out.groupBy(_._1).forall { case (_, es) =>
+      es.map(_._2).sorted.toSeq == Seq(0, 1)
+    }, s"cap=2 must yield exactly epochs {0,1} per doc: ${out.sortBy(x => (x._1, x._2)).mkString(",")}")
+  }
+
+  test("tokenBudgetMix rejects a non-positive weight table") {
+    val df = Seq((1L, "a", 10L)).toDF("doc_id", "domain", "toks")
+    intercept[IllegalArgumentException] {
+      Curation.tokenBudgetMix(df, "domain", "doc_id", "toks",
+        Seq(("a", 0.0)).toDF("domain", "w"), budget = 100L)
+    }
+  }
 }
