@@ -274,8 +274,10 @@ final class SemanticPlanner(
       val df0 = modelDF(m)
       // `cached: true` models persist spill-safely (the reference materializes
       // cached models on a refresh schedule, manifest-macro lib.rs:146-165;
-      // refreshTime is advisory here — Spark re-persists lazily on eviction)
-      val df = if (m.cached) df0.persist(
+      // refreshTime is advisory here — Spark re-persists lazily on eviction).
+      // Streaming models skip it: persist is a batch concept, and a streaming
+      // plan rejects it — caching happens per-micro-batch downstream if at all.
+      val df = if (m.cached && !df0.isStreaming) df0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df0
       df.createOrReplaceTempView(m.name)
       m.name -> df

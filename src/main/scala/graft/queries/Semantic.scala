@@ -673,8 +673,67 @@ object Semantic {
     "m22_unparse_window" -> ((deployAndRun(m22Sql)(_, _), Some(m22DuckOracle))),
     "m23_unparse_scalar_subq" -> ((deployAndRun(m23Sql)(_, _), Some(m23DuckOracle))),
     "m24_unparse_datetime" -> ((deployAndRun(m24Sql)(_, _), Some(m24DuckOracle))),
-    "m25_unparse_zorder" -> ((deployAndRun(m25Sql)(_, _), Some(m25DuckOracle)))
+    "m25_unparse_zorder" -> ((deployAndRun(m25Sql)(_, _), Some(m25DuckOracle))),
+
+    // Streaming semantic layer (no reference counterpart — the Spark-native
+    // extension): the SAME manifest machinery — model expansion, @property RLAC,
+    // a to-one calculated field — planned over `readStream` via
+    // StreamingPathResolver (orders streams, customer stays a static dimension;
+    // the calc field is a stream⨝static join). Trigger.AvailableNow drains the
+    // directory with streaming fault-tolerance semantics, so the sink parquet
+    // equals the batch answer and the ordinary DuckDB oracle closes the gate.
+    "m38_stream_model" -> (((s: SparkSession, dir: String) => {
+      val sess = GraftEngine.deploy(s, streamManifest,
+        new graft.planner.StreamingPathResolver(dir, Set("orders")),
+        Map("min_total" -> "300000"))
+      val stream = sess.query(
+        "SELECT o_orderkey, cust_segment, o_totalprice FROM s_orders")
+      require(stream.isStreaming, "m38 must plan a streaming query")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_m38_").toString
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, c_mktsegment AS cust_segment, o_totalprice
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |WHERE o_totalprice > 300000
+             |ORDER BY o_orderkey""".stripMargin)))
   )
+
+  /** Streaming-deploy manifest: the fact model streams, the dimension stays
+    * static; RLAC and the calc field plan over the stream unchanged
+    * ([[graft.planner.StreamingPathResolver]]).
+    */
+  def streamManifest: Manifest = Manifest(
+    catalog = "graft", schema = "amalgam",
+    models = List(
+      Model(
+        name = "s_customer",
+        tableReference = Some(TableReference(table = "customer")),
+        primaryKey = Some("c_custkey"),
+        columns = List(pcol("c_custkey", "bigint"), pcol("c_mktsegment", "varchar"))),
+      Model(
+        name = "s_orders",
+        tableReference = Some(TableReference(table = "orders")),
+        primaryKey = Some("o_orderkey"),
+        columns = List(
+          pcol("o_orderkey", "bigint"), pcol("o_custkey", "bigint"),
+          pcol("o_totalprice", "double"),
+          relcol("customer", "s_customer", "s_orders_customer"),
+          calc("cust_segment", "varchar", "\"customer\".\"c_mktsegment\"")),
+        rowLevelAccessControls = List(
+          RowLevelAccessControl("min_total_rule",
+            List(SessionProperty("min_total", required = true)),
+            "\"o_totalprice\" > @min_total")))),
+    relationships = List(
+      Relationship("s_orders_customer", List("s_orders", "s_customer"),
+        JoinType.ManyToOne,
+        "\"s_orders\".\"o_custkey\" = \"s_customer\".\"c_custkey\"")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap ++ pgUnparseQueries
