@@ -24,6 +24,10 @@ import graft.mdl.TableReference
   *   - `maxFilesPerTrigger` bounds per-micro-batch work on large directories —
   *     the knob that keeps a catch-up run from loading the whole history into
   *     one batch.
+  *   - `watermarks` declares per-table event-time watermarks at the SOURCE, so
+  *     windowed aggregations over any model/view of the table run append-mode
+  *     with bounded state — the difference between a streaming rollup that
+  *     runs for months and one that accumulates every window forever.
   *   - To-one calc fields join the STREAM side to static dimension models —
   *     Spark's stream-static join, no watermark needed. To-MANY calc fields
   *     (pre-aggregate + join-back) would be a stream-stream self-join; declare
@@ -34,7 +38,8 @@ import graft.mdl.TableReference
 final class StreamingPathResolver(
     url: String,
     streamTables: Set[String],
-    maxFilesPerTrigger: Option[Int] = None) extends TableResolver {
+    maxFilesPerTrigger: Option[Int] = None,
+    watermarks: Map[String, (String, String)] = Map.empty) extends TableResolver {
   private val static = new PathResolver(url)
 
   override def resolve(spark: SparkSession, ref: TableReference): DataFrame =
@@ -48,7 +53,16 @@ final class StreamingPathResolver(
         if (new java.io.File(path).isFile) s"$url/{${ref.table}.parquet}" else path
       val reader = spark.readStream.schema(schema)
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
-      reader.parquet(src)
+      val df = reader.parquet(src)
+      // event-time watermark per table (`table -> (tsColumn, delay)`): bounds
+      // the state a windowed aggregation over the governed model accumulates —
+      // without it a months-long streaming rollup holds every window forever.
+      // Declared HERE (the source) so every model/view planned over the table
+      // inherits it; the watermark column must survive the model's projection
+      // to take effect downstream.
+      watermarks.get(ref.table).fold(df) { case (tsCol, delay) =>
+        df.withWatermark(tsCol, delay)
+      }
     } else static.resolve(spark, ref)
 
   override def physicalNames: Seq[String] = static.physicalNames

@@ -154,7 +154,39 @@ object SemanticScaleSmoke {
       row
     }
 
-    val json = results.map(r => r.map { case (k, v) =>
+    // ---- 30× third decade for the heaviest movers --------------------------
+    // q18/q21 are the shapes whose build sides grow with the corpus (the 10×
+    // factors above). One more decade at a rows-per-partition-scaled partition
+    // count (32 → 96), the skew-decade protocol: the claim under test is that
+    // PEAK-STAGE BYTES PER PARTITION stays ~flat — executor memory pressure is
+    // set by the slice, not the corpus, which is how a 1000-executor job sizes.
+    val results30 = {
+      val x30 = synth("x30", 3 * copies)
+      Seq("tpch_q18", "tpch_q21").map { name =>
+        val (t10, r10, s10, p10) = timed(name, x10)
+        spark.conf.set("spark.sql.shuffle.partitions", "96")
+        val (t30, r30, s30, p30) =
+          try timed(name, x30)
+          finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val row = Map(
+          "query" -> s"$name[10x/32p -> 30x/96p]",
+          "t1_sec" -> f"$t10%.2f", "t10_sec" -> f"$t30%.2f",
+          "wall_factor" -> f"${t30 / t10}%.1f",
+          "rows1" -> r10.toString, "rows10" -> r30.toString,
+          "shuffle1_mb" -> mb(s10), "shuffle10_mb" -> mb(s30),
+          "peak_stage1_mb" -> mb(p10), "peak_stage10_mb" -> mb(p30),
+          "peak_per_part1_mb" -> mb(p10 / 32), "peak_per_part10_mb" -> mb(p30 / 96),
+          "shuffle_factor" -> (if (s10 > 0) f"${s30.toDouble / s10}%.1f" else "-"),
+          "join_mix1" -> "-", "join_mix10" -> "-")
+        println(s"[semscale] ${row("query")} 10x=${row("t1_sec")}s " +
+          s"30x=${row("t10_sec")}s factor=${row("wall_factor")} " +
+          s"rows ${r10}->${r30} peak/part ${row("peak_per_part1_mb")}->" +
+          s"${row("peak_per_part10_mb")} MB")
+        row
+      }
+    }
+
+    val json = (results ++ results30).map(r => r.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(

@@ -344,4 +344,34 @@ class ManifestFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  // The streaming law (m38 generalized over the manifest fuzz): deploying the
+  // SAME random manifest with the child table resolved to readStream must
+  // plan a streaming query whose AvailableNow drain equals the batch
+  // expansion row for row — expression columns and the (possibly nested)
+  // to-one calc ride the stream⨝static joins unchanged. A subset of seeds:
+  // each drain pays a real checkpointed streaming run.
+  for (seed <- 0 until 6) {
+    test(s"seed $seed: streamed child model drains to the batch expansion") {
+      val f = gen(seed)
+      val childPk = phys(f.child).pk
+      val sel = Seq(childPk, "c_one") ++
+        f.nestedCalc.map(_ => "c_two").toSeq ++ f.exprCol.map(_._1).toSeq
+      val sql = s"SELECT ${sel.mkString(", ")} FROM ${f.childModel}"
+      val batch = rowsOf(
+        GraftEngine.deployOnDir(spark, f.manifest, dir).query(sql))
+      val stream = GraftEngine.deploy(spark, f.manifest,
+        new StreamingPathResolver(dir, Set(phys(f.child).table))).query(sql)
+      assert(stream.isStreaming, s"seed $seed must plan a streaming query")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fzs_").toString
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = rowsOf(spark.read.parquet(s"$tmp/out"))
+      graft.util.Fs.deleteTree(tmp)
+      assert(streamed == batch,
+        s"seed $seed: streaming drain diverged from batch (${streamed.size} vs ${batch.size} rows)")
+    }
+  }
 }

@@ -111,4 +111,66 @@ class StreamingSemanticSpec extends AnyFunSuite {
     assert(n == expect, s"capped drain must still see every row: $n vs $expect")
     assert(batches > 1, s"1-file cap must yield multiple micro-batches, got $batches")
   }
+
+  test("source watermark flows through the model: bounded-state windowed aggregation") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sss_wm_").toString
+    // 100 clicks, one per minute: ten 10-minute windows of exactly 10 events
+    spark.range(100).select(
+        col("id").alias("click_id"),
+        (col("id") % 5).alias("user_id"),
+        to_timestamp(lit("2026-01-01 00:00:00")).plus(
+          expr("make_interval(0, 0, 0, 0, 0, id, 0)")).alias("ts"))
+      .repartition(4).write.parquet(s"$tmp/clicks.parquet")
+    val manifest = Manifest("graft", "amalgam", models = List(
+      Model("s_clicks", tableReference = Some(TableReference(table = "clicks")),
+        primaryKey = Some("click_id"),
+        columns = List(Column("click_id", "bigint"), Column("user_id", "bigint"),
+          Column("ts", "timestamp")))))
+    val winSql =
+      """SELECT window(ts, '10 minutes').start AS w, count(*) AS n
+        |FROM s_clicks GROUP BY window(ts, '10 minutes')""".stripMargin
+    val sess = GraftEngine.deploy(spark, manifest,
+      new StreamingPathResolver(tmp, Set("clicks"), maxFilesPerTrigger = Some(1),
+        watermarks = Map("clicks" -> ("ts", "5 minutes"))))
+    val agg = sess.query(winSql)
+    // the watermark declared at the SOURCE must survive model planning
+    assert(agg.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      agg.queryExecution.analyzed.toString.take(1500))
+    val q = agg.writeStream.format("memory").queryName("sss_wm")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update-mode memory sink accumulates per-trigger updates; counts only
+    // grow, so max-per-window is the final state
+    val streamed = spark.table("sss_wm").groupBy("w").agg(max("n").alias("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val batch = GraftEngine.deploy(spark, manifest, new PathResolver(tmp))
+      .query(winSql).collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    graft.util.Fs.deleteTree(tmp)
+    assert(batch.size == 10 && batch.values.forall(_ == 10L), s"fixture law: $batch")
+    assert(streamed == batch, s"windowed drain diverged: $streamed vs $batch")
+  }
+
+  test("append-mode windowed aggregation refuses WITHOUT the source watermark") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sss_nowm_").toString
+    spark.range(10).select(col("id").alias("click_id"),
+        to_timestamp(lit("2026-01-01 00:00:00")).alias("ts"))
+      .write.parquet(s"$tmp/clicks.parquet")
+    val manifest = Manifest("graft", "amalgam", models = List(
+      Model("s_clicks", tableReference = Some(TableReference(table = "clicks")),
+        primaryKey = Some("click_id"),
+        columns = List(Column("click_id", "bigint"), Column("ts", "timestamp")))))
+    val sess = GraftEngine.deploy(spark, manifest,
+      new StreamingPathResolver(tmp, Set("clicks"))) // no watermark declared
+    val agg = sess.query(
+      "SELECT window(ts, '10 minutes').start AS w, count(*) AS n " +
+        "FROM s_clicks GROUP BY window(ts, '10 minutes')")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      agg.writeStream.format("memory").queryName("sss_nowm")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    graft.util.Fs.deleteTree(tmp)
+    assert(e.getMessage.toLowerCase.contains("watermark"), e.getMessage.take(300))
+  }
 }
