@@ -112,6 +112,30 @@ class StreamingSemanticSpec extends AnyFunSuite {
     assert(batches > 1, s"1-file cap must yield multiple micro-batches, got $batches")
   }
 
+  test("CLAC omission governs the streamed model's schema like batch") {
+    val manifest = {
+      val m = Semantic.streamManifest
+      val orders = m.models.find(_.name == "s_orders").get
+      val gated = orders.copy(columns = orders.columns.map { c =>
+        if (c.name == "o_totalprice")
+          c.copy(columnLevelAccessControl = Some(ColumnLevelAccessControl(
+            "price_access", List(SessionProperty("clearance")),
+            ClacOperator.Equals, "1")))
+        else c
+      })
+      m.copy(models = m.models.map(mm => if (mm.name == "s_orders") gated else mm))
+    }
+    def schemaWith(props: Map[String, String]): Set[String] =
+      GraftEngine.deploy(spark, manifest,
+        new StreamingPathResolver(dir, Set("orders")),
+        props + ("min_total" -> "300000"))
+        .query("SELECT * FROM s_orders").schema.fieldNames.toSet
+    // denied: the column is absent from the streamed model's schema entirely
+    assert(!schemaWith(Map.empty).contains("o_totalprice"))
+    // cleared: present again — same deploy machinery, streaming source
+    assert(schemaWith(Map("clearance" -> "1")).contains("o_totalprice"))
+  }
+
   test("source watermark flows through the model: bounded-state windowed aggregation") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_sss_wm_").toString
