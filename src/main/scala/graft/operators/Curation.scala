@@ -530,13 +530,32 @@ object Curation {
   def tokenBudgetMix(
       df: DataFrame, keyCol: String, idCol: String, tokensCol: String,
       weights: DataFrame, budget: Long, maxEpochs: Double = 8.0): DataFrame = {
+    require(weights.columns.length >= 2,
+      s"tokenBudgetMix: weights needs (domain, weight) columns, got ${weights.columns.mkString(",")}")
     val Array(wk, wv) = weights.columns.take(2)
     val w = weights.select(col(wk).alias(keyCol), col(wv).cast("double").alias("__w"))
-    // domain-count-bounded collect: the weight table is configuration, not data
-    val totW = w.agg(sum(col("__w"))).first().getDouble(0)
-    require(totW > 0, s"tokenBudgetMix: weights must sum > 0, got $totW")
-    val rates = df.groupBy(col(keyCol))
+    // domain-count-bounded collects below: the weight table is configuration,
+    // not data, and each check names its misconfiguration instead of letting
+    // it surface later as garbage epochs or silent max-upsampling
+    val badW = w.filter(col("__w").isNull || col("__w") <= 0).limit(1).collect()
+    require(badW.isEmpty,
+      s"tokenBudgetMix: every weight must be > 0; domain ${badW.headOption.map(_.get(0)).orNull} " +
+        s"has weight ${badW.headOption.map(_.get(1)).orNull}")
+    val totRow = w.agg(sum(col("__w"))).first()
+    require(!totRow.isNullAt(0) && totRow.getDouble(0) > 0,
+      "tokenBudgetMix: weights table is empty")
+    val totW = totRow.getDouble(0)
+    val toks = df.groupBy(col(keyCol))
       .agg(sum(col(tokensCol).cast("long")).alias("__n"))
+    // a domain with zero or all-NULL tokens would divide to Infinity (or NULL,
+    // which least() skips) and silently take rate = maxEpochs — the corrupt
+    // domain is exactly the one that must NOT be max-upsampled
+    val badN = toks.join(w, Seq(keyCol))
+      .filter(col("__n").isNull || col("__n") <= 0).limit(1).collect()
+    require(badN.isEmpty,
+      s"tokenBudgetMix: domain ${badN.headOption.map(_.get(0)).orNull} has no tokens " +
+        s"(sum(${tokensCol}) = ${badN.headOption.map(_.get(1)).orNull})")
+    val rates = toks
       .join(w, Seq(keyCol))
       .select(col(keyCol),
         least(lit(maxEpochs),

@@ -48,9 +48,13 @@ final class StreamingPathResolver(
       val schema = spark.read.parquet(path).schema
       // FileStreamSource requires a directory (or glob) — a bare single-file
       // table becomes a single-alternative {name} glob so the stream's base
-      // path is the parent directory, with zero data movement
+      // path is the parent directory, with zero data movement. Probed through
+      // the Hadoop FS API so the check works on any scheme (s3a/hdfs/file),
+      // not just the local filesystem.
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val src =
-        if (new java.io.File(path).isFile) s"$url/{${ref.table}.parquet}" else path
+        if (fs.getFileStatus(hPath).isFile) s"$url/{${ref.table}.parquet}" else path
       val reader = spark.readStream.schema(schema)
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
       val df = reader.parquet(src)

@@ -697,7 +697,15 @@ object Semantic {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$tmp/out").orderBy("o_orderkey")
+      // materialize (harness-sized: the >300k-price slice) and delete the
+      // sink+checkpoint tree — a lazy reader would leak one temp dir per
+      // bench/verify invocation (the w2/mm8 materializeAndClean lesson)
+      val out = s.read.parquet(s"$tmp/out").orderBy("o_orderkey")
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(out.collect(): _*)
+      val materialized = s.createDataFrame(rows, out.schema)
+      graft.util.Fs.deleteTree(tmp)
+      materialized
     },
       Some("""SELECT o_orderkey, c_mktsegment AS cust_segment, o_totalprice
              |FROM orders LEFT JOIN customer ON o_custkey = c_custkey

@@ -368,7 +368,7 @@ object ScaleSmoke {
       val box = Map("ub" -> (16.0, 31.0), "tb" -> (16.0, 31.0))
       val filt = col("ub").between(16, 31) && col("tb").between(16, 31)
       def probe(path: String): (Double, Long, Long, Long, Int, Int) = {
-        // same ShuffleMeter protocol as every other row — measured, not assumed
+        // same SmokeMeter protocol as every other row — measured, not assumed
         val (best, rows, shuffle, peak) =
           runDf(() => ScaleLayout.readPruned(spark, path, box).filter(filt))
         val (k, tot) = ScaleLayout.lastPruneFor(path).get

@@ -695,4 +695,39 @@ class CurationSpec extends AnyFunSuite {
         Seq(("a", 0.0)).toDF("domain", "w"), budget = 100L)
     }
   }
+
+  test("tokenBudgetMix names misconfigurations instead of emitting garbage epochs") {
+    val df = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("doc_id", "domain", "toks")
+    // a NEGATIVE weight would yield rate < 0 and epoch = -1 rows; sums > 0
+    val eNeg = intercept[IllegalArgumentException] {
+      Curation.tokenBudgetMix(df, "domain", "doc_id", "toks",
+        Seq(("a", -1.0), ("b", 3.0)).toDF("domain", "w"), budget = 100L)
+    }
+    assert(eNeg.getMessage.contains("must be > 0"), eNeg.getMessage)
+    // a zero-token domain would divide to Infinity -> silent maxEpochs upsample
+    val zeroToks = Seq((1L, "a", 0L), (2L, "b", 10L)).toDF("doc_id", "domain", "toks")
+    val eZero = intercept[IllegalArgumentException] {
+      Curation.tokenBudgetMix(zeroToks, "domain", "doc_id", "toks",
+        Seq(("a", 1.0), ("b", 1.0)).toDF("domain", "w"), budget = 100L)
+    }
+    assert(eZero.getMessage.contains("has no tokens"), eZero.getMessage)
+    // all-NULL tokens collapse through least() the same way — same refusal
+    val nullToks = Seq((1L, "a", null.asInstanceOf[java.lang.Long]),
+      (2L, "b", java.lang.Long.valueOf(10L))).toDF("doc_id", "domain", "toks")
+    intercept[IllegalArgumentException] {
+      Curation.tokenBudgetMix(nullToks, "domain", "doc_id", "toks",
+        Seq(("a", 1.0), ("b", 1.0)).toDF("domain", "w"), budget = 100L)
+    }
+    // an EMPTY weight table refuses with the operator's message, not an NPE
+    val eEmpty = intercept[IllegalArgumentException] {
+      Curation.tokenBudgetMix(df, "domain", "doc_id", "toks",
+        Seq.empty[(String, Double)].toDF("domain", "w"), budget = 100L)
+    }
+    assert(eEmpty.getMessage.contains("empty"), eEmpty.getMessage)
+    // a single-column weight table refuses loudly, not with a MatchError
+    intercept[IllegalArgumentException] {
+      Curation.tokenBudgetMix(df, "domain", "doc_id", "toks",
+        Seq("a").toDF("domain"), budget = 100L)
+    }
+  }
 }
