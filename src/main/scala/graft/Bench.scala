@@ -235,6 +235,7 @@ object Bench {
         name.contains("_translit")) "suite_unparse"
       else if (name.startsWith("tpch_")) "tpch"
       else if (name.startsWith("mm")) "suite_multimodal"
+      else if (name.startsWith("er") || name.startsWith("g")) "suite_graph_er"
       else name.head match {
         case 'm' => "suite_semantic"   case 'q' => "suite_relational"
         case 'd' => "suite_dedup"      case 'e' => "suite_events"

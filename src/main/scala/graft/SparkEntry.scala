@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Functions, Memory, Pipeline, Relational, Semantic, TpcH}
+import graft.queries.{Functions, GraphEr, Memory, Pipeline, Relational, Semantic, TpcH}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +22,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Semantic.queries ++ Pipeline.queries ++ TpcH.queries ++
-      Functions.queries ++ Memory.queries ++ TpcH.translitQueries
+      Functions.queries ++ Memory.queries ++ GraphEr.queries ++ TpcH.translitQueries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Semantic.oracles ++ Pipeline.oracles ++ TpcH.oracles ++
-      Functions.oracles ++ Memory.oracles ++ TpcH.unparseOracles ++
+      Functions.oracles ++ Memory.oracles ++ GraphEr.oracles ++ TpcH.unparseOracles ++
       Semantic.pgUnparseOracles ++ TpcH.translitOracles
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy entity resolution (record linkage).
+  *
+  * Training-data and warehouse pipelines both need "same real-world entity,
+  * different spelling" matching — supplier/customer master-data dedup, author
+  * disambiguation, near-identical metadata rows. All-pairs edit distance is
+  * O(n²) and dead at 100 TB; the standard shape (Fellegi–Sunter style blocking,
+  * as in Dedupe/Magellan/JedAI) is:
+  *
+  *   1. BLOCK: emit (key, id) per blocking key of the name; only ids sharing a
+  *      key ever meet. One shuffle keyed by the blocking key.
+  *   2. SKEW GUARD: drop blocks larger than `maxBlock` — an ultra-frequent key
+  *      ("inc", "ltd") would reintroduce the quadratic blow-up. The cap makes
+  *      per-block work bounded: ≤ maxBlock²/2 comparisons.
+  *   3. VERIFY: a map-side Levenshtein filter on the candidate pairs — the
+  *      only quadratic work left, confined inside surviving blocks.
+  *
+  * Blocking-key strength is the recall/scale dial (`blocking`):
+  *   - `"token"`: single words. Highest recall, but under a FIXED vocabulary
+  *     block sizes grow linearly with the corpus — every block eventually
+  *     trips the cap (or the quadratic bound). Right for corpora whose token
+  *     vocabulary grows with the data (real-world names).
+  *   - `"bigram"` (default): adjacent word pairs, single-token names fall back
+  *     to the token itself. Blocks are vocab²-sparse, so block SIZE is set by
+  *     the duplication rate, not corpus growth. Recall contract: a pair is
+  *     found iff it shares one INTACT bigram — a one-word typo leaves n−3
+  *     intact bigrams in an n-word name (n ≥ 4 is safe; a middle-word typo in
+  *     a 3-word name is the documented miss, pinned in EntityResolutionSpec) —
+  *     the same explicit-recall-assumption style as the MinHash banding note
+  *     at d9.
+  *
+  * Levenshtein is deterministic and engine-portable (Spark's `levenshtein` ==
+  * DuckDB's `levenshtein`), so the whole pipeline is exactly oracle-checkable —
+  * unlike similarity-score cutoffs on floats. Entity canonicalization composes
+  * with [[Curation.connectedComponents]]: match pairs are edges, the component
+  * minimum is the canonical id (transitive closure, O(log n) rounds).
+  */
+object EntityResolution {
+
+  /** Blocking keys from the pre-computed `ws` word-array column. */
+  private def blockKeys(blocking: String): Column =
+    blocking match {
+      case "token" => array_distinct(col("ws"))
+      case "bigram" => array_distinct(
+        when(size(col("ws")) >= 2,
+          expr("transform(sequence(0, size(ws)-2), " +
+            "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2)))"))
+          .otherwise(col("ws")))
+      case other => throw new IllegalArgumentException(
+        s"unknown blocking '$other' (expected token|bigram)")
+    }
+
+  /** Candidate pairs within blocks, verified by edit distance.
+    *
+    * @param df       one row per record.
+    * @param nameCol  string column to match on (caller normalizes case/space).
+    * @param idCol    unique record id (orderable; pairs are emitted id_a < id_b).
+    * @param maxDist  keep pairs with levenshtein(name_a, name_b) <= maxDist.
+    * @param maxBlock drop blocking keys shared by more than this many records.
+    * @param blocking `"bigram"` (default, scale-sane) or `"token"` (see above).
+    *
+    * Returns (id_a, id_b, name_a, name_b, dist), one row per matched pair
+    * (deduplicated across blocks BEFORE the verify, so a pair sharing three
+    * keys is Levenshtein-scored once, not three times).
+    */
+  def blockedFuzzyPairs(
+      df: DataFrame,
+      nameCol: String,
+      idCol: String,
+      maxDist: Int = 2,
+      maxBlock: Int = 10000,
+      blocking: String = "bigram"): DataFrame = {
+    val recs = df.select(col(idCol).alias("id"), col(nameCol).alias("name"))
+      .withColumn("ws", filter(split(col("name"), " "), w => length(w) > 0))
+    val toks = recs
+      .select(col("id"), col("name"), explode(blockKeys(blocking)).alias("tok"))
+    val small = toks.groupBy("tok").agg(count(lit(1)).alias("n"))
+      .filter(col("n") <= maxBlock)
+      .select("tok")
+    val blocked = toks.join(small, Seq("tok"))
+    val cands = blocked.alias("a")
+      .join(blocked.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"),
+        col("a.name").alias("name_a"), col("b.name").alias("name_b"))
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Canonical entity assignment: match pairs → transitive closure → each
+    * record labeled with its component's minimum id. Records that match
+    * nothing keep themselves as canonical (left join + coalesce — the closure
+    * only ever sees the pair graph, never the full record set).
+    */
+  def canonicalEntities(
+      df: DataFrame,
+      nameCol: String,
+      idCol: String,
+      maxDist: Int = 2,
+      maxBlock: Int = 10000,
+      blocking: String = "bigram"): DataFrame = {
+    val pairs = blockedFuzzyPairs(df, nameCol, idCol, maxDist, maxBlock, blocking)
+      .select(col("id_a"), col("id_b"))
+    val comp = Curation.connectedComponents(pairs)
+    df.select(col(idCol).alias("id"), col(nameCol).alias("name"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), col("name"),
+        coalesce(col("component"), col("id")).alias("entity_id"))
+  }
+}

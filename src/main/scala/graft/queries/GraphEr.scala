@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, EntityResolution, GraphOps}
+
+/** Link-graph centrality (g*) and fuzzy entity resolution (er*) entries —
+  * corpus-curation operators in the CommonCrawl/CCNet tradition (rank sources
+  * by graph standing; collapse same-entity records before training). Both
+  * families are exactly oracle-checkable: PageRank runs in scaled 64-bit
+  * integer arithmetic (order-independent sums, identical floor division in
+  * both engines), and the ER verify is Levenshtein (integer, engine-portable).
+  */
+object GraphEr {
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") catch { case _: Exception => }
+    Relational.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+  }
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Interaction graph over events: within each (event_type, hour) activity
+    * group, every participant links to the group's first user (min user_id) —
+    * a deterministic star per group, giving hubs high in-degree and (since
+    * hubs emit no edges of their own unless they participate elsewhere) a
+    * non-empty dangling set, so the redistribution path is exercised. The
+    * DuckDB side rebuilds the identical edge list.
+    */
+  private val duckEdges =
+    """WITH b AS (
+      |  SELECT user_id, event_type, date_trunc('hour', cast(ts as timestamp)) AS h
+      |  FROM events
+      |), hub AS (
+      |  SELECT event_type, h, min(user_id) AS hub
+      |  FROM b GROUP BY event_type, h
+      |), e AS (
+      |  SELECT DISTINCT b.user_id AS src, hub.hub AS dst
+      |  FROM b JOIN hub ON b.event_type = hub.event_type AND b.h = hub.h
+      |  WHERE b.user_id <> hub.hub
+      |)""".stripMargin
+
+  private def eventEdges(s: SparkSession, dir: String): DataFrame = {
+    val b = events(s, dir).select(col("user_id"), col("event_type"),
+      date_trunc("hour", expr("timestamp_micros(ts div 1000)")).alias("h"))
+    val hub = b.groupBy("event_type", "h").agg(min("user_id").alias("hub"))
+    b.join(hub, Seq("event_type", "h"))
+      .filter(col("user_id") =!= col("hub"))
+      .select(col("user_id").alias("src"), col("hub").alias("dst"))
+      .distinct()
+  }
+
+  /** ER fixture: entity "names" are the first six normalized words of each
+    * document (the corpus's planted near-dups share prefixes → natural
+    * exact-name matches), plus planted TYPO records — every 20th doc re-enters
+    * as id+500000 with its name's 4th character dropped (edit distance 1), the
+    * d10 planted-copy pattern. Both engines build the identical record set.
+    */
+  private def erRecords(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id").alias("id"),
+      concat_ws(" ", slice(Dedup.wordsArray(col("text")), 1, 6)).alias("name"))
+    val typos = base.filter(col("id") % 20 === 0 && length(col("name")) >= 8)
+      .select((col("id") + 500000).alias("id"),
+        concat(substring(col("name"), 1, 3), expr("substr(name, 5)")).alias("name"))
+    base.filter(length(col("name")) > 0).union(typos)
+  }
+
+  private val duckErRecords =
+    """WITH n AS (
+      |  SELECT doc_id AS id,
+      |    array_to_string((list_filter(string_split_regex(
+      |      regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
+      |      x -> len(x) > 0))[1:6], ' ') AS name
+      |  FROM documents
+      |), recs AS (
+      |  SELECT id, name FROM n WHERE len(name) > 0
+      |  UNION ALL
+      |  SELECT id + 500000 AS id, substr(name, 1, 3) || substr(name, 5) AS name
+      |  FROM n WHERE id % 20 = 0 AND len(name) >= 8
+      |)""".stripMargin
+
+  /** DuckDB replica of [[EntityResolution.blockedFuzzyPairs]] over `recs`:
+    * distinct (id, bigram-key) blocking (adjacent word pairs, single-token
+    * names fall back to the token), block-size cap, pair-dedup BEFORE the
+    * Levenshtein verify. Emits CTE `mp(id_a, id_b, name_a, name_b, dist)`.
+    */
+  private def duckFuzzyPairs(maxDist: Int, maxBlock: Int): String =
+    s""", w AS (
+       |  SELECT id, name, string_split(name, ' ') AS ws FROM recs
+       |), t AS (
+       |  SELECT DISTINCT id, name, ws[i] || ' ' || ws[i + 1] AS tok
+       |  FROM w, unnest(range(1, len(ws))) AS r(i)
+       |  WHERE len(ws) >= 2
+       |  UNION
+       |  SELECT id, name, ws[1] AS tok FROM w WHERE len(ws) = 1
+       |), blk AS (
+       |  SELECT tok FROM t GROUP BY tok HAVING count(*) <= $maxBlock
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+       |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+       |  JOIN blk ON a.tok = blk.tok
+       |), mp AS (
+       |  SELECT id_a, id_b, name_a, name_b,
+       |    CAST(levenshtein(name_a, name_b) AS INT) AS dist
+       |  FROM cand WHERE levenshtein(name_a, name_b) <= $maxDist
+       |)""".stripMargin
+
+  val defs: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+
+    // Integer-scaled PageRank on the event interaction graph: 4 power
+    // iterations, damping 0.85, dangling mass redistributed evenly. The oracle
+    // unrolls the identical recurrence as chained CTEs (GraphOps.duckDbPageRank
+    // is generated from the SAME (scale, damping) constants, so the two texts
+    // cannot drift apart silently); every sum is of BIGINTs — order-independent
+    // — and every division is floor division, so the ranks hash-match exactly.
+    "g1_pagerank" -> (((s: SparkSession, dir: String) => {
+      GraphOps.pageRank(eventEdges(s, dir), iterations = 4, scale = 1000000000L)
+        .select(col("id").alias("user_id"), col("rank"))
+        .orderBy("user_id")
+    },
+      Some(s"""${GraphOps.duckDbPageRank(duckEdges, iterations = 4, scale = 1000000000L)}
+              |SELECT id AS user_id, rank FROM r4 ORDER BY user_id""".stripMargin))),
+
+    // Blocked fuzzy entity resolution: adjacent-bigram blocking (blocks stay
+    // duplication-rate-sized under a fixed vocabulary — the scale-sane key;
+    // see EntityResolution scaladoc), skew-guard block cap, Levenshtein<=2
+    // verify on block-deduped candidates. Matches = the corpus's planted
+    // near-dup prefix twins (distance 0) plus the planted typo records
+    // (distance 1, ≥3 intact bigrams in a 6-word name) — both distance
+    // classes exercised.
+    "er1_fuzzy_pairs" -> (((s: SparkSession, dir: String) => {
+      EntityResolution.blockedFuzzyPairs(erRecords(s, dir), "name", "id",
+          maxDist = 2, maxBlock = 500)
+        .orderBy("id_a", "id_b")
+    },
+      Some(s"""$duckErRecords${duckFuzzyPairs(maxDist = 2, maxBlock = 500)}
+              |SELECT id_a, id_b, name_a, name_b, dist FROM mp
+              |ORDER BY id_a, id_b""".stripMargin))),
+
+    // Canonical entity ids: match pairs → connected components (transitive
+    // closure: A~B, B~C ⇒ one entity even though (A,C) never verified) →
+    // every record labeled with its component minimum; singletons keep
+    // themselves. The oracle closes the same pair set with a recursive CTE
+    // (the d9 pattern).
+    "er2_entity_canonical" -> (((s: SparkSession, dir: String) => {
+      EntityResolution.canonicalEntities(erRecords(s, dir), "name", "id",
+          maxDist = 2, maxBlock = 500)
+        .select(col("id"), col("entity_id"))
+        .orderBy("id")
+    },
+      Some(s"""${duckErRecords.replaceFirst("WITH", "WITH RECURSIVE")}${duckFuzzyPairs(maxDist = 2, maxBlock = 500)}, ed AS (
+              |  SELECT id_a AS u, id_b AS v FROM mp
+              |  UNION ALL
+              |  SELECT id_b AS u, id_a AS v FROM mp
+              |), reach(u, v) AS (
+              |  SELECT u, v FROM ed
+              |  UNION
+              |  SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u
+              |), comp AS (
+              |  SELECT u AS id, least(u, min(v)) AS entity_id FROM reach GROUP BY u
+              |)
+              |SELECT recs.id, coalesce(comp.entity_id, recs.id) AS entity_id
+              |FROM recs LEFT JOIN comp ON recs.id = comp.id
+              |ORDER BY recs.id""".stripMargin)))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+  def oracles: Map[String, String] =
+    defs.flatMap { case (n, (_, o)) => o.map(n -> _) }.toMap
+}

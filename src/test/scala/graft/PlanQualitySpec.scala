@@ -437,4 +437,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("orders.parquet") && plan.contains("customer.parquet"),
       plan.take(2500))
   }
+
+  test("er1_fuzzy_pairs: blocked equi-join, never a cartesian; verify is a post-join map filter") {
+    val plan = executedPlan("er1_fuzzy_pairs")
+    // the whole point of blocking: candidates meet through an equi-join on the
+    // blocking key, and the quadratic Levenshtein verify runs AFTER the block
+    // join as a map-side filter — never as a join condition that would force a
+    // nested-loop/cartesian all-pairs comparison
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2500))
+    assert(plan.toLowerCase.contains("levenshtein"), plan.take(2500))
+    // no exchange repartitions by the levenshtein distance or name pair — the
+    // verify stays inside the post-join projection/filter
+    assert(!"Exchange hashpartitioning\\([^)]*dist".r.findFirstIn(plan).isDefined,
+      plan.take(2500))
+  }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EntityResolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val recs = Seq(
+    (1L, "acme steel works"),
+    (2L, "acme steel workz"),     // dist 1 from 1 — match
+    (3L, "acme stele works"),     // dist 2 from 1 — match (token mode)
+    (4L, "acme plastics"),        // shares "acme" block, dist >> 2 — no match
+    (5L, "zenith glass co"),
+    (6L, "zenith glass c"),       // dist 1 from 5 — match
+    (7L, "unrelated name here")
+  ).toDF("id", "name")
+
+  test("token blocking: planted typos match; far names sharing a block do not") {
+    val pairs = EntityResolution.blockedFuzzyPairs(recs, "name", "id",
+        maxDist = 2, blocking = "token")
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 1)))
+    assert(pairs.contains((1L, 3L, 2)))
+    assert(pairs.contains((5L, 6L, 1)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("a pair sharing several block keys is emitted once") {
+    val pairs = EntityResolution.blockedFuzzyPairs(recs, "name", "id",
+        maxDist = 2, blocking = "token")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // (1,2) share tokens "acme" and "steel" — still one row
+    assert(pairs.count(_ == (1L, 2L)) === 1)
+  }
+
+  test("block cap drops ultra-frequent keys but keeps rare-key blocks") {
+    // all four share "inc"; (3,4) are within dist 3 but share ONLY "inc", while
+    // (1,2) also share the rare "mills". Capping kills the inc block, so (3,4)
+    // never meets; (1,2) still matches through mills.
+    val noisy = Seq(
+      (1L, "acme mills inc"), (2L, "acmee mills inc"),
+      (3L, "zen inc"), (4L, "zex inc")
+    ).toDF("id", "name")
+    val uncapped = EntityResolution.blockedFuzzyPairs(noisy, "name", "id",
+        maxDist = 3, maxBlock = 1000, blocking = "token")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1L, 2L), (3L, 4L)))
+    val capped = EntityResolution.blockedFuzzyPairs(noisy, "name", "id",
+        maxDist = 3, maxBlock = 3, blocking = "token")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+  }
+
+  test("bigram blocking: recall contract = one intact adjacent bigram") {
+    val b = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delt"),   // last-word typo: 2 intact bigrams — match
+      (3L, "alpha betax gamma delta"), // 2nd-word typo: "gamma delta" intact — match
+      (4L, "acme stele works"),        // middle-word typo of 5 (3-word name):
+      (5L, "acme steel works"),        //   NO intact bigram — the DOCUMENTED miss
+      (6L, "solo"),
+      (7L, "solox")                    // singleton names, dist 1, but different
+                                       //   fallback keys — also a documented miss
+    ).toDF("id", "name")
+    val pairs = EntityResolution.blockedFuzzyPairs(b, "name", "id",
+        maxDist = 2, blocking = "bigram")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((4L, 5L))) // recall miss, pinned (d9-style assumption)
+    assert(!pairs.contains((6L, 7L)))
+  }
+
+  test("bigram blocking: singleton-name fallback still matches exact twins") {
+    val b = Seq((1L, "solo"), (2L, "solo"), (3L, "other")).toDF("id", "name")
+    val pairs = EntityResolution.blockedFuzzyPairs(b, "name", "id",
+        maxDist = 2, blocking = "bigram")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("unknown blocking mode is rejected") {
+    intercept[IllegalArgumentException] {
+      EntityResolution.blockedFuzzyPairs(recs, "name", "id", blocking = "soundex")
+    }
+  }
+
+  test("canonical entities: transitive closure labels chains, singletons keep themselves") {
+    val ents = EntityResolution.canonicalEntities(recs, "name", "id",
+        maxDist = 2, blocking = "token")
+      .select("id", "entity_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1~2, 1~3 (and 2~3 only transitively) → all canonical 1
+    assert(ents(1L) === 1L && ents(2L) === 1L && ents(3L) === 1L)
+    assert(ents(5L) === 5L && ents(6L) === 5L)
+    assert(ents(4L) === 4L) // singleton
+    assert(ents(7L) === 7L)
+  }
+}
