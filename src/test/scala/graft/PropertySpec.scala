@@ -446,4 +446,40 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: blocked fuzzy pairs equal the brute-force share-a-key + distance filter") {
+    // token mode, uncapped: the operator must find EXACTLY the pairs that share
+    // >= 1 token AND sit within the distance bound — the blocking completeness
+    // theorem, checked against a plain-Scala all-pairs oracle. The tight vocab
+    // makes shared tokens the norm and near-miss distances common.
+    val genName = Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, Gen.oneOf(
+      "acme", "acm", "steel", "stele", "mills", "mill", "inc", "co")).map(_.mkString(" ")))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    forSamples(Gen.listOfN(10, genName), 6) { names =>
+      val df = names.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "name")
+      for (maxDist <- Seq(1, 3)) {
+        val got = graft.operators.EntityResolution
+          .blockedFuzzyPairs(df, "name", "id", maxDist = maxDist,
+            maxBlock = 100000, blocking = "token")
+          .select("id_a", "id_b", "dist").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val expect = (for {
+          (a, i) <- names.zipWithIndex
+          (b, j) <- names.zipWithIndex
+          if i < j
+          if a.split(" ").toSet.intersect(b.split(" ").toSet).nonEmpty
+          d = lev(a, b)
+          if d <= maxDist
+        } yield (i.toLong, j.toLong, d)).toSet
+        assert(got == expect, s"maxDist=$maxDist\n got=$got\n exp=$expect")
+      }
+    }
+  }
 }

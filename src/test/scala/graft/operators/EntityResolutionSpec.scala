@@ -91,6 +91,39 @@ class EntityResolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("two-table linkage: dirty records link to catalog matches only") {
+    val catalog = Seq(
+      (1L, "acme steel works"), (2L, "zenith glass co"), (3L, "apex tools ltd")
+    ).toDF("id", "name")
+    val dirty = Seq(
+      (101L, "acme steel workz"),     // dist 1 from catalog 1
+      (102L, "zenith glas co"),       // dist 1 from catalog 2
+      (103L, "nomatch entirely other")
+    ).toDF("id", "name")
+    val links = EntityResolution.blockedFuzzyJoin(dirty, catalog, "name", "id",
+        maxDist = 2, blocking = "token")
+      .select("left_id", "right_id", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(links === Set((101L, 1L, 1), (102L, 2L, 1)))
+  }
+
+  test("two-table linkage: the block cap counts COMBINED side frequency") {
+    // "inc" appears twice per side (4 combined); cap 3 kills it even though
+    // neither side alone exceeds the cap — the block product is what explodes
+    val catalog = Seq((1L, "zen inc"), (2L, "apex inc")).toDF("id", "name")
+    val dirty = Seq((101L, "zed inc"), (102L, "apet inc")).toDF("id", "name")
+    val uncapped = EntityResolution.blockedFuzzyJoin(dirty, catalog, "name", "id",
+        maxDist = 2, maxBlock = 1000, blocking = "token")
+      .select("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((101L, 1L), (102L, 2L)))
+    val capped = EntityResolution.blockedFuzzyJoin(dirty, catalog, "name", "id",
+        maxDist = 2, maxBlock = 3, blocking = "token")
+      .select("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set.empty[(Long, Long)])
+  }
+
   test("canonical entities: transitive closure labels chains, singletons keep themselves") {
     val ents = EntityResolution.canonicalEntities(recs, "name", "id",
         maxDist = 2, blocking = "token")

@@ -94,6 +94,72 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ranks(10L) > ranks(1L) * 3)
   }
 
+  /** Reference TrustRank recurrence, pure Scala Maps (see class doc). */
+  private def referenceTrustRank(
+      edges: Seq[(Long, Long)], seedIds: Set[Long], iterations: Int,
+      scale: Long, dampingPct: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val seeds = nodes.filter(seedIds).toSet
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nS = seeds.size.toLong
+    val base = scale * (100 - dampingPct) / 100
+    var rank = nodes.map(v => v -> (if (seeds(v)) scale else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .map { case (u, v) => v -> rank(u) / outdeg(u) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val dangling = nodes.filterNot(outdeg.contains).map(rank).sum
+      val share = dangling / nS
+      rank = nodes.map { v =>
+        val s = if (seeds(v)) 1L else 0L
+        v -> (base * s + (contrib.getOrElse(v, 0L) + s * share) * dampingPct / 100)
+      }.toMap
+    }
+    rank
+  }
+
+  private def runTrust(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iterations: Int = 4, scale: Long = 1000000000L,
+      dampingPct: Int = 85): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.trustRank(edges.toDF("src", "dst"), seeds.toDF("id"),
+        iterations, scale, dampingPct)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("trustRank: nodes unreachable from seeds score exactly 0") {
+    // 1 -> 2 -> 3 is the trusted chain; 4 -> 5 is a disjoint (spam) island
+    val got = runTrust(Seq((1L, 2L), (2L, 3L), (4L, 5L)), Seq(1L))
+    assert(got(4L) === 0L && got(5L) === 0L)
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+  }
+
+  test("trustRank matches the reference recurrence on seeded random graphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 4) {
+      val n = 6 + rnd.nextInt(15)
+      val edges = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val seeds = nodes.filter(_ % 3 == 0)
+      if (seeds.nonEmpty) {
+        val iters = 1 + rnd.nextInt(4)
+        val want = referenceTrustRank(edges, seeds.toSet, iters, 1000000L, 85)
+        val got = runTrust(edges, seeds, iters, 1000000L, 85)
+        assert(got === want, s"trial $trial, $n nodes, $iters iters")
+      }
+    }
+  }
+
+  test("trustRank: seeds absent from the graph are ignored; all-absent rejects") {
+    // seed 99 is not a node — mass comes only from seed 1
+    val a = runTrust(Seq((1L, 2L), (2L, 1L)), Seq(1L))
+    val b = runTrust(Seq((1L, 2L), (2L, 1L)), Seq(1L, 99L))
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      runTrust(Seq((1L, 2L)), Seq(99L))
+    }
+  }
+
   test("reliable checkpoint mode produces identical ranks") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt_").toString
@@ -105,6 +171,14 @@ class GraphOpsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(a === b)
     } finally graft.util.Fs.deleteTree(dir)
+  }
+
+  test("an overflow-capable scale is rejected up front") {
+    // 5 nodes: the guard needs scale <= MaxValue/5/100 ≈ 1.8e16
+    intercept[IllegalArgumentException] {
+      run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)),
+        scale = Long.MaxValue / 100)
+    }
   }
 
   test("duckDbPageRank text embeds the same constants") {
