@@ -135,6 +135,53 @@ object EntityResolution {
       .distinct()
   }
 
+  /** Incremental (online) entity resolution: one batch of incoming records
+    * against an accumulated canonical catalog — the dedupe-on-ingest shape
+    * (run per micro-batch under `foreachBatch`, like
+    * [[Curation.incrementalNearDedup]] for documents):
+    *
+    *   1. batch records fuzzy-link to the catalog ([[blockedFuzzyJoin]]);
+    *      of multiple matches the BEST wins — lowest distance, ties to the
+    *      lowest catalog id (deterministic, engine-replayable).
+    *   2. unmatched records resolve among THEMSELVES ([[canonicalEntities]] —
+    *      two new spellings of one new entity arriving in the same batch must
+    *      not mint two entities), and their component minima become new
+    *      catalog rows.
+    *
+    * Returns (assignments, updatedCatalog): assignments = (id, entity_id) for
+    * every batch record; updatedCatalog = catalog ∪ new canonical rows — feed
+    * it to the next batch. The catalog only ever grows by NEW-entity
+    * representatives, so catalog size tracks distinct entities, not records
+    * ingested — the property that keeps the linkage join's right side
+    * sub-corpus-sized at 100 TB.
+    */
+  def incrementalLink(
+      batch: DataFrame,
+      catalog: DataFrame,
+      nameCol: String,
+      idCol: String,
+      maxDist: Int = 2,
+      maxBlock: Int = 10000,
+      blocking: String = "bigram"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val links = blockedFuzzyJoin(batch, catalog, nameCol, idCol,
+        maxDist, maxBlock, blocking)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("left_id").orderBy(col("dist"), col("right_id"))))
+      .filter(col("rn") === 1)
+      .select(col("left_id").alias("id"), col("right_id").alias("entity_id"))
+    val unmatched = batch.join(
+      links.select(col("id").alias(idCol)), Seq(idCol), "left_anti")
+    val fresh = canonicalEntities(unmatched, nameCol, idCol,
+      maxDist, maxBlock, blocking)
+    val assignments = links.union(fresh.select(col("id"), col("entity_id")))
+    val updatedCatalog = catalog
+      .select(col(idCol), col(nameCol))
+      .union(fresh.filter(col("id") === col("entity_id"))
+        .select(col("id").alias(idCol), col("name").alias(nameCol)))
+    (assignments, updatedCatalog)
+  }
+
   /** Canonical entity assignment: match pairs → transitive closure → each
     * record labeled with its component's minimum id. Records that match
     * nothing keep themselves as canonical (left join + coalesce — the closure

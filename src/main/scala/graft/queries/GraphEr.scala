@@ -67,13 +67,13 @@ object GraphEr {
   }
 
   private val duckErRecords =
-    """WITH n AS (
+    """WITH n AS MATERIALIZED (
       |  SELECT doc_id AS id,
       |    array_to_string((list_filter(string_split_regex(
       |      regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), '\s+'),
       |      x -> len(x) > 0))[1:6], ' ') AS name
       |  FROM documents
-      |), recs AS (
+      |), recs AS MATERIALIZED (
       |  SELECT id, name FROM n WHERE len(name) > 0
       |  UNION ALL
       |  SELECT id + 500000 AS id, substr(name, 1, 3) || substr(name, 5) AS name
@@ -100,10 +100,45 @@ object GraphEr {
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
        |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
        |  JOIN blk ON a.tok = blk.tok
-       |), mp AS (
+       |), mp AS MATERIALIZED (
        |  SELECT id_a, id_b, name_a, name_b,
        |    CAST(levenshtein(name_a, name_b) AS INT) AS dist
        |  FROM cand WHERE levenshtein(name_a, name_b) <= $maxDist
+       |)""".stripMargin
+
+  /** Bigram-token CTEs over relation `src(id, name)`, emitted as `<p>w`/`<p>tk`
+    * (the same shape [[duckFuzzyPairs]] builds inline). */
+  private def duckToks(src: String, p: String): String =
+    s"""${p}w AS (
+       |  SELECT id, name, string_split(name, ' ') AS ws FROM $src
+       |), ${p}tk AS MATERIALIZED (
+       |  SELECT DISTINCT id, name, ws[i] || ' ' || ws[i + 1] AS tok
+       |  FROM ${p}w, unnest(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
+       |  UNION
+       |  SELECT id, name, ws[1] AS tok FROM ${p}w WHERE len(ws) = 1
+       |)""".stripMargin
+
+  /** Self-match + recursive closure over `<p>tk` → `<p>comp(id, entity_id)`
+    * (the er2 oracle shape, prefixed so several closures can coexist). */
+  private def duckSelfComp(p: String, maxDist: Int, maxBlock: Int): String =
+    s"""${p}blk AS (
+       |  SELECT tok FROM ${p}tk GROUP BY tok HAVING count(*) <= $maxBlock
+       |), ${p}pr AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+       |  FROM ${p}tk a JOIN ${p}tk b ON a.tok = b.tok AND a.id < b.id
+       |  JOIN ${p}blk ON a.tok = ${p}blk.tok
+       |), ${p}m AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM ${p}pr WHERE levenshtein(name_a, name_b) <= $maxDist
+       |), ${p}ed AS MATERIALIZED (
+       |  SELECT id_a AS u, id_b AS v FROM ${p}m
+       |  UNION ALL
+       |  SELECT id_b AS u, id_a AS v FROM ${p}m
+       |), ${p}reach(u, v) AS (
+       |  SELECT u, v FROM ${p}ed
+       |  UNION
+       |  SELECT r.u, e2.v FROM ${p}reach r JOIN ${p}ed e2 ON r.v = e2.u
+       |), ${p}comp AS MATERIALIZED (
+       |  SELECT u AS id, least(u, min(v)) AS entity_id FROM ${p}reach GROUP BY u
        |)""".stripMargin
 
   val defs: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
@@ -197,6 +232,60 @@ object GraphEr {
               |)
               |SELECT left_id, right_id, left_name, right_name, dist FROM mj
               |ORDER BY left_id, right_id""".stripMargin))),
+
+    // Incremental (online) ER replayed as two explicit waves, the d11 pattern:
+    // evens arrive first and canonicalize into the catalog; odds then link to
+    // the catalog (best match = min distance, ties to min catalog id) or — if
+    // unmatched — resolve among themselves and mint new entities. The oracle
+    // replays the whole two-wave rule relationally: two recursive closures
+    // (evens, unmatched odds) + the windowed best-match join between them.
+    "er4_incremental_link" -> (((s: SparkSession, dir: String) => {
+      val recs = erRecords(s, dir)
+      val evens = recs.filter(col("id") % 2 === 0)
+      val odds = recs.filter(col("id") % 2 =!= 0)
+      val catalog = EntityResolution.canonicalEntities(evens, "name", "id",
+          maxDist = 2, maxBlock = 500)
+        .filter(col("id") === col("entity_id"))
+        .select(col("id"), col("name"))
+      val (assigned, _) = EntityResolution.incrementalLink(odds, catalog,
+        "name", "id", maxDist = 2, maxBlock = 500)
+      assigned.orderBy("id")
+    },
+      Some(s"""${duckErRecords.replaceFirst("WITH", "WITH RECURSIVE")}, ev AS MATERIALIZED (
+              |  SELECT id, name FROM recs WHERE id % 2 = 0
+              |), od AS MATERIALIZED (
+              |  SELECT id, name FROM recs WHERE id % 2 <> 0
+              |), ${duckToks("ev", "e")}, ${duckSelfComp("e", 2, 500)}, cat AS MATERIALIZED (
+              |  SELECT ev.id, ev.name FROM ev LEFT JOIN ecomp ON ev.id = ecomp.id
+              |  WHERE coalesce(ecomp.entity_id, ev.id) = ev.id
+              |), ${duckToks("od", "o")}, ${duckToks("cat", "c")}, lblk AS (
+              |  SELECT tok FROM (
+              |    SELECT tok FROM otk UNION ALL SELECT tok FROM ctk
+              |  ) GROUP BY tok HAVING count(*) <= 500
+              |), lc AS (
+              |  SELECT DISTINCT a.id AS left_id, b.id AS right_id,
+              |    a.name AS ln, b.name AS rn
+              |  FROM otk a JOIN lblk ON a.tok = lblk.tok JOIN ctk b ON a.tok = b.tok
+              |), lv AS (
+              |  SELECT left_id, right_id, levenshtein(ln, rn) AS dist
+              |  FROM lc WHERE levenshtein(ln, rn) <= 2
+              |), lm AS MATERIALIZED (
+              |  SELECT left_id, right_id AS entity_id FROM (
+              |    SELECT left_id, right_id,
+              |      row_number() OVER (PARTITION BY left_id ORDER BY dist, right_id) AS rn
+              |    FROM lv
+              |  ) WHERE rn = 1
+              |), un AS MATERIALIZED (
+              |  SELECT od.id, od.name FROM od
+              |  WHERE NOT EXISTS (SELECT 1 FROM lm WHERE lm.left_id = od.id)
+              |), ${duckToks("un", "u")}, ${duckSelfComp("u", 2, 500)}
+              |SELECT id, entity_id FROM (
+              |  SELECT left_id AS id, entity_id FROM lm
+              |  UNION ALL
+              |  SELECT un.id, coalesce(ucomp.entity_id, un.id) AS entity_id
+              |  FROM un LEFT JOIN ucomp ON un.id = ucomp.id
+              |)
+              |ORDER BY id""".stripMargin))),
 
     // Canonical entity ids: match pairs → connected components (transitive
     // closure: A~B, B~C ⇒ one entity even though (A,C) never verified) →

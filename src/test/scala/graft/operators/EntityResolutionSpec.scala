@@ -124,6 +124,40 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(capped === Set.empty[(Long, Long)])
   }
 
+  test("incremental link: matches adopt catalog ids; unmatched merge then mint new entities") {
+    val catalog = Seq((1L, "acme steel works"), (2L, "zenith glass co")).toDF("id", "name")
+    val batch = Seq(
+      (101L, "acme steel workz"),     // dist 1 from catalog 1
+      (102L, "totally new thing"),    // new entity...
+      (103L, "totally new thingz"),   // ...same entity, same batch — must NOT mint twice
+      (104L, "isolated other record") // new singleton entity
+    ).toDF("id", "name")
+    val (assigned, cat2) = EntityResolution.incrementalLink(batch, catalog,
+      "name", "id", maxDist = 2, blocking = "token")
+    val a = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === Map(101L -> 1L, 102L -> 102L, 103L -> 102L, 104L -> 104L))
+    // catalog grows by exactly the new canonical representatives
+    val c = cat2.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(c === Set((1L, "acme steel works"), (2L, "zenith glass co"),
+      (102L, "totally new thing"), (104L, "isolated other record")))
+  }
+
+  test("incremental link: best match wins — lowest distance, ties to lowest catalog id") {
+    val catalog = Seq(
+      (1L, "acme x"), (2L, "acme y"), (3L, "acme steelx"), (4L, "acme steelw")
+    ).toDF("id", "name")
+    val (best, _) = EntityResolution.incrementalLink(
+      Seq((101L, "acme steelw")).toDF("id", "name"), catalog,
+      "name", "id", maxDist = 2, blocking = "token")
+    // 3 matches at dist 1 with the lower id, 4 at dist 0 — distance beats id
+    assert(best.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(101L -> 4L))
+    val (tie, _) = EntityResolution.incrementalLink(
+      Seq((201L, "acme z")).toDF("id", "name"), catalog,
+      "name", "id", maxDist = 2, blocking = "token")
+    // dist 1 to both 1 and 2 — the lower catalog id wins
+    assert(tie.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(201L -> 1L))
+  }
+
   test("canonical entities: transitive closure labels chains, singletons keep themselves") {
     val ents = EntityResolution.canonicalEntities(recs, "name", "id",
         maxDist = 2, blocking = "token")
