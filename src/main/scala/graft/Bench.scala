@@ -176,7 +176,11 @@ object Bench {
     val isolatedSuites: Seq[(String, Double)] = if (only.isEmpty) Seq(
       "dedup" -> isolatedTotal(k => k.head == 'd' && !k.startsWith("tpch")),
       "pipeline" -> isolatedTotal(_.head == 'p'),
-      "multimodal" -> isolatedTotal(_.startsWith("mm")))
+      "multimodal" -> isolatedTotal(_.startsWith("mm")),
+      // round 13: the graph/ER family's iterative queries (checkpointed
+      // power-iteration rounds) co-schedule badly (er1 9.2 s co-scheduled vs
+      // 1.7 s isolated in its first round) — isolated from day one
+      "graph_er" -> isolatedTotal(k => k.startsWith("er") || k.startsWith("g")))
     else Nil
     val isolatedSuitesJson = isolatedSuites.map { case (k, v) =>
       s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)

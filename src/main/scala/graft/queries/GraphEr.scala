@@ -87,7 +87,7 @@ object GraphEr {
     */
   private def duckFuzzyPairs(maxDist: Int, maxBlock: Int): String =
     s""", w AS (
-       |  SELECT id, name, string_split(name, ' ') AS ws FROM recs
+       |  SELECT id, name, list_filter(string_split(name, ' '), x -> len(x) > 0) AS ws FROM recs
        |), t AS (
        |  SELECT DISTINCT id, name, ws[i] || ' ' || ws[i + 1] AS tok
        |  FROM w, unnest(range(1, len(ws))) AS r(i)
@@ -110,7 +110,7 @@ object GraphEr {
     * (the same shape [[duckFuzzyPairs]] builds inline). */
   private def duckToks(src: String, p: String): String =
     s"""${p}w AS (
-       |  SELECT id, name, string_split(name, ' ') AS ws FROM $src
+       |  SELECT id, name, list_filter(string_split(name, ' '), x -> len(x) > 0) AS ws FROM $src
        |), ${p}tk AS MATERIALIZED (
        |  SELECT DISTINCT id, name, ws[i] || ' ' || ws[i + 1] AS tok
        |  FROM ${p}w, unnest(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
@@ -203,21 +203,11 @@ object GraphEr {
           "name", "id", maxDist = 2, maxBlock = 500)
         .orderBy("left_id", "right_id")
     },
-      Some(s"""$duckErRecords, lw AS (
-              |  SELECT id, name, string_split(name, ' ') AS ws FROM recs WHERE id >= 500000
-              |), rw AS (
-              |  SELECT id, name, string_split(name, ' ') AS ws FROM recs WHERE id < 500000
-              |), ltk AS (
-              |  SELECT DISTINCT id, name, ws[i] || ' ' || ws[i + 1] AS tok
-              |  FROM lw, unnest(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
-              |  UNION
-              |  SELECT id, name, ws[1] AS tok FROM lw WHERE len(ws) = 1
-              |), rtk AS (
-              |  SELECT DISTINCT id, name, ws[i] || ' ' || ws[i + 1] AS tok
-              |  FROM rw, unnest(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
-              |  UNION
-              |  SELECT id, name, ws[1] AS tok FROM rw WHERE len(ws) = 1
-              |), blk AS (
+      Some(s"""$duckErRecords, dirty AS (
+              |  SELECT id, name FROM recs WHERE id >= 500000
+              |), catal AS (
+              |  SELECT id, name FROM recs WHERE id < 500000
+              |), ${duckToks("dirty", "l")}, ${duckToks("catal", "r")}, blk AS (
               |  SELECT tok FROM (
               |    SELECT tok FROM ltk UNION ALL SELECT tok FROM rtk
               |  ) GROUP BY tok HAVING count(*) <= 500

@@ -184,8 +184,10 @@ class GraphOpsSpec extends AnyFunSuite {
   test("duckDbPageRank text embeds the same constants") {
     val sql = GraphOps.duckDbPageRank("WITH e AS (SELECT 1 AS src, 2 AS dst)",
       iterations = 2, scale = 1000L, dampingPct = 85)
-    assert(sql.contains("CAST(1000 AS BIGINT)"))
-    assert(sql.contains("150 + ")) // base = 1000*15/100
+    assert(sql.contains("CAST(s * 1000 AS BIGINT)"))
+    assert(sql.contains("150 * f.s")) // base = 1000*15/100, flagged form
+    // the PageRank reduction: every node seeded
+    assert(sql.contains("seeds AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)"))
     assert(sql.contains("r2"))
     assert(!sql.contains("r3"))
   }
