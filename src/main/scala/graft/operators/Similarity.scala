@@ -66,6 +66,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").alias("rk"))
   }
 
+  /** Hard-negative mining for embedding-model training (contrastive batches à
+    * la DPR/SimCSE/E5): for each anchor, the top-k most-similar corpus vectors
+    * with a DIFFERENT label, excluding anything above `excludeCos` — the
+    * highest-similarity negatives teach the decision boundary, while
+    * near-duplicates above the cut are presumed label noise / paraphrases that
+    * would poison the contrastive batch. Same shape as [[bruteForceTopK]]:
+    * broadcast anchors, one corpus scan, per-anchor TakeOrdered; at corpus
+    * scale swap the scan for [[ivfPqQuery]] candidates and rerank exactly.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", excludeCos: Double = 0.95): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).alias("query_id"),
+      col(vecCol).alias("qv"), col(labelCol).alias("ql")))
+    val c = corpus.select(col(idCol).alias("negative_id"),
+      col(vecCol).alias("cv"), col(labelCol).alias("cl"))
+    val scored = c.join(q, col("ql") =!= col("cl"))
+      .withColumn("cos", cosineNative(col("qv"), col("cv")))
+      .filter(col("cos") < excludeCos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("negative_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("negative_id"), col("rk").cast("int").alias("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, j) derived from a
     * splitmix64-style integer mix of the indices (stable across runs and engines —
     * no RNG state involved).

@@ -553,6 +553,39 @@ object Pipeline {
         tmp)
     }, ivfPqDuckOracle)),
 
+    // Hard-negative mining for contrastive embedding training (DPR/SimCSE/E5
+    // batch construction): per anchor, the top-3 most-similar DIFFERENT-label
+    // vectors, with near-duplicates above cos 0.95 excluded as presumed label
+    // noise. The fixture plants exactly that noise: every anchor re-enters the
+    // corpus as id+100000 with its label flipped — cos 1.0 to its anchor, so
+    // without the exclusion it would top every ranking; the natural cross-label
+    // ceiling is 0.45, so every planted row's exclusion is load-bearing.
+    "s7_hard_negatives" -> (((s: SparkSession, dir: String) => {
+      val all = embs(s, dir)
+      val anchors = all.filter(col("vec_id") % 50 === 0)
+      val poisoned = anchors.select((col("vec_id") + 100000).alias("vec_id"),
+        col("embedding"), pmod(col("label") + 1, lit(10)).alias("label"))
+      Similarity.hardNegatives(anchors, all.union(poisoned), k = 3)
+        .orderBy("query_id", "rk")
+    },
+      Some("""WITH c AS (
+             |  SELECT vec_id, embedding, label FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id, embedding,
+             |    CAST((label + 1) % 10 AS INT) AS label
+             |  FROM embeddings WHERE vec_id % 50 = 0
+             |), q AS (
+             |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+             |  FROM embeddings WHERE vec_id % 50 = 0
+             |)
+             |SELECT query_id, vec_id AS negative_id,
+             |  cast(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY list_cosine_similarity(qv, embedding) DESC, vec_id) as int) AS rk
+             |FROM q, c
+             |WHERE c.label != ql AND list_cosine_similarity(qv, embedding) < 0.95
+             |QUALIFY rk <= 3
+             |ORDER BY query_id, rk""".stripMargin))),
+
     // ---------------- text analysis ----------------
 
     "t1_langid" -> (((s: SparkSession, dir: String) =>

@@ -276,6 +276,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top(1) == 3L)   // then the near vector
   }
 
+  test("hard negatives: different-label top-k, near-dups excluded as label noise") {
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),  // anchor, label 0
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),  // different label, identical vector
+                                                //   (cos 1.0 >= 0.95) — excluded
+      (3L, Array(0.9f, 0.45f, 0.0f, 0.0f), 1), // cos ~0.89 — best legitimate negative
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),  // cos 0 — second
+      (5L, Array(0.8f, 0.6f, 0.0f, 0.0f), 0)   // same label — never a negative
+    ).toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(
+        labeled.filter($"vec_id" === 1), labeled, k = 2)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(negs === Seq((1L, 3L, 1), (1L, 4L, 2)))
+  }
+
   test("cosine near-dup finds dup + near pair at 0.9") {
     val pairs = Similarity.cosineNearDup(vecs, threshold = 0.9, dim = 4, planes = 4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
