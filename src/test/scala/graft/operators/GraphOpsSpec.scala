@@ -150,6 +150,19 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("the reduction law: trustRank with every node seeded equals pageRank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val n = 12
+    val edges = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val pr = run(edges, iterations = 3, scale = 1000000L)
+    val tr = GraphOps.trustRank(edges.toDF("src", "dst"), nodes.toDF("id"),
+        iterations = 3, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr === tr)
+  }
+
   test("trustRank: seeds absent from the graph are ignored; all-absent rejects") {
     // seed 99 is not a node — mass comes only from seed 1
     val a = runTrust(Seq((1L, 2L), (2L, 1L)), Seq(1L))
