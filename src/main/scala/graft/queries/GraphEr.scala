@@ -233,10 +233,14 @@ object GraphEr {
       val recs = erRecords(s, dir)
       val evens = recs.filter(col("id") % 2 === 0)
       val odds = recs.filter(col("id") % 2 =!= 0)
+      // in the foreachBatch production shape the catalog is a materialized
+      // table; persist stands in for that (the d11 precedent) so the wave-1
+      // CC pipeline isn't re-executed per consumer subtree of the linkage join
       val catalog = EntityResolution.canonicalEntities(evens, "name", "id",
           maxDist = 2, maxBlock = 500)
         .filter(col("id") === col("entity_id"))
         .select(col("id"), col("name"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (assigned, _) = EntityResolution.incrementalLink(odds, catalog,
         "name", "id", maxDist = 2, maxBlock = 500)
       assigned.orderBy("id")
