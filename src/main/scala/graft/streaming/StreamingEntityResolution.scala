@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.EntityResolution
+
+/** Streaming side of [[graft.operators.EntityResolution.incrementalLink]]:
+  * dedupe-on-ingest as a running query. Each micro-batch of records
+  * fuzzy-links to the ACCUMULATED canonical catalog; matched records adopt
+  * their catalog entity, unmatched records canonicalize among themselves and
+  * extend the catalog — so the catalog grows by distinct entities, never by
+  * records ingested, and the per-trigger linkage join's build side stays
+  * entity-sized over the stream's whole lifetime.
+  *
+  * Directory contract: `assignDir` accumulates one (id, entity_id) row per
+  * ingested record; `catalogDir` accumulates canonical (id, name) rows — the
+  * caller may seed it with an existing catalog (plain parquet, no protocol
+  * tags needed) or start empty. Record ids must be globally unique across the
+  * stream and distinct from seeded catalog ids (the production key contract
+  * for record linkage; the new-entity rows are recognized as
+  * `entity_id == id`).
+  *
+  * EXACTLY-ONCE under crash-restart via the [[ExactlyOnce]] protocol: both
+  * appended directories are (ckpt_id, batch_id)-tagged, restart recovery
+  * purges THIS incarnation's uncommitted batch files from both before the
+  * replay runs, and the replay then re-derives byte-identical output —
+  * `incrementalLink` is deterministic given (batch, catalog), and after the
+  * purge the catalog visible to the replay equals the pre-crash state.
+  * Seeded/pre-protocol catalog files carry no tags and are never purged.
+  */
+object StreamingEntityResolution {
+
+  def linkStream(
+      records: DataFrame, catalogDir: String, assignDir: String,
+      checkpointDir: String, nameCol: String = "name", idCol: String = "id",
+      maxDist: Int = 2, maxBlock: Int = 10000, blocking: String = "bigram")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step = new ((Dataset[Row], Long) => Unit) with Serializable {
+      private var ckptCache: Option[Option[String]] = None
+      private var recovered = false
+
+      override def apply(batch: Dataset[Row], batchId: Long): Unit = {
+        val spark = batch.sparkSession
+        if (ckptCache.isEmpty)
+          ckptCache = Some(ExactlyOnce.checkpointId(spark, checkpointDir))
+        val ck = ckptCache.get
+        if (!recovered) {
+          ExactlyOnce.purge(spark, assignDir, ck, batchId)
+          ExactlyOnce.purge(spark, catalogDir, ck, batchId)
+          recovered = true
+        }
+        val in = batch.select(col(idCol), col(nameCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val catalog = readCatalog(spark, catalogDir, idCol, nameCol,
+            in.schema(idCol).dataType, in.schema(nameCol).dataType)
+          val (assigned, _) = EntityResolution.incrementalLink(
+            in, catalog, nameCol, idCol, maxDist, maxBlock, blocking)
+          val tagged = ExactlyOnce.tag(assigned, ck, batchId)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            tagged.write.mode("append").parquet(assignDir)
+            // new canonical entities: self-canonical assignments (the catalog's
+            // ids are disjoint from the batch's by the key contract), joined
+            // back to the batch for their names
+            val fresh = tagged.filter(col("id") === col("entity_id"))
+              .select(col("id").alias(idCol))
+              .join(in, Seq(idCol))
+              .select(col(idCol), col(nameCol))
+            ExactlyOnce.tag(fresh, ck, batchId)
+              .write.mode("append").parquet(catalogDir)
+          } finally tagged.unpersist()
+        } finally in.unpersist()
+      }
+    }
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
+  /** The accumulated catalog: seeded rows plus every committed generation.
+    * Selecting just (id, name) keeps tagged and untagged files readable in one
+    * scan regardless of which footer schema inference sampled.
+    */
+  private def readCatalog(
+      spark: SparkSession, dir: String, idCol: String, nameCol: String,
+      idType: org.apache.spark.sql.types.DataType,
+      nameType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(dir).select(col(idCol), col(nameCol))
+    else {
+      // empty bootstrap: column types mirror the incoming batch's
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(Seq(StructField(idCol, idType), StructField(nameCol, nameType))))
+    }
+  }
+}
