@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.ScaleLayout
-import graft.streaming.{EventStreams, StreamingCorpusSink}
+import graft.streaming.{EventStreams, StreamingCorpusSink, StreamingEntityResolution}
 
 /** Scale smoke for the STREAMING sinks: the batch smoke ([[ScaleSmoke]]) proves
   * the batch flagships' scaling; this main proves the per-batch cost of the two
@@ -139,12 +139,55 @@ object StreamScaleSmoke {
       results += report("neardup_stream", tag, walls, restart, idxRows, outRows)
     }
 
+    // ---- entity-resolution linkage stream: distinct record slices per batch --
+    // Catalog state grows by ~a batch of new entities per batch (names are made
+    // distinct across synthesized copies, the ScaleSmoke salt pattern), so the
+    // 10× run's last batches link against a 10× catalog — the honest per-batch
+    // cost is O(batch + catalog scan); `state_rows` reports the catalog size.
+    def runErLink(tag: String, batches: Int): Unit = {
+      val dir = s"$work/er_$tag"
+      val per = 300
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").alias("id"),
+          concat_ws(" ", org.apache.spark.sql.functions.slice(
+            graft.operators.Dedup.wordsArray(col("text")), 1, 6)).alias("name"))
+        .filter(length(col("name")) > 0)
+      val recs = (0 until 7).map { k =>
+        if (k == 0) base
+        else base.select((col("id") + k * 1000000L).alias("id"),
+          regexp_replace(col("name"), "([a-z0-9]+)", "$1x" + k).alias("name"))
+      }.reduce(_ union _)
+        .orderBy("id").limit((batches + 1) * per)
+        .as[(Long, String)].collect()
+      require(recs.length == (batches + 1) * per,
+        s"fixture too small: ${recs.length} records for ${batches + 1} slices")
+      val ms = MemoryStream[(Long, String)]
+      val src = ms.toDF().toDF("id", "name")
+      var q = StreamingEntityResolution.linkStream(
+        src, s"$dir/catalog", s"$dir/assign", s"$dir/ckpt")
+      val walls = (0 until batches).map { b =>
+        ms.addData(recs.slice(b * per, (b + 1) * per).toIndexedSeq)
+        timeBatch(q.processAllAvailable())
+      }
+      q.stop()
+      q = StreamingEntityResolution.linkStream(
+        src, s"$dir/catalog", s"$dir/assign", s"$dir/ckpt")
+      ms.addData(recs.slice(batches * per, (batches + 1) * per).toIndexedSeq)
+      val restart = timeBatch(q.processAllAvailable())
+      q.stop()
+      val catRows = spark.read.parquet(s"$dir/catalog").count()
+      val outRows = spark.read.parquet(s"$dir/assign").count()
+      results += report("er_link_stream", tag, walls, restart, catRows, outRows)
+    }
+
     runIndexedSink("warm", 3) // JIT/codegen warmup, discarded
     results.clear()
     runIndexedSink("1x", 10)
     runIndexedSink("10x", 100)
     runNearDup("1x", 10)
     runNearDup("10x", 100)
+    runErLink("1x", 10)
+    runErLink("10x", 100)
 
     val json = results.map(_.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}"))
