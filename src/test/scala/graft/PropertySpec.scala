@@ -482,4 +482,39 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: hard negatives equal the brute-force different-label ranking") {
+    // plain-Scala replica: same double accumulation order as the native cosine
+    // kernel, same (cos desc, id) tie-break, same NaN-drops-row semantics
+    // (a zero vector's cosine is NaN; `NaN < cut` is false in both)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val genVec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+    forSamples(Gen.listOfN(12, Gen.zip(genVec, Gen.choose(0, 2))), 5) { rows =>
+      val df = rows.zipWithIndex.map { case ((v, l), i) => (i.toLong, v, l) }
+        .toDF("vec_id", "embedding", "label")
+      val got = graft.operators.Similarity
+        .hardNegatives(df.filter($"vec_id" < 3), df, k = 3, excludeCos = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = (for {
+        ((qv, ql), qi) <- rows.zipWithIndex.take(3)
+        ranked = rows.zipWithIndex
+          .filter { case ((_, l), _) => l != ql }
+          .map { case ((v, _), i) => (i.toLong, cos(qv, v)) }
+          .filter { case (_, c) => c < 0.9 } // NaN fails too, as in the operator
+          .sortBy { case (i, c) => (-c, i) }
+          .take(3)
+        ((ni, _), rk) <- ranked.zipWithIndex
+      } yield (qi.toLong, ni, rk + 1)).toSet
+      assert(got == expect)
+    }
+  }
 }
