@@ -158,6 +158,14 @@ object EntityResolution {
     *      not mint two entities), and their component minima become new
     *      catalog rows.
     *
+    * Transitivity closes among the UNMATCHED set only — by design: an
+    * unmatched record within `maxDist` of a MATCHED sibling (but not of any
+    * catalog row) mints a new entity rather than riding the sibling's link
+    * into the catalog. Chasing that edge would make batch output depend on
+    * intra-batch match order (and grow a per-batch closure over the matched
+    * set); the miss self-heals on the next encounter, since the minted
+    * representative is now IN the catalog. Pinned in EntityResolutionSpec.
+    *
     * Returns (assignments, updatedCatalog): assignments = (id, entity_id) for
     * every batch record; updatedCatalog = catalog ∪ new canonical rows — feed
     * it to the next batch. The catalog only ever grows by NEW-entity

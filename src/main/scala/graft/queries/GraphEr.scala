@@ -58,8 +58,17 @@ object GraphEr {
     * d10 planted-copy pattern. Both engines build the identical record set.
     */
   private def erRecords(s: SparkSession, dir: String): DataFrame = {
+    // The typo-id offset (+500000) and the er3 dirty/catalog split both assume
+    // doc_id < 500000; a fixture grown past that would silently collide typo
+    // ids with real records IN BOTH ENGINES (so the oracle could not catch
+    // it). The guard is inline in the name expression — distributed, no extra
+    // scan — and raises loudly the first time a violating row is evaluated.
     val base = docs(s, dir).select(col("doc_id").alias("id"),
       concat_ws(" ", slice(Dedup.wordsArray(col("text")), 1, 6)).alias("name"))
+      .withColumn("name", when(col("id") < 500000L, col("name"))
+        .otherwise(raise_error(lit(
+          "erRecords: doc_id >= 500000 collides with the typo-id offset — " +
+            "raise the offset before growing the fixture"))))
     val typos = base.filter(col("id") % 20 === 0 && length(col("name")) >= 8)
       .select((col("id") + 500000).alias("id"),
         concat(substring(col("name"), 1, 3), expr("substr(name, 5)")).alias("name"))
@@ -234,13 +243,16 @@ object GraphEr {
       val evens = recs.filter(col("id") % 2 === 0)
       val odds = recs.filter(col("id") % 2 =!= 0)
       // in the foreachBatch production shape the catalog is a materialized
-      // table; persist stands in for that (the d11 precedent) so the wave-1
-      // CC pipeline isn't re-executed per consumer subtree of the linkage join
+      // table; localCheckpoint stands in for that (the incrementalLink-internal
+      // hygiene) so the wave-1 CC pipeline isn't re-executed per consumer
+      // subtree of the linkage join — and unlike a persist() the checkpointed
+      // RDD is reclaimed by the ContextCleaner once unreferenced, so repeated
+      // bench/driver invocations don't accumulate cached blocks across runs
       val catalog = EntityResolution.canonicalEntities(evens, "name", "id",
           maxDist = 2, maxBlock = 500)
         .filter(col("id") === col("entity_id"))
         .select(col("id"), col("name"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val (assigned, _) = EntityResolution.incrementalLink(odds, catalog,
         "name", "id", maxDist = 2, maxBlock = 500)
       assigned.orderBy("id")

@@ -142,6 +142,26 @@ class EntityResolutionSpec extends AnyFunSuite {
       (102L, "totally new thing"), (104L, "isolated other record")))
   }
 
+  test("incremental link: transitivity closes among UNMATCHED only (documented miss)") {
+    // A matches the catalog; B is within maxDist of A but NOT of any catalog
+    // row. The documented semantics (incrementalLink scaladoc): B is unmatched,
+    // resolves among the unmatched set alone, and mints a NEW entity — it does
+    // NOT ride A's link into the catalog. Pinned like the bigram recall miss:
+    // the oracle replays the same rule, so only this test falsifies a drift.
+    val catalog = Seq((1L, "acme steel works")).toDF("id", "name")
+    val batch = Seq(
+      (101L, "acme steel worksz"),  // dist 1 from catalog 1 — matches
+      (102L, "acme steel workszz")  // dist 1 from 101, dist 2 from catalog
+    ).toDF("id", "name")
+    val (assigned, cat2) = EntityResolution.incrementalLink(batch, catalog,
+      "name", "id", maxDist = 1, blocking = "token")
+    val a = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === Map(101L -> 1L, 102L -> 102L),
+      "same-batch record within maxDist of a MATCHED sibling must still mint " +
+        "its own entity when it misses the catalog directly")
+    assert(cat2.collect().map(_.getLong(0)).toSet === Set(1L, 102L))
+  }
+
   test("incremental link: best match wins — lowest distance, ties to lowest catalog id") {
     val catalog = Seq(
       (1L, "acme x"), (2L, "acme y"), (3L, "acme steelx"), (4L, "acme steelw")
