@@ -217,57 +217,13 @@ object EventStreams {
       .start()
   }
 
-  /** Bound the accumulated-index FILE count for the near-dup streams: each
-    * batch appends one small index file, so a months-long stream would pay
-    * O(batches) listing/footer/task overhead per trigger — the per-batch creep
-    * the streaming scale smoke measures. When the live index dir reaches
-    * `threshold` files, rewrite it as one generation under
-    * `indexDir/_versions/v<N>` and flip the [[graft.util.CommitPointer]]
-    * atomically; the superseded generation is dropped after the flip (the
-    * stream is the dir's only reader, and never mid-read between batches).
-    * Compacted rows get their protocol tags STRIPPED — they are committed by
-    * construction (the restart purge ran before any compaction), and untagged
-    * rows are exactly what [[ExactlyOnce.purge]] never deletes, so a
-    * compacted file can never be judged "uncommitted" by a later recovery
-    * (the multi-batch-file hazard purge refuses loudly). A crash before the
-    * pointer flip leaves the old generation live and the staging dir as
-    * garbage removed by the next compaction. Amortized cost: one index
-    * rewrite per `threshold` batches — O(|index| / threshold) per batch.
+  /** Bound the accumulated-index FILE count for the near-dup streams — the
+    * [[DirCompaction]] generation rewrite (extracted there round 14 so the
+    * entity-resolution sink shares it; semantics unchanged).
     */
   private def maintainIndexDir(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      threshold: Int): String = {
-    import graft.util.CommitPointer
-    val live = CommitPointer.liveDir(spark, indexDir)
-    val livePath = new org.apache.hadoop.fs.Path(live)
-    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (threshold <= 0 || !fs.exists(livePath)) return live
-    val files = fs.listStatus(livePath).count(st =>
-      st.getPath.getName.endsWith(".parquet") && !st.getPath.getName.startsWith("_"))
-    if (files < threshold) return live
-    CommitPointer.dropStaleVersions(spark, indexDir) // crashed stagings
-    val next = CommitPointer.committedVersion(spark, indexDir).getOrElse(0) + 1
-    val idx = spark.read.parquet(live)
-    val rows = idx.count()
-    val outFiles = math.max(1, math.ceil(rows / 4e6).toInt) // ~4M tiny rows/file
-    idx.withColumn("batch_id", org.apache.spark.sql.functions.lit(null).cast("long"))
-      .withColumn("ckpt_id", org.apache.spark.sql.functions.lit(null).cast("string"))
-      .repartition(outFiles)
-      .write.mode("overwrite").parquet(CommitPointer.versionDir(indexDir, next))
-    CommitPointer.commit(spark, indexDir, next)
-    // The flat legacy root keeps only _versions/_commit (one-time migration);
-    // a superseded VERSIONED generation is NOT deleted here — its marker is
-    // retained by commit() so a stale object-store listing that misses the
-    // new marker resolves the previous committed version, and the previous
-    // version must then still be readable. The next maintenance cycle's
-    // dropStaleVersions (above) reclaims dir + marker together.
-    if (live == indexDir)
-      fs.listStatus(livePath).foreach { st =>
-        val n0 = st.getPath.getName
-        if (!n0.startsWith("_")) fs.delete(st.getPath, st.isDirectory)
-      }
-    CommitPointer.versionDir(indexDir, next)
-  }
+      threshold: Int): String = DirCompaction.maintain(spark, indexDir, threshold)
 
   /** Streaming perceptual near-dup for MEDIA payloads — `curateNearDupStream`'s
     * shape with text MinHash replaced by a 64-bit perceptual signature (image

@@ -21,24 +21,46 @@ import graft.operators.EntityResolution
   * for record linkage; the new-entity rows are recognized as
   * `entity_id == id`).
   *
+  * FILE-COUNT MAINTENANCE (round-14 weak-flag fix): both directories gain one
+  * parquet file-set per batch, so a months-long stream would pay O(batches)
+  * listing/footer overhead per trigger. Every `compactAt` files each dir is
+  * rewritten untagged into a fresh [[graft.util.CommitPointer]] generation
+  * ([[DirCompaction]] — the same rewrite the near-dup index sinks use), at
+  * the only safe instant: batch start, after restart recovery, when every
+  * file present is committed. Readers should resolve the live generation via
+  * [[catalogTable]]/[[assignmentsTable]] (a flat read of the root still works
+  * until the first compaction). Additionally the catalog is CARRIED BETWEEN
+  * TRIGGERS driver-side ([[graft.operators.EntityResolution.incrementalLink]]
+  * 's `updatedCatalog` contract, localCheckpoint-snapped per batch): after the
+  * first batch of an incarnation the per-trigger catalog read costs zero file
+  * listings — disk is the recovery copy, not the hot path.
+  *
   * EXACTLY-ONCE under crash-restart via the [[ExactlyOnce]] protocol: both
   * appended directories are (ckpt_id, batch_id)-tagged, restart recovery
   * purges THIS incarnation's uncommitted batch files from both before the
   * replay runs, and the replay then re-derives byte-identical output —
   * `incrementalLink` is deterministic given (batch, catalog), and after the
   * purge the catalog visible to the replay equals the pre-crash state.
-  * Seeded/pre-protocol catalog files carry no tags and are never purged.
+  * Seeded/pre-protocol catalog files carry no tags and are never purged;
+  * compacted generations are untagged by construction, so they are equally
+  * purge-proof (and compaction never runs with an uncommitted batch on disk —
+  * the quiet-point caveat [[ExactlyOnce.purge]] documents).
   */
 object StreamingEntityResolution {
 
   def linkStream(
       records: DataFrame, catalogDir: String, assignDir: String,
       checkpointDir: String, nameCol: String = "name", idCol: String = "id",
-      maxDist: Int = 2, maxBlock: Int = 10000, blocking: String = "bigram")
+      maxDist: Int = 2, maxBlock: Int = 10000, blocking: String = "bigram",
+      compactAt: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val step = new ((Dataset[Row], Long) => Unit) with Serializable {
       private var ckptCache: Option[Option[String]] = None
       private var recovered = false
+      // the accumulated catalog, carried between triggers (entity-sized;
+      // localCheckpoint-snapped so lineage never chains across batches) —
+      // None until the incarnation's first batch recovers it from disk
+      private var catalogCache: Option[DataFrame] = None
 
       override def apply(batch: Dataset[Row], batchId: Long): Unit = {
         val spark = batch.sparkSession
@@ -46,21 +68,31 @@ object StreamingEntityResolution {
           ckptCache = Some(ExactlyOnce.checkpointId(spark, checkpointDir))
         val ck = ckptCache.get
         if (!recovered) {
-          ExactlyOnce.purge(spark, assignDir, ck, batchId)
-          ExactlyOnce.purge(spark, catalogDir, ck, batchId)
+          // purge targets the LIVE generation — tagged per-batch appends only
+          // ever land there; compacted generations are untagged and would
+          // never match, so scanning them would be pure waste
+          ExactlyOnce.purge(spark,
+            graft.util.CommitPointer.liveDir(spark, assignDir), ck, batchId)
+          ExactlyOnce.purge(spark,
+            graft.util.CommitPointer.liveDir(spark, catalogDir), ck, batchId)
           recovered = true
         }
+        // AFTER the purge (compacting first would launder a crashed attempt's
+        // uncommitted rows into untagged permanence)
+        val liveAssign = DirCompaction.maintain(spark, assignDir, compactAt)
+        val liveCatalog = DirCompaction.maintain(spark, catalogDir, compactAt)
         val in = batch.select(col(idCol), col(nameCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val catalog = readCatalog(spark, catalogDir, idCol, nameCol,
-            in.schema(idCol).dataType, in.schema(nameCol).dataType)
+          val catalog = catalogCache.getOrElse(
+            readCatalog(spark, liveCatalog, idCol, nameCol,
+              in.schema(idCol).dataType, in.schema(nameCol).dataType))
           val (assigned, _) = EntityResolution.incrementalLink(
             in, catalog, nameCol, idCol, maxDist, maxBlock, blocking)
           val tagged = ExactlyOnce.tag(assigned, ck, batchId)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            tagged.write.mode("append").parquet(assignDir)
+            tagged.write.mode("append").parquet(liveAssign)
             // new canonical entities: self-canonical assignments (the catalog's
             // ids are disjoint from the batch's by the key contract), joined
             // back to the batch for their names
@@ -68,8 +100,16 @@ object StreamingEntityResolution {
               .select(col("id").alias(idCol))
               .join(in, Seq(idCol))
               .select(col(idCol), col(nameCol))
-            ExactlyOnce.tag(fresh, ck, batchId)
-              .write.mode("append").parquet(catalogDir)
+            // one catalog file per batch (entity-sized additions): repartition,
+            // not coalesce, so the linkage join upstream keeps its parallelism
+            ExactlyOnce.tag(fresh.repartition(1), ck, batchId)
+              .write.mode("append").parquet(liveCatalog)
+            // carry the extended catalog to the next trigger: the union is
+            // snapped eagerly so (a) it no longer references `in`/`tagged`
+            // (unpersisted below) and (b) lineage depth stays O(1) over the
+            // stream's lifetime; the superseded snapshot is reclaimed by the
+            // ContextCleaner once unreferenced
+            catalogCache = Some(catalog.union(fresh).localCheckpoint())
           } finally tagged.unpersist()
         } finally in.unpersist()
       }
@@ -79,6 +119,18 @@ object StreamingEntityResolution {
       .foreachBatch(step)
       .start()
   }
+
+  /** The accumulated catalog as a readable table — resolves the live
+    * [[graft.util.CommitPointer]] generation and hides the protocol tags.
+    */
+  def catalogTable(spark: SparkSession, catalogDir: String): DataFrame =
+    spark.read.parquet(graft.util.CommitPointer.liveDir(spark, catalogDir))
+      .drop("batch_id", "ckpt_id")
+
+  /** The accumulated (id, entity_id) assignments — live generation, untagged. */
+  def assignmentsTable(spark: SparkSession, assignDir: String): DataFrame =
+    spark.read.parquet(graft.util.CommitPointer.liveDir(spark, assignDir))
+      .drop("batch_id", "ckpt_id")
 
   /** The accumulated catalog: seeded rows plus every committed generation.
     * Selecting just (id, name) keeps tagged and untagged files readable in one

@@ -163,21 +163,43 @@ object StreamScaleSmoke {
         s"fixture too small: ${recs.length} records for ${batches + 1} slices")
       val ms = MemoryStream[(Long, String)]
       val src = ms.toDF().toDF("id", "name")
+      // compactAt=8 so the 10× run compacts ~12 times: the claim under test is
+      // that the LIVE-dir file count is bounded by the threshold — flat in
+      // batch count — not that compaction merely exists
       var q = StreamingEntityResolution.linkStream(
-        src, s"$dir/catalog", s"$dir/assign", s"$dir/ckpt")
+        src, s"$dir/catalog", s"$dir/assign", s"$dir/ckpt", compactAt = 8)
+      val fileCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def liveFiles(d: String): Int = {
+        val live = new java.io.File(graft.util.CommitPointer.liveDir(spark, d)
+          .stripPrefix("file:"))
+        if (!live.exists()) 0
+        else live.listFiles().count(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_"))
+      }
       val walls = (0 until batches).map { b =>
         ms.addData(recs.slice(b * per, (b + 1) * per).toIndexedSeq)
-        timeBatch(q.processAllAvailable())
+        val w = timeBatch(q.processAllAvailable())
+        fileCounts += liveFiles(s"$dir/catalog")
+        w
       }
       q.stop()
       q = StreamingEntityResolution.linkStream(
-        src, s"$dir/catalog", s"$dir/assign", s"$dir/ckpt")
+        src, s"$dir/catalog", s"$dir/assign", s"$dir/ckpt", compactAt = 8)
       ms.addData(recs.slice(batches * per, (batches + 1) * per).toIndexedSeq)
       val restart = timeBatch(q.processAllAvailable())
       q.stop()
-      val catRows = spark.read.parquet(s"$dir/catalog").count()
-      val outRows = spark.read.parquet(s"$dir/assign").count()
-      results += report("er_link_stream", tag, walls, restart, catRows, outRows)
+      val catRows = StreamingEntityResolution
+        .catalogTable(spark, s"$dir/catalog").count()
+      val outRows = StreamingEntityResolution
+        .assignmentsTable(spark, s"$dir/assign").count()
+      val maxFiles = fileCounts.max
+      require(maxFiles <= 8 + 1, // threshold + the freshly-appended batch file
+        s"er catalog live dir grew past the compaction bound: $maxFiles files")
+      println(s"[stream-scale] er_link_stream $tag catalog_files max=$maxFiles " +
+        s"end=${fileCounts.last} (compactAt=8, ${batches} batches)")
+      results += (report("er_link_stream", tag, walls, restart, catRows, outRows)
+        + ("catalog_files_max" -> maxFiles.toString)
+        + ("catalog_files_end" -> fileCounts.last.toString))
     }
 
     runIndexedSink("warm", 3) // JIT/codegen warmup, discarded

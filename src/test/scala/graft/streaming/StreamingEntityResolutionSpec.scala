@@ -114,4 +114,76 @@ class StreamingEntityResolutionSpec extends AnyFunSuite {
     val cat = spark.read.parquet(catalogDir).select("id").collect().map(_.getLong(0)).toSet
     assert(cat === Set(1L, 2L, 3L, 103L, 105L))
   }
+
+  private def parquetFiles(dir: String): Int = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) 0
+    else d.listFiles().count(f => f.getName.endsWith(".parquet") &&
+      !f.getName.startsWith("_"))
+  }
+
+  test("compaction bounds per-trigger file count; results and replay stay exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (catalogDir, assignDir, ckpt) = dirs()
+    // seed a pre-protocol catalog so compaction must fold untagged rows too
+    Seq(Rec(1L, "acme steel works"), Rec(2L, "zenith glass co"))
+      .toDF("id", "name").write.parquet(catalogDir)
+
+    // six one-record batches at compactAt=2: compaction fires repeatedly
+    // names share no token and sit far apart in edit distance — each batch
+    // genuinely mints one new singleton entity
+    val extra = (0 until 6).map(i =>
+      Rec(200L + i, s"veryword$i${"x" * i} distinct$i token$i"))
+    val src = MemoryStream[Rec]
+    val q = StreamingEntityResolution.linkStream(
+      src.toDF(), catalogDir, assignDir, ckpt, blocking = "token", compactAt = 2)
+    extra.foreach { r => src.addData(r); q.processAllAvailable() }
+    // the typo batch links against the CARRIED catalog (cache path, post-compaction)
+    src.addData(Rec(300L, "acme steel workz"))
+    q.processAllAvailable()
+    q.stop()
+
+    import graft.util.CommitPointer
+    // generations exist and the live dirs are file-bounded by the threshold
+    assert(CommitPointer.committedVersion(spark, catalogDir).nonEmpty,
+      "catalog never compacted")
+    assert(CommitPointer.committedVersion(spark, assignDir).nonEmpty,
+      "assignments never compacted")
+    val liveCat = CommitPointer.liveDir(spark, catalogDir)
+    val liveAsg = CommitPointer.liveDir(spark, assignDir)
+    assert(parquetFiles(liveCat) <= 3, s"catalog live dir holds ${parquetFiles(liveCat)} files")
+    assert(parquetFiles(liveAsg) <= 3, s"assign live dir holds ${parquetFiles(liveAsg)} files")
+    // the flat root migrated: no stray parquet outside _versions
+    assert(parquetFiles(catalogDir) === 0 && parquetFiles(assignDir) === 0)
+
+    // content is exactly the replay semantics: every extra record minted
+    // itself; the typo adopted catalog id 1
+    val a = StreamingEntityResolution.assignmentsTable(spark, assignDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === (extra.map(r => r.id -> r.id).toMap + (300L -> 1L)))
+    val cat = StreamingEntityResolution.catalogTable(spark, catalogDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cat === (Set(1L, 2L) ++ extra.map(_.id)))
+
+    // crash-replay AFTER compactions: delete the last commit marker and
+    // restart — the purge must remove only the replayed batch's tagged files
+    // (compacted untagged rows are purge-proof) and re-derive identical output
+    val lastBatch = new java.io.File(s"$ckpt/commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).map(_.toLong).max
+    assert(new java.io.File(s"$ckpt/commits/$lastBatch").delete())
+    new java.io.File(s"$ckpt/commits/.$lastBatch.crc").delete()
+    val q2 = StreamingEntityResolution.linkStream(
+      src.toDF(), catalogDir, assignDir, ckpt, blocking = "token", compactAt = 2)
+    q2.processAllAvailable()
+    q2.stop()
+    val a2 = StreamingEntityResolution.assignmentsTable(spark, assignDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a2.length === a2.distinct.length, "replay duplicated assignment rows")
+    assert(a2.toMap === a)
+    val cat2 = StreamingEntityResolution.catalogTable(spark, catalogDir)
+      .select("id").collect().map(_.getLong(0))
+    assert(cat2.length === cat2.distinct.length, "replay duplicated catalog rows")
+    assert(cat2.toSet === cat)
+  }
 }
