@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The default is PINNED at 32g: round-13's three same-binary bench runs
+  // silently differed 8g vs 90g driver heap, and the perf gate could not tell
+  // regression from configuration. graft.Bench records the actual heap and
+  // stamps `driver_mem_pinned:false` when a run overrides this.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

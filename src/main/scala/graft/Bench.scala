@@ -47,6 +47,42 @@ object Bench {
       }
     }
     val warmRuns = 3
+    // ---- self-adjudication (round-14 #1): three same-binary r13 runs disagreed
+    // 3-50x on isolated suite totals while warm co-scheduled medians agreed to
+    // ±9% — the end-of-run isolated phase is exposed to environment throttling
+    // the interleaved medians average out, and the perf gate could not tell a
+    // real regression from a hot box. So the bench now measures ITSELF:
+    //  - a fixed SENTINEL (tpch_q6: one scan+filter+agg, sub-second, plan
+    //    unchanged for 10 rounds) is re-timed (median of 3) between every
+    //    phase; a phase whose bracketing sentinel readings drift >2x from the
+    //    session-start reading is stamped `contaminated` — comparisons must
+    //    skip it (BENCH_TREND rule);
+    //  - the environment is recorded (loadavg at start/end, cgroup cpu quota,
+    //    actual driver heap) so a 8g-vs-90g or busy-box run is visible;
+    //  - the driver heap default is PINNED in build.sbt (32g); a run that
+    //    overrides it gets `driver_mem_pinned:false` stamped here.
+    val sentinelFn = SparkEntry.queries("tpch_q6")
+    // steady-state the sentinel's plan before the baseline reading: a
+    // JIT-warming session-start reading sits ~2x above the settled value and
+    // would halve the contamination rule's sensitivity for the whole run
+    (1 to 3).foreach(_ => once(sentinelFn))
+    def sentinelRead(): Double = {
+      val ws = Seq.fill(3)(once(sentinelFn)).collect { case Right(w) => w }
+      if (ws.isEmpty) -1.0 else ws.sorted.apply(ws.size / 2)
+    }
+    val sentinelReads = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    sentinelReads += ("start" -> sentinelRead())
+    def readSys(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8").trim)
+      catch { case _: Throwable => None }
+    val loadStart = readSys("/proc/loadavg").map(_.split(" ").take(3).mkString(" "))
+      .getOrElse("?")
+    val cpuQuota = readSys("/sys/fs/cgroup/cpu.max")
+      .orElse(readSys("/sys/fs/cgroup/cpu/cpu.cfs_quota_us")).getOrElse("?")
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
+    // Xmx32g reports ~30.8-34.4e9 depending on GC survivor accounting
+    val memPinned = heapGb > 28.0 && heapGb < 35.0
     // SPARK_GRAFT_ONLY=d4_ngram_jaccard,d2_dedup_minhash narrows the run for
     // iterating on one query's plan; the driver never sets it (full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -68,12 +104,14 @@ object Bench {
     // queries instead of every sample of one.
     val colds: Map[String, Either[String, Double]] =
       qseq.map { case (n, fn) => n -> once(fn) }.toMap
+    sentinelReads += ("after_cold" -> sentinelRead())
     val warmSamples = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ListBuffer[Either[String, Double]]]
     for (_ <- 0 until warmRuns; (n, fn) <- qseq) {
       warmSamples.getOrElseUpdate(n,
         scala.collection.mutable.ListBuffer.empty) += once(fn)
     }
+    sentinelReads += ("after_warm" -> sentinelRead())
     // Drop accumulated storage memory before the isolated reruns: interleaving
     // keeps ~every query's persisted frames resident at once (sequential runs
     // let the ContextCleaner reclaim between queries), and measuring the rerun
@@ -110,6 +148,7 @@ object Bench {
       else name -> (firstPass.find(_._1 == name).get._2,
         firstPass.find(_._1 == name).get._3)
     }.toMap
+    sentinelReads += ("after_noisy" -> sentinelRead())
     val timed: Seq[(String, Option[Double], Double, Double)] =
       firstPass.map { case (name, med, spread) =>
         val (m, sp) = isolated.getOrElse(name, (med, spread))
@@ -167,21 +206,42 @@ object Bench {
         med
       }.sum
     }
-    val tpchIsolatedTotal: Double = if (only.isEmpty)
-      isolatedTotal(k => k.startsWith("tpch_") && !k.contains("_unparse") &&
+    val tpchIsolatedTotal: Double = if (only.isEmpty) {
+      val v = isolatedTotal(k => k.startsWith("tpch_") && !k.contains("_unparse") &&
         !k.contains("_translit"))
-    else -1.0
+      sentinelReads += ("after_iso_tpch" -> sentinelRead())
+      v
+    } else -1.0
     // the three suites whose co-scheduled totals have swung ±30% between
-    // rounds without a code change — one isolated comparator each
+    // rounds without a code change — one isolated comparator each; the
+    // sentinel brackets each so a throttled phase is individually stamped
+    def isolatedSuite(name: String, pick: String => Boolean): (String, Double) = {
+      val v = isolatedTotal(pick)
+      sentinelReads += (s"after_iso_$name" -> sentinelRead())
+      name -> v
+    }
     val isolatedSuites: Seq[(String, Double)] = if (only.isEmpty) Seq(
-      "dedup" -> isolatedTotal(k => k.head == 'd' && !k.startsWith("tpch")),
-      "pipeline" -> isolatedTotal(_.head == 'p'),
-      "multimodal" -> isolatedTotal(_.startsWith("mm")),
+      isolatedSuite("dedup", k => k.head == 'd' && !k.startsWith("tpch")),
+      isolatedSuite("pipeline", _.head == 'p'),
+      isolatedSuite("multimodal", _.startsWith("mm")),
       // round 13: the graph/ER family's iterative queries (checkpointed
       // power-iteration rounds) co-schedule badly (er1 9.2 s co-scheduled vs
       // 1.7 s isolated in its first round) — isolated from day one
-      "graph_er" -> isolatedTotal(k => k.startsWith("er") || k.startsWith("g")))
+      isolatedSuite("graph_er", k => k.startsWith("er") || k.startsWith("g")))
     else Nil
+    // a phase is contaminated when EITHER bracketing sentinel reading drifts
+    // >2x from the session-start reading (throttling before a phase poisons
+    // it as surely as throttling during it)
+    val contaminated: Seq[String] = {
+      val s0 = sentinelReads.head._2
+      if (s0 <= 0) Seq("all:sentinel_failed")
+      else (1 until sentinelReads.size).collect {
+        case i if sentinelReads(i)._2 > 2 * s0 || sentinelReads(i - 1)._2 > 2 * s0 =>
+          sentinelReads(i)._1.stripPrefix("after_")
+      }
+    }
+    val loadEnd = readSys("/proc/loadavg").map(_.split(" ").take(3).mkString(" "))
+      .getOrElse("?")
     val isolatedSuitesJson = isolatedSuites.map { case (k, v) =>
       s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
     }.mkString("{", ",", "}")
@@ -215,9 +275,18 @@ object Bench {
     // `parsed: null`). Stdout therefore carries per-query medians only for the
     // TPC-H suite (the set BASELINE.md compares) plus one total per query family;
     // the full per-query medians/cold/spread detail goes to bench_full.json.
+    val sentinelJson = sentinelReads.map { case (k, v) =>
+      s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val contaminatedJson = contaminated.map(jstr).mkString("[", ",", "]")
+    val envJson = s"""{"loadavg_start":${jstr(loadStart)},""" +
+      s""""loadavg_end":${jstr(loadEnd)},"cpu_quota":${jstr(cpuQuota)},""" +
+      s""""heap_gb":${f3(heapGb)},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
+      s""""sentinel":"tpch_q6","sentinel_sec":$sentinelJson,""" +
+      s""""contaminated_phases":$contaminatedJson,""" +
+      s""""driver_mem_pinned":$memPinned,"env":$envJson,""" +
       s""""tpch_isolated_total":$tpchIsoStr,"isolated_suites":$isolatedSuitesJson,""" +
       s""""isolated_queries":${isolatedQueryMeds.toSeq.sortBy(_._1).map { case (k, v) =>
         s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")},""" +
@@ -260,6 +329,9 @@ object Bench {
     val qsCompact = (tpchEntries ++ familyTotals).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
+      s""""sentinel_start_sec":${f3(sentinelReads.head._2)},""" +
+      s""""contaminated_phases":$contaminatedJson,"driver_mem_pinned":$memPinned,""" +
+      s""""load":${jstr(s"$loadStart -> $loadEnd")},""" +
       s""""tpch_isolated_total":$tpchIsoStr,"isolated_suites":$isolatedSuitesJson,""" +
       s""""warm_total_sec":${f3(total)},"cold_total_sec":${f3(coldTotal)},""" +
       s""""detail":"bench_full.json","errors":$errorNamesJson,"noisy":$noisyJson,""" +
