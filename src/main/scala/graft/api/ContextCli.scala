@@ -10,6 +10,12 @@ import graft.mdl.{ProjectConvert, YamlProject}
   * {{{
   * runMain graft.api.ContextCli <cmd> [--path dir] [opts]
   *   init   [--from-mdl m.json] [--force] [--empty]   scaffold / import
+  *   generate --from <parquetDir|jdbc:url>            draft a project from an
+  *            [--catalog c] [--schema s]              existing source (models,
+  *            [--probe-rows N] [--force]              PK candidates, suggested
+  *                                                    relationships — the
+  *                                                    reference's
+  *                                                    wren-generate-mdl flow)
   *   validate                                         structure checks
   *   build                                            compile target/mdl.json
   *   show   [--output summary|json|yaml]              project overview
@@ -116,6 +122,49 @@ object ContextCli {
             s"Initialized project at $projectPath/\n\nNext: edit models/, then " +
               "`graft context validate`"
         }
+
+      case "generate" =>
+        val from = opt("from").getOrElse(throw new IllegalArgumentException(
+          "usage: generate --from <parquetDir|jdbc:url> [--path out] " +
+            "[--catalog c] [--schema s] [--probe-rows N] [--force]"))
+        val projectPath = Paths.get(opt("path").getOrElse("."))
+        val catalog = opt("catalog").getOrElse("graft")
+        val schemaNs = opt("schema").getOrElse("draft")
+        val probeRows = opt("probe-rows").map(_.toLong).getOrElse(1000000L)
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .appName("graft-generate-mdl").master("local[8]")
+          .config("spark.sql.shuffle.partitions", 8)
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val draft =
+          if (from.startsWith("jdbc:"))
+            graft.mdl.GenerateMdl.fromJdbc(spark, from,
+              catalog = catalog, schema = schemaNs, probeRows = probeRows)
+          else graft.mdl.GenerateMdl.fromParquetDir(spark, from,
+            catalog, schemaNs, probeRows)
+        val mdlJson = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            graft.mdl.ManifestJson.toJValue(draft.manifest)))
+        val files = ProjectConvert.convertMdlToProject(mdlJson)
+        ProjectConvert.writeProjectFiles(files, projectPath, force = flag("force"))
+        val m = draft.manifest
+        val pkLines = m.models.map(md =>
+          s"  ${md.name}: ${md.primaryKey.getOrElse("(none found)")}").mkString("\n")
+        val relLines =
+          if (m.relationships.isEmpty) "  (none suggested)"
+          else m.relationships.map(r =>
+            s"  ${r.name} [${r.joinType}]: ${r.condition}").mkString("\n")
+        val noteLines = if (draft.notes.isEmpty) ""
+          else draft.notes.map("  NOTE " + _).mkString("\n", "\n", "")
+        s"Drafted project at $projectPath/ from $from\n" +
+          s"  ${m.models.size} models, ${m.relationships.size} suggested relationships\n" +
+          s"\nPrimary-key CANDIDATES (uniqueness-probed; confirm before production):\n" +
+          pkLines + "\nSuggested relationships (name/type-matched; review):\n" +
+          relLines + noteLines +
+          s"\n\nNext steps:\n  graft context validate --path $projectPath\n" +
+          s"  graft context build --path $projectPath"
 
       case "validate" =>
         val projectPath = discoverProjectPath(opt("path"))

@@ -1,0 +1,123 @@
+package graft.mdl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the MDL auto-generation draft (round-14 #3; reference
+  * `skills/wren-generate-mdl/SKILL.md` phases 2–4): the probed primary keys,
+  * the suggested relationship set (with its negative space — no generic `_id`
+  * cross-links, no self/duplicate edges), type round-tripping, the no-unique-
+  * key table, the deploy-and-query path, and the CLI surface.
+  */
+class GenerateMdlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val draft =
+    GenerateMdl.fromParquetDir(spark, "/root/testdata/sf0.001")
+  private lazy val m = draft.manifest
+
+  test("one model per table, columns typed, types round-trip to the read schema") {
+    val tables = Seq("customer", "documents", "embeddings", "events",
+      "lineitem", "nation", "orders", "part", "region", "supplier")
+    assert(m.models.map(_.name) === tables)
+    m.models.foreach { md =>
+      val actual = spark.read
+        .parquet(s"/root/testdata/sf0.001/${md.name}.parquet").schema
+      assert(md.columns.map(_.name) === actual.fieldNames.toList)
+      md.columns.zip(actual.fields).foreach { case (c, f) =>
+        assert(TypeMapper.toSpark(c.`type`) === f.dataType,
+          s"${md.name}.${c.name}: '${c.`type`}' does not round-trip to ${f.dataType}")
+      }
+    }
+  }
+
+  test("uniqueness-probed primary-key candidates; lineitem correctly gets none") {
+    val pks = m.models.map(md => md.name -> md.primaryKey).toMap
+    assert(pks === Map(
+      "customer" -> Some("c_custkey"), "nation" -> Some("n_nationkey"),
+      "region" -> Some("r_regionkey"), "orders" -> Some("o_orderkey"),
+      "part" -> Some("p_partkey"), "supplier" -> Some("s_suppkey"),
+      "documents" -> Some("doc_id"), "events" -> Some("event_id"),
+      "embeddings" -> Some("vec_id"), "lineitem" -> None))
+    // the gap is surfaced as a note, not silently absent
+    assert(draft.notes.exists(_.startsWith("lineitem:")))
+    // probe evidence for a pk is exact-unique, not approximate
+    val cust = draft.probes("customer").find(_.column == "c_custkey").get
+    assert(cust.exact && cust.unique)
+  }
+
+  test("relationship suggestions: the seven real FK edges, and only those") {
+    val got = m.relationships.map(r =>
+      (r.name, r.joinType, r.condition)).toSet
+    assert(got === Set(
+      ("customer_nation", JoinType.ManyToOne,
+        "\"customer\".\"c_nationkey\" = \"nation\".\"n_nationkey\""),
+      ("lineitem_orders", JoinType.ManyToOne,
+        "\"lineitem\".\"l_orderkey\" = \"orders\".\"o_orderkey\""),
+      ("lineitem_part", JoinType.ManyToOne,
+        "\"lineitem\".\"l_partkey\" = \"part\".\"p_partkey\""),
+      ("lineitem_supplier", JoinType.ManyToOne,
+        "\"lineitem\".\"l_suppkey\" = \"supplier\".\"s_suppkey\""),
+      ("nation_region", JoinType.ManyToOne,
+        "\"nation\".\"n_regionkey\" = \"region\".\"r_regionkey\""),
+      ("orders_customer", JoinType.ManyToOne,
+        "\"orders\".\"o_custkey\" = \"customer\".\"c_custkey\""),
+      // at sf0.001 the 10 suppliers land on 10 DISTINCT nations, so the probe
+      // correctly reports the FK unique and the skill's "unique FK ⇒
+      // one_to_one" rule fires — data-driven inference can only see the data
+      ("supplier_nation", JoinType.OneToOne,
+        "\"supplier\".\"s_nationkey\" = \"nation\".\"n_nationkey\"")))
+    // negative space: the generic `_id` stems (vec_id/doc_id/event_id/user_id)
+    // must never cross-link — the >=5-char stem rule
+    assert(!m.relationships.exists(_.condition.contains("vec_id")))
+    assert(!m.relationships.exists(_.condition.contains("user_id")))
+  }
+
+  test("the draft deploys and a query through a suggested edge runs") {
+    val sess = graft.GraftEngine.deployOnDir(spark, m, "/root/testdata/sf0.001")
+    val out = sess.query(
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM graft.draft.orders JOIN graft.draft.customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin).collect()
+    assert(out.length === 5 && out.map(_.getLong(1)).sum > 0)
+  }
+
+  test("mdlTypeName is total over the exotic types") {
+    import org.apache.spark.sql.types._
+    assert(GenerateMdl.mdlTypeName(ArrayType(FloatType)) === "array<real>")
+    assert(TypeMapper.toSpark(GenerateMdl.mdlTypeName(
+      StructType(Seq(StructField("a", LongType))))) ===
+      StructType(Seq(StructField("a", LongType))))
+    assert(GenerateMdl.mdlTypeName(DecimalType(12, 3)) === "decimal(12,3)")
+  }
+
+  test("fromJdbc drafts from JDBC metadata (table list discovered, types mapped)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_genjdbc_").toString
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.mode("overwrite").jdbc(url, "NATION", new java.util.Properties)
+    val d = GenerateMdl.fromJdbc(spark, url)
+    assert(d.manifest.models.map(_.name) === List("NATION"))
+    val nm = d.manifest.models.head
+    assert(nm.primaryKey.map(_.toLowerCase) === Some("n_nationkey"))
+    assert(nm.columns.map(_.name.toLowerCase) ===
+      List("n_nationkey", "n_name", "n_regionkey"))
+    graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("CLI generate writes a project that validates and builds back to the draft") {
+    val out = java.nio.file.Files.createTempDirectory("graft_genctx_")
+    val msg = graft.api.ContextCli.run(Seq("generate",
+      "--from", "/root/testdata/sf0.001", "--path", out.toString, "--force"))
+    assert(msg.contains("10 models") && msg.contains("7 suggested relationships"))
+    assert(msg.contains("lineitem: (none found)"))
+    assert(graft.api.ContextCli.run(
+      Seq("validate", "--path", out.toString)).contains("Project is valid."))
+    val rebuilt = YamlProject.buildManifest(out)
+    assert(rebuilt.models.map(_.name).toSet === m.models.map(_.name).toSet)
+    assert(rebuilt.relationships.map(_.name).toSet ===
+      m.relationships.map(_.name).toSet)
+    graft.util.Fs.deleteTree(out.toString)
+  }
+}
