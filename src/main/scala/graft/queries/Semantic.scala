@@ -351,6 +351,38 @@ object Semantic {
       |WHERE o_orderkey <= 2000
       |GROUP BY v.lbl ORDER BY v.lbl""".stripMargin
 
+  /** Source SQL for the `m39_translit_*` probes (clickhouse/snowflake/mssql —
+    * round-14 TPC-H-breadth companions): exercises the spellings those
+    * dialects' TPC-H renderings never produce, so every rule in the
+    * adjudicated [[graft.semantics.Transliterate]] set executes — a DATE
+    * literal (→ toDate32), month extraction (→ toMonth/DATEPART), int and
+    * string casts (→ Int32 / AS String / NVARCHAR(MAX)), character length
+    * (→ lengthUTF8/LEN), a boolean LITERAL (→ T-SQL CAST(1 AS BIT); the
+    * comparison column is int-cast instead because T-SQL booleans are
+    * predicates, never values — its CASE WHEN 1/0 INT rendering can only
+    * hash-match an int column), and a
+    * date→timestamp cast (→ DateTime64(6) / TIMESTAMP_NTZ / DATETIME2(6)).
+    * month/length are int-cast in the SOURCE because Spark yields int where
+    * DuckDB yields bigint (the round-6 cross-engine type rule). The date and
+    * boolean LITERALS are projected directly: Catalyst folds a
+    * `cast(ts_col as date) >= date-lit` filter back to a timestamp literal
+    * and erases boolean→boolean casts, so the filter/cast forms never reach
+    * the renderer.
+    */
+  val m39Sql: String =
+    """SELECT o_orderkey,
+      |  cast(month(o_orderdate) as int) AS om,
+      |  cast(o_orderkey % 100 as int) AS small_key,
+      |  cast(o_orderkey as string) AS key_str,
+      |  cast(length(o_orderstatus) as int) AS st_len,
+      |  cast(o_orderkey % 2 = 0 as int) AS is_even,
+      |  true AS always_on,
+      |  date '1995-06-01' AS anchor_day,
+      |  cast(o_orderdate as timestamp) AS od_ts
+      |FROM m_orders
+      |WHERE o_orderdate >= date '1995-06-01' AND o_orderkey <= 1500
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Source SQL for the `m35_unparse_conditional_*` entries: NULL-producing
     * conditionals (nullif — discriminating: rows where the branch fires go
     * NULL) + n-ary greatest/least + the sqrt/ln/exp math family under the
@@ -710,7 +742,32 @@ object Semantic {
       Some("""SELECT o_orderkey, c_mktsegment AS cust_segment, o_totalprice
              |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
              |WHERE o_totalprice > 300000
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin))),
+
+    // MDL auto-generation (round-14 #3, reference skills/wren-generate-mdl):
+    // scan the data dir → draft manifest (typed models, uniqueness-probed PK
+    // candidates, name/type-matched relationship suggestions) → deploy the
+    // DRAFT → query through two generated models joined on a suggested edge.
+    // The draft is deterministic given the tables, so the plain-SQL oracle
+    // closes the whole scan→draft→deploy→query path; GenerateMdlSpec pins the
+    // drafted pks/relationships themselves.
+    "m40_generated_mdl" -> (((s: SparkSession, dir: String) => {
+      val draft = graft.mdl.GenerateMdl.fromParquetDir(s, dir)
+      val rel = draft.manifest.relationship("orders_customer")
+      require(rel.exists(_.joinType == JoinType.ManyToOne),
+        "draft lost the orders->customer suggestion")
+      val sess = GraftEngine.deployOnDir(s, draft.manifest, dir)
+      sess.query(
+        """SELECT c_mktsegment AS seg, count(*) AS n,
+          |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS rev
+          |FROM graft.draft.orders JOIN graft.draft.customer
+          |  ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+             |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
   )
 
   /** Streaming-deploy manifest: the fact model streams, the dimension stays
@@ -829,8 +886,11 @@ object Semantic {
   private[graft] val translitCorpus: Seq[(String, String, String)] =
     (for ((m, sql) <- Seq("m21" -> m21Sql, "m22" -> m22Sql, "m23" -> m23Sql);
           d <- Seq("mysql", "bigquery", "oracle"))
-      yield (s"${m}_translit_$d", d, sql)) :+
-      (("m37_translit_oracle", "oracle", m37Sql))
+      yield (s"${m}_translit_$d", d, sql)) ++
+      Seq(("m37_translit_oracle", "oracle", m37Sql)) ++
+      // round-14: the graduated trio's rule-coverage probes (see m39Sql)
+      Seq("clickhouse", "snowflake", "mssql").map(d =>
+        (s"m39_translit_$d", d, m39Sql))
 
   def pgUnparseQueries: Map[String, (SparkSession, String) => DataFrame] =
     (crossCorpus ++ translitCorpus).map { case (n, _, sql) =>

@@ -43,8 +43,25 @@ class TransliterateSpec extends AnyFunSuite {
     "oracle BINARY_DOUBLE type" -> raw"\bBINARY_DOUBLE\b".r,
     "oracle dual table" -> raw"\bFROM dual\b".r,
     "mysql SIGNED cast" -> raw"\bSIGNED\b".r,
+    "mysql char_length (DuckDB spells it length)" -> raw"\bchar_length\(".r,
     "googlesql FLOAT64" -> raw"\bFLOAT64\b".r,
-    "googlesql INT64" -> raw"\bINT64\b".r)
+    "googlesql INT64" -> raw"\bINT64\b".r,
+    "clickhouse date ctor" -> raw"\btoDate32\(".r,
+    "clickhouse ts ctor" -> raw"\btoDateTime64\(".r,
+    "clickhouse Int64 type" -> raw"\bInt64\b".r,
+    "clickhouse Int32 type" -> raw"\bInt32\b".r,
+    "clickhouse Float64 type" -> raw"\bFloat64\b".r,
+    "clickhouse Date32 type" -> raw"\bDate32\b".r,
+    "clickhouse LEFT SEMI/ANTI join" -> raw"\bLEFT (SEMI|ANTI) JOIN\b".r,
+    "snowflake TIMESTAMP_NTZ type" -> raw"\bTIMESTAMP_NTZ\b".r,
+    "snowflake/clickhouse startswith spellings" ->
+      raw"\b(STARTSWITH|startsWith)\(".r,
+    "t-sql DATEADD" -> raw"\bDATEADD\(".r,
+    "t-sql CHARINDEX" -> raw"\bCHARINDEX\(".r,
+    "t-sql LEN()" -> raw"\bLEN\(".r,
+    "t-sql NVARCHAR" -> raw"\bNVARCHAR\b".r,
+    "t-sql DATETIME2" -> raw"\bDATETIME2\b".r,
+    "t-sql FETCH NEXT limit" -> raw"FETCH NEXT".r)
 
   test("every probe: soundness precondition + residual equality + clean copy") {
     rendered.foreach { case (n, d, orig) =>
@@ -71,7 +88,8 @@ class TransliterateSpec extends AnyFunSuite {
         val copy = Transliterate(d, orig)
         val back = d match {
           case "mysql" =>
-            copy.replace("AS BIGINT", "AS SIGNED").replace('"', '`')
+            copy.replace("AS BIGINT", "AS SIGNED")
+              .replaceAll(raw"\blength\(", "char_length(").replace('"', '`')
           case "bigquery" =>
             copy.replaceAll(raw"\bDOUBLE\b", "FLOAT64")
               .replaceAll(raw"\bBIGINT\b", "INT64").replace('"', '`')
@@ -80,9 +98,27 @@ class TransliterateSpec extends AnyFunSuite {
     }
   }
 
+  // the TPC-H renderings × every translit dialect (computed once: feeds both
+  // the rule-coverage and the breadth tests)
+  private lazy val tpchRendered: Seq[(String, String, String)] = {
+    import graft.queries.TpcH
+    val tpchSession =
+      graft.GraftEngine.deployOnDir(spark, TpcH.manifest, TestSpark.sfDir)
+    val out = for ((n, (_, sql)) <- TpcH.defs.toSeq;
+                   d <- Transliterate.rules.keySet.toSeq.sorted
+                   if !TpcH.translitSkip((n, d)))
+      yield (s"${n}_translit_$d", d, tpchSession.transformSql(sql, d))
+    // redeploy the semantic fixture so suites sharing the session are unaffected
+    graft.GraftEngine.deployOnDir(spark, Semantic.manifest, TestSpark.sfDir)
+    out
+  }
+
   test("the adjudicated rewrite set is fully exercised across the probes") {
     val fired = scala.collection.mutable.Set.empty[(String, String)]
-    rendered.foreach { case (_, d, orig) =>
+    // coverage counts the m-corpus probes AND the TPC-H breadth renderings —
+    // several rules (char_length, DATEADD, CHARINDEX, semi/anti) only occur
+    // in TPC-H shapes
+    (rendered ++ tpchRendered).foreach { case (_, d, orig) =>
       Transliterate.rules(d).foreach { r =>
         if (r.source.findFirstIn(orig).isDefined) fired += ((d, r.label))
       }
@@ -103,29 +139,32 @@ class TransliterateSpec extends AnyFunSuite {
       "m37 no longer renders a VARCHAR2 cast — the varchar2 rewrite would go unexercised")
   }
 
-  test("tpch translit breadth pin: 65 combos entried, each renders clean") {
+  test("tpch translit breadth pin: 132 combos entried, each renders clean") {
     import graft.queries.TpcH
     val keys = TpcH.translitQueries.keySet
-    assert(keys.size == 65, s"expected 65 tpch translit entries, got ${keys.size}")
-    assert(!keys.contains("tpch_q20_translit_mysql"),
-      "q20/mysql is the documented char_length skip")
-    assert(TpcH.translitSkip == Set(("tpch_q20", "mysql")),
-      "skip set drifted — re-run the TpchTranslitDump pre-flight before widening it")
-    // every entried combo must render, transliterate, and survive the
-    // DuckDB-clean lint (a rendering change that leaks a trio spelling the
-    // map doesn't cover fails HERE, before the driver gate sees it)
-    val tpchSession =
-      graft.GraftEngine.deployOnDir(spark, TpcH.manifest, TestSpark.sfDir)
-    for ((n, (_, sql)) <- TpcH.defs; d <- Seq("mysql", "bigquery", "oracle")
-         if !TpcH.translitSkip((n, d))) {
-      val copy = Transliterate(d, tpchSession.transformSql(sql, d))
+    assert(keys.size == 132,
+      s"expected 132 tpch translit entries (22 x 6 dialects), got ${keys.size}")
+    assert(TpcH.translitSkip.isEmpty,
+      "skip set drifted from EMPTY — re-run tools/translit_preflight.py " +
+        "before widening it (q20/mysql closed round 14 via char_length rule)")
+    // every entried combo must render, transliterate, survive the residual
+    // proofs of its dialect's rules, and pass the DuckDB-clean lint (a
+    // rendering change that leaks a dialect spelling the map doesn't cover
+    // fails HERE, before the driver gate sees it)
+    tpchRendered.foreach { case (name, d, orig) =>
+      for (r <- Transliterate.rules(d); t <- r.target)
+        assert(t.findFirstIn(orig).isEmpty,
+          s"$name: original already contains RHS spelling '${r.label}' — " +
+            "residual proof unsound")
+      val copy = Transliterate(d, orig)
+      assert(Transliterate.residualSource(d, orig) ==
+        Transliterate.residualTarget(d, copy),
+        s"$name: transliteration changed more than the pinned spellings")
       val t = DialectLint.stripLiterals(copy)
       for ((label, re) <- duckForbidden; m <- re.findFirstMatchIn(t))
-        fail(s"${n}_translit_$d: copy carries $label at …${t.slice(
+        fail(s"$name: copy carries $label at …${t.slice(
           math.max(0, m.start - 30), m.end + 30)}…")
     }
-    // redeploy the semantic fixture so suites sharing the session are unaffected
-    graft.GraftEngine.deployOnDir(spark, Semantic.manifest, TestSpark.sfDir)
   }
 
   test("unsupported dialects are refused, not silently passed through") {

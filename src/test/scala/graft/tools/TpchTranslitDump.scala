@@ -26,7 +26,9 @@ object TpchTranslitDump {
     new java.io.File(outDir).mkdirs()
     val session = GraftEngine.deployOnDir(spark, TpcH.manifest, sfDir)
     val sources = TpcH.defs.map { case (n, (_, sql)) => (n, sql) }
-    for ((n, sql) <- sources; d <- Seq("mysql", "bigquery", "oracle")) {
+    for ((n, sql) <- sources;
+         d <- Seq("mysql", "bigquery", "oracle",
+           "clickhouse", "snowflake", "mssql")) {
       try {
         val text = session.transformSql(sql, d)
         java.nio.file.Files.writeString(
