@@ -89,6 +89,34 @@ object GraphOps {
     rank.select(col("id"), col("rank"))
   }
 
+  /** Persist `edges` as a parquet table BUCKETED (and sorted) BY `src`, and
+    * return the bucketed scan — the cluster deployment the [[rankLoop]]
+    * scaladoc prescribes: with the edge side pre-hashed into `buckets` files
+    * per the join key, the per-iteration rank⋈edges join plans NO exchange on
+    * the edge side (Spark's bucketed-join rule recognizes the scan's
+    * HashPartitioning) — only the rank rows (one long per node) move per
+    * round, never the edge list. Choose `buckets` ≈ the shuffle partition
+    * count so the rank side hashes straight into alignment. Pass the result
+    * to [[pageRank]]/[[trustRank]] in place of the raw edge frame; the 10×
+    * measured drop is a GraphErScaleSmoke row. `path` puts the table at an
+    * external location (omit for the session warehouse).
+    */
+  def bucketEdges(
+      edges: DataFrame, buckets: Int,
+      table: String = "graft_edges_bucketed",
+      path: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    require(buckets > 0, "buckets must be > 0")
+    val w0 = edges.select(col("src"), col("dst"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+    // overwrite of an existing EXTERNAL table keeps the old location: drop
+    // first so a path change cannot silently write to the stale directory
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    path.fold(w0)(p => w0.option("path", p)).saveAsTable(table)
+    spark.table(table)
+  }
+
   private def persisted(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -116,7 +116,62 @@ object GraphErScaleSmoke {
       row
     }
 
-    val json = results.map(_.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    // ---- bucketed-edge probe (round-14 stretch): rankLoop's scaladoc
+    // prescribes bucket-by-src edges on clusters so per-iteration shuffles
+    // move only rank rows. Measure it: pageRank over the 10× interaction
+    // graph, flat parquet vs GraphOps.bucketEdges, with broadcast disabled —
+    // at 100 TB the rank side (one row per node) outgrows any broadcast
+    // threshold, and THAT regime is where the edge-side exchange per
+    // iteration is the bill. Same iterations, same data; the delta is the
+    // edge list not moving.
+    val bucketRows = {
+      import graft.operators.GraphOps
+      val b = graft.queries.Relational.normalizeEventTs(
+        spark.read.parquet(s"$ev10/events.parquet"))
+        .select(col("user_id"), col("event_type"),
+          date_trunc("hour", expr("timestamp_micros(ts div 1000)")).alias("h"))
+      val hub = b.groupBy("event_type", "h").agg(min("user_id").alias("hub"))
+      val edges = b.join(hub, Seq("event_type", "h"))
+        .filter(col("user_id") =!= col("hub"))
+        .select(col("user_id").alias("src"), col("hub").alias("dst")).distinct()
+      edges.write.parquet(s"$work/edges_flat")
+      val flat = spark.read.parquet(s"$work/edges_flat")
+      val bucketed = GraphOps.bucketEdges(flat, 32,
+        table = "graft_smoke_edges", path = Some(s"$work/edges_bucketed"))
+      def probe(label: String, e: DataFrame): Map[String, String] = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try {
+          var best = Double.MaxValue; var shuffle = 0L; var rows = 0L
+          for (_ <- 0 to runs) { // extra first pass = warm, still measured-best
+            spark.catalog.clearCache()
+            meter.reset()
+            val t0 = System.nanoTime()
+            rows = GraphOps.pageRank(e, iterations = 4).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+            if (dt < best) { best = dt; shuffle = meter.total.get }
+          }
+          Map("query" -> s"g1_rankloop_10x[$label]", "t10_sec" -> f"$best%.2f",
+            "rows10" -> rows.toString, "shuffle10_mb" -> mb(shuffle))
+        } finally {
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
+      val f = probe("flat_edges", flat)
+      val bk = probe("bucketed_by_src", bucketed)
+      val dropPct =
+        100.0 * (1 - bk("shuffle10_mb").toDouble / f("shuffle10_mb").toDouble)
+      println(s"[scale] bucketEdges probe 10x (broadcast off, 4 iters): " +
+        s"flat ${f("shuffle10_mb")} MB / ${f("t10_sec")}s -> bucketed " +
+        s"${bk("shuffle10_mb")} MB / ${bk("t10_sec")}s " +
+        f"(iteration shuffle -$dropPct%.0f%%)")
+      spark.sql("DROP TABLE IF EXISTS `graft_smoke_edges`")
+      Seq(f, bk)
+    }
+
+    val json = (results ++ bucketRows).map(_.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(

@@ -186,7 +186,44 @@ object SemanticScaleSmoke {
       }
     }
 
-    val json = (results ++ results30).map(r => r.map { case (k, v) =>
+    // ---- 100× fourth decade (round-14 #5) ----------------------------------
+    // The 10×→30× per-partition-flat claim PREDICTS 100× behaves; this
+    // measures it once so the 1000-executor extrapolation has three decades
+    // under it. Partitions scale with the data (32 → 320, the constant
+    // rows-per-partition protocol); the claim is the same: peak-stage bytes
+    // PER PARTITION flat, join mix stable. Gated behind an env flag — the
+    // corpus write alone is ~6 GB — run once per round:
+    //   SPARK_GRAFT_SCALE_100X=1 sbt "runMain graft.tools.SemanticScaleSmoke"
+    val results100 = if (sys.env.get("SPARK_GRAFT_SCALE_100X").contains("1")) {
+      val x100 = synth("x100", 10 * copies)
+      Seq("tpch_q18", "tpch_q21").map { name =>
+        val (t10, r10, s10, p10) = timed(name, x10)
+        spark.conf.set("spark.sql.shuffle.partitions", "320")
+        val (t100, r100, s100, p100, mix100) =
+          try {
+            val (t, r, s, p) = timed(name, x100)
+            (t, r, s, p, joinMix(name, x100))
+          } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val row = Map(
+          "query" -> s"$name[10x/32p -> 100x/320p]",
+          "t1_sec" -> f"$t10%.2f", "t10_sec" -> f"$t100%.2f",
+          "wall_factor" -> f"${t100 / t10}%.1f",
+          "rows1" -> r10.toString, "rows10" -> r100.toString,
+          "shuffle1_mb" -> mb(s10), "shuffle10_mb" -> mb(s100),
+          "peak_stage1_mb" -> mb(p10), "peak_stage10_mb" -> mb(p100),
+          "peak_per_part1_mb" -> mb(p10 / 32), "peak_per_part10_mb" -> mb(p100 / 320),
+          "shuffle_factor" -> (if (s10 > 0) f"${s100.toDouble / s10}%.1f" else "-"),
+          "join_mix1" -> "-", "join_mix10" -> mix100)
+        println(s"[semscale] ${row("query")} 10x=${row("t1_sec")}s " +
+          s"100x=${row("t10_sec")}s factor=${row("wall_factor")} " +
+          s"rows ${r10}->${r100} shuffle ${row("shuffle1_mb")}->" +
+          s"${row("shuffle10_mb")} MB peak/part ${row("peak_per_part1_mb")}->" +
+          s"${row("peak_per_part10_mb")} MB joins@100x ${mix100}")
+        row
+      }
+    } else Nil
+
+    val json = (results ++ results30 ++ results100).map(r => r.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
       .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
     java.nio.file.Files.write(

@@ -173,6 +173,42 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketEdges: identical ranks, and the edge side plans no exchange") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 4L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+    val bucketed = GraphOps.bucketEdges(edges.toDF("src", "dst"), 4,
+      table = "graft_spec_edges", path = Some(s"$tmp/edges"))
+    try {
+      // bit-identical ranks through the bucketed path
+      val want = run(edges)
+      val got = GraphOps.pageRank(bucketed, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+      // the prescribed cluster shape: with broadcast off (the 100 TB regime),
+      // the src-keyed join reads the bucketed scan's HashPartitioning and
+      // plans NO exchange on the edge side — only rank rows move
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val rank = Seq((1L, 1L), (2L, 1L)).toDF("src", "rank")
+        val plan = bucketed.join(rank, Seq("src"))
+          .queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+        assert(exchanges === 1,
+          s"expected ONE exchange (the rank side only), got $exchanges:\n$plan")
+        assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+          s"edge side lost its bucketed scan:\n$plan")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `graft_spec_edges`")
+      graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
   test("reliable checkpoint mode produces identical ranks") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt_").toString
