@@ -57,18 +57,23 @@ object GraphEr {
     * as id+500000 with its name's 4th character dropped (edit distance 1), the
     * d10 planted-copy pattern. Both engines build the identical record set.
     */
-  private def erRecords(s: SparkSession, dir: String): DataFrame = {
-    // The typo-id offset (+500000) and the er3 dirty/catalog split both assume
-    // doc_id < 500000; a fixture grown past that would silently collide typo
-    // ids with real records IN BOTH ENGINES (so the oracle could not catch
-    // it). The guard is inline in the name expression — distributed, no extra
-    // scan — and raises loudly the first time a violating row is evaluated.
-    val base = docs(s, dir).select(col("doc_id").alias("id"),
+  private def erRecords(
+      s: SparkSession, dir: String, guardSplit: Boolean = false): DataFrame = {
+    // The er3 dirty/catalog SPLIT assumes base doc_id < 500000; a gate fixture
+    // grown past that would silently misclassify rows IN BOTH ENGINES (so the
+    // oracle could not catch it) — er3 passes guardSplit = true and the guard
+    // raises loudly, inline in the name expression (distributed, no extra
+    // scan). The other er queries take no split: for them a base id >= 500000
+    // merely aliases a typo id, identically in both engines — and the scale
+    // smoke's synthetic 10x corpora (ids to ~9M) rely on exactly that, so the
+    // guard must NOT apply there.
+    val base0 = docs(s, dir).select(col("doc_id").alias("id"),
       concat_ws(" ", slice(Dedup.wordsArray(col("text")), 1, 6)).alias("name"))
-      .withColumn("name", when(col("id") < 500000L, col("name"))
+    val base = if (!guardSplit) base0 else
+      base0.withColumn("name", when(col("id") < 500000L, col("name"))
         .otherwise(raise_error(lit(
-          "erRecords: doc_id >= 500000 collides with the typo-id offset — " +
-            "raise the offset before growing the fixture"))))
+          "erRecords: doc_id >= 500000 breaks er3's dirty/catalog split — " +
+            "raise the offset before growing the gate fixture"))))
     val typos = base.filter(col("id") % 20 === 0 && length(col("name")) >= 8)
       .select((col("id") + 500000).alias("id"),
         concat(substring(col("name"), 1, 3), expr("substr(name, 5)")).alias("name"))
@@ -206,7 +211,7 @@ object GraphEr {
     // the catalog; blocking keys are capped by COMBINED side frequency. Every
     // typo links to its source (distance 1) and to the source's exact twins.
     "er3_fuzzy_link" -> (((s: SparkSession, dir: String) => {
-      val recs = erRecords(s, dir)
+      val recs = erRecords(s, dir, guardSplit = true)
       EntityResolution.blockedFuzzyJoin(
           recs.filter(col("id") >= 500000), recs.filter(col("id") < 500000),
           "name", "id", maxDist = 2, maxBlock = 500)
