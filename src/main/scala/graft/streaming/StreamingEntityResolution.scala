@@ -108,8 +108,14 @@ object StreamingEntityResolution {
             // snapped eagerly so (a) it no longer references `in`/`tagged`
             // (unpersisted below) and (b) lineage depth stays O(1) over the
             // stream's lifetime; the superseded snapshot is reclaimed by the
-            // ContextCleaner once unreferenced
-            catalogCache = Some(catalog.union(fresh).localCheckpoint())
+            // ContextCleaner once unreferenced. COALESCE to a fixed partition
+            // count first — union CONCATENATES partition lists, so without it
+            // the carried frame gains the join's ~32 partitions per batch and
+            // per-trigger task overhead grows linearly with stream age
+            // (measured: flatness 3.2 at 100 batches from exactly this; the
+            // coalesce is narrow — no shuffle of the entity rows)
+            val parts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+            catalogCache = Some(catalog.union(fresh).coalesce(parts).localCheckpoint())
           } finally tagged.unpersist()
         } finally in.unpersist()
       }
