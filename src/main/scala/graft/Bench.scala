@@ -64,7 +64,10 @@ object Bench {
     val sentinelFn = SparkEntry.queries("tpch_q6")
     // steady-state the sentinel's plan before the baseline reading: a
     // JIT-warming session-start reading sits ~2x above the settled value and
-    // would halve the contamination rule's sensitivity for the whole run
+    // would halve the contamination rule's sensitivity for the whole run.
+    // (Known cost: tpch_q6's own COLD reading is sacrificed — it enters the
+    // cold pass pre-warmed. One scan-agg query out of the 27 first-of-family
+    // entries the cold-start adjudication tracks; accepted.)
     (1 to 3).foreach(_ => once(sentinelFn))
     def sentinelRead(): Double = {
       val ws = Seq.fill(3)(once(sentinelFn)).collect { case Right(w) => w }

@@ -93,9 +93,20 @@ private[graft] final class LruCache[K, V](capacity: Int) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
       size > capacity
   }
-  def get(k: K): V = m.synchronized(m.get(k))
+  private var hitN = 0L
+  private var missN = 0L
+  def get(k: K): V = m.synchronized {
+    val v = m.get(k)
+    if (v == null) missN += 1 else hitN += 1
+    v
+  }
   def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
   def size: Int = m.synchronized(m.size)
+  /** (hits, misses) since construction/reset — the plan-cache hit-rate
+    * evidence PlanProfile reports (round-14 planning-drift adjudication).
+    */
+  def stats: (Long, Long) = m.synchronized((hitN, missN))
+  def resetStats(): Unit = m.synchronized { hitN = 0L; missN = 0L }
 }
 
 object GraftSession {
@@ -250,6 +261,10 @@ final class GraftSession(
       optimized: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
 
   private val planCache = new LruCache[(String, Option[Int], String), CachedPlan](256)
+
+  /** (hits, misses) of the per-session plan cache — PlanProfile evidence. */
+  def planCacheStats: (Long, Long) = planCache.stats
+  def resetPlanCacheStats(): Unit = planCache.resetStats()
 
   /** False when any expression (subqueries included) is non-deterministic or bound
     * to query-submission time — the set the optimizer's ComputeCurrentTime /
