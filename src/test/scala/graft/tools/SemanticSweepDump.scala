@@ -32,7 +32,9 @@ object SemanticSweepDump {
     // live-text four — widens structural execution of model expansion ×
     // governance to mysql/bigquery/oracle (residual proof: TransliterateSpec)
     def dumpTranslit(sess: graft.GraftSession, seed: Int, sql: String): Unit =
-      for (d <- Seq("mysql", "bigquery", "oracle")) {
+      for (d <- Seq("mysql", "bigquery", "oracle",
+        // round 14: the graduated-subset trio joins the transliterated sweep
+        "clickhouse", "snowflake", "mssql")) {
         try {
           val text = sess.transformSql(sql, d)
           java.nio.file.Files.writeString(

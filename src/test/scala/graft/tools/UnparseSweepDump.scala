@@ -49,7 +49,11 @@ object UnparseSweepDump {
       // classified explicitly by tools/unparse_sweep.py, never silently)
       for ((dname, d) <- Seq("mysql" -> SqlUnparser.MySqlDialect,
           "bigquery" -> SqlUnparser.BigQueryDialect,
-          "oracle" -> SqlUnparser.OracleDialect)) {
+          "oracle" -> SqlUnparser.OracleDialect,
+          // round 14: the graduated-subset trio joins the transliterated sweep
+          "clickhouse" -> SqlUnparser.ClickHouseDialect,
+          "snowflake" -> SqlUnparser.SnowflakeDialect,
+          "mssql" -> SqlUnparser.MsSqlDialect)) {
         val rendered =
           try Some(SqlUnparser.unparse(optimized, df.columns.toIndexedSeq, d))
           catch { case _: Exception => None } // loud refusals stay refusals

@@ -72,7 +72,8 @@ def compare(sdf, ddf):
 
 
 DIALECTS = ("duckdb", "postgres", "trino", "redshift",
-            "mysql_translit", "bigquery_translit", "oracle_translit")
+            "mysql_translit", "bigquery_translit", "oracle_translit",
+            "clickhouse_translit", "snowflake_translit", "mssql_translit")
 results = {d: {"pass": 0, "fail": 0, "not_duckdb_expressible": 0,
                "refused": 0} for d in DIALECTS}
 failures = []
@@ -121,6 +122,21 @@ for seed in range(SEEDS):
                 "oracle_translit": (r"\btrunc\(", r"\bto_char\(", r"\blistagg\(",
                     r"\bsubstr\(", r"\bmod\(", r"\bregexp_like\(",
                     r"\bregexp_replace\("),
+                # round-14: the graduated-subset trio (same taxonomy; see
+                # tools/unparse_sweep.py for per-class rationales)
+                "clickhouse_translit": (
+                    r"\bmatch\(", r"\breplaceregexpall\(", r"\bstddevsamp\(",
+                    r"\bmodulo\(", r"\bintdiv\(", r"\\\\_x",
+                    r"\bsplitbystring\(", r"\btodayofweek\(", r"\bhex\(md5\(",
+                    r"\barrayjoin\("),
+                "snowflake_translit": (
+                    r"\bregexp_instr\(", r"\bregexp_replace\(", r"within group",
+                    r"\bdateadd\(", r"\bposition\(", r"escape '\\\\'"),
+                "mssql_translit": (
+                    r"\bcharindex\(", r"\bdateadd\(", r"\bstdev\(",
+                    r"\bstdevp\(", r"\bstring_agg\(", r"\blog\(",
+                    r"\bconvert\(", r"\bhashbytes\(", r"\bdatetrunc\(",
+                    r"\[\[\]", r"escape '\\\\'"),
             }
             if any(_re.search(p, low) for p in TRIO_SKIP[dialect]):
                 results[dialect]["not_duckdb_expressible"] += 1

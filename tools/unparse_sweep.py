@@ -74,7 +74,8 @@ def compare(sdf, ddf):
 
 
 DIALECTS = ("duckdb", "postgres", "trino", "redshift",
-            "mysql_translit", "bigquery_translit", "oracle_translit")
+            "mysql_translit", "bigquery_translit", "oracle_translit",
+            "clickhouse_translit", "snowflake_translit", "mssql_translit")
 results = {d: {"pass": 0, "fail": 0, "not_duckdb_expressible": 0,
                "refused": 0} for d in DIALECTS}
 failures = []
@@ -111,6 +112,37 @@ for seed in range(SEEDS):
                 "oracle_translit": (r"\btrunc\(", r"\bto_char\(", r"\blistagg\(",
                     r"\bsubstr\(", r"\bmod\(", r"\bregexp_like\(",
                     r"\bregexp_replace\("),
+                # round-14: the graduated-subset trio at grammar breadth.
+                # Same contract — function-grammar spellings the map
+                # deliberately does not touch (the map covers type/quote/
+                # constructor spellings only), each correct or faithful for
+                # ITS engine, recorded explicitly:
+                "clickhouse_translit": (
+                    r"\bmatch\(",            # RE2 partial-match predicate
+                    r"\breplaceregexpall\(", # global regex replace
+                    r"\bstddevsamp\(",       # camelCase stat spellings
+                    r"\bmodulo\(", r"\bintdiv\(",
+                    r"\\\\_x",                # backslash-default LIKE escape:
+                                             # DuckDB reads the backslash literally
+                    r"\bsplitbystring\(", r"\btodayofweek\(",
+                    r"\bhex\(md5\("),        # DuckDB md5() is already hex text
+                "snowflake_translit": (
+                    r"\bregexp_instr\(",     # partial-match predicate spelling
+                    r"\bregexp_replace\(",   # global there, first-match here
+                    r"within group",         # ANSI listagg
+                    r"\bdateadd\(",          # non-literal-day forms stay native
+                    r"\bposition\(",         # needle-first argument order
+                    r"escape '\\\\'"),        # doubled-backslash ESCAPE literal
+                "mssql_translit": (
+                    r"\bcharindex\(",        # non-literal-needle forms
+                    r"\bdateadd\(",
+                    r"\bstdev\(", r"\bstdevp\(",  # T-SQL stat spellings
+                    r"\bstring_agg\(",       # WITHIN GROUP string agg
+                    r"\blog\(",              # T-SQL LOG is ln; DuckDB log is log10
+                    r"\bconvert\(", r"\bhashbytes\(",
+                    r"\bdatetrunc\(",        # keyword-unit 2022 spelling
+                    r"\[\[\]",               # [ class-escape in LIKE patterns
+                    r"escape '\\\\'"),
             }
             if any(_re.search(p, low) for p in TRIO_SKIP[dialect]):
                 results[dialect]["not_duckdb_expressible"] += 1
