@@ -128,14 +128,18 @@ for seed in range(SEEDS):
                     r"\bmatch\(", r"\breplaceregexpall\(", r"\bstddevsamp\(",
                     r"\bmodulo\(", r"\bintdiv\(", r"\\\\_x",
                     r"\bsplitbystring\(", r"\btodayofweek\(", r"\bhex\(md5\(",
-                    r"\barrayjoin\("),
+                    r"\barrayjoin\(", r"\bnullable\(",
+                    r"\bbitand\(", r"\bbitor\(", r"\bbitshift"),
                 "snowflake_translit": (
                     r"\bregexp_instr\(", r"\bregexp_replace\(", r"within group",
-                    r"\bdateadd\(", r"\bposition\(", r"escape '\\\\'"),
+                    r"\bdateadd\(", r"\bposition\(",
+                    r"\bbitand\(", r"\bbitor\(", r"\bbitshift",
+                    r"escape '\\\\'"),
                 "mssql_translit": (
                     r"\bcharindex\(", r"\bdateadd\(", r"\bstdev\(",
                     r"\bstdevp\(", r"\bstring_agg\(", r"\blog\(",
                     r"\bconvert\(", r"\bhashbytes\(", r"\bdatetrunc\(",
+                    r"\bright_shift\(", r"\bleft_shift\(",
                     r"\[\[\]", r"escape '\\\\'"),
             }
             if any(_re.search(p, low) for p in TRIO_SKIP[dialect]):

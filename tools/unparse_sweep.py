@@ -125,13 +125,16 @@ for seed in range(SEEDS):
                     r"\\\\_x",                # backslash-default LIKE escape:
                                              # DuckDB reads the backslash literally
                     r"\bsplitbystring\(", r"\btodayofweek\(",
-                    r"\bhex\(md5\("),        # DuckDB md5() is already hex text
+                    r"\bhex\(md5\(",        # DuckDB md5() is already hex text
+                    r"\bnullable\(",         # Nullable(T) cast targets
+                    r"\bbitand\(", r"\bbitor\(", r"\bbitshift"),
                 "snowflake_translit": (
                     r"\bregexp_instr\(",     # partial-match predicate spelling
                     r"\bregexp_replace\(",   # global there, first-match here
                     r"within group",         # ANSI listagg
                     r"\bdateadd\(",          # non-literal-day forms stay native
                     r"\bposition\(",         # needle-first argument order
+                    r"\bbitand\(", r"\bbitor\(", r"\bbitshift",
                     r"escape '\\\\'"),        # doubled-backslash ESCAPE literal
                 "mssql_translit": (
                     r"\bcharindex\(",        # non-literal-needle forms
@@ -141,6 +144,7 @@ for seed in range(SEEDS):
                     r"\blog\(",              # T-SQL LOG is ln; DuckDB log is log10
                     r"\bconvert\(", r"\bhashbytes\(",
                     r"\bdatetrunc\(",        # keyword-unit 2022 spelling
+                    r"\bright_shift\(", r"\bleft_shift\(",  # SQL Server 2022 bit fns
                     r"\[\[\]",               # [ class-escape in LIKE patterns
                     r"escape '\\\\'"),
             }
