@@ -12,7 +12,8 @@ import graft.mdl.{ProjectConvert, YamlProject}
   *   init   [--from-mdl m.json] [--force] [--empty]   scaffold / import
   *   generate --from <parquetDir|jdbc:url>            draft a project from an
   *            [--catalog c] [--schema s]              existing source (models,
-  *            [--probe-rows N] [--force]              PK candidates, suggested
+  *            [--probe-rows N] [--probe-mb N]         PK candidates, suggested
+  *            [--force]
   *                                                    relationships — the
   *                                                    reference's
   *                                                    wren-generate-mdl flow)
@@ -126,11 +127,12 @@ object ContextCli {
       case "generate" =>
         val from = opt("from").getOrElse(throw new IllegalArgumentException(
           "usage: generate --from <parquetDir|jdbc:url> [--path out] " +
-            "[--catalog c] [--schema s] [--probe-rows N] [--force]"))
+            "[--catalog c] [--schema s] [--probe-rows N|--probe-mb N] [--force]"))
         val projectPath = Paths.get(opt("path").getOrElse("."))
         val catalog = opt("catalog").getOrElse("graft")
         val schemaNs = opt("schema").getOrElse("draft")
         val probeRows = opt("probe-rows").map(_.toLong).getOrElse(1000000L)
+        val probeBytes = opt("probe-mb").map(_.toLong << 20).getOrElse(256L << 20)
         val spark = org.apache.spark.sql.SparkSession.builder()
           .appName("graft-generate-mdl").master("local[8]")
           .config("spark.sql.shuffle.partitions", 8)
@@ -143,7 +145,7 @@ object ContextCli {
             graft.mdl.GenerateMdl.fromJdbc(spark, from,
               catalog = catalog, schema = schemaNs, probeRows = probeRows)
           else graft.mdl.GenerateMdl.fromParquetDir(spark, from,
-            catalog, schemaNs, probeRows)
+            catalog, schemaNs, probeBytes)
         val mdlJson = org.json4s.jackson.JsonMethods.compact(
           org.json4s.jackson.JsonMethods.render(
             graft.mdl.ManifestJson.toJValue(draft.manifest)))

@@ -106,6 +106,53 @@ class GenerateMdlSpec extends AnyFunSuite {
     graft.util.Fs.deleteTree(tmp)
   }
 
+  test("fromJdbc: DECLARED constraints win — PK overrides probe, FKs become edges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_genfk_").toString
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // PK on CODE, not ID: at two rows BOTH columns probe unique, and ID
+      // outranks CODE on the name heuristic — only the declared key picks CODE
+      st.executeUpdate("CREATE TABLE DEPT (" +
+        "ID INT, CODE INT NOT NULL PRIMARY KEY, TITLE VARCHAR(20))")
+      // FK column name shares no stem with the referenced key: the inference
+      // fallback can NEVER suggest this edge — only the declared FK can
+      st.executeUpdate("CREATE TABLE EMP (" +
+        "EMP_ID INT NOT NULL PRIMARY KEY, HOME INT REFERENCES DEPT (CODE), " +
+        "NAME VARCHAR(20))")
+      // composite FK: must surface as a note, never a half-imported edge
+      st.executeUpdate("CREATE TABLE PAIRREF (" +
+        "A INT NOT NULL, B INT NOT NULL, PRIMARY KEY (A, B))")
+      st.executeUpdate("CREATE TABLE USESPAIR (" +
+        "U_ID INT NOT NULL PRIMARY KEY, A INT, B INT, " +
+        "FOREIGN KEY (A, B) REFERENCES PAIRREF (A, B))")
+      st.executeUpdate("INSERT INTO DEPT VALUES (1, 10, 'eng'), (2, 20, 'ops')")
+      st.executeUpdate("INSERT INTO EMP VALUES (100, 10, 'ada'), (101, 10, 'bob')")
+      st.executeUpdate("INSERT INTO PAIRREF VALUES (1, 1)")
+      st.executeUpdate("INSERT INTO USESPAIR VALUES (7, 1, 1)")
+    } finally conn.close()
+
+    val d = GenerateMdl.fromJdbc(spark, url)
+    val m2 = d.manifest
+    assert(m2.model("DEPT").get.primaryKey === Some("CODE"),
+      "declared PK must override the name-heuristic probe pick (ID)")
+    assert(m2.model("DEPT").get.description.exists(_.contains("DECLARED")))
+    assert(m2.model("PAIRREF").get.primaryKey === None,
+      "composite declared PK stays unset")
+    assert(d.notes.exists(n => n.contains("PAIRREF") && n.contains("composite")))
+    val fk = m2.relationship("EMP_DEPT")
+    assert(fk.isDefined, s"declared FK edge missing: ${m2.relationships}")
+    assert(fk.get.condition === "\"EMP\".\"HOME\" = \"DEPT\".\"CODE\"")
+    assert(fk.get.joinType === JoinType.ManyToOne,
+      "HOME is non-unique in the data (two rows share 10) — many-to-one")
+    assert(d.notes.exists(n => n.contains("USESPAIR") && n.contains("composite")),
+      "composite FK must surface as a note")
+    assert(!m2.relationships.exists(_.models.contains("USESPAIR")),
+      "composite FK must not become a half-imported edge")
+    graft.util.Fs.deleteTree(tmp)
+  }
+
   test("CLI generate writes a project that validates and builds back to the draft") {
     val out = java.nio.file.Files.createTempDirectory("graft_genctx_")
     val msg = graft.api.ContextCli.run(Seq("generate",
