@@ -55,8 +55,8 @@ object Bench {
     //  - a fixed SENTINEL (tpch_q6: one scan+filter+agg, sub-second, plan
     //    unchanged for 10 rounds) is re-timed (median of 3) between every
     //    phase; a phase whose bracketing sentinel readings drift >2x from the
-    //    session-start reading is stamped `contaminated` — comparisons must
-    //    skip it (BENCH_TREND rule);
+    //    session MIN (the settled floor, retro-stamped at emit) is stamped
+    //    `contaminated` — comparisons must skip it (BENCH_TREND rule);
     //  - the environment is recorded (loadavg at start/end, cgroup cpu quota,
     //    actual driver heap) so a 8g-vs-90g or busy-box run is visible;
     //  - the driver heap default is PINNED in build.sbt (32g); a run that
@@ -69,12 +69,29 @@ object Bench {
     // cold pass pre-warmed. One scan-agg query out of the 27 first-of-family
     // entries the cold-start adjudication tracks; accepted.)
     (1 to 3).foreach(_ => once(sentinelFn))
-    def sentinelRead(): Double = {
-      val ws = Seq.fill(3)(once(sentinelFn)).collect { case Right(w) => w }
-      if (ws.isEmpty) -1.0 else ws.sorted.apply(ws.size / 2)
+    // SPARK_GRAFT_SYNTH_STALL=<label>: burn every core for the duration of
+    // that labeled sentinel reading — a proof harness for the contamination
+    // stamp (r15 #2: the rule must demonstrably catch the r14-style throttled
+    // phase). The driver never sets it.
+    val synthStall = sys.env.get("SPARK_GRAFT_SYNTH_STALL")
+    def sentinelRead(label: String): Double = {
+      val burn = new java.util.concurrent.atomic.AtomicBoolean(
+        synthStall.contains(label))
+      val burners = if (burn.get) (1 to Runtime.getRuntime.availableProcessors)
+        .map { _ =>
+          val t = new Thread(() => {
+            var x = 1.0
+            while (burn.get) { x = math.sqrt(x + 1.0) }
+          })
+          t.setDaemon(true); t.start(); t
+        } else Nil
+      try {
+        val ws = Seq.fill(3)(once(sentinelFn)).collect { case Right(w) => w }
+        if (ws.isEmpty) -1.0 else ws.sorted.apply(ws.size / 2)
+      } finally { burn.set(false); burners.foreach(_.join(2000)) }
     }
     val sentinelReads = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    sentinelReads += ("start" -> sentinelRead())
+    sentinelReads += ("start" -> sentinelRead("start"))
     def readSys(p: String): Option[String] =
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), "UTF-8").trim)
@@ -107,14 +124,14 @@ object Bench {
     // queries instead of every sample of one.
     val colds: Map[String, Either[String, Double]] =
       qseq.map { case (n, fn) => n -> once(fn) }.toMap
-    sentinelReads += ("after_cold" -> sentinelRead())
+    sentinelReads += ("after_cold" -> sentinelRead("after_cold"))
     val warmSamples = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ListBuffer[Either[String, Double]]]
     for (_ <- 0 until warmRuns; (n, fn) <- qseq) {
       warmSamples.getOrElseUpdate(n,
         scala.collection.mutable.ListBuffer.empty) += once(fn)
     }
-    sentinelReads += ("after_warm" -> sentinelRead())
+    sentinelReads += ("after_warm" -> sentinelRead("after_warm"))
     // Drop accumulated storage memory before the isolated reruns: interleaving
     // keeps ~every query's persisted frames resident at once (sequential runs
     // let the ContextCleaner reclaim between queries), and measuring the rerun
@@ -151,7 +168,7 @@ object Bench {
       else name -> (firstPass.find(_._1 == name).get._2,
         firstPass.find(_._1 == name).get._3)
     }.toMap
-    sentinelReads += ("after_noisy" -> sentinelRead())
+    sentinelReads += ("after_noisy" -> sentinelRead("after_noisy"))
     val timed: Seq[(String, Option[Double], Double, Double)] =
       firstPass.map { case (name, med, spread) =>
         val (m, sp) = isolated.getOrElse(name, (med, spread))
@@ -212,7 +229,7 @@ object Bench {
     val tpchIsolatedTotal: Double = if (only.isEmpty) {
       val v = isolatedTotal(k => k.startsWith("tpch_") && !k.contains("_unparse") &&
         !k.contains("_translit"))
-      sentinelReads += ("after_iso_tpch" -> sentinelRead())
+      sentinelReads += ("after_iso_tpch" -> sentinelRead("after_iso_tpch"))
       v
     } else -1.0
     // the three suites whose co-scheduled totals have swung ±30% between
@@ -220,7 +237,7 @@ object Bench {
     // sentinel brackets each so a throttled phase is individually stamped
     def isolatedSuite(name: String, pick: String => Boolean): (String, Double) = {
       val v = isolatedTotal(pick)
-      sentinelReads += (s"after_iso_$name" -> sentinelRead())
+      sentinelReads += (s"after_iso_$name" -> sentinelRead(s"after_iso_$name"))
       name -> v
     }
     val isolatedSuites: Seq[(String, Double)] = if (only.isEmpty) Seq(
@@ -232,14 +249,25 @@ object Bench {
       // 1.7 s isolated in its first round) — isolated from day one
       isolatedSuite("graph_er", k => k.startsWith("er") || k.startsWith("g")))
     else Nil
-    // a phase is contaminated when EITHER bracketing sentinel reading drifts
-    // >2x from the session-start reading (throttling before a phase poisons
-    // it as surely as throttling during it)
+    // the baseline is the MIN of all session readings, retro-stamped at emit
+    // (r15 #2: the session-start reading still carries ~2.5x of JIT residue
+    // even after its warmups — r14's builder/driver runs disagreed 2x on warm
+    // totals yet both stamped clean because the >2x-of-start threshold
+    // tolerated phases at ~5x the settled sentinel). A phase is contaminated
+    // when EITHER bracketing reading drifts >2x from that settled floor
+    // (throttling before a phase poisons it as surely as throttling during
+    // it), or when either bracketing reading FAILED (non-positive — a failed
+    // reading is missing evidence, not evidence of cleanliness).
+    val settledSentinel: Double = {
+      val ok = sentinelReads.map(_._2).filter(_ > 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
     val contaminated: Seq[String] = {
-      val s0 = sentinelReads.head._2
-      if (s0 <= 0) Seq("all:sentinel_failed")
+      if (settledSentinel <= 0) Seq("all:sentinel_failed")
       else (1 until sentinelReads.size).collect {
-        case i if sentinelReads(i)._2 > 2 * s0 || sentinelReads(i - 1)._2 > 2 * s0 =>
+        case i if sentinelReads(i)._2 > 2 * settledSentinel ||
+            sentinelReads(i - 1)._2 > 2 * settledSentinel ||
+            sentinelReads(i)._2 <= 0 || sentinelReads(i - 1)._2 <= 0 =>
           sentinelReads(i)._1.stripPrefix("after_")
       }
     }
@@ -284,10 +312,19 @@ object Bench {
     val envJson = s"""{"loadavg_start":${jstr(loadStart)},""" +
       s""""loadavg_end":${jstr(loadEnd)},"cpu_quota":${jstr(cpuQuota)},""" +
       s""""heap_gb":${f3(heapGb)},"cpus":${Runtime.getRuntime.availableProcessors}}"""
+    // sentinel-relative per-query medians (median ÷ settled sentinel): box
+    // speed cancels, so builder/driver/judge runs on differently-loaded hosts
+    // compare apples-to-apples (BENCH_TREND's cross-run rule reads these)
+    val sentinelRelJson =
+      if (settledSentinel <= 0) "{}"
+      else timed.map { case (k, _, med, _) =>
+        s"\"" + k + "\":" + f3(med / settledSentinel) }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
       s""""sentinel":"tpch_q6","sentinel_sec":$sentinelJson,""" +
+      s""""sentinel_settled_sec":${f3(settledSentinel)},""" +
+      s""""sentinel_relative":$sentinelRelJson,""" +
       s""""contaminated_phases":$contaminatedJson,""" +
       s""""driver_mem_pinned":$memPinned,"env":$envJson,""" +
       s""""tpch_isolated_total":$tpchIsoStr,"isolated_suites":$isolatedSuitesJson,""" +
@@ -333,6 +370,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
       s""""sentinel_start_sec":${f3(sentinelReads.head._2)},""" +
+      s""""sentinel_settled_sec":${f3(settledSentinel)},""" +
       s""""contaminated_phases":$contaminatedJson,"driver_mem_pinned":$memPinned,""" +
       s""""load":${jstr(s"$loadStart -> $loadEnd")},""" +
       s""""tpch_isolated_total":$tpchIsoStr,"isolated_suites":$isolatedSuitesJson,""" +

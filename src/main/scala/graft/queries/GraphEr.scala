@@ -171,6 +171,24 @@ object GraphEr {
       Some(s"""${GraphOps.duckDbPageRank(duckEdges, iterations = 4, scale = 1000000000L)}
               |SELECT id AS user_id, rank FROM r4 ORDER BY user_id""".stripMargin))),
 
+    // g1 through the BUCKETED edge path (round-15 #7): the cluster shape the
+    // rankLoop scaladoc prescribes — edges persisted as a parquet table
+    // bucketed by src, so the per-iteration rank⋈edges join plans no exchange
+    // on the edge side (measured −84% iteration shuffle at 10×; plan pinned
+    // single-exchange in GraphOpsSpec AND GraphErSpec's g3 pin). Ranks must be
+    // bit-identical to g1's, so the oracle IS g1's recurrence — the gate now
+    // falsifies the bucketed path end-to-end, not just its plan shape.
+    "g3_pagerank_bucketed" -> (((s: SparkSession, dir: String) => {
+      val bucketed = GraphOps.bucketEdges(eventEdges(s, dir), buckets = 32,
+        table = "graft_g3_edges",
+        path = Some(s"${System.getProperty("java.io.tmpdir")}/graft_g3_edges"))
+      GraphOps.pageRank(bucketed, iterations = 4, scale = 1000000000L)
+        .select(col("id").alias("user_id"), col("rank"))
+        .orderBy("user_id")
+    },
+      Some(s"""${GraphOps.duckDbPageRank(duckEdges, iterations = 4, scale = 1000000000L)}
+              |SELECT id AS user_id, rank FROM r4 ORDER BY user_id""".stripMargin))),
+
     // TrustRank (Gyöngyi et al. 2004): the teleport vector concentrated on a
     // seed whitelist (every 17th user id), so trust flows OUT of the seeds and
     // spam-like neighborhoods unreachable from them score 0 — the seed-based

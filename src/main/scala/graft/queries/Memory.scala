@@ -288,9 +288,11 @@ object Memory {
     val pairs = pinnedSeedPairs.map { case (nl, sql) => (nl, sql, pinnedSeedTag) } :+
       (userPair._1, userPair._2, "")
     // seq is assignment order: seeds 0..n-1 in one batch, then the user pair;
-    // the embedded text is the NL question (MemoryStore.appendQueries)
+    // the embedded text is the NL question (MemoryStore.appendQueries). The
+    // cast matters: a bare VALUES integer is INT32 in DuckDB where the store's
+    // seq column is int64 — the driver's typed compare demands exact width.
     val values = pairs.zipWithIndex.map { case ((nl, sql, tags), i) =>
-      Seq(i.toString, sqlLit(nl), sqlLit(sql), sqlLit(tags), sqlLit(nl))
+      Seq(s"CAST($i AS BIGINT)", sqlLit(nl), sqlLit(sql), sqlLit(tags), sqlLit(nl))
     }
     rankingOracle(
       keyCols = Seq("seq", "nl_query", "sql_query", "tags"),

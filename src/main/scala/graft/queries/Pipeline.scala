@@ -2496,7 +2496,10 @@ object Pipeline {
         when(col("doc_id") % 70 === 0, lit("\nfunction f() { return 1; }"))
           .otherwise(lit(""))).alias("text"))
       TextAnalysis.c4LineFilter(lined, "text", "doc_id")
-        .select(col("id").alias("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
+        // bigint projections: DuckDB's len() is int64 where Spark's size()
+        // is int32 — the driver's typed compare demands exact width
+        .select(col("id").alias("doc_id"), col("n_lines").cast("long"),
+          col("n_kept").cast("long"), col("cleaned"))
         .orderBy("doc_id")
     },
       Some("""WITH lined AS (
@@ -2545,7 +2548,9 @@ object Pipeline {
           "&quot;quoted&quot; &#39;s &nbsp;end</div></body></html>")).alias("html"))
       page.select(col("doc_id"),
           TextAnalysis.htmlToText(col("html")).alias("content"))
-        .withColumn("content_len", length(col("content")))
+        // bigint length: DuckDB strlen/len is int64 where Spark length() is
+        // int32 — exact-width parity for the driver's typed compare
+        .withColumn("content_len", length(col("content")).cast("long"))
         .orderBy("doc_id")
     },
       Some("""WITH h AS (

@@ -362,23 +362,36 @@ object Semantic {
     * predicates, never values — its CASE WHEN 1/0 INT rendering can only
     * hash-match an int column), and a
     * date→timestamp cast (→ DateTime64(6) / TIMESTAMP_NTZ / DATETIME2(6)).
-    * month/length are int-cast in the SOURCE because Spark yields int where
-    * DuckDB yields bigint (the round-6 cross-engine type rule). The date and
-    * boolean LITERALS are projected directly: Catalyst folds a
+    *
+    * TYPED-PARITY rules (round-15 fix — the r14 gate's only red rows):
+    * every integral projection lands as **bigint** because that is what
+    * DuckDB executes on the transliterated side (month/length/DATEPART
+    * return BIGINT there, and Snowflake's single integral spelling
+    * NUMBER(38,0) can only transliterate to BIGINT) — the m33Sql precedent.
+    * Where Catalyst would erase a no-op cast (month()/length() already
+    * return int), the bigint cast is applied DIRECTLY (widening is
+    * non-erasable); where the int spelling itself must render (Int32 / INT
+    * — small_key, is_even), the int cast is kept NESTED inside the bigint
+    * widening so both spellings reach the renderer and the end type is
+    * still int64 on both engines. `od_ts` is cast to **timestamp_ntz**
+    * (the Pipeline projected-timestamp convention): Spark's plain
+    * `timestamp` dumps tz-adjusted where every dialect's transliterated
+    * oracle lands a naive TIMESTAMP in DuckDB. The date and boolean
+    * LITERALS are projected directly: Catalyst folds a
     * `cast(ts_col as date) >= date-lit` filter back to a timestamp literal
     * and erases boolean→boolean casts, so the filter/cast forms never reach
     * the renderer.
     */
   val m39Sql: String =
     """SELECT o_orderkey,
-      |  cast(month(o_orderdate) as int) AS om,
-      |  cast(o_orderkey % 100 as int) AS small_key,
+      |  cast(month(o_orderdate) as bigint) AS om,
+      |  cast(cast(o_orderkey % 100 as int) as bigint) AS small_key,
       |  cast(o_orderkey as string) AS key_str,
-      |  cast(length(o_orderstatus) as int) AS st_len,
-      |  cast(o_orderkey % 2 = 0 as int) AS is_even,
+      |  cast(length(o_orderstatus) as bigint) AS st_len,
+      |  cast(cast(o_orderkey % 2 = 0 as int) as bigint) AS is_even,
       |  true AS always_on,
       |  date '1995-06-01' AS anchor_day,
-      |  cast(o_orderdate as timestamp) AS od_ts
+      |  cast(o_orderdate as timestamp_ntz) AS od_ts
       |FROM m_orders
       |WHERE o_orderdate >= date '1995-06-01' AND o_orderkey <= 1500
       |ORDER BY o_orderkey""".stripMargin
@@ -654,7 +667,7 @@ object Semantic {
     "m18_metric_grain" -> ((deployAndRun(
       """SELECT cast(odate as timestamp_ntz) AS mon, o_orderstatus AS st, n_orders, revenue
         |FROM status_revenue_odate_month ORDER BY mon, st""".stripMargin)(_, _),
-      Some("""SELECT date_trunc('month', cast(o_orderdate as timestamp)) AS mon,
+      Some("""SELECT cast(date_trunc('month', cast(o_orderdate as timestamp)) as timestamp) AS mon,
              |  o_orderstatus AS st, count(*) AS n_orders,
              |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
              |FROM orders GROUP BY 1, 2 ORDER BY mon, st""".stripMargin))),

@@ -171,7 +171,7 @@ object TpcH {
       s"""SELECT supp_nation, cust_nation, l_year, cast(sum(volume) as double) AS revenue
          |FROM (
          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         |    year(cast(l_shipdate as date)) AS l_year, $rev AS volume
+         |    cast(year(cast(l_shipdate as date)) as bigint) AS l_year, $rev AS volume
          |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
          |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
          |    AND c_custkey = o_custkey
@@ -191,7 +191,7 @@ object TpcH {
          |                ELSE cast(0 as decimal(18,4)) END) as double)
          |    / cast(sum(volume) as double) AS mkt_share
          |FROM (
-         |  SELECT year(cast(o_orderdate as date)) AS o_year, $rev AS volume,
+         |  SELECT cast(year(cast(o_orderdate as date)) as bigint) AS o_year, $rev AS volume,
          |    n2.n_name AS nation
          |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
          |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -210,7 +210,7 @@ object TpcH {
     "tpch_q9" -> common(
       s"""SELECT nation, o_year, cast(sum(amount) as double) AS sum_profit
          |FROM (
-         |  SELECT n_name AS nation, year(cast(o_orderdate as date)) AS o_year,
+         |  SELECT n_name AS nation, cast(year(cast(o_orderdate as date)) as bigint) AS o_year,
          |    $rev - ${dec("p_retailprice")} * ${dec("l_quantity")} AS amount
          |  FROM part, supplier, lineitem, orders, nation
          |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey

@@ -1172,6 +1172,9 @@ object SqlUnparser {
       case FloatType => "Float32"
       case BooleanType => "Bool"
       case DateType => "Date32"
+      // ClickHouse DateTime64 is wall-clock (no tz attribute unless one is
+      // spelled) — the faithful landing for BOTH Spark timestamp flavors
+      case TimestampNTZType => "DateTime64(6)"
       case _: TimestampType => "DateTime64(6)"
       case d: DecimalType => s"Decimal(${d.precision},${d.scale})"
       case other => throw new UnsupportedOperationException(
@@ -1464,6 +1467,10 @@ object SqlUnparser {
       case FloatType => "REAL"
       case BooleanType => "BIT"
       case DateType => "DATE"
+      // DATETIME2 carries no offset — T-SQL's wall-clock landing for both
+      // Spark timestamp flavors (the tz-aware one is DATETIMEOFFSET, which
+      // the corpus never projects; session tz is UTC so values coincide)
+      case TimestampNTZType => "DATETIME2(6)"
       case _: TimestampType => "DATETIME2(6)"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
       case other => throw new UnsupportedOperationException(

@@ -48,6 +48,13 @@ import graft.operators.EntityResolution
   */
 object StreamingEntityResolution {
 
+  /** Fault injection for StreamingEntityResolutionSpec's cache-loss test:
+    * when set, the next cached-catalog use evaluates a frame that fails at
+    * action time, exercising the disk fallback below. Never set outside
+    * tests; reset on use.
+    */
+  @volatile private[streaming] var failCachedCatalogOnce: Boolean = false
+
   def linkStream(
       records: DataFrame, catalogDir: String, assignDir: String,
       checkpointDir: String, nameCol: String = "name", idCol: String = "id",
@@ -83,10 +90,10 @@ object StreamingEntityResolution {
         val liveCatalog = DirCompaction.maintain(spark, catalogDir, compactAt)
         val in = batch.select(col(idCol), col(nameCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val catalog = catalogCache.getOrElse(
-            readCatalog(spark, liveCatalog, idCol, nameCol,
-              in.schema(idCol).dataType, in.schema(nameCol).dataType))
+        def diskCatalog(): DataFrame =
+          readCatalog(spark, liveCatalog, idCol, nameCol,
+            in.schema(idCol).dataType, in.schema(nameCol).dataType)
+        def runBatch(catalog: DataFrame): Unit = {
           val (assigned, _) = EntityResolution.incrementalLink(
             in, catalog, nameCol, idCol, maxDist, maxBlock, blocking)
           val tagged = ExactlyOnce.tag(assigned, ck, batchId)
@@ -117,6 +124,36 @@ object StreamingEntityResolution {
             val parts = math.max(2, spark.sparkContext.defaultParallelism / 4)
             catalogCache = Some(catalog.union(fresh).coalesce(parts).localCheckpoint())
           } finally tagged.unpersist()
+        }
+        val cached = catalogCache
+        try {
+          val first = cached match {
+            case Some(c) if failCachedCatalogOnce =>
+              failCachedCatalogOnce = false
+              // fault injection (spec-only): a carried frame that fails at
+              // action time, standing in for the lost-executor block-fetch
+              // failure local mode cannot produce
+              c.withColumn(nameCol,
+                expr(s"if(true, raise_error('injected cache loss'), `$nameCol`)"))
+            case Some(c) => c
+            case None => diskCatalog()
+          }
+          try runBatch(first)
+          catch {
+            case scala.util.control.NonFatal(e) if cached.nonEmpty =>
+              // availability fallback (r15 ADVICE): the carried snapshot is
+              // localCheckpoint-backed — executor-local, unreplicated — so on
+              // a real cluster an executor loss makes it unreadable mid-batch.
+              // Disk still holds every COMMITTED row: purge this batch's
+              // partial appends (the crash-replay rule — same (ckpt, batch)
+              // tags), drop the cache, and re-run the batch from the live
+              // generation. Correctness was never at risk (restart recovery
+              // covers it); this keeps the STREAM alive without a restart.
+              catalogCache = None
+              ExactlyOnce.purge(spark, liveAssign, ck, batchId)
+              ExactlyOnce.purge(spark, liveCatalog, ck, batchId)
+              runBatch(diskCatalog())
+          }
         } finally in.unpersist()
       }
     }

@@ -153,6 +153,59 @@ class GenerateMdlSpec extends AnyFunSuite {
     graft.util.Fs.deleteTree(tmp)
   }
 
+  test("partitioned directory tables: probe prefix recurses, keeps partition cols") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_genpart_").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("bucket", org.apache.spark.sql.functions.expr(
+        "cast(o_orderkey % 4 as int)"))
+    src.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$tmp/orders_p.parquet")
+    // probeBytes=1 forces the file-subset prefix INSIDE the partition tree —
+    // the flat-listing bug saw only dt=… directories (zero leaf files) and
+    // silently fell back to a full probe
+    val d = GenerateMdl.fromParquetDir(spark, tmp, probeBytes = 1L)
+    val md = d.manifest.model("orders_p").get
+    assert(md.columns.map(_.name).contains("bucket"),
+      "partition-derived column must survive into the drafted model")
+    assert(md.primaryKey === Some("o_orderkey"))
+    val rows = d.probes("orders_p").head.rows
+    assert(rows > 0 && rows < src.count(),
+      s"probe must be bounded to a leaf-file prefix (probed $rows)")
+    graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("two FK columns linking the same model pair get column-disambiguated names") {
+    import spark.implicits._
+    val cust = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val ord = Seq((10L, 1L, 2L), (11L, 2L, 2L))
+      .toDF("o_orderkey", "billing_custkey", "shipping_custkey")
+    val d = GenerateMdl.fromTables(spark,
+      Seq("cust" -> cust, "ord" -> ord), "graft", "draft", probeRows = 0,
+      declaredFks = Seq(
+        ("ord", "billing_custkey", "cust", "c_custkey"),
+        ("ord", "shipping_custkey", "cust", "c_custkey")))
+    val names = d.manifest.relationships.map(_.name)
+    assert(names.toSet === Set("ord_billing_custkey_cust",
+      "ord_shipping_custkey_cust"),
+      s"duplicate a_b names would leave one edge unreachable: $names")
+    // find-first resolution now reaches BOTH edges
+    assert(d.manifest.relationship("ord_billing_custkey_cust").get.condition
+      .contains("billing_custkey"))
+    assert(d.manifest.relationship("ord_shipping_custkey_cust").get.condition
+      .contains("shipping_custkey"))
+  }
+
+  test("probeRows at/past Int.MaxValue probes the FULL table, never a wrapped limit") {
+    import spark.implicits._
+    // 2^32+10 .toInt wraps to 10 — the old code probed 10 rows and called
+    // nearly every column unique, contradicting the full-probe contract
+    val t = (1L to 100L).map(i => (i, i % 7)).toDF("id", "grp")
+    val d = GenerateMdl.fromTables(spark, Seq("t" -> t), "graft", "draft",
+      probeRows = (1L << 32) + 10L)
+    assert(d.probes("t").head.rows === 100L)
+    assert(d.manifest.model("t").get.primaryKey === Some("id"))
+  }
+
   test("CLI generate writes a project that validates and builds back to the draft") {
     val out = java.nio.file.Files.createTempDirectory("graft_genctx_")
     val msg = graft.api.ContextCli.run(Seq("generate",

@@ -173,6 +173,17 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g3 gate entry: bucketed path is bit-identical to g1 on the live fixture") {
+    // the driver's DuckDB oracle for g3 IS g1's recurrence — this pin is the
+    // local falsifier: any divergence between the bucketed and plain edge
+    // paths (bucket pruning, sort-order sensitivity, write truncation) shows
+    // here before the gate sees it
+    val dir = "/root/testdata/sf0.001"
+    def rows(n: String) = graft.queries.GraphEr.queries(n)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows("g3_pagerank_bucketed") === rows("g1_pagerank"))
+  }
+
   test("bucketEdges: identical ranks, and the edge side plans no exchange") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 4L))

@@ -64,6 +64,43 @@ class StreamingEntityResolutionSpec extends AnyFunSuite {
     assert(assignments(assignDir)(104L) === 103L)
   }
 
+  test("cache-loss fallback: losing the carried snapshot mid-batch re-runs from disk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (catalogDir, assignDir, ckpt) = dirs()
+
+    val src = MemoryStream[Rec]
+    val q = StreamingEntityResolution.linkStream(
+      src.toDF(), catalogDir, assignDir, ckpt, blocking = "token")
+    src.addData(wave1: _*)
+    q.processAllAvailable()
+    // wave 2 arrives with the carried (localCheckpoint-backed) catalog
+    // unreadable — the injected failure stands in for an executor loss. The
+    // stream must fall back to the live on-disk generation, purge the failed
+    // attempt's partial appends, and finish the batch with identical results.
+    StreamingEntityResolution.failCachedCatalogOnce = true
+    src.addData(wave2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(!StreamingEntityResolution.failCachedCatalogOnce,
+      "the injected failure was never consumed — the cached path did not run")
+
+    val (a1, c1) = EntityResolution.incrementalLink(
+      wave1.toDF("id", "name"),
+      spark.emptyDataset[Rec].toDF(), "name", "id", blocking = "token")
+    val (a2, _) = EntityResolution.incrementalLink(
+      wave2.toDF("id", "name"), c1, "name", "id", blocking = "token")
+    val want = (a1.collect() ++ a2.collect()).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assignments(assignDir) === want)
+    // no duplicate rows from the failed attempt survived the purge
+    val all = spark.read.parquet(assignDir).select("id").collect().map(_.getLong(0))
+    assert(all.length === all.distinct.length,
+      "failed-attempt partial appends leaked through the in-batch purge")
+    val cat = spark.read.parquet(catalogDir).select("id").collect().map(_.getLong(0))
+    assert(cat.length === cat.distinct.length)
+    assert(cat.toSet === Set(1L, 2L, 3L, 103L, 105L))
+  }
+
   test("a crashed batch replays exactly once: no duplicate assignments or catalog rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

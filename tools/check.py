@@ -1,11 +1,21 @@
 #!/usr/bin/env python3
 """Local approximation of the driver's correctness gate: run each oracle SQL in
-DuckDB over the same sf dir and compare to the Verify parquet dumps (sorted columns,
-sorted rows, exact values)."""
+DuckDB over the same sf dir and compare to the Verify parquet dumps (sorted
+columns, sorted rows, exact values, EXACT arrow types).
+
+Typed parity (round 15): the schema compare reads the Spark parquet footer and
+DuckDB's arrow output and demands exact logical types — int32 vs int64 and
+tz-aware vs naive timestamps are FAILURES even when every value matches.
+Round 14's m39 trio read green here (dtype groups, tz-normalized) while the
+driver's typed gate read red; this makes that class locally falsifiable.
+Timestamp RESOLUTION (us vs ns) is not part of the signature — it's a loader
+artifact, not a logical type."""
 import datetime, glob, json, math, os, sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -21,7 +31,29 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 
+
+def asig(t) -> str:
+    """Exact logical-type signature of an arrow type (resolution-free)."""
+    if pa.types.is_timestamp(t):
+        return "timestamp[tz]" if t.tz is not None else "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{asig(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(
+            f"{t.field(i).name}:{asig(t.field(i).type)}" for i in range(t.num_fields)) + ">"
+    return str(t)  # int8..int64, uint*, float, double, bool
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Value-compare normalization (types are checked separately, via arrow)."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
@@ -32,12 +64,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                     isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
                     for v in nonnull.head(20)):
                 # Spark parquet DATE loads as object(datetime.date); DuckDB's
-                # .df() yields datetime64 — same logical type, one dtype group
+                # .df() yields datetime64 — same logical type (the arrow-level
+                # schema compare above already proved both sides are `date`)
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             else:
                 df[c] = df[c].map(lambda v: str(v) if v is not None and not (isinstance(v, float) and math.isnan(v)) else None)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
     return df
+
 
 n_pass = n_fail = 0
 for name in sorted(oracle):
@@ -46,25 +80,24 @@ for name in sorted(oracle):
     if not files:
         print(f"FAIL {name}: no spark output"); n_fail += 1; continue
     try:
+        s_schema = pq.read_schema(files[0])
         sdf = norm(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
-        ddf = norm(con.sql(oracle[name]).df())
+        d_tbl = con.sql(oracle[name]).arrow()
+        ddf = norm(d_tbl.to_pandas())
     except Exception as e:
         print(f"FAIL {name}: {e}"); n_fail += 1; continue
     if list(sdf.columns) != list(ddf.columns):
         print(f"FAIL {name}: columns spark={list(sdf.columns)} duck={list(ddf.columns)}"); n_fail += 1; continue
     if len(sdf) != len(ddf):
         print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}"); n_fail += 1; continue
+    # exact typed-schema parity (driver-faithful): arrow logical types must
+    # match per column — width, tz-ness, decimal(p,s), element types
+    ssig = {f.name: asig(f.type) for f in s_schema}
+    dsig = {f.name: asig(f.type) for f in d_tbl.schema}
     bad = None
-    # dtype GROUPS must agree before values are compared: the driver hashes
-    # TYPED values, so an int64 Spark column vs a float64 DuckDB column
-    # (e.g. an uncast HUGEINT sum) is a driver failure even when 254 == 254.0.
-    KIND_GROUP = {"i": "int", "u": "int", "f": "float", "b": "bool",
-                  "M": "datetime", "m": "timedelta"}
-    for c in (sdf.columns if len(sdf) else []):  # empty: no dtype to infer
-        ka = KIND_GROUP.get(sdf[c].dtype.kind, "object")
-        kb = KIND_GROUP.get(ddf[c].dtype.kind, "object")
-        if ka != kb:
-            bad = f"col {c}: dtype group spark={sdf[c].dtype} duck={ddf[c].dtype}"
+    for c in sorted(ssig):
+        if ssig[c] != dsig.get(c):
+            bad = f"col {c}: type spark={ssig[c]} duck={dsig.get(c)}"
             break
     for c in (sdf.columns if bad is None else []):
         a, b = sdf[c], ddf[c]
