@@ -10,6 +10,11 @@ import graft.mdl.{ProjectConvert, YamlProject}
   * {{{
   * runMain graft.api.ContextCli <cmd> [--path dir] [opts]
   *   init   [--from-mdl m.json] [--force] [--empty]   scaffold / import
+  *   ingest --from <rawDir> [--data <parquetDir>]     land raw CSV/TSV/JSON as
+  *          [--catalog c] [--schema s] [--force]      typed parquet, draft a
+  *                                                    project, deploy + smoke-
+  *                                                    query it (the reference's
+  *                                                    dlt-connector loop)
   *   generate --from <parquetDir|jdbc:url>            draft a project from an
   *            [--catalog c] [--schema s]              existing source (models,
   *            [--probe-rows N] [--probe-mb N]         PK candidates, suggested
@@ -75,7 +80,7 @@ object ContextCli {
   /** Testable core: returns what main prints. */
   def run(argv: Seq[String]): String = {
     require(argv.nonEmpty,
-      "usage: ContextCli <init|validate|build|show|instructions|upgrade> [options]")
+      "usage: ContextCli <init|ingest|generate|validate|build|show|instructions|upgrade> [options]")
     val cmd = argv.head
     val rest = argv.tail
     def opt(name: String): Option[String] = {
@@ -165,6 +170,62 @@ object ContextCli {
           s"\nPrimary-key CANDIDATES (uniqueness-probed; confirm before production):\n" +
           pkLines + "\nSuggested relationships (name/type-matched; review):\n" +
           relLines + noteLines +
+          s"\n\nNext steps:\n  graft context validate --path $projectPath\n" +
+          s"  graft context build --path $projectPath"
+
+      case "ingest" =>
+        // the reference's dlt-connector onboarding loop, in-sandbox: land raw
+        // CSV/TSV/JSON files as typed parquet, draft a project from the landed
+        // tables, deploy the draft over them, and smoke-query every model —
+        // one command from raw files to a queryable semantic layer
+        val from = opt("from").getOrElse(throw new IllegalArgumentException(
+          "usage: ingest --from <rawDir> [--data <parquetDir>] [--path out] " +
+            "[--catalog c] [--schema s] [--force]"))
+        val dataDir = opt("data").getOrElse(s"$from/landed")
+        val projectPath = Paths.get(opt("path").getOrElse("."))
+        val catalog = opt("catalog").getOrElse("graft")
+        val schemaNs = opt("schema").getOrElse("draft")
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .appName("graft-ingest").master("local[8]")
+          .config("spark.sql.shuffle.partitions", 8)
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val landed = graft.mdl.LandRaw.land(spark, from, dataDir)
+        val draft = graft.mdl.GenerateMdl.fromParquetDir(
+          spark, dataDir, catalog, schemaNs)
+        val mdlJson = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            graft.mdl.ManifestJson.toJValue(draft.manifest)))
+        ProjectConvert.writeProjectFiles(
+          ProjectConvert.convertMdlToProject(mdlJson), projectPath,
+          force = flag("force"))
+        // close the loop: deploy the draft over the landed tables and count
+        // through every model — a draft that cannot deploy+query is not done
+        val sess = graft.GraftEngine.deployOnDir(spark, draft.manifest, dataDir)
+        val counts = draft.manifest.models.map { md =>
+          val n = sess.query(
+            s"SELECT count(*) AS n FROM $catalog.$schemaNs.${md.name}")
+            .collect()(0).getLong(0)
+          s"  ${md.name}: $n rows"
+        }
+        val landLines = landed.map(l =>
+          s"  ${l.table} (${l.format}, ${l.rows} rows, ${l.cols} cols)")
+        val relLines =
+          if (draft.manifest.relationships.isEmpty) "  (none suggested)"
+          else draft.manifest.relationships.map(r =>
+            s"  ${r.name} [${r.joinType}]: ${r.condition}").mkString("\n")
+        val noteLines = if (draft.notes.isEmpty) ""
+          else draft.notes.map("  NOTE " + _).mkString("\n", "\n", "")
+        s"Landed ${landed.size} raw tables into $dataDir:\n" +
+          landLines.mkString("\n") +
+          s"\nDrafted project at $projectPath/ " +
+          s"(${draft.manifest.models.size} models, " +
+          s"${draft.manifest.relationships.size} suggested relationships)\n" +
+          "Suggested relationships:\n" + relLines + noteLines +
+          "\nDeployed draft over the landed tables; model row counts:\n" +
+          counts.mkString("\n") +
           s"\n\nNext steps:\n  graft context validate --path $projectPath\n" +
           s"  graft context build --path $projectPath"
 

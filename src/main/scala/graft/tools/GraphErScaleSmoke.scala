@@ -27,9 +27,13 @@ object GraphErScaleSmoke {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    // partition count scales WITH the decade (32 at 10×, 96 at 30× — the
+    // dedup-decade protocol), so the claim under test is per-PARTITION
+    // flatness, the quantity that decides executor memory on a real cluster
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "32").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -57,7 +61,7 @@ object GraphErScaleSmoke {
 
     def write(name: String, file: String, df: DataFrame): String = {
       val dir = s"$work/$name"
-      df.repartition(32).write.parquet(s"$dir/$file")
+      df.repartition(parts).write.parquet(s"$dir/$file")
       dir
     }
     val ev1 = write("ev1", "events.parquet", evCopy(0))
@@ -136,7 +140,7 @@ object GraphErScaleSmoke {
         .select(col("user_id").alias("src"), col("hub").alias("dst")).distinct()
       edges.write.parquet(s"$work/edges_flat")
       val flat = spark.read.parquet(s"$work/edges_flat")
-      val bucketed = GraphOps.bucketEdges(flat, 32,
+      val bucketed = GraphOps.bucketEdges(flat, parts,
         table = "graft_smoke_edges", path = Some(s"$work/edges_bucketed"))
       def probe(label: String, e: DataFrame): Map[String, String] = {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -173,9 +177,13 @@ object GraphErScaleSmoke {
 
     val json = (results ++ bucketRows).map(_.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}"))
-      .mkString(s"""{"sf":"$sfDir","copies":$copies,"results":[""", ",", "]}")
+      .mkString(
+        s"""{"sf":"$sfDir","copies":$copies,"partitions":$parts,"results":[""",
+        ",", "]}")
+    val outName = if (copies == 10) "graph_er_scale_smoke.json"
+      else s"graph_er_scale_smoke_${copies}x.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("graph_er_scale_smoke.json"), json.getBytes("UTF-8"))
+      java.nio.file.Paths.get(outName), json.getBytes("UTF-8"))
     println(json)
     graft.util.Fs.deleteTree(work)
     spark.stop()

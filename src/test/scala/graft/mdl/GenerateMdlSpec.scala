@@ -206,6 +206,47 @@ class GenerateMdlSpec extends AnyFunSuite {
     assert(d.manifest.model("t").get.primaryKey === Some("id"))
   }
 
+  test("CLI ingest: raw CSV/JSONL -> typed parquet -> draft -> deploy -> query") {
+    import java.nio.file.Files
+    val raw = Files.createTempDirectory("graft_ing_raw_")
+    val proj = Files.createTempDirectory("graft_ing_proj_")
+    def csvOf(table: String, fileName: String): Unit = {
+      val df = spark.read.parquet(s"/root/testdata/sf0.001/$table.parquet")
+      val body = (df.columns.mkString(",") +: df.collect().toSeq.map(r =>
+        df.columns.indices.map(i => String.valueOf(r.get(i))).mkString(",")))
+        .mkString("\n")
+      Files.write(raw.resolve(fileName), body.getBytes("UTF-8"))
+    }
+    // mixed formats + a dirty table name the sanitizer must land queryable
+    csvOf("customer", "Customer List.csv")
+    csvOf("orders", "orders.csv")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "event_type").limit(200)
+    Files.write(raw.resolve("events.jsonl"),
+      ev.toJSON.collect().mkString("\n").getBytes("UTF-8"))
+
+    val msg = graft.api.ContextCli.run(Seq("ingest",
+      "--from", raw.toString, "--path", proj.toString, "--force"))
+    assert(msg.contains("Landed 3 raw tables"), msg)
+    // sanitized landing: "Customer List.csv" -> customer_list.parquet, typed
+    val landedCust =
+      spark.read.parquet(s"$raw/landed/customer_list.parquet")
+    assert(landedCust.count() === 150)
+    assert(landedCust.schema("c_acctbal").dataType ===
+      org.apache.spark.sql.types.DoubleType, "csv landing lost inferred types")
+    // the customer-orders FK edge is inferred across the two landed CSVs
+    assert(msg.contains("orders_customer_list") || msg.contains("orders_customer"),
+      s"expected a suggested orders->customer edge in:\n$msg")
+    // the deploy+smoke-query loop closed: every model counted
+    assert(msg.contains("customer_list: 150 rows") &&
+      msg.contains("orders: 1500 rows") && msg.contains("events: 200 rows"), msg)
+    // and the written project validates
+    assert(graft.api.ContextCli.run(
+      Seq("validate", "--path", proj.toString)).contains("Project is valid."))
+    graft.util.Fs.deleteTree(raw.toString)
+    graft.util.Fs.deleteTree(proj.toString)
+  }
+
   test("CLI generate writes a project that validates and builds back to the draft") {
     val out = java.nio.file.Files.createTempDirectory("graft_genctx_")
     val msg = graft.api.ContextCli.run(Seq("generate",
