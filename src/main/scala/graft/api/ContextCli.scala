@@ -12,9 +12,11 @@ import graft.mdl.{ProjectConvert, YamlProject}
   *   init   [--from-mdl m.json] [--force] [--empty]   scaffold / import
   *   ingest --from <rawDir> [--data <parquetDir>]     land raw CSV/TSV/JSON as
   *          [--catalog c] [--schema s] [--force]      typed parquet, draft a
-  *                                                    project, deploy + smoke-
-  *                                                    query it (the reference's
-  *                                                    dlt-connector loop)
+  *          [--disposition replace|append|merge]      project, deploy + smoke-
+  *          [--merge-key [table=]col,...]             query it (the reference's
+  *                                                    dlt-connector loop, incl.
+  *                                                    dlt's write dispositions
+  *                                                    for incremental re-lands)
   *   generate --from <parquetDir|jdbc:url>            draft a project from an
   *            [--catalog c] [--schema s]              existing source (models,
   *            [--probe-rows N] [--probe-mb N]         PK candidates, suggested
@@ -180,11 +182,23 @@ object ContextCli {
         // one command from raw files to a queryable semantic layer
         val from = opt("from").getOrElse(throw new IllegalArgumentException(
           "usage: ingest --from <rawDir> [--data <parquetDir>] [--path out] " +
-            "[--catalog c] [--schema s] [--force]"))
+            "[--catalog c] [--schema s] " +
+            "[--disposition replace|append|merge [--merge-key [t=]col,...]] " +
+            "[--force]"))
         val dataDir = opt("data").getOrElse(s"$from/landed")
         val projectPath = Paths.get(opt("path").getOrElse("."))
         val catalog = opt("catalog").getOrElse("graft")
         val schemaNs = opt("schema").getOrElse("draft")
+        val disposition = opt("disposition").getOrElse("replace")
+        // --merge-key col        -> every merged table keys on col
+        // --merge-key t1=c1,t2=c2 -> per-table keys
+        val mergeKeys: Map[String, String] =
+          opt("merge-key").map(_.split(",").map(_.trim).filter(_.nonEmpty).map {
+            spec => spec.split("=", 2) match {
+              case Array(t, c) => t -> c
+              case Array(c) => "*" -> c
+            }
+          }.toMap).getOrElse(Map.empty)
         val spark = org.apache.spark.sql.SparkSession.builder()
           .appName("graft-ingest").master("local[8]")
           .config("spark.sql.shuffle.partitions", 8)
@@ -192,7 +206,8 @@ object ContextCli {
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
-        val landed = graft.mdl.LandRaw.land(spark, from, dataDir)
+        val landed = graft.mdl.LandRaw.land(
+          spark, from, dataDir, disposition, mergeKeys)
         val draft = graft.mdl.GenerateMdl.fromParquetDir(
           spark, dataDir, catalog, schemaNs)
         val mdlJson = org.json4s.jackson.JsonMethods.compact(
@@ -218,7 +233,9 @@ object ContextCli {
             s"  ${r.name} [${r.joinType}]: ${r.condition}").mkString("\n")
         val noteLines = if (draft.notes.isEmpty) ""
           else draft.notes.map("  NOTE " + _).mkString("\n", "\n", "")
-        s"Landed ${landed.size} raw tables into $dataDir:\n" +
+        s"Landed ${landed.size} raw tables into $dataDir" +
+          (if (disposition == "replace") "" else s" (disposition: $disposition)") +
+          ":\n" +
           landLines.mkString("\n") +
           s"\nDrafted project at $projectPath/ " +
           s"(${draft.manifest.models.size} models, " +

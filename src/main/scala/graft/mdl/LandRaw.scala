@@ -48,8 +48,28 @@ object LandRaw {
     * inferSchema), `.json`, `.jsonl` (JSON-lines). Deterministic table order
     * (sorted by name); unrecognized files are skipped, an empty directory is
     * an error.
+    *
+    * `disposition` is dlt's write-disposition contract for RE-landing into an
+    * existing table (the incremental half of the connector loop):
+    *   - `replace` (default): the batch becomes the table.
+    *   - `append`: the batch's rows are added; schemas must match exactly
+    *     (loud error on drift — silent schema evolution corrupts the draft).
+    *   - `merge`: upsert by key — batch rows WIN on key collisions, untouched
+    *     rows survive. Keys come from `mergeKeys` (`table -> column`, or the
+    *     `"*"` entry for all tables); a merged table without a key is a loud
+    *     error, exactly dlt's primary_key requirement. Cost model: one
+    *     key-shuffled anti-join + a full rewrite of the table (the honest
+    *     price of upsert-on-parquet; at warehouse scale you scope the merge
+    *     to affected partitions). The rewrite stages into a sibling dir and
+    *     swaps in (single-writer CLI contract; server-resident tables get
+    *     zero-downtime swaps from the CommitPointer machinery instead).
     */
-  def land(spark: SparkSession, rawDir: String, outDir: String): Seq[Landed] = {
+  def land(
+      spark: SparkSession, rawDir: String, outDir: String,
+      disposition: String = "replace",
+      mergeKeys: Map[String, String] = Map.empty): Seq[Landed] = {
+    require(Set("replace", "append", "merge")(disposition),
+      s"ingest: unknown disposition '$disposition' (replace|append|merge)")
     val p = new org.apache.hadoop.fs.Path(rawDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"ingest: raw directory $rawDir does not exist")
@@ -76,8 +96,9 @@ object LandRaw {
           val table = sanitize(stem)
           val cols = dedup(raw.columns.toSeq.map(sanitize))
           val typed = raw.toDF(cols: _*)
-          typed.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-          val rows = spark.read.parquet(s"$outDir/$table.parquet").count()
+          val dst = s"$outDir/$table.parquet"
+          writeWith(spark, typed, table, dst, disposition, mergeKeys)
+          val rows = spark.read.parquet(dst).count()
           Landed(table, fmt, rows, cols.size)
         }
       }
@@ -85,5 +106,54 @@ object LandRaw {
     require(landed.nonEmpty,
       s"ingest: no .csv/.tsv/.json/.jsonl files directly under $rawDir")
     landed
+  }
+
+  private def writeWith(
+      spark: SparkSession, batch: DataFrame, table: String, dst: String,
+      disposition: String, mergeKeys: Map[String, String]): Unit = {
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(dstPath)
+    def requireSameSchema(old: DataFrame): Unit = {
+      val (a, b) = (old.schema.map(f => (f.name, f.dataType)),
+        batch.schema.map(f => (f.name, f.dataType)))
+      require(a == b,
+        s"ingest: schema drift on '$table' — existing ${a.mkString(", ")} vs " +
+          s"batch ${b.mkString(", ")}; re-land with --disposition replace " +
+          "or fix the raw file")
+    }
+    disposition match {
+      case _ if !exists =>
+        batch.write.mode("overwrite").parquet(dst)
+      case "replace" =>
+        batch.write.mode("overwrite").parquet(dst)
+      case "append" =>
+        requireSameSchema(spark.read.parquet(dst))
+        batch.write.mode("append").parquet(dst)
+      case "merge" =>
+        val key = mergeKeys.getOrElse(table, mergeKeys.getOrElse("*",
+          throw new IllegalArgumentException(
+            s"ingest: merge disposition needs a key for '$table' — pass " +
+              s"--merge-key $table=<col> (or --merge-key <col> for all tables)")))
+        val old = spark.read.parquet(dst)
+        requireSameSchema(old)
+        require(batch.columns.contains(key),
+          s"ingest: merge key '$key' is not a column of '$table' " +
+            s"(${batch.columns.mkString(", ")})")
+        // batch wins: keep every batch row + old rows whose key the batch
+        // does not carry (the left_anti shuffles on the key; AQE broadcasts
+        // a small batch side)
+        val merged = batch.union(
+          old.join(batch.select(key).distinct(), Seq(key), "left_anti")
+            .select(batch.columns.map(org.apache.spark.sql.functions.col): _*))
+        // stage + swap: the merged frame READS `dst`, so it must be fully
+        // materialized elsewhere before dst is replaced
+        val tmp = s"$dst.__staging"
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(dstPath, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dstPath),
+          s"ingest: staging swap failed for $dst — data is intact at $tmp")
+    }
   }
 }

@@ -247,6 +247,45 @@ class GenerateMdlSpec extends AnyFunSuite {
     graft.util.Fs.deleteTree(proj.toString)
   }
 
+  test("ingest dispositions: append adds, merge upserts (batch wins), errors are loud") {
+    import java.nio.file.Files
+    val raw1 = Files.createTempDirectory("graft_disp1_")
+    val raw2 = Files.createTempDirectory("graft_disp2_")
+    val out = Files.createTempDirectory("graft_displand_").toString
+    def writeCsv(dir: java.nio.file.Path, rows: Seq[String]): Unit =
+      Files.write(dir.resolve("people.csv"),
+        ("id,name,score" +: rows).mkString("\n").getBytes("UTF-8"))
+    writeCsv(raw1, Seq("1,ada,10", "2,bob,20", "3,cey,30"))
+    writeCsv(raw2, Seq("2,BOB2,21", "4,dee,40")) // update id 2, insert id 4
+
+    // first land (any disposition bootstraps the table)
+    LandRaw.land(spark, raw1.toString, out, "merge", Map("*" -> "id"))
+    // APPEND: rows accumulate (5 = 3 + 2), duplicates allowed
+    LandRaw.land(spark, raw2.toString, out, "append")
+    assert(spark.read.parquet(s"$out/people.parquet").count() === 5)
+    // re-bootstrap, then MERGE: batch wins on id 2, id 4 inserted, 1/3 survive
+    LandRaw.land(spark, raw1.toString, out, "replace")
+    LandRaw.land(spark, raw2.toString, out, "merge", Map("people" -> "id"))
+    val got = spark.read.parquet(s"$out/people.parquet")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got === Map(1 -> ("ada", 10), 2 -> ("BOB2", 21),
+      3 -> ("cey", 30), 4 -> ("dee", 40)))
+    // loud errors: merge without a key; append across drifted schemas
+    val e1 = intercept[IllegalArgumentException] {
+      LandRaw.land(spark, raw2.toString, out, "merge")
+    }
+    assert(e1.getMessage.contains("merge-key"))
+    val raw3 = Files.createTempDirectory("graft_disp3_")
+    Files.write(raw3.resolve("people.csv"),
+      "id,name\n9,zed".getBytes("UTF-8")) // score column dropped
+    val e2 = intercept[IllegalArgumentException] {
+      LandRaw.land(spark, raw3.toString, out, "append")
+    }
+    assert(e2.getMessage.contains("schema drift"))
+    Seq(raw1.toString, raw2.toString, raw3.toString, out)
+      .foreach(graft.util.Fs.deleteTree)
+  }
+
   test("CLI generate writes a project that validates and builds back to the draft") {
     val out = java.nio.file.Files.createTempDirectory("graft_genctx_")
     val msg = graft.api.ContextCli.run(Seq("generate",
