@@ -780,7 +780,66 @@ object Semantic {
       Some("""SELECT c_mktsegment AS seg, count(*) AS n,
              |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))),
+
+    // Raw-file ingest with dlt's MERGE disposition (round-15 stretch; the
+    // in-sandbox dlt-connector landing loop): wave 1 lands a CSV slice of
+    // orders, wave 2 re-lands the overlapping back half with DOUBLED prices
+    // plus new keys, merged by o_orderkey (batch wins). The oracle replays
+    // the upsert relationally over the parquet originals — CSV text
+    // round-trips doubles exactly (Java's shortest-round-trip repr), so the
+    // decimal-exact total only matches if the typed landing AND the merge
+    // keep every surviving row's provenance right: an old row leaking
+    // through, a batch row dropped, or a double corrupted in text all move
+    // the sum. Aggregated output so the CSV-inferred int32 keys never reach
+    // the typed compare.
+    "m41_ingest_merge" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => c, expr => e}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_m41_").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(c("o_orderkey"), c("o_custkey"), c("o_orderstatus"), c("o_totalprice"))
+      def csv(sub: org.apache.spark.sql.DataFrame, wave: String): String = {
+        val rows = sub.collect().map(r =>
+          s"${r.getLong(0)},${r.getLong(1)},${r.getString(2)},${r.getDouble(3)}")
+        val dirP = java.nio.file.Paths.get(s"$tmp/$wave")
+        java.nio.file.Files.createDirectories(dirP)
+        java.nio.file.Files.write(dirP.resolve("orders_m41.csv"),
+          ("o_orderkey,o_custkey,o_orderstatus,o_totalprice" +: rows.toSeq)
+            .mkString("\n").getBytes("UTF-8"))
+        dirP.toString
+      }
+      val w1 = csv(orders.filter(c("o_orderkey") <= 1000), "wave1")
+      val w2 = csv(orders.filter(c("o_orderkey") > 500 && c("o_orderkey") <= 1500)
+        .withColumn("o_totalprice", e("o_totalprice * 2")), "wave2")
+      graft.mdl.LandRaw.land(s, w1, s"$tmp/landed", "replace")
+      graft.mdl.LandRaw.land(s, w2, s"$tmp/landed", "merge",
+        Map("orders_m41" -> "o_orderkey"))
+      val out = s.read.parquet(s"$tmp/landed/orders_m41.parquet")
+        .agg(
+          e("cast(count(*) as bigint)").alias("n"),
+          e("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").alias("total"))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(out.collect(): _*)
+      val materialized = s.createDataFrame(rows, out.schema)
+      graft.util.Fs.deleteTree(tmp)
+      materialized
+    },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey <= 1000
+             |), batch AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice * 2 AS o_totalprice
+             |  FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500
+             |), merged AS (
+             |  SELECT * FROM batch
+             |  UNION ALL
+             |  SELECT * FROM base
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+             |)
+             |SELECT cast(count(*) as bigint) AS n,
+             |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+             |FROM merged""".stripMargin)))
   )
 
   /** Streaming-deploy manifest: the fact model streams, the dimension stays

@@ -567,6 +567,7 @@ object SqlUnparser {
       case FloatType => "REAL"
       case BooleanType => "BOOLEAN"
       case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP"
       case _: TimestampType => "TIMESTAMP"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
       case other => throw new UnsupportedOperationException(
@@ -707,6 +708,7 @@ object SqlUnparser {
       case FloatType => "REAL"
       case BooleanType => "BOOLEAN"
       case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP"
       case _: TimestampType => "TIMESTAMP"
       case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
       case other => throw new UnsupportedOperationException(
@@ -831,6 +833,7 @@ object SqlUnparser {
       case DoubleType => "DOUBLE"
       case FloatType => "FLOAT"
       case DateType => "DATE"
+      case TimestampNTZType => "DATETIME"
       case _: TimestampType => "DATETIME"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
       case other => throw new UnsupportedOperationException(
@@ -1653,6 +1656,7 @@ object SqlUnparser {
       case FloatType => "BINARY_FLOAT"
       case BooleanType => "BOOLEAN" // 23ai; earlier servers have no SQL boolean
       case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP"
       case _: TimestampType => "TIMESTAMP"
       case d: DecimalType => s"NUMBER(${d.precision},${d.scale})"
       case other => throw new UnsupportedOperationException(
@@ -1819,6 +1823,7 @@ object SqlUnparser {
       case FloatType => "REAL"
       case BooleanType => "BOOLEAN"
       case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP"
       case _: TimestampType => "TIMESTAMP"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
       case other => throw new UnsupportedOperationException(
@@ -1984,6 +1989,7 @@ object SqlUnparser {
       case FloatType => "REAL"
       case BooleanType => "BOOLEAN"
       case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP"
       case _: TimestampType => "TIMESTAMP"
       case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
       case other => throw new UnsupportedOperationException(
