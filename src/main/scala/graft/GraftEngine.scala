@@ -407,6 +407,15 @@ final class GraftSession(
       planner.reregister()
     }
 
+  /** Refresh the deployment's cached source file listings — call after the
+    * underlying table directories were REWRITTEN in place (e.g. a
+    * [[graft.mdl.LandRaw]] merge/replace re-land): Spark caches leaf-file
+    * listings in each scan's `FileIndex`, so queries through an already
+    * deployed session would otherwise chase deleted part files or serve the
+    * stale row set. Appends don't strictly need it but see new files sooner.
+    */
+  def refresh(): Unit = planner.refreshSources()
+
   /** Model substitution (A13): run SQL written against *physical* table names by
     * rewriting each relation to its governing model (substitute.py:14-124).
     */

@@ -98,6 +98,11 @@ object LandRaw {
           val typed = raw.toDF(cols: _*)
           val dst = s"$outDir/$table.parquet"
           writeWith(spark, typed, table, dst, disposition, mergeKeys)
+          // a re-land REPLACES files under dst: persisted Datasets over the
+          // old listing are invalidated here; a deployed GraftSession holds
+          // its own scan FileIndexes and must call `session.refresh()` after
+          // a re-land (spec-pinned in GenerateMdlSpec)
+          spark.catalog.refreshByPath(dst)
           val rows = spark.read.parquet(dst).count()
           Landed(table, fmt, rows, cols.size)
         }

@@ -414,6 +414,19 @@ final class SemanticPlanner(
     macroSql.foreach(spark.sql(_)) // temp functions are session-global: restore ours
   }
 
+  /** Refresh the cached FILE LISTINGS of every resolved source scan. Model and
+    * view plans derive from the source frames, and plan transforms copy nodes
+    * but share the `FileIndex` INSTANCE — so refreshing the source plans'
+    * indexes reaches every deployed view (and every plan-cache entry holding
+    * them). The case that needs it: a source directory REWRITTEN under a live
+    * deployment (`LandRaw` merge/replace re-lands) — Spark's listing cache
+    * would otherwise chase deleted part files (FAILED_READ_FILE.FILE_NOT_EXIST)
+    * or serve the stale row set. Same mechanism as SQL `REFRESH TABLE`, scoped
+    * to this deployment's sources.
+    */
+  def refreshSources(): Unit =
+    srcCache.values.foreach(_.queryExecution.analyzed.refresh())
+
   /** A planner over the same manifest/resolver with different session properties:
     * resolved base scans are SHARED (sources are property-independent), so a deploy
     * of the returned planner only re-resolves what properties can change — RLAC

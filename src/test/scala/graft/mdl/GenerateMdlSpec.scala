@@ -286,6 +286,34 @@ class GenerateMdlSpec extends AnyFunSuite {
       .foreach(graft.util.Fs.deleteTree)
   }
 
+  test("re-landing refreshes cached listings: a deployed session survives a merge") {
+    import java.nio.file.Files
+    val raw1 = Files.createTempDirectory("graft_rl1_")
+    val raw2 = Files.createTempDirectory("graft_rl2_")
+    val out = Files.createTempDirectory("graft_rlland_").toString
+    Files.write(raw1.resolve("people.csv"),
+      "id,name\n1,ada\n2,bob\n3,cey".getBytes("UTF-8"))
+    Files.write(raw2.resolve("people.csv"),
+      "id,name\n2,BOB2\n4,dee".getBytes("UTF-8"))
+    LandRaw.land(spark, raw1.toString, out, "replace")
+    val draft = GenerateMdl.fromParquetDir(spark, out)
+    val sess = graft.GraftEngine.deployOnDir(spark, draft.manifest, out)
+    def n(): Long = sess.query("SELECT count(*) AS n FROM graft.draft.people")
+      .collect()(0).getLong(0)
+    assert(n() === 3)
+    // the merge REWRITES people.parquet under the deployed session's feet:
+    // Spark's cached file listing chases deleted part files
+    // (FAILED_READ_FILE.FILE_NOT_EXIST) until the session refreshes its
+    // source indexes — the documented re-land contract
+    LandRaw.land(spark, raw2.toString, out, "merge", Map("*" -> "id"))
+    val stale = intercept[org.apache.spark.SparkException] { n() }
+    assert(stale.getMessage.contains("FAILED_READ_FILE"),
+      s"expected the stale-listing failure class, got: ${stale.getMessage}")
+    sess.refresh()
+    assert(n() === 4, "refreshed session must see the post-merge row set")
+    Seq(raw1.toString, raw2.toString, out).foreach(graft.util.Fs.deleteTree)
+  }
+
   test("CLI generate writes a project that validates and builds back to the draft") {
     val out = java.nio.file.Files.createTempDirectory("graft_genctx_")
     val msg = graft.api.ContextCli.run(Seq("generate",
