@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Normalization mirrors dlt's naming convention: table and column names are
   * lowercased, non-identifier characters collapse to `_`, and post-collapse
   * collisions get a deterministic numeric suffix — so a header like
-  * `"Total Price ($)"` lands as `total_price__`, queryable without quoting.
+  * `"Total Price ($)"` lands as `total_price_`, queryable without quoting.
   *
   * Scale shape: the readers are Spark's distributed CSV/JSON sources, so the
   * landing pass parallelizes per input split like any scan; schema inference
@@ -26,7 +26,9 @@ object LandRaw {
   final case class Landed(table: String, format: String, rows: Long, cols: Int)
 
   /** dlt-style identifier normalization: lowercase, non `[a-z0-9_]` runs →
-    * one `_`. Returns `c` for an all-symbol name so the result is never empty.
+    * one `_`; leading underscores are stripped unless nothing else remains.
+    * Empty or digit-leading results get a `c_` prefix so the output is always
+    * a bare-queryable identifier.
     */
   def sanitize(name: String): String = {
     val s = name.toLowerCase.replaceAll("[^a-z0-9_]+", "_")
