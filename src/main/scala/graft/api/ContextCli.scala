@@ -24,6 +24,14 @@ import graft.mdl.{ProjectConvert, YamlProject}
   *                                                    relationships — the
   *                                                    reference's
   *                                                    wren-generate-mdl flow)
+  *   quickstart [--path dir] [--force]                seed a deterministic
+  *                                                    demo dataset (the
+  *                                                    reference's bundled
+  *                                                    jaffle-shop-shaped
+  *                                                    quickstart, networkless)
+  *                                                    and run the full loop:
+  *                                                    land → draft → deploy →
+  *                                                    first query
   *   validate                                         structure checks
   *   build                                            compile target/mdl.json
   *   show   [--output summary|json|yaml]              project overview
@@ -82,7 +90,7 @@ object ContextCli {
   /** Testable core: returns what main prints. */
   def run(argv: Seq[String]): String = {
     require(argv.nonEmpty,
-      "usage: ContextCli <init|ingest|generate|validate|build|show|instructions|upgrade> [options]")
+      "usage: ContextCli <init|ingest|generate|quickstart|validate|build|show|instructions|upgrade> [options]")
     val cmd = argv.head
     val rest = argv.tail
     def opt(name: String): Option[String] = {
@@ -219,6 +227,10 @@ object ContextCli {
         // close the loop: deploy the draft over the landed tables and count
         // through every model — a draft that cannot deploy+query is not done
         val sess = graft.GraftEngine.deployOnDir(spark, draft.manifest, dataDir)
+        // an incremental re-ingest (append/merge, or replace over the same
+        // dirs) re-lands paths a CACHED deployment may hold stale FileIndexes
+        // for — refresh is the re-land contract (no-op on a fresh deploy)
+        sess.refresh()
         val counts = draft.manifest.models.map { md =>
           val n = sess.query(
             s"SELECT count(*) AS n FROM $catalog.$schemaNs.${md.name}")
@@ -245,6 +257,94 @@ object ContextCli {
           counts.mkString("\n") +
           s"\n\nNext steps:\n  graft context validate --path $projectPath\n" +
           s"  graft context build --path $projectPath"
+
+      case "quickstart" =>
+        // the reference's bundled-demo onboarding (`docs/get_started/
+        // quickstart.md`: seed the jaffle_shop dbt demo, connect, run a first
+        // query) without the network: seed a DETERMINISTIC demo dataset of
+        // the same published shape (customers / orders / payments) in-code,
+        // then run the whole onboarding loop — land → draft → deploy → a
+        // first analytical query — so a new user sees the engine work
+        // end-to-end in one command with nothing to download
+        val projectPath = Paths.get(opt("path").getOrElse("quickstart"))
+        val rawDir = projectPath.resolve("raw")
+        Files.createDirectories(rawDir)
+        val rnd = new scala.util.Random(20260816L)
+        val firsts = Seq("ada", "grace", "alan", "edsger", "barbara", "donald",
+          "tony", "john", "leslie", "margaret")
+        val lasts = Seq("rivers", "stone", "hale", "brook", "fern", "vale")
+        val nCust = 30; val nOrders = 100
+        val custCsv = new StringBuilder("id,first_name,last_name\n")
+        for (i <- 1 to nCust)
+          custCsv ++= s"$i,${firsts(rnd.nextInt(firsts.size))}," +
+            s"${lasts(rnd.nextInt(lasts.size))}\n"
+        val statuses =
+          Seq("placed", "shipped", "completed", "returned", "return_pending")
+        val orderCsv = new StringBuilder("id,customer_id,order_date,status\n")
+        for (i <- 1 to nOrders)
+          orderCsv ++= s"$i,${1 + rnd.nextInt(nCust)}," +
+            f"2025-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d," +
+            s"${statuses(rnd.nextInt(statuses.size))}\n"
+        val methods = Seq("credit_card", "coupon", "bank_transfer", "gift_card")
+        val payCsv = new StringBuilder("id,order_id,payment_method,amount_cents\n")
+        var pid = 0
+        for (o <- 1 to nOrders; _ <- 0 until (1 + rnd.nextInt(2))) {
+          pid += 1
+          payCsv ++= s"$pid,$o,${methods(rnd.nextInt(methods.size))}," +
+            s"${500 + rnd.nextInt(9500)}\n"
+        }
+        Seq("customers.csv" -> custCsv, "orders.csv" -> orderCsv,
+          "payments.csv" -> payCsv).foreach { case (f, sb) =>
+          Files.write(rawDir.resolve(f), sb.toString.getBytes("UTF-8")) }
+        // the ingest loop, end-to-end (same machinery as `ingest`)
+        val dataDir = projectPath.resolve("landed").toString
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .appName("graft-quickstart").master("local[8]")
+          .config("spark.sql.shuffle.partitions", 8)
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val landed = graft.mdl.LandRaw.land(spark, rawDir.toString, dataDir)
+        val draft = graft.mdl.GenerateMdl.fromParquetDir(
+          spark, dataDir, "graft", "demo")
+        val mdlJson = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            graft.mdl.ManifestJson.toJValue(draft.manifest)))
+        ProjectConvert.writeProjectFiles(
+          ProjectConvert.convertMdlToProject(mdlJson), projectPath,
+          force = flag("force"))
+        val sess = graft.GraftEngine.deployOnDir(spark, draft.manifest, dataDir)
+        // a re-run re-lands the same paths in place: the cached deployment's
+        // scan FileIndexes are stale until refreshed (the LandRaw re-land
+        // contract; no-op on a fresh deploy)
+        sess.refresh()
+        // first query: lifetime value per customer through both suggested
+        // relationships (payments → orders → customers)
+        val firstSql =
+          """SELECT c.first_name || ' ' || c.last_name AS customer,
+            |       sum(p.amount_cents) AS lifetime_value_cents
+            |FROM graft.demo.payments p
+            |JOIN graft.demo.orders o ON p.order_id = o.id
+            |JOIN graft.demo.customers c ON o.customer_id = c.id
+            |GROUP BY 1 ORDER BY lifetime_value_cents DESC, customer
+            |LIMIT 3""".stripMargin
+        val top = sess.query(firstSql).collect().map(r =>
+          s"  ${r.getString(0)}: ${r.getLong(1)} cents")
+        val relLines =
+          if (draft.manifest.relationships.isEmpty) "  (none suggested)"
+          else draft.manifest.relationships.map(r =>
+            s"  ${r.name} [${r.joinType}]: ${r.condition}").mkString("\n")
+        s"Seeded demo dataset under $rawDir (" +
+          landed.map(l => s"${l.table} ${l.rows} rows").mkString(", ") + ")\n" +
+          s"Drafted + deployed project at $projectPath/ " +
+          s"(${draft.manifest.models.size} models)\n" +
+          "Suggested relationships:\n" + relLines + "\n" +
+          "First query — top customers by lifetime value:\n" +
+          firstSql.linesIterator.map("  | " + _).mkString("\n") + "\n" +
+          top.mkString("\n") +
+          s"\n\nNext steps:\n  graft context show --path $projectPath\n" +
+          s"  graft context validate --path $projectPath"
 
       case "validate" =>
         val projectPath = discoverProjectPath(opt("path"))

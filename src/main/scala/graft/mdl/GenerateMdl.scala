@@ -381,8 +381,13 @@ object GenerateMdl {
   /** Suggested FK edges: model A's column x points at model B's probed key p
     * when the names match (exactly, or on the post-prefix stem for 1–2-char
     * prefixed warehouse schemas — `o_custkey` ⇒ `custkey` ⇒ `c_custkey`; the
-    * stem must be ≥ 5 chars so generic `_id` suffixes never cross-link) and
-    * the Spark types are equal. MANY_TO_ONE unless x itself probed unique
+    * stem must be ≥ 5 chars so generic `_id` suffixes never cross-link), OR
+    * when the FK column follows the `<table>_id` / `<table_singular>_id`
+    * naming convention for the target table (the rails/dbt shape —
+    * `orders.customer_id` ⇒ `customers`; the inference rule the reference's
+    * generate-mdl skill prescribes when no constraints are declared,
+    * `skills/wren-generate-mdl/SKILL.md:253-254`). In all cases the Spark
+    * types must be equal. MANY_TO_ONE unless x itself probed unique
     * (then ONE_TO_ONE). Deterministic order: by (A, x, B).
     */
   private def suggestEdges(
@@ -393,6 +398,16 @@ object GenerateMdl {
       val l = c.toLowerCase
       val us = l.indexOf('_')
       if (us >= 1 && us <= 2) l.substring(us + 1) else l
+    }
+    // `<table>_id` / `<table_singular>_id` ⇒ FK to that table; the singular
+    // is the plain English plural inverse (parties ⇒ party, orders ⇒ order)
+    def singular(t: String): String =
+      if (t.endsWith("ies")) t.dropRight(3) + "y"
+      else if (t.endsWith("s") && !t.endsWith("ss")) t.dropRight(1)
+      else t
+    def conventional(x: String, b: String): Boolean = {
+      val lx = x.toLowerCase; val lb = b.toLowerCase
+      lx == s"${lb}_id" || lx == s"${singular(lb)}_id"
     }
     val types: Map[(String, String), DataType] = (for {
       (t, df) <- tables; f <- df.schema.fields
@@ -405,7 +420,8 @@ object GenerateMdl {
       (b, p) <- targets
       if b != a && !pks(a).contains(x)
       if x.equalsIgnoreCase(p) ||
-        (stem(x) == stem(p) && stem(x).length >= 5)
+        (stem(x) == stem(p) && stem(x).length >= 5) ||
+        conventional(x, b)
       if types((a, x)) == types((b, p))
     } yield Edge(a, x, b, p,
       probes(a).exists(pr => pr.column == x && pr.unique))

@@ -47,9 +47,9 @@ object LandRaw {
 
   /** Land every recognized raw file directly under `rawDir` as
     * `outDir/<table>.parquet`. Recognized: `.csv`, `.tsv` (header +
-    * inferSchema), `.json`, `.jsonl` (JSON-lines). Deterministic table order
-    * (sorted by name); unrecognized files are skipped, an empty directory is
-    * an error.
+    * inferSchema), `.json`, `.jsonl` (JSON-lines), each optionally
+    * `.gz`/`.bz2`-compressed. Deterministic table order (sorted by name);
+    * unrecognized files are skipped, an empty directory is an error.
     *
     * `disposition` is dlt's write-disposition contract for RE-landing into an
     * existing table (the incremental half of the connector loop):
@@ -78,7 +78,13 @@ object LandRaw {
     val files = fs.listStatus(p).toSeq.filter(_.isFile)
       .map(_.getPath).sortBy(_.getName)
     val landed = files.flatMap { f =>
-      val n = f.getName
+      // compressed raw files are the common real-world shape: the format is
+      // the extension UNDER the codec suffix (orders.csv.gz → csv) — Spark's
+      // text sources decompress gz/bz2 transparently (pure-Java Hadoop
+      // codecs; gz is non-splittable: one task per file, the standard price)
+      val n0 = f.getName
+      val codec = Seq(".gz", ".bz2").find(n0.toLowerCase.endsWith(_))
+      val n = codec.fold(n0)(c => n0.dropRight(c.length))
       val dot = n.lastIndexOf('.')
       if (dot <= 0) None
       else {

@@ -1044,4 +1044,47 @@ object Curation {
             regexp_replace(col(textCol), emailRe, "<EMAIL>"),
             ipv4Re, "<IP>"),
           phoneRe, "<PHONE>"))
+
+  // ------------------------------------------------------------ snapshot diff
+
+  /** Diff two corpus snapshots by primary key: one row per key whose
+    * membership or content changed — `added` (in `cur` only), `removed` (in
+    * `old` only), or `changed` (both sides, any compare column differs under
+    * null-safe equality). Unchanged keys are dropped. The dataset-versioning
+    * audit between releases: what moved, and how much.
+    *
+    * Scale shape: with `digest = true` (the default) each side is PROJECTED
+    * map-side to `(key, xxhash64(compareCols))` before the full-outer join,
+    * so the key shuffle carries ~16 bytes/row no matter how wide the
+    * documents are — diffing a 100 TB text corpus moves only keys and
+    * hashes. `digest = false` ships the compare columns through the join
+    * instead (the externally-replayable form); CurationSpec pins both paths
+    * identical (a disagreement would need an xxhash64 collision).
+    */
+  def snapshotDiff(
+      old: DataFrame, cur: DataFrame, key: String,
+      compareCols: Seq[String], digest: Boolean = true): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: compareCols must be non-empty")
+    def side(df: DataFrame, t: String): DataFrame =
+      if (digest)
+        df.select(col(key).as(s"${t}_k"),
+          xxhash64(compareCols.map(col): _*).as(s"${t}_d"))
+      else
+        df.select(col(key).as(s"${t}_k") +:
+          compareCols.map(c => col(c).as(s"${t}_$c")): _*)
+    val o = side(old, "o")
+    val c = side(cur, "c")
+    val changed =
+      if (digest) col("o_d") =!= col("c_d")
+      else compareCols.map(cc => !(col(s"o_$cc") <=> col(s"c_$cc")))
+        .reduce(_ || _)
+    o.join(c, o("o_k") === c("c_k"), "full_outer")
+      .select(
+        coalesce(col("o_k"), col("c_k")).as(key),
+        when(col("o_k").isNull, lit("added"))
+          .when(col("c_k").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .as("change"))
+      .where(col("change").isNotNull)
+  }
 }

@@ -2648,7 +2648,42 @@ object Pipeline {
               |  WHERE (('0x' || substr(md5(cast(doc_id as varchar) || ':'
               |           || cast(fe as varchar)), 1, 15))::BIGINT
               |         % 1000000)::DOUBLE / 1000000.0 < rate - fe
-              |) ORDER BY doc_id, epoch""".stripMargin)))
+              |) ORDER BY doc_id, epoch""".stripMargin))),
+
+    // dataset-versioning audit: what changed between two corpus releases.
+    // The gate runs the DIGEST path (the 100 TB shape: each side projected
+    // map-side to (key, xxhash64) so the full-outer join shuffles ~16
+    // bytes/row) against a value-compare DuckDB oracle — the paths can only
+    // disagree on an xxhash64 collision
+    "p18_snapshot_diff" -> (((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val cur = d.where(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 101 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 103 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      Curation.snapshotDiff(d, cur, "doc_id", Seq("text", "lang"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH o AS (SELECT doc_id, text, lang FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 101 = 0 THEN text || ' v2' ELSE text END AS text,
+             |    lang
+             |  FROM documents WHERE doc_id % 97 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text, lang FROM documents
+             |  WHERE doc_id % 103 = 0
+             |)
+             |SELECT doc_id, change FROM (
+             |  SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+             |    CASE WHEN o.doc_id IS NULL THEN 'added'
+             |         WHEN c.doc_id IS NULL THEN 'removed'
+             |         WHEN (o.text IS DISTINCT FROM c.text)
+             |           OR (o.lang IS DISTINCT FROM c.lang) THEN 'changed'
+             |    END AS change
+             |  FROM o FULL JOIN c ON o.doc_id = c.doc_id
+             |) WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -74,6 +74,26 @@ class GenerateMdlSpec extends AnyFunSuite {
     assert(!m.relationships.exists(_.condition.contains("user_id")))
   }
 
+  test("naming-convention FK inference: <table>_id / <table_singular>_id (skill fallback)") {
+    import spark.implicits._
+    val customers = Seq((1, "ada"), (2, "bob")).toDF("id", "name")
+    val orders = Seq((1, 1, 9), (2, 2, 9)).toDF("id", "customer_id", "partner_id")
+    val parties = Seq((1, "gala")).toDF("id", "theme")
+    val invites = Seq((10, 1)).toDF("id", "party_id")
+    val d = GenerateMdl.fromTables(spark,
+      Seq("customers" -> customers, "orders" -> orders,
+        "parties" -> parties, "invites" -> invites),
+      "graft", "draft", probeRows = Int.MaxValue.toLong)
+    val conds = d.manifest.relationships.map(_.condition).toSet
+    // the rails/dbt shape the reference skill prescribes as the no-constraint
+    // fallback (skills/wren-generate-mdl/SKILL.md:253-254)
+    assert(conds.contains(""""orders"."customer_id" = "customers"."id""""), conds)
+    // plural inverse: parties ⇒ party_id
+    assert(conds.contains(""""invites"."party_id" = "parties"."id""""), conds)
+    // no table called partner(s) — the convention never free-associates
+    assert(!conds.exists(_.contains("partner_id")), conds)
+  }
+
   test("the draft deploys and a query through a suggested edge runs") {
     val sess = graft.GraftEngine.deployOnDir(spark, m, "/root/testdata/sf0.001")
     val out = sess.query(

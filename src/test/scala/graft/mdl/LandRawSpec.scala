@@ -30,6 +30,24 @@ class LandRawSpec extends AnyFunSuite {
     assert(LandRaw.sanitize("") === "c_")     // empty gets the c_ floor
   }
 
+  test("gzip-compressed raw files land by their inner format extension") {
+    import java.nio.file.Files
+    val raw = Files.createTempDirectory("graft_lrgz_")
+    val out = Files.createTempDirectory("graft_lrgzland_").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(raw.resolve("sales.csv.gz")))
+    gz.write("id,amt\n1,2.5\n2,4.0\n".getBytes("UTF-8")); gz.close()
+    // a codec nobody registered still skips, not errors
+    Files.write(raw.resolve("notes.txt.gz"), Array[Byte](1, 2))
+    val landed = LandRaw.land(spark, raw.toString, out)
+    assert(landed.map(l => (l.table, l.format, l.rows, l.cols)) ===
+      Seq(("sales", "csv", 2L, 2)))
+    val df = spark.read.parquet(s"$out/sales.parquet")
+    assert(df.columns.toSeq === Seq("id", "amt"))
+    assert(df.schema("id").dataType === org.apache.spark.sql.types.IntegerType)
+    Seq(raw.toString, out).foreach(graft.util.Fs.deleteTree)
+  }
+
   test("post-sanitize header collisions get deterministic suffixes, stay typed") {
     import java.nio.file.Files
     val raw = Files.createTempDirectory("graft_lrcol_")

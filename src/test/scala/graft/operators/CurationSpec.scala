@@ -730,4 +730,42 @@ class CurationSpec extends AnyFunSuite {
         Seq("a").toDF("domain"), budget = 100L)
     }
   }
+
+  test("snapshotDiff: added/removed/changed by key, unchanged dropped, nulls safe") {
+    val old = Seq(
+      (1L, Some("a"), "en"), (2L, Some("b"), "en"), (3L, None, "de"),
+      (4L, Some("d"), "fr")).toDF("doc_id", "text", "lang")
+    val cur = Seq(
+      (1L, Some("a"), "en"),      // unchanged -> dropped
+      (2L, Some("B!"), "en"),     // changed text
+      (3L, None, "en"),           // changed lang, null text compares safely
+      (5L, Some("e"), "it")       // added
+    ).toDF("doc_id", "text", "lang") // 4L removed
+    val got = Curation.snapshotDiff(old, cur, "doc_id", Seq("text", "lang"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq((2L, "changed"), (3L, "changed"), (4L, "removed"),
+      (5L, "added")))
+  }
+
+  test("snapshotDiff digest path ≡ value-compare path on randomized snapshots") {
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 400L).map(i =>
+      (i, if (rnd.nextInt(20) == 0) null
+          else rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString,
+        s"l${rnd.nextInt(3)}"))
+    val next = base.filter(_ => rnd.nextInt(10) != 0) // drops
+      .map { case (i, t, l) => // mutations
+        if (rnd.nextInt(8) == 0) (i, if (t == null) "x" else null, l)
+        else if (rnd.nextInt(8) == 0) (i, t, l + "'")
+        else (i, t, l)
+      } ++ (900L to 920L).map(i => (i, "new", "l0")) // adds
+    val o = base.toDF("doc_id", "text", "lang")
+    val c = next.toDF("doc_id", "text", "lang")
+    val byDigest = Curation.snapshotDiff(o, c, "doc_id", Seq("text", "lang"),
+      digest = true).as[(Long, String)].collect().sorted.toSeq
+    val byValue = Curation.snapshotDiff(o, c, "doc_id", Seq("text", "lang"),
+      digest = false).as[(Long, String)].collect().sorted.toSeq
+    assert(byDigest === byValue)
+    assert(byDigest.count(_._2 == "added") === 21)
+  }
 }
