@@ -121,6 +121,64 @@ object ScaleSmoke {
     suites.foreach { case (n, d1, _) => run(n, d1) }
 
     def mb(b: Long): String = f"${b / 1e6}%.1f"
+
+    // ---- optional 100× FOURTH decade for the df-dispatch family -----------
+    // `SPARK_GRAFT_SCALE_100X=1` runs ONLY this probe (the q18/q21 and
+    // graph/ER fourth-decade protocol): the unsalted-boilerplate skew corpus
+    // at 30×/96p and 100×/320p with rows-per-partition held constant, so the
+    // claim under test stays PEAK-STAGE BYTES PER PARTITION ~flat while the
+    // hot-shingle document frequency grows to ~167k — three decades past the
+    // maxDocFreq cap, where a capped inverted index would be quadratic.
+    if (sys.env.get("SPARK_GRAFT_SCALE_100X").contains("1")) {
+      val names = Seq("d4_ngram_jaccard", "d13_containment")
+      names.foreach(n => run(n, skew1)) // codegen/JIT warm on the 1× corpus
+      val skew30 = writeCorpus("skew30",
+        skewed((0 until 3 * copies).map(salted).reduce(_ union _)), parts = 96)
+      val skew100 = writeCorpus("skew100",
+        skewed((0 until 10 * copies).map(salted).reduce(_ union _)), parts = 320)
+      val rows = names.map { name =>
+        val key = if (name == "d13_containment") "containment" else "jaccard"
+        spark.conf.set("spark.sql.shuffle.partitions", "96")
+        val (t30, r30, s30, p30) =
+          try run(name, skew30)
+          finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val d30 = Option(Dedup.lastDispatch.get(key)).getOrElse("-")
+        spark.conf.set("spark.sql.shuffle.partitions", "320")
+        val (t100, r100, s100, p100) =
+          try run(name, skew100)
+          finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val d100 = Option(Dedup.lastDispatch.get(key)).getOrElse("-")
+        val row = Map(
+          "query" -> s"$name[30x/96p -> 100x/320p]",
+          "t30_sec" -> f"$t30%.2f", "t100_sec" -> f"$t100%.2f",
+          "wall_factor" -> f"${t100 / t30}%.1f",
+          "rows30" -> r30.toString, "rows100" -> r100.toString,
+          "shuffle30_mb" -> mb(s30), "shuffle100_mb" -> mb(s100),
+          "shuffle_factor" -> (if (s30 > 0) f"${s100.toDouble / s30}%.1f" else "-"),
+          "peak_per_part30_mb" -> mb(p30 / 96),
+          "peak_per_part100_mb" -> mb(p100 / 320),
+          "dispatch30" -> d30, "dispatch100" -> d100)
+        println(s"[scale] ${row("query")} 30x=${row("t30_sec")}s " +
+          s"100x=${row("t100_sec")}s factor=${row("wall_factor")} " +
+          s"rows ${r30}->${r100} " +
+          s"peak/part ${row("peak_per_part30_mb")}->${row("peak_per_part100_mb")} MB " +
+          s"dispatch ${d30}->${d100}")
+        row
+      }
+      val json = rows.map(r => r.map { case (k, v) =>
+        "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}"))
+        .mkString(
+          s"""{"sf":"$sfDir","copies":$copies,"mode":"100x","results":[""",
+          ",", "]}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("dedup_scale_smoke_100x.json"),
+        json.getBytes("UTF-8"))
+      println(json)
+      graft.util.Fs.deleteTree(work)
+      spark.stop()
+      return
+    }
+
     val results = suites.map { case (name, d1, d10) =>
       val (t1, r1, s1, p1) = run(name, d1)
       val dispatch1 = Option(Dedup.lastDispatch.get(
