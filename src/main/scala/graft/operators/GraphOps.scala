@@ -32,25 +32,33 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** The shared power-iteration loop over a persisted edge list and a flagged
-    * node set (`id`, `s` ∈ {0,1} — teleport receivers). `nReceivers` must be
-    * `count(s = 1)`. See the object doc for the recurrence.
+  /** The shared power-iteration loop over a persisted edge list and a static
+    * node table (`id`, `s` ∈ {0,1} — teleport receivers, `outdeg` — out-degree
+    * with 0 for dangling nodes). `nReceivers` must be `count(s = 1)`. See the
+    * object doc for the recurrence.
     *
     * Scale design: `e` is persisted once and re-scanned per iteration (on a
     * cluster, prefer a table bucketed by `src` so the per-iteration
     * rank⋈edges join shuffles only the rank rows — N longs, never the edge
-    * list). The contrib aggregate is a partial/final hash aggregate (map-side
-    * combine), the dangling mass is a single-row aggregate BROADCAST-joined
-    * into the update (no per-iteration driver collect — one job per round),
-    * and each iteration is checkpoint-snapped so the plan doesn't nest; `reliable = true` swaps localCheckpoint (executor-local,
-    * lost on executor death) for checkpoint-dir-backed `checkpoint()` — the
-    * right setting when a 100 TB run's iteration chain is hours long (same
-    * switch as [[Curation.connectedComponents]]).
+    * list). The rank rows CARRY the static per-node columns (`s`, `outdeg`),
+    * so each iteration joins only the edge list: the former per-iteration
+    * `deg` join folds into a `rank div outdeg` computed on the N rank rows
+    * before the edge join (identical floor division, evaluated once per src
+    * instead of once per edge), and the former dangling anti-join folds into
+    * a `filter(outdeg = 0)` over columns already in hand — two exchanges per
+    * round removed outright (guide §2.4). The contrib aggregate is a
+    * partial/final hash aggregate (map-side combine), the dangling mass is a
+    * single-row aggregate BROADCAST-joined into the update (no per-iteration
+    * driver collect — one job per round), and each iteration is
+    * checkpoint-snapped so the plan doesn't nest; `reliable = true` swaps
+    * localCheckpoint (executor-local, lost on executor death) for
+    * checkpoint-dir-backed `checkpoint()` — the right setting when a 100 TB
+    * run's iteration chain is hours long (same switch as
+    * [[Curation.connectedComponents]]).
     */
   private def rankLoop(
       e: DataFrame,
-      flagged: DataFrame,
-      deg: DataFrame,
+      nodes: DataFrame,
       nReceivers: Long,
       iterations: Int,
       scale: Long,
@@ -65,26 +73,37 @@ object GraphOps {
     // the driver never synchronizes on a scalar between rounds
     val shareSql =
       if (nReceivers == 0) "0L" else s"(dm div ${nReceivers}L)"
-    var rank = snap(flagged.select(col("id"), col("s"),
+    val explainIter = sys.env.contains("SPARK_GRAFT_RANK_EXPLAIN")
+    var rank = snap(nodes.select(col("id"), col("s"), col("outdeg"),
       (col("s") * scale).cast("long").alias("rank")))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
+      // src rows with outdeg = 0 have no out-edges to match — the filter
+      // drops them before the join without changing the result
       val contrib = e
-        .join(rank.select(col("id").alias("src"), col("rank")), Seq("src"))
-        .join(deg.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").alias("id"), expr("rank div outdeg").alias("c"))
+        .join(rank.filter(col("outdeg") > 0)
+          .select(col("id").alias("src"), expr("rank div outdeg").alias("w")),
+          Seq("src"))
+        .select(col("dst").alias("id"), col("w"))
         .groupBy("id")
-        .agg(sum("c").alias("contrib"))
+        .agg(sum("w").alias("contrib"))
       // dangling nodes (no out-edges) leak their mass; redistribute it to the
       // receivers (1-row aggregate, broadcast into the update)
-      val danglingMass = rank.join(deg, Seq("id"), "left_anti")
+      val danglingMass = rank.filter(col("outdeg") === 0)
         .agg(coalesce(sum("rank"), lit(0L)).alias("dm"))
         .withColumn("jk", lit(1))
-      rank = snap(flagged.withColumn("jk", lit(1))
+      val updated = rank.select(col("id"), col("s"), col("outdeg"))
+        .withColumn("jk", lit(1))
         .join(contrib, Seq("id"), "left")
         .join(broadcast(danglingMass), Seq("jk"))
-        .select(col("id"), col("s"),
+        .select(col("id"), col("s"), col("outdeg"),
           expr(s"${base}L * s + ((coalesce(contrib, 0L) + s * $shareSql) * $dampingPct) div 100")
-            .alias("rank")))
+            .alias("rank"))
+      if (explainIter && it == 1)
+        // plan-evidence hook (plans/r15): the per-iteration update plan is
+        // hidden behind the checkpoint snaps in the query-level explain
+        println(updated.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      rank = snap(updated)
     }
     rank.select(col("id"), col("rank"))
   }
@@ -163,18 +182,21 @@ object GraphOps {
       reliable: Boolean = false): DataFrame = {
     checkParams(edges, iterations, dampingPct, reliable, "pageRank")
     val e = persisted(edges.select(col("src"), col("dst")))
-    // every node is a teleport receiver: s = 1 across the board, no seed join
-    val flagged = persisted(
+    // every node is a teleport receiver: s = 1 across the board, no seed join;
+    // the static out-degree rides the node table (and then the rank rows) so
+    // the loop never joins `deg` again
+    val deg = e.groupBy(col("src").alias("id")).agg(count(lit(1)).alias("outdeg"))
+    val nodes = persisted(
       e.select(col("src").alias("id")).union(e.select(col("dst").alias("id")))
         .distinct()
-        .select(col("id"), lit(1).alias("s")))
-    val deg = persisted(
-      e.groupBy(col("src").alias("id")).agg(count(lit(1)).alias("outdeg")))
-    val nNodes = flagged.count()
+        .join(deg, Seq("id"), "left")
+        .select(col("id"), lit(1).alias("s"),
+          coalesce(col("outdeg"), lit(0L)).alias("outdeg")))
+    val nNodes = nodes.count()
     checkOverflow(scale, nNodes, "nodes")
-    val rank = rankLoop(e, flagged, deg, nNodes, iterations, scale,
+    val rank = rankLoop(e, nodes, nNodes, iterations, scale,
       dampingPct, reliable)
-    e.unpersist(); flagged.unpersist(); deg.unpersist()
+    e.unpersist(); nodes.unpersist()
     rank
   }
 
@@ -201,22 +223,24 @@ object GraphOps {
       reliable: Boolean = false): DataFrame = {
     checkParams(edges, iterations, dampingPct, reliable, "trustRank")
     val e = persisted(edges.select(col("src"), col("dst")))
-    val nodes = e.select(col("src").alias("id"))
+    val nodeIds = e.select(col("src").alias("id"))
       .union(e.select(col("dst").alias("id")))
       .distinct()
-    // node set with a 0/1 seed flag; the flag column rides every iteration
+    // node set with a 0/1 seed flag and the static out-degree; both ride
+    // every iteration on the rank rows (no per-iteration deg/seed joins)
     val seedIds = seeds.select(col(seeds.columns.head).alias("id")).distinct()
-    val flagged = persisted(nodes
+    val deg = e.groupBy(col("src").alias("id")).agg(count(lit(1)).alias("outdeg"))
+    val nodes = persisted(nodeIds
       .join(seedIds.withColumn("sflag", lit(1)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("sflag"), lit(0)).alias("s")))
-    val deg = persisted(
-      e.groupBy(col("src").alias("id")).agg(count(lit(1)).alias("outdeg")))
-    val nSeeds = flagged.filter(col("s") === 1).count()
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("sflag"), lit(0)).alias("s"),
+        coalesce(col("outdeg"), lit(0L)).alias("outdeg")))
+    val nSeeds = nodes.filter(col("s") === 1).count()
     require(nSeeds > 0, "trustRank needs at least one seed present in the graph")
     checkOverflow(scale, nSeeds, "seeds")
-    val rank = rankLoop(e, flagged, deg, nSeeds, iterations, scale,
+    val rank = rankLoop(e, nodes, nSeeds, iterations, scale,
       dampingPct, reliable)
-    e.unpersist(); flagged.unpersist(); deg.unpersist()
+    e.unpersist(); nodes.unpersist()
     rank
   }
 

@@ -69,11 +69,19 @@ object GraphEr {
     // guard must NOT apply there.
     val base0 = docs(s, dir).select(col("doc_id").alias("id"),
       concat_ws(" ", slice(Dedup.wordsArray(col("text")), 1, 6)).alias("name"))
-    val base = if (!guardSplit) base0 else
+    val baseGuarded = if (!guardSplit) base0 else
       base0.withColumn("name", when(col("id") < 500000L, col("name"))
         .otherwise(raise_error(lit(
           "erRecords: doc_id >= 500000 breaks er3's dirty/catalog split — " +
             "raise the offset before growing the gate fixture"))))
+    // Materialize the normalized names ONCE per query invocation: every er
+    // entry fans `recs` into several consumers (blocking-key aggregate, the
+    // capped block join's two sides, the canonical join-back, er3/er4's
+    // splits), and without this snap each consumer re-ran the parquet scan +
+    // lower/regexp/split normalization — measured 4–10 full document scans
+    // per er query at sf0.1 (guide §1.2 step 1: don't compute things twice).
+    // The snapped frame is (id, 6-word name) — KBs per 1k docs, batch-sized.
+    val base = baseGuarded.localCheckpoint(true)
     val typos = base.filter(col("id") % 20 === 0 && length(col("name")) >= 8)
       .select((col("id") + 500000).alias("id"),
         concat(substring(col("name"), 1, 3), expr("substr(name, 5)")).alias("name"))
