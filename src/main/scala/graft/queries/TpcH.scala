@@ -99,21 +99,29 @@ object TpcH {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
-    // min-cost supplier: correlated scalar MIN subquery (unit price replaces
-    // the missing ps_supplycost)
+    // min-cost supplier: regional minimum as a window over the SAME joined set
+    // the correlated MIN subquery ranged over (r15 rewrite, the q17 pattern:
+    // the decorrelated subquery re-ran the lineitem×supplier×nation×region
+    // join a second time for every partkey before the selective p_size filter
+    // could prune it — the window computes the identical per-partkey minimum
+    // on the single already-filtered join, halving the lineitem scans/joins).
+    // Equivalence: the outer join's rows for a partkey are exactly the
+    // EUROPE-supplier lineitems of that part — the subquery's set — and min
+    // over doubles is order-independent, so the comparison sees bit-identical
+    // values in both engines.
     "tpch_q2" -> common(
       """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
-        |FROM part, supplier, lineitem, nation, region
-        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-        |  AND p_size = 15
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'EUROPE'
-        |  AND l_extendedprice / l_quantity = (
-        |    SELECT min(l2.l_extendedprice / l2.l_quantity)
-        |    FROM lineitem l2, supplier s2, nation n2, region r2
-        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
-        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-        |      AND r2.r_name = 'EUROPE')
+        |FROM (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |    l_extendedprice / l_quantity AS unit_price,
+        |    min(l_extendedprice / l_quantity)
+        |      OVER (PARTITION BY p_partkey) AS min_price
+        |  FROM part, supplier, lineitem, nation, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND p_size = 15
+        |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE') priced
+        |WHERE unit_price = min_price
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin),
 
@@ -233,19 +241,25 @@ object TpcH {
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin),
 
-    // important stock identification: group-by + scalar subquery threshold in
-    // HAVING (lineitem value replaces partsupp stock value)
+    // important stock identification: group-by + global threshold (lineitem
+    // value replaces partsupp stock value). r15 rewrite: the HAVING scalar
+    // subquery re-ran the identical 3-way join + full-table sum a second time;
+    // the windowed sum-of-group-sums computes the same exact decimal total
+    // from the already-aggregated rows — one pass over lineitem instead of
+    // two. The window's single-partition exchange carries only the per-partkey
+    // aggregate rows (the grouped result, ~0.02% of lineitem), vs. the
+    // subquery's second full fact scan+join — the cheaper side at every scale.
     "tpch_q11" -> common(
-      s"""SELECT l_partkey, cast(sum(${dec("l_extendedprice")} * ${dec("l_quantity")}) as double) AS value
-         |FROM lineitem, supplier, nation
-         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-         |  AND n_name = 'NATION_5'
-         |GROUP BY l_partkey
-         |HAVING sum(${dec("l_extendedprice")} * ${dec("l_quantity")}) > (
-         |  SELECT sum(${dec("l_extendedprice")} * ${dec("l_quantity")}) * 0.001
+      s"""SELECT l_partkey, cast(v as double) AS value
+         |FROM (
+         |  SELECT l_partkey,
+         |    sum(${dec("l_extendedprice")} * ${dec("l_quantity")}) AS v,
+         |    sum(sum(${dec("l_extendedprice")} * ${dec("l_quantity")})) OVER () AS tot
          |  FROM lineitem, supplier, nation
          |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-         |    AND n_name = 'NATION_5')
+         |    AND n_name = 'NATION_5'
+         |  GROUP BY l_partkey) valued
+         |WHERE v > tot * 0.001
          |ORDER BY value DESC, l_partkey""".stripMargin),
 
     // shipping modes and order priority: conditional counting (l_returnflag
@@ -288,7 +302,11 @@ object TpcH {
          |  AND cast(l_shipdate as date) >= date '1996-09-01'
          |  AND cast(l_shipdate as date) < date '1996-10-01'""".stripMargin),
 
-    // top supplier: CTE + scalar MAX subquery over the CTE
+    // top supplier: CTE + global MAX as a window over the CTE (r15 rewrite:
+    // the scalar MAX subquery made Spark expand and aggregate the revenue CTE
+    // twice — two lineitem scans; max(total_revenue) OVER () computes the
+    // identical exact-decimal maximum on the grouped rows in one pass, and
+    // the single-partition window exchange carries only supplier-count rows)
     "tpch_q15" -> common(
       s"""WITH revenue AS (
          |  SELECT l_suppkey AS supplier_no, sum($rev) AS total_revenue
@@ -297,9 +315,12 @@ object TpcH {
          |    AND cast(l_shipdate as date) < date '1996-04-01'
          |  GROUP BY l_suppkey)
          |SELECT s_suppkey, s_name, cast(total_revenue as double) AS total_revenue
-         |FROM supplier, revenue
+         |FROM supplier, (
+         |  SELECT supplier_no, total_revenue,
+         |    max(total_revenue) OVER () AS max_revenue
+         |  FROM revenue) ranked
          |WHERE s_suppkey = supplier_no
-         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |  AND total_revenue = max_revenue
          |ORDER BY s_suppkey""".stripMargin),
 
     // parts/supplier relationship: distinct count + NOT IN subquery
@@ -333,17 +354,22 @@ object TpcH {
          |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL')
          |WHERE l_quantity < qty_limit""".stripMargin),
 
-    // large volume customers: IN subquery with grouped HAVING
+    // large volume customers: grouped HAVING joined directly (r15 rewrite:
+    // the IN-subquery form aggregated lineitem for the membership test and
+    // then joined + re-aggregated the FULL lineitem a second time for
+    // total_qty; since o_orderkey is the orders PK, the outer group per order
+    // is exactly the subquery's per-order sum — joining the HAVING aggregate
+    // once yields identical rows with one lineitem aggregation instead of
+    // two and no second fact join)
     "tpch_q18" -> common(
       s"""SELECT c_name, c_custkey, o_orderkey, cast(o_orderdate as date) AS o_date,
-         |  o_totalprice, cast(sum(${dec("l_quantity")}) as double) AS total_qty
-         |FROM customer, orders, lineitem
-         |WHERE o_orderkey IN (
-         |    SELECT l_orderkey FROM lineitem
+         |  o_totalprice, cast(total_qty as double) AS total_qty
+         |FROM customer, orders, (
+         |    SELECT l_orderkey, sum(${dec("l_quantity")}) AS total_qty
+         |    FROM lineitem
          |    GROUP BY l_orderkey
-         |    HAVING sum(${dec("l_quantity")}) > 150)
-         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-         |GROUP BY c_name, c_custkey, o_orderkey, cast(o_orderdate as date), o_totalprice
+         |    HAVING sum(${dec("l_quantity")}) > 150) big_orders
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
          |ORDER BY o_totalprice DESC, o_orderkey
          |LIMIT 100""".stripMargin),
 

@@ -66,7 +66,13 @@ object Transliterate {
       // as char_length — whose DuckDB spelling is length() (character
       // semantics). Closes the former tpch_q20×mysql skip (round-14 #6).
       Rule("char-length", raw"\bchar_length\(".r, "length(",
-        Some(raw"\blength\(".r))),
+        Some(raw"\blength\(".r)),
+      // MySQL's only null-safe-equality spelling is `<=>`; DuckDB parses the
+      // ANSI `IS NOT DISTINCT FROM` (identical three-valued semantics). Needed
+      // since r15's q2 window rewrite, whose equality filter Spark plans as
+      // EqualNullSafe.
+      Rule("null-safe-eq", raw"<=>".r, "IS NOT DISTINCT FROM",
+        Some(raw"\bIS NOT DISTINCT FROM\b".r))),
     "bigquery" -> Seq(
       Rule("ident-quote", "`".r, "\"", Some("\"".r)),
       Rule("float64", raw"\bFLOAT64\b".r, "DOUBLE", Some(raw"\bDOUBLE\b".r)),

@@ -77,15 +77,18 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.contains("partial_count(distinct l_suppkey"), plan.take(2500))
   }
 
-  test("tpch_q18: HAVING subquery is a broadcast semi join into an all-broadcast top-k") {
-    // the suite's slowest TPC-H query — guard the properties that keep it ~1 s:
-    // the large-order filter decorrelates to a LeftSemi against the aggregated
-    // lineitem (never a shuffled join of two fact-sized sides), every join
-    // broadcasts, the sum(l_quantity) aggregate runs two-phase, and the final
-    // ORDER BY ... LIMIT plans as TakeOrderedAndProject, not a global sort
+  test("tpch_q18: ONE lineitem aggregation feeding an all-broadcast top-k") {
+    // the suite's slowest TPC-H query — r15 rewrote the IN-subquery (which
+    // aggregated lineitem for membership and then re-joined + re-aggregated
+    // the full fact) into a direct join of the HAVING aggregate. Guard the
+    // properties that keep it fast: lineitem is scanned and aggregated
+    // EXACTLY ONCE (two-phase partial_sum), every join broadcasts, and the
+    // final ORDER BY ... LIMIT plans as TakeOrderedAndProject, not a global
+    // sort
     val plan = executedPlan("tpch_q18")
-    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 2, // tree + detail
       plan.take(2500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       plan.take(2500))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2500))
