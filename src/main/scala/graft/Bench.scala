@@ -12,13 +12,6 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // guide §3.1/§9: let the planner pick shuffled-hash join when its size
-      // conditions hold — skips both sort passes of a sort-merge join. Not a
-      // local-core-count tune: the condition is per-partition build-side fit,
-      // which AQE checks from runtime sizes at any scale. Overridable for
-      // A/B: SPARK_GRAFT_PREFER_SMJ=true restores the Spark default.
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
     // ERROR, not WARN: each per-query GraftSession re-registers the function
     // surface, and Spark logs a WARN per replaced function — thousands of stderr

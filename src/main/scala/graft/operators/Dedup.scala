@@ -466,10 +466,7 @@ object Dedup {
       .groupBy(col("p.id_a").alias("id_a"), col("p.id_b").alias("id_b"))
       .agg(count(lit(1)).alias("inter"))
     val sizes = sets.select(col("id"), size(col("s")).cast("long").alias("sz"))
-    // merge-pinned: the pair table dwarfs the per-doc size table, and the
-    // shuffled-hash build over the pair side measured 4x slower on d4 when the
-    // session prefers SHJ (r15 A/B) — SMJ streams the sorted pair stream
-    inter.hint("merge")
+    inter
       .join(sizes.select(col("id").alias("id_a"), col("sz").alias("sza")), "id_a")
       .join(sizes.select(col("id").alias("id_b"), col("sz").alias("szb")), "id_b")
       .withColumn("jaccard", round(col("inter").cast("double") /

@@ -96,11 +96,7 @@ object EntityResolution {
     // only MATCHES — at the 10× smoke that is 5.3k rows instead of 3.6M
     // candidates, a ~700× smaller shuffle. The sparser the match set (every
     // real corpus), the more this ordering wins.
-    // sort-merge pinned: the block self-join's quadratic-within-block expansion
-    // streams cheaply off the (reused) tok exchange under SMJ; the shuffled-hash
-    // alternative measured 2.7-5x slower on er1/er4 when the session allows it
-    // (r15 A/B with spark.sql.join.preferSortMergeJoin=false)
-    blocked.alias("a").hint("merge")
+    blocked.alias("a")
       .join(blocked.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"),
         col("a.name").alias("name_a"), col("b.name").alias("name_b"))
@@ -140,8 +136,7 @@ object EntityResolution {
     // not candidates; the explicit tok-repartition decouples the CPU-bound
     // verify's parallelism from source splits and AQE coalescing (ditto)
     val parts = left.sparkSession.sparkContext.defaultParallelism
-    // merge hint: same rationale as blockedFuzzyPairs' self-join
-    lt.join(small, Seq("tok")).repartition(parts, col("tok")).alias("a").hint("merge")
+    lt.join(small, Seq("tok")).repartition(parts, col("tok")).alias("a")
       .join(rt.join(small, Seq("tok")).repartition(parts, col("tok")).alias("b"), Seq("tok"))
       .select(col("a.id").alias("left_id"), col("b.id").alias("right_id"),
         col("a.name").alias("left_name"), col("b.name").alias("right_name"))
