@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The perf driver captures only the LAST ~2000 chars of `sbt "runMain
+// graft.Bench"` output and parses the final JSON line. sbt's default forked-run
+// output strategy (LoggedOutput) routes the child's stdout through the logger,
+// prefixing every line with "[info] " — which defeated that parser in every
+// round to date (BENCH_r01–r15 all stamp `parsed: null`). StdoutOutput hands
+// the forked JVM the real stdout, so graft.Bench's println-last compact line
+// lands raw; sbt's own "[success] ..." trailer (~80 chars) still follows it,
+// which the 2000-char tail budget in Bench.scala accounts for.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,10 +37,17 @@ object Bench {
     // analysis-time failures appeared as 0.05-0.23 s "medians" and masked a real
     // regression) — failures return the error message and are excluded from every
     // total, surfacing in an "errors" map instead.
+    // Timed action: the noop sink (guide §1.4), switched at the START of opt
+    // round 16 so every r16 A/B shares one methodology. count() let Catalyst
+    // prune columns and drop final sorts, so map-heavy queries were timed on a
+    // filter/agg skeleton; the noop write materializes EVERY column of EVERY
+    // row and discards it — the honest full-computation time. (r15 kept
+    // count() only for r14-comparability; the re-baseline table lives in
+    // OPTIMIZATION_r16.md. The "timed_action" stamp below discloses the switch.)
     def once(fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -322,6 +329,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
+      s""""timed_action":"noop",""" +
       s""""sentinel":"tpch_q6","sentinel_sec":$sentinelJson,""" +
       s""""sentinel_settled_sec":${f3(settledSentinel)},""" +
       s""""sentinel_relative":$sentinelRelJson,""" +
@@ -356,21 +364,34 @@ object Bench {
         case 't' => "suite_text"       case 'p' => "suite_pipeline"
         case _   => "suite_other"
       }
-    val tpchEntries = timed.toSeq.collect {
+    val tpchPairs: Seq[(String, Double)] = timed.toSeq.collect {
       case (k, _, med, _) if k.startsWith("tpch_") && !k.endsWith("_unparse") &&
-          !k.contains("_translit") =>
-        s"\"" + k + "\":" + f3(med)
-    }.sorted
-    val familyTotals = timed.toSeq
+          !k.contains("_translit") => (k, med)
+    }.sortBy(_._1)
+    val familyPairs: Seq[(String, Double)] = timed.toSeq
       .filterNot(t => t._1.startsWith("tpch_") && !t._1.endsWith("_unparse") &&
         !t._1.contains("_translit"))
       .groupBy(t => family(t._1)).toSeq.sortBy(_._1)
-      .map { case (fam, ts) => s"\"" + fam + "\":" + f3(ts.map(_._3).sum) }
-    val qsCompact = (tpchEntries ++ familyTotals).mkString("{", ",", "}")
+      .map { case (fam, ts) => (fam, ts.map(_._3).sum) }
+    val compactPairs = tpchPairs ++ familyPairs
+    val qsCompact = compactPairs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    // sentinel-relative medians PROMOTED into the compact line (r15 verdict #2:
+    // absolute seconds are not comparable across runs on a burst-throttled
+    // host; the full map already lives in bench_full.json). Emitted as a
+    // VALUES ARRAY aligned 1:1 with the `queries` map's key order — a keyed
+    // map of all 34 entries (~730 chars) would blow the driver's 2000-char
+    // tail budget, the array (~240 chars) fits with room for a noisy round.
+    val relCompact =
+      if (settledSentinel <= 0) "[]"
+      else compactPairs.map(p =>
+        "%.2f".formatLocal(java.util.Locale.ROOT, p._2 / settledSentinel))
+        .mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""planning_ms_per_query":$planningStr,"timing":"warm_median_of_$warmRuns",""" +
-      s""""sentinel_start_sec":${f3(sentinelReads.head._2)},""" +
+      s""""timed_action":"noop","sentinel_start_sec":${f3(sentinelReads.head._2)},""" +
       s""""sentinel_settled_sec":${f3(settledSentinel)},""" +
+      s""""sentinel_relative_of_queries":$relCompact,""" +
       s""""contaminated_phases":$contaminatedJson,"driver_mem_pinned":$memPinned,""" +
       s""""load":${jstr(s"$loadStart -> $loadEnd")},""" +
       s""""tpch_isolated_total":$tpchIsoStr,"isolated_suites":$isolatedSuitesJson,""" +
