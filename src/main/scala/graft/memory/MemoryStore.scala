@@ -81,7 +81,8 @@ final class MemoryStore(
     */
   def indexSchema(
       manifest: Manifest, replace: Boolean = true,
-      seedQueries: Boolean = true): (Int, Int) = {
+      seedQueries: Boolean = true,
+      alsoStore: Seq[(String, String)] = Nil): (Int, Int) = {
     val items = SchemaIndexer.extractSchemaItems(manifest)
     val schemaCount =
       if (items.isEmpty) {
@@ -107,20 +108,28 @@ final class MemoryStore(
         df.repartition(1).write.mode(mode).parquet(tablePath(SchemaTable))
         items.size
       }
-    val seedCount = if (seedQueries) upsertSeedQueries(manifest) else 0
+    // `alsoStore` pairs ride the SAME append as the seed queries — one
+    // maxSeq read + one parquet write instead of a second append cycle per
+    // user pair (guide §6 fewer, larger files; r16 verdict ask #6). seq
+    // assignment is unchanged: seeds first, then the extras, exactly the
+    // order sequential storeQuery calls would have produced.
+    val seedCount =
+      if (seedQueries) upsertSeedQueries(manifest, alsoStore)
+      else {
+        appendQueries(alsoStore.map { case (nl, sql) => (nl, sql, "", "") })
+        0
+      }
     (schemaCount, seedCount)
   }
 
   /** Replace `source:seed` entries, keep everything else (store.py:162-186). */
-  private def upsertSeedQueries(manifest: Manifest): Int = {
+  private def upsertSeedQueries(
+      manifest: Manifest, alsoStore: Seq[(String, String)] = Nil): Int = {
     forgetWhere(r => r.getAs[String]("tags") == SeedQueries.SeedTag)
     val pairs = SeedQueries.generateSeedQueries(manifest)
-    if (pairs.isEmpty) 0
-    else {
-      appendQueries(pairs.map(p =>
-        (p.nl, p.sql, "", SeedQueries.SeedTag)))
-      pairs.size
-    }
+    appendQueries(pairs.map(p => (p.nl, p.sql, "", SeedQueries.SeedTag)) ++
+      alsoStore.map { case (nl, sql) => (nl, sql, "", "") })
+    pairs.size
   }
 
   /** True only when every indexed row carries the manifest's current hash

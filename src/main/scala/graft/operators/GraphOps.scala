@@ -100,9 +100,15 @@ object GraphOps {
             .alias("rank"))
       if (explainIter && it == 1)
         // plan-evidence hook (plans/r15): the per-iteration update plan is
-        // hidden behind the checkpoint snaps in the query-level explain
-        println(updated.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+        // hidden behind the checkpoint snaps in the query-level explain.
+        // Routed through the logging framework, not stdout (r15 advice):
+        // library code printing to stdout would pollute any caller's driver
+        // output if the env var leaked into a deployment. Capture with
+        // log4j2 level=warn on this logger (the hook is opt-in twice over).
+        org.slf4j.LoggerFactory.getLogger(GraphOps.getClass).warn(
+          "rankLoop iteration-1 update plan (SPARK_GRAFT_RANK_EXPLAIN):\n" +
+            updated.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
       rank = snap(updated)
     }
     rank.select(col("id"), col("rank"))

@@ -55,8 +55,11 @@ object Memory {
     */
   def memoryRecall(s: SparkSession, dir: String): DataFrame = {
     val store = tempStore(s)
-    store.indexSchema(Semantic.manifest, seedQueries = true)
-    store.storeQuery(userPair._1, userPair._2)
+    // seeds + the user pair land in ONE append (one maxSeq read, one parquet
+    // write) instead of two cycles — same rows, same seq order, r16 verdict
+    // ask #6; MemoryStoreSpec pins batched ≡ sequential.
+    store.indexSchema(Semantic.manifest, seedQueries = true,
+      alsoStore = Seq(userPair))
     store.recallQueriesScored(recallQuery, limit = 5).get
       .select(col("seq"), col("nl_query"), col("sql_query"), col("tags"),
         col("dot"), col("norm2"), col("score"))

@@ -500,9 +500,14 @@ object TpcH {
     * [[graft.semantics.Transliterate]] — the fidelity-lossy, lint-pinned
     * spelling rewrite — executed by the driver's DuckDB gate. Join shape,
     * correlated EXISTS/NOT-EXISTS (q4/q21/q22), scalar subqueries
-    * (q2/q11/q15/q17/q22), semi/anti join kinds, OFFSET-FETCH limits, and
-    * the NULLS machinery of all six renderers are hash-falsifiable at TPC-H
-    * breadth.
+    * (q17/q22), semi/anti join kinds, OFFSET-FETCH limits, and the NULLS
+    * machinery of all six renderers are hash-falsifiable at TPC-H breadth.
+    * NOTE the r15 single-pass rewrites NARROWED this coverage: q2/q11/q15
+    * are now window-over-aggregate (no scalar subquery) and q18 joins its
+    * HAVING aggregate directly (no IN-subquery) — subquery-decorrelation
+    * breadth now rides on q17/q22 (scalar), q20/q16 (IN/NOT-IN), and
+    * q4/q21/q22 (EXISTS); a reader must not assume q2/q11/q15/q18 still
+    * exercise those unparser paths.
     */
   def translitQueries: Map[String, (SparkSession, String) => DataFrame] =
     (for ((n, (fn, _)) <- defs; d <- translitDialects

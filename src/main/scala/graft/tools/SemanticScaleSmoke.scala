@@ -36,7 +36,8 @@ import graft.SparkEntry
   *   - tpch_q1   scan + 4-group aggregate (pure map-side combine law)
   *   - tpch_q3   fact⨝fact⨝dim + top-K (TakeOrderedAndProject law)
   *   - tpch_q9   5-way join incl. two fact⨝fact (the join-mix stressor)
-  *   - tpch_q18  grouped-HAVING IN-subquery over lineitem + 3-way join
+  *   - tpch_q18  grouped-HAVING aggregate joined to a 3-way join (the r15
+  *               single-pass rewrite — no IN-subquery since then)
   *   - tpch_q21  EXISTS + NOT-EXISTS self-joins on the fact table
   *   - m3_calc_to_many   to-many calc: pre-aggregate + pk join-back
   *   - m13_cube          cube lattice materialization over orders⨝customer

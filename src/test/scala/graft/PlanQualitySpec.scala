@@ -86,8 +86,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // final ORDER BY ... LIMIT plans as TakeOrderedAndProject, not a global
     // sort
     val plan = executedPlan("tpch_q18")
-    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 2, // tree + detail
-      plan.take(2500))
+    // == 1, the tpch_q7 idiom: in executedPlan.toString one scan prints once,
+    // so <= 2 would still pass the OLD two-scan IN-subquery plan (r15 advice)
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"q18 must scan lineitem exactly once\n${plan.take(2500)}")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       plan.take(2500))

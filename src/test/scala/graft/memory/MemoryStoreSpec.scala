@@ -66,6 +66,28 @@ class MemoryStoreSpec extends AnyFunSuite {
     assert(again == 8 && store.status()._2("schema_items") == 8)
   }
 
+  test("indexSchema(alsoStore) batches user pairs into the seed append, rows identical") {
+    // r16: m30 lands seeds + the user pair in ONE parquet append. The batched
+    // store must hold the exact table a sequential storeQuery would have
+    // produced — same seq order, same tags — and recall must rank identically.
+    val sequential = freshStore()
+    sequential.indexSchema(manifest, seedQueries = true)
+    sequential.storeQuery("show revenue by segment", "SELECT 1")
+    val batched = freshStore()
+    batched.indexSchema(manifest, seedQueries = true,
+      alsoStore = Seq(("show revenue by segment", "SELECT 1")))
+    def table(s: MemoryStore) = s.listQueries(limit = 100)._1
+      .map(m => (m("_row_id"), m("nl_query"), m("sql_query"), m("tags")))
+    assert(table(batched) == table(sequential))
+    val recall = batched.recallQueries("revenue by segment", limit = 3)
+    assert(recall.nonEmpty && recall.head("sql_query") == "SELECT 1")
+    // alsoStore without seeding appends alone (and an empty batch is a no-op)
+    val bare = freshStore()
+    bare.indexSchema(manifest, seedQueries = false,
+      alsoStore = Seq(("q1", "SELECT 2")))
+    assert(table(bare) == Seq((0L, "q1", "SELECT 2", "")))
+  }
+
   test("getContext: full text below threshold, embedding search above") {
     val store = freshStore()
     store.indexSchema(manifest, seedQueries = false)

@@ -142,6 +142,31 @@ class EntityResolutionSpec extends AnyFunSuite {
       (102L, "totally new thing"), (104L, "isolated other record")))
   }
 
+  test("incremental link: reliable = true snaps through a checkpoint dir, same output") {
+    // r16 verdict #7: the links/fresh snaps gain the rankLoop escape hatch.
+    // Before any dir is set (setCheckpointDir is one-way) the reliable path
+    // must fail fast, not die mid-pipeline on the first checkpoint().
+    val catalog = Seq((1L, "acme steel works")).toDF("id", "name")
+    val batch = Seq((101L, "acme steel workz"), (102L, "brand new co")).toDF("id", "name")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        EntityResolution.incrementalLink(batch, catalog, "name", "id",
+          maxDist = 2, blocking = "token", reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-er-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val (assigned, _) = EntityResolution.incrementalLink(batch, catalog,
+        "name", "id", maxDist = 2, blocking = "token", reliable = true)
+      val a = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === Map(101L -> 1L, 102L -> 102L))
+      val written = dir.toFile.listFiles
+      assert(written != null && written.nonEmpty)
+    } finally graft.util.Fs.deleteTree(dir.toString)
+  }
+
   test("incremental link: transitivity closes among UNMATCHED only (documented miss)") {
     // A matches the catalog; B is within maxDist of A but NOT of any catalog
     // row. The documented semantics (incrementalLink scaladoc): B is unmatched,
