@@ -215,6 +215,73 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** [[BoundedSortedCollect]] for ER posting lists: gathers up to `cap`
+    * `(side, id, name)` records per blocking key, NULL once the group exceeds
+    * the cap (the "block too hot to pair" rule, applied WITHOUT first paying a
+    * separate count aggregation + join back). Same bounded-buffer guarantee:
+    * an overflowing block frees its arrays and stops accumulating, so a hot
+    * key costs O(cap) memory. Output is (side, id)-ascending so pair expansion
+    * can emit `id_a < id_b` by position, mirroring [[BoundedSortedCollect]]'s
+    * sorted contract.
+    */
+  final case class RecsBuf(
+      var sides: Array[Int], var ids: Array[Long], var names: Array[String],
+      var cnt: Int, var over: Boolean)
+
+  class BoundedSortedCollectRecs(cap: Int)
+      extends Aggregator[(java.lang.Integer, java.lang.Long, String), RecsBuf,
+        Array[(Int, Long, String)]] {
+    require(cap >= 1, "BoundedSortedCollectRecs cap must be >= 1")
+
+    override def zero: RecsBuf =
+      RecsBuf(Array.empty, Array.empty, Array.empty, 0, over = false)
+
+    private def drop(b: RecsBuf): RecsBuf = {
+      b.sides = Array.empty; b.ids = Array.empty; b.names = Array.empty
+      b.cnt = 0; b.over = true
+      b
+    }
+
+    override def reduce(
+        b: RecsBuf, x: (java.lang.Integer, java.lang.Long, String)): RecsBuf = {
+      if (b.over || x == null || x._2 == null) return b
+      if (b.cnt == cap) return drop(b)
+      if (b.cnt == b.ids.length) {
+        val n = math.min(math.max(4, b.ids.length * 2), cap)
+        b.sides = java.util.Arrays.copyOf(b.sides, n)
+        b.ids = java.util.Arrays.copyOf(b.ids, n)
+        b.names = java.util.Arrays.copyOf(b.names, n)
+      }
+      b.sides(b.cnt) = if (x._1 == null) 0 else x._1.intValue
+      b.ids(b.cnt) = x._2.longValue
+      b.names(b.cnt) = x._3
+      b.cnt += 1
+      b
+    }
+
+    override def merge(a: RecsBuf, b: RecsBuf): RecsBuf = {
+      if (a.over || b.over || a.cnt + b.cnt > cap) return drop(a)
+      val n = a.cnt + b.cnt
+      val sides = java.util.Arrays.copyOf(a.sides, n)
+      val ids = java.util.Arrays.copyOf(a.ids, n)
+      val names = java.util.Arrays.copyOf(a.names, n)
+      System.arraycopy(b.sides, 0, sides, a.cnt, b.cnt)
+      System.arraycopy(b.ids, 0, ids, a.cnt, b.cnt)
+      System.arraycopy(b.names, 0, names, a.cnt, b.cnt)
+      a.sides = sides; a.ids = ids; a.names = names; a.cnt = n
+      a
+    }
+
+    override def finish(b: RecsBuf): Array[(Int, Long, String)] =
+      if (b.over) null
+      else (0 until b.cnt).map(i => (b.sides(i), b.ids(i), b.names(i)))
+        .sortBy(t => (t._1, t._2)).toArray
+
+    override def bufferEncoder: Encoder[RecsBuf] = Encoders.product[RecsBuf]
+    override def outputEncoder: Encoder[Array[(Int, Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Int, Long, String)]]()
+  }
+
   /** Misra-Gries heavy-hitters sketch (Misra & Gries 1982; mergeable-summaries
     * merge per Agarwal et al. 2012): at most `k` (item, counter) entries per buffer,
     * guaranteeing every item with true frequency > N/(k+1) survives to the output

@@ -75,34 +75,57 @@ object EntityResolution {
       maxDist: Int = 2,
       maxBlock: Int = 10000,
       blocking: String = "bigram"): DataFrame = {
+    // ONE-SHUFFLE posting-list shape (r16; the pattern Dedup.cappedPostings /
+    // bandCandidates already use): each block's records are gathered into a
+    // size-bounded sorted posting by a single groupBy(tok) — the bounded
+    // aggregator DROPS over-cap blocks in the agg buffer itself, so the old
+    // count-aggregate + join-back + tok-keyed self-join (which scanned the
+    // exploded key stream four times and paid three extra exchanges) is gone.
+    // Pair expansion is map-side off the sorted posting (id_a < id_b by
+    // position), and the quadratic Levenshtein verify runs in the SAME stage.
     val recs = df.select(col(idCol).alias("id"), col(nameCol).alias("name"))
       .withColumn("ws", filter(split(col("name"), " "), w => length(w) > 0))
     val toks = recs
       .select(col("id"), col("name"), explode(blockKeys(blocking)).alias("tok"))
-    val small = toks.groupBy("tok").agg(count(lit(1)).alias("n"))
-      .filter(col("n") <= maxBlock)
-      .select("tok")
-    // The candidate join is CPU-bound (quadratic-within-block Levenshtein over
-    // BYTE-tiny rows), so its parallelism must not be inherited from the
-    // source's split count (a single-file table ran the whole verify on one
-    // core: 8 s vs 1.9 s measured at sf0.1) nor handed to AQE, whose
-    // bytes-based coalescing collapses a small-but-hot shuffle to one
-    // partition. An EXPLICIT-count repartition by the blocking key is the one
-    // exchange AQE respects, and the self-join reuses it on both sides.
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val blocked = toks.join(small, Seq("tok")).repartition(parts, col("tok"))
+    val postings = collectBlocks(toks.withColumn("side", lit(0)), maxBlock)
+      .filter(size(col("ps")) >= 2)
     // VERIFY BEFORE DEDUP: a pair sharing k keys is Levenshtein-scored k times
     // (map-side CPU on short strings), but the distinct exchange then carries
     // only MATCHES — at the 10× smoke that is 5.3k rows instead of 3.6M
     // candidates, a ~700× smaller shuffle. The sparser the match set (every
     // real corpus), the more this ordering wins.
-    blocked.alias("a")
-      .join(blocked.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"),
-        col("a.name").alias("name_a"), col("b.name").alias("name_b"))
+    //
+    // The verify is CPU-bound (quadratic within blocks over BYTE-tiny rows),
+    // so its parallelism must not fall to AQE's bytes-based coalescing, which
+    // would collapse the small-but-hot posting shuffle to one partition (a
+    // single-partition verify measured 8 s vs 1.9 s at sf0.1). The EXPLICIT-
+    // count repartition is the one exchange AQE respects, and it carries the
+    // bounded postings, not the candidate pairs.
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    postings.repartition(parts)
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(
+            x.getField("_2").alias("id_a"), y.getField("_2").alias("id_b"),
+            x.getField("_3").alias("name_a"), y.getField("_3").alias("name_b"))))))
+        .alias("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.name_a"), col("p.name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** One bounded-collect aggregation: `(tok, ps)` where `ps` is the block's
+    * `(side, id, name)` posting sorted by (side, id) — NULL-dropped when the
+    * block exceeds `maxBlock` records across BOTH sides combined (a key hot on
+    * either side is what makes the block product explode).
+    */
+  private def collectBlocks(toks: DataFrame, maxBlock: Int): DataFrame = {
+    val bounded = udaf(
+      new graft.functions.Aggregators.BoundedSortedCollectRecs(maxBlock))
+    toks.groupBy("tok")
+      .agg(bounded(col("side"), col("id"), col("name")).alias("ps"))
+      .filter(col("ps").isNotNull)
   }
 
   /** Two-table fuzzy linkage: match `left` records to `right` records through
@@ -122,24 +145,31 @@ object EntityResolution {
       maxDist: Int = 2,
       maxBlock: Int = 10000,
       blocking: String = "bigram"): DataFrame = {
-    def toks(df: DataFrame): DataFrame = df
+    // same one-shuffle posting shape as blockedFuzzyPairs, with the two sides
+    // tagged into ONE bounded collect (side 0 = left, 1 = right) — the cap
+    // applies to the COMBINED block size exactly as the old union-count did,
+    // and pair expansion crosses the side-0 slice with the side-1 slice
+    // map-side. verify-before-dedup + the explicit-count repartition: ditto.
+    def toks(df: DataFrame, side: Int): DataFrame = df
       .select(col(idCol).alias("id"), col(nameCol).alias("name"))
       .withColumn("ws", filter(split(col("name"), " "), w => length(w) > 0))
-      .select(col("id"), col("name"), explode(blockKeys(blocking)).alias("tok"))
-    val lt = toks(left)
-    val rt = toks(right)
-    val small = lt.select("tok").union(rt.select("tok"))
-      .groupBy("tok").agg(count(lit(1)).alias("n"))
-      .filter(col("n") <= maxBlock)
-      .select("tok")
-    // verify before dedup — see blockedFuzzyPairs: the distinct carries matches,
-    // not candidates; the explicit tok-repartition decouples the CPU-bound
-    // verify's parallelism from source splits and AQE coalescing (ditto)
+      .select(col("id"), col("name"), explode(blockKeys(blocking)).alias("tok"),
+        lit(side).alias("side"))
+    val postings = collectBlocks(
+        toks(left, 0).unionByName(toks(right, 1)), maxBlock)
+      .select(
+        filter(col("ps"), p => p.getField("_1") === 0).alias("ls"),
+        filter(col("ps"), p => p.getField("_1") === 1).alias("rs"))
+      .filter(size(col("ls")) >= 1 && size(col("rs")) >= 1)
     val parts = left.sparkSession.sparkContext.defaultParallelism
-    lt.join(small, Seq("tok")).repartition(parts, col("tok")).alias("a")
-      .join(rt.join(small, Seq("tok")).repartition(parts, col("tok")).alias("b"), Seq("tok"))
-      .select(col("a.id").alias("left_id"), col("b.id").alias("right_id"),
-        col("a.name").alias("left_name"), col("b.name").alias("right_name"))
+    postings.repartition(parts)
+      .select(explode(flatten(transform(col("ls"), a =>
+        transform(col("rs"), b => struct(
+          a.getField("_2").alias("left_id"), b.getField("_2").alias("right_id"),
+          a.getField("_3").alias("left_name"), b.getField("_3").alias("right_name"))))))
+        .alias("p"))
+      .select(col("p.left_id"), col("p.right_id"),
+        col("p.left_name"), col("p.right_name"))
       .withColumn("dist", levenshtein(col("left_name"), col("right_name")))
       .filter(col("dist") <= maxDist)
       .distinct()

@@ -443,19 +443,23 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.take(2500))
   }
 
-  test("er1_fuzzy_pairs: blocked equi-join, never a cartesian; verify is a post-join map filter") {
+  test("er1_fuzzy_pairs: one-shuffle posting expansion, never a cartesian or a block join") {
     val plan = executedPlan("er1_fuzzy_pairs")
-    // the whole point of blocking: candidates meet through an equi-join on the
-    // blocking key, and the quadratic Levenshtein verify runs AFTER the block
-    // join as a map-side filter — never as a join condition that would force a
-    // nested-loop/cartesian all-pairs comparison
+    // the whole point of blocking: candidates meet inside a per-key posting
+    // list (r16: ONE bounded groupBy(tok), no join at all), and the quadratic
+    // Levenshtein verify runs map-side off the expanded posting — never as a
+    // join condition that would force a nested-loop/cartesian all-pairs scan
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2500))
+    // the r16 posting shape removed the candidate self-join and the block-cap
+    // count-aggregate join-back: NO join operator of any kind may reappear
+    assert(!plan.contains("Join"), s"er1 must be join-free\n${plan.take(2500)}")
     assert(plan.toLowerCase.contains("levenshtein"), plan.take(2500))
+    assert(plan.toLowerCase.contains("boundedsortedcollectrecs"),
+      s"block cap must live in the posting aggregation\n${plan.take(2500)}")
     // verify-before-dedup: the distinct's exchange keys on the verified output
-    // (dist included), and the levenshtein verify runs BELOW it (Catalyst even
-    // pushes it into the block-join condition) — so the shuffle carries
-    // matches, not candidates
+    // (dist included), and the levenshtein verify runs BELOW it — so that
+    // shuffle carries matches, not candidates
     val distinctEx = "Exchange hashpartitioning\\([^)]*dist#".r
       .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
     assert(distinctEx >= 0, "no distinct exchange keyed on dist\n" + plan.take(2500))
