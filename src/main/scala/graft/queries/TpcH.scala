@@ -399,22 +399,45 @@ object TpcH {
          |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
          |ORDER BY s_name""".stripMargin),
 
-    // suppliers who kept orders waiting: EXISTS + NOT EXISTS self-joins
+    // suppliers who kept orders waiting — r16 single-pass rewrite of the
+    // EXISTS + NOT-EXISTS double self-join: lineitem⨝orders is scanned ONCE
+    // into per-(order, supplier) lateness rows, and the two correlated
+    // subqueries collapse into one per-order supplier-count aggregate.
+    // Equivalence (Q21Shapes hash-verified at 1×/10×/30×): for a late l1 row,
+    // EXISTS(other supplier in the order) ⟺ the order has >= 2 distinct
+    // suppliers, and NOT EXISTS(other LATE supplier) ⟺ the order's distinct
+    // late-supplier set is exactly {l1.l_suppkey} ⟺ nlate = 1 (l1 itself is
+    // late); l2/l3 ranged over the same o_orderkey, necessarily l1's F-status
+    // order, so pre-filtering the aggregate to F orders drops nothing l1 can
+    // see. The distinct counts are spelled as a TWO-LEVEL aggregate (dedupe
+    // per (order, supplier) keeping max lateness, then plain count/sum) — no
+    // DISTINCT aggregate, so no Expand row doubling AND a deterministic
+    // unparse (Spark's multi-distinct rewrite orders its Expand projections
+    // by expression id, which drifts across sessions and broke the golden
+    // pin). Scale A/B of this exact text vs the EXISTS form (Q21Shapes,
+    // medians across two probe runs on a noisy box; shuffle bytes are
+    // deterministic): 1× 1.06 vs 1.10–1.25 s, 10× 4.29 vs 4.87–15.89 s
+    // (shuffle 102 vs 489 MB), 30× 4.61–7.67 vs 6.26–20.92 s (1165 vs
+    // 1519 MB) — three lineitem roles vs one; the rewrite wins every decade.
     "tpch_q21" -> common(
-      s"""SELECT s_name, count(*) AS numwait
-         |FROM supplier, lineitem l1, orders, nation
-         |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-         |  AND o_orderstatus = 'F'
-         |  AND cast(l1.l_shipdate as date) >
-         |      cast(cast(o_orderdate as date) + interval '60' day as date)
-         |  AND EXISTS (
-         |    SELECT 1 FROM lineitem l2
-         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-         |  AND NOT EXISTS (
-         |    SELECT 1 FROM lineitem l3
-         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-         |      AND cast(l3.l_shipdate as date) >
-         |          cast(cast(o_orderdate as date) + interval '60' day as date))
+      s"""WITH lo AS (
+         |  SELECT l_orderkey, l_suppkey,
+         |    CASE WHEN cast(l_shipdate as date) >
+         |        cast(cast(o_orderdate as date) + interval '60' day as date)
+         |      THEN 1 ELSE 0 END AS is_late
+         |  FROM lineitem, orders
+         |  WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'),
+         |agg AS (
+         |  SELECT l_orderkey, count(*) AS nsupp, sum(sup_late) AS nlate
+         |  FROM (
+         |    SELECT l_orderkey, l_suppkey, max(is_late) AS sup_late
+         |    FROM lo GROUP BY l_orderkey, l_suppkey) per_supp
+         |  GROUP BY l_orderkey)
+         |SELECT s_name, count(*) AS numwait
+         |FROM lo l1, agg, supplier, nation
+         |WHERE agg.l_orderkey = l1.l_orderkey AND l1.is_late = 1
+         |  AND agg.nsupp >= 2 AND agg.nlate = 1
+         |  AND s_suppkey = l1.l_suppkey
          |  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
          |GROUP BY s_name
          |ORDER BY numwait DESC, s_name
@@ -502,12 +525,13 @@ object TpcH {
     * correlated EXISTS/NOT-EXISTS (q4/q21/q22), scalar subqueries
     * (q17/q22), semi/anti join kinds, OFFSET-FETCH limits, and the NULLS
     * machinery of all six renderers are hash-falsifiable at TPC-H breadth.
-    * NOTE the r15 single-pass rewrites NARROWED this coverage: q2/q11/q15
-    * are now window-over-aggregate (no scalar subquery) and q18 joins its
-    * HAVING aggregate directly (no IN-subquery) — subquery-decorrelation
-    * breadth now rides on q17/q22 (scalar), q20/q16 (IN/NOT-IN), and
-    * q4/q21/q22 (EXISTS); a reader must not assume q2/q11/q15/q18 still
-    * exercise those unparser paths.
+    * NOTE the r15/r16 single-pass rewrites NARROWED this coverage: q2/q11/q15
+    * are now window-over-aggregate (no scalar subquery), q18 joins its
+    * HAVING aggregate directly (no IN-subquery), and q21 is a per-order
+    * distinct-count aggregate (no EXISTS/NOT-EXISTS since r16) —
+    * subquery-decorrelation breadth now rides on q17/q22 (scalar),
+    * q20/q16 (IN/NOT-IN), and q4/q22 (EXISTS/NOT-EXISTS); a reader must not
+    * assume q2/q11/q15/q18/q21 still exercise those unparser paths.
     */
   def translitQueries: Map[String, (SparkSession, String) => DataFrame] =
     (for ((n, (fn, _)) <- defs; d <- translitDialects

@@ -99,6 +99,13 @@ object Transliterate {
       // camelCase date accessors → DuckDB's bare accessor functions
       Rule("toyear", raw"\btoYear\(".r, "year(", Some(raw"\byear\(".r)),
       Rule("tomonth", raw"\btoMonth\(".r, "month(", Some(raw"\bmonth\(".r)),
+      // NOTE (r16): a DISTINCT-aggregate q21 rewrite briefly needed a
+      // `Nullable(Int64)` → BIGINT rule here (ClickHouse wraps nullable cast
+      // targets; Spark's multi-distinct Expand emits CAST(NULL AS BIGINT)).
+      // The adopted two-level-aggregate spelling emits no NULL casts, so the
+      // rule was dropped — the exercised-rules pin below would rightly flag
+      // it dead. If a future query plans through multi-distinct Expand, the
+      // rule (and a probe) must come back.
       // ClickHouse type names → ANSI spellings (Int64 does NOT match inside
       // DateTime64/Decimal64 — \b requires a non-word char before the I)
       Rule("int64", raw"\bInt64\b".r, "BIGINT", Some(raw"\bBIGINT\b".r)),

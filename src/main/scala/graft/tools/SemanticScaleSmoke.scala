@@ -38,7 +38,8 @@ import graft.SparkEntry
   *   - tpch_q9   5-way join incl. two fact⨝fact (the join-mix stressor)
   *   - tpch_q18  grouped-HAVING aggregate joined to a 3-way join (the r15
   *               single-pass rewrite — no IN-subquery since then)
-  *   - tpch_q21  EXISTS + NOT-EXISTS self-joins on the fact table
+  *   - tpch_q21  per-order distinct-count aggregate over lineitem⨝orders (the
+  *               r16 single-pass rewrite — EXISTS/NOT-EXISTS gone since then)
   *   - m3_calc_to_many   to-many calc: pre-aggregate + pk join-back
   *   - m13_cube          cube lattice materialization over orders⨝customer
   *   - m6_rlac           governed full-model scan (RLAC filter pushdown)

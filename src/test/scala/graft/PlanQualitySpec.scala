@@ -98,14 +98,22 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.take(2500))
   }
 
-  test("tpch_q21: EXISTS/NOT EXISTS plan as broadcast semi+anti, no shuffled join") {
-    // three lineitem roles (l1, l2, l3) — the semi (other-supplier receipt) and
-    // anti (no other late supplier) joins must broadcast; a SortMergeJoin here
-    // means a fact×fact shuffle and a 10× regression at scale
+  test("tpch_q21: single-pass distinct-count shape — two lineitem roles, no semi/anti") {
+    // r16 rewrite: the EXISTS/NOT-EXISTS double self-join (three lineitem
+    // roles, broadcast semi+anti — lost 2.1×/2.7× at the 10×/30× smoke) became
+    // one lineitem⨝orders pass + a per-order distinct-supplier aggregate.
+    // lineitem appears twice (the lo CTE inlines into l1 and agg), never three
+    // times; the correlated subqueries are GONE from the plan.
     val plan = executedPlan("tpch_q21")
-    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan.take(2500))
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(2500))
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 2,
+      s"q21 must scan lineitem at most twice (lo + agg)\n${plan.take(2500)}")
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      s"the EXISTS subqueries must be rewritten away\n${plan.take(2500)}")
+    // the supplier-count aggregate is the two-level spelling: no DISTINCT
+    // aggregate, hence no Expand row doubling in the plan
+    assert(!plan.contains("Expand"),
+      s"q21's aggregate must not plan through Expand\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2500))
   }
 
