@@ -45,6 +45,12 @@ object DedupAmplification {
     println(f"[d4d13] corpus: docs=$nDocs shingleRows=$shRows " +
       f"distinctShingles=$distinctSh maxDf=$maxDf " +
       f"(maxDocFreq cap 1000 -> dispatch ${if (maxDf > 1000) "prefix" else "capped"})")
+    // the capped path's pair expansion is Σ C(df,2) over shared shingles —
+    // the rows the map-side transform emits BEFORE the (id_a,id_b) count agg
+    val cappedPairs = dfreq.filter(col("__df") >= 2)
+      .agg(sum(col("__df") * (col("__df") - 1) / 2)).head.get(0)
+    println(s"[d4d13] capped-path expansion: sum C(df,2) = $cappedPairs pair " +
+      s"rows map-side (bounded by cap^2/2 per shingle; never a shuffled join side)")
 
     def audit(name: String, threshold: Double, containment: Boolean): Unit = {
       val idx =
