@@ -385,12 +385,20 @@ object Curation {
       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     val spark = newDocs.sparkSession
     val fpCol = existingFingerprints.columns.head
+    // the index fingerprints feed THREE consumers — the sizing count, the Bloom
+    // build, and the exact anti-join — and the batch fingerprints feed two
+    // (probe-split branches). Snap both spill-safely so the fingerprint scan
+    // (regex + md5, the dominant per-row cost) runs once per side, not 3x/2x;
+    // the plans' RDDs are reclaimed by ContextCleaner once the caller's result
+    // is dropped (cf. Dedup.minHashNearDup).
     val fps = existingFingerprints.select(col(fpCol).alias("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = if (expectedItems > 0) expectedItems else math.max(fps.count(), 1L)
     val bloom = spark.sparkContext.broadcast(
       fps.select(xxhash64(col("__fp")).alias("__fpl"))
         .stat.bloomFilter("__fpl", n, fpp))
     val withFp = newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.MightContainBloom(
         org.apache.spark.sql.graft.Bridge.toExpression(spark, xxhash64(col("__fp"))),
@@ -975,19 +983,30 @@ object Curation {
     require(n >= 2, "seedLmSurprisal needs n >= 2 (a context of n-1 words)")
     def qlog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
     def bucketOf(c: Column): Column = Dedup.md5Hash60(c) % buckets
-    def gramCounts(df: DataFrame, width: Int, cnt: String): DataFrame = {
-      val staged = df.select(Dedup.wordsArray(col(textCol)).alias("__w"))
-      staged
-        .select(explode(when(size(col("__w")) >= width,
-          transform(sequence(lit(0), size(col("__w")) - width),
-            i => concat_ws(" ", (0 until width).map(j =>
-              element_at(col("__w"), i + j + 1)): _*)))
-          .otherwise(array().cast("array<string>"))).alias("g"))
-        .select(bucketOf(col("g")).alias("b"))
-        .groupBy("b").agg(count(lit(1)).alias(cnt))
-    }
-    val gramTable = gramCounts(seed, n, "cn")
-    val ctxTable = gramCounts(seed, n - 1, "cc")
+    // ONE tokenize pass + ONE shuffle for BOTH seed count tables: the n-gram and
+    // (n−1)-gram bucket streams are tagged and counted in a single groupBy (the
+    // two-call form re-ran the regex word normalization — the scan's dominant
+    // per-row cost — over the seed split twice and paid two count shuffles).
+    // The combined table is tiny (≤ distinct grams rows); persist it so the two
+    // broadcast builds below read one materialization instead of re-executing
+    // the seed scan each.
+    def gramBuckets(width: Int, tag: Int): Column =
+      when(size(col("__w")) >= width,
+        transform(sequence(lit(0), size(col("__w")) - width),
+          i => struct(lit(tag).alias("t"),
+            bucketOf(concat_ws(" ", (0 until width).map(j =>
+              element_at(col("__w"), i + j + 1)): _*)).alias("b"))))
+        .otherwise(array().cast("array<struct<t:int,b:long>>"))
+    val seedCounts = seed.select(Dedup.wordsArray(col(textCol)).alias("__w"))
+      .select(explode(concat(
+        gramBuckets(n, 1), gramBuckets(n - 1, 0))).alias("p"))
+      .groupBy(col("p.t").alias("t"), col("p.b").alias("b"))
+      .agg(count(lit(1)).alias("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gramTable = seedCounts.filter(col("t") === 1)
+      .select(col("b"), col("c").alias("cn"))
+    val ctxTable = seedCounts.filter(col("t") === 0)
+      .select(col("b"), col("c").alias("cc"))
     val staged = corpus.select(col(idCol).alias("id"),
       Dedup.wordsArray(col(textCol)).alias("__w"))
     staged

@@ -2030,6 +2030,13 @@ object Pipeline {
       val pairs = Dedup.minHashNearDup(d, "text", "doc_id",
         n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
       val cc = Curation.connectedComponents(pairs)
+      // deliberately tokenize BEFORE the join (r16 adjudication): the pre-join
+      // projection collapses text to one int map-side, so the join shuffles
+      // ids+ints only. Deferring the word split past the join would tokenize
+      // member docs only — a win at bench scale where docs broadcast — but at
+      // corpus scale the join would shuffle TEXT bytes (guide §2.3), trading a
+      // linear map-side pass for a payload shuffle. Left as the scale-correct
+      // shape.
       val words = d.select(col("doc_id").alias("id"),
         array_size(Dedup.wordsArray(col("text"))).alias("n_words"))
       val m = cc.join(words, "id")
@@ -2125,12 +2132,20 @@ object Pipeline {
     "p13_leakage_split_incremental" -> (((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
       val evens = d.filter(col("doc_id") % 2 === 0)
-      val pairs1 = Dedup.minHashNearDup(evens, "text", "doc_id",
-        n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
-      val prior = Curation.leakageSafeSplit(evens, pairs1, "doc_id")
-        .select(col("doc_id"), col("split"))
+      // ONE MinHash pass: round 1's even-wave pairs are EXACTLY the full-corpus
+      // pairs with both ends even. Per-doc signatures don't depend on the rest of
+      // the corpus, an LSH bucket restricted to the even docs holds exactly the
+      // even members of the full-corpus bucket (bucketPairs has no size cap), and
+      // the verify Jaccard is a per-pair computation — so
+      // minHashNearDup(evens) ≡ minHashNearDup(d).filter(both even), which is
+      // precisely how the oracle derives e1 from jp. The pair list is tiny;
+      // persist it so both rounds consume one candidates+verify execution.
       val pairs2 = Dedup.minHashNearDup(d, "text", "doc_id",
         n = 3, k = 32, bands = 16, threshold = 0.7).select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs1 = pairs2.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+      val prior = Curation.leakageSafeSplit(evens, pairs1, "doc_id")
+        .select(col("doc_id"), col("split"))
       Curation.leakageSafeSplitIncremental(d, pairs2, "doc_id", prior)
         .orderBy("doc_id")
     }, {

@@ -131,6 +131,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("q28_profile: exact-distinct profiling plans per column — no Expand, pruned scans") {
+    // r16 rewrite: the one-pass k-column exact-distinct aggregate planned through
+    // an Expand that replicated every lineitem row k+1 times into a single-task
+    // 5-key SortAggregate (8.2 s warm at sf0.1, the suite's slowest entry — and
+    // the shape that dies at 100 TB: the shuffle carries (k+1)x full rows).
+    // Now per column: a map-combinable stats aggregate crossed with a
+    // value-only distinct count — no Expand, bare values on the distinct
+    // exchange, and every scan prunes to exactly its own column (two scans per
+    // column: stats + distinct; tools.ProfileShapes carries the 10x evidence).
+    val plan = executedPlan("q28_profile")
+    assert(!plan.contains("Expand"),
+      s"exact-distinct profile must not plan through Expand\n${plan.take(2500)}")
+    // two pruned scans per profiled column (4 columns in the q28 entry)
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 8,
+      s"expected two pruned lineitem scans per profiled column\n${plan.take(2500)}")
+    // each scan reads a single column: every ReadSchema has exactly one field
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s => !s.contains(",")),
+      s"per-column branches must prune to one column each\n${schemas.mkString("\n")}")
+  }
+
   test("tpch_q17: part filter broadcast-joins BEFORE the per-part average window") {
     val plan = executedPlan("tpch_q17")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
